@@ -1,0 +1,267 @@
+"""Deduplication family (SURVEY.md §2.13 X1/X2): exact, MinHash-LSH,
+SimHash, and n-gram Jaccard — the training-data-pipeline operators, each
+designed so the 100 TB form is an equi-join on a computed key (hash,
+band signature) rather than any pairwise comparison.
+
+The reference's dedup story is per-row existence probes before insert
+(M1, B:176 etc.); `dedup_exact` is its set-oriented generalization, and
+the near-dup variants extend it to similarity classes the reference
+cannot express.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import prep, table
+from ..graph.components import connected_components
+from ..registry import query
+
+# MinHash parameters: 32 permutations h_i(x) = (a_i*x + b_i) mod p over a
+# 31-bit base hash, banded 8×4 for LSH candidate generation.
+_MH_PERMS = 32
+_MH_BAND_SIZE = 4
+_MH_PRIME = 2147483647  # 2^31 - 1; keeps a_i * h + b_i inside 63 bits (ANSI-safe)
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS fp, MIN(doc_id) AS keeper, COUNT(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1: exact dedup — hash-groupBy keyed on content, keeper = min id.
+
+    At 100 TB: group on md5/xxhash of content (never the raw payload) so
+    the shuffle carries 16 bytes per row, then semi-join keepers back.
+    """
+    prep(spark)
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(F.col("text").cast("binary")).alias("fp"))
+        .agg(F.min("doc_id").alias("keeper"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def _tokens(col):
+    return F.split(col, " ")
+
+
+def _shingles(tokens_col):
+    """3-word shingles from a token array (pure higher-order functions)."""
+    n = F.size(tokens_col)
+    return F.when(n >= 3, F.transform(
+        F.sequence(F.lit(0), n - 3),
+        lambda i: F.concat_ws(" ", F.slice(tokens_col, i + 1, 3)),
+    )).otherwise(F.array(F.concat_ws(" ", tokens_col)))
+
+
+@query("dedup_minhash")  # rows-only: engine-specific base hash (xxhash64)
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: MinHash + LSH near-dup clustering.
+
+    shingle → 31-bit hash → 32 minhash perms → 8 bands of 4 → band-key
+    equi-join for candidates → exact Jaccard (≥0.5) verify → connected
+    components (graph/components.py, reusing the wallet-clustering
+    machinery) → (doc_id, cluster_id, cluster_size).
+
+    Every stage is a groupBy or equi-join: at 100 TB nothing is pairwise
+    except verification *within candidate buckets*.
+    """
+    prep(spark)
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = docs.select(
+        "doc_id", F.explode(_shingles(_tokens(F.col("text")))).alias("shingle")
+    ).select("doc_id", F.pmod(F.xxhash64("shingle"), F.lit(_MH_PRIME)).alias("h"))
+
+    # 32 minhash values as one aggregation pass (partial/final combine-able)
+    mins = sh.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.pmod(F.col("h") * F.lit(2 * i + 1) + F.lit(7919 * i + 13), F.lit(_MH_PRIME))
+            ).alias(f"m{i}")
+            for i in range(_MH_PERMS)
+        ]
+    )
+    # band signatures -> candidate pairs via equi-join on (band, signature)
+    n_bands = _MH_PERMS // _MH_BAND_SIZE
+    bands = mins.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ":",
+                            *[F.col(f"m{b * _MH_BAND_SIZE + j}") for j in range(_MH_BAND_SIZE)],
+                        ).alias("sig"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", "bs.band", "bs.sig")
+    l = bands.alias("l")
+    r = bands.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.sig") == F.col("r.sig"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .distinct()
+    )
+
+    # exact Jaccard verification on candidates only
+    shs = (
+        docs.select("doc_id", F.explode(_shingles(_tokens(F.col("text")))).alias("g"))
+        .distinct()
+    )
+    sizes = shs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ga = shs.withColumnRenamed("doc_id", "a")
+    gb = shs.withColumnRenamed("doc_id", "b2").withColumnRenamed("g", "g2")
+    inter = (
+        cand.join(ga, "a")
+        .join(gb, (F.col("b") == F.col("b2")) & (F.col("g") == F.col("g2")))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n", "na")
+    sb = sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n", "nb")
+    verified = (
+        inter.join(sa, "a")
+        .join(sb, "b")
+        .where(
+            F.col("n_inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_inter")).cast("double")
+            >= 0.5
+        )
+        .select("a", "b")
+    )
+
+    comp = connected_components(verified, "a", "b")
+    clustered = comp.select(F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id"))
+    singles = docs.join(clustered, "doc_id", "left_anti").select(
+        "doc_id", F.col("doc_id").alias("cluster_id")
+    )
+    all_docs = clustered.unionByName(singles)
+    csize = all_docs.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return all_docs.join(csize, "cluster_id").select("doc_id", "cluster_id", "cluster_size")
+
+
+@query("dedup_simhash")  # rows-only: engine-specific base hash (xxhash64)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 variant: 32-bit SimHash fingerprints.
+
+    Token-frequency-weighted ±1 vote per bit, assembled into one BIGINT.
+    Near-dup candidates come from equality on 16-bit halves (hamming ≤ k
+    implies equality on some band) — again an equi-join, never pairwise.
+    Returns (doc_id, simhash, band0, band1).
+    """
+    prep(spark)
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("t")).where(
+        F.col("t") != ""
+    )
+    counted = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("cnt"))
+    h = counted.withColumn("th", F.xxhash64("t"))
+    votes = h.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1, F.col("cnt"))
+                .otherwise(-F.col("cnt"))
+            ).alias(f"b{i}")
+            for i in range(32)
+        ]
+    )
+    simhash = sum(
+        (F.when(F.col(f"b{i}") >= 0, F.lit(1 << i)).otherwise(F.lit(0)) for i in range(32)),
+        F.lit(0).cast("long"),
+    )
+    out = votes.select("doc_id", simhash.alias("simhash"))
+    return out.select(
+        "doc_id",
+        "simhash",
+        (F.col("simhash") % F.lit(65536)).alias("band0"),
+        (F.col("simhash") / F.lit(65536)).cast("long").alias("band1"),
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH grams AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, length(text) - 1), i -> substr(text, i, 3))) AS g
+      FROM documents WHERE doc_id < 100
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+      WHERE a.doc_id < 100 AND b.doc_id < 100
+    ),
+    inter AS (
+      SELECT p.doc_a, p.doc_b, COUNT(*) AS n_inter
+      FROM pairs p
+      JOIN grams ga ON ga.doc_id = p.doc_a
+      JOIN grams gb ON gb.doc_id = p.doc_b AND gb.g = ga.g
+      GROUP BY p.doc_a, p.doc_b
+    )
+    SELECT p.doc_a, p.doc_b,
+           CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+             / CAST(sa.n + sb.n - COALESCE(i.n_inter, 0) AS DOUBLE) AS jaccard
+    FROM pairs p
+    JOIN sizes sa ON sa.doc_id = p.doc_a
+    JOIN sizes sb ON sb.doc_id = p.doc_b
+    LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 exact-verify primitive: character-3-gram Jaccard similarity on
+    candidate pairs (here: consecutive doc_ids < 100 as the stand-in for
+    an LSH candidate list). Set intersections via distinct-gram joins —
+    exactly the verify stage dedup_minhash uses, made oracle-checkable."""
+    prep(spark)
+    docs = table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")
+        ).alias("g"),
+    ).distinct()
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = docs.select(F.col("doc_id").alias("doc_a"))
+    b = docs.select(F.col("doc_id").alias("doc_b"))
+    pairs = a.join(b, F.col("doc_b") == F.col("doc_a") + 1)
+    ga = grams.withColumnRenamed("doc_id", "doc_a")
+    gb = grams.withColumnRenamed("doc_id", "doc_b2").withColumnRenamed("g", "g2")
+    inter = (
+        pairs.join(ga, "doc_a")
+        .join(gb, (F.col("doc_b") == F.col("doc_b2")) & (F.col("g") == F.col("g2")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na")
+    sb = sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb")
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .join(inter, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.coalesce(F.col("n_inter"), F.lit(0)).cast("double")
+                / (F.col("na") + F.col("nb") - F.coalesce(F.col("n_inter"), F.lit(0))).cast(
+                    "double"
+                )
+            ).alias("jaccard"),
+        )
+    )

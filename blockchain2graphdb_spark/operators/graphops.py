@@ -1,0 +1,242 @@
+"""Graph-analytics operators (SURVEY.md §2.12 + chain traversals of §2.3):
+the reference's Gremlin traversal capabilities generalized to normalized
+vertex/edge DataFrames — chain tip, parent lookup, chain validity,
+topological order, k-hop neighborhoods, degree statistics, and the
+connected-components wallet clustering the reference declared but never
+implemented (T:137, B:896).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import prep, table
+from ..graph.components import connected_components, list_rank
+from ..registry import query
+
+
+@query(
+    "chain_tip",
+    oracle="""
+    SELECT event_id, epoch_ns(ts) // 1000 AS ts_us
+    FROM events ORDER BY ts DESC, event_id DESC LIMIT 1
+    """,
+)
+def chain_tip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1/J8: transitive closure to chain tip (B:43–46 repeat(out("chain")).until(...)).
+
+    The reference walks the chain edge O(n) times; with height/timestamp
+    materialized the tip is a TakeOrdered top-1 — O(1) passes, no
+    iteration at any scale.
+    """
+    prep(spark)
+    return (
+        table(spark, sf_dir, "events")
+        .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .select("event_id", F.unix_micros("ts").alias("ts_us"))
+        .limit(1)
+    )
+
+
+@query(
+    "parent_lookup",
+    oracle="""
+    WITH seq AS (
+      SELECT o_orderkey, o_custkey,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+    )
+    SELECT a.o_orderkey, b.o_orderkey AS parent_orderkey
+    FROM seq a LEFT JOIN seq b ON a.o_custkey = b.o_custkey AND b.rn = a.rn - 1
+    """,
+)
+def parent_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: parent-block lookup along the chain edge (B:97, B:525 in("chain")).
+
+    A self-join on the sequence position — the set-oriented form of the
+    reference's one-parent-at-a-time Gremlin walk.
+    """
+    prep(spark)
+    orders = table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = orders.select(
+        "o_orderkey", "o_custkey", F.row_number().over(w).alias("rn")
+    ).localCheckpoint(eager=False)
+    a = seq.alias("a")
+    b = seq.alias("b")
+    return a.join(
+        b,
+        (F.col("a.o_custkey") == F.col("b.o_custkey"))
+        & (F.col("b.rn") == F.col("a.rn") - 1),
+        "left",
+    ).select(
+        F.col("a.o_orderkey").alias("o_orderkey"),
+        F.col("b.o_orderkey").alias("parent_orderkey"),
+    )
+
+
+@query(
+    "chain_validity",
+    oracle="""
+    WITH seq AS (
+      SELECT o_custkey, o_orderkey,
+             LAG(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_key
+      FROM orders
+    )
+    SELECT o_custkey,
+           COUNT(CASE WHEN prev_key IS NOT NULL AND prev_key > o_orderkey THEN 1 END) AS n_violations
+    FROM seq GROUP BY o_custkey
+    """,
+)
+def chain_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9/W1: chain-validity adjacent-pair check (B:428–435: each block's
+    prevHash must equal its predecessor's hash) — LAG + predicate + count,
+    replacing the sequential Java loop with one windowed pass."""
+    prep(spark)
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", F.lag("o_orderkey").over(w).alias("prev_key")
+    )
+    return seq.groupBy("o_custkey").agg(
+        F.count(
+            F.when(F.col("prev_key").isNotNull() & (F.col("prev_key") > F.col("o_orderkey")), 1)
+        ).alias("n_violations")
+    )
+
+
+@query(
+    "topo_order",
+    oracle="""
+    SELECT event_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS pos
+    FROM events
+    """,
+)
+def topo_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2: parent-first topological order (B:392–412 in-buffer selection sort).
+
+    The per-user event chains are linked via (id, parent) edges only, then
+    positions are reconstructed by pointer-jumping list ranking
+    (graph/components.py): O(log L) self-joins vs the reference's O(L²)
+    selection sort. The window below only *builds* the parent links (the
+    reference gets prev_hash in its input); ranking never sees the order.
+    """
+    prep(spark)
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    links = ev.select(
+        F.col("event_id").alias("id"), F.lag("event_id").over(w).alias("parent")
+    )
+    ranked = list_rank(links, "id", "parent")
+    return ranked.select(F.col("id").alias("event_id"), F.col("pos").cast("long").alias("pos"))
+
+
+@query(
+    "khop_neighborhood",
+    oracle="""
+    WITH seeds AS (SELECT c_custkey FROM customer WHERE c_custkey % 100 = 0),
+         hop1 AS (
+           SELECT DISTINCT l_suppkey
+           FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+           WHERE o_custkey IN (SELECT c_custkey FROM seeds)
+         )
+    SELECT DISTINCT o_custkey AS custkey_2hop
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_suppkey IN (SELECT l_suppkey FROM hop1)
+    """,
+)
+def khop_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2: k-hop neighborhood expansion (J1–J6 chained hops).
+
+    customer→supplier bipartite graph via orders×lineitem; 2 hops out of a
+    seed set. Each hop is a semi-join + distinct — the frontier pattern
+    that generalizes to any k without per-vertex iteration.
+    """
+    prep(spark)
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    cust_supp = orders.join(li, li.l_orderkey == orders.o_orderkey).select(
+        "o_custkey", "l_suppkey"
+    )
+    seeds = (
+        table(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % 100 == 0)
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    hop1 = (
+        cust_supp.join(seeds, "o_custkey", "left_semi").select("l_suppkey").distinct()
+    )
+    hop2 = (
+        cust_supp.join(hop1, "l_suppkey", "left_semi")
+        .select(F.col("o_custkey").alias("custkey_2hop"))
+        .distinct()
+    )
+    return hop2
+
+
+@query(
+    "degree_stats",
+    oracle="""
+    WITH deg AS (SELECT o_custkey, COUNT(*) AS degree FROM orders GROUP BY o_custkey)
+    SELECT degree, COUNT(*) AS n_nodes FROM deg GROUP BY degree
+    """,
+)
+def degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4: degree distribution (A1/A7 are in/out-degrees by another name)."""
+    prep(spark)
+    deg = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+@query(
+    "wallet_components",
+    oracle="""
+    WITH RECURSIVE raw_edges AS (
+      SELECT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a
+      JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND b.l_linenumber = a.l_linenumber + 1
+      WHERE a.l_partkey <> b.l_partkey
+    ),
+    sym AS (
+      SELECT src, dst FROM raw_edges
+      UNION
+      SELECT dst, src FROM raw_edges
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM sym),
+    reach AS (
+      SELECT node, node AS comp FROM nodes
+      UNION
+      SELECT s.dst AS node, r.comp FROM reach r JOIN sym s ON s.src = r.node
+    )
+    SELECT node AS part, MIN(comp) AS component FROM reach GROUP BY node
+    """,
+)
+def wallet_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3: wallet clustering via connected components — the capability the
+    reference declared but stubbed (AddressWalletID always 0; T:137,
+    B:29/58/896). Co-occurrence edges (parts linked through consecutive
+    lineitems of one order ≙ addresses co-spent in one transaction), then
+    min-label propagation (graph/components.py). Component id = min member
+    id, so results are deterministic and oracle-checkable via a recursive
+    CTE."""
+    prep(spark)
+    li = table(spark, sf_dir, "lineitem")
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("b.l_linenumber") == F.col("a.l_linenumber") + 1),
+        )
+        .where(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+    )
+    comp = connected_components(edges)
+    return comp.select(F.col("node").alias("part"), F.col("comp").alias("component"))

@@ -1,0 +1,219 @@
+"""Mutation / maintenance operators (SURVEY.md §2.9) — the reference's
+core competency, inverted to Spark's model.
+
+The reference mutates a property graph row-at-a-time (one Gremlin
+transaction per vertex/edge write, B:186 etc.). Here every maintenance
+semantic is a *declarative set operation over immutable snapshots*:
+insert-if-absent is a left-anti union, merge is a full-outer fold,
+cascade delete is a chain of anti-joins, reorg rollback is a partition
+filter + downstream recompute. At 100 TB these run as keyed shuffles or
+broadcast joins and are idempotent — re-running a micro-batch cannot
+double-apply (the property the reference buys with per-row transactions).
+
+Each query returns the post-maintenance state so the DuckDB oracle can
+verify the *semantics*, not the mechanism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import prep, table
+from ..exact import dec2
+from ..registry import query
+
+
+@query(
+    "upsert_insert_if_absent",
+    oracle="""
+    WITH existing AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 7 <> 0),
+         incoming AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 100000)
+    SELECT o_orderkey, o_totalprice FROM existing
+    UNION ALL
+    SELECT o_orderkey, o_totalprice FROM incoming
+    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM existing)
+    """,
+)
+def upsert_insert_if_absent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1: idempotent insert keyed on `name` (B:170–202 guard hasNext() then addV).
+
+    The per-row existence probe becomes one left-anti join of the incoming
+    batch against the existing keys, then an append — same dedup guarantee,
+    one shuffle instead of N indexed probes.
+    """
+    prep(spark)
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    existing = orders.where(F.col("o_orderkey") % 7 != 0)
+    incoming = orders.where(F.col("o_totalprice") > 100000)
+    fresh = incoming.join(existing, "o_orderkey", "left_anti")
+    return existing.unionByName(fresh)
+
+
+@query(
+    "upsert_merge",
+    oracle="""
+    SELECT o_custkey,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2: upsert-with-recompute (B:296–354 address merge, 12 stats).
+
+    Splits orders at 1998-01-01 into an "existing" aggregate state and a
+    "delta" batch, then MERGEs via full-outer join + coalesce-fold — the
+    foreachBatch pattern for incremental maintenance. The oracle is the
+    plain whole-table aggregate: merge(state, delta) must equal
+    recompute(all), which is exactly the invariant the reference's
+    read-modify-write code tries to maintain by hand.
+    """
+    prep(spark)
+    orders = table(spark, sf_dir, "orders")
+    cut = F.lit("1998-01-01").cast("timestamp")
+
+    def agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(dec2("o_totalprice")).alias("total_spent_dec"),
+        )
+
+    state = agg(orders.where(F.col("o_orderdate") < cut))
+    delta = agg(orders.where(F.col("o_orderdate") >= cut))
+    s = state.alias("s")
+    d = delta.alias("d")
+    merged = s.join(d, F.col("s.o_custkey") == F.col("d.o_custkey"), "full_outer")
+    zero_l = F.lit(0).cast("long")
+    zero_d = F.lit(0).cast("decimal(18,2)")
+    return merged.select(
+        F.coalesce(F.col("s.o_custkey"), F.col("d.o_custkey")).alias("o_custkey"),
+        (
+            F.coalesce(F.col("s.n_orders"), zero_l)
+            + F.coalesce(F.col("d.n_orders"), zero_l)
+        ).alias("n_orders"),
+        (
+            F.coalesce(F.col("s.total_spent_dec"), zero_d)
+            + F.coalesce(F.col("d.total_spent_dec"), zero_d)
+        )
+        .cast("double")
+        .alias("total_spent"),
+    )
+
+
+@query(
+    "update_columns",
+    oracle="""
+    SELECT CASE WHEN o_totalprice > 400000 THEN 'X' ELSE o_orderstatus END AS status,
+           COUNT(*) AS n
+    FROM orders GROUP BY 1
+    """,
+)
+def update_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3: point property update (B:247 OutputIsUsed flip, B:554 block stats).
+
+    Batch form: a conditional column rewrite — `when(pred, new).otherwise(old)`.
+    The incremental form joins a delta keyed by primary key and coalesces
+    new over old; both are full-column-vector ops, no per-row seek.
+    """
+    prep(spark)
+    status = F.when(F.col("o_totalprice") > 400000, "X").otherwise(
+        F.col("o_orderstatus")
+    )
+    return (
+        table(spark, sf_dir, "orders")
+        .withColumn("status", status)
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "cascade_delete",
+    oracle="""
+    WITH del_cust AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+         del_orders AS (SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT c_custkey FROM del_cust))
+    SELECT l_returnflag, COUNT(*) AS n_surviving
+    FROM lineitem
+    WHERE l_orderkey NOT IN (SELECT o_orderkey FROM del_orders)
+    GROUP BY l_returnflag
+    """,
+)
+def cascade_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4: cascading delete block→txs→outputs (B:759–777 → B:713–756 → B:632–710).
+
+    The reference walks the containment edges and drops vertices one by
+    one, hand-decrementing every derived stat. Here the cascade is a chain
+    of anti-joins against the deleted key set, and downstream stats are
+    *recomputed* from survivors — no decrement logic to get wrong.
+    """
+    prep(spark)
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    del_cust = cust.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    del_orders = orders.join(
+        del_cust, orders.o_custkey == del_cust.c_custkey, "left_semi"
+    ).select("o_orderkey")
+    surviving = li.join(del_orders, li.l_orderkey == del_orders.o_orderkey, "left_anti")
+    return surviving.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n_surviving"))
+
+
+@query(
+    "reorg_rollback",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    WHERE ts <= (SELECT MAX(ts) - INTERVAL 3 DAY FROM events)
+    GROUP BY event_type
+    """,
+)
+def reorg_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5: chain-reorg rollback (B:91–102: delete while height >= fork).
+
+    Pop everything above the fork point and recompute downstream
+    aggregates. Because aggregates are queries (not maintained state),
+    rollback is a partition filter — `height < fork` — plus recompute of
+    affected partitions; nothing to decrement. Streaming-side this is a
+    foreachBatch overwrite of the affected height range.
+    """
+    prep(spark)
+    ev = table(spark, sf_dir, "events")
+    fork = ev.agg(
+        (F.max("ts") - F.expr("INTERVAL 3 DAY")).alias("fork_ts")
+    )
+    kept = ev.join(F.broadcast(fork)).where(F.col("ts") <= F.col("fork_ts"))
+    return kept.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec2("value")).cast("double").alias("total_value"),
+    )
+
+
+@query(
+    "resume_anti_join",
+    oracle="""
+    SELECT DATE_TRUNC('day', ts) AS day, COUNT(*) AS n_to_process
+    FROM events
+    WHERE event_id NOT IN (
+      SELECT event_id FROM events WHERE ts <= TIMESTAMP '2024-01-20 00:00:00'
+    )
+    GROUP BY 1
+    """,
+)
+def resume_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6: resume from checkpoint (B:38–49 getBestAndHeight + B:444–457 skip).
+
+    "Max persisted height + skip already-ingested" = anti-join the incoming
+    batch against already-processed keys. In streaming this is free via
+    checkpointLocation; the batch form is shown here.
+    """
+    prep(spark)
+    ev = table(spark, sf_dir, "events")
+    done = ev.where(
+        F.col("ts") <= F.lit("2024-01-20 00:00:00").cast("timestamp")
+    ).select("event_id")
+    todo = ev.join(done, "event_id", "left_anti")
+    return todo.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_to_process")
+    )

@@ -1,0 +1,846 @@
+"""Relational core: scans, filters/point-lookups, the join family,
+aggregations, set ops, sorts/limits (SURVEY.md §2.1–2.4, §2.6–2.7).
+
+Each query re-expresses a reference operation (cited as
+BlockchainToGraph.java:B / TransactionGraph.java:T line numbers) on the
+driver fixture tables. The reference does these row-at-a-time through
+Gremlin point lookups (~50 `g.V().has("name", k)` sites, B:176 etc.);
+here every one is a set-oriented Catalyst plan: indexed point lookups
+become pushed-down parquet filters, existence probes become semi-joins,
+traversal hops become equi-joins that AQE can broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import prep, table
+from ..exact import dec2, money_avg, money_sum
+from ..registry import query
+
+# ---------------------------------------------------------------------------
+# §2.1 scans
+
+
+@query(
+    "scan_parquet",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    WHERE l_shipdate < TIMESTAMP '1995-06-01 00:00:00'
+    """,
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 (B:361 BlockFileLoader sequential scan) as a columnar scan.
+
+    Projection+filter reach the parquet reader (PushedFilters / 3-column
+    ReadSchema in `.explain`), replacing the reference's whole-object
+    decode of every block.
+    """
+    prep(spark)
+    li = table(spark, sf_dir, "lineitem")
+    return li.select("l_orderkey", "l_linenumber", "l_quantity").where(
+        F.col("l_shipdate") < F.lit("1995-06-01").cast("timestamp")
+    )
+
+
+@query(
+    "export_edges",
+    oracle="""
+    SELECT CAST(o_custkey AS VARCHAR) AS src,
+           CAST(o_orderkey AS VARCHAR) AS dst,
+           'placed' AS rel
+    FROM orders
+    UNION ALL
+    SELECT CAST(l_orderkey AS VARCHAR) AS src,
+           CAST(l_partkey AS VARCHAR) AS dst,
+           'contains' AS rel
+    FROM lineitem
+    """,
+)
+def export_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 (B:1248 GraphML whole-graph export) as an edge-list projection.
+
+    The graph is normalized relations, so "export" is a union of FK
+    projections — written out with df.write.parquet/csv by the sink layer
+    (tests cover the write path).
+    """
+    prep(spark)
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    placed = orders.select(
+        F.col("o_custkey").cast("string").alias("src"),
+        F.col("o_orderkey").cast("string").alias("dst"),
+        F.lit("placed").alias("rel"),
+    )
+    contains = li.select(
+        F.col("l_orderkey").cast("string").alias("src"),
+        F.col("l_partkey").cast("string").alias("dst"),
+        F.lit("contains").alias("rel"),
+    )
+    return placed.unionByName(contains)
+
+
+# ---------------------------------------------------------------------------
+# §2.2 filters / point lookups / existence
+
+
+@query(
+    "filter_point",
+    oracle="SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey = 7",
+)
+def filter_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1: indexed point lookup `g.V().has("name", x)` (B:176 et al.).
+
+    The composite-index seek (T:158) becomes a pushed-down parquet
+    predicate + min/max row-group skipping; at scale a batch of N lookups
+    is one semi-join, not N seeks.
+    """
+    prep(spark)
+    return (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") == 7)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    )
+
+
+@query(
+    "filter_conjunctive",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_orderstatus = 'O' AND o_orderpriority = '1-URGENT' AND o_totalprice > 100000
+    """,
+)
+def filter_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2: label+property conjunctive filter (B:40 has("Block","BlockHeight",0))."""
+    prep(spark)
+    return (
+        table(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderstatus") == "O")
+            & (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_totalprice") > 100000)
+        )
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@query(
+    "semi_join",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3: existence probe `.hasNext()` (B:176, B:212...) as LEFT SEMI JOIN.
+
+    The reference's dedup/upsert branching does one indexed probe per row;
+    the set-oriented form is one shuffle (or broadcast) semi-join.
+    """
+    prep(spark)
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "anti_join",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5: negated existence (B:449 `!g.V().has(...).hasNext()`) as LEFT ANTI JOIN."""
+    prep(spark)
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+# ---------------------------------------------------------------------------
+# §2.3 join family
+
+
+@query(
+    "join_inner",
+    oracle="""
+    SELECT o_orderkey, c_name, o_totalprice
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_totalprice > 300000
+    """,
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi inner join (every Gremlin out()/in() hop, e.g. J4 B:578).
+
+    customer is the small side — Catalyst/AQE broadcasts it; the explicit
+    hint keeps the plan stable at any scale factor.
+    """
+    prep(spark)
+    orders = table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 300000)
+    cust = table(spark, sf_dir, "customer")
+    return orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey).select(
+        "o_orderkey", "c_name", "o_totalprice"
+    )
+
+
+@query(
+    "join_left",
+    oracle="""
+    SELECT c_custkey, o_orderkey
+    FROM customer LEFT JOIN orders
+      ON o_custkey = c_custkey AND o_orderstatus = 'F'
+    """,
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join — absent from the reference, declared surface (§2.3 checklist)."""
+    prep(spark)
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    cond = (cust.c_custkey == orders.o_custkey) & (orders.o_orderstatus == "F")
+    return cust.join(orders, cond, "left").select("c_custkey", "o_orderkey")
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT p_partkey, p_name FROM part
+    WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 49)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi on a filtered probe side (F3/J3 shape)."""
+    prep(spark)
+    part = table(spark, sf_dir, "part")
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_quantity") >= 49)
+    return part.join(li, part.p_partkey == li.l_partkey, "left_semi").select(
+        "p_partkey", "p_name"
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT p_partkey, p_name FROM part
+    WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti (resume/skip semantics M6, B:444–457)."""
+    prep(spark)
+    part = table(spark, sf_dir, "part")
+    li = table(spark, sf_dir, "lineitem")
+    return part.join(li, part.p_partkey == li.l_partkey, "left_anti").select(
+        "p_partkey", "p_name"
+    )
+
+
+@query(
+    "one_hop_join",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, p_name
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_quantity >= 48
+    """,
+)
+def one_hop_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: output→address owner lookup (B:578 out("locked")) — a 1-hop FK join."""
+    prep(spark)
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_quantity") >= 48)
+    part = table(spark, sf_dir, "part")
+    return li.join(part, li.l_partkey == part.p_partkey).select(
+        "l_orderkey", "l_linenumber", "p_name"
+    )
+
+
+@query(
+    "expand_children",
+    oracle="""
+    SELECT o_orderkey, l_linenumber, l_partkey
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-03-01 00:00:00'
+    """,
+)
+def expand_children(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5/J6: block→transactions 1:N expansion (B:763 out("has"))."""
+    prep(spark)
+    orders = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-03-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    return orders.join(li, orders.o_orderkey == li.l_orderkey).select(
+        "o_orderkey", "l_linenumber", "l_partkey"
+    )
+
+
+@query(
+    "two_hop_join",
+    oracle="""
+    SELECT c_custkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY c_custkey
+    """,
+)
+def two_hop_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: 2-hop incident-transaction traversal (B:583 in("locked").in("output")).
+
+    address←output←tx becomes customer→orders→lineitem; the per-vertex
+    loop collapses into two equi-joins + one hash aggregate.
+    """
+    prep(spark)
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    rev = (dec2("l_extendedprice") * (F.lit(1) - dec2("l_discount"))).alias("rev")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("c_custkey")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "counterparties",
+    oracle="""
+    SELECT c_custkey, COUNT(DISTINCT l_suppkey) AS n_counterparties
+    FROM customer
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY c_custkey
+    """,
+)
+def counterparties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1+A8: 3-hop counterparty traversal with HashSet dedup (B:950–983).
+
+    The reference walks address←output←tx←output→address per address and
+    dedups in a Java HashSet; here it is a chained equi-join +
+    COUNT(DISTINCT) — Catalyst plans partial/final distinct aggregation,
+    and at 100 TB the HLL variant (agg_approx_count_distinct) avoids the
+    exact-distinct shuffle.
+    """
+    prep(spark)
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("c_custkey")
+        .agg(F.countDistinct("l_suppkey").alias("n_counterparties"))
+    )
+
+
+@query(
+    "self_transfer_flag",
+    oracle="""
+    SELECT n_nationkey, COUNT(*) AS n_local_lineitems
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey  = o_custkey
+    JOIN supplier ON s_suppkey  = l_suppkey
+    JOIN nation   ON n_nationkey = c_nationkey
+    WHERE c_nationkey = s_nationkey
+    GROUP BY n_nationkey
+    """,
+)
+def self_transfer_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: self-transfer detection (B:873–882 TransactionIsBetweenOneAddress).
+
+    "Both sides of the transfer are the same party" — here: lineitems whose
+    customer and supplier share a nation, counted per nation.
+    """
+    prep(spark)
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    supp = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, orders.o_orderkey == li.l_orderkey)
+        .join(cust, cust.c_custkey == orders.o_custkey)
+        .join(F.broadcast(supp), supp.s_suppkey == li.l_suppkey)
+        .where(cust.c_nationkey == supp.s_nationkey)
+        .join(F.broadcast(nation), nation.n_nationkey == cust.c_nationkey)
+        .groupBy("n_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_local_lineitems"))
+    )
+
+
+@query(
+    "join_range",
+    oracle="""
+    SELECT a.event_id, COUNT(*) AS n_following
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND b.ts <= a.ts + INTERVAL 1 HOUR
+    GROUP BY a.event_id
+    """,
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (theta) join — declared surface (§2.3 checklist).
+
+    Equi on user_id + range on ts: Catalyst plans SMJ/SHJ on the equi key
+    with the range as a post-filter, so it scales as a keyed join, not a
+    cartesian product.
+    """
+    prep(spark)
+    ev = table(spark, sf_dir, "events")
+    a = ev.alias("a")
+    b = ev.alias("b")
+    cond = (
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.ts") > F.col("a.ts"))
+        & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    return (
+        a.join(b, cond)
+        .groupBy(F.col("a.event_id").alias("event_id"))
+        .agg(F.count(F.lit(1)).alias("n_following"))
+    )
+
+
+@query(
+    "join_asof",
+    oracle="""
+    SELECT event_id,
+           LAST_VALUE(CASE WHEN event_type = 'error' THEN event_id END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_error_id
+    FROM events
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join — for each event, the most recent *prior* 'error' event
+    of the same user. Declared surface (§2.3 checklist).
+
+    Expressed as a window `last(..., ignorenulls)` instead of a per-row
+    backward scan: one sort per partition key, no N² probing.
+    """
+    prep(spark)
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    last_err = F.last(
+        F.when(F.col("event_type") == "error", F.col("event_id")), ignorenulls=True
+    ).over(w)
+    return ev.select("event_id", last_err.alias("last_error_id"))
+
+
+# ---------------------------------------------------------------------------
+# §2.4 aggregations
+
+
+@query(
+    "agg_count",
+    oracle="SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey",
+)
+def agg_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A2: BlockTransactionCount (B:538–540) as a hash-aggregate count."""
+    prep(spark)
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@query(
+    "agg_sum",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: TransactionBalance/BlockBalance sums (B:784, B:1011, B:1037)."""
+    prep(spark)
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(money_sum("l_quantity", "sum_qty"), money_sum("l_extendedprice", "sum_price"))
+    )
+
+
+@query(
+    "agg_sum_coalesce",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(COALESCE(NULLIF(CAST(l_tax AS DECIMAL(18,2)), 0), 0)) AS DOUBLE) AS sum_tax
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_sum_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: null-coalesced fee sum (B:788–793 tx.getFee() may be null)."""
+    prep(spark)
+    tax = F.coalesce(F.nullif(dec2("l_tax"), F.lit(0).cast("decimal(18,2)")), F.lit(0).cast("decimal(18,2)"))
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.sum(tax).cast("double").alias("sum_tax"))
+    )
+
+
+@query(
+    "agg_signed_sum",
+    oracle="""
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type = 'purchase'
+                         THEN CAST(value AS DECIMAL(18,2))
+                         ELSE -CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS net_value
+    FROM events GROUP BY user_id
+    """,
+)
+def agg_signed_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: running AddressBalance = Σ received − Σ spent (B:856–857, B:912–914).
+
+    The reference mutates one row per spend/receive; this is one signed
+    aggregation over the event log.
+    """
+    prep(spark)
+    signed = F.when(F.col("event_type") == "purchase", dec2("value")).otherwise(-dec2("value"))
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.sum(signed).cast("double").alias("net_value"))
+    )
+
+
+@query(
+    "agg_min_max",
+    oracle="""
+    SELECT user_id,
+           epoch_ns(MIN(ts)) // 1000 AS first_seen_us,
+           epoch_ns(MAX(ts)) // 1000 AS last_seen_us
+    FROM events GROUP BY user_id
+    """,
+)
+def agg_min_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: AddressFirstAppearDate / AddressLastAppearDate (B:858–859, B:583–589).
+
+    Timestamps surface as integer epoch-microseconds: the fixture stores
+    nanosecond precision, which Spark truncates to micros on read, so the
+    comparable representation on both engines is floor(ns/1000).
+    """
+    prep(spark)
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.unix_micros(F.min("ts")).alias("first_seen_us"),
+            F.unix_micros(F.max("ts")).alias("last_seen_us"),
+        )
+    )
+
+
+@query(
+    "agg_conditional_count",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchases,
+           COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_errors
+    FROM events GROUP BY user_id
+    """,
+)
+def agg_conditional_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: direction-split counts (B:863–867 AddressInput/OutputTransactionCount)."""
+    prep(spark)
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_purchases"),
+            F.count(F.when(F.col("event_type") == "error", 1)).alias("n_errors"),
+        )
+    )
+
+
+@query(
+    "agg_count_distinct",
+    oracle="SELECT l_suppkey, COUNT(DISTINCT l_partkey) AS n_parts FROM lineitem GROUP BY l_suppkey",
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 exact form: distinct counterparties (B:950–983 HashSet dedup)."""
+    prep(spark)
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(F.countDistinct("l_partkey").alias("n_parts"))
+    )
+
+
+@query("agg_approx_count_distinct")  # rows-only: HLL sketches differ across engines
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 at 100 TB: approx_count_distinct (HLL++) — the scale path that
+    replaces the exact-distinct shuffle. Rows-only check (sketch estimates
+    are engine-specific); the exact twin is `agg_count_distinct`.
+    """
+    prep(spark)
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(F.approx_count_distinct("l_partkey", 0.01).alias("n_parts_approx"))
+    )
+
+
+@query(
+    "agg_first_seen_count",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    )
+    SELECT DATE_TRUNC('day', ts) AS day, COUNT(*) AS n_new_users
+    FROM ranked WHERE rn = 1 GROUP BY 1
+    """,
+)
+def agg_first_seen_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: TransactionNewAddressCount (B:1077–1080) — count of first-ever
+    appearances per period, via a window instead of per-row existence probes."""
+    prep(spark)
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    rn = F.row_number().over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+    return (
+        ev.withColumn("rn", rn)
+        .where(F.col("rn") == 1)
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_new_users"))
+    )
+
+
+@query(
+    "agg_self_transfer",
+    oracle="""
+    SELECT c_custkey, COUNT(*) AS n_local
+    FROM orders
+    JOIN customer ON c_custkey = o_custkey
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+      WHERE l_orderkey = o_orderkey AND s_nationkey = c_nationkey
+    )
+    GROUP BY c_custkey
+    """,
+)
+def agg_self_transfer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: AddressBetweenAddressTransactionCount (B:876–877) — per party,
+    how many of its transactions have it on both sides (here: an order with
+    at least one same-nation supplier), via semi-join then count."""
+    prep(spark)
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    li = table(spark, sf_dir, "lineitem")
+    supp = table(spark, sf_dir, "supplier")
+    oc = orders.join(cust, cust.c_custkey == orders.o_custkey).select(
+        "o_orderkey", "c_custkey", "c_nationkey"
+    )
+    ls = li.join(F.broadcast(supp), supp.s_suppkey == li.l_suppkey).select(
+        "l_orderkey", "s_nationkey"
+    )
+    probe = ls.withColumnRenamed("l_orderkey", "o_orderkey").withColumnRenamed(
+        "s_nationkey", "c_nationkey"
+    )
+    return (
+        oc.join(probe, ["o_orderkey", "c_nationkey"], "left_semi")
+        .groupBy("c_custkey")
+        .agg(F.count(F.lit(1)).alias("n_local"))
+    )
+
+
+@query(
+    "distinct_rows",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11: HashSet-union dedup (B:722–733) as dropDuplicates."""
+    prep(spark)
+    return table(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets / CUBE — declared surface (§2.4 'absent in reference')."""
+    prep(spark)
+    return (
+        table(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(money_sum("l_quantity", "sum_qty"))
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT r_name, n_name, COUNT(c_custkey) AS n_customers
+    FROM region
+    JOIN nation ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over the region→nation dimension hierarchy."""
+    prep(spark)
+    region = table(spark, sf_dir, "region")
+    nation = table(spark, sf_dir, "nation")
+    cust = table(spark, sf_dir, "customer")
+    return (
+        region.join(nation, nation.n_regionkey == region.r_regionkey)
+        .join(cust, cust.c_nationkey == nation.n_nationkey)
+        .rollup("r_name", "n_name")
+        .agg(F.count("c_custkey").alias("n_customers"))
+    )
+
+
+@query(
+    "agg_stats",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+             / CAST(COUNT(value) AS DOUBLE) AS avg_value
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Summary statistics — declared surface (§2.4)."""
+    prep(spark)
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            money_avg("value", "avg_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 sorts / limits / top-k
+
+
+@query(
+    "sort_by_key",
+    oracle="""
+    SELECT o_orderkey,
+           ROW_NUMBER() OVER (ORDER BY o_orderdate, o_orderkey) AS pos
+    FROM orders
+    """,
+)
+def sort_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1: total order by timestamp (B:66–77 blockComparator + Collections.sort).
+
+    Materialized as a global rank so the order is observable under the
+    driver's order-insensitive hash. Physically a range-partitioned sort.
+    """
+    prep(spark)
+    from pyspark.sql import Window as W
+
+    return table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.row_number().over(W.orderBy("o_orderdate", "o_orderkey")).alias("pos"),
+    )
+
+
+@query(
+    "limit_n",
+    oracle="SELECT o_orderkey, o_orderdate FROM orders ORDER BY o_orderkey LIMIT 5",
+)
+def limit_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3: take-first `.next()` (B:44 etc.) generalized to ORDER BY ... LIMIT n."""
+    prep(spark)
+    return table(spark, sf_dir, "orders").orderBy("o_orderkey").select("o_orderkey", "o_orderdate").limit(5)
+
+
+@query(
+    "topk_global",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k → TakeOrderedAndProject (no full sort, no full shuffle)."""
+    prep(spark)
+    return (
+        table(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 set operations
+
+
+@query(
+    "set_union",
+    oracle="SELECT c_nationkey AS nationkey FROM customer UNION SELECT s_nationkey FROM supplier",
+)
+def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HashSet union across sides (B:722–733) as UNION DISTINCT."""
+    prep(spark)
+    c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+@query(
+    "set_intersect",
+    oracle="SELECT c_nationkey AS nationkey FROM customer INTERSECT SELECT s_nationkey FROM supplier",
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT — declared surface (§2.7, absent from the reference)."""
+    prep(spark)
+    c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@query(
+    "set_except",
+    oracle="SELECT c_nationkey AS nationkey FROM customer EXCEPT SELECT s_nationkey FROM supplier",
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT — declared surface (§2.7)."""
+    prep(spark)
+    c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s)  # EXCEPT DISTINCT (exceptAll is the bag variant)

@@ -1,0 +1,229 @@
+"""Scalar function surface (SURVEY.md §2.8): the reference's string /
+date / conversion helpers (C1–C11) re-expressed as built-in, codegen'd
+`pyspark.sql.functions` — never row-at-a-time Python in the hot path —
+plus the declared math/date/array/json built-ins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import prep, table
+from ..registry import query
+
+
+@query(
+    "str_concat",
+    oracle="""
+    SELECT CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR) AS item_id,
+           l_partkey
+    FROM lineitem
+    """,
+)
+def str_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1: composite key `txHash + ":" + outputIndex` (B:988, B:1081)."""
+    prep(spark)
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        F.concat_ws(":", F.col("l_orderkey"), F.col("l_linenumber")).alias("item_id"),
+        "l_partkey",
+    )
+
+
+@query(
+    "str_regexp_extract",
+    oracle="""
+    SELECT event_id, regexp_extract(props, '"k": (\\d+)', 1) AS k_str
+    FROM events
+    """,
+)
+def str_regexp_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2: log-line pattern extraction (B:143–156, `UpdateTip: new best=`)."""
+    prep(spark)
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", F.regexp_extract("props", r'"k": (\d+)', 1).alias("k_str")
+    )
+
+
+@query(
+    "str_cast",
+    oracle="""
+    SELECT event_id, CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INTEGER) AS k
+    FROM events
+    """,
+)
+def str_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3: Integer.parseInt of an extracted substring (B:145–146)."""
+    prep(spark)
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.regexp_extract("props", r'"k": (\d+)', 1).cast("int").alias("k"),
+    )
+
+
+@query(
+    "str_format",
+    oracle="SELECT n_nationkey, printf('blk%05d.dat', n_nationkey) AS fname FROM nation",
+)
+def str_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4: zero-padded block-file name `blk%05d.dat` (B:82, B:1100)."""
+    prep(spark)
+    return table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.format_string("blk%05d.dat", F.col("n_nationkey")).alias("fname")
+    )
+
+
+@query(
+    "str_split",
+    oracle="SELECT doc_id, string_split(text, ' ')[1] AS first_token FROM documents",
+)
+def str_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5: key=value split (B:1156–1165) — split + element access."""
+    prep(spark)
+    docs = table(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.split("text", " ").getItem(0).alias("first_token"))
+
+
+@query(
+    "date_compare",
+    oracle="""
+    SELECT user_id,
+           COUNT(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00' THEN 1 END) AS n_after,
+           DATE_DIFF('day', CAST(MIN(ts) AS DATE), CAST(MAX(ts) AS DATE)) AS active_days
+    FROM events GROUP BY user_id
+    """,
+)
+def date_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6: Date before/after comparisons (B:72, B:586) + datediff arithmetic."""
+    prep(spark)
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count(
+            F.when(F.col("ts") >= F.lit("2024-01-15").cast("timestamp"), 1)
+        ).alias("n_after"),
+        F.datediff(F.max("ts").cast("date"), F.min("ts").cast("date")).alias("active_days"),
+    )
+
+
+@query(
+    "null_coalesce",
+    oracle="""
+    SELECT event_id, COALESCE(NULLIF(event_type, 'error'), 'none') AS safe_type
+    FROM events
+    """,
+)
+def null_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C9: null-coalesced fee (B:788–793)."""
+    prep(spark)
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.coalesce(F.nullif(F.col("event_type"), F.lit("error")), F.lit("none")).alias(
+            "safe_type"
+        ),
+    )
+
+
+@query(
+    "conditional_flag",
+    oracle="""
+    SELECT CASE WHEN o_totalprice > 200000 THEN 'big' ELSE 'small' END AS bucket,
+           COUNT(*) AS n
+    FROM orders GROUP BY 1
+    """,
+)
+def conditional_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C10: boolean flag derivation (B:786 isCoinBase, B:247 OutputIsUsed)."""
+    prep(spark)
+    bucket = F.when(F.col("o_totalprice") > 200000, "big").otherwise("small")
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "math_ops",
+    oracle="""
+    SELECT c_custkey,
+           ROUND(ABS(c_acctbal)) AS abs_bal,
+           SQRT(ABS(c_acctbal)) AS sqrt_bal,
+           POW(2, c_nationkey % 5) AS pow2
+    FROM customer
+    """,
+)
+def math_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math built-ins (declared surface §2.8). abs/sqrt/pow/integer-round
+    are IEEE-deterministic across engines (unlike log/exp, which depend on
+    libm and are kept off the oracle path)."""
+    prep(spark)
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.round(F.abs(F.col("c_acctbal"))).alias("abs_bal"),
+        F.sqrt(F.abs(F.col("c_acctbal"))).alias("sqrt_bal"),
+        F.pow(F.lit(2), F.col("c_nationkey") % 5).alias("pow2"),
+    )
+
+
+@query(
+    "date_trunc_group",
+    oracle="""
+    SELECT DATE_TRUNC('month', o_orderdate) AS month, COUNT(*) AS n_orders
+    FROM orders GROUP BY 1
+    """,
+)
+def date_trunc_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_trunc + calendar grouping (declared surface §2.8)."""
+    prep(spark)
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@query(
+    "array_explode",
+    oracle="""
+    SELECT token, COUNT(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    WHERE token <> ''
+    GROUP BY token
+    ORDER BY n DESC, token LIMIT 20
+    """,
+)
+def array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array functions: split → explode → aggregate (declared surface §2.8)."""
+    prep(spark)
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(20)
+    )
+
+
+@query(
+    "json_extract",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, COUNT(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction (declared surface §2.8; events.props is a JSON string)."""
+    prep(spark)
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.select(F.get_json_object("props", "$.k").cast("int").alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

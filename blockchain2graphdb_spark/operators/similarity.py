@@ -1,0 +1,222 @@
+"""Similarity search over embedding columns (SURVEY.md §2.13 X3).
+
+Three tiers, mirroring how this runs at 100 TB:
+
+* `similarity_topk` — exact brute-force top-k, integer-quantized so the
+  DuckDB oracle matches bit-for-bit. The query side is tiny and
+  broadcast; candidates stream through one shuffle-free pass + a
+  per-query top-k window.
+* `similarity_bruteforce` — the production float path: zip_with/aggregate
+  higher-order functions, one row per (query, candidate), no explode, no
+  Python. Rows-only check (float sum order differs across engines).
+* `similarity_lsh` — the scale path: random-hyperplane LSH bucketing
+  turns the N×M cross product into an equi-join on bucket signatures;
+  exact rerank inside buckets. Recall < 1 by design → rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import prep, table
+from ..functions.vectors import float_cosine, quantize
+from ..registry import query
+
+_N_DIM = 64
+
+
+def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, label, q: array<long>, norm2: long) with q = round(x*1000)."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.select("vec_id", "label", quantize("embedding").alias("q"))
+    norm2 = F.aggregate(
+        F.transform(F.col("q"), lambda x: x * x), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    return q.withColumn("norm2", norm2)
+
+
+@query(
+    "similarity_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    norms AS (
+      SELECT vec_id, (SELECT SUM(x * x) FROM unnest(qv) AS t(x)) AS norm2 FROM q
+    ),
+    dots AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+             (SELECT SUM(a.qv[i.i] * b.qv[i.i])
+              FROM (SELECT unnest(range(1, {_N_DIM + 1})) AS i) i) AS dot
+      FROM q a JOIN q b ON b.vec_id <> a.vec_id
+      WHERE a.vec_id < 5
+    ),
+    scored AS (
+      SELECT d.query_id, d.cand_id,
+             CAST(d.dot AS DOUBLE) / SQRT(CAST(na.norm2 * nb.norm2 AS DOUBLE)) AS cosine
+      FROM dots d
+      JOIN norms na ON na.vec_id = d.query_id
+      JOIN norms nb ON nb.vec_id = d.cand_id
+    )
+    SELECT query_id, cand_id, cosine FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rn
+      FROM scored
+    ) WHERE rn <= 10
+    """,
+)
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 exact baseline: brute-force cosine top-10 for query vectors
+    (vec_id < 5) over all candidates. Integer-quantized for cross-engine
+    exactness; the query side is broadcast so candidates need no shuffle.
+    """
+    prep(spark)
+    qdf = _quantized(spark, sf_dir)
+    queries = qdf.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qq"),
+        F.col("norm2").alias("qnorm2"),
+    )
+    cands = qdf.select(
+        F.col("vec_id").alias("cand_id"), F.col("q").alias("cq"), F.col("norm2").alias("cnorm2")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qq"), F.col("cq"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    scored = (
+        cands.join(F.broadcast(queries), F.col("cand_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            dot.cast("double") / F.sqrt((F.col("qnorm2") * F.col("cnorm2")).cast("double")),
+        )
+        .select("query_id", "cand_id", "cosine")
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 10).drop("rn")
+
+
+@query("similarity_bruteforce")  # rows-only: float accumulation order is engine-specific
+def similarity_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 production float path: zip_with + aggregate double cosine,
+    top-3 per query (vec_id < 3). One JVM-side row per pair — at scale
+    this is a broadcast of the query batch and a single scan of the
+    candidate set."""
+    prep(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    cands = emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("ce"))
+    scored = (
+        cands.join(F.broadcast(queries), F.col("cand_id") != F.col("query_id"))
+        .withColumn("cosine", float_cosine(F.col("qe"), F.col("ce")))
+        .select("query_id", "cand_id", "cosine")
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 3).drop("rn")
+
+
+@query("similarity_lsh")  # rows-only: approximate by design
+def similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 scale path: random-hyperplane LSH. 8 sign bits per vector →
+    bucket id; candidate generation becomes an equi-join on the bucket,
+    exact cosine reranks inside. Hyperplanes are pseudo-random ±1 derived
+    from xxhash64(bit, dim) — deterministic across runs, no stored model.
+
+    At 100 TB: bucket join replaces the N×M cross product; multiple hash
+    tables (band OR-construction) recover recall; AQE handles bucket skew.
+    """
+    prep(spark)
+    emb = table(spark, sf_dir, "embeddings")
+
+    def bucket_bit(vec, b: int):
+        # sign of dot(vec, h_b) where h_b[i] = ±1 from a hash of (b, i)
+        products = F.zip_with(
+            vec,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_N_DIM - 1)),
+                lambda i: (F.pmod(F.xxhash64(F.lit(b), i), F.lit(2)) * 2 - 1).cast("double"),
+            ),
+            lambda x, h: x.cast("double") * h,
+        )
+        s = F.aggregate(products, F.lit(0.0), lambda a, x: a + x)
+        return F.when(s >= 0, F.lit(1)).otherwise(F.lit(0))
+
+    bucket = sum(
+        (bucket_bit(F.col("embedding"), b) * F.lit(1 << b) for b in range(8)),
+        F.lit(0),
+    )
+    bucketed = emb.select("vec_id", "embedding", bucket.alias("bucket"))
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("query_id"),
+        F.col("b.vec_id").alias("cand_id"),
+        float_cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return pairs.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 3).drop("rn")
+
+
+@query(
+    "dedup_embedding",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    norms AS (
+      SELECT vec_id, (SELECT SUM(x * x) FROM unnest(qv) AS t(x)) AS norm2 FROM q
+    ),
+    dots AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             (SELECT SUM(a.qv[i.i] * b.qv[i.i])
+              FROM (SELECT unnest(range(1, {_N_DIM + 1})) AS i) i) AS dot
+      FROM q a JOIN q b ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    SELECT d.vec_a, d.vec_b,
+           CAST(d.dot AS DOUBLE) / SQRT(CAST(na.norm2 * nb.norm2 AS DOUBLE)) AS cosine
+    FROM dots d
+    JOIN norms na ON na.vec_id = d.vec_a
+    JOIN norms nb ON nb.vec_id = d.vec_b
+    WHERE CAST(d.dot AS DOUBLE) / SQRT(CAST(na.norm2 * nb.norm2 AS DOUBLE)) > 0.3
+    """,
+)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2-adjacent: embedding-cosine near-duplicate pairs (same label
+    blocking, quantized cosine > 0.3). Blocking on `label` is the
+    partition-pruning stand-in for LSH buckets at scale."""
+    prep(spark)
+    qdf = _quantized(spark, sf_dir)
+    a = qdf.alias("a")
+    b = qdf.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.q"), F.col("b.q"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .withColumn(
+            "cosine",
+            dot.cast("double")
+            / F.sqrt((F.col("a.norm2") * F.col("b.norm2")).cast("double")),
+        )
+        .where(F.col("cosine") > 0.3)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            "cosine",
+        )
+    )
+    return pairs

@@ -1,0 +1,179 @@
+"""Text analysis (SURVEY.md §2.13 X4): token statistics, language-ID
+heuristic, quality scoring, token counting, document fingerprinting —
+the LLM-training-data operators, all built-in-function pipelines
+(split/explode/regexp/md5), no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import prep, table
+from ..registry import query
+
+
+@query(
+    "text_token_stats",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    filtered AS (SELECT doc_id, t FROM toks WHERE t <> '')
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           COUNT(DISTINCT t) AS n_distinct,
+           CAST(SUM(length(t)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_token_len,
+           CAST(COUNT(DISTINCT t) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS type_token_ratio
+    FROM filtered GROUP BY doc_id
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: per-document token statistics (count, vocabulary, TTR)."""
+    prep(spark)
+    toks = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+        .where(F.col("t") != "")
+    )
+    return toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("t").alias("n_distinct"),
+        (F.sum(F.length("t")).cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "avg_token_len"
+        ),
+        (F.countDistinct("t").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "type_token_ratio"
+        ),
+    )
+
+
+@query(
+    "text_lang_id",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    scores AS (
+      SELECT doc_id,
+             COUNT(CASE WHEN t IN ('the', 'a', 'of') THEN 1 END) AS s_article,
+             COUNT(CASE WHEN t IN ('data', 'table', 'row', 'column') THEN 1 END) AS s_data,
+             COUNT(CASE WHEN t IN ('query', 'scan', 'join', 'filter') THEN 1 END) AS s_query
+      FROM toks GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CASE WHEN s_article >= s_data AND s_article >= s_query THEN 'article-heavy'
+                WHEN s_data >= s_query THEN 'data-heavy'
+                ELSE 'query-heavy' END AS pred_class,
+           s_article, s_data, s_query
+    FROM scores
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: n-gram/marker-token language-ID heuristic.
+
+    Scores each document against marker-token sets and picks the argmax
+    with a deterministic tie order — the standard stopword-profile
+    language detector. (The fixture corpus shares one vocabulary across
+    its `lang` labels, so classes here are register profiles; on real
+    multilingual data the marker sets are per-language stopword lists.)
+    """
+    prep(spark)
+    toks = table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("t")
+    )
+    scores = toks.groupBy("doc_id").agg(
+        F.count(F.when(F.col("t").isin("the", "a", "of"), 1)).alias("s_article"),
+        F.count(F.when(F.col("t").isin("data", "table", "row", "column"), 1)).alias("s_data"),
+        F.count(F.when(F.col("t").isin("query", "scan", "join", "filter"), 1)).alias("s_query"),
+    )
+    pred = (
+        F.when(
+            (F.col("s_article") >= F.col("s_data")) & (F.col("s_article") >= F.col("s_query")),
+            "article-heavy",
+        )
+        .when(F.col("s_data") >= F.col("s_query"), "data-heavy")
+        .otherwise("query-heavy")
+    )
+    return scores.select("doc_id", pred.alias("pred_class"), "s_article", "s_data", "s_query")
+
+
+@query(
+    "text_quality_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    stats AS (
+      SELECT doc_id,
+             COUNT(*) AS n_tokens,
+             COUNT(DISTINCT t) AS n_distinct,
+             COUNT(CASE WHEN t IN ('the', 'a', 'of') THEN 1 END) AS n_stop
+      FROM toks WHERE t <> '' GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(s.n_distinct AS DOUBLE) / CAST(s.n_tokens AS DOUBLE) * 0.5
+             + (1.0 - CAST(s.n_stop AS DOUBLE) / CAST(s.n_tokens AS DOUBLE)) * 0.3
+             + LEAST(CAST(d.n_chars AS DOUBLE) / 500.0, 1.0) * 0.2 AS quality
+    FROM documents d JOIN stats s ON s.doc_id = d.doc_id
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: composite quality score — lexical diversity + stopword ratio +
+    length saturation (the usual pre-training heuristic filter trio).
+    Pure double arithmetic on integer counts: deterministic cross-engine.
+    """
+    prep(spark)
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("t")).where(
+        F.col("t") != ""
+    )
+    stats = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("t").alias("n_distinct"),
+        F.count(F.when(F.col("t").isin("the", "a", "of"), 1)).alias("n_stop"),
+    )
+    quality = (
+        F.col("n_distinct").cast("double") / F.col("n_tokens").cast("double") * 0.5
+        + (F.lit(1.0) - F.col("n_stop").cast("double") / F.col("n_tokens").cast("double"))
+        * 0.3
+        + F.least(F.col("n_chars").cast("double") / 500.0, F.lit(1.0)) * 0.2
+    )
+    return docs.select("doc_id", "n_chars").join(stats, "doc_id").select(
+        "doc_id", quality.alias("quality")
+    )
+
+
+@query(
+    "token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS n_word_tokens
+    FROM documents
+    """,
+)
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: BPE-ish regex token counting (word/number pieces)."""
+    prep(spark)
+    return table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit("[a-z]+|[0-9]+")).cast("long").alias(
+            "n_word_tokens"
+        ),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id, md5(lower(text)) AS fingerprint FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: normalized content fingerprint (md5 over lowercased text) —
+    the join key for exact dedup across shards; md5 agrees across engines
+    so it is oracle-checkable, unlike xxhash64."""
+    prep(spark)
+    return table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.lower(F.col("text")).cast("binary")).alias("fingerprint")
+    )

@@ -1,0 +1,155 @@
+"""Window functions (SURVEY.md §2.5): the reference's three windows-in-
+disguise (W1 chain validity, W2 height assignment, W3 first-appearance)
+plus the declared built-in frame-spec surface.
+
+Every ORDER BY inside a window carries a unique tie-breaker so results are
+deterministic under the driver's value-hash gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import prep, table
+from ..exact import dec2
+from ..registry import query
+
+
+@query(
+    "window_lag",
+    oracle="""
+    SELECT event_id,
+           value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+    FROM events
+    """,
+)
+def window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: adjacent-pair comparison (B:428–435 chain validity) as LAG.
+
+    The reference compares each block to its predecessor in a Java loop;
+    LAG over a sorted window does it in one pass per partition.
+    """
+    prep(spark)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = table(spark, sf_dir, "events")
+    return ev.select("event_id", (F.col("value") - F.lag("value").over(w)).alias("delta"))
+
+
+@query(
+    "window_row_number",
+    oracle="""
+    SELECT o_orderkey,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS seq
+    FROM orders
+    """,
+)
+def window_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: monotone height assignment (B:364, B:458 blockHeight++) as ROW_NUMBER."""
+    prep(spark)
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.row_number().over(w).alias("seq")
+    )
+
+
+@query(
+    "window_first_seen",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) = 1
+                THEN TRUE ELSE FALSE END AS is_first
+    FROM events
+    """,
+)
+def window_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: first-appearance detection (B:1077–1080 new-address probe)."""
+    prep(spark)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return table(spark, sf_dir, "events").select(
+        "event_id", (F.row_number().over(w) == 1).alias("is_first")
+    )
+
+
+@query(
+    "window_running_sum",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                OVER (PARTITION BY l_orderkey
+                      ORDER BY l_linenumber, l_quantity, l_partkey, l_suppkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+    FROM lineitem
+    """,
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum with an explicit rowsBetween frame (declared surface §2.5).
+
+    (l_orderkey, l_linenumber) is not unique in the fixture, so the frame
+    order carries extra keys; remaining ties are equal in both sort keys
+    and summed value, making the output multiset deterministic.
+    """
+    prep(spark)
+    w = (
+        W.partitionBy("l_orderkey")
+        .orderBy("l_linenumber", "l_quantity", "l_partkey", "l_suppkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(dec2("l_quantity")).over(w).cast("double").alias("running_qty"),
+    )
+
+
+@query(
+    "window_rank",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity DESC) AS qty_rank,
+           DENSE_RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity DESC) AS qty_dense_rank
+    FROM lineitem
+    """,
+)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANK / DENSE_RANK (declared surface §2.5). Rank functions are
+    tie-stable by definition (equal inputs get equal ranks), so no
+    tie-breaker is needed."""
+    prep(spark)
+    w = W.partitionBy("l_returnflag").orderBy(F.col("l_quantity").desc())
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.rank().over(w).alias("qty_rank"),
+        F.dense_rank().over(w).alias("qty_dense_rank"),
+    )
+
+
+@query(
+    "window_topk_per_group",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice FROM (
+      SELECT l_orderkey, l_linenumber, l_extendedprice,
+             ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_extendedprice DESC, l_linenumber) AS rn
+      FROM lineitem
+    ) WHERE rn <= 3
+    """,
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group = row_number() <= k (declared surface §2.5).
+
+    Catalyst plans this with a rank-limit pushdown (WindowGroupLimit) so
+    each partition keeps only k rows before the final window sort.
+    """
+    prep(spark)
+    w = W.partitionBy("l_orderkey").orderBy(
+        F.col("l_extendedprice").desc(), F.col("l_linenumber")
+    )
+    return (
+        table(spark, sf_dir, "lineitem")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    )

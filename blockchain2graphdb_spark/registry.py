@@ -1,0 +1,80 @@
+"""Central query registry — the single source of truth behind
+`__spark_entry__.queries()` / `oracle_sql()`.
+
+Each operator from SURVEY.md §2 registers a named builder
+`(spark, sf_dir) -> DataFrame` and (when SQL-expressible) a DuckDB oracle
+string. Column names are aliased identically on both sides because the
+driver's comparator sorts columns by name before hashing values.
+
+Determinism contract for oracle-checked queries (this is what makes the
+value-hash gate pass bit-for-bit):
+  * money/double aggregation goes through exact DECIMAL arithmetic
+    (`exact.py`) and is cast back to double at the end;
+  * every window/limit/top-k order has a unique tie-breaker column;
+  * float embeddings are integer-quantized before dot products;
+  * no approximate sketches on the oracle path (HLL etc. are rows-only).
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+Builder = Callable[[SparkSession, str], DataFrame]
+
+_OPERATOR_MODULES = (
+    "blockchain2graphdb_spark.operators.relational",
+    "blockchain2graphdb_spark.operators.scalars",
+    "blockchain2graphdb_spark.operators.windows",
+    "blockchain2graphdb_spark.operators.maintenance",
+    "blockchain2graphdb_spark.operators.graphops",
+    "blockchain2graphdb_spark.operators.udfs",
+    "blockchain2graphdb_spark.operators.dedup",
+    "blockchain2graphdb_spark.operators.similarity",
+    "blockchain2graphdb_spark.operators.textops",
+    "blockchain2graphdb_spark.streaming.queries",
+)
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    builder: Builder
+    oracle: str | None  # ANSI SQL for DuckDB; None => rows-only check
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+_REGISTRY: dict[str, QuerySpec] = {}
+_LOADED = False
+
+
+def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
+    """Decorator registering a query builder under `name`."""
+
+    def deco(fn: Builder) -> Builder:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query key {name!r}")
+        _REGISTRY[name] = QuerySpec(name=name, builder=fn, oracle=oracle, tags=tuple(tags))
+        return fn
+
+    return deco
+
+
+def load_all() -> dict[str, QuerySpec]:
+    global _LOADED
+    if not _LOADED:
+        for mod in _OPERATOR_MODULES:
+            importlib.import_module(mod)
+        _LOADED = True
+    return dict(_REGISTRY)
+
+
+def queries() -> dict[str, Builder]:
+    return {name: spec.builder for name, spec in load_all().items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: spec.oracle for name, spec in load_all().items() if spec.oracle is not None}

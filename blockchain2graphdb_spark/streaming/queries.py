@@ -1,0 +1,263 @@
+"""Structured Streaming surface (SURVEY.md §2.10).
+
+The reference's streaming story is a hand-rolled single-threaded loop:
+spawn bitcoind, tail its stdout (B:124–139), regex-extract events
+(B:143–156), mutate the graph per event, and handle disorder with a
+fixed 1126-block buffer (B:34–35) — a count-based stand-in for a
+watermark. Here each capability is the idiomatic Structured Streaming
+equivalent over the `events` fixture replayed as a file source.
+
+Driver contract: `queries()` entries must return a *batch* DataFrame, so
+every builder runs its stream to completion with Trigger.AvailableNow
+into an in-memory sink and returns the materialized table (rows-only
+correctness check — DuckDB does not stream).
+
+At scale: the file source is the S2 tail-scan (new files only, offset
+tracking via checkpoint), watermarks bound state, and foreachBatch MERGE
+(maintenance.upsert_merge pattern) gives idempotent sink writes.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import events_raw_schema, prep, table
+from ..registry import query
+
+
+def _events_stream(
+    spark: SparkSession, sf_dir: str, path: str | None = None, **options
+) -> DataFrame:
+    schema = events_raw_schema(spark, sf_dir)
+    reader = spark.readStream.schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    # the file source needs a directory, not a single parquet file
+    s = reader.parquet(path or _single_replay(spark, sf_dir))
+    return s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _run(spark: SparkSession, sdf: DataFrame, output_mode: str = "append") -> DataFrame:
+    name = "s" + uuid.uuid4().hex[:12]
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@query("stream_events")
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3: unbounded source → filter/project (B:138–139 stdout tail).
+
+    File-source replay of `events`; the same plan runs unmodified on a
+    Kafka/socket source.
+    """
+    prep(spark)
+    s = _events_stream(spark, sf_dir)
+    out = s.where(F.col("event_type") == "purchase").select("event_id", "user_id", "value")
+    return _run(spark, out)
+
+
+@query("stream_parse")
+def stream_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 streaming: regexp event extraction (B:143–156 `UpdateTip: new best=`)."""
+    prep(spark)
+    s = _events_stream(spark, sf_dir)
+    out = s.select(
+        "event_id",
+        F.regexp_extract("props", r'"k": (\d+)', 1).cast("int").alias("k"),
+    )
+    return _run(spark, out)
+
+
+@query("stream_tumbling")
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window aggregate (absent from the reference)."""
+    prep(spark)
+    s = _events_stream(spark, sf_dir)
+    out = (
+        s.groupBy(F.window("ts", "6 hours"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("window.start").alias("win_start"),
+            "event_type",
+            "n",
+        )
+    )
+    return _run(spark, out, output_mode="complete")
+
+
+@query("stream_sliding")
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (12h window, 6h slide)."""
+    prep(spark)
+    s = _events_stream(spark, sf_dir)
+    out = (
+        s.groupBy(F.window("ts", "12 hours", "6 hours"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("win_start"), "n")
+    )
+    return _run(spark, out, output_mode="complete")
+
+
+@query("stream_session")
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-minute gap) per user."""
+    prep(spark)
+    s = _events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    out = (
+        s.groupBy(F.session_window("ts", "30 minutes"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("sess_start"),
+            "user_id",
+            "n_events",
+        )
+    )
+    return _run(spark, out)
+
+
+@query("stream_watermark")
+def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-order tolerance via watermark (replaces the reference's
+    1126-block reorder buffer, B:34–35/B:387–425): 1-hour lateness bound
+    on a tumbling count."""
+    prep(spark)
+    s = _events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    out = (
+        s.groupBy(F.window("ts", "6 hours"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("win_start"), "n")
+    )
+    return _run(spark, out)
+
+
+@query("stream_stateful_agg")
+def stream_stateful_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2 streaming form: arbitrary stateful fold per key via
+    applyInPandasWithState — the running address-stats maintenance
+    (B:837–947 read-modify-write) as managed state."""
+    prep(spark)
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    s = _events_stream(spark, sf_dir).select("user_id", "value")
+
+    def fold(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            # centi-units as int: exact, order-independent
+            total += int((pdf["value"] * 100).round().astype("int64").sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value_centi": [total]}
+        )
+
+    out = s.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType="user_id long, n_events long, total_value_centi long",
+        stateStructType="n long, total long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run(spark, out, output_mode="update")
+
+
+@query("stream_file_tail")
+def stream_file_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: incremental tail-file scan (B:105, B:1097–1107 rescan only the
+    tail blk*.dat). maxFilesPerTrigger=1 over a 2-file replay of `events`
+    → two micro-batches, exactly the new-files-only pickup the reference
+    hand-rolls with currentFileCount."""
+    prep(spark)
+    d = _two_file_replay(spark, sf_dir)
+    s = _events_stream(spark, sf_dir, path=d, maxFilesPerTrigger="1")
+    out = s.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return _run(spark, out, output_mode="complete")
+
+
+@query("stream_late_data")
+def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5 analog: late-data handling. File 0 carries the newest 80% of
+    events, file 1 replays the oldest 20% (the "late branch"); with
+    maxFilesPerTrigger=1 the watermark set by batch 0 drops/filters the
+    stale batch-1 rows from already-finalized windows — the declarative
+    version of reorg rollback's delete-then-reapply."""
+    prep(spark)
+    d = _late_replay(spark, sf_dir)
+    s = _events_stream(spark, sf_dir, path=d, maxFilesPerTrigger="1").withWatermark(
+        "ts", "1 hour"
+    )
+    out = (
+        s.groupBy(F.window("ts", "6 hours"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("win_start"), "n")
+    )
+    return _run(spark, out)
+
+
+# --- replay-directory builders (deterministic, derived from the fixture) ---
+
+_TMP_ROOT = "/root/repo/.tmp"
+
+
+def _write_replay(spark: SparkSession, sf_dir: str, name: str, splitter) -> str:
+    """Materialize events into ordered files under .tmp (gitignored).
+
+    Uses pyarrow directly so file names/ordering are deterministic
+    (file-source processes by modification time, ties by path).
+    """
+    import os
+    import time
+
+    import pyarrow.parquet as pq
+
+    d = f"{_TMP_ROOT}/{name}_{os.path.basename(sf_dir.rstrip('/'))}"
+    if not os.path.exists(d):
+        os.makedirs(d, exist_ok=True)
+        tbl = pq.read_table(f"{sf_dir}/events.parquet")
+        parts = splitter(tbl)
+        for i, part in enumerate(parts):
+            pq.write_table(part, f"{d}/part-{i:02d}.parquet")
+            time.sleep(0.05)  # distinct mtimes => deterministic pickup order
+    return d
+
+
+def _single_replay(spark: SparkSession, sf_dir: str) -> str:
+    return _write_replay(spark, sf_dir, "single", lambda tbl: [tbl])
+
+
+def _two_file_replay(spark: SparkSession, sf_dir: str) -> str:
+    def split(tbl):
+        import pyarrow.compute as pc
+
+        idx = pc.sort_indices(tbl, sort_keys=[("event_id", "ascending")])
+        tbl = tbl.take(idx)
+        mid = tbl.num_rows // 2
+        return [tbl.slice(0, mid), tbl.slice(mid)]
+
+    return _write_replay(spark, sf_dir, "tail", split)
+
+
+def _late_replay(spark: SparkSession, sf_dir: str) -> str:
+    def split(tbl):
+        import pyarrow.compute as pc
+
+        idx = pc.sort_indices(tbl, sort_keys=[("ts", "ascending"), ("event_id", "ascending")])
+        tbl = tbl.take(idx)
+        cut = tbl.num_rows // 5
+        old, new = tbl.slice(0, cut), tbl.slice(cut)
+        return [new, old]  # newest first; the old 20% arrives late
+
+    return _write_replay(spark, sf_dir, "late", split)

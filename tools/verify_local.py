@@ -1,0 +1,126 @@
+"""Local differential harness mimicking the driver's correctness gate.
+
+Runs every registry query at a given scale factor, runs its DuckDB oracle
+on the same parquet, and compares: row count, column names, dtypes, and
+exact values (order-insensitive). Stricter than the driver (exact float
+equality) so that passing here predicts passing the value-hash gate.
+
+Usage: python tools/verify_local.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+import traceback
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+from blockchain2graphdb_spark import registry
+from blockchain2graphdb_spark.catalog import TABLES
+from blockchain2graphdb_spark.session import get_spark
+
+
+def duck_con(sf_dir: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def normalize(df: pd.DataFrame) -> list[tuple]:
+    df = df.reindex(sorted(df.columns), axis=1)
+
+    def canon(v):
+        if v is None:
+            return None
+        try:
+            if pd.isna(v):
+                return None
+        except (TypeError, ValueError):
+            pass  # arrays/lists
+        if hasattr(v, "isoformat"):
+            return v.isoformat()
+        if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+            return tuple(canon(x) for x in v)
+        return v
+
+    recs = [tuple(canon(v) for v in row) for row in df.itertuples(index=False, name=None)]
+    recs.sort(key=lambda r: tuple((x is None, str(type(x)), str(x)) for x in r))
+    return recs
+
+
+def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
+    problems = []
+    if len(sdf) != len(odf):
+        problems.append(f"row count: spark={len(sdf)} oracle={len(odf)}")
+    scols, ocols = sorted(sdf.columns), sorted(odf.columns)
+    if scols != ocols:
+        problems.append(f"columns: spark={scols} oracle={ocols}")
+        return problems
+    s, o = normalize(sdf), normalize(odf)
+    if len(s) == len(o):
+        mism = [(i, a, b) for i, (a, b) in enumerate(zip(s, o)) if a != b]
+        if mism:
+            i, a, b = mism[0]
+            problems.append(
+                f"values: {len(mism)} row mismatches; first at row {i}:\n"
+                f"     spark ={a!r}\n     oracle={b!r}"
+            )
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+    specs = registry.load_all()
+    spark = get_spark("verify-local")
+    con = duck_con(sf_dir)
+
+    n_pass = n_fail = n_rows_only = 0
+    failed = []
+    for name, spec in sorted(specs.items()):
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = spec.builder(spark, sf_dir).toPandas()
+        except Exception:
+            print(f"FAIL {name}: spark error\n{traceback.format_exc()}")
+            n_fail += 1
+            failed.append(name)
+            continue
+        if spec.oracle is None:
+            print(f"ROWS {name}: {len(sdf)} rows ({time.time()-t0:.1f}s)")
+            n_rows_only += 1
+            continue
+        try:
+            odf = con.sql(spec.oracle).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            n_fail += 1
+            failed.append(name)
+            continue
+        problems = compare(name, sdf, odf)
+        if problems:
+            print(f"FAIL {name} ({time.time()-t0:.1f}s):")
+            for p in problems:
+                print(f"   {p}")
+            n_fail += 1
+            failed.append(name)
+        else:
+            print(f"PASS {name}: {len(sdf)} rows ({time.time()-t0:.1f}s)")
+            n_pass += 1
+    print(f"\n== {n_pass} pass, {n_fail} fail, {n_rows_only} rows-only ==")
+    if failed:
+        print("failed:", " ".join(failed))
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
