@@ -1,0 +1,78 @@
+"""BENCH harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
+on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "total_query_seconds", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1}
+
+The headline set spans the engine's load-bearing shapes: scan+agg, the
+join family, windowed analytics, iterative graph (components, list
+ranking), similarity search, dedup, and text pipelines — the operators
+whose plans must survive a 100×–1000× scale-up.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from blockchain2graphdb_spark import registry
+from blockchain2graphdb_spark.session import get_spark
+
+HEADLINE = [
+    "agg_sum",                 # scan → hash aggregate (partial/final)
+    "two_hop_join",            # fact-fact join chain + aggregate
+    "counterparties",          # 3-hop join + count-distinct
+    "self_transfer_flag",      # 5-way join with broadcast dims
+    "window_topk_per_group",   # window with rank-limit pushdown
+    "window_running_sum",      # frame-spec running aggregate
+    "join_range",              # equi+range self-join
+    "topo_order",              # iterative pointer-jumping list rank
+    "wallet_components",       # iterative connected components
+    "similarity_topk",         # broadcast brute-force top-k cosine
+    "dedup_minhash",           # minhash → LSH band join → CC
+    "text_token_stats",        # explode-heavy text pipeline
+    "upsert_merge",            # full-outer MERGE fold
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+
+    specs = registry.load_all()
+    spark = get_spark("bench")
+
+    # warm the JVM + parquet footer caches outside the timed region
+    specs["agg_count"].builder(spark, sf_dir).collect()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        df = specs[name].builder(spark, sf_dir)
+        n = df.count() if name != "similarity_topk" else len(df.collect())
+        times[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
