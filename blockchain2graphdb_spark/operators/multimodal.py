@@ -1,0 +1,81 @@
+"""Multimodal query surface (SURVEY.md §2.13 X5): the media pipeline
+(synthesize → decode/featurize → resize → frame-sample) exposed as
+registry queries over the documents fixture.
+
+`multimodal_features` is oracle-checked: the fake decode is md5-based,
+and md5 agrees across engines, so DuckDB can replay the feature
+derivation in SQL while Spark runs the real mapInPandas pipeline —
+verifying the plumbing end-to-end, not just the stub.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import prep, table
+from ..functions.multimodal import (
+    decode_and_featurize,
+    resize_images,
+    sample_frames,
+    synthesize_media,
+)
+from ..registry import query
+
+
+@query(
+    "multimodal_features",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+           256 AS n_bytes,
+           substr(md5(text), 1, 8) AS seed_sig
+    FROM documents
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: binary payload → feature extraction via mapInPandas.
+
+    The comparable projection: payload bytes are md5(text)-seeded, so the
+    first 8 hex chars of the seed digest reproduce in SQL; kind and size
+    come out of the real pipeline.
+    """
+    prep(spark)
+    docs = table(spark, sf_dir, "documents")
+    media = synthesize_media(docs)
+    feats = decode_and_featurize(media)
+    # seed_sig: recompute from the doc text (join back) — proves media_id
+    # lineage survived the two Python stages
+    sig = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.substring(F.md5(F.col("text").cast("binary")), 1, 8).alias("seed_sig"),
+    )
+    return feats.join(sig, "media_id").select("media_id", "kind", "n_bytes", "seed_sig")
+
+
+@query("multimodal_resize")  # rows-only: payload bytes are the stub's fake stream
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: image resize stage — metadata rewrite + re-encode, non-images
+    pass through Spark-side (the Python stage only ever sees images)."""
+    prep(spark)
+    media = synthesize_media(table(spark, sf_dir, "documents"))
+    resized = resize_images(media, max_side=16)
+    return resized.select(
+        "media_id",
+        "kind",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.length("payload").alias("n_bytes"),
+    )
+
+
+@query("multimodal_frame_sample")  # rows-only: 1->N expansion of stub video payloads
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: video frame sampling — UDTF-shaped 1→N expansion per video."""
+    prep(spark)
+    media = synthesize_media(table(spark, sf_dir, "documents"))
+    frames = sample_frames(media, every_ms=5000)
+    return frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.max("frame_ts_ms").alias("last_frame_ms"),
+    )

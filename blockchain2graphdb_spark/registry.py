@@ -33,6 +33,7 @@ _OPERATOR_MODULES = (
     "blockchain2graphdb_spark.operators.graphops",
     "blockchain2graphdb_spark.operators.udfs",
     "blockchain2graphdb_spark.operators.dedup",
+    "blockchain2graphdb_spark.operators.multimodal",
     "blockchain2graphdb_spark.operators.similarity",
     "blockchain2graphdb_spark.operators.textops",
     "blockchain2graphdb_spark.streaming.queries",
