@@ -51,18 +51,21 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("comp").alias("nbr_comp"))
         )
-        joined = comp.join(nbr_min, "node", "left").select(
-            "node",
-            "comp",
-            F.least(F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))).alias(
-                "new_comp"
-            ),
+        # one materialization per round: checkpoint the (old, new) pair,
+        # then both the convergence probe and the next iteration read it
+        joined = (
+            comp.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                "comp",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
+                ).alias("new_comp"),
+            )
+            .localCheckpoint(eager=True)
         )
-        # convergence check: one aggregate, no collect of the frontier
         changed = joined.where(F.col("new_comp") != F.col("comp")).limit(1).count()
-        comp = joined.select("node", F.col("new_comp").alias("comp")).localCheckpoint(
-            eager=True
-        )
+        comp = joined.select("node", F.col("new_comp").alias("comp"))
         if changed == 0:
             break
     return comp

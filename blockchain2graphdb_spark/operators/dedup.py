@@ -73,9 +73,16 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     prep(spark)
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
-    sh = docs.select(
-        "doc_id", F.explode(_shingles(_tokens(F.col("text")))).alias("shingle")
-    ).select("doc_id", F.pmod(F.xxhash64("shingle"), F.lit(_MH_PRIME)).alias("h"))
+    # hashed shingles computed once and reused by both the minhash pass
+    # and the exact-Jaccard verify (hash equality stands in for shingle
+    # equality; 31-bit collisions are noise at verify thresholds)
+    sh = (
+        docs.select(
+            "doc_id", F.explode(_shingles(_tokens(F.col("text")))).alias("shingle")
+        )
+        .select("doc_id", F.pmod(F.xxhash64("shingle"), F.lit(_MH_PRIME)).alias("h"))
+        .localCheckpoint(eager=False)
+    )
 
     # 32 minhash values as one aggregation pass (partial/final combine-able)
     mins = sh.groupBy("doc_id").agg(
@@ -118,17 +125,14 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    # exact Jaccard verification on candidates only
-    shs = (
-        docs.select("doc_id", F.explode(_shingles(_tokens(F.col("text")))).alias("g"))
-        .distinct()
-    )
+    # exact Jaccard verification on candidates only (over hashed shingles)
+    shs = sh.distinct()
     sizes = shs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     ga = shs.withColumnRenamed("doc_id", "a")
-    gb = shs.withColumnRenamed("doc_id", "b2").withColumnRenamed("g", "g2")
+    gb = shs.withColumnRenamed("doc_id", "b2").withColumnRenamed("h", "h2")
     inter = (
         cand.join(ga, "a")
-        .join(gb, (F.col("b") == F.col("b2")) & (F.col("g") == F.col("g2")))
+        .join(gb, (F.col("b") == F.col("b2")) & (F.col("h") == F.col("h2")))
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )

@@ -446,6 +446,37 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select("event_id", last_err.alias("last_error_id"))
 
 
+@query(
+    "join_full",
+    oracle="""
+    WITH c AS (SELECT c_nationkey AS nationkey, COUNT(*) AS n_cust FROM customer GROUP BY 1),
+         s AS (SELECT s_nationkey AS nationkey, COUNT(*) AS n_supp FROM supplier GROUP BY 1)
+    SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey, c.n_cust, s.n_supp
+    FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+    """,
+)
+def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join — declared surface (§2.3 checklist); also the core
+    of the M2 MERGE fold (maintenance.upsert_merge)."""
+    prep(spark)
+    c = (
+        table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    ca, sa = c.alias("c"), s.alias("s")
+    return ca.join(sa, F.col("c.nationkey") == F.col("s.nationkey"), "full_outer").select(
+        F.coalesce(F.col("c.nationkey"), F.col("s.nationkey")).alias("nationkey"),
+        "n_cust",
+        "n_supp",
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.4 aggregations
 
@@ -748,6 +779,44 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("value").alias("max_value"),
             money_avg("value", "avg_value"),
         )
+    )
+
+
+@query(
+    "agg_collect_set",
+    oracle="""
+    SELECT c_nationkey, list_sort(list(DISTINCT c_mktsegment)) AS segments
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set (declared surface §2.4) — sorted for determinism."""
+    prep(spark)
+    return (
+        table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.array_sort(F.collect_set("c_mktsegment")).alias("segments"))
+    )
+
+
+@query(
+    "pivot_table",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "O",
+           CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "F"
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def pivot_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (declared surface): one shuffle with conditional aggregation,
+    pivot values enumerated so no extra distinct-values pass runs."""
+    prep(spark)
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(dec2("l_quantity")).cast("double"))
     )
 
 

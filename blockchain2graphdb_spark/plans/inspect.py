@@ -1,0 +1,55 @@
+"""Physical-plan inspection (SURVEY.md §4): the ".explain and iterate"
+loop formalized, so plan properties are *asserted* (tests/test_plans.py)
+instead of eyeballed — filters stay pushed down, small dims stay
+broadcast, Python stays Arrow-vectorized, top-k stays rank-limited.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def plan_string(df: DataFrame, mode: str = "formatted") -> str:
+    qe = df._jdf.queryExecution()
+    jvm = df.sparkSession._jvm
+    return qe.explainString(jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode))
+
+
+def executed_plan_string(df: DataFrame) -> str:
+    """Final (post-AQE) physical plan — runs the query. Use when the
+    property only shows after adaptive replanning (codegen ids, runtime
+    join switches)."""
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def has_node(df: DataFrame, node: str) -> bool:
+    return node in plan_string(df)
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """Filter predicates that reached the parquet scan."""
+    out = []
+    for line in plan_string(df).splitlines():
+        line = line.strip()
+        if line.startswith("PushedFilters:"):
+            body = line.split(":", 1)[1].strip().strip("[]")
+            if body:
+                out.extend(p.strip() for p in body.split(","))
+    return out
+
+
+def read_schemas(df: DataFrame) -> list[str]:
+    """ReadSchema entries — what column pruning left on each scan."""
+    return [
+        line.strip().split(":", 1)[1].strip()
+        for line in plan_string(df).splitlines()
+        if line.strip().startswith("ReadSchema:")
+    ]
+
+
+def uses_row_python(df: DataFrame) -> bool:
+    """True if any stage is a row-at-a-time Python UDF (BatchEvalPython).
+    Arrow-vectorized stages (ArrowEvalPython / MapInPandas /
+    FlatMapGroupsInPandas) are the sanctioned slow path and don't count."""
+    return "BatchEvalPython" in plan_string(df)
