@@ -25,6 +25,11 @@ from blockchain2graphdb_spark import registry
 from blockchain2graphdb_spark.session import get_spark
 
 HEADLINE = [
+    "tpch_q1",                 # pricing summary: scan → wide agg
+    "tpch_q3",                 # selective dim filter + 2 fact joins + top-k
+    "tpch_q5",                 # 6-way join with broadcast dims
+    "tpch_q6",                 # pure pushdown filter + global agg
+    "tpch_q10",                # fact joins + grouped top-k
     "agg_sum",                 # scan → hash aggregate (partial/final)
     "two_hop_join",            # fact-fact join chain + aggregate
     "counterparties",          # 3-hop join + count-distinct
