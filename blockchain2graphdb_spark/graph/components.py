@@ -33,13 +33,14 @@ def connected_components(
 ) -> DataFrame:
     """Undirected connected components; returns (node, component) where
     component = min node id in the component. Deterministic."""
-    sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .where(F.col("a") != F.col("b"))
-        .distinct()
+    directed = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
+        F.col("a") != F.col("b")
     )
-    sym = sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
-    sym = sym.localCheckpoint(eager=True)
+    sym = (
+        directed.union(directed.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()  # single dedup pass after symmetrization
+        .localCheckpoint(eager=True)
+    )
 
     comp = sym.select(F.col("a").alias("node")).distinct().withColumn(
         "comp", F.col("node")
@@ -51,16 +52,27 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("comp").alias("nbr_comp"))
         )
+        stepped = comp.join(nbr_min, "node", "left").select(
+            "node",
+            "comp",
+            F.least(
+                F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
+            ).alias("new_comp"),
+        )
+        # pointer doubling (comp := comp[comp]): labels are node ids, so a
+        # second hop through the mapping halves the rounds to convergence
+        # (the shortcutting step of large-star/small-star)
+        lut = stepped.select(
+            F.col("node").alias("lk"), F.col("new_comp").alias("lv")
+        )
         # one materialization per round: checkpoint the (old, new) pair,
         # then both the convergence probe and the next iteration read it
         joined = (
-            comp.join(nbr_min, "node", "left")
+            stepped.join(lut, stepped.new_comp == lut.lk, "left")
             .select(
                 "node",
                 "comp",
-                F.least(
-                    F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
-                ).alias("new_comp"),
+                F.coalesce(F.col("lv"), F.col("new_comp")).alias("new_comp"),
             )
             .localCheckpoint(eager=True)
         )

@@ -197,11 +197,12 @@ def degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "wallet_components",
     oracle="""
     WITH RECURSIVE raw_edges AS (
-      SELECT a.l_partkey AS src, b.l_partkey AS dst
-      FROM lineitem a
-      JOIN lineitem b
-        ON a.l_orderkey = b.l_orderkey AND b.l_linenumber = a.l_linenumber + 1
-      WHERE a.l_partkey <> b.l_partkey
+      SELECT prev AS src, l_partkey AS dst FROM (
+        SELECT l_partkey,
+               LAG(l_partkey) OVER (PARTITION BY l_orderkey
+                                    ORDER BY l_linenumber, l_partkey, l_suppkey) AS prev
+        FROM lineitem
+      ) WHERE prev IS NOT NULL AND prev <> l_partkey
     ),
     sym AS (
       SELECT src, dst FROM raw_edges
@@ -220,23 +221,22 @@ def degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def wallet_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G3: wallet clustering via connected components — the capability the
     reference declared but stubbed (AddressWalletID always 0; T:137,
-    B:29/58/896). Co-occurrence edges (parts linked through consecutive
-    lineitems of one order ≙ addresses co-spent in one transaction), then
+    B:29/58/896). Co-occurrence edges (parts chained through one order ≙
+    addresses co-spent in one transaction) come from a single-shuffle LAG
+    window — chain edges per group, never the k² pair join — then
     min-label propagation (graph/components.py). Component id = min member
     id, so results are deterministic and oracle-checkable via a recursive
     CTE."""
     prep(spark)
     li = table(spark, sf_dir, "lineitem")
-    a = li.alias("a")
-    b = li.alias("b")
+    w = W.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey", "l_suppkey")
     edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("b.l_linenumber") == F.col("a.l_linenumber") + 1),
+        li.select(
+            F.col("l_partkey").alias("dst"),
+            F.lag("l_partkey").over(w).alias("src"),
         )
-        .where(F.col("a.l_partkey") != F.col("b.l_partkey"))
-        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .where(F.col("src").isNotNull() & (F.col("src") != F.col("dst")))
+        .select("src", "dst")
     )
     comp = connected_components(edges)
     return comp.select(F.col("node").alias("part"), F.col("comp").alias("component"))

@@ -193,7 +193,7 @@ def reorg_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "resume_anti_join",
     oracle="""
-    SELECT DATE_TRUNC('day', ts) AS day, COUNT(*) AS n_to_process
+    SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day, COUNT(*) AS n_to_process
     FROM events
     WHERE event_id NOT IN (
       SELECT event_id FROM events WHERE ts <= TIMESTAMP '2024-01-20 00:00:00'

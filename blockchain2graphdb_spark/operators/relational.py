@@ -645,7 +645,7 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
              ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
       FROM events
     )
-    SELECT DATE_TRUNC('day', ts) AS day, COUNT(*) AS n_new_users
+    SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day, COUNT(*) AS n_new_users
     FROM ranked WHERE rn = 1 GROUP BY 1
     """,
 )
@@ -843,7 +843,7 @@ def sort_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return table(spark, sf_dir, "orders").select(
         "o_orderkey",
-        F.row_number().over(W.orderBy("o_orderdate", "o_orderkey")).alias("pos"),
+        F.row_number().over(W.orderBy("o_orderdate", "o_orderkey")).cast("long").alias("pos"),
     )
 
 

@@ -49,7 +49,7 @@ def window_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
     w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     return table(spark, sf_dir, "orders").select(
-        "o_orderkey", F.row_number().over(w).alias("seq")
+        "o_orderkey", F.row_number().over(w).cast("long").alias("seq")
     )
 
 
@@ -121,8 +121,8 @@ def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.rank().over(w).alias("qty_rank"),
-        F.dense_rank().over(w).alias("qty_dense_rank"),
+        F.rank().over(w).cast("long").alias("qty_rank"),
+        F.dense_rank().over(w).cast("long").alias("qty_dense_rank"),
     )
 
 
