@@ -820,6 +820,29 @@ def pivot_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "agg_salted",
+    oracle="SELECT event_type, COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total FROM events GROUP BY event_type",
+)
+def agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation — the manual skew-mitigation pattern
+    (ARCHITECTURE.md §3): pre-aggregate on (key, salt) to flatten a hot
+    key across partitions, then merge partials per key. The oracle is the
+    plain GROUP BY, proving salting is semantics-preserving. (For
+    algebraic aggregates Spark's partial aggregation already does this;
+    the explicit form is for non-algebraic pipelines and demos the
+    technique the 100 TB path uses on skewed address keys.)"""
+    prep(spark)
+    ev = table(spark, sf_dir, "events")
+    salted = ev.withColumn("_salt", F.pmod(F.col("event_id"), F.lit(16)))
+    partial = salted.groupBy("event_type", "_salt").agg(
+        F.count(F.lit(1)).alias("pn"), F.sum(dec2("value")).alias("pt")
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n"), F.sum("pt").cast("double").alias("total")
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.6 sorts / limits / top-k
 

@@ -212,6 +212,58 @@ def array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "date_parts",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER) AS y,
+           CAST(month(o_orderdate) AS INTEGER) AS m,
+           CAST(day(o_orderdate) AS INTEGER) AS d,
+           CAST(o_orderdate + INTERVAL 30 DAY AS TIMESTAMP) AS due_date
+    FROM orders
+    """,
+)
+def date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic built-ins (declared surface §2.8): year/month/day
+    extraction + date_add."""
+    prep(spark)
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30)
+        .cast("timestamp")
+        .alias("due_date"),
+    )
+
+
+@query(
+    "array_ops",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+           list_contains(string_split(text, ' '), 'spark') AS has_spark,
+           list_sort(list_transform(string_split(text, ' '), x -> upper(x)))[1] AS first_upper
+    FROM documents
+    """,
+)
+def array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions (declared surface §2.8): size,
+    array_contains, transform + array_sort — all JVM-side, no explode."""
+    prep(spark)
+    toks = F.split("text", " ")
+    return table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.array_contains(toks, "spark").alias("has_spark"),
+        F.array_sort(F.transform(toks, lambda x: F.upper(x))).getItem(0).alias(
+            "first_upper"
+        ),
+    )
+
+
+@query(
     "json_extract",
     oracle="""
     SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, COUNT(*) AS n

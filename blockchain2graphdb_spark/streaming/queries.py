@@ -141,6 +141,19 @@ def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run(spark, out)
 
 
+@query("stream_dedup")
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 under streaming: watermark-bounded dropDuplicates — exactly the
+    reference's insert-if-absent guard (M1) with state expiry instead of
+    an ever-growing seen-set."""
+    prep(spark)
+    s = _events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    out = s.dropDuplicates(["user_id", "event_type"]).select(
+        "event_id", "user_id", "event_type"
+    )
+    return _run(spark, out)
+
+
 @query("stream_stateful_agg")
 def stream_stateful_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M2 streaming form: arbitrary stateful fold per key via
