@@ -35,6 +35,7 @@ _OPERATOR_MODULES = (
     "blockchain2graphdb_spark.operators.dedup",
     "blockchain2graphdb_spark.operators.multimodal",
     "blockchain2graphdb_spark.operators.similarity",
+    "blockchain2graphdb_spark.operators.ann_ivf",
     "blockchain2graphdb_spark.operators.textops",
     "blockchain2graphdb_spark.operators.sqlsuite",
     "blockchain2graphdb_spark.streaming.queries",
