@@ -202,11 +202,16 @@ def stream_file_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("stream_late_data")
 def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M5 analog: late-data handling. File 0 carries the newest 80% of
-    events, file 1 replays the oldest 20% (the "late branch"); with
-    maxFilesPerTrigger=1 the watermark set by batch 0 drops/filters the
-    stale batch-1 rows from already-finalized windows — the declarative
-    version of reorg rollback's delete-then-reapply."""
+    """M5 analog: late-data handling under a watermark. File 0 carries
+    the newest 80% of events, file 1 replays the oldest 20% (the "late
+    branch") in a second micro-batch. The watermark bounds state and
+    emission: each window is emitted exactly once, only once finalized
+    (end <= watermark), and windows above the watermark are held back —
+    the bounded-lateness contract that replaces the reference's unbounded
+    reorg-rollback as its late-data story. (Input-side drops lag the
+    watermark by one batch in Spark's microbatch model; rows later than
+    a window's emission are discarded. Invariants pinned in
+    tests/test_streaming_semantics.py.)"""
     prep(spark)
     d = _late_replay(spark, sf_dir)
     s = _events_stream(spark, sf_dir, path=d, maxFilesPerTrigger="1").withWatermark(

@@ -1,0 +1,91 @@
+"""Streaming-vs-batch equivalence (SURVEY.md §5.2-5): the driver's check
+for stream_* queries is rows-only, so these tests pin the semantics —
+each streaming pipeline must equal its batch twin on the replayed
+fixture, and late-data handling must actually drop the late branch.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from blockchain2graphdb_spark import registry
+from blockchain2graphdb_spark.catalog import table
+from conftest import SF_DIR
+
+SPECS = registry.load_all()
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_stream_tumbling_equals_batch_window(spark):
+    got = SPECS["stream_tumbling"].builder(spark, SF_DIR)
+    ev = table(spark, SF_DIR, "events")
+    exp = (
+        ev.groupBy(F.window("ts", "6 hours"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("win_start"), "event_type", "n")
+    )
+    assert _rows(got) == _rows(exp)
+
+
+def test_stream_stateful_agg_final_state_equals_batch(spark):
+    got = SPECS["stream_stateful_agg"].builder(spark, SF_DIR)
+    # single micro-batch => one update row per user = the final state
+    ev = table(spark, SF_DIR, "events")
+    exp = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("total_value_centi"),
+    )
+    assert _rows(got) == _rows(exp)
+
+
+def test_stream_dedup_equals_batch_distinct_keys(spark):
+    got = SPECS["stream_dedup"].builder(spark, SF_DIR)
+    ev = table(spark, SF_DIR, "events")
+    n_keys = ev.select("user_id", "event_type").distinct().count()
+    assert got.count() == n_keys
+    # one representative per key, keys unique
+    assert got.select("user_id", "event_type").distinct().count() == n_keys
+
+
+def test_stream_file_tail_sees_both_batches(spark):
+    """maxFilesPerTrigger=1 over 2 files: complete-mode day counts must
+    cover the whole fixture (the incremental pickup loses nothing)."""
+    got = SPECS["stream_file_tail"].builder(spark, SF_DIR)
+    total = got.agg(F.sum("n")).collect()[0][0]
+    assert total == table(spark, SF_DIR, "events").count()
+
+
+def test_stream_late_data_append_mode_invariants(spark):
+    """File 0 = newest 80%, file 1 = oldest 20% arriving late, 1h
+    watermark. Pin the append-mode contract (Spark's input-side watermark
+    filter lags one batch, so rows later than the watermark can still
+    merge into windows that have not yet been emitted — what must NEVER
+    happen is a window emitted twice or an unfinalized window emitted):
+
+      1. every window is emitted at most once;
+      2. the emitted set is exactly the batch aggregation restricted to
+         windows finalized under the final watermark (end <= max_ts - 1h);
+      3. windows newer than the watermark are held back.
+    """
+    got = SPECS["stream_late_data"].builder(spark, SF_DIR)
+    assert got.count() == got.select("win_start").distinct().count()  # (1)
+
+    ev = table(spark, SF_DIR, "events")
+    wm = ev.agg((F.max("ts") - F.expr("INTERVAL 1 HOUR")).alias("wm")).collect()[0]["wm"]
+    batch = (
+        ev.groupBy(F.window("ts", "6 hours"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("win_start"), F.col("window.end").alias("win_end"), "n")
+    )
+    finalized = batch.where(F.col("win_end") <= F.lit(wm)).select("win_start", "n")
+    assert _rows(got) == _rows(finalized)  # (2)
+    assert got.count() < batch.count()  # (3): newest window(s) held back
