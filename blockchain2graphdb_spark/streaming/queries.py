@@ -237,18 +237,24 @@ def _write_replay(spark: SparkSession, sf_dir: str, name: str, splitter) -> str:
     (file-source processes by modification time, ties by path).
     """
     import os
+    import shutil
     import time
 
     import pyarrow.parquet as pq
 
     d = f"{_TMP_ROOT}/{name}_{os.path.basename(sf_dir.rstrip('/'))}"
     if not os.path.exists(d):
-        os.makedirs(d, exist_ok=True)
+        # stage + atomic rename so a crashed writer never leaves a
+        # half-built dir that later runs would trust
+        stage = f"{d}.staging"
+        shutil.rmtree(stage, ignore_errors=True)
+        os.makedirs(stage, exist_ok=True)
         tbl = pq.read_table(f"{sf_dir}/events.parquet")
         parts = splitter(tbl)
         for i, part in enumerate(parts):
-            pq.write_table(part, f"{d}/part-{i:02d}.parquet")
+            pq.write_table(part, f"{stage}/part-{i:02d}.parquet")
             time.sleep(0.05)  # distinct mtimes => deterministic pickup order
+        os.rename(stage, d)
     return d
 
 

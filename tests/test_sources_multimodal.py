@@ -19,17 +19,21 @@ from blockchain2graphdb_spark.sources import blockfile
 
 @pytest.fixture(scope="module")
 def blk_dir(tmp_path_factory):
-    return str(tmp_path_factory.mktemp("blk"))
+    d = str(tmp_path_factory.mktemp("blk"))
+    blockfile.write_blk_files(fixtures.generate(n_blocks=20, seed=11), d, blocks_per_file=6)
+    return d
 
 
-def test_blockfile_roundtrip(spark, blk_dir):
+@pytest.mark.parametrize("seed", [11, 77, 123])
+def test_blockfile_roundtrip(spark, tmp_path, seed):
     """write mini-chain -> blk*.dat -> binaryFile scan -> decode ->
-    normalize == original tables (S1 end-to-end)."""
-    chain = fixtures.generate(n_blocks=20, seed=11)
-    paths = blockfile.write_blk_files(chain, blk_dir, blocks_per_file=6)
+    normalize == original tables (S1 end-to-end), across seeds."""
+    blk = str(tmp_path / f"blk{seed}")
+    chain = fixtures.generate(n_blocks=20, seed=seed)
+    paths = blockfile.write_blk_files(chain, blk, blocks_per_file=6)
     assert len(paths) == 4  # 20 blocks / 6 per file
 
-    decoded = blockfile.read_blocks(spark, f"{blk_dir}/blk*.dat")
+    decoded = blockfile.read_blocks(spark, f"{blk}/blk*.dat")
     tables = blockfile.normalize(decoded)
     expected = chain.to_spark(spark)
     for name in ("blocks", "transactions", "outputs", "inputs"):
