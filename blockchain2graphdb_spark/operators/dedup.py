@@ -61,18 +61,24 @@ def _shingles(tokens_col):
 
 @query("dedup_minhash")  # rows-only: engine-specific base hash (xxhash64)
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X2: MinHash + LSH near-dup clustering.
+    """X2: MinHash + LSH near-dup clustering over the documents fixture.
 
-    shingle → 31-bit hash → 32 minhash perms → 8 bands of 4 → band-key
-    equi-join for candidates → exact Jaccard (≥0.5) verify → connected
-    components (graph/components.py, reusing the wallet-clustering
-    machinery) → (doc_id, cluster_id, cluster_size).
+    Pipeline in `minhash_clusters` (reused by tests with synthetic
+    near-dup corpora, where the fixture corpus has none).
+    """
+    prep(spark)
+    return minhash_clusters(table(spark, sf_dir, "documents").select("doc_id", "text"))
+
+
+def minhash_clusters(docs: DataFrame, jaccard_threshold: float = 0.5) -> DataFrame:
+    """shingle → 31-bit hash → 32 minhash perms → 8 bands of 4 → band-key
+    equi-join for candidates → exact Jaccard (≥ threshold) verify →
+    connected components (graph/components.py, reusing the
+    wallet-clustering machinery) → (doc_id, cluster_id, cluster_size).
 
     Every stage is a groupBy or equi-join: at 100 TB nothing is pairwise
     except verification *within candidate buckets*.
     """
-    prep(spark)
-    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     # hashed shingles computed once and reused by both the minhash pass
     # and the exact-Jaccard verify (hash equality stands in for shingle
     # equality; 31-bit collisions are noise at verify thresholds)
@@ -144,7 +150,7 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(
             F.col("n_inter").cast("double")
             / (F.col("na") + F.col("nb") - F.col("n_inter")).cast("double")
-            >= 0.5
+            >= jaccard_threshold
         )
         .select("a", "b")
     )

@@ -1,0 +1,102 @@
+"""Near-duplicate detection semantics: the fixture corpus has no dups,
+so these tests run the MinHash-LSH pipeline on synthetic corpora with
+planted near-duplicate clusters and assert recall/precision, plus a
+bucketed-join layout proof for the 100 TB co-location story."""
+
+from __future__ import annotations
+
+import random
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from blockchain2graphdb_spark.operators.dedup import minhash_clusters
+
+VOCAB = [f"word{i}" for i in range(200)]
+
+
+def _doc(rng: random.Random, n: int = 60) -> str:
+    return " ".join(rng.choice(VOCAB) for _ in range(n))
+
+
+def _mutate(rng: random.Random, text: str, n_edits: int) -> str:
+    toks = text.split()
+    for _ in range(n_edits):
+        toks[rng.randrange(len(toks))] = rng.choice(VOCAB)
+    return " ".join(toks)
+
+
+def test_minhash_finds_planted_near_dups(spark):
+    rng = random.Random(4)
+    rows, expected_clusters = [], []
+    doc_id = 0
+    # 5 clusters of 3 near-dups (2-3 token edits on a 60-token doc ⇒
+    # shingle Jaccard well above 0.5)
+    for _c in range(5):
+        base = _doc(rng)
+        ids = []
+        for _ in range(3):
+            rows.append((doc_id, _mutate(rng, base, rng.randint(0, 2))))
+            ids.append(doc_id)
+            doc_id += 1
+        expected_clusters.append(set(ids))
+    # 25 unrelated docs
+    for _ in range(25):
+        rows.append((doc_id, _doc(rng)))
+        doc_id += 1
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = minhash_clusters(docs)
+    got = {r["doc_id"]: r["cluster_id"] for r in out.collect()}
+
+    # recall: every planted cluster is grouped under one id
+    for ids in expected_clusters:
+        labels = {got[i] for i in ids}
+        assert len(labels) == 1, f"planted cluster {ids} split into {labels}"
+    # precision: unrelated docs stay singletons
+    planted = set().union(*expected_clusters)
+    for i, c in got.items():
+        if i not in planted:
+            assert c == i, f"unrelated doc {i} absorbed into cluster {c}"
+    # cluster_size bookkeeping
+    sizes = {r["doc_id"]: r["cluster_size"] for r in out.collect()}
+    for ids in expected_clusters:
+        assert all(sizes[i] == 3 for i in ids)
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """ARCHITECTURE.md §2: bucketing by the join key co-locates fact-fact
+    joins. Both sides bucketed by key ⇒ the join plan has no shuffle
+    Exchange (only the scan stages)."""
+    import uuid
+
+    from blockchain2graphdb_spark.catalog import table
+    from blockchain2graphdb_spark.plans.inspect import plan_string
+    from conftest import SF_DIR
+
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force the issue
+    suffix = uuid.uuid4().hex[:8]
+    try:
+        orders = table(spark, SF_DIR, "orders")
+        li = table(spark, SF_DIR, "lineitem")
+        orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode(
+            "overwrite"
+        ).saveAsTable(f"orders_b_{suffix}")
+        li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode(
+            "overwrite"
+        ).saveAsTable(f"lineitem_b_{suffix}")
+        ob = spark.table(f"orders_b_{suffix}")
+        lb = spark.table(f"lineitem_b_{suffix}")
+        joined = ob.join(lb, ob.o_orderkey == lb.l_orderkey).select(
+            "o_orderkey", "l_linenumber"
+        )
+        plan = plan_string(joined)
+        assert "Exchange" not in plan, plan
+        assert joined.count() == li.join(orders, li.l_orderkey == orders.o_orderkey).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql(f"DROP TABLE IF EXISTS orders_b_{suffix}")
+        spark.sql(f"DROP TABLE IF EXISTS lineitem_b_{suffix}")
