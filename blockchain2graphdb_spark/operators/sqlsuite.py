@@ -143,3 +143,138 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: returned-item reporting — fact joins + grouped
     top-k."""
     return _sql(spark, sf_dir, _Q10)
+
+
+# Q2 adapted: the fixture set has no partsupp table, so the supplied-by
+# relation is derived as DISTINCT (l_partkey, l_suppkey) from lineitem.
+# Keeps Q2's defining feature — a correlated scalar subquery (best
+# supplier per part) that Catalyst must decorrelate into an aggregate
+# + self-join rather than executing per-row.
+_Q2 = """
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_type, s_suppkey
+FROM part
+JOIN ps       ON p_partkey = ps.l_partkey
+JOIN supplier ON s_suppkey = ps.l_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE'
+  AND p_size = 15
+  AND s_acctbal = (
+    SELECT MAX(s2.s_acctbal)
+    FROM ps ps2
+    JOIN supplier s2 ON s2.s_suppkey = ps2.l_suppkey
+    JOIN nation n2   ON s2.s_nationkey = n2.n_nationkey
+    JOIN region r2   ON n2.n_regionkey = r2.r_regionkey
+    WHERE ps2.l_partkey = p_partkey AND r2.r_name = 'EUROPE')
+ORDER BY s_acctbal DESC, p_partkey, s_suppkey
+LIMIT 100
+"""
+
+
+@query("tpch_q2", oracle=_Q2)
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: minimum-cost supplier — correlated scalar subquery
+    (decorrelated by Catalyst), two broadcast dims, top-k."""
+    return _sql(spark, sf_dir, _Q2)
+
+
+# Q7 adapted: single-nation pairs are empty at sf0.001, so the
+# bi-national volume query is widened to a region pair (ASIA suppliers
+# shipping to EUROPE customers) — same 6-way join + year rollup shape.
+_Q7 = """
+SELECT n1.n_name AS supp_nation,
+       n2.n_name AS cust_nation,
+       YEAR(l_shipdate) AS l_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM supplier
+JOIN lineitem ON s_suppkey = l_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+JOIN region r1 ON n1.n_regionkey = r1.r_regionkey
+JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+WHERE r1.r_name = 'ASIA' AND r2.r_name = 'EUROPE'
+GROUP BY n1.n_name, n2.n_name, YEAR(l_shipdate)
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+@query("tpch_q7", oracle=_Q7)
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: volume shipping between two regions — double
+    nation/region dimension join (both broadcast) + calendar rollup."""
+    return _sql(spark, sf_dir, _Q7)
+
+
+_Q13 = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer
+  LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+@query("tpch_q13", oracle=_Q13)
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: customer order-count distribution — outer join
+    with an ON-clause residual predicate, then an aggregate of an
+    aggregate (two shuffles, second one tiny)."""
+    return _sql(spark, sf_dir, _Q13)
+
+
+_Q18 = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+@query("tpch_q18", oracle=_Q18)
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: large-volume customers — IN subquery with HAVING
+    (planned as a semi-join against a pre-aggregated fact)."""
+    return _sql(spark, sf_dir, _Q18)
+
+
+# Q22 adapted to the fixture schema (no c_phone, and every customer has
+# at least one order): customers with above-average account balance and
+# no URGENT orders — a scalar subquery gate plus a correlated NOT EXISTS
+# (anti-join with a residual predicate). The average comparison is
+# expressed as balance*count > total to stay in exact DECIMAL
+# arithmetic across engines.
+_Q22 = """
+SELECT c_nationkey AS cntrycode,
+       COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer
+WHERE CAST(c_acctbal AS DECIMAL(18,2)) * (SELECT COUNT(*) FROM customer c2 WHERE c2.c_acctbal > 0.0)
+      > (SELECT SUM(CAST(c3.c_acctbal AS DECIMAL(18,2))) FROM customer c3 WHERE c3.c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey
+ORDER BY cntrycode
+"""
+
+
+@query("tpch_q22", oracle=_Q22)
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: global-sales opportunity — scalar subquery
+    threshold + correlated NOT EXISTS anti-join."""
+    return _sql(spark, sf_dir, _Q22)
