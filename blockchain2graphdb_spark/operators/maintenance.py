@@ -217,3 +217,122 @@ def resume_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return todo.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
         F.count(F.lit(1)).alias("n_to_process")
     )
+
+
+# --- snapshot-store-backed maintenance (sources/snapshots.py) -----------
+
+
+def _snapshot_root(sf_dir: str, name: str) -> str:
+    import os
+
+    return f"/root/repo/.tmp/snap_{name}_{os.path.basename(sf_dir.rstrip('/'))}"
+
+
+def _build_once(root: str, build) -> None:
+    """Build a snapshot store atomically (stage + rename), reuse after."""
+    import os
+    import shutil
+
+    if os.path.exists(f"{root}/_latest"):
+        return
+    stage = f"{root}.staging"
+    shutil.rmtree(stage, ignore_errors=True)
+    shutil.rmtree(root, ignore_errors=True)
+    from ..sources.snapshots import SnapshotStore
+
+    build(SnapshotStore(stage))
+    os.rename(stage, root)
+
+
+@query(
+    "snapshot_time_travel",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY o_orderstatus
+    """,
+)
+def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5/M6 at the storage layer: Delta-style versioned snapshots.
+
+    v1 = pre-1996 orders, v2 = all orders, v3 = RESTORE(v1) — a
+    metadata-only rollback (new manifest, zero data movement; the
+    scalable form of the reference's delete-walk B:91–102). Reading
+    the *latest* version after the restore must equal reading v1 by
+    time travel, and both must equal the oracle's filtered aggregate.
+    """
+    from ..sources.snapshots import SnapshotStore
+
+    prep(spark)
+    root = _snapshot_root(sf_dir, "tt")
+
+    def build(store: SnapshotStore) -> None:
+        orders = table(spark, sf_dir, "orders")
+        early = orders.where(
+            F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp")
+        )
+        store.write(early)
+        store.append(orders.subtract(early))
+        store.restore(1)
+
+    _build_once(root, build)
+    store = SnapshotStore(root)
+    pinned = store.read(spark, version=1)
+    latest = store.read(spark)  # v3 == restore(v1)
+    # intersect-of-aggregates: if restore diverged from time travel the
+    # inner join drops rows and the row-count gate fails loudly
+    agg = lambda df: df.groupBy("o_orderstatus").agg(  # noqa: E731
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec2("o_totalprice")).cast("double").alias("total"),
+    )
+    return agg(latest).join(agg(pinned), ["o_orderstatus", "n", "total"], "inner")
+
+
+@query(
+    "snapshot_reorg_overwrite",
+    oracle="""
+    WITH tagged AS (
+      SELECT *, CAST(o_orderkey % 4 AS INTEGER) AS bucket FROM orders
+    )
+    SELECT bucket,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM tagged
+    WHERE bucket IN (0, 1) OR o_orderstatus <> 'F'
+    GROUP BY bucket
+    """,
+)
+def snapshot_reorg_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5 reorg as partition overwrite (replaceWhere): fork away buckets
+    2–3, re-commit them from the surviving branch only. The commit
+    rewrites exactly the forked partitions — O(changed partitions), the
+    property that makes reorg affordable when the table is 100 TB and
+    the fork is 6 blocks deep."""
+    from ..sources.snapshots import SnapshotStore
+
+    prep(spark)
+    root = _snapshot_root(sf_dir, "reorg")
+
+    def build(store: SnapshotStore) -> None:
+        orders = table(spark, sf_dir, "orders").withColumn(
+            "bucket", (F.col("o_orderkey") % 4).cast("int")
+        )
+        store.write(orders, partition_col="bucket")
+        branch = orders.where(
+            F.col("bucket").isin(2, 3) & (F.col("o_orderstatus") != "F")
+        )
+        store.overwrite_partitions(branch, values=[2, 3])
+
+    _build_once(root, build)
+    return (
+        SnapshotStore(root)
+        .read(spark)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec2("o_totalprice")).cast("double").alias("total"),
+        )
+    )

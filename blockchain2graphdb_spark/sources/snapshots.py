@@ -1,0 +1,221 @@
+"""Versioned table snapshots — Delta-style commit log over plain parquet.
+
+SURVEY.md §2.9 M5/M6 at scale: the reference rolls back a chain reorg by
+imperatively deleting vertices one at a time (B:91–102, B:523–530,
+B:632–777). The batch engine recomputes from filtered survivors
+(chain/maintain.py), which is correct but rewrites data. This module is
+the third, production-shaped option: an append-only **manifest log**
+over immutable parquet files, so that
+
+  * every commit is a new version (snapshot isolation for readers);
+  * rollback/RESTORE is **metadata-only** — a new manifest referencing
+    the old version's files, zero data movement (the Delta Lake
+    RESTORE semantics, rebuilt on nothing but parquet + JSON);
+  * a reorg overwrites **only the partitions at/after the fork height**
+    (`overwrite_partitions`, the `replaceWhere` pattern) — O(changed
+    partitions), not O(table);
+  * time travel (`read(version=k)`) pins tests and audits to an exact
+    snapshot.
+
+100 TB design notes: the manifest holds one entry per data file, so
+commit cost is O(files touched) and the log stays tiny relative to
+data. Readers plan from an explicit file list that Spark treats as an
+ordinary multi-file parquet scan — predicate pushdown, column pruning
+and partition pruning (via `basePath` discovery of `col=value` dirs)
+all intact. Commits are last-writer-wins via an atomic rename of
+`_latest` (single-writer, same as the reference's one driver thread);
+a multi-writer deployment would swap `_latest` for a compare-and-swap
+on an object store or a log service, with no change to the read path.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapshotStore:
+    """One versioned table rooted at `root` (tests use `.tmp/`).
+
+    Layout:
+        <root>/data/[<col>=<val>/]v{V}-{seq}.parquet   immutable data files
+        <root>/_manifests/v{V}.json                    one manifest per commit
+        <root>/_latest                                 current version (atomic rename)
+    """
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(f"{root}/data", exist_ok=True)
+        os.makedirs(f"{root}/_manifests", exist_ok=True)
+
+    # ---- log primitives -------------------------------------------------
+
+    def latest_version(self) -> int:
+        try:
+            with open(f"{self.root}/_latest") as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return 0
+
+    def _check(self, version: int) -> int:
+        if not 0 <= version <= self.latest_version():
+            raise ValueError(
+                f"version {version} out of range 0..{self.latest_version()}"
+            )
+        return version
+
+    def _manifest(self, version: int) -> dict:
+        with open(f"{self.root}/_manifests/v{version:08d}.json") as f:
+            return json.load(f)
+
+    def files(self, version: int | None = None) -> list[str]:
+        """Absolute paths; manifests store root-relative paths so the
+        whole store directory can be staged/renamed/moved."""
+        v = self.latest_version() if version is None else self._check(version)
+        return (
+            []
+            if v == 0
+            else [os.path.join(self.root, f) for f in self._manifest(v)["files"]]
+        )
+
+    def _rel(self, paths: list[str]) -> list[str]:
+        return [os.path.relpath(p, self.root) for p in paths]
+
+    def partition_col(self, version: int | None = None) -> str | None:
+        v = self.latest_version() if version is None else self._check(version)
+        return None if v == 0 else self._manifest(v)["partition_col"]
+
+    def history(self) -> list[dict]:
+        return [
+            {
+                "version": v,
+                "op": (m := self._manifest(v))["op"],
+                "n_files": len(m["files"]),
+            }
+            for v in range(1, self.latest_version() + 1)
+        ]
+
+    def _commit(self, files: list[str], partition_col: str | None, op: str) -> int:
+        new_v = self.latest_version() + 1
+        mpath = f"{self.root}/_manifests/v{new_v:08d}.json"
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {"version": new_v, "op": op, "partition_col": partition_col,
+                 "files": self._rel(files)}, f)
+        os.rename(tmp, mpath)
+        # _latest moves last: a crash before this line leaves the old
+        # version live and the orphan manifest harmless
+        ltmp = f"{self.root}/_latest.tmp"
+        with open(ltmp, "w") as f:
+            f.write(str(new_v))
+        os.rename(ltmp, f"{self.root}/_latest")
+        return new_v
+
+    # ---- write paths ----------------------------------------------------
+
+    def _stage(self, df: DataFrame, partition_col: str | None) -> list[str]:
+        """Write df to a staging dir, move the parquet files into data/
+        (keeping `col=value` subdirs) under collision-free names."""
+        base = self.latest_version() + 1
+        stage = f"{self.root}/_stage_v{base}"
+        shutil.rmtree(stage, ignore_errors=True)
+        writer = df.write.mode("overwrite")
+        if partition_col:
+            writer = writer.partitionBy(partition_col)
+        writer.parquet(stage)
+
+        out: list[str] = []
+        seq = 0
+        for dirpath, _dirs, names in sorted(os.walk(stage)):
+            rel = os.path.relpath(dirpath, stage)
+            destdir = f"{self.root}/data" if rel == "." else f"{self.root}/data/{rel}"
+            os.makedirs(destdir, exist_ok=True)
+            for n in sorted(names):
+                if not n.endswith(".parquet"):
+                    continue
+                dest = f"{destdir}/v{base:08d}-{seq:05d}.parquet"
+                os.rename(os.path.join(dirpath, n), dest)
+                out.append(dest)
+                seq += 1
+        shutil.rmtree(stage, ignore_errors=True)
+        return out
+
+    def _check_layout(self, partition_col: str | None) -> None:
+        prior = self.partition_col()
+        if self.latest_version() > 0 and prior != partition_col:
+            raise ValueError(
+                f"table is partitioned by {prior!r}; incremental commits "
+                f"must match (got {partition_col!r}) — use write() to "
+                "re-lay-out the table"
+            )
+
+    def write(self, df: DataFrame, partition_col: str | None = None) -> int:
+        """Full overwrite as a new version (old versions stay readable)."""
+        return self._commit(self._stage(df, partition_col), partition_col, "write")
+
+    def append(self, df: DataFrame) -> int:
+        """New version = previous files + the new rows' files (M1-adjacent:
+        the caller dedups; this is the physical append)."""
+        pc = self.partition_col()
+        self._check_layout(pc if self.latest_version() else None)
+        return self._commit(self.files() + self._stage(df, pc), pc, "append")
+
+    def overwrite_partitions(self, df: DataFrame, values) -> int:
+        """replaceWhere: drop files under the named partition values, add
+        df's files. The M5 reorg path — `overwrite_partitions(new_branch,
+        values=range(fork, tip+1))` touches only the forked heights."""
+        pc = self.partition_col()
+        if pc is None:
+            raise ValueError("overwrite_partitions requires a partitioned table")
+        drop = {f"{pc}={v}" for v in values}
+        kept = [
+            f
+            for f in self.files()
+            if os.path.basename(os.path.dirname(f)) not in drop
+        ]
+        return self._commit(
+            kept + self._stage(df, pc), pc, f"overwrite_partitions({len(drop)})"
+        )
+
+    def restore(self, version: int) -> int:
+        """Metadata-only rollback: commit a new version referencing the
+        file list of `version` verbatim. Zero data movement."""
+        v = self._check(version)
+        files = self.files(v)
+        pc = None if v == 0 else self._manifest(v)["partition_col"]
+        return self._commit(files, pc, f"restore({v})")
+
+    # ---- read path ------------------------------------------------------
+
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Scan a pinned snapshot (latest when version is None)."""
+        files = self.files(version)
+        if not files:
+            raise ValueError(f"{self.root}: empty table at version {version}")
+        reader = spark.read
+        if self.partition_col(version):
+            # basePath turns the retained col=value dirs back into a
+            # discovered partition column => partition pruning works
+            reader = reader.option("basePath", f"{self.root}/data")
+        return reader.parquet(*files)
+
+    def vacuum(self) -> list[str]:
+        """Delete data files unreferenced by ANY manifest (after this,
+        time travel only reaches versions whose files all survive).
+        Returns the deleted paths."""
+        live: set[str] = set()
+        for v in range(1, self.latest_version() + 1):
+            live.update(os.path.join(self.root, f) for f in self._manifest(v)["files"])
+        dead = []
+        for dirpath, _dirs, names in os.walk(f"{self.root}/data"):
+            for n in names:
+                p = os.path.join(dirpath, n)
+                if n.endswith(".parquet") and p not in live:
+                    dead.append(p)
+        for p in dead:
+            os.remove(p)
+        return dead
