@@ -37,7 +37,7 @@ def co_spend_edges(inputs: DataFrame, outputs: DataFrame) -> DataFrame:
 def wallet_ids(inputs: DataFrame, outputs: DataFrame) -> DataFrame:
     """(address, wallet_id) for every address that ever received."""
     edges = co_spend_edges(inputs, outputs)
-    comp = connected_components(edges, "src", "dst")
+    comp = connected_components(edges, "src", "dst", canonical=True)
     clustered = comp.select(F.col("node").alias("address"), F.col("comp").alias("wallet_id"))
     singles = (
         outputs.select("address")

@@ -29,30 +29,57 @@ from pyspark.sql import functions as F
 
 
 def connected_components(
-    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 50
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+    broadcast_nodes: int = 4_000_000,
+    canonical: bool = False,
 ) -> DataFrame:
     """Undirected connected components; returns (node, component) where
-    component = min node id in the component. Deterministic."""
+    component = min node id in the component. Deterministic.
+
+    Checkpointed plans surface as LogicalRDDs with no size statistics,
+    so Catalyst (and AQE) never broadcast the per-node label table and
+    every round shuffles the full edge list. The node count is known
+    after the first materialization — when it fits comfortably in the
+    driver/executors (<= broadcast_nodes), hint `broadcast` on the
+    label side explicitly: each round then streams the checkpointed
+    edges map-side with zero edge shuffle. Past the threshold the hint
+    is dropped and rounds run as keyed shuffles with AQE skew handling
+    — the 100 TB path.
+
+    canonical=True declares the input edge list already deduplicated
+    with src strictly less than dst (true for star-contraction and
+    a<b candidate-pair builders). Symmetrization then cannot create
+    duplicates, and the whole-edge-list dedup shuffle is skipped —
+    at 100 TB that is a full extra pass over the largest table in the
+    job. Duplicates would not break correctness (min-agg absorbs
+    them), only inflate the per-round join input.
+    """
     directed = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
         F.col("a") != F.col("b")
     )
-    sym = (
-        directed.union(directed.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .distinct()  # single dedup pass after symmetrization
-        .localCheckpoint(eager=True)
+    sym = directed.union(
+        directed.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
+    if not canonical:
+        sym = sym.distinct()  # single dedup pass after symmetrization
+    sym = sym.localCheckpoint(eager=True)
 
     comp = sym.select(F.col("a").alias("node")).distinct().withColumn(
         "comp", F.col("node")
     )
+    n_nodes = comp.count()
+    hint = F.broadcast if n_nodes <= broadcast_nodes else (lambda df: df)
     for _ in range(max_iter):
         nbr_min = (
-            sym.join(comp, sym.b == comp.node)
+            sym.join(hint(comp), sym.b == comp.node)
             .select(F.col("a").alias("node"), "comp")
             .groupBy("node")
             .agg(F.min("comp").alias("nbr_comp"))
         )
-        stepped = comp.join(nbr_min, "node", "left").select(
+        stepped = comp.join(hint(nbr_min), "node", "left").select(
             "node",
             "comp",
             F.least(
@@ -68,7 +95,7 @@ def connected_components(
         # one materialization per round: checkpoint the (old, new) pair,
         # then both the convergence probe and the next iteration read it
         joined = (
-            stepped.join(lut, stepped.new_comp == lut.lk, "left")
+            stepped.join(hint(lut), stepped.new_comp == lut.lk, "left")
             .select(
                 "node",
                 "comp",
@@ -83,17 +110,28 @@ def connected_components(
     return comp
 
 
-def list_rank(links: DataFrame, id_col: str = "id", parent_col: str = "parent") -> DataFrame:
+def list_rank(
+    links: DataFrame,
+    id_col: str = "id",
+    parent_col: str = "parent",
+    broadcast_nodes: int = 4_000_000,
+) -> DataFrame:
     """Position of each node in its chain (1-based), from (id, parent)
     links alone, parent NULL at the head. Pointer jumping: each round
     rewrites ptr -> ptr's ptr and accumulates the skipped distance, so a
     chain of length L resolves in ceil(log2 L) self-joins.
+
+    Same checkpoint-loses-stats story as connected_components: the
+    lookup side of each self-join is hinted broadcast while the node
+    count (known after the first materialization) stays under
+    broadcast_nodes; above it, shuffled self-joins.
     """
     cur = links.select(
         F.col(id_col).alias("id"),
         F.col(parent_col).alias("ptr"),
         F.when(F.col(parent_col).isNull(), F.lit(0)).otherwise(F.lit(1)).alias("dist"),
     ).localCheckpoint(eager=True)
+    hint = F.broadcast if cur.count() <= broadcast_nodes else (lambda df: df)
 
     while cur.where(F.col("ptr").isNotNull()).limit(1).count() > 0:
         a = cur.alias("x")
@@ -101,7 +139,7 @@ def list_rank(links: DataFrame, id_col: str = "id", parent_col: str = "parent") 
             F.col("id").alias("b_id"), F.col("ptr").alias("b_ptr"), F.col("dist").alias("b_dist")
         ).alias("y")
         cur = (
-            a.join(b, F.col("x.ptr") == F.col("y.b_id"), "left")
+            a.join(hint(b), F.col("x.ptr") == F.col("y.b_id"), "left")
             .select(
                 F.col("x.id").alias("id"),
                 F.when(F.col("x.ptr").isNull(), F.lit(None))

@@ -155,7 +155,7 @@ def minhash_clusters(docs: DataFrame, jaccard_threshold: float = 0.5) -> DataFra
         .select("a", "b")
     )
 
-    comp = connected_components(verified, "a", "b")
+    comp = connected_components(verified, "a", "b", canonical=True)
     clustered = comp.select(F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id"))
     singles = docs.join(clustered, "doc_id", "left_anti").select(
         "doc_id", F.col("doc_id").alias("cluster_id")

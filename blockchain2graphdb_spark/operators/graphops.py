@@ -221,22 +221,23 @@ def degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def wallet_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G3: wallet clustering via connected components — the capability the
     reference declared but stubbed (AddressWalletID always 0; T:137,
-    B:29/58/896). Co-occurrence edges (parts chained through one order ≙
-    addresses co-spent in one transaction) come from a single-shuffle LAG
-    window — chain edges per group, never the k² pair join — then
-    min-label propagation (graph/components.py). Component id = min member
-    id, so results are deterministic and oracle-checkable via a recursive
-    CTE."""
+    B:29/58/896). Co-occurrence edges (parts grouped through one order ≙
+    addresses co-spent in one transaction) are built by star contraction:
+    every part links to the MIN part of its order — one groupBy + one
+    equi-join, never the k² pair join, and identical connectivity to
+    pairwise/chained edges with far lower graph diameter (every group
+    collapses to a depth-1 star), so min-label propagation
+    (graph/components.py) converges in fewer rounds. Component id = min
+    member id, so results are deterministic and oracle-checkable via a
+    recursive CTE (the oracle walks chain edges — same components)."""
     prep(spark)
     li = table(spark, sf_dir, "lineitem")
-    w = W.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey", "l_suppkey")
+    mins = li.groupBy("l_orderkey").agg(F.min("l_partkey").alias("src"))
     edges = (
-        li.select(
-            F.col("l_partkey").alias("dst"),
-            F.lag("l_partkey").over(w).alias("src"),
-        )
-        .where(F.col("src").isNotNull() & (F.col("src") != F.col("dst")))
-        .select("src", "dst")
+        li.join(mins, "l_orderkey")
+        .select("src", F.col("l_partkey").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
     )
-    comp = connected_components(edges)
+    comp = connected_components(edges, canonical=True)
     return comp.select(F.col("node").alias("part"), F.col("comp").alias("component"))
