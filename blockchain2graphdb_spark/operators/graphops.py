@@ -241,3 +241,183 @@ def wallet_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     comp = connected_components(edges, canonical=True)
     return comp.select(F.col("node").alias("part"), F.col("comp").alias("component"))
+
+
+@query(
+    "triangle_count",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )
+    SELECT COUNT(*) AS n_triangles
+    FROM pairs e1
+    JOIN pairs e2 ON e2.a = e1.b
+    JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b
+    """,
+)
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2-family: global triangle count on the part co-purchase graph.
+
+    Edges are canonical a<b pairs, so each triangle a<b<c is counted
+    exactly once by the ordered 3-way self-join (the standard
+    vertex-ordering trick — no post-division by 6, and the join fan-out
+    stays linear in the number of wedges from low-degree vertices). At
+    100 TB the same plan holds with the edge list bucketed on its join
+    keys; skewed hub vertices are split by AQE.
+    """
+    prep(spark)
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("a"), F.col("b.l_partkey").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)  # reused three times below
+    )
+    e1 = pairs.alias("e1")
+    e2 = pairs.select(F.col("a").alias("a2"), F.col("b").alias("b2")).alias("e2")
+    e3 = pairs.select(F.col("a").alias("a3"), F.col("b").alias("b3")).alias("e3")
+    tri = (
+        e1.join(e2, F.col("a2") == F.col("e1.b"))
+        .join(e3, (F.col("a3") == F.col("e1.a")) & (F.col("b3") == F.col("b2")))
+    )
+    return tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+@query(
+    "bfs_distance",
+    oracle="""
+    WITH RECURSIVE pairs AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    sym AS (SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs),
+    walk AS (
+      SELECT p_partkey AS node, 0 AS dist FROM part WHERE p_size = 50
+      UNION
+      SELECT s.dst AS node, w.dist + 1 AS dist
+      FROM walk w JOIN sym s ON s.src = w.node WHERE w.dist < 3
+    )
+    SELECT node, MIN(dist) AS dist FROM walk GROUP BY node
+    """,
+)
+def bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2/J8 generalized: unweighted shortest-path distance (<= 3 hops)
+    from a seed set, via the Pregel operator (graph/pregel.py) — attr =
+    best-known distance, messages = attr+1 along edges, min combiner.
+    Each superstep is one keyed shuffle; 3 supersteps for a 3-hop
+    horizon, vs the reference's one-vertex-at-a-time repeat/until walk
+    (B:43–46)."""
+    from ..graph.pregel import pregel
+
+    prep(spark)
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+    )
+    sym = pairs.union(pairs.select(F.col("dst"), F.col("src"))).localCheckpoint(
+        eager=True
+    )
+    seeds = (
+        table(spark, sf_dir, "part")
+        .where(F.col("p_size") == 50)
+        .select(F.col("p_partkey").alias("id"))
+    )
+    nodes = sym.select(F.col("src").alias("id")).distinct()
+    vertices = (
+        nodes.unionByName(seeds)
+        .distinct()
+        .join(seeds.withColumn("seed", F.lit(1)), "id", "left")
+        .select("id", F.when(F.col("seed") == 1, F.lit(0)).alias("attr"))
+    )
+    dist = pregel(
+        vertices,
+        sym,
+        initial_msg=None,
+        send_msg=lambda s, d: F.when(
+            s.isNotNull() & (d.isNull() | (s + 1 < d)), s + 1
+        ),
+        agg_msg=F.min,
+        vprog=lambda attr, msg: F.least(
+            F.coalesce(attr, F.lit(2**31 - 1)), msg
+        ),
+        max_iter=3,
+    )
+    return dist.where(F.col("attr").isNotNull()).select(
+        F.col("id").alias("node"), F.col("attr").cast("int").alias("dist")
+    )
+
+
+@query("pagerank")  # rows-only: fixed-point float iteration has no SQL oracle
+def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphX-flagship analytic (BASELINE.json spark_approach): PageRank
+    on the part co-purchase graph via the Pregel operator — attr =
+    (rank, out-degree) struct, messages = rank/degree, sum combiner,
+    vprog = 0.15 + 0.85*Σ. Ten fixed supersteps (shuffle count known in
+    advance — the property that makes the job plannable at 100 TB).
+    Verified against a hand-computed graph in tests/test_graph_analytics.py.
+    """
+    prep(spark)
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+    )
+    ranks = pagerank_ranks(pairs)
+    return ranks.select(
+        F.col("id").alias("part"),
+        F.round(F.col("rank"), 6).alias("rank"),
+    ).orderBy(F.col("rank").desc(), F.col("part")).limit(100)
+
+
+def pagerank_ranks(
+    pairs: DataFrame, n_iter: int = 10, damping: float = 0.85
+) -> DataFrame:
+    """(id, rank) over the symmetrized edge list of canonical pairs."""
+    from ..graph.pregel import pregel
+
+    sym = pairs.union(pairs.select(F.col("dst"), F.col("src"))).localCheckpoint(
+        eager=True
+    )
+    deg = sym.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    vertices = deg.select(
+        "id", F.struct(F.lit(1.0).alias("rank"), F.col("deg").alias("deg")).alias("attr")
+    )
+    out = pregel(
+        vertices,
+        sym,
+        initial_msg=None,
+        send_msg=lambda s, d: s["rank"] / s["deg"],
+        agg_msg=F.sum,
+        vprog=lambda attr, msg: F.struct(
+            (F.lit(1 - damping) + F.lit(damping) * msg).alias("rank"),
+            attr["deg"].alias("deg"),
+        ),
+        max_iter=n_iter,
+    )
+    return out.select("id", F.col("attr")["rank"].alias("rank"))
