@@ -6,7 +6,7 @@ the LLM-training-data operators, all built-in-function pipelines
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import prep, table
@@ -176,4 +176,67 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
     return table(spark, sf_dir, "documents").select(
         "doc_id", F.md5(F.lower(F.col("text")).cast("binary")).alias("fingerprint")
+    )
+
+
+@query(
+    "text_tfidf",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, t AS term FROM (
+        SELECT doc_id,
+               UNNEST(string_split_regex(LOWER(text), '[^a-z]+')) AS t
+        FROM documents
+      ) WHERE t <> ''
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT doc_id, term, tf, df, score FROM (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             ROUND(tf.tf * LN(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS score,
+             ROW_NUMBER() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY ROUND(tf.tf * LN(CAST(n.n_docs AS DOUBLE) / df.df), 6) DESC,
+                        tf.term) AS rn
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    ) WHERE rn <= 3
+    """,
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: TF-IDF top-3 terms per document.
+
+    tf and df are exact integers from two hash aggregations; only the
+    final score touches floats, and it is rounded to 6 decimals on both
+    engines before ranking so the cross-engine order (and the value
+    hash) is deterministic. At 100 TB: both aggs are partial+final
+    combines on (doc, term) / (term); the tiny (term, df) side and the
+    scalar N broadcast into the scoring join — no pairwise anything.
+    """
+    prep(spark)
+    docs = table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("term"),
+        )
+        .where(F.col("term") != "")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.count()  # scalar; literal-folded into the plan
+    scored = tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("score"),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "df", "score")
     )

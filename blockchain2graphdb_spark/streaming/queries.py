@@ -285,3 +285,66 @@ def _late_replay(spark: SparkSession, sf_dir: str) -> str:
         return [new, old]  # newest first; the old 20% arrives late
 
     return _write_replay(spark, sf_dir, "late", split)
+
+
+@query("stream_static_join")
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join (absent from the reference, which
+    re-fetches vertices per event, B:91–113): the events stream joined
+    to the static customer dimension. The static side is planned per
+    micro-batch — broadcast when small, so the stream never shuffles.
+    At 100 TB of stream the same plan holds; a huge static side would
+    instead be pre-bucketed on the join key."""
+    prep(spark)
+    s = _events_stream(spark, sf_dir)
+    dim = (
+        table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    )
+    out = (
+        s.join(F.broadcast(dim), "user_id")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum((F.col("value") * 100).cast("long")).alias("value_centi"),
+        )
+    )
+    return _run(spark, out, output_mode="complete")
+
+
+@query("stream_stream_join")
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: each error event matched to the same
+    user's purchases within the following 6 hours. Both sides carry
+    watermarks and the join condition bounds event-time distance, so
+    Spark can expire buffered state — the property that keeps the join's
+    state finite on an unbounded stream (vs the reference's full-graph
+    lookups per event)."""
+    prep(spark)
+    errors = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "error")
+        .select(
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+            F.col("event_id").alias("e_id"),
+        )
+        .withWatermark("e_ts", "1 hour")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("p_id"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    out = errors.join(
+        purchases,
+        (F.col("e_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("e_ts"))
+        & (F.col("p_ts") <= F.col("e_ts") + F.expr("INTERVAL 6 HOURS")),
+    ).select("e_user", "e_id", "p_id", "e_ts", "p_ts")
+    return _run(spark, out)

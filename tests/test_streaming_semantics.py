@@ -89,3 +89,43 @@ def test_stream_late_data_append_mode_invariants(spark):
     finalized = batch.where(F.col("win_end") <= F.lit(wm)).select("win_start", "n")
     assert _rows(got) == _rows(finalized)  # (2)
     assert got.count() < batch.count()  # (3): newest window(s) held back
+
+
+def test_stream_static_join_equals_batch_join(spark):
+    got = SPECS["stream_static_join"].builder(spark, SF_DIR)
+    ev = table(spark, SF_DIR, "events")
+    dim = table(spark, SF_DIR, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    exp = (
+        ev.join(dim, "user_id")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum((F.col("value") * 100).cast("long")).alias("value_centi"),
+        )
+    )
+    assert _rows(got) == _rows(exp)
+
+
+def test_stream_stream_join_equals_batch_interval_join(spark):
+    got = SPECS["stream_stream_join"].builder(spark, SF_DIR)
+    ev = table(spark, SF_DIR, "events")
+    err = ev.where(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user"),
+        F.col("ts").alias("e_ts"),
+        F.col("event_id").alias("e_id"),
+    )
+    pur = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_id"),
+    )
+    exp = err.join(
+        pur,
+        (F.col("e_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("e_ts"))
+        & (F.col("p_ts") <= F.col("e_ts") + F.expr("INTERVAL 6 HOURS")),
+    ).select("e_user", "e_id", "p_id", "e_ts", "p_ts")
+    # single-batch replay: nothing is watermark-dropped, so stream == batch
+    assert _rows(got) == _rows(exp)

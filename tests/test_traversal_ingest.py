@@ -172,3 +172,40 @@ def test_stream_ingest_with_reorg(spark, tmp_path):
         got = sorted(map(tuple, final[name].collect()))
         exp = sorted(map(tuple, expected[name].collect()))
         assert got == exp, f"{name} diverges after streamed reorg"
+
+
+def test_stream_ingest_versioned_reorg_and_time_travel(spark, tmp_path):
+    """Same reorg scenario through SnapshotStore-backed ingestion: the
+    final version must equal a cold ingest of the variant, the reorg
+    must land as an overwrite_partitions commit (not a rewrite), and the
+    pre-reorg chain must remain readable by time travel."""
+    from blockchain2graphdb_spark.streaming.ingest import ingest_stream_versioned
+
+    original = fixtures.generate(n_blocks=12, seed=9)
+    variant = fixtures.reorg_variant(n_blocks=12, seed=9, k=3)
+    d = str(tmp_path / "stream_blocks")
+    _write_decoded_files(spark, [_decoded_rows(original), _decoded_rows(variant)], d)
+
+    stores = ingest_stream_versioned(
+        spark, d, str(tmp_path / "stores"), max_files_per_trigger=1
+    )
+
+    def rows(df, cols):
+        return sorted(map(tuple, df.select(sorted(cols)).collect()))
+
+    for name, exp_df in variant.to_spark(spark).items():
+        cols = exp_df.columns
+        got = stores[name].read(spark)
+        assert rows(got, cols) == rows(exp_df, cols), f"{name} after versioned reorg"
+
+    # the reorg commit is a partition overwrite, not a full rewrite
+    ops = [h["op"] for h in stores["blocks"].history()]
+    assert ops[0] == "write" and any(
+        op.startswith("overwrite_partitions") for op in ops[1:]
+    ), ops
+
+    # v1 = the pre-reorg chain, still readable (M5 with an undo story)
+    for name, exp_df in original.to_spark(spark).items():
+        cols = exp_df.columns
+        got = stores[name].read(spark, version=1)
+        assert rows(got, cols) == rows(exp_df, cols), f"{name} time travel"
