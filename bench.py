@@ -30,6 +30,8 @@ HEADLINE = [
     "tpch_q5",                 # 6-way join with broadcast dims
     "tpch_q6",                 # pure pushdown filter + global agg
     "tpch_q10",                # fact joins + grouped top-k
+    "tpch_q2",                 # correlated scalar subquery (decorrelated)
+    "tpch_q18",                # IN-subquery w/ HAVING as semi-join
     "agg_sum",                 # scan → hash aggregate (partial/final)
     "two_hop_join",            # fact-fact join chain + aggregate
     "counterparties",          # 3-hop join + count-distinct
@@ -39,9 +41,12 @@ HEADLINE = [
     "join_range",              # equi+range self-join
     "topo_order",              # iterative pointer-jumping list rank
     "wallet_components",       # iterative connected components
+    "triangle_count",          # ordered 3-way self-join, broadcast closure
+    "bfs_distance",            # Pregel supersteps, bounded horizon
     "similarity_topk",         # broadcast brute-force top-k cosine
     "dedup_minhash",           # minhash → LSH band join → CC
     "text_token_stats",        # explode-heavy text pipeline
+    "text_tfidf",              # two-level agg + broadcast-scored ranking
     "upsert_merge",            # full-outer MERGE fold
 ]
 

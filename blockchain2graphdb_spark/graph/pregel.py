@@ -34,17 +34,34 @@ def pregel(
     vprog: Callable[[Column, Column], Column],
     # vprog(attr, aggregated_msg) -> new attr
     max_iter: int = 50,
+    broadcast_nodes: int = 4_000_000,
+    needs_dst_attr: bool = True,
+    check_convergence: bool = True,
 ) -> DataFrame:
-    """Returns (id, attr) at fixpoint (or after max_iter supersteps)."""
+    """Returns (id, attr) at fixpoint (or after max_iter supersteps).
+
+    Same stats-loss story as graph/components.py: the per-superstep
+    vertex table comes out of a localCheckpoint with no size statistics,
+    so the triplet build would shuffle the full edge list every round.
+    While the vertex count (known after the first materialization) fits
+    under broadcast_nodes, the vertex side is hinted broadcast and each
+    superstep streams the edges map-side; larger graphs fall back to
+    keyed shuffles with AQE skew handling.
+    """
     v = vertices.select("id", "attr")
     if initial_msg is not None:
         v = v.select("id", vprog(F.col("attr"), initial_msg).alias("attr"))
     v = v.localCheckpoint(eager=True)
+    hint = F.broadcast if v.count() <= broadcast_nodes else (lambda df: df)
 
     for _ in range(max_iter):
         src = v.select(F.col("id").alias("src"), F.col("attr").alias("src_attr"))
         dst = v.select(F.col("id").alias("dst"), F.col("attr").alias("dst_attr"))
-        triplets = edges.join(src, "src").join(dst, "dst")
+        triplets = edges.join(hint(src), "src")
+        if needs_dst_attr:
+            triplets = triplets.join(hint(dst), "dst")
+        # needs_dst_attr=False skips the second vertex join entirely
+        # (algorithms like PageRank never read the receiver's state)
         msgs = (
             triplets.select(
                 F.col("dst").alias("id"),
@@ -55,7 +72,7 @@ def pregel(
             .agg(agg_msg(F.col("msg")).alias("msg"))
         )
         stepped = (
-            v.join(msgs, "id", "left")
+            v.join(hint(msgs), "id", "left")
             .select(
                 "id",
                 "attr",
@@ -65,11 +82,16 @@ def pregel(
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            stepped.where(~F.col("new_attr").eqNullSafe(F.col("attr"))).limit(1).count()
-        )
+        # check_convergence=False runs exactly max_iter supersteps and
+        # saves one probe job per round (fixed-iteration algorithms)
+        if check_convergence:
+            changed = (
+                stepped.where(~F.col("new_attr").eqNullSafe(F.col("attr")))
+                .limit(1)
+                .count()
+            )
         v = stepped.select("id", F.col("new_attr").alias("attr"))
-        if changed == 0:
+        if check_convergence and changed == 0:
             break
     return v
 

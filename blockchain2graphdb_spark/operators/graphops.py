@@ -284,9 +284,17 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     e1 = pairs.alias("e1")
     e2 = pairs.select(F.col("a").alias("a2"), F.col("b").alias("b2")).alias("e2")
     e3 = pairs.select(F.col("a").alias("a3"), F.col("b").alias("b3")).alias("e3")
+    # wedge stream e1⋈e2 is |Σ deg²| rows — orders of magnitude bigger
+    # than the edge list. Close the triangle with a BROADCAST of the
+    # edge list (checkpointed plans lose stats, so Catalyst would
+    # otherwise sort-merge-shuffle the whole wedge stream); past
+    # broadcastable edge counts, bucket both sides on (a, b) instead.
     tri = (
         e1.join(e2, F.col("a2") == F.col("e1.b"))
-        .join(e3, (F.col("a3") == F.col("e1.a")) & (F.col("b3") == F.col("b2")))
+        .join(
+            F.broadcast(e3),
+            (F.col("a3") == F.col("e1.a")) & (F.col("b3") == F.col("b2")),
+        )
     )
     return tri.agg(F.count(F.lit(1)).alias("n_triangles"))
 
@@ -419,5 +427,7 @@ def pagerank_ranks(
             attr["deg"].alias("deg"),
         ),
         max_iter=n_iter,
+        needs_dst_attr=False,
+        check_convergence=False,
     )
     return out.select("id", F.col("attr")["rank"].alias("rank"))
