@@ -278,3 +278,92 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape: global-sales opportunity — scalar subquery
     threshold + correlated NOT EXISTS anti-join."""
     return _sql(spark, sf_dir, _Q22)
+
+
+_Q4 = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@query("tpch_q4", oracle=_Q4)
+def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: order-priority checking — correlated EXISTS
+    planned as a left-semi join against the filtered fact."""
+    return _sql(spark, sf_dir, _Q4)
+
+
+# Q14: promo revenue share. The ratio of two filtered DECIMAL sums is
+# computed in DECIMAL and rounded to 6 on both engines.
+_Q14 = """
+SELECT CAST(ROUND(
+         100.00 * SUM(CASE WHEN p_type = 'PROMO'
+                           THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                                * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                           ELSE CAST(0 AS DECIMAL(18,2)) END)
+         / SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2)))), 6) AS DOUBLE)
+       AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
+"""
+
+
+@query("tpch_q14", oracle=_Q14)
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promotion effect — conditional aggregate ratio
+    over a fact-dim join (dim broadcast)."""
+    return _sql(spark, sf_dir, _Q14)
+
+
+# Q16 adapted: supplied-by pairs derived from lineitem (no partsupp).
+_Q16 = """
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM ps
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_type <> 'MEDIUM'
+  AND p_size IN (1, 14, 23, 45, 9, 19, 36, 49)
+  AND l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+@query("tpch_q16", oracle=_Q16)
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: parts/supplier relationship — NOT IN anti-join
+    plus grouped count-distinct over a derived relation."""
+    return _sql(spark, sf_dir, _Q16)
+
+
+# Q19: disjunction of conjunctive predicate blocks — the OR-of-ANDs
+# must still push the shared join key and let Catalyst split the
+# residual per-branch predicates.
+_Q19 = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity >= 1 AND l_quantity <= 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity >= 10 AND l_quantity <= 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+       AND l_quantity >= 20 AND l_quantity <= 30)
+"""
+
+
+@query("tpch_q19", oracle=_Q19)
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: discounted revenue — disjunctive predicate
+    blocks over a fact-dim join."""
+    return _sql(spark, sf_dir, _Q19)
