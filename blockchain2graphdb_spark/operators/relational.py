@@ -936,3 +936,72 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
     return c.subtract(s)  # EXCEPT DISTINCT (exceptAll is the bag variant)
+
+
+@query(
+    "join_asof_pandas",
+    oracle="""
+    SELECT c.event_id,
+           (SELECT p.event_id FROM events p
+            WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+              AND p.ts < c.ts
+            ORDER BY p.ts DESC, p.event_id DESC LIMIT 1) AS last_purchase_id
+    FROM events c WHERE c.event_type = 'click'
+    """,
+)
+def join_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, Arrow/pandas scale path (SURVEY §4.3.4): co-partition
+    by key, sort within group, `pd.merge_asof` per group.
+
+    The window form (`join_asof`) is ideal when both sides share one
+    table; this form is the general two-relation as-of at 100 TB — one
+    shuffle on the key, then per-group sorted merges in Arrow batches
+    with no cross-group state. Strictly-earlier semantics
+    (allow_exact_matches=False), ties on equal right-side ts broken to
+    the max event_id by the (ts, event_id) sort + backward take-last.
+    """
+    prep(spark)
+    import pandas as pd
+
+    ev = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    ).select("user_id", "event_id", "event_type", "ts")
+
+    def asof(pdf: pd.DataFrame) -> pd.DataFrame:
+        clicks = pdf[pdf.event_type == "click"].sort_values(["ts", "event_id"])
+        purch = pdf[pdf.event_type == "purchase"].sort_values(["ts", "event_id"])
+        if clicks.empty:
+            return pd.DataFrame({"event_id": [], "last_purchase_id": []})
+        right = purch[["ts", "event_id"]].rename(
+            columns={"event_id": "last_purchase_id"}
+        )
+        m = pd.merge_asof(
+            clicks[["ts", "event_id"]],
+            right,
+            on="ts",
+            direction="backward",
+            allow_exact_matches=False,
+        )
+        return m[["event_id", "last_purchase_id"]].astype(
+            {"event_id": "int64", "last_purchase_id": "Int64"}
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        asof, "event_id long, last_purchase_id long"
+    )
+
+
+@query("sample_stratified")  # rows-only: engine-local RNG (seeded, deterministic per engine)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling for training-data pipelines: `sampleBy` draws
+    a per-stratum Bernoulli sample (20% BUILDING, 5% everything else)
+    in one scan — no shuffle, no collect; the seed pins the sample
+    across runs. Proportion/determinism properties pinned in
+    tests/test_sampling.py."""
+    prep(spark)
+    cust = table(spark, sf_dir, "customer")
+    segs = [r["c_mktsegment"] for r in cust.select("c_mktsegment").distinct().collect()]
+    fractions = {s: (0.2 if s == "BUILDING" else 0.05) for s in segs}
+    return cust.sampleBy("c_mktsegment", fractions, seed=42).select(
+        "c_custkey", "c_mktsegment"
+    )

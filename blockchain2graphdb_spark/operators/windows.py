@@ -153,3 +153,30 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 3)
         .select("l_orderkey", "l_linenumber", "l_extendedprice")
     )
+
+
+@query(
+    "window_ntile",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (declared surface §2.5): NTILE /
+    PERCENT_RANK / CUME_DIST per priority class. Both pct_rank and cume
+    are exact small rationals ((rank-1)/(n-1), rank/n) computed from the
+    same integer operands on both engines, so the double hash matches
+    without quantization. Unique tie-breaker (o_orderkey) as always."""
+    prep(spark)
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
