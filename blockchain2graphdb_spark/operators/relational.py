@@ -1005,3 +1005,36 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust.sampleBy("c_mktsegment", fractions, seed=42).select(
         "c_custkey", "c_mktsegment"
     )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT r_name, n_name,
+           COUNT(*) AS n_cust,
+           GROUPING(r_name) + 2 * GROUPING(n_name) AS gid
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS — the general form behind cube/rollup (§2.4): three
+    aggregation granularities in ONE shuffle (Expand + single hash
+    aggregate), vs three separate scans+shuffles if issued naively."""
+    prep(spark)
+    from .sqlsuite import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT r_name, n_name,
+               COUNT(*) AS n_cust,
+               CAST(GROUPING(r_name) + 2 * GROUPING(n_name) AS INT) AS gid
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
+        """
+    )

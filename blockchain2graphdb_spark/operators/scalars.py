@@ -279,3 +279,70 @@ def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("k")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "map_ops",
+    oracle="""
+    SELECT o_orderkey,
+           3 AS n_keys,
+           CAST(o_totalprice AS DOUBLE) AS price_val,
+           'priority,status,total' AS sorted_keys
+    FROM orders WHERE o_orderkey % 50 = 0
+    """,
+)
+def map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map functions (declared surface §2.8): build a MapType column with
+    map_from_arrays, then probe it with element_at / map_keys /
+    map_contains_key. The oracle pins the *results* of the probes (maps
+    themselves never cross the engine boundary — MapType comparison
+    semantics are engine-specific, scalars are not)."""
+    prep(spark)
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 50 == 0)
+    m = F.map_from_arrays(
+        F.array(F.lit("priority"), F.lit("status"), F.lit("total")),
+        F.array(
+            F.col("o_orderpriority"),
+            F.col("o_orderstatus"),
+            F.col("o_totalprice").cast("string"),
+        ),
+    )
+    return o.select(
+        "o_orderkey",
+        F.size(m).alias("n_keys"),
+        F.when(
+            F.map_contains_key(m, "total"), F.element_at(m, "total").cast("double")
+        ).alias("price_val"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("sorted_keys"),
+    )
+
+
+@query(
+    "unpivot_stack",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'quantity' AS measure,
+           CAST(l_quantity AS DOUBLE) AS val
+    FROM lineitem WHERE l_orderkey % 100 = 0
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'price', l_extendedprice
+    FROM lineitem WHERE l_orderkey % 100 = 0
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount', l_discount
+    FROM lineitem WHERE l_orderkey % 100 = 0
+    """,
+)
+def unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot / melt (wide → long), the inverse of pivot_table: one
+    narrow scan emitting k rows per input row via stack(). No shuffle at
+    all — it's a generator projection, which is why melt-then-aggregate
+    beats per-column loops at 100 TB."""
+    prep(spark)
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 100 == 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "stack(3, 'quantity', CAST(l_quantity AS DOUBLE),"
+            " 'price', l_extendedprice, 'discount', l_discount)"
+        ).alias("measure", "val"),
+    )

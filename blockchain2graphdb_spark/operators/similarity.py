@@ -220,3 +220,39 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return pairs
+
+
+@query(
+    "embedding_centroids",
+    oracle="""
+    WITH q AS (
+      SELECT label, CAST(t.dim AS INT) AS dim,
+             CAST(round(CAST(embedding[CAST(t.dim AS INT) + 1] AS DOUBLE) * 1000)
+                  AS BIGINT) AS qx
+      FROM embeddings, UNNEST(range(len(embedding))) AS t(dim)
+    )
+    SELECT label, dim,
+           SUM(qx) AS sum_q,
+           COUNT(*) AS n,
+           CAST(SUM(qx) AS DOUBLE) / COUNT(*) AS centroid_q
+    FROM q GROUP BY label, dim
+    """,
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 support operator: per-label centroids (the k-means/IVF training
+    step and the class-prototype primitive). posexplode → one partial+
+    final aggregation keyed on (label, dim); quantized to exact longs so
+    the mean is a deterministic ratio of identical integers on both
+    engines. At 100 TB this is the canonical mergeable-state pattern —
+    (sum, count) per cell, never raw vectors, shuffle carries
+    n_labels × n_dims rows."""
+    prep(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "label", F.posexplode(quantize("embedding")).alias("dim", "qx")
+    )
+    return q.groupBy("label", "dim").agg(
+        F.sum("qx").alias("sum_q"),
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("qx").cast("double") / F.count(F.lit(1))).alias("centroid_q"),
+    )
