@@ -1038,3 +1038,62 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
         """
     )
+
+
+@query(
+    "agg_percentile",
+    oracle="""
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 6) AS p50,
+           ROUND(quantile_cont(value, 0.95), 6) AS p95
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (declared surface §2.4) with linear
+    interpolation — identical definition on both engines (Spark
+    `percentile` ≙ DuckDB `quantile_cont`), rounded to 6 to absorb
+    interpolation-order float noise. At 100 TB the declared scale path
+    is `approx_percentile` (mergeable t-digest-style sketch, constant
+    memory per group); the exact form is the correctness anchor."""
+    prep(spark)
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        )
+    )
+
+
+@query(
+    "histogram_bins",
+    oracle="""
+    SELECT CAST(CASE WHEN o_totalprice < 0 THEN 0
+                     WHEN o_totalprice >= 600000 THEN 13
+                     ELSE FLOOR(o_totalprice / 50000) + 1 END AS BIGINT) AS bin,
+           COUNT(*) AS n,
+           ROUND(MIN(o_totalprice), 2) AS lo,
+           ROUND(MAX(o_totalprice), 2) AS hi
+    FROM orders GROUP BY 1
+    """,
+)
+def histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram via width_bucket + one hash aggregate — the
+    single-pass binning primitive (data profiling / quality dashboards).
+    Bin ids are exact integers; only min/max per bin touch floats."""
+    prep(spark)
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy(
+            F.width_bucket("o_totalprice", F.lit(0), F.lit(600000), F.lit(12)).alias(
+                "bin"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )

@@ -28,8 +28,19 @@ SPECS = registry.load_all()
 # queries whose builders *execute* on call (streaming replay) — plan-only
 # inspection would still run them; excluded here, covered by their own tests
 _EXECUTING = {k for k in SPECS if k.startswith("stream_")}
-# iterative builders call count() internally (components / list-rank)
-_ITERATIVE = {"wallet_components", "dedup_minhash", "topo_order"}
+# iterative builders call count() internally (components / list-rank /
+# pregel), and snapshot queries materialize their store on first call
+_ITERATIVE = {
+    "wallet_components",
+    "dedup_minhash",
+    "topo_order",
+    "pagerank",
+    "bfs_distance",
+    "triangle_count",
+    "snapshot_time_travel",
+    "snapshot_reorg_overwrite",
+    "sample_stratified",
+}
 
 _PLAN_KEYS = sorted(set(SPECS) - _EXECUTING - _ITERATIVE)
 
@@ -96,3 +107,37 @@ def test_no_row_at_a_time_python(name, spark):
     """UDF policy: Python only via Arrow (pandas_udf / mapInPandas) —
     never BatchEvalPython in any query plan."""
     assert not uses_row_python(_df(name, spark)), name
+
+
+def test_unpivot_is_shuffle_free(spark):
+    """Melt is a generator projection — any Exchange would mean we
+    built it wrong."""
+    plan = plan_string(_df("unpivot_stack", spark))
+    assert "Exchange" not in plan, plan
+
+
+def test_grouping_sets_single_expand(spark):
+    """Three granularities must come from ONE Expand + one aggregation
+    pass, not three scans."""
+    plan = plan_string(_df("agg_grouping_sets", spark))
+    assert plan.count("Expand (") == 1, plan  # tree entry; "(n) Expand" is the detail
+
+
+def test_window_ntile_single_window_node(spark):
+    """NTILE/PERCENT_RANK/CUME_DIST share one window spec, so Catalyst
+    must evaluate all three in a single Window operator (one sort)."""
+    plan = plan_string(_df("window_ntile", spark))
+    assert plan.count("Window (") == 1, plan  # tree entry; "(n) Window" is the detail
+
+
+def test_asof_pandas_is_arrow_grouped(spark):
+    """The pandas as-of join must run as Arrow grouped-map, not
+    row-at-a-time Python."""
+    plan = plan_string(_df("join_asof_pandas", spark))
+    assert "FlatMapGroupsInPandas" in plan
+    assert not uses_row_python(_df("join_asof_pandas", spark))
+
+
+def test_tfidf_broadcasts_df_side(spark):
+    """The tiny (term, df) side must broadcast into the scoring join."""
+    assert has_node(_df("text_tfidf", spark), "BroadcastHashJoin")
