@@ -79,3 +79,84 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).dropDuplicates(["query_id", "cand_id"])
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
     return scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 3).drop("rn")
+
+
+def kmeans_fit(
+    points: DataFrame, k: int = 8, n_iter: int = 3
+) -> tuple[DataFrame, DataFrame]:
+    """Lloyd's k-means over quantized vectors — the offline trainer for
+    the IVF coarse quantizer (_centroids is its stand-in).
+
+    points: (vec_id long, q array<long>). Deterministic by construction:
+    init = the k lowest vec_ids, distances are exact integer→double
+    sums (quantized coords < 2^53, so partial-sum order cannot change
+    the result), argmin ties break to the lowest cell id, centroids are
+    exact (Σq)/n rationals. Verified bit-for-bit against a NumPy
+    reference in tests/test_kmeans.py.
+
+    Each iteration: one broadcast of k centroids (no shuffle of points)
+    + one (cell, dim)-keyed aggregation — the mergeable-state shape that
+    scales to any point count; k and dims bound the shuffle, not rows.
+    """
+    pts = points.select("vec_id", "q").localCheckpoint(eager=False)
+    cents = (
+        pts.orderBy("vec_id")
+        .limit(k)
+        .select(
+            F.col("vec_id").alias("cell"),
+            F.transform("q", lambda x: x.cast("double")).alias("c"),
+        )
+    )
+    w = W.partitionBy("vec_id").orderBy("dist", "cell")
+    assign = None
+    for _ in range(n_iter):
+        scored = pts.join(F.broadcast(cents)).select(
+            "vec_id",
+            "q",
+            "cell",
+            F.aggregate(
+                F.zip_with("q", "c", lambda x, y: (x.cast("double") - y) ** 2),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("dist"),
+        )
+        assign = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("vec_id", "q", "cell")
+        )
+        cents = (
+            assign.select("cell", F.posexplode("q").alias("dim", "qx"))
+            .groupBy("cell", "dim")
+            .agg((F.sum("qx").cast("double") / F.count(F.lit(1))).alias("cd"))
+            .groupBy("cell")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("dim", "cd"))
+                ).alias("pairs")
+            )
+            .select("cell", F.transform("pairs", lambda p: p["cd"]).alias("c"))
+        )
+    return assign, cents
+
+
+@query("kmeans_embeddings")  # rows-only: iterative float fixpoint, no SQL oracle
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 training step: 3 Lloyd iterations over the quantized embedding
+    table; returns per-cell population and the exact centroid checksum.
+    Deterministic (NumPy-parity tested), so the rows-only check is
+    stable across runs."""
+    from ..functions.vectors import quantize
+
+    prep(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    pts = emb.select("vec_id", quantize("embedding").alias("q"))
+    assign, cents = kmeans_fit(pts, k=8, n_iter=3)
+    pop = assign.groupBy("cell").agg(F.count(F.lit(1)).alias("n_points"))
+    csum = cents.select(
+        "cell",
+        F.round(
+            F.aggregate("c", F.lit(0.0), lambda a, v: a + v), 6
+        ).alias("centroid_sum"),
+    )
+    return pop.join(csum, "cell").orderBy("cell")

@@ -367,3 +367,49 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 shape: discounted revenue — disjunctive predicate
     blocks over a fact-dim join."""
     return _sql(spark, sf_dir, _Q19)
+
+
+# Q17: small-quantity-order revenue — correlated aggregate subquery
+# per part (avg quantity), the decorrelate-into-groupBy-then-join shape.
+_Q17 = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+       AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#23'
+  AND l_quantity < (
+    SELECT 0.5 * AVG(l_quantity) FROM lineitem l2
+    WHERE l2.l_partkey = p_partkey)
+"""
+
+
+@query("tpch_q17", oracle=_Q17)
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: small-quantity-order revenue — correlated AVG
+    subquery decorrelated into a per-part aggregate + join. The
+    l_quantity < avg comparison is engine-exact: the average is a
+    double computed from the same doubles in both engines via a single
+    partial/final sum (few values per part)."""
+    return _sql(spark, sf_dir, _Q17)
+
+
+# Q20 adapted (no partsupp): suppliers who shipped more than 50 units
+# of PROMO parts — nested IN with HAVING over the fact table.
+_Q20 = """
+SELECT s_name, s_acctbal
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  WHERE p_type = 'PROMO'
+  GROUP BY l_suppkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 50)
+ORDER BY s_name
+"""
+
+
+@query("tpch_q20", oracle=_Q20)
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: potential part promotion — IN over a grouped
+    HAVING fact aggregate, planned as aggregate → semi-join."""
+    return _sql(spark, sf_dir, _Q20)

@@ -1,0 +1,65 @@
+"""Lloyd's k-means (operators/ann_ivf.kmeans_fit) against an independent
+NumPy reference: same deterministic init, same quantized arithmetic →
+identical assignments and centroids."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+
+from blockchain2graphdb_spark.catalog import table
+from blockchain2graphdb_spark.functions.vectors import quantize
+from blockchain2graphdb_spark.operators.ann_ivf import kmeans_fit
+
+K, ITERS = 8, 3
+
+
+def _numpy_kmeans(X: np.ndarray, ids: np.ndarray, k: int, n_iter: int):
+    order = np.argsort(ids)
+    X, ids = X[order], ids[order]
+    cents = X[:k].astype(np.float64)
+    for _ in range(n_iter):
+        d = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)  # argmin takes the first (lowest cell) on ties
+        cents = np.stack(
+            [
+                X[assign == c].mean(axis=0) if (assign == c).any() else cents[c]
+                for c in range(k)
+            ]
+        )
+    return ids, assign, cents
+
+
+def test_kmeans_matches_numpy(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    pts = emb.select("vec_id", quantize("embedding").alias("q"))
+    assign, cents = kmeans_fit(pts, k=K, n_iter=ITERS)
+
+    pdf = pts.orderBy("vec_id").toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    X = np.array([np.array(q, dtype=np.float64) for q in pdf["q"]])
+    nids, nassign, ncents = _numpy_kmeans(X, ids, K, ITERS)
+    # spark cells are the init vectors' vec_ids (the k lowest)
+    cell_of = dict(zip(range(K), sorted(ids)[:K]))
+
+    got = {r["vec_id"]: r["cell"] for r in assign.collect()}
+    exp = {int(i): cell_of[int(a)] for i, a in zip(nids, nassign)}
+    assert got == exp
+
+    got_c = {
+        r["cell"]: np.array(r["c"]) for r in cents.collect()
+    }
+    for c in range(K):
+        cell = cell_of[c]
+        if cell in got_c:
+            assert np.array_equal(got_c[cell], ncents[c]), cell
+
+
+def test_kmeans_query_stable(spark, sf_dir):
+    from blockchain2graphdb_spark import registry
+
+    q = registry.load_all()["kmeans_embeddings"].builder
+    a = [tuple(r) for r in q(spark, sf_dir).collect()]
+    b = [tuple(r) for r in q(spark, sf_dir).collect()]
+    assert a == b
+    assert sum(r[1] for r in a) == 500  # every vector assigned exactly once
