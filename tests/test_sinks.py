@@ -47,3 +47,43 @@ def test_partitioned_graph_sink(spark, tmp_path):
     one = spark.read.parquet(out).where("status = 'X'")
     plan = plan_string(one)
     assert "PartitionFilters" in plan and "status" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_graphml_export_roundtrip(spark, tmp_path):
+    """S5 (B:1248 graph.io(IoCore.graphml()), commented out in the
+    reference): export the mini-chain's block graph as GraphML and parse
+    it back — node/edge counts and attributes must survive."""
+    import xml.etree.ElementTree as ET
+
+    from blockchain2graphdb_spark.chain import fixtures
+    from blockchain2graphdb_spark.sources.graphml import write_graphml
+    from pyspark.sql import functions as F
+
+    chain = fixtures.generate(n_blocks=8, seed=3)
+    tables = chain.to_spark(spark)
+    vertices = tables["blocks"].select(
+        F.col("hash").alias("id"), F.col("height").cast("string").alias("height")
+    )
+    edges = (
+        tables["blocks"]
+        .where(F.col("prev_hash").isNotNull())
+        .select(F.col("prev_hash").alias("src"), F.col("hash").alias("dst"))
+        .withColumn("label", F.lit("chain"))
+    )
+    out = str(tmp_path / "chain.graphml")
+    write_graphml(vertices, edges, out)
+
+    ns = {"g": "http://graphml.graphdrawing.org/xmlns"}
+    root = ET.parse(out).getroot()
+    nodes = root.findall(".//g:node", ns)
+    xedges = root.findall(".//g:edge", ns)
+    assert len(nodes) == vertices.count() == 8
+    assert len(xedges) == edges.count() == 7
+    heights = {
+        n.get("id"): n.find("g:data", ns).text for n in nodes
+    }
+    exp = {r["id"]: r["height"] for r in vertices.collect()}
+    assert heights == exp
+    # edges reference declared nodes
+    ids = set(heights)
+    assert all(e.get("source") in ids and e.get("target") in ids for e in xedges)
