@@ -413,3 +413,126 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20 shape: potential part promotion — IN over a grouped
     HAVING fact aggregate, planned as aggregate → semi-join."""
     return _sql(spark, sf_dir, _Q20)
+
+
+# Q21 adapted (no l_commitdate/l_receiptdate): "late" = shipped more
+# than 60 days after the order date. Keeps Q21's defining plan shape —
+# a fact row filtered by BOTH a correlated EXISTS (another supplier
+# participated) and a correlated NOT EXISTS (no other supplier was
+# late), i.e. one semi-join and one anti-join against the same fact.
+_Q21 = """
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders    ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
+@query("tpch_q21", oracle=_Q21)
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who kept orders waiting — correlated
+    EXISTS (semi-join) and NOT EXISTS (anti-join) against the same fact
+    table in one query."""
+    return _sql(spark, sf_dir, _Q21)
+
+
+# Q8: market share of one nation's suppliers inside one region's
+# customer orders, by year — conditional-sum ratio over a 7-way join.
+_Q8 = """
+SELECT o_year,
+       CAST(ROUND(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                           ELSE CAST(0 AS DECIMAL(18,2)) END)
+                  / SUM(volume), 6) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT YEAR(o_orderdate) AS o_year,
+         CAST(l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume,
+         n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  JOIN region    ON n1.n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+) all_nations
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+@query("tpch_q8", oracle=_Q8)
+def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: national market share — conditional-aggregate
+    ratio over a 7-way join with double nation dimension."""
+    return _sql(spark, sf_dir, _Q8)
+
+
+# Q9 adapted (no partsupp): supply cost approximated by
+# p_retailprice * l_quantity — same join tree and profit-by-
+# nation-and-year rollup as the original.
+_Q9 = """
+SELECT nation, o_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                - CAST(p_retailprice AS DECIMAL(18,2))
+                  * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_profit
+FROM (
+  SELECT n_name AS nation, YEAR(o_orderdate) AS o_year,
+         l_extendedprice, l_discount, p_retailprice, l_quantity
+  FROM lineitem
+  JOIN part     ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE p_name LIKE '%widget%'
+) profit
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+"""
+
+
+@query("tpch_q9", oracle=_Q9)
+def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: product-type profit — LIKE-filtered dim join,
+    profit expression, nation×year rollup."""
+    return _sql(spark, sf_dir, _Q9)
+
+
+# Q15: top supplier(s) by windowed revenue — scalar MAX subquery over a
+# shared CTE; the revenue equality comparison stays in exact DECIMAL.
+_Q15 = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+FROM supplier
+JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+@query("tpch_q15", oracle=_Q15)
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: top supplier — scalar MAX subquery against a
+    shared aggregate CTE, equality on exact DECIMAL revenue."""
+    return _sql(spark, sf_dir, _Q15)
