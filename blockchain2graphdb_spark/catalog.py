@@ -36,6 +36,7 @@ def prep(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     # fixture scale never needs the 200-partition default; AQE coalesces
     # further. (A real cluster deployment sizes this to cores × 2-3.)
     spark.conf.set("spark.sql.shuffle.partitions", "32")

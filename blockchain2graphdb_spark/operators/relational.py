@@ -1097,3 +1097,74 @@ def histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("o_totalprice"), 2).alias("hi"),
         )
     )
+
+
+@query(
+    "tpch_q12_shape",
+    oracle="""
+    SELECT l_linestatus,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+)
+def tpch_q12_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (fixtures lack l_shipmode/l_commitdate, so
+    l_linestatus stands in for shipmode): priority-split conditional
+    counts over a fact-fact join."""
+    prep(spark)
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query("agg_approx_percentile")  # rows-only: sketch-based, engine-specific
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The declared scale path of agg_percentile: approx_percentile's
+    mergeable sketch — constant memory per group at any cardinality.
+    Accuracy vs the exact form is pinned in tests/test_sketches.py."""
+    prep(spark)
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.approx_percentile("value", F.lit(0.5), F.lit(10000)).alias("p50"),
+            F.approx_percentile("value", F.lit(0.95), F.lit(10000)).alias("p95"),
+        )
+    )
+
+
+@query("agg_hll_merge")  # rows-only: sketch binaries are engine-specific
+def agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mergeable-sketch pattern behind count-distinct at 100 TB:
+    per-shard HLL sketches (here: one per order-year) merged into a
+    global distinct-customer estimate with hll_union_agg — partial
+    state is a few KB per shard regardless of row count, and shards
+    can be computed on different clusters/days and merged later.
+    Merge-vs-direct equality is pinned in tests/test_sketches.py."""
+    prep(spark)
+    o = table(spark, sf_dir, "orders")
+    shards = o.groupBy(F.year("o_orderdate").alias("yr")).agg(
+        F.hll_sketch_agg("o_custkey").alias("sk")
+    )
+    return shards.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("distinct_customers")
+    )
