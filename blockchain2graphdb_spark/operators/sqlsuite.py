@@ -536,3 +536,32 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: top supplier — scalar MAX subquery against a
     shared aggregate CTE, equality on exact DECIMAL revenue."""
     return _sql(spark, sf_dir, _Q15)
+
+
+# Q11 adapted (no partsupp): a part's "value" held by one nation's
+# suppliers = revenue shipped by them; keep parts above a fixed
+# fraction of the total — grouped aggregate filtered by a scalar
+# subquery over the SAME aggregate (the shape that forces a reused
+# subplan rather than a rescan). Exact DECIMAL throughout.
+_Q11 = """
+WITH val AS (
+  SELECT l_partkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS v
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_3'
+  GROUP BY l_partkey)
+SELECT l_partkey, CAST(v AS DOUBLE) AS value
+FROM val
+WHERE v > (SELECT CAST(0.01 AS DECIMAL(8,2)) * SUM(v) FROM val)
+ORDER BY value DESC, l_partkey
+"""
+
+
+@query("tpch_q11", oracle=_Q11)
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: important stock identification — grouped
+    aggregate gated by a scalar fraction of its own total."""
+    return _sql(spark, sf_dir, _Q11)
