@@ -46,6 +46,62 @@ class PropertyGraph:
     def V(self, label: str) -> "Traversal":
         return Traversal(self, label, self.vertices[label])
 
+    def find(self, pattern: str) -> DataFrame:
+        """GraphFrames-style motif finding: `"(a)-[has]->(b); (b)-[output]->(c)"`
+        returns one row per match with columns `<name>_<vertexcol>`.
+        Each triple compiles to one equi-join; Catalyst reorders and
+        broadcasts as usual, so a motif is exactly as fast as the same
+        hand-written join tree. Vertex labels are inferred from the edge
+        declarations (a name must resolve to one label across triples)."""
+        import re
+
+        triples = []
+        for part in pattern.split(";"):
+            m = re.fullmatch(r"\s*\((\w+)\)-\[(\w+)\]->\((\w+)\)\s*", part)
+            if not m:
+                raise ValueError(f"bad motif triple: {part!r}")
+            triples.append(m.groups())
+
+        by_name = {e.name: e for e in self._out.values()}
+        labels: dict[str, str] = {}
+        for a, ename, b in triples:
+            e = by_name.get(ename)
+            if e is None:
+                raise KeyError(f"unknown edge {ename!r}")
+            for name, lbl in ((a, e.src_label), (b, e.dst_label)):
+                if labels.setdefault(name, lbl) != lbl:
+                    raise ValueError(
+                        f"{name!r} used as both {labels[name]} and {lbl}"
+                    )
+
+        def aliased(name: str) -> DataFrame:
+            df = self.vertices[labels[name]]
+            return df.select(
+                [F.col(c).alias(f"{name}_{c}") for c in df.columns]
+            )
+
+        result: DataFrame | None = None
+        bound: set[str] = set()
+        for a, ename, b in triples:
+            e = by_name[ename]
+            cond = F.col(f"{a}_{e.src_key}") == F.col(f"{b}_{e.dst_key}")
+            if result is None:
+                result = aliased(a)
+                bound.add(a)
+            if a in bound and b in bound:
+                result = result.where(cond)  # closing edge of a cycle
+            elif a in bound:
+                result = result.join(aliased(b), cond)
+                bound.add(b)
+            elif b in bound:
+                result = result.join(aliased(a), cond)
+                bound.add(a)
+            else:
+                raise ValueError(
+                    "motif triples must connect to the previous ones in order"
+                )
+        return result
+
 
 class Traversal:
     """An immutable builder; every step returns a new Traversal wrapping a
@@ -83,6 +139,40 @@ class Traversal:
             src, src[e.src_key] == F.col("__k")
         ).drop("__k")
         return Traversal(self._g, e.src_label, joined)
+
+    # -- iteration (J8) ----------------------------------------------
+    def repeat_out_until_leaf(self, edge: str, max_iter: int = 10_000) -> "Traversal":
+        """J8: `repeat(out(e)).until(not out(e))` (B:43–46) — advance the
+        whole frontier one hop per round, emitting vertices the moment
+        they have no outgoing `e`. Each round is one set-oriented join
+        (the frontier moves together), so a chain of length n costs n
+        *joins*, not n driver round-trips per vertex; for materialized
+        orderings prefer the O(1) max-height lookup (`chain_tip`)."""
+        e = self._g._out.get((self._label, edge))
+        if e is None:
+            raise KeyError(f"no out-edge {edge!r} from {self._label}")
+        frontier = self
+        leaves: DataFrame | None = None
+        # out(e) follows src_key -> dst_table[dst_key]; a vertex is
+        # terminal when no destination row points back at its src_key
+        claimed = (
+            self._g.vertices[e.dst_label]
+            .select(F.col(e.dst_key).alias("__claimed"))
+            .where(F.col("__claimed").isNotNull())
+            .distinct()
+        )
+        for _ in range(max_iter):
+            leaf_df = frontier._df.join(
+                claimed,
+                frontier._df[e.src_key] == F.col("__claimed"),
+                "left_anti",
+            )
+            leaves = leaf_df if leaves is None else leaves.unionByName(leaf_df)
+            nxt = frontier.out(edge)
+            if not nxt.hasNext():
+                break
+            frontier = nxt
+        return Traversal(self._g, self._label, leaves.distinct())
 
     # -- projection / terminal steps (F4, O3) -------------------------
     def values(self, *columns: str) -> "Traversal":

@@ -209,3 +209,35 @@ def test_stream_ingest_versioned_reorg_and_time_travel(spark, tmp_path):
         cols = exp_df.columns
         got = stores[name].read(spark, version=1)
         assert rows(got, cols) == rows(exp_df, cols), f"{name} time travel"
+
+
+def test_traversal_repeat_until_leaf_finds_tip(g, chain):
+    """J8 as a DSL step: repeat(out('chain')).until(no out) from genesis
+    must emit exactly the chain tip."""
+    tips = g.V("Block").has("height", 0).repeat_out_until_leaf("chain").toDF().collect()
+    best = max(chain.blocks, key=lambda b: b[2])[0]
+    assert [r["hash"] for r in tips] == [best]
+
+
+def test_motif_find_matches_join_counts(g, chain, tables):
+    """GraphFrames-style motifs compile to the same join tree as the
+    hand-written hops."""
+    # block -> tx -> output: one row per output
+    m = g.find("(b)-[has]->(t); (t)-[output]->(o)")
+    assert m.count() == tables["outputs"].count()
+    # closing-edge form: output spent by the tx that created it (none)
+    cyc = g.find("(t)-[output]->(o); (o)-[input]->(t)")
+    assert cyc.count() == 0
+    # columns are name-prefixed
+    assert "b_hash" in m.columns and "o_output_id" in m.columns
+
+
+def test_motif_rejects_bad_patterns(g):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        g.find("(a)-[has]->")
+    with _pytest.raises(KeyError):
+        g.find("(a)-[nope]->(b)")
+    with _pytest.raises(ValueError):
+        g.find("(a)-[has]->(b); (x)-[locked]->(y)")
