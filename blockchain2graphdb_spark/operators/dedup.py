@@ -101,6 +101,11 @@ def minhash_clusters(docs: DataFrame, jaccard_threshold: float = 0.5) -> DataFra
     )
     # band signatures -> candidate pairs via equi-join on (band, signature)
     n_bands = _MH_PERMS // _MH_BAND_SIZE
+    # band signature = xxhash64 over the band's minhash values: an
+    # 8-byte join key instead of a concatenated string (~2× faster
+    # band join, and at 100 TB the shuffle carries longs, not strings;
+    # a 64-bit collision adds a candidate pair that exact-Jaccard
+    # verification immediately discards)
     bands = mins.select(
         "doc_id",
         F.explode(
@@ -108,8 +113,7 @@ def minhash_clusters(docs: DataFrame, jaccard_threshold: float = 0.5) -> DataFra
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.concat_ws(
-                            ":",
+                        F.xxhash64(
                             *[F.col(f"m{b * _MH_BAND_SIZE + j}") for j in range(_MH_BAND_SIZE)],
                         ).alias("sig"),
                     )
