@@ -46,3 +46,36 @@ def wallet_ids(inputs: DataFrame, outputs: DataFrame) -> DataFrame:
         .select("address", F.col("address").alias("wallet_id"))
     )
     return clustered.unionByName(singles)
+
+
+def incremental_wallet_ids(
+    labels: DataFrame, inputs_delta: DataFrame, outputs_all: DataFrame
+) -> DataFrame:
+    """Fold a micro-batch of new spends into an existing (address,
+    wallet_id) labeling, re-clustering only the wallets the batch
+    touches (graph/components.incremental_components). `outputs_all` is
+    the full outputs table (new spends may consume old outputs); new
+    never-clustered addresses enter as singletons of themselves.
+
+    The scalable M2-style maintenance for G3: per micro-batch the work
+    is O(affected wallets + batch), not O(address universe).
+    """
+    from ..graph.components import incremental_components
+
+    new_edges = co_spend_edges(inputs_delta, outputs_all)
+    relabeled = incremental_components(
+        labels.select(
+            F.col("address").alias("node"), F.col("wallet_id").alias("comp")
+        ),
+        new_edges,
+    )
+    clustered = relabeled.select(
+        F.col("node").alias("address"), F.col("comp").alias("wallet_id")
+    )
+    singles = (
+        outputs_all.select("address")
+        .distinct()
+        .join(clustered, "address", "left_anti")
+        .select("address", F.col("address").alias("wallet_id"))
+    )
+    return clustered.unionByName(singles)

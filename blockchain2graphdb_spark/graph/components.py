@@ -155,3 +155,44 @@ def list_rank(
             .localCheckpoint(eager=True)
         )
     return cur.select("id", (F.col("dist") + 1).alias("pos"))
+
+
+def incremental_components(
+    labels: DataFrame, new_edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Incremental maintenance for connected components: fold a batch of
+    new edges into an existing (node, comp) labeling WITHOUT touching
+    unaffected components.
+
+    The reference's incremental story is per-row read-modify-write
+    (M2); the declarative equivalent: (1) resolve the new edges'
+    endpoints to current component ids, (2) the only components that
+    can change are those touched by a new edge — restrict the existing
+    labeling to them, (3) treat each retained label row (node → comp)
+    as an edge and re-run min-label propagation over that small
+    subgraph plus the new edges, (4) union with the untouched labels.
+    Work is O(size of affected components + batch), not O(graph) — at
+    100 TB a micro-batch of edges re-labels a few components, and
+    label rows for everything else are never read past the semi-join.
+
+    Equivalence to full recomputation is pinned in tests.
+    """
+    edges = new_edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    endpoints = (
+        edges.select(F.col("a").alias("node"))
+        .union(edges.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    touched_comps = (
+        labels.join(endpoints, "node", "left_semi").select("comp").distinct()
+    )
+    affected = labels.join(touched_comps, "comp", "left_semi")
+    untouched = labels.join(touched_comps, "comp", "left_anti")
+
+    # label rows as edges keep previously-merged nodes connected; new
+    # nodes appear only in `edges`
+    sub_edges = affected.select(
+        F.col("node").alias("src"), F.col("comp").alias("dst")
+    ).union(edges.select(F.col("a").alias("src"), F.col("b").alias("dst")))
+    relabeled = connected_components(sub_edges)
+    return untouched.unionByName(relabeled.select("node", "comp"))

@@ -271,3 +271,29 @@ def test_resume_applies_reorg(spark):
     assert fork == 9
     merged = resume(stored, incoming)
     assert _table_sets(merged) == _table_sets(incoming)
+
+
+def test_incremental_wallet_ids_equals_full(spark):
+    """Splitting the inputs into two batches and folding the second
+    incrementally must equal full wallet clustering over everything."""
+    from blockchain2graphdb_spark.chain import fixtures
+    from blockchain2graphdb_spark.chain.wallets import (
+        incremental_wallet_ids,
+        wallet_ids,
+    )
+    from pyspark.sql import functions as F
+
+    chain = fixtures.generate(n_blocks=18, seed=21)
+    t = chain.to_spark(spark)
+    inputs, outputs = t["inputs"], t["outputs"]
+    # split spends by hash parity of the spending tx
+    batch0 = inputs.where(F.crc32(F.col("spending_tx_hash")) % 2 == 0)
+    batch1 = inputs.where(F.crc32(F.col("spending_tx_hash")) % 2 == 1)
+    assert batch0.count() > 0 and batch1.count() > 0
+
+    base = wallet_ids(batch0, outputs).localCheckpoint(eager=True)
+    inc = incremental_wallet_ids(base, batch1, outputs)
+    full = wallet_ids(inputs, outputs)
+    got = {(r["address"], r["wallet_id"]) for r in inc.collect()}
+    exp = {(r["address"], r["wallet_id"]) for r in full.collect()}
+    assert got == exp

@@ -55,3 +55,50 @@ def test_bfs_distance_levels(spark, sf_dir):
     dists = {r["dist"] for r in rows}
     assert dists <= {0, 1, 2, 3}
     assert 0 in dists  # seeds present
+
+
+def test_incremental_components_equals_full(spark):
+    """Folding edge batches incrementally must equal one full CC over
+    the union — across merges, brand-new components, and bridges."""
+    import random
+
+    from blockchain2graphdb_spark.graph.components import (
+        connected_components,
+        incremental_components,
+    )
+
+    rng = random.Random(11)
+    all_edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(80)]
+    all_edges = [(a, b) for a, b in all_edges if a != b]
+    batches = [all_edges[:30], all_edges[30:50], all_edges[50:]]
+
+    def df(edges):
+        return spark.createDataFrame(edges, "src long, dst long")
+
+    labels = connected_components(df(batches[0]))
+    for batch in batches[1:]:
+        labels = incremental_components(labels, df(batch)).localCheckpoint(
+            eager=True
+        )
+
+    full = connected_components(df(all_edges))
+    got = {(r["node"], r["comp"]) for r in labels.collect()}
+    exp = {(r["node"], r["comp"]) for r in full.collect()}
+    assert got == exp
+
+
+def test_incremental_components_leaves_untouched_labels_alone(spark):
+    from blockchain2graphdb_spark.graph.components import (
+        connected_components,
+        incremental_components,
+    )
+
+    base = spark.createDataFrame([(1, 2), (3, 4)], "src long, dst long")
+    labels = connected_components(base)
+    # new edge entirely within {10, 11}: components {1,2} and {3,4} must
+    # survive verbatim
+    out = incremental_components(
+        labels, spark.createDataFrame([(10, 11)], "src long, dst long")
+    )
+    got = {(r["node"], r["comp"]) for r in out.collect()}
+    assert got == {(1, 1), (2, 1), (3, 3), (4, 3), (10, 10), (11, 10)}
