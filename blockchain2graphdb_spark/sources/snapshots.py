@@ -219,3 +219,55 @@ class SnapshotStore:
         for p in dead:
             os.remove(p)
         return dead
+
+    def diff(
+        self, spark: SparkSession, v_from: int, v_to: int | None = None
+    ) -> DataFrame:
+        """Change data feed between two versions: row-level changes with
+        a `_change` column ('insert' | 'delete'). Updates surface as a
+        delete+insert pair, as in Delta's CDF without update tracking.
+
+        File-level pruning first: files present in both manifests cannot
+        contribute changes (they are immutable), so only the symmetric
+        difference of the file lists is scanned — a reorg that touched
+        2 partitions reads 2 partitions' worth of files, not the table.
+        Row-level exceptAll then resolves rewritten files that carry
+        mostly-identical rows.
+        """
+        from pyspark.sql import functions as F
+
+        v_to = self.latest_version() if v_to is None else self._check(v_to)
+        v_from = self._check(v_from)
+        old_files = set(self.files(v_from))
+        new_files = set(self.files(v_to))
+        only_old = sorted(old_files - new_files)
+        only_new = sorted(new_files - old_files)
+
+        def read(paths: list[str]) -> DataFrame | None:
+            if not paths:
+                return None
+            reader = spark.read
+            if self.partition_col(v_to) or self.partition_col(v_from):
+                reader = reader.option("basePath", f"{self.root}/data")
+            return reader.parquet(*paths)
+
+        old_df, new_df = read(only_old), read(only_new)
+        if old_df is None and new_df is None:
+            # identical file lists => no changes; empty frame with schema
+            base = self.read(spark, v_to)
+            return base.limit(0).withColumn("_change", F.lit(""))
+        inserts = (
+            new_df.exceptAll(old_df) if old_df is not None else new_df
+        ) if new_df is not None else None
+        deletes = (
+            old_df.exceptAll(new_df) if new_df is not None else old_df
+        ) if old_df is not None else None
+        parts = []
+        if inserts is not None:
+            parts.append(inserts.withColumn("_change", F.lit("insert")))
+        if deletes is not None:
+            parts.append(deletes.withColumn("_change", F.lit("delete")))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out

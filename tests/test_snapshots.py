@@ -145,3 +145,32 @@ def test_partition_pruning_reaches_scan(spark, sf_dir, store):
         .toString()
     )
     assert "PartitionFilters: [isnotnull(bucket" in plan, plan
+
+
+def test_diff_change_data_feed(spark, sf_dir, store):
+    df = _orders(spark, sf_dir).withColumn(
+        "bucket", (F.col("o_orderkey") % 4).cast("int")
+    )
+    store.write(df, partition_col="bucket")
+    branch = df.filter(F.col("bucket").isin(2, 3)).filter(
+        F.col("o_orderstatus") != "F"
+    )
+    store.overwrite_partitions(branch, values=[2, 3])
+
+    cdf = store.diff(spark, 1, 2)
+    ins = cdf.where(F.col("_change") == "insert").drop("_change")
+    dele = cdf.where(F.col("_change") == "delete").drop("_change")
+    # net effect: deletes - inserts == rows removed by the reorg
+    removed = df.filter(F.col("bucket").isin(2, 3)).filter(
+        F.col("o_orderstatus") == "F"
+    )
+    assert dele.exceptAll(ins).count() == removed.count()
+    assert ins.exceptAll(dele).count() == 0  # no new rows, only survivors
+    # buckets 0/1 never appear in the feed (file-level pruning)
+    assert cdf.where(F.col("bucket").isin(0, 1)).count() == 0
+
+
+def test_diff_identical_versions_is_empty(spark, sf_dir, store):
+    store.write(_orders(spark, sf_dir))
+    store.restore(1)
+    assert store.diff(spark, 1, 2).count() == 0
