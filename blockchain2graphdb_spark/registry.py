@@ -36,6 +36,7 @@ _OPERATOR_MODULES = (
     "blockchain2graphdb_spark.operators.multimodal",
     "blockchain2graphdb_spark.operators.similarity",
     "blockchain2graphdb_spark.operators.ann_ivf",
+    "blockchain2graphdb_spark.operators.ann_pq",
     "blockchain2graphdb_spark.operators.textops",
     "blockchain2graphdb_spark.operators.sqlsuite",
     "blockchain2graphdb_spark.streaming.queries",

@@ -87,3 +87,61 @@ def test_ivf_exhaustive_probe_equals_bruteforce(spark, sf_dir):
     ivf = _ivf_topk(spark, sf_dir, _N_CENTROIDS)
     assert bf.exceptAll(ivf).count() == 0
     assert ivf.exceptAll(bf).count() == 0
+
+
+def test_pq_recall_floor_and_determinism(spark, sf_dir):
+    """PQ/ADC approximates exact L2 on the quantized vectors. With an
+    untrained 16-code sample codebook on random gaussians (worst case)
+    recall@10 measured 0.32; 0.15 is the regression floor. Encoding and
+    ranking are fully deterministic."""
+    from blockchain2graphdb_spark.catalog import table
+    from blockchain2graphdb_spark.functions.vectors import quantize
+    from blockchain2graphdb_spark.operators.ann_pq import (
+        _l2,
+        _subvectors,
+        pq_codebooks,
+        pq_encode,
+    )
+    from blockchain2graphdb_spark import registry
+
+    spec = registry.load_all()["similarity_pq"]
+    a = sorted(map(tuple, spec.builder(spark, sf_dir).collect()))
+    b = sorted(map(tuple, spec.builder(spark, sf_dir).collect()))
+    assert a == b and len(a) == 15  # deterministic, 5 queries × top-3
+
+    emb = table(spark, sf_dir, "embeddings")
+    pts = emb.select("vec_id", quantize("embedding").alias("q"))
+    books = pq_codebooks(pts).localCheckpoint(eager=True)
+    codes = pq_encode(pts, books)
+    queries = pts.where(F.col("vec_id") < 5)
+    dtab = (
+        _subvectors(queries, "q")
+        .withColumnRenamed("vec_id", "query_id")
+        .join(F.broadcast(books), "s")
+        .select("query_id", "s", "code", _l2(F.col("sub"), F.col("center")).alias("d"))
+    )
+    w10 = W.partitionBy("query_id").orderBy("adc", "cand_id")
+    pq10 = (
+        codes.withColumnRenamed("vec_id", "cand_id")
+        .join(F.broadcast(dtab), ["s", "code"])
+        .groupBy("query_id", "cand_id")
+        .agg(F.sum("d").alias("adc"))
+        .where(F.col("cand_id") != F.col("query_id"))
+        .withColumn("rn", F.row_number().over(w10))
+        .where(F.col("rn") <= 10)
+        .select("query_id", "cand_id")
+    )
+    q2 = queries.select(F.col("vec_id").alias("query_id"), F.col("q").alias("qq"))
+    bf10 = (
+        q2.join(
+            pts.select(F.col("vec_id").alias("cand_id"), F.col("q").alias("cq"))
+        )
+        .where(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", _l2(F.col("qq"), F.col("cq")).alias("adc"))
+        .withColumn("rn", F.row_number().over(w10))
+        .where(F.col("rn") <= 10)
+        .select("query_id", "cand_id")
+    )
+    hit, tot = bf10.intersect(pq10).count(), bf10.count()
+    assert tot == 50
+    assert hit / tot >= 0.15, f"PQ recall@10 = {hit}/{tot}"
