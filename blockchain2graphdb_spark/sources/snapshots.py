@@ -98,14 +98,20 @@ class SnapshotStore:
             for v in range(1, self.latest_version() + 1)
         ]
 
-    def _commit(self, files: list[str], partition_col: str | None, op: str) -> int:
+    def _commit(
+        self,
+        files: list[str],
+        partition_col: str | None,
+        op: str,
+        tag: str | None = None,
+    ) -> int:
         new_v = self.latest_version() + 1
         mpath = f"{self.root}/_manifests/v{new_v:08d}.json"
         tmp = mpath + ".tmp"
         with open(tmp, "w") as f:
             json.dump(
                 {"version": new_v, "op": op, "partition_col": partition_col,
-                 "files": self._rel(files)}, f)
+                 "tag": tag, "files": self._rel(files)}, f)
         os.rename(tmp, mpath)
         # _latest moves last: a crash before this line leaves the old
         # version live and the orphan manifest harmless
@@ -153,18 +159,33 @@ class SnapshotStore:
                 "re-lay-out the table"
             )
 
-    def write(self, df: DataFrame, partition_col: str | None = None) -> int:
-        """Full overwrite as a new version (old versions stay readable)."""
-        return self._commit(self._stage(df, partition_col), partition_col, "write")
+    def applied_tags(self) -> set[str]:
+        """Idempotence tags of every commit in the log — the
+        exactly-once guard for re-delivered micro-batches: a writer
+        checks its batch tag here and skips work it already applied."""
+        out = set()
+        for v in range(1, self.latest_version() + 1):
+            t = self._manifest(v).get("tag")
+            if t is not None:
+                out.add(t)
+        return out
 
-    def append(self, df: DataFrame) -> int:
+    def write(
+        self, df: DataFrame, partition_col: str | None = None, tag: str | None = None
+    ) -> int:
+        """Full overwrite as a new version (old versions stay readable)."""
+        return self._commit(
+            self._stage(df, partition_col), partition_col, "write", tag
+        )
+
+    def append(self, df: DataFrame, tag: str | None = None) -> int:
         """New version = previous files + the new rows' files (M1-adjacent:
         the caller dedups; this is the physical append)."""
         pc = self.partition_col()
         self._check_layout(pc if self.latest_version() else None)
-        return self._commit(self.files() + self._stage(df, pc), pc, "append")
+        return self._commit(self.files() + self._stage(df, pc), pc, "append", tag)
 
-    def overwrite_partitions(self, df: DataFrame, values) -> int:
+    def overwrite_partitions(self, df: DataFrame, values, tag: str | None = None) -> int:
         """replaceWhere: drop files under the named partition values, add
         df's files. The M5 reorg path — `overwrite_partitions(new_branch,
         values=range(fork, tip+1))` touches only the forked heights."""
@@ -178,7 +199,7 @@ class SnapshotStore:
             if os.path.basename(os.path.dirname(f)) not in drop
         ]
         return self._commit(
-            kept + self._stage(df, pc), pc, f"overwrite_partitions({len(drop)})"
+            kept + self._stage(df, pc), pc, f"overwrite_partitions({len(drop)})", tag
         )
 
     def restore(self, version: int) -> int:

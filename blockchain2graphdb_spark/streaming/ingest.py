@@ -116,6 +116,7 @@ def ingest_stream_versioned(
         }
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
+        tag = f"batch-{batch_id}"
         incoming = with_height(normalize(batch_df))
         empty = stores["blocks"].latest_version() == 0
         stored_blocks = (
@@ -127,9 +128,14 @@ def ingest_stream_versioned(
             else find_fork_height(stored_blocks, incoming["blocks"])
         )
         for name, store in stores.items():
+            # exactly-once under re-delivery: a store that already holds
+            # this batch's tag skips it entirely (the streaming engine
+            # can replay a micro-batch after a crash between tables)
+            if tag in store.applied_tags():
+                continue
             inc = incoming[name]
             if store.latest_version() == 0:
-                store.write(inc, partition_col="_height")
+                store.write(inc, partition_col="_height", tag=tag)
                 continue
             cur = store.read(spark)
             if fork is not None:
@@ -142,13 +148,13 @@ def ingest_stream_versioned(
                     .collect()
                 ]
                 store.overwrite_partitions(
-                    inc.where(F.col("_height") >= fork), values=doomed
+                    inc.where(F.col("_height") >= fork), values=doomed, tag=tag
                 )
                 cur = store.read(spark)
                 inc = inc.where(F.col("_height") < fork)
             fresh = inc.join(cur.select(keys[name]), keys[name], "left_anti")
             if fresh.limit(1).count() > 0:
-                store.append(fresh)
+                store.append(fresh, tag=tag)
 
     s = (
         spark.readStream.schema(DECODED_SCHEMA)
