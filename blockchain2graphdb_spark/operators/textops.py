@@ -240,3 +240,47 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 3)
         .select("doc_id", "term", "tf", "df", "score")
     )
+
+
+@query(
+    "text_clean",
+    oracle="""
+    SELECT doc_id,
+           TRIM(REGEXP_REPLACE(
+             REGEXP_REPLACE(
+               REGEXP_REPLACE(text, 'https?://[^ ]+', '<URL>', 'g'),
+               '[A-Za-z0-9.]+@[A-Za-z0-9.]+', '<EMAIL>', 'g'),
+             ' +', ' ', 'g')) AS cleaned,
+           LENGTH(text) - LENGTH(TRIM(REGEXP_REPLACE(
+             REGEXP_REPLACE(
+               REGEXP_REPLACE(text, 'https?://[^ ]+', '<URL>', 'g'),
+               '[A-Za-z0-9.]+@[A-Za-z0-9.]+', '<EMAIL>', 'g'),
+             ' +', ' ', 'g'))) AS removed_chars
+    FROM documents
+    """,
+)
+def text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: corpus cleaning — URL and e-mail scrubbing to placeholder
+    tokens plus whitespace normalization, the standard pre-tokenization
+    pass of a training-data pipeline. Pure JVM regexp_replace chain (one
+    codegen'd projection, no shuffle); the regex subset is chosen to
+    mean the same thing in Java regex and RE2 so the oracle matches
+    byte-for-byte."""
+    prep(spark)
+    docs = table(spark, sf_dir, "documents")
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.col("text"), r"https?://[^ ]+", "<URL>"),
+                r"[A-Za-z0-9.]+@[A-Za-z0-9.]+",
+                "<EMAIL>",
+            ),
+            " +",
+            " ",
+        )
+    )
+    return docs.select(
+        "doc_id",
+        cleaned.alias("cleaned"),
+        (F.length("text") - F.length(cleaned)).alias("removed_chars"),
+    )
