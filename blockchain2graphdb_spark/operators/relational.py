@@ -1168,3 +1168,34 @@ def agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shards.agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("distinct_customers")
     )
+
+
+@query(
+    "agg_argmax",
+    oracle="""
+    SELECT o_custkey, o_orderkey AS biggest_order,
+           ROUND(o_totalprice, 2) AS biggest_total
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+      FROM orders) t
+    WHERE rn = 1
+    """,
+)
+def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by / arg_max (declared surface §2.4): the row-valued
+    aggregate behind "which order was the customer's largest" — one
+    hash aggregate, no window, no self-join. Tie-broken by
+    (totalprice, orderkey) so both engines pick the same row."""
+    prep(spark)
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.expr(
+                "max_by(o_orderkey, struct(o_totalprice, o_orderkey))"
+            ).alias("biggest_order"),
+            F.round(F.max("o_totalprice"), 2).alias("biggest_total"),
+        )
+    )

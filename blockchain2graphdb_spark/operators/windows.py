@@ -180,3 +180,29 @@ def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
     )
+
+
+@query(
+    "window_range_frame",
+    oracle="""
+    SELECT event_id,
+           COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+                          RANGE BETWEEN INTERVAL 2 DAY PRECEDING
+                                    AND CURRENT ROW) AS n_last_2d
+    FROM events
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based (RANGE) window frame: events per user within the
+    trailing 2 days — the time-decayed rolling aggregate rowsBetween
+    cannot express. The frame bound is event-time arithmetic, so ties
+    in ts need no breaker (all peers share one frame)."""
+    prep(spark)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-2 * 86400, 0)
+    )
+    return table(spark, sf_dir, "events").select(
+        "event_id", F.count(F.lit(1)).over(w).alias("n_last_2d")
+    )
