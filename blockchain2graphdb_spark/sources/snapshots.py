@@ -217,7 +217,9 @@ class SnapshotStore:
         files = self.files(version)
         if not files:
             raise ValueError(f"{self.root}: empty table at version {version}")
-        reader = spark.read
+        # mergeSchema: appends may evolve the schema (new nullable
+        # columns); older files surface them as nulls
+        reader = spark.read.option("mergeSchema", "true")
         if self.partition_col(version):
             # basePath turns the retained col=value dirs back into a
             # discovered partition column => partition pruning works
@@ -292,3 +294,15 @@ class SnapshotStore:
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
+
+    def compact(self, spark: SparkSession, target_files: int = 4) -> int:
+        """OPTIMIZE: bin-pack the current version's (many, small) files
+        into `target_files` per partition — a new commit referencing the
+        rewritten files; old versions keep reading the originals until
+        vacuum. Streaming ingest is the natural producer of small files
+        (one-plus per micro-batch), compaction the consumer. At scale
+        this runs per-partition and only where file counts exceed the
+        target, so cost tracks fragmentation, not table size."""
+        pc = self.partition_col()
+        df = self.read(spark).coalesce(target_files)
+        return self._commit(self._stage(df, pc), pc, f"compact({target_files})")

@@ -174,3 +174,33 @@ def test_diff_identical_versions_is_empty(spark, sf_dir, store):
     store.write(_orders(spark, sf_dir))
     store.restore(1)
     assert store.diff(spark, 1, 2).count() == 0
+
+
+def test_compact_reduces_files_preserves_rows(spark, sf_dir, store):
+    df = _orders(spark, sf_dir)
+    # many tiny commits => many files
+    for k in range(5):
+        part = df.filter(F.col("o_orderkey") % 5 == k)
+        (store.write if k == 0 else store.append)(part)
+    n_before = len(store.files())
+    store.compact(spark, target_files=2)
+    assert len(store.files()) <= 2 < n_before
+    assert _count_sum(store.read(spark)) == _count_sum(df)
+    # pre-compaction versions still read (files not vacuumed yet)
+    assert store.read(spark, version=5).count() == df.count()
+    dead = store.vacuum()  # nothing dead: old manifests still reference
+    assert dead == []
+
+
+def test_schema_evolution_on_append(spark, sf_dir, store):
+    df = _orders(spark, sf_dir).select("o_orderkey", "o_totalprice")
+    store.write(df.filter(F.col("o_orderkey") % 2 == 0))
+    evolved = df.filter(F.col("o_orderkey") % 2 == 1).withColumn(
+        "flag", F.lit("new")
+    )
+    store.append(evolved)
+    got = store.read(spark)
+    assert set(got.columns) == {"o_orderkey", "o_totalprice", "flag"}
+    assert got.where(F.col("flag").isNull()).count() == df.where(
+        F.col("o_orderkey") % 2 == 0
+    ).count()
