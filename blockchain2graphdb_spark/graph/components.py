@@ -49,13 +49,15 @@ def connected_components(
     is dropped and rounds run as keyed shuffles with AQE skew handling
     — the 100 TB path.
 
-    canonical=True declares the input edge list already deduplicated
-    with src strictly less than dst (true for star-contraction and
-    a<b candidate-pair builders). Symmetrization then cannot create
-    duplicates, and the whole-edge-list dedup shuffle is skipped —
-    at 100 TB that is a full extra pass over the largest table in the
-    job. Duplicates would not break correctness (min-agg absorbs
-    them), only inflate the per-round join input.
+    canonical=True declares every input edge oriented src < dst
+    (true for star-contraction and a<b candidate-pair builders), so
+    symmetrization cannot put one pair in both orientations and the
+    whole-edge-list dedup shuffle is skipped — at 100 TB that is a
+    full extra pass over the largest table in the job. Duplicate rows
+    are permitted and absorbed by the min-label aggregation; callers
+    whose duplication factor is small (a handful per group) should
+    NOT pre-distinct — the dedup shuffle costs more than the
+    duplicates inflate the rounds (measured on wallet_components).
     """
     directed = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
         F.col("a") != F.col("b")
