@@ -204,3 +204,49 @@ def test_schema_evolution_on_append(spark, sf_dir, store):
     assert got.where(F.col("flag").isNull()).count() == df.where(
         F.col("o_orderkey") % 2 == 0
     ).count()
+
+
+def test_randomized_op_sequences_match_model(spark, tmp_path):
+    """Model-based check: random write/append/overwrite/restore
+    sequences must always read back exactly what an in-memory model
+    predicts — for the latest version AND every historical version."""
+    import random
+
+    rng = random.Random(4)
+    rows = [(i, i % 4, f"v{i}") for i in range(400)]  # (id, bucket, payload)
+
+    def df_of(subset):
+        return spark.createDataFrame(subset, "id long, bucket int, payload string")
+
+    for trial in range(3):
+        store = SnapshotStore(str(tmp_path / f"m{trial}"))
+        history = []  # model state per version (list of row tuples)
+        state = []
+        # v1 is always a partitioned write
+        first = rng.sample(rows, 120)
+        store.write(df_of(first), partition_col="bucket")
+        state = list(first)
+        history.append(list(state))
+        for _ in range(6):
+            op = rng.choice(["append", "overwrite", "restore"])
+            if op == "append":
+                batch = rng.sample(rows, 40)
+                store.append(df_of(batch))
+                state = state + batch
+            elif op == "overwrite":
+                vals = rng.sample([0, 1, 2, 3], rng.randint(1, 2))
+                repl = [r for r in rng.sample(rows, 60) if r[1] in vals]
+                store.overwrite_partitions(df_of(repl), values=vals)
+                state = [r for r in state if r[1] not in vals] + repl
+            else:
+                v = rng.randint(1, len(history))
+                store.restore(v)
+                state = list(history[v - 1])
+            history.append(list(state))
+
+        for v, expected in enumerate(history, start=1):
+            got = sorted(
+                (r["id"], r["bucket"], r["payload"])
+                for r in store.read(spark, version=v).collect()
+            )
+            assert got == sorted(expected), f"trial {trial} version {v}"
