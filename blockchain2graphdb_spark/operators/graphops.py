@@ -334,15 +334,15 @@ def bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a = li.alias("a")
     b = li.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
-        .distinct()
-    )
+    # no dedup: the min combiner absorbs duplicate edges, and skipping
+    # the distinct saves a full edge shuffle (same reasoning as
+    # wallet_components; NOT valid for sum-combiner algorithms like
+    # PageRank, where multi-edges change the result)
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
     sym = pairs.union(pairs.select(F.col("dst"), F.col("src"))).localCheckpoint(
         eager=True
     )
