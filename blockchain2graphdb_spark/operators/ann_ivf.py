@@ -125,7 +125,7 @@ def kmeans_fit(
             .where(F.col("rn") == 1)
             .select("vec_id", "q", "cell")
         )
-        cents = (
+        fresh = (
             assign.select("cell", F.posexplode("q").alias("dim", "qx"))
             .groupBy("cell", "dim")
             .agg((F.sum("qx").cast("double") / F.count(F.lit(1))).alias("cd"))
@@ -135,7 +135,14 @@ def kmeans_fit(
                     F.collect_list(F.struct("dim", "cd"))
                 ).alias("pairs")
             )
-            .select("cell", F.transform("pairs", lambda p: p["cd"]).alias("c"))
+            .select("cell", F.transform("pairs", lambda p: p["cd"]).alias("new_c"))
+        )
+        # a cell that lost every member keeps its previous centroid
+        # (matches the standard Lloyd's convention and the NumPy
+        # reference) instead of silently vanishing from the codebook
+        cents = (
+            cents.join(fresh, "cell", "left")
+            .select("cell", F.coalesce(F.col("new_c"), F.col("c")).alias("c"))
         )
     return assign, cents
 

@@ -63,3 +63,27 @@ def test_kmeans_query_stable(spark, sf_dir):
     b = [tuple(r) for r in q(spark, sf_dir).collect()]
     assert a == b
     assert sum(r[1] for r in a) == 500  # every vector assigned exactly once
+
+
+def test_kmeans_keeps_empty_cluster_centroids(spark):
+    """A cluster that loses all members must keep its previous centroid
+    (the Lloyd's convention): two far-apart heavy groups plus two init
+    points inside one of them — at least one init cell empties, yet the
+    codebook stays at k entries."""
+    import pyspark.sql.functions as F
+
+    rows = []
+    # ids 0..3 are the init centroids: 0,1 near origin; 2,3 at 1000
+    for i, base in [(0, 0), (1, 1), (2, 1000), (3, 1001)]:
+        rows.append((i, [base, base]))
+    # heavy mass at 500 pulls everything to whichever centroid wins;
+    # cells for the losing duplicates empty out
+    for i in range(4, 40):
+        rows.append((i, [500 + (i % 3), 500 - (i % 3)]))
+    pts = spark.createDataFrame(rows, "vec_id long, q array<long>")
+    assign, cents = kmeans_fit(pts, k=4, n_iter=3)
+    assert cents.count() == 4  # no vanished cells
+    used = {r["cell"] for r in assign.select("cell").distinct().collect()}
+    assert used <= {0, 1, 2, 3}
+    # every point assigned exactly once
+    assert assign.count() == 40
