@@ -69,6 +69,33 @@ def connected_components(
         sym = sym.distinct()  # single dedup pass after symmetrization
     sym = sym.localCheckpoint(eager=True)
 
+    # tiny graphs short-circuit to driver-side union-find: the
+    # distributed loop costs a handful of jobs per round, which
+    # dominates below ~10^5 edges (e.g. the verified-pair graphs of
+    # near-dup dedup). Same labels (component = min member) either way.
+    if sym.count() <= 100_000:
+        spark = sym.sparkSession
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for a, b in sym.collect():
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by min so the final relabel is the min member
+                lo, hi = min(ra, rb), max(ra, rb)
+                parent[hi] = lo
+        rows = [(n, find(n)) for n in parent]
+        return spark.createDataFrame(rows, sym.schema).toDF("node", "comp")
+
     comp = sym.select(F.col("a").alias("node")).distinct().withColumn(
         "comp", F.col("node")
     )
