@@ -67,7 +67,13 @@ def main() -> None:
     warm_dir = sf_dir.replace("sf0.1", "sf0.001")
     if warm_dir == sf_dir or not os.path.isdir(warm_dir):
         warm_dir = sf_dir
-    for warm_q in ("agg_count", "tpch_q5", "window_topk_per_group", "text_token_stats"):
+    for warm_q in (
+        "agg_count",
+        "tpch_q5",
+        "window_topk_per_group",
+        "text_token_stats",
+        "dedup_minhash",  # 32-way minhash aggregate is the heaviest codegen unit
+    ):
         specs[warm_q].builder(spark, warm_dir).collect()
     specs["agg_count"].builder(spark, sf_dir).collect()  # footer cache
 
