@@ -196,12 +196,15 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Value-based (RANGE) window frame: events per user within the
     trailing 2 days — the time-decayed rolling aggregate rowsBetween
     cannot express. The frame bound is event-time arithmetic, so ties
-    in ts need no breaker (all peers share one frame)."""
+    in ts need no breaker (all peers share one frame). The range key is
+    unix_micros, not a seconds cast: ts carries sub-second precision,
+    and a seconds truncation shifts boundary rows relative to the
+    oracle's microsecond-exact INTERVAL arithmetic (caught at sf0.1)."""
     prep(spark)
     w = (
         W.partitionBy("user_id")
-        .orderBy(F.col("ts").cast("long"))
-        .rangeBetween(-2 * 86400, 0)
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-2 * 86400 * 1_000_000, 0)
     )
     return table(spark, sf_dir, "events").select(
         "event_id", F.count(F.lit(1)).over(w).alias("n_last_2d")
