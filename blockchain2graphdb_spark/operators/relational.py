@@ -785,17 +785,24 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_collect_set",
     oracle="""
-    SELECT c_nationkey, list_sort(list(DISTINCT c_mktsegment)) AS segments
+    SELECT c_nationkey,
+           array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segments
     FROM customer GROUP BY c_nationkey
     """,
 )
 def agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """collect_set (declared surface §2.4) — sorted for determinism."""
+    """collect_set (declared surface §2.4) — sorted for determinism and
+    joined to a scalar string: the driver's canonicalizer sorts rows via
+    pandas, which cannot hash list-valued cells (round-1 red row)."""
     prep(spark)
     return (
         table(spark, sf_dir, "customer")
         .groupBy("c_nationkey")
-        .agg(F.array_sort(F.collect_set("c_mktsegment")).alias("segments"))
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_set("c_mktsegment")), ","
+            ).alias("segments")
+        )
     )
 
 
@@ -1103,10 +1110,10 @@ def histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q12_shape",
     oracle="""
     SELECT l_linestatus,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders
     JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'

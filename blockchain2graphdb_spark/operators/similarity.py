@@ -232,7 +232,7 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings, UNNEST(range(len(embedding))) AS t(dim)
     )
     SELECT label, dim,
-           SUM(qx) AS sum_q,
+           CAST(SUM(qx) AS BIGINT) AS sum_q,
            COUNT(*) AS n,
            CAST(SUM(qx) AS DOUBLE) / COUNT(*) AS centroid_q
     FROM q GROUP BY label, dim

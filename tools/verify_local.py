@@ -75,7 +75,68 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
     return problems
 
 
+def lint(sf_dir: str) -> int:
+    """Driver-hasher-hazard lint (round-1 postmortem, VERDICT.md #2).
+
+    The driver's canonicalizer sorts rows via pandas and value-hashes the
+    result. Two type classes break it without any wrong answer underneath:
+    list/struct/map cells are unhashable in pandas sort (agg_collect_set's
+    round-1 crash), and DuckDB's HUGEINT (int128, the default type of an
+    integer SUM) formats differently from Spark's bigint (tpch_q12_shape's
+    round-1 hash mismatch). Statically reject both: every oracle-paired
+    query must produce scalar Spark columns, and its oracle must produce
+    no HUGEINT/LIST/STRUCT/MAP columns in DuckDB.
+    """
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    specs = registry.load_all()
+    spark = get_spark("verify-lint")
+    con = duck_con(sf_dir)
+    bad = 0
+    for name, spec in sorted(specs.items()):
+        if spec.oracle is None:
+            continue
+        try:
+            schema = spec.builder(spark, sf_dir).schema
+        except Exception as e:
+            print(f"LINT {name}: builder failed to plan: {e}")
+            bad += 1
+            continue
+        for f in schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+                print(
+                    f"LINT {name}: spark column {f.name!r} is "
+                    f"{f.dataType.simpleString()} — unhashable for the driver"
+                )
+                bad += 1
+        try:
+            dtypes = con.sql(f"DESCRIBE ({spec.oracle})").df()
+        except Exception as e:
+            print(f"LINT {name}: oracle failed to plan: {e}")
+            bad += 1
+            continue
+        for _, row in dtypes.iterrows():
+            t = row["column_type"].upper()
+            if "HUGEINT" in t:
+                print(
+                    f"LINT {name}: oracle column {row['column_name']!r} is "
+                    f"{t} — cast the aggregate (e.g. AS BIGINT)"
+                )
+                bad += 1
+            if t.endswith("[]") or t.startswith(("STRUCT", "MAP", "LIST", "UNION")):
+                print(
+                    f"LINT {name}: oracle column {row['column_name']!r} is "
+                    f"{t} — flatten to a scalar"
+                )
+                bad += 1
+    n = sum(1 for s in specs.values() if s.oracle is not None)
+    print(f"\n== lint: {n} oracle-paired keys checked, {bad} hazards ==")
+    return 1 if bad else 0
+
+
 def main() -> int:
+    if len(sys.argv) > 1 and sys.argv[1] == "--lint":
+        return lint(sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.001")
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
     specs = registry.load_all()
