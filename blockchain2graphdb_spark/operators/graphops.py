@@ -260,7 +260,9 @@ def wallet_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b
     """,
 )
-def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+def triangle_count(
+    spark: SparkSession, sf_dir: str, broadcast_edges_max: int = 4_000_000
+) -> DataFrame:
     """G2-family: global triangle count on the part co-purchase graph.
 
     Edges are canonical a<b pairs, so each triangle a<b<c is counted
@@ -269,10 +271,12 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a, b) contributes |nbrs(a) ∩ nbrs(b)| — the Σ(deg a + deg b) work
     happens inside one vectorized array_intersect per EDGE instead of
     materializing the Σ deg² wedge stream as rows (3–4× faster here
-    than the ordered 3-way self-join it replaces, same count). At
-    100 TB both joins are broadcasts of the per-node adjacency table
-    while it fits; past that they become keyed shuffles co-bucketed
-    with the edge list, and hub vertices are split by AQE.
+    than the ordered 3-way self-join it replaces, same count). The
+    adjacency table is broadcast only while it fits (count-conditional
+    hint, same pattern as graph/components.py — localCheckpoint output
+    has no stats, so AQE can never make this call itself); past the
+    threshold both probes fall back to keyed shuffles co-bucketed with
+    the edge list, and hub vertices are split by AQE skew handling.
     """
     prep(spark)
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
@@ -295,9 +299,12 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     adj_a = adj.select(F.col("a").alias("ea"), F.col("nb").alias("nba"))
     adj_b = adj.select(F.col("a").alias("eb"), F.col("nb").alias("nbb"))
+    # total adjacency payload ≈ one array cell per edge, so gate the
+    # broadcast on edge count (pairs is checkpointed — count is cheap)
+    hint = F.broadcast if pairs.count() <= broadcast_edges_max else (lambda df: df)
     tri = (
-        pairs.join(F.broadcast(adj_a), pairs.a == F.col("ea"))
-        .join(F.broadcast(adj_b), pairs.b == F.col("eb"))
+        pairs.join(hint(adj_a), pairs.a == F.col("ea"))
+        .join(hint(adj_b), pairs.b == F.col("eb"))
         .select(F.size(F.array_intersect("nba", "nbb")).alias("n"))
     )
     return tri.agg(F.sum("n").cast("long").alias("n_triangles"))

@@ -119,49 +119,97 @@ def similarity_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 3).drop("rn")
 
 
-@query("similarity_lsh")  # rows-only: approximate by design
-def similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X3 scale path: random-hyperplane LSH. 8 sign bits per vector →
-    bucket id; candidate generation becomes an equi-join on the bucket,
-    exact cosine reranks inside. Hyperplanes are pseudo-random ±1 derived
-    from xxhash64(bit, dim) — deterministic across runs, no stored model.
+def lsh_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    n_bits: int | None = None,
+    n_tables: int = 2,
+    k: int = 3,
+) -> DataFrame:
+    """Random-hyperplane LSH top-k with band OR-construction.
 
-    At 100 TB: bucket join replaces the N×M cross product; multiple hash
-    tables (band OR-construction) recover recall; AQE handles bucket skew.
+    Each of `n_tables` independent hash tables assigns every vector a
+    `n_bits`-bit sign signature (bucket id); candidate pairs are vectors
+    sharing a bucket in ANY table (OR across tables — the recall lever),
+    exact cosine reranks inside. Hyperplanes are pseudo-random ±1 derived
+    from xxhash64(table, bit, dim) — deterministic, no stored model.
+
+    Scale shape (100 TB): `n_bits` defaults to ~log2(N / 32), so the
+    expected bucket population stays ~constant as N grows and the
+    within-bucket self-join cost is O(N · bucket_size), never the
+    (N/2^bits)² blowup of a fixed bucket count (round-1 weakness).
+    Recall lost to the narrower buckets is recovered by the OR over
+    `n_tables` tables. Duplicate candidates from different tables are
+    deduped by a groupBy on the pair key; AQE splits skewed buckets.
     """
     prep(spark)
     emb = table(spark, sf_dir, "embeddings")
+    if n_bits is None:
+        n = emb.count()  # parquet metadata count — no scan
+        n_bits = max(4, (max(n, 1) // 32).bit_length())
 
-    def bucket_bit(vec, b: int):
-        # sign of dot(vec, h_b) where h_b[i] = ±1 from a hash of (b, i)
-        products = F.zip_with(
-            vec,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(_N_DIM - 1)),
-                lambda i: (F.pmod(F.xxhash64(F.lit(b), i), F.lit(2)) * 2 - 1).cast("double"),
-            ),
-            lambda x, h: x.cast("double") * h,
-        )
-        s = F.aggregate(products, F.lit(0.0), lambda a, x: a + x)
-        return F.when(s >= 0, F.lit(1)).otherwise(F.lit(0))
+    def hyperplane(seed: int):
+        # ±1 per dim from a hash of (seed, dim); PySpark binds lambda
+        # variables by arity, so the seed is captured by a factory
+        def h(i):
+            return (F.pmod(F.xxhash64(F.lit(seed), i), F.lit(2)) * 2 - 1).cast(
+                "double"
+            )
 
-    bucket = sum(
-        (bucket_bit(F.col("embedding"), b) * F.lit(1 << b) for b in range(8)),
-        F.lit(0),
+        return F.transform(F.sequence(F.lit(0), F.lit(_N_DIM - 1)), h)
+
+    def bucket(vec, t: int):
+        # n_bits sign bits of table t packed into one long
+        bits = []
+        for b in range(n_bits):
+            products = F.zip_with(
+                vec, hyperplane(t * 1024 + b), lambda x, h: x.cast("double") * h
+            )
+            s = F.aggregate(products, F.lit(0.0), lambda a, x: a + x)
+            bits.append(F.when(s >= 0, F.lit(1 << b)).otherwise(F.lit(0)))
+        return sum(bits[1:], bits[0])
+
+    # one row per (vector, table): explode keeps a single self-join over
+    # the union of all tables instead of n_tables separate joins
+    sigs = emb.select(
+        "vec_id",
+        "embedding",
+        F.posexplode(
+            F.array(*[bucket(F.col("embedding"), t) for t in range(n_tables)])
+        ).alias("tbl", "bucket"),
     )
-    bucketed = emb.select("vec_id", "embedding", bucket.alias("bucket"))
-    a = bucketed.alias("a")
-    b = bucketed.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")),
-    ).select(
-        F.col("a.vec_id").alias("query_id"),
-        F.col("b.vec_id").alias("cand_id"),
-        float_cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cosine"),
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("query_id"),
+            F.col("b.vec_id").alias("cand_id"),
+            float_cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cosine"),
+        )
+        # a pair colliding in several tables appears once per table with
+        # an identical deterministic cosine — collapse before ranking
+        .distinct()
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
-    return pairs.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 3).drop("rn")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k).drop("rn")
+    )
+
+
+@query("similarity_lsh")  # rows-only: approximate by design
+def similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 scale path: random-hyperplane LSH with N-adaptive bit count and
+    4-table OR-construction (see lsh_topk). Candidate-pair recall vs the
+    exact brute-force ground truth measured 0.18/0.34/0.42/0.62 at
+    1/2/4/8 tables on the random-gaussian fixture (LSH's worst case);
+    the 4-table floor is pinned in tests/test_ann_recall.py."""
+    return lsh_topk(spark, sf_dir, n_tables=4)
 
 
 @query(

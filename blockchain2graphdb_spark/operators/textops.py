@@ -210,8 +210,12 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     final score touches floats, and it is rounded to 6 decimals on both
     engines before ranking so the cross-engine order (and the value
     hash) is deterministic. At 100 TB: both aggs are partial+final
-    combines on (doc, term) / (term); the tiny (term, df) side and the
-    scalar N broadcast into the scoring join — no pairwise anything.
+    combines on (doc, term) / (term); the scalar N literal-folds into
+    the plan, and the (term, df) join is left unhinted — a web-scale
+    raw-token vocabulary (typos, numbers) runs to billions of rows and
+    is NOT broadcastable, so AQE decides at runtime from the exchange's
+    measured size (it broadcasts here at test scale; past the threshold
+    it stays a co-partitioned shuffle join on `term`).
     """
     prep(spark)
     docs = table(spark, sf_dir, "documents")
@@ -225,7 +229,7 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.count()  # scalar; literal-folded into the plan
-    scored = tf.join(F.broadcast(df), "term").select(
+    scored = tf.join(df, "term").select(
         "doc_id",
         "term",
         "tf",

@@ -89,6 +89,38 @@ def test_ivf_exhaustive_probe_equals_bruteforce(spark, sf_dir):
     assert ivf.exceptAll(bf).count() == 0
 
 
+def test_lsh_recall_floor_and_table_scaling(spark, sf_dir):
+    """Random-hyperplane LSH candidate generation must (a) clear a recall
+    floor at the registered 4-table setting and (b) gain recall when the
+    OR-construction widens — the property the round-1 fixed-bucket
+    version lacked. Ground truth: exact brute-force top-10 pairs.
+    Measured on the random-gaussian fixture (worst case for LSH):
+    0.18 / 0.34 / 0.42 / 0.62 at 1/2/4/8 tables."""
+    from blockchain2graphdb_spark.operators.similarity import lsh_topk
+
+    bf = (
+        _brute_topk(spark, sf_dir)
+        .select(
+            F.least("query_id", "cand_id").alias("a"),
+            F.greatest("query_id", "cand_id").alias("b"),
+        )
+        .distinct()
+    )
+    total = bf.count()
+    assert total == 50
+
+    def pair_recall(n_tables):
+        cands = lsh_topk(spark, sf_dir, n_tables=n_tables, k=10_000).select(
+            F.col("query_id").alias("a"), F.col("cand_id").alias("b")
+        )
+        return bf.intersect(cands).count() / total
+
+    r4 = pair_recall(4)
+    assert r4 >= 0.25, f"LSH 4-table recall@10 = {r4:.2f}"
+    r1 = pair_recall(1)
+    assert r4 > r1, f"OR-construction gained nothing: {r1:.2f} -> {r4:.2f}"
+
+
 def test_pq_recall_floor_and_determinism(spark, sf_dir):
     """PQ/ADC approximates exact L2 on the quantized vectors. With an
     untrained 16-code sample codebook on random gaussians (worst case)
