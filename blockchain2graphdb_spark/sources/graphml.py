@@ -14,7 +14,7 @@ subgraph scale, and this writer refuses nothing — it just streams.
 
 from __future__ import annotations
 
-from xml.sax.saxutils import escape
+from xml.sax.saxutils import escape, quoteattr
 
 from pyspark.sql import DataFrame
 
@@ -24,16 +24,23 @@ _HEADER = (
 )
 _FOOTER = "</graph>\n</graphml>\n"
 
+# attribute values go through quoteattr (escape() leaves '"' alone, which
+# would break the double-quoted attributes); key ids are quoteattr'd from
+# the SAME raw string in the declaration and every <data> element, so an
+# exotic column name can never mismatch between the two
+
 
 def _key_decls(vertex_attrs: list[str], edge_attrs: list[str]) -> str:
     decls = []
     for a in vertex_attrs:
         decls.append(
-            f'<key id="v_{escape(a)}" for="node" attr.name="{escape(a)}" attr.type="string"/>'
+            f"<key id={quoteattr('v_' + a)} for=\"node\" "
+            f"attr.name={quoteattr(a)} attr.type=\"string\"/>"
         )
     for a in edge_attrs:
         decls.append(
-            f'<key id="e_{escape(a)}" for="edge" attr.name="{escape(a)}" attr.type="string"/>'
+            f"<key id={quoteattr('e_' + a)} for=\"edge\" "
+            f"attr.name={quoteattr(a)} attr.type=\"string\"/>"
         )
     return "\n".join(decls) + ("\n" if decls else "")
 
@@ -49,21 +56,21 @@ def write_graphml(
 
     def node_xml(row) -> str:
         data = "".join(
-            f'<data key="v_{a}">{escape(str(row[a]))}</data>'
+            f"<data key={quoteattr('v_' + a)}>{escape(str(row[a]))}</data>"
             for a in v_attrs
             if row[a] is not None
         )
-        return f'<node id="{escape(str(row["id"]))}">{data}</node>'
+        return f"<node id={quoteattr(str(row['id']))}>{data}</node>"
 
     def edge_xml(row) -> str:
         data = "".join(
-            f'<data key="e_{a}">{escape(str(row[a]))}</data>'
+            f"<data key={quoteattr('e_' + a)}>{escape(str(row[a]))}</data>"
             for a in e_attrs
             if row[a] is not None
         )
         return (
-            f'<edge source="{escape(str(row["src"]))}" '
-            f'target="{escape(str(row["dst"]))}">{data}</edge>'
+            f"<edge source={quoteattr(str(row['src']))} "
+            f"target={quoteattr(str(row['dst']))}>{data}</edge>"
         )
 
     # fragments rendered executor-side, one string per partition

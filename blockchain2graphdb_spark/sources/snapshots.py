@@ -104,6 +104,7 @@ class SnapshotStore:
         partition_col: str | None,
         op: str,
         tag: str | None = None,
+        schema_json: str | None = None,
     ) -> int:
         new_v = self.latest_version() + 1
         mpath = f"{self.root}/_manifests/v{new_v:08d}.json"
@@ -111,7 +112,7 @@ class SnapshotStore:
         with open(tmp, "w") as f:
             json.dump(
                 {"version": new_v, "op": op, "partition_col": partition_col,
-                 "tag": tag, "files": self._rel(files)}, f)
+                 "tag": tag, "schema": schema_json, "files": self._rel(files)}, f)
         os.rename(tmp, mpath)
         # _latest moves last: a crash before this line leaves the old
         # version live and the orphan manifest harmless
@@ -175,7 +176,8 @@ class SnapshotStore:
     ) -> int:
         """Full overwrite as a new version (old versions stay readable)."""
         return self._commit(
-            self._stage(df, partition_col), partition_col, "write", tag
+            self._stage(df, partition_col), partition_col, "write", tag,
+            schema_json=df.schema.json(),
         )
 
     def append(self, df: DataFrame, tag: str | None = None) -> int:
@@ -183,12 +185,22 @@ class SnapshotStore:
         the caller dedups; this is the physical append)."""
         pc = self.partition_col()
         self._check_layout(pc if self.latest_version() else None)
-        return self._commit(self.files() + self._stage(df, pc), pc, "append", tag)
+        return self._commit(
+            self.files() + self._stage(df, pc), pc, "append", tag,
+            schema_json=df.schema.json(),
+        )
 
     def overwrite_partitions(self, df: DataFrame, values, tag: str | None = None) -> int:
         """replaceWhere: drop files under the named partition values, add
         df's files. The M5 reorg path — `overwrite_partitions(new_branch,
-        values=range(fork, tip+1))` touches only the forked heights."""
+        values=range(fork, tip+1))` touches only the forked heights.
+
+        df may carry partition values beyond the drop set only where the
+        table holds no files (e.g. a reorg branch extending past the old
+        tip); a value that collides with a KEPT partition would silently
+        duplicate rows, so that commit is refused. The check reads the
+        staged directory names — no extra Spark job.
+        """
         pc = self.partition_col()
         if pc is None:
             raise ValueError("overwrite_partitions requires a partitioned table")
@@ -198,8 +210,20 @@ class SnapshotStore:
             for f in self.files()
             if os.path.basename(os.path.dirname(f)) not in drop
         ]
+        staged = self._stage(df, pc)
+        clash = {os.path.basename(os.path.dirname(f)) for f in staged} & {
+            os.path.basename(os.path.dirname(f)) for f in kept
+        }
+        if clash:
+            for f in staged:
+                os.remove(f)
+            raise ValueError(
+                f"df holds rows in retained partitions {sorted(clash)} — "
+                "widen `values` or filter df to the replaced partitions"
+            )
         return self._commit(
-            kept + self._stage(df, pc), pc, f"overwrite_partitions({len(drop)})", tag
+            kept + staged, pc, f"overwrite_partitions({len(drop)})", tag,
+            schema_json=df.schema.json(),
         )
 
     def restore(self, version: int) -> int:
@@ -207,16 +231,29 @@ class SnapshotStore:
         file list of `version` verbatim. Zero data movement."""
         v = self._check(version)
         files = self.files(v)
-        pc = None if v == 0 else self._manifest(v)["partition_col"]
-        return self._commit(files, pc, f"restore({v})")
+        m = None if v == 0 else self._manifest(v)
+        pc = None if m is None else m["partition_col"]
+        return self._commit(
+            files, pc, f"restore({v})",
+            schema_json=None if m is None else m.get("schema"),
+        )
 
     # ---- read path ------------------------------------------------------
 
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
-        """Scan a pinned snapshot (latest when version is None)."""
+        """Scan a pinned snapshot (latest when version is None). A
+        committed-but-empty version (e.g. a first micro-batch where one
+        table had no rows) reads as an empty DataFrame with the schema
+        recorded in its manifest."""
         files = self.files(version)
         if not files:
-            raise ValueError(f"{self.root}: empty table at version {version}")
+            v = self.latest_version() if version is None else self._check(version)
+            sj = None if v == 0 else self._manifest(v).get("schema")
+            if sj is None:
+                raise ValueError(f"{self.root}: empty table at version {version}")
+            from pyspark.sql.types import StructType
+
+            return spark.createDataFrame([], StructType.fromJson(json.loads(sj)))
         # mergeSchema: appends may evolve the schema (new nullable
         # columns); older files surface them as nulls
         reader = spark.read.option("mergeSchema", "true")
@@ -269,12 +306,25 @@ class SnapshotStore:
         def read(paths: list[str]) -> DataFrame | None:
             if not paths:
                 return None
-            reader = spark.read
+            # mergeSchema as in read(): either side may span a
+            # schema-evolving append
+            reader = spark.read.option("mergeSchema", "true")
             if self.partition_col(v_to) or self.partition_col(v_from):
                 reader = reader.option("basePath", f"{self.root}/data")
             return reader.parquet(*paths)
 
+        def align(df: DataFrame, other: DataFrame) -> DataFrame:
+            """Null-fill columns the other side gained by evolution and
+            fix a common column order so exceptAll sees one schema."""
+            have = set(df.columns)
+            for fld in other.schema.fields:
+                if fld.name not in have:
+                    df = df.withColumn(fld.name, F.lit(None).cast(fld.dataType))
+            return df.select(*sorted(df.columns))
+
         old_df, new_df = read(only_old), read(only_new)
+        if old_df is not None and new_df is not None:
+            old_df, new_df = align(old_df, new_df), align(new_df, old_df)
         if old_df is None and new_df is None:
             # identical file lists => no changes; empty frame with schema
             base = self.read(spark, v_to)

@@ -60,6 +60,98 @@ def ingest_stream(
     return holder["tables"]
 
 
+_MERGE_KEYS = {
+    "blocks": ["hash"],
+    "transactions": ["tx_hash"],
+    "outputs": ["output_id"],
+    "inputs": ["spending_tx_hash", "spent_output_id"],
+}
+
+
+def _with_height(tables: Tables) -> Tables:
+    """Attach the owning block's height to every child row so all four
+    tables share the reorg partition key."""
+    from pyspark.sql import functions as F
+
+    h = tables["blocks"].select(
+        F.col("hash").alias("block_hash"), F.col("height").alias("_height")
+    )
+    tx_h = tables["transactions"].join(h, "block_hash")
+    tx_key = tx_h.select("tx_hash", "_height")
+    return {
+        "blocks": tables["blocks"].withColumn("_height", F.col("height")),
+        "transactions": tx_h,
+        "outputs": tables["outputs"].join(tx_key, "tx_hash"),
+        "inputs": tables["inputs"].join(
+            tx_key.withColumnRenamed("tx_hash", "spending_tx_hash"),
+            "spending_tx_hash",
+        ),
+    }
+
+
+def apply_versioned_batch(spark: SparkSession, stores: dict, batch_df: DataFrame, tag: str) -> None:
+    """Fold one micro-batch of decoded blocks into the SnapshotStores.
+
+    Exactly-once under re-delivery: every COMMIT gets its own tag
+    ({batch}/init, {batch}/reorg:{fork}, {batch}/append) checked
+    independently — one batch-wide tag would make a crash between a
+    reorg overwrite and its follow-up append skip the append on replay,
+    permanently dropping the appended rows. Module-level (not a stream
+    closure) so crash/replay windows are testable directly.
+    """
+    from pyspark.sql import functions as F
+
+    from ..chain.maintain import find_fork_height
+
+    incoming = _with_height(normalize(batch_df))
+    # a replayed batch may find the reorg half-applied across stores;
+    # recomputing the fork from mutated state would then diverge, so the
+    # fork height chosen on first delivery is recorded inside the reorg
+    # tag (blocks commits first) and recovered from the log
+    recorded = [
+        t for t in stores["blocks"].applied_tags() if t.startswith(f"{tag}/reorg:")
+    ]
+    if recorded:
+        fork = int(recorded[0].rsplit(":", 1)[1])
+    elif stores["blocks"].latest_version() == 0:
+        fork = None
+    else:
+        stored_blocks = stores["blocks"].read(spark).select("height", "hash")
+        fork = find_fork_height(stored_blocks, incoming["blocks"])
+    for name, store in stores.items():
+        inc = incoming[name]
+        applied = store.applied_tags()
+        if store.latest_version() == 0:
+            # commits even when inc is empty (e.g. a genesis-only batch
+            # has no inputs): the manifest records the schema, so the
+            # next batch's read() returns an empty frame
+            if f"{tag}/init" not in applied:
+                store.write(inc, partition_col="_height", tag=f"{tag}/init")
+            continue
+        if fork is not None:
+            if f"{tag}/reorg:{fork}" not in applied:
+                # heights >= fork: stored partitions die, incoming replaces
+                doomed = [
+                    r["_height"]
+                    for r in store.read(spark)
+                    .where(F.col("_height") >= fork)
+                    .select("_height")
+                    .distinct()
+                    .collect()
+                ]
+                store.overwrite_partitions(
+                    inc.where(F.col("_height") >= fork),
+                    values=doomed,
+                    tag=f"{tag}/reorg:{fork}",
+                )
+            inc = inc.where(F.col("_height") < fork)
+        if f"{tag}/append" not in applied:
+            cur = store.read(spark)
+            fresh = inc.join(cur.select(_MERGE_KEYS[name]), _MERGE_KEYS[name], "left_anti")
+            if fresh.limit(1).count() > 0:
+                store.append(fresh, tag=f"{tag}/append")
+
+
 def ingest_stream_versioned(
     spark: SparkSession,
     blocks_dir: str,
@@ -84,77 +176,12 @@ def ingest_stream_versioned(
 
     Returns {table: SnapshotStore}.
     """
-    from pyspark.sql import functions as F
-
-    from ..chain.maintain import find_fork_height
     from ..sources.snapshots import SnapshotStore
 
-    keys = {
-        "blocks": ["hash"],
-        "transactions": ["tx_hash"],
-        "outputs": ["output_id"],
-        "inputs": ["spending_tx_hash", "spent_output_id"],
-    }
-    stores = {name: SnapshotStore(f"{root}/{name}") for name in keys}
-
-    def with_height(tables: Tables) -> Tables:
-        """Attach the owning block's height to every child row so all
-        four tables share the reorg partition key."""
-        h = tables["blocks"].select(
-            F.col("hash").alias("block_hash"), F.col("height").alias("_height")
-        )
-        tx_h = tables["transactions"].join(h, "block_hash")
-        tx_key = tx_h.select("tx_hash", "_height")
-        return {
-            "blocks": tables["blocks"].withColumn("_height", F.col("height")),
-            "transactions": tx_h,
-            "outputs": tables["outputs"].join(tx_key, "tx_hash"),
-            "inputs": tables["inputs"].join(
-                tx_key.withColumnRenamed("tx_hash", "spending_tx_hash"),
-                "spending_tx_hash",
-            ),
-        }
+    stores = {name: SnapshotStore(f"{root}/{name}") for name in _MERGE_KEYS}
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
-        tag = f"batch-{batch_id}"
-        incoming = with_height(normalize(batch_df))
-        empty = stores["blocks"].latest_version() == 0
-        stored_blocks = (
-            None if empty else stores["blocks"].read(spark).select("height", "hash")
-        )
-        fork = (
-            None
-            if empty
-            else find_fork_height(stored_blocks, incoming["blocks"])
-        )
-        for name, store in stores.items():
-            # exactly-once under re-delivery: a store that already holds
-            # this batch's tag skips it entirely (the streaming engine
-            # can replay a micro-batch after a crash between tables)
-            if tag in store.applied_tags():
-                continue
-            inc = incoming[name]
-            if store.latest_version() == 0:
-                store.write(inc, partition_col="_height", tag=tag)
-                continue
-            cur = store.read(spark)
-            if fork is not None:
-                # heights >= fork: stored partitions die, incoming replaces
-                doomed = [
-                    r["_height"]
-                    for r in cur.where(F.col("_height") >= fork)
-                    .select("_height")
-                    .distinct()
-                    .collect()
-                ]
-                store.overwrite_partitions(
-                    inc.where(F.col("_height") >= fork), values=doomed, tag=tag
-                )
-                cur = store.read(spark)
-                inc = inc.where(F.col("_height") < fork)
-            fresh = inc.join(cur.select(keys[name]), keys[name], "left_anti")
-            if fresh.limit(1).count() > 0:
-                store.append(fresh, tag=tag)
+        apply_versioned_batch(spark, stores, batch_df, f"batch-{batch_id}")
 
     s = (
         spark.readStream.schema(DECODED_SCHEMA)

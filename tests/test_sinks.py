@@ -87,3 +87,31 @@ def test_graphml_export_roundtrip(spark, tmp_path):
     # edges reference declared nodes
     ids = set(heights)
     assert all(e.get("source") in ids and e.get("target") in ids for e in xedges)
+
+
+def test_graphml_quotes_hostile_values_and_column_names(spark, tmp_path):
+    """Attribute values containing double quotes (and <>&) must produce
+    well-formed XML, and an exotic column name must use the SAME key id
+    in its <key> declaration and every <data> element."""
+    import xml.etree.ElementTree as ET
+
+    from blockchain2graphdb_spark.sources.graphml import write_graphml
+
+    hostile = 'he said "hi" <&>'
+    vertices = spark.createDataFrame(
+        [(hostile, "v1"), ("plain", "v2")], ["id", 'we"ird <col>']
+    )
+    edges = spark.createDataFrame([(hostile, "plain")], ["src", "dst"])
+    out = str(tmp_path / "hostile.graphml")
+    write_graphml(vertices, edges, out)
+
+    ns = {"g": "http://graphml.graphdrawing.org/xmlns"}
+    root = ET.parse(out).getroot()  # raises if malformed
+    nodes = {n.get("id"): n for n in root.findall(".//g:node", ns)}
+    assert set(nodes) == {hostile, "plain"}
+    key_decl = root.find(".//g:key[@for='node']", ns)
+    data = nodes[hostile].find("g:data", ns)
+    assert key_decl.get("id") == data.get("key")  # ids match exactly
+    assert key_decl.get("attr.name") == 'we"ird <col>'
+    edge = root.find(".//g:edge", ns)
+    assert edge.get("source") == hostile and edge.get("target") == "plain"

@@ -206,6 +206,64 @@ def test_schema_evolution_on_append(spark, sf_dir, store):
     ).count()
 
 
+def test_empty_commit_reads_back_with_schema(spark, sf_dir, store):
+    """A committed-but-empty version (first micro-batch with one empty
+    table) must read as an empty frame with the manifest's schema, and
+    later appends must work — not raise 'empty table'."""
+    df = _orders(spark, sf_dir)
+    store.write(df.limit(0), partition_col="o_orderstatus")
+    got = store.read(spark)
+    assert got.count() == 0
+    assert sorted(got.columns) == sorted(df.columns)
+    store.append(df.filter(F.col("o_orderkey") % 2 == 0))
+    assert store.read(spark).count() == df.filter(F.col("o_orderkey") % 2 == 0).count()
+
+
+def test_overwrite_rejects_rows_in_retained_partitions(spark, sf_dir, store):
+    """replaceWhere validation: a df row landing in a partition whose
+    files are KEPT would silently duplicate — the commit must refuse.
+    Rows in brand-new partitions (reorg branch past the old tip) are
+    legitimate and must still commit."""
+    df = _orders(spark, sf_dir).withColumn(
+        "bucket", (F.col("o_orderkey") % 4).cast("int")
+    )
+    store.write(df, partition_col="bucket")
+    v = store.latest_version()
+    with pytest.raises(ValueError, match="retained partitions"):
+        store.overwrite_partitions(df.filter(F.col("bucket").isin(1, 2)), values=[2])
+    assert store.latest_version() == v  # refused commit left no version
+    # new partition value (9) beyond the existing layout is allowed
+    branch = df.filter(F.col("bucket") == 2).withColumn("bucket", F.lit(9).cast("int"))
+    store.overwrite_partitions(branch, values=[2])
+    got = store.read(spark)
+    assert got.where(F.col("bucket") == 2).count() == 0
+    assert got.where(F.col("bucket") == 9).count() == branch.count()
+
+
+def test_diff_across_schema_evolution(spark, sf_dir, store):
+    """CDF over a span that includes a schema-evolving append must align
+    the two sides (mergeSchema + null-fill) instead of throwing on
+    exceptAll schema mismatch."""
+    df = _orders(spark, sf_dir).withColumn(
+        "bucket", (F.col("o_orderkey") % 4).cast("int")
+    )
+    store.write(df, partition_col="bucket")                       # v1
+    extra = df.filter(F.col("bucket") == 0).withColumn("note", F.lit("x"))
+    store.append(extra)                                           # v2: +note
+    replacement = (
+        df.filter(F.col("bucket") == 1)
+        .filter(F.col("o_orderstatus") != "F")
+        .withColumn("o_orderpriority", F.lit("X-REORGED"))
+    )
+    store.overwrite_partitions(replacement, values=[1])           # v3
+    changes = store.diff(spark, 1)  # old side lacks `note` entirely
+    kinds = dict(
+        changes.groupBy("_change").count().collect()
+    )
+    assert kinds.get("insert", 0) == extra.count() + replacement.count()
+    assert kinds.get("delete", 0) == df.filter(F.col("bucket") == 1).count()
+
+
 def test_randomized_op_sequences_match_model(spark, tmp_path):
     """Model-based check: random write/append/overwrite/restore
     sequences must always read back exactly what an in-memory model

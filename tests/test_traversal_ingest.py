@@ -243,6 +243,82 @@ def test_motif_rejects_bad_patterns(g):
         g.find("(a)-[has]->(b); (x)-[locked]->(y)")
 
 
+def test_versioned_ingest_empty_first_batch_table(spark, tmp_path):
+    """A genesis-only first batch has no inputs; the empty init commit
+    must record the schema so the next batch's read() succeeds instead
+    of crashing the stream on 'empty table'."""
+    from blockchain2graphdb_spark.streaming.ingest import ingest_stream_versioned
+
+    genesis = fixtures.generate(n_blocks=1, seed=3)
+    assert genesis.inputs == []  # the premise: one table starts empty
+    full = fixtures.generate(n_blocks=6, seed=3)  # same seed => extends it
+    d = str(tmp_path / "stream_blocks")
+    _write_decoded_files(spark, [_decoded_rows(genesis), _decoded_rows(full)], d)
+
+    stores = ingest_stream_versioned(
+        spark, d, str(tmp_path / "stores"), max_files_per_trigger=1
+    )
+    for name, exp_df in full.to_spark(spark).items():
+        cols = exp_df.columns
+        got = stores[name].read(spark)
+        assert sorted(map(tuple, got.select(sorted(cols)).collect())) == sorted(
+            map(tuple, exp_df.select(sorted(cols)).collect())
+        ), name
+
+
+def test_versioned_ingest_reorg_crash_window_recovers(spark, tmp_path):
+    """A reorg batch that ALSO appends fresh pre-fork rows (batch 0
+    skipped height 8; batch 1 redelivers it alongside the reorg) makes
+    two commits. A crash between them plus micro-batch replay must still
+    complete the batch — per-commit idempotence tags, with the fork
+    height recorded in the reorg tag so the replay can't recompute a
+    different fork from the half-mutated state."""
+    from blockchain2graphdb_spark.sources.snapshots import SnapshotStore
+    from blockchain2graphdb_spark.streaming.ingest import (
+        _MERGE_KEYS,
+        apply_versioned_batch,
+    )
+
+    original = fixtures.generate(n_blocks=12, seed=9)
+    variant = fixtures.reorg_variant(n_blocks=12, seed=9, k=3)
+    rows0 = [r for r in _decoded_rows(original) if r["height"] != 8]
+    rows1 = _decoded_rows(variant)
+
+    root = str(tmp_path / "stores")
+    stores = {n: SnapshotStore(f"{root}/{n}") for n in _MERGE_KEYS}
+    apply_versioned_batch(
+        spark, stores, spark.createDataFrame(rows0, schema=DECODED_SCHEMA), "batch-0"
+    )
+
+    class CrashOnAppend:
+        """The crash window: blocks' reorg overwrite committed, its
+        pre-fork append (height 8) not yet — and no later store touched."""
+
+        def __init__(self, inner):
+            self._inner = inner
+
+        def append(self, *a, **k):
+            raise RuntimeError("simulated crash between commits")
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+    b1 = spark.createDataFrame(rows1, schema=DECODED_SCHEMA)
+    crashing = dict(stores)
+    crashing["blocks"] = CrashOnAppend(stores["blocks"])
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        apply_versioned_batch(spark, crashing, b1, "batch-1")
+
+    # micro-batch replay against healthy stores completes the batch
+    apply_versioned_batch(spark, stores, b1, "batch-1")
+    for name, exp_df in variant.to_spark(spark).items():
+        cols = exp_df.columns
+        got = stores[name].read(spark)
+        assert sorted(map(tuple, got.select(sorted(cols)).collect())) == sorted(
+            map(tuple, exp_df.select(sorted(cols)).collect())
+        ), f"{name} after crash-window replay"
+
+
 def test_versioned_ingest_batch_redelivery_is_noop(spark, tmp_path):
     """Exactly-once under micro-batch re-delivery: replaying the same
     files through a SECOND stream against the same stores must not
