@@ -233,7 +233,12 @@ def _build_once(root: str, build) -> None:
     import os
     import shutil
 
-    if os.path.exists(f"{root}/_latest"):
+    # presence of any committed manifest marks the store as built
+    # (the store keeps no _latest pointer; manifests are the truth)
+    mdir = f"{root}/_manifests"
+    if os.path.isdir(mdir) and any(
+        n.startswith("v") and n.endswith(".json") for n in os.listdir(mdir)
+    ):
         return
     stage = f"{root}.staging"
     shutil.rmtree(stage, ignore_errors=True)

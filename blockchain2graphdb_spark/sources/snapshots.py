@@ -22,10 +22,17 @@ commit cost is O(files touched) and the log stays tiny relative to
 data. Readers plan from an explicit file list that Spark treats as an
 ordinary multi-file parquet scan — predicate pushdown, column pruning
 and partition pruning (via `basePath` discovery of `col=value` dirs)
-all intact. Commits are last-writer-wins via an atomic rename of
-`_latest` (single-writer, same as the reference's one driver thread);
-a multi-writer deployment would swap `_latest` for a compare-and-swap
-on an object store or a log service, with no change to the read path.
+all intact.
+
+Multi-writer commits use optimistic concurrency, the Delta protocol's
+shape: version N+1 is CLAIMED by atomically linking a fully-written
+manifest into `_manifests/v{N+1}.json` (os.link fails with EEXIST if
+another writer got there first — the filesystem's compare-and-swap).
+A loser re-reads the new latest state, rebuilds its file list (appends
+and partition overwrites re-derive from the winner's files, so no lost
+updates), and retries at N+2. On an object store the link becomes a
+conditional PUT (if-none-match) or a log-service CAS — same protocol,
+no change to the read path.
 """
 
 from __future__ import annotations
@@ -33,6 +40,8 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import uuid
+from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -41,9 +50,8 @@ class SnapshotStore:
     """One versioned table rooted at `root` (tests use `.tmp/`).
 
     Layout:
-        <root>/data/[<col>=<val>/]v{V}-{seq}.parquet   immutable data files
-        <root>/_manifests/v{V}.json                    one manifest per commit
-        <root>/_latest                                 current version (atomic rename)
+        <root>/data/[<col>=<val>/]v{V}-{tok}-{seq}.parquet  immutable data files
+        <root>/_manifests/v{V}.json            one manifest per commit (CAS-claimed)
     """
 
     def __init__(self, root: str):
@@ -54,11 +62,17 @@ class SnapshotStore:
     # ---- log primitives -------------------------------------------------
 
     def latest_version(self) -> int:
-        try:
-            with open(f"{self.root}/_latest") as f:
-                return int(f.read().strip())
-        except FileNotFoundError:
-            return 0
+        """Highest committed version. Truth is the manifest directory —
+        versions are claimed sequentially (max+1), so the set is gapless
+        and the max is the head of the log."""
+        best = 0
+        for n in os.listdir(f"{self.root}/_manifests"):
+            if n.startswith("v") and n.endswith(".json"):
+                try:
+                    best = max(best, int(n[1:-5]))
+                except ValueError:
+                    pass
+        return best
 
     def _check(self, version: int) -> int:
         if not 0 <= version <= self.latest_version():
@@ -100,35 +114,49 @@ class SnapshotStore:
 
     def _commit(
         self,
-        files: list[str],
+        files_fn: Callable[[], list[str]],
         partition_col: str | None,
         op: str,
         tag: str | None = None,
         schema_json: str | None = None,
     ) -> int:
-        new_v = self.latest_version() + 1
-        mpath = f"{self.root}/_manifests/v{new_v:08d}.json"
-        tmp = mpath + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(
-                {"version": new_v, "op": op, "partition_col": partition_col,
-                 "tag": tag, "schema": schema_json, "files": self._rel(files)}, f)
-        os.rename(tmp, mpath)
-        # _latest moves last: a crash before this line leaves the old
-        # version live and the orphan manifest harmless
-        ltmp = f"{self.root}/_latest.tmp"
-        with open(ltmp, "w") as f:
-            f.write(str(new_v))
-        os.rename(ltmp, f"{self.root}/_latest")
-        return new_v
+        """Optimistic-concurrency commit loop. `files_fn` is re-invoked
+        on every attempt so a losing writer re-derives its file list
+        from the winner's commit (appends/overwrites never lose the
+        other writer's files)."""
+        while True:
+            new_v = self.latest_version() + 1
+            mpath = f"{self.root}/_manifests/v{new_v:08d}.json"
+            # write the complete manifest to a private temp, then claim
+            # the version slot with an atomic hard link: losers get
+            # EEXIST, readers never observe a partial manifest
+            tmp = f"{self.root}/_manifests/.claim-{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                json.dump(
+                    {"version": new_v, "op": op, "partition_col": partition_col,
+                     "tag": tag, "schema": schema_json,
+                     "files": self._rel(files_fn())}, f)
+                f.flush()
+                os.fsync(f.fileno())
+            try:
+                os.link(tmp, mpath)
+                return new_v
+            except FileExistsError:
+                continue  # lost the CAS — retry against the new head
+            finally:
+                os.unlink(tmp)
 
     # ---- write paths ----------------------------------------------------
 
     def _stage(self, df: DataFrame, partition_col: str | None) -> list[str]:
         """Write df to a staging dir, move the parquet files into data/
-        (keeping `col=value` subdirs) under collision-free names."""
+        (keeping `col=value` subdirs). Names carry a per-writer token so
+        concurrent writers staging for the same target version can never
+        collide (the version prefix is informational only — manifests,
+        not names, define membership)."""
         base = self.latest_version() + 1
-        stage = f"{self.root}/_stage_v{base}"
+        tok = uuid.uuid4().hex[:8]
+        stage = f"{self.root}/_stage-{tok}"
         shutil.rmtree(stage, ignore_errors=True)
         writer = df.write.mode("overwrite")
         if partition_col:
@@ -144,7 +172,7 @@ class SnapshotStore:
             for n in sorted(names):
                 if not n.endswith(".parquet"):
                     continue
-                dest = f"{destdir}/v{base:08d}-{seq:05d}.parquet"
+                dest = f"{destdir}/v{base:08d}-{tok}-{seq:05d}.parquet"
                 os.rename(os.path.join(dirpath, n), dest)
                 out.append(dest)
                 seq += 1
@@ -175,18 +203,22 @@ class SnapshotStore:
         self, df: DataFrame, partition_col: str | None = None, tag: str | None = None
     ) -> int:
         """Full overwrite as a new version (old versions stay readable)."""
+        staged = self._stage(df, partition_col)
         return self._commit(
-            self._stage(df, partition_col), partition_col, "write", tag,
+            lambda: staged, partition_col, "write", tag,
             schema_json=df.schema.json(),
         )
 
     def append(self, df: DataFrame, tag: str | None = None) -> int:
         """New version = previous files + the new rows' files (M1-adjacent:
-        the caller dedups; this is the physical append)."""
+        the caller dedups; this is the physical append). Under a CAS
+        retry the base file list is re-read, so a concurrent winner's
+        files are carried forward."""
         pc = self.partition_col()
         self._check_layout(pc if self.latest_version() else None)
+        staged = self._stage(df, pc)
         return self._commit(
-            self.files() + self._stage(df, pc), pc, "append", tag,
+            lambda: self.files() + staged, pc, "append", tag,
             schema_json=df.schema.json(),
         )
 
@@ -205,24 +237,31 @@ class SnapshotStore:
         if pc is None:
             raise ValueError("overwrite_partitions requires a partitioned table")
         drop = {f"{pc}={v}" for v in values}
-        kept = [
-            f
-            for f in self.files()
-            if os.path.basename(os.path.dirname(f)) not in drop
-        ]
         staged = self._stage(df, pc)
-        clash = {os.path.basename(os.path.dirname(f)) for f in staged} & {
-            os.path.basename(os.path.dirname(f)) for f in kept
-        }
-        if clash:
-            for f in staged:
-                os.remove(f)
-            raise ValueError(
-                f"df holds rows in retained partitions {sorted(clash)} — "
-                "widen `values` or filter df to the replaced partitions"
-            )
+        staged_parts = {os.path.basename(os.path.dirname(f)) for f in staged}
+
+        def build() -> list[str]:
+            # re-derived per CAS attempt: a concurrent append's files are
+            # kept-or-dropped by the same partition rule
+            kept = [
+                f
+                for f in self.files()
+                if os.path.basename(os.path.dirname(f)) not in drop
+            ]
+            clash = staged_parts & {
+                os.path.basename(os.path.dirname(f)) for f in kept
+            }
+            if clash:
+                for f in staged:
+                    os.remove(f)
+                raise ValueError(
+                    f"df holds rows in retained partitions {sorted(clash)} — "
+                    "widen `values` or filter df to the replaced partitions"
+                )
+            return kept + staged
+
         return self._commit(
-            kept + staged, pc, f"overwrite_partitions({len(drop)})", tag,
+            build, pc, f"overwrite_partitions({len(drop)})", tag,
             schema_json=df.schema.json(),
         )
 
@@ -234,7 +273,7 @@ class SnapshotStore:
         m = None if v == 0 else self._manifest(v)
         pc = None if m is None else m["partition_col"]
         return self._commit(
-            files, pc, f"restore({v})",
+            lambda: files, pc, f"restore({v})",
             schema_json=None if m is None else m.get("schema"),
         )
 
@@ -354,5 +393,10 @@ class SnapshotStore:
         this runs per-partition and only where file counts exceed the
         target, so cost tracks fragmentation, not table size."""
         pc = self.partition_col()
-        df = self.read(spark).coalesce(target_files)
-        return self._commit(self._stage(df, pc), pc, f"compact({target_files})")
+        base = self.read(spark)
+        df = base.coalesce(target_files)
+        staged = self._stage(df, pc)
+        return self._commit(
+            lambda: staged, pc, f"compact({target_files})",
+            schema_json=base.schema.json(),
+        )

@@ -264,6 +264,62 @@ def test_diff_across_schema_evolution(spark, sf_dir, store):
     assert kinds.get("delete", 0) == df.filter(F.col("bucket") == 1).count()
 
 
+def test_concurrent_appends_both_land(spark, sf_dir, store):
+    """Multi-writer CAS: two writers appending concurrently must BOTH
+    commit (the loser retries at the next version carrying the winner's
+    files forward) — no lost update, gapless version sequence."""
+    import threading
+
+    df = _orders(spark, sf_dir)
+    store.write(df.filter(F.col("o_orderkey") % 3 == 0))
+    parts = [
+        df.filter(F.col("o_orderkey") % 3 == 1),
+        df.filter(F.col("o_orderkey") % 3 == 2),
+    ]
+    errs = []
+
+    def run(piece):
+        try:
+            store.append(piece)
+        except Exception as e:  # surface thread failures in the assert
+            errs.append(e)
+
+    threads = [threading.Thread(target=run, args=(p,)) for p in parts]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    assert store.latest_version() == 3
+    assert _count_sum(store.read(spark)) == _count_sum(df)
+    # every version is readable (no torn manifests)
+    for v in (1, 2, 3):
+        store.read(spark, version=v).count()
+
+
+def test_concurrent_version_claim_is_exclusive(store, spark, sf_dir):
+    """The CAS primitive itself: many racing claims for the same version
+    slot — exactly one wins per version, and the log stays gapless."""
+    import threading
+
+    df = _orders(spark, sf_dir).limit(10)
+    store.write(df)
+    n = 6
+    barrier = threading.Barrier(n)
+    results = []
+
+    def run(i):
+        barrier.wait()  # maximize contention on the same base version
+        results.append(store.restore(1))
+
+    threads = [threading.Thread(target=run, args=(i,)) for i in range(n)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert sorted(results) == list(range(2, 2 + n))  # all landed, no dup/gap
+
+
 def test_randomized_op_sequences_match_model(spark, tmp_path):
     """Model-based check: random write/append/overwrite/restore
     sequences must always read back exactly what an in-memory model
