@@ -1,0 +1,140 @@
+"""S1 binary block-file ingestion as a driver-checked query.
+
+The reference's scan path is BlockFileLoader over binary blk%05d.dat
+files (BlockchainToGraph.java B:361, enumeration B:80–88); the Spark
+form is a `binaryFile` scan + Arrow-batched decode + columnar explode
+(sources/blockfile.py). Round 1 left that seam driver-unverified; this
+module registers `blockfile_ingest`, whose oracle is a table of
+CONSTANTS computed in pure Python from the fixture chain's row lists —
+never through the encoder or decoder — so the driver's value-hash gate
+differentially checks the entire encode → binary scan → mapInPandas
+decode → normalize pipeline (counts, value sums, and a per-row crc32
+fingerprint for each of the four normalized tables).
+
+The blk files are built once per scale-factor-independent fixture under
+`.tmp/` with the same atomic stage+rename used by the snapshot queries.
+"""
+
+from __future__ import annotations
+
+import os
+import zlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..chain import fixtures
+from ..registry import query
+from ..sources.blockfile import read_blocks, normalize
+
+_N_BLOCKS = 64
+_SEED = 11
+_ROOT = "/root/repo/.tmp/blkfix_v1"
+
+
+def _chain():
+    return fixtures.generate(n_blocks=_N_BLOCKS, seed=_SEED)
+
+
+def _build_blk_files_once() -> str:
+    """Serialize the fixture chain into blk files (pure Python, no
+    Spark), atomically: stage, then rename into place."""
+    if os.path.isdir(_ROOT) and any(
+        n.endswith(".dat") for n in os.listdir(_ROOT)
+    ):
+        return _ROOT
+    from ..sources.blockfile import write_blk_files
+    import shutil
+
+    stage = f"{_ROOT}.staging"
+    shutil.rmtree(stage, ignore_errors=True)
+    write_blk_files(_chain(), stage, blocks_per_file=8)
+    shutil.rmtree(_ROOT, ignore_errors=True)
+    os.rename(stage, _ROOT)
+    return _ROOT
+
+
+def _crc(s: str) -> int:
+    return zlib.crc32(s.encode())
+
+
+def _expected_rows() -> list[tuple[str, int, int, int]]:
+    """(tbl, n_rows, fp, val_sum) per normalized table, computed from the
+    fixture's raw row lists — the decoder-independent ground truth."""
+    c = _chain()
+    blocks_fp = sum(
+        _crc(f"{h}|{p or ''}|{ht}|{infl}") for h, p, ht, _d, infl in c.blocks
+    )
+    tx_fp = sum(
+        _crc(f"{tx}|{bh}|{ti}|{int(cb)}") for tx, bh, ti, _d, cb in c.transactions
+    )
+    out_fp = sum(
+        _crc(f"{tx}|{oi}|{oid}|{v}|{a}") for tx, oi, oid, v, a in c.outputs
+    )
+    in_fp = sum(_crc(f"{sp}|{oid}") for sp, oid in c.inputs)
+    return [
+        ("blocks", len(c.blocks), blocks_fp, sum(b[4] for b in c.blocks)),
+        ("transactions", len(c.transactions), tx_fp,
+         sum(t[2] for t in c.transactions)),
+        ("outputs", len(c.outputs), out_fp, sum(o[3] for o in c.outputs)),
+        ("inputs", len(c.inputs), in_fp, 0),
+    ]
+
+
+def _oracle() -> str:
+    rows = ",\n      ".join(
+        f"('{t}', CAST({n} AS BIGINT), CAST({fp} AS BIGINT), CAST({vs} AS BIGINT))"
+        for t, n, fp, vs in _expected_rows()
+    )
+    return (
+        "SELECT * FROM (VALUES\n      "
+        + rows
+        + "\n    ) AS t(tbl, n_rows, fp, val_sum)"
+    )
+
+
+@query("blockfile_ingest", oracle=_oracle())
+def blockfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 end-to-end: binaryFile scan of blk files → Arrow-batched decode
+    (mapInPandas over parse_block_payload) → columnar normalize → one
+    summary row per table. Fixture-scaled (independent of sf_dir): the
+    binary seam, not the data volume, is what this key verifies."""
+    root = _build_blk_files_once()
+    tables = normalize(read_blocks(spark, f"{root}/blk*.dat"))
+
+    def summarize(name: str, df: DataFrame, fp_cols, val_col) -> DataFrame:
+        fp = F.crc32(F.concat_ws("|", *fp_cols))
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(fp).cast("long").alias("fp"),
+            val_col.cast("long").alias("val_sum"),
+        ).select(F.lit(name).alias("tbl"), "n_rows", "fp", "val_sum")
+
+    b = summarize(
+        "blocks",
+        tables["blocks"],
+        [F.col("hash"), F.coalesce("prev_hash", F.lit("")),
+         F.col("height"), F.col("coinbase_balance")],
+        F.sum("coinbase_balance"),
+    )
+    t = summarize(
+        "transactions",
+        tables["transactions"],
+        [F.col("tx_hash"), F.col("block_hash"), F.col("tx_index"),
+         F.col("is_coinbase").cast("int")],
+        F.sum("tx_index"),
+    )
+    o = summarize(
+        "outputs",
+        tables["outputs"],
+        [F.col("tx_hash"), F.col("output_index"), F.col("output_id"),
+         F.col("value"), F.col("address")],
+        F.sum("value"),
+    )
+    i = summarize(
+        "inputs",
+        tables["inputs"],
+        [F.col("spending_tx_hash"), F.col("spent_output_id")],
+        F.sum(F.lit(0)),
+    )
+    return b.unionByName(t).unionByName(o).unionByName(i)

@@ -39,6 +39,7 @@ _OPERATOR_MODULES = (
     "blockchain2graphdb_spark.operators.ann_pq",
     "blockchain2graphdb_spark.operators.textops",
     "blockchain2graphdb_spark.operators.sqlsuite",
+    "blockchain2graphdb_spark.operators.ingestion",
     "blockchain2graphdb_spark.streaming.queries",
 )
 
