@@ -1015,6 +1015,47 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sample_hash_stratified",
+    oracle="""
+    SELECT c_custkey, c_mktsegment FROM (
+      SELECT c_custkey, c_mktsegment,
+             ROW_NUMBER() OVER (
+               PARTITION BY c_mktsegment
+               ORDER BY md5(CAST(c_custkey AS VARCHAR)), c_custkey
+             ) AS rn
+      FROM customer
+    ) WHERE rn <= CASE WHEN c_mktsegment = 'BUILDING' THEN 100 ELSE 25 END
+    """,
+)
+def sample_hash_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible stratified sampling: rank each stratum by md5 of the
+    key and keep the first k — the deterministic counterpart to
+    `sample_stratified`'s Bernoulli draw, identical across engines and
+    runs (training-data pipelines pin samples this way so a re-run of a
+    100 TB corpus yields byte-identical splits). A CONSTANT rn bound is
+    filtered first: InferWindowGroupLimit only fires on literal bounds,
+    and the resulting WindowGroupLimit keeps ≤max(k) rows per group on
+    every map partition before the shuffle (plan-asserted); the exact
+    per-stratum CASE bound then refines. `sample_stratified` remains
+    the shuffle-free scan path when cross-engine reproducibility isn't
+    required."""
+    from pyspark.sql import Window as W
+
+    prep(spark)
+    cust = table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(
+        F.md5(F.col("c_custkey").cast("string")), F.col("c_custkey")
+    )
+    k = F.when(F.col("c_mktsegment") == "BUILDING", 100).otherwise(25)
+    return (
+        cust.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 100)  # literal bound => WindowGroupLimit
+        .where(F.col("rn") <= k)
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+@query(
     "agg_grouping_sets",
     oracle="""
     SELECT r_name, n_name,

@@ -119,20 +119,17 @@ def similarity_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 3).drop("rn")
 
 
-def lsh_topk(
-    spark: SparkSession,
-    sf_dir: str,
-    n_bits: int | None = None,
-    n_tables: int = 2,
-    k: int = 3,
+def lsh_candidate_pairs(
+    emb: DataFrame, n_bits: int | None = None, n_tables: int = 2
 ) -> DataFrame:
-    """Random-hyperplane LSH top-k with band OR-construction.
+    """Random-hyperplane LSH candidate generation with band
+    OR-construction: (query_id, cand_id, cosine) for every distinct pair
+    sharing a bucket in ANY of `n_tables` independent hash tables.
 
-    Each of `n_tables` independent hash tables assigns every vector a
-    `n_bits`-bit sign signature (bucket id); candidate pairs are vectors
-    sharing a bucket in ANY table (OR across tables — the recall lever),
-    exact cosine reranks inside. Hyperplanes are pseudo-random ±1 derived
-    from xxhash64(table, bit, dim) — deterministic, no stored model.
+    Each table assigns every vector a `n_bits`-bit sign signature
+    (bucket id); exact cosine is computed inside buckets. Hyperplanes
+    are pseudo-random ±1 derived from xxhash64(table, bit, dim) —
+    deterministic, no stored model.
 
     Scale shape (100 TB): `n_bits` defaults to ~log2(N / 32), so the
     expected bucket population stays ~constant as N grows and the
@@ -140,10 +137,8 @@ def lsh_topk(
     (N/2^bits)² blowup of a fixed bucket count (round-1 weakness).
     Recall lost to the narrower buckets is recovered by the OR over
     `n_tables` tables. Duplicate candidates from different tables are
-    deduped by a groupBy on the pair key; AQE splits skewed buckets.
+    collapsed on the pair key; AQE splits skewed buckets.
     """
-    prep(spark)
-    emb = table(spark, sf_dir, "embeddings")
     if n_bits is None:
         n = emb.count()  # parquet metadata count — no scan
         n_bits = max(4, (max(n, 1) // 32).bit_length())
@@ -180,7 +175,7 @@ def lsh_topk(
     )
     a = sigs.alias("a")
     b = sigs.alias("b")
-    pairs = (
+    return (
         a.join(
             b,
             (F.col("a.tbl") == F.col("b.tbl"))
@@ -196,6 +191,20 @@ def lsh_topk(
         # an identical deterministic cosine — collapse before ranking
         .distinct()
     )
+
+
+def lsh_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    n_bits: int | None = None,
+    n_tables: int = 2,
+    k: int = 3,
+) -> DataFrame:
+    """LSH candidate pairs (see lsh_candidate_pairs) reranked to the
+    exact-cosine top-k per query vector."""
+    prep(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    pairs = lsh_candidate_pairs(emb, n_bits=n_bits, n_tables=n_tables)
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
     return (
         pairs.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k).drop("rn")
@@ -268,6 +277,27 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return pairs
+
+
+@query("dedup_embedding_lsh")  # rows-only: LSH candidate set is approximate
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 at scale: embedding near-duplicate pairs blocked by
+    random-hyperplane LSH instead of the `label` column — the production
+    path when no blocking key exists. Candidate pairs from 4 OR'd hash
+    tables (lsh_candidate_pairs), exact cosine filter > 0.3 inside.
+    Pair recall vs the exact all-pairs ground truth is pinned in
+    tests/test_ann_recall.py."""
+    prep(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    return (
+        lsh_candidate_pairs(emb, n_tables=4)
+        .where(F.col("cosine") > 0.3)
+        .select(
+            F.col("query_id").alias("vec_a"),
+            F.col("cand_id").alias("vec_b"),
+            "cosine",
+        )
+    )
 
 
 @query(

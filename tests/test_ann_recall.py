@@ -121,6 +121,34 @@ def test_lsh_recall_floor_and_table_scaling(spark, sf_dir):
     assert r4 > r1, f"OR-construction gained nothing: {r1:.2f} -> {r4:.2f}"
 
 
+def test_dedup_embedding_lsh_pair_recall(spark, sf_dir):
+    """LSH-blocked near-dup pairs (no blocking column) must recover a
+    floor fraction of the exact all-pairs cosine>0.3 ground truth.
+    Measured 0.44 (406/920 pairs) at the registered 4-table setting on
+    the random-gaussian fixture."""
+    from blockchain2graphdb_spark import registry
+    from blockchain2graphdb_spark.catalog import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    truth = (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", float_cosine(F.col("ea"), F.col("eb")).alias("c"))
+        .where(F.col("c") > 0.3)
+        .select("vec_a", "vec_b")
+    )
+    total = truth.count()
+    assert total > 0
+    got = (
+        registry.load_all()["dedup_embedding_lsh"]
+        .builder(spark, sf_dir)
+        .select("vec_a", "vec_b")
+    )
+    hit = truth.intersect(got).count()
+    assert hit / total >= 0.3, f"dedup LSH pair recall = {hit}/{total}"
+
+
 def test_pq_recall_floor_and_determinism(spark, sf_dir):
     """PQ/ADC approximates exact L2 on the quantized vectors. With an
     untrained 16-code sample codebook on random gaussians (worst case)

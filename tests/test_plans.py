@@ -148,6 +148,12 @@ def test_tfidf_df_join_is_unhinted_and_aqe_broadcasts(spark):
     assert "BroadcastHashJoin" in executed_plan_string(df)
 
 
+def test_hash_stratified_sample_rank_limit_pushdown(spark):
+    """The deterministic sample's constant rn bound must compile to
+    WindowGroupLimit (per-partition top-k before the shuffle)."""
+    assert has_node(_df("sample_hash_stratified", spark), "WindowGroupLimit")
+
+
 def test_triangle_count_shuffle_path_above_threshold(spark):
     """Above the broadcast threshold the adjacency probes must fall back
     to shuffle joins (round-1 scale-killer: unconditional broadcast), and
