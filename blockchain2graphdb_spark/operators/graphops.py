@@ -412,6 +412,38 @@ def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.col("rank").desc(), F.col("part")).limit(100)
 
 
+@query("personalized_pagerank")  # rows-only: fixed-point float iteration
+def personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G7 variant: personalized PageRank seeded at the p_size=50 parts
+    (the same source set bfs_distance uses) over the part co-purchase
+    graph — proximity-to-seeds instead of global centrality. NumPy
+    power-iteration parity pinned in tests/test_graph_analytics.py."""
+    prep(spark)
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+    )
+    seeds = table(spark, sf_dir, "part").where(F.col("p_size") == 50).select(
+        F.col("p_partkey")
+    )
+    ranks = personalized_pagerank_ranks(pairs, seeds)
+    return (
+        ranks.select(
+            F.col("id").alias("part"), F.round(F.col("rank"), 9).alias("rank")
+        )
+        .orderBy(F.col("rank").desc(), F.col("part"))
+        .limit(100)
+    )
+
+
 def pagerank_ranks(
     pairs: DataFrame, n_iter: int = 10, damping: float = 0.85
 ) -> DataFrame:
@@ -436,6 +468,65 @@ def pagerank_ranks(
         vprog=lambda attr, msg: F.struct(
             (F.lit(1 - damping) + F.lit(damping) * msg).alias("rank"),
             attr["deg"].alias("deg"),
+        ),
+        max_iter=n_iter,
+        needs_dst_attr=False,
+        check_convergence=False,
+    )
+    return out.select("id", F.col("attr")["rank"].alias("rank"))
+
+
+def personalized_pagerank_ranks(
+    pairs: DataFrame,
+    seeds: DataFrame,
+    n_iter: int = 10,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Personalized PageRank: the random surfer teleports to the SEED
+    set (uniformly) instead of to any vertex — rank becomes proximity to
+    the seeds (the similar-wallets / related-documents primitive).
+
+    rank_v = (1-d)·reset_v + d·Σ_u rank_u/deg_u with reset_v = 1/|S| on
+    seeds, 0 elsewhere; iteration starts from the reset vector. Same
+    Pregel shape (and 100 TB properties) as pagerank_ranks: one keyed
+    shuffle per superstep, fixed superstep count, sum combiner, the
+    reset vector riding in the vertex attr so no per-round seed join.
+    `seeds` is a one-column DataFrame of vertex ids.
+    """
+    from ..graph.pregel import pregel
+
+    sym = pairs.union(pairs.select(F.col("dst"), F.col("src"))).localCheckpoint(
+        eager=True
+    )
+    deg = sym.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    seed_ids = seeds.select(F.col(seeds.columns[0]).alias("id")).distinct()
+    n_seeds = seed_ids.count()
+    if n_seeds == 0:
+        raise ValueError("personalized pagerank needs a non-empty seed set")
+    reset = F.coalesce(F.col("_s"), F.lit(0.0)) / F.lit(float(n_seeds))
+    vertices = (
+        deg.join(seed_ids.withColumn("_s", F.lit(1.0)), "id", "left")
+        .select(
+            "id",
+            F.struct(
+                reset.alias("rank"),  # power iteration starts at reset
+                F.col("deg").alias("deg"),
+                reset.alias("reset"),
+            ).alias("attr"),
+        )
+    )
+    out = pregel(
+        vertices,
+        sym,
+        initial_msg=None,
+        send_msg=lambda s, d: s["rank"] / s["deg"],
+        agg_msg=F.sum,
+        vprog=lambda attr, msg: F.struct(
+            (F.lit(1 - damping) * attr["reset"] + F.lit(damping) * msg).alias("rank"),
+            attr["deg"].alias("deg"),
+            attr["reset"].alias("reset"),
         ),
         max_iter=n_iter,
         needs_dst_attr=False,

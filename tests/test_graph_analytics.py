@@ -47,6 +47,43 @@ def test_pagerank_uniform_on_regular_graph(spark):
     assert max(ranks) - min(ranks) < 1e-12
 
 
+def test_personalized_pagerank_matches_power_iteration(spark):
+    """PPR seeded at {0} vs an independent NumPy power iteration with
+    the reset vector concentrated on the seed."""
+    from blockchain2graphdb_spark.operators.graphops import (
+        personalized_pagerank_ranks,
+    )
+
+    edges = [(0, 1), (0, 2), (1, 2), (2, 3), (3, 4)]
+    seeds = spark.createDataFrame([(0,)], "id long")
+    got = {
+        r["id"]: r["rank"]
+        for r in personalized_pagerank_ranks(
+            _pairs(spark, edges), seeds, n_iter=10
+        ).collect()
+    }
+
+    n = 5
+    adj = np.zeros((n, n))
+    for a, b in edges:
+        adj[a, b] = adj[b, a] = 1
+    deg = adj.sum(axis=1)
+    reset = np.zeros(n)
+    reset[0] = 1.0
+    rank = reset.copy()
+    for _ in range(10):
+        rank = 0.15 * reset + 0.85 * (adj.T @ (rank / deg))
+
+    assert set(got) == set(range(n))
+    for v in range(n):
+        assert abs(got[v] - rank[v]) < 1e-9, (v, got[v], rank[v])
+    # proximity ordering: the seed's direct neighbors outrank the far leaf
+    assert got[1] > got[4] and got[2] > got[4]
+    # and the global-PageRank hub ordering does NOT dominate: rank mass
+    # concentrates near the seed
+    assert got[0] == max(got.values())
+
+
 def test_bfs_distance_levels(spark, sf_dir):
     from blockchain2graphdb_spark import registry
 
