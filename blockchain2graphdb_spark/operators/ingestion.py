@@ -93,6 +93,92 @@ def _oracle() -> str:
     )
 
 
+_UTXO_HEIGHT = 40
+_UTXO_TOPK = 10
+
+
+def _expected_utxo_rows() -> list[tuple[str, int, int]]:
+    """Top-k (address, balance, n_utxo) at height _UTXO_HEIGHT, replayed
+    in pure Python from the fixture lists — the ground truth for the
+    Spark-side set-algebra derivation over the decoded chain."""
+    c = _chain()
+    height_of_block = {b[0]: b[2] for b in c.blocks}
+    height_of_tx = {t[0]: height_of_block[t[1]] for t in c.transactions}
+    live: dict[str, tuple[int, str]] = {
+        oid: (v, a)
+        for tx, _oi, oid, v, a in c.outputs
+        if height_of_tx[tx] <= _UTXO_HEIGHT
+    }
+    for sp, oid in c.inputs:
+        if height_of_tx[sp] <= _UTXO_HEIGHT:
+            live.pop(oid, None)
+    agg: dict[str, list[int]] = {}
+    for v, a in live.values():
+        s = agg.setdefault(a, [0, 0])
+        s[0] += v
+        s[1] += 1
+    ranked = sorted(agg.items(), key=lambda kv: (-kv[1][0], kv[0]))
+    return [(a, s[0], s[1]) for a, s in ranked[:_UTXO_TOPK]]
+
+
+def _utxo_oracle() -> str:
+    rows = ",\n      ".join(
+        f"('{a}', CAST({bal} AS BIGINT), CAST({n} AS BIGINT))"
+        for a, bal, n in _expected_utxo_rows()
+    )
+    return (
+        "SELECT * FROM (VALUES\n      "
+        + rows
+        + "\n    ) AS t(address, balance, n_utxo)"
+    )
+
+
+@query("utxo_balances", oracle=_utxo_oracle())
+def utxo_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's core balance derivation (TransactionBalance /
+    address balance family, B:784, B:1011–1041) AT A PINNED HEIGHT,
+    end-to-end through the binary decode: UTXO set at height H =
+    outputs created at height ≤ H minus outputs spent by transactions
+    at height ≤ H (one anti-join), then a per-address rollup and top-k.
+    The oracle replays the same height-pinned UTXO set in pure Python
+    from the fixture lists, independent of the decoder. At 100 TB the
+    height filters prune block partitions before the anti-join, whose
+    shuffle carries only (output_id) keys."""
+    root = _build_blk_files_once()
+    t = normalize(read_blocks(spark, f"{root}/blk*.dat"))
+    heights = t["blocks"].select(F.col("hash").alias("block_hash"), "height")
+    tx_h = (
+        t["transactions"]
+        .join(heights, "block_hash")
+        .select("tx_hash", "height")
+    )
+    created = (
+        t["outputs"]
+        .join(tx_h, "tx_hash")
+        .where(F.col("height") <= _UTXO_HEIGHT)
+        .select("output_id", "value", "address")
+    )
+    spent = (
+        t["inputs"]
+        .join(
+            tx_h.withColumnRenamed("tx_hash", "spending_tx_hash"),
+            "spending_tx_hash",
+        )
+        .where(F.col("height") <= _UTXO_HEIGHT)
+        .select(F.col("spent_output_id").alias("output_id"))
+    )
+    live = created.join(spent, "output_id", "left_anti")
+    return (
+        live.groupBy("address")
+        .agg(
+            F.sum("value").cast("long").alias("balance"),
+            F.count(F.lit(1)).cast("long").alias("n_utxo"),
+        )
+        .orderBy(F.col("balance").desc(), F.col("address"))
+        .limit(_UTXO_TOPK)
+    )
+
+
 @query("blockfile_ingest", oracle=_oracle())
 def blockfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1 end-to-end: binaryFile scan of blk files → Arrow-batched decode
