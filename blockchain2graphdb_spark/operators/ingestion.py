@@ -179,6 +179,35 @@ def utxo_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("taint_flow")  # rows-only: iterative float fixpoint (Pregel)
+def taint_flow_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proportional-haircut taint from the genesis coinbase address over
+    the decoded chain's spend graph (chain/taint.py): value fraction
+    traceable to the seed within 8 spend-hops (the bounded-hop form
+    analysts run; superstep count fixed so the shuffle count is known in
+    advance), top-20 tainted outputs. Exact parity with a pure-Python
+    replay of the same hop-bounded update is pinned in
+    tests/test_taint.py."""
+    from ..chain.taint import taint_flow
+
+    c = _chain()
+    genesis_hash = min(c.blocks, key=lambda b: b[2])[0]
+    genesis_cb = next(t[0] for t in c.transactions if t[4] and t[1] == genesis_hash)
+    seed_addr = next(o[4] for o in c.outputs if o[0] == genesis_cb)
+    root = _build_blk_files_once()
+    tables = normalize(read_blocks(spark, f"{root}/blk*.dat"))
+    seeds = spark.createDataFrame([(seed_addr,)], "address string")
+    out = taint_flow(tables, seeds, n_iter=8, check_convergence=False)
+    return (
+        out.where(F.col("taint") > 0)
+        .select(
+            "output_id", "address", "value", F.round("taint", 9).alias("taint")
+        )
+        .orderBy(F.col("taint").desc(), F.col("output_id"))
+        .limit(20)
+    )
+
+
 @query("blockfile_ingest", oracle=_oracle())
 def blockfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1 end-to-end: binaryFile scan of blk files → Arrow-batched decode
