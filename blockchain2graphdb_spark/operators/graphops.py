@@ -445,9 +445,20 @@ def personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def pagerank_ranks(
-    pairs: DataFrame, n_iter: int = 10, damping: float = 0.85
+    pairs: DataFrame,
+    n_iter: int = 10,
+    damping: float = 0.85,
+    init_ranks: DataFrame | None = None,
 ) -> DataFrame:
-    """(id, rank) over the symmetrized edge list of canonical pairs."""
+    """(id, rank) over the symmetrized edge list of canonical pairs.
+
+    `init_ranks` (id, rank) warm-starts the power iteration — the
+    incremental-maintenance path: after an edge batch lands, restart
+    from the previous fixpoint instead of the uniform vector and far
+    fewer supersteps recover convergence (each superstep is the full
+    O(E) shuffle either way, so fewer rounds IS the saving; pinned in
+    tests/test_graph_analytics.py). Vertices new to the graph fall back
+    to the uniform 1.0 start."""
     from ..graph.pregel import pregel
 
     sym = pairs.union(pairs.select(F.col("dst"), F.col("src"))).localCheckpoint(
@@ -456,8 +467,14 @@ def pagerank_ranks(
     deg = sym.groupBy(F.col("src").alias("id")).agg(
         F.count(F.lit(1)).alias("deg")
     )
+    if init_ranks is not None:
+        init = init_ranks.select("id", F.col("rank").alias("_r0"))
+        deg = deg.join(init, "id", "left")
+        rank0 = F.coalesce(F.col("_r0"), F.lit(1.0))
+    else:
+        rank0 = F.lit(1.0)
     vertices = deg.select(
-        "id", F.struct(F.lit(1.0).alias("rank"), F.col("deg").alias("deg")).alias("attr")
+        "id", F.struct(rank0.alias("rank"), F.col("deg").alias("deg")).alias("attr")
     )
     out = pregel(
         vertices,
