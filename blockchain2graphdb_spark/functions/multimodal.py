@@ -151,6 +151,42 @@ def resize_images(media: DataFrame, max_side: int = 16) -> DataFrame:
     return images.mapInPandas(rs, schema=MEDIA_SCHEMA).unionByName(others)
 
 
+def window_audio(
+    media: DataFrame, window_ms: int = 500, hop_ms: int = 250
+) -> DataFrame:
+    """Audio windowing stage (the spectrogram/ASR-prep shape): each audio
+    payload expands to overlapping fixed-length windows — starts at
+    0, hop, 2·hop, … while start + window ≤ duration. 1→N mapInPandas
+    like sample_frames; the (fake) chunk bytes stand in for the PCM
+    slice a real decoder would emit."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("win_idx", T.IntegerType(), False),
+            T.StructField("start_ms", T.IntegerType(), False),
+            T.StructField("duration_ms", T.IntegerType(), False),
+            T.StructField("chunk", T.BinaryType(), False),
+        ]
+    )
+
+    def wa(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                dur = dict(r["meta"]).get("duration_ms") or 0
+                for i, start in enumerate(range(0, dur - window_ms + 1, hop_ms)):
+                    chunk = _fake_bytes(
+                        bytes(r["payload"][:16]) + start.to_bytes(4, "big"), 128
+                    )
+                    rows.append((int(r["media_id"]), i, start, dur, chunk))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "win_idx", "start_ms", "duration_ms", "chunk"],
+            )
+
+    return media.where(F.col("kind") == "audio").mapInPandas(wa, schema=out_schema)
+
+
 def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Frame-sampling stage (videos): 1→N expansion, one row per sampled
     frame — the UDTF shape (S1 decoder) applied to time media."""

@@ -19,6 +19,7 @@ from ..functions.multimodal import (
     resize_images,
     sample_frames,
     synthesize_media,
+    window_audio,
 )
 from ..registry import query
 
@@ -51,6 +52,40 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.md5(F.col("text").cast("binary")), 1, 8).alias("seed_sig"),
     )
     return feats.join(sig, "media_id").select("media_id", "kind", "n_bytes", "seed_sig")
+
+
+@query(
+    "multimodal_audio_windows",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(dur AS BIGINT) AS duration_ms,
+           CAST((dur - 500) // 250 + 1 AS BIGINT) AS n_windows,
+           CAST(((dur - 500) // 250) * 250 AS BIGINT) AS last_start_ms
+    FROM (
+      SELECT doc_id,
+             1000 + ((instr('0123456789abcdef', substr(md5(text), 5, 1)) - 1) * 16
+                   + (instr('0123456789abcdef', substr(md5(text), 6, 1)) - 1)) * 100 AS dur
+      FROM documents
+      WHERE doc_id % 3 = 1
+    )
+    """,
+)
+def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: audio windowing (500 ms windows, 250 ms hop) — the
+    spectrogram/ASR-prep 1→N expansion, oracle-checked: the stub's
+    duration is byte 2 of md5(text), which DuckDB replays with hex
+    arithmetic, so SQL predicts the exact window count and last start
+    the Python stage must emit. duration comes back through the
+    pipeline's meta struct (lineage check), n_windows/last_start from
+    the expanded rows themselves."""
+    prep(spark)
+    media = synthesize_media(table(spark, sf_dir, "documents"))
+    wins = window_audio(media, window_ms=500, hop_ms=250)
+    return wins.groupBy("media_id").agg(
+        F.max("duration_ms").cast("long").alias("duration_ms"),
+        F.count(F.lit(1)).alias("n_windows"),
+        F.max("start_ms").cast("long").alias("last_start_ms"),
+    )
 
 
 @query("multimodal_resize")  # rows-only: payload bytes are the stub's fake stream
