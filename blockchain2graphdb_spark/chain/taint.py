@@ -69,11 +69,19 @@ def taint_flow(
     seed_addresses: DataFrame,
     n_iter: int = 16,
     check_convergence: bool = True,
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """(output_id, address, value, taint): taint ∈ [0, 1] is the value
     fraction traceable to `seed_addresses` within `n_iter` spend-hops.
     Outputs PAID TO a seed address are re-tainted 1.0 (the seed floor),
-    matching the "address of interest" semantics."""
+    matching the "address of interest" semantics.
+
+    Tiny graphs short-circuit to a driver-side replay of the same
+    hop-bounded update (the graph/components.py precedent): below
+    ~10^5 edges the distributed loop's per-superstep job overhead
+    dominates, and the replay computes identical taint (same messages,
+    same max-with-floor; parity across both paths is pinned in
+    tests/test_taint.py). Pass driver_threshold=0 to force Pregel."""
     seeds = seed_addresses.select(
         F.col(seed_addresses.columns[0]).alias("address")
     ).distinct().withColumn("_seed", F.lit(1.0))
@@ -83,13 +91,37 @@ def taint_flow(
         "value",
         F.coalesce(F.col("_seed"), F.lit(0.0)).alias("seed"),
     )
+    edges = spend_edges(tables).localCheckpoint(eager=True)
+
+    if edges.count() <= driver_threshold:
+        spark = edges.sparkSession
+        rows = outs.collect()
+        floor = {r["id"]: r["seed"] for r in rows}
+        elist = [(r["src"], r["dst"], r["w"]) for r in edges.collect()]
+        taint = dict(floor)
+        for _ in range(n_iter):
+            msgs: dict = {}
+            for s, d, w in elist:
+                msgs[d] = msgs.get(d, 0.0) + taint[s] * w
+            new = dict(taint)
+            for d, m in msgs.items():
+                new[d] = max(floor[d], m)
+            if new == taint:
+                break
+            taint = new
+        out_rows = [
+            (r["id"], r["address"], r["value"], float(taint[r["id"]])) for r in rows
+        ]
+        return spark.createDataFrame(
+            out_rows, "output_id string, address string, value long, taint double"
+        )
+
     vertices = outs.select(
         "id",
         F.struct(F.col("seed").alias("taint"), F.col("seed").alias("seed")).alias(
             "attr"
         ),
     )
-    edges = spend_edges(tables)
     ranks = pregel(
         vertices,
         edges,

@@ -62,11 +62,14 @@ def _python_replay(chain, seed_addr, n_iter):
     return taint
 
 
-def test_taint_matches_python_replay(spark, tables, chain, seed_addr):
+@pytest.mark.parametrize("threshold", [100_000, 0])  # driver path / Pregel path
+def test_taint_matches_python_replay(spark, tables, chain, seed_addr, threshold):
     seeds = spark.createDataFrame([(seed_addr,)], "address string")
     got = {
         r["output_id"]: r["taint"]
-        for r in taint_flow(tables, seeds, n_iter=N_ITER).collect()
+        for r in taint_flow(
+            tables, seeds, n_iter=N_ITER, driver_threshold=threshold
+        ).collect()
     }
     exp = _python_replay(chain, seed_addr, N_ITER)
     assert set(got) == set(exp)
