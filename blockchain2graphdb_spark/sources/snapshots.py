@@ -389,14 +389,41 @@ class SnapshotStore:
         into `target_files` per partition — a new commit referencing the
         rewritten files; old versions keep reading the originals until
         vacuum. Streaming ingest is the natural producer of small files
-        (one-plus per micro-batch), compaction the consumer. At scale
-        this runs per-partition and only where file counts exceed the
-        target, so cost tracks fragmentation, not table size."""
+        (one-plus per micro-batch), compaction the consumer.
+
+        Cost tracks FRAGMENTATION, not table size: on a partitioned
+        table only partitions holding more than `target_files` files are
+        read and rewritten; every other partition's files are carried
+        into the new manifest untouched (metadata-only)."""
         pc = self.partition_col()
         base = self.read(spark)
-        df = base.coalesce(target_files)
-        staged = self._stage(df, pc)
+        if pc is None:
+            staged = self._stage(base.coalesce(target_files), None)
+            return self._commit(
+                lambda: staged, None, f"compact({target_files})",
+                schema_json=base.schema.json(),
+            )
+        by_part: dict[str, list[str]] = {}
+        for f in self.files():
+            by_part.setdefault(os.path.basename(os.path.dirname(f)), []).append(f)
+        fragmented = [fs for fs in by_part.values() if len(fs) > target_files]
+        untouched = [
+            f for fs in by_part.values() if len(fs) <= target_files for f in fs
+        ]
+        if not fragmented:
+            return self.latest_version()  # nothing to do, no empty commit
+        # repartition on the partition column: each value lands in one
+        # task, so the write emits one file per rewritten partition
+        frag_df = (
+            spark.read.option("mergeSchema", "true")
+            .option("basePath", f"{self.root}/data")
+            .parquet(*[f for fs in fragmented for f in fs])
+            .repartition(pc)
+        )
+        staged = self._stage(frag_df, pc)
         return self._commit(
-            lambda: staged, pc, f"compact({target_files})",
+            lambda: untouched + staged,
+            pc,
+            f"compact({target_files})",
             schema_json=base.schema.json(),
         )

@@ -192,6 +192,33 @@ def test_compact_reduces_files_preserves_rows(spark, sf_dir, store):
     assert dead == []
 
 
+def test_compact_rewrites_only_fragmented_partitions(spark, sf_dir, store):
+    """Partitioned compaction is incremental: a partition already at or
+    under the file target keeps its exact files (metadata-only carry);
+    only fragmented partitions are read and rewritten."""
+    df = _orders(spark, sf_dir).withColumn(
+        "bucket", (F.col("o_orderkey") % 2).cast("int")
+    )
+    store.write(df.filter(F.col("bucket") == 0).coalesce(1), partition_col="bucket")
+    # fragment ONLY bucket 1 with many tiny appends
+    for k in range(5):
+        store.append(
+            df.filter((F.col("bucket") == 1) & (F.col("o_orderkey") % 5 == k)).coalesce(1)
+        )
+    before = {f for f in store.files() if "bucket=0" in f}
+    frag_before = sum(1 for f in store.files() if "bucket=1" in f)
+    assert frag_before == 5
+    store.compact(spark, target_files=2)
+    after = {f for f in store.files() if "bucket=0" in f}
+    assert after == before  # untouched partition carried verbatim
+    assert sum(1 for f in store.files() if "bucket=1" in f) <= 2
+    assert _count_sum(store.read(spark)) == _count_sum(df)
+    # compacting an already-tidy table is a no-op, not an empty commit
+    v = store.latest_version()
+    assert store.compact(spark, target_files=5) == v
+    assert store.latest_version() == v
+
+
 def test_schema_evolution_on_append(spark, sf_dir, store):
     df = _orders(spark, sf_dir).select("o_orderkey", "o_totalprice")
     store.write(df.filter(F.col("o_orderkey") % 2 == 0))
