@@ -180,13 +180,15 @@ def anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi inner join (every Gremlin out()/in() hop, e.g. J4 B:578).
 
-    customer is the small side — Catalyst/AQE broadcasts it; the explicit
-    hint keeps the plan stable at any scale factor.
+    customer is the smaller side but SCALES with the data (not
+    broadcastable at 100 TB), so it carries no hint: the parquet scan
+    has size stats, Catalyst broadcasts it while it fits and AQE/SMJ
+    takes over beyond the threshold.
     """
     prep(spark)
     orders = table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 300000)
     cust = table(spark, sf_dir, "customer")
-    return orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey).select(
+    return orders.join(cust, orders.o_custkey == cust.c_custkey).select(
         "o_orderkey", "c_name", "o_totalprice"
     )
 
@@ -372,7 +374,9 @@ def self_transfer_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(orders, orders.o_orderkey == li.l_orderkey)
         .join(cust, cust.c_custkey == orders.o_custkey)
-        .join(F.broadcast(supp), supp.s_suppkey == li.l_suppkey)
+        # supplier scales with the data — unhinted, stats-driven;
+        # nation is a FIXED 25 rows at any scale — hinted
+        .join(supp, supp.s_suppkey == li.l_suppkey)
         .where(cust.c_nationkey == supp.s_nationkey)
         .join(F.broadcast(nation), nation.n_nationkey == cust.c_nationkey)
         .groupBy("n_nationkey")
@@ -690,7 +694,7 @@ def agg_self_transfer(spark: SparkSession, sf_dir: str) -> DataFrame:
     oc = orders.join(cust, cust.c_custkey == orders.o_custkey).select(
         "o_orderkey", "c_custkey", "c_nationkey"
     )
-    ls = li.join(F.broadcast(supp), supp.s_suppkey == li.l_suppkey).select(
+    ls = li.join(supp, supp.s_suppkey == li.l_suppkey).select(
         "l_orderkey", "s_nationkey"
     )
     probe = ls.withColumnRenamed("l_orderkey", "o_orderkey").withColumnRenamed(

@@ -292,9 +292,10 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment join (absent from the reference, which
     re-fetches vertices per event, B:91–113): the events stream joined
     to the static customer dimension. The static side is planned per
-    micro-batch — broadcast when small, so the stream never shuffles.
-    At 100 TB of stream the same plan holds; a huge static side would
-    instead be pre-bucketed on the join key."""
+    micro-batch — unhinted: the static side is a parquet scan with
+    stats, so Catalyst broadcasts it while it fits and a huge static
+    side falls back to a shuffle (or gets pre-bucketed on the join
+    key) instead of OOMing a forced broadcast."""
     prep(spark)
     s = _events_stream(spark, sf_dir)
     dim = (
@@ -302,7 +303,7 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
     )
     out = (
-        s.join(F.broadcast(dim), "user_id")
+        s.join(dim, "user_id")
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
