@@ -311,6 +311,108 @@ def triangle_count(
 
 
 @query(
+    "clustering_coefficient",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    sym AS (SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs),
+    seeds AS (SELECT p_partkey AS u FROM part WHERE p_size = 50),
+    nb AS (SELECT s.u, sym.v FROM seeds s JOIN sym ON sym.u = s.u),
+    deg AS (SELECT u, COUNT(*) AS degree FROM nb GROUP BY u),
+    closed AS (
+      SELECT n1.u, COUNT(*) AS n_closed
+      FROM nb n1
+      JOIN nb n2 ON n2.u = n1.u AND n1.v < n2.v
+      JOIN pairs p ON p.u = n1.v AND p.v = n2.v
+      GROUP BY n1.u
+    )
+    SELECT d.u AS node,
+           CAST(d.degree AS BIGINT) AS degree,
+           CAST(COALESCE(c.n_closed, 0) AS BIGINT) AS n_closed,
+           ROUND(CASE WHEN d.degree >= 2
+                      THEN 2.0 * COALESCE(c.n_closed, 0)
+                           / (d.degree * (d.degree - 1))
+                      ELSE 0.0 END, 6) AS coeff
+    FROM deg d LEFT JOIN closed c ON c.u = d.u
+    """,
+)
+def clustering_coefficient(
+    spark: SparkSession, sf_dir: str, broadcast_edges_max: int = 4_000_000
+) -> DataFrame:
+    """G8 companion: local clustering coefficient for a seed set (the
+    p_size=50 parts, same seeds as bfs_distance) on the part
+    co-purchase graph — closed-wedge fraction per node, the standard
+    cohesion signal next to the global triangle count.
+
+    Same never-materialize-the-wedge-stream shape as triangle_count:
+    for seed u with neighbor set N(u), each neighbor v contributes
+    |fwd(v) ∩ N(u)| closed pairs (fwd = canonical a<b adjacency, so
+    every closed pair counts once) — one vectorized array_intersect
+    per (seed, neighbor) edge instead of Σ deg² wedge rows. The
+    forward-adjacency side is broadcast only under the same
+    count-conditional gate as triangle_count; past it, keyed shuffles.
+    """
+    prep(spark)
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)  # reused: sym edges + fwd adjacency
+    )
+    sym = pairs.union(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    seeds = (
+        table(spark, sf_dir, "part")
+        .where(F.col("p_size") == 50)
+        .select(F.col("p_partkey").alias("u"))
+    )
+    nb_edges = seeds.join(sym, "u")  # (u, v) for v ∈ N(u), u a seed
+    nb_arr = nb_edges.groupBy("u").agg(
+        F.array_sort(F.collect_list("v")).alias("nbu"),
+        F.count(F.lit(1)).alias("degree"),
+    )
+    fwd = pairs.groupBy("u").agg(F.array_sort(F.collect_list("v")).alias("fwd"))
+    hint = F.broadcast if pairs.count() <= broadcast_edges_max else (lambda df: df)
+    closed = (
+        nb_edges.join(nb_arr.select("u", "nbu"), "u")
+        .join(
+            hint(fwd.select(F.col("u").alias("fv"), "fwd")),
+            F.col("v") == F.col("fv"),
+        )
+        .groupBy("u")
+        .agg(F.sum(F.size(F.array_intersect("fwd", "nbu"))).alias("n_closed"))
+    )
+    coeff = F.when(
+        F.col("degree") >= 2,
+        F.round(
+            F.lit(2.0)
+            * F.col("n_closed")
+            / (F.col("degree") * (F.col("degree") - 1)),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    return (
+        nb_arr.join(closed, "u", "left")
+        .withColumn("n_closed", F.coalesce("n_closed", F.lit(0)))
+        .select(
+            F.col("u").alias("node"),
+            F.col("degree").cast("long").alias("degree"),
+            F.col("n_closed").cast("long").alias("n_closed"),
+            coeff.alias("coeff"),
+        )
+    )
+
+
+@query(
     "bfs_distance",
     oracle="""
     WITH RECURSIVE pairs AS (

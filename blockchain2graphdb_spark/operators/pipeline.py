@@ -1,0 +1,402 @@
+"""Dataset-curation operators for LLM training pipelines (SURVEY.md §2.13
+X-extensions, X9 row): deterministic train/val/test splitting, per-group
+hash sampling, benchmark decontamination, intra-document repetition
+scoring, and batch sessionization.
+
+These extend the X1–X8 families with the remaining steps a production
+training-data pipeline runs between dedup and tokenization. Everything
+here is built-in-function DataFrame code (md5 / split / explode /
+window) — no Python in the hot path — and every key is DuckDB-oracle
+checked (md5 and the token pipelines are bit-identical across engines).
+
+Scale notes (100 TB):
+  * Hash-splitting and hash-sampling are embarrassingly parallel map-side
+    expressions — no shuffle beyond the final (tiny) aggregate.
+  * Decontamination joins on md5(gram) — candidates come from a hash
+    equi-join (shuffle keys are 32-byte digests, never document text),
+    the same never-pairwise shape as the X2 dedup family.
+  * Sessionization is one keyed shuffle (partitionBy user) + running
+    windows — the batch twin of streaming/queries.py::stream_session,
+    here with a full value-hash oracle instead of a rows-only check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import prep, table
+from ..registry import query
+
+# 30-minute session gap, in microseconds (ts handled as unix micros on
+# both engines — see catalog._events / STATUS cross-engine rules).
+_SESSION_GAP_US = 1_800 * 1_000_000
+
+
+@query(
+    "split_assign",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, n_chars,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 3) AS h3
+      FROM documents
+    ),
+    s AS (
+      SELECT CASE WHEN h3 < 'ccc' THEN 'train'
+                  WHEN h3 < 'e66' THEN 'val'
+                  ELSE 'test' END AS split,
+             n_chars
+      FROM h
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars_total
+    FROM s GROUP BY split
+    """,
+)
+def split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9: deterministic train/val/test assignment by content-stable hash.
+
+    split(doc) = md5(doc_id) bucketed at 80/10/10 ('ccc'/'e66' are the
+    3-hex-digit thresholds: 3276/4096 ≈ 0.8, 3686/4096 ≈ 0.9). The split
+    is a pure per-row expression — re-running over a grown corpus never
+    reassigns an existing document (unlike rand()-based splits), which is
+    the property training pipelines need for stable eval sets. Map-side
+    only; the one shuffle is the 3-row summary aggregate.
+    """
+    prep(spark)
+    h3 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 3)
+    split = (
+        F.when(h3 < "ccc", "train").when(h3 < "e66", "val").otherwise("test")
+    )
+    return (
+        table(spark, sf_dir, "documents")
+        .select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("n_chars_total"),
+        )
+    )
+
+
+@query(
+    "sample_hash_topk",
+    oracle="""
+    WITH ranked AS (
+      SELECT lang, doc_id, n_chars,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT lang, doc_id, n_chars, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= 20
+    """,
+)
+def sample_hash_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9: deterministic k-per-group sampling (hash order, k=20 per lang).
+
+    The exact-checkable twin of `sample_stratified` (rows-only): ordering
+    by md5(doc_id) is uniform-pseudorandom yet reproducible across runs
+    and engines, so the "sample" is a value-hashable result. Catalyst
+    plans the rn<=20 filter as WindowGroupLimit — per-partition top-k
+    pushed below the shuffle, so the exchange carries ≤ k·|groups| rows,
+    the same plan shape the W5 top-k family pins in tests/test_plans.py.
+    """
+    prep(spark)
+    w = W.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        table(spark, sf_dir, "documents")
+        .select(
+            "lang",
+            "doc_id",
+            "n_chars",
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .where(F.col("rn") <= 20)
+    )
+
+
+@query(
+    "contamination_check",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    d2 AS (SELECT doc_id, toks FROM d WHERE len(toks) >= 5),
+    grams AS (
+      SELECT DISTINCT doc_id, md5(array_to_string(toks[i:i+4], ' ')) AS gh
+      FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS i FROM d2)
+    ),
+    ev AS (SELECT doc_id, gh FROM grams WHERE doc_id % 20 = 0),
+    tr AS (SELECT doc_id AS train_doc, gh FROM grams WHERE doc_id % 20 <> 0),
+    hits AS (
+      SELECT e.doc_id,
+             COUNT(DISTINCT e.gh) AS n_hit,
+             COUNT(DISTINCT t.train_doc) AS n_train_docs
+      FROM ev e JOIN tr t ON t.gh = e.gh
+      GROUP BY e.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM ev GROUP BY doc_id)
+    SELECT s.doc_id,
+           CAST(s.n_grams AS BIGINT) AS n_grams,
+           CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+           CAST(COALESCE(h.n_train_docs, 0) AS BIGINT) AS n_train_docs,
+           ROUND(CAST(COALESCE(h.n_hit, 0) AS DOUBLE)
+                 / CAST(s.n_grams AS DOUBLE), 6) AS contamination_rate
+    FROM sizes s LEFT JOIN hits h ON h.doc_id = s.doc_id
+    """,
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9: benchmark decontamination — word-5-gram overlap of an eval
+    slice (doc_id % 20 = 0, the stand-in for a held-out benchmark)
+    against the training slice.
+
+    Per eval document: distinct 5-gram count, how many of those grams
+    appear anywhere in the training set, how many distinct training
+    documents share one, and the contamination rate. The join key is
+    md5(gram) — shuffles carry digests, never text, and candidates come
+    from a hash equi-join (never pairwise), the X2 dedup shape. At
+    100 TB the train-gram side is pre-deduped (distinct) before the
+    join, so its size is the vocabulary of grams, not the corpus.
+    """
+    prep(spark)
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr("filter(split(text, ' '), x -> x <> '')").alias("toks")
+    )
+    grams = (
+        docs.where(F.size("toks") >= 5)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 4),"
+                    " i -> md5(concat_ws(' ', slice(toks, i, 5))))"
+                )
+            ).alias("gh"),
+        )
+        .distinct()
+    )
+    ev = grams.where(F.col("doc_id") % 20 == 0)
+    tr = grams.where(F.col("doc_id") % 20 != 0).select(
+        F.col("doc_id").alias("train_doc"), "gh"
+    )
+    hits = (
+        ev.join(tr, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("gh").alias("n_hit"),
+            F.countDistinct("train_doc").alias("n_train_docs"),
+        )
+    )
+    sizes = ev.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    return sizes.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+        F.coalesce("n_train_docs", F.lit(0)).alias("n_train_docs"),
+        F.round(
+            F.coalesce("n_hit", F.lit(0)).cast("double")
+            / F.col("n_grams").cast("double"),
+            6,
+        ).alias("contamination_rate"),
+    )
+
+
+@query(
+    "text_repetition",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    d2 AS (SELECT doc_id, toks FROM d WHERE len(toks) >= 3),
+    tri AS (
+      SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS g
+      FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i FROM d2)
+    ),
+    per_gram AS (
+      SELECT doc_id, g, COUNT(*) AS cnt FROM tri GROUP BY doc_id, g
+    )
+    SELECT doc_id,
+           CAST(SUM(cnt) AS BIGINT) AS n_trigrams,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(MAX(cnt) AS BIGINT) AS top_count,
+           ROUND(1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE), 6)
+             AS repetition_ratio,
+           ROUND(CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE), 6)
+             AS top_share
+    FROM per_gram GROUP BY doc_id
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9/X4: intra-document repetition scoring (boilerplate detector).
+
+    Word-trigram profile per document: total trigrams, distinct trigrams,
+    the most-repeated trigram's count, repetition ratio (1 − distinct/
+    total — the "duplicate n-gram fraction" quality signal from public
+    web-corpus filtering recipes) and the top trigram's share. Two hash
+    aggregates keyed by (doc_id, gram) then doc_id — both map-side
+    combinable, no joins, no Python.
+    """
+    prep(spark)
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr("filter(split(text, ' '), x -> x <> '')").alias("toks")
+    )
+    tri = docs.where(F.size("toks") >= 3).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 2),"
+                " i -> concat_ws(' ', slice(toks, i, 3)))"
+            )
+        ).alias("g"),
+    )
+    per_gram = tri.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("cnt"))
+    return per_gram.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_trigrams"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("cnt").alias("top_count"),
+        F.round(
+            F.lit(1.0)
+            - F.count(F.lit(1)).cast("double") / F.sum("cnt").cast("double"),
+            6,
+        ).alias("repetition_ratio"),
+        F.round(F.max("cnt").cast("double") / F.sum("cnt").cast("double"), 6).alias(
+            "top_share"
+        ),
+    )
+
+
+@query(
+    "curation_pipeline",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 3) AS h3,
+             MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+      FROM documents
+    ),
+    st AS (
+      SELECT CASE WHEN h3 < 'ccc' THEN 'train'
+                  WHEN h3 < 'e66' THEN 'val'
+                  ELSE 'test' END AS split,
+             CASE WHEN doc_id <> keep_id THEN 'duplicate'
+                  WHEN len(toks) < 5 THEN 'too_short'
+                  WHEN CAST(len(list_distinct(toks)) AS DOUBLE)
+                       / CAST(len(toks) AS DOUBLE) < 0.2 THEN 'low_quality'
+                  ELSE 'kept' END AS status
+      FROM d
+    )
+    SELECT split, status, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM st GROUP BY split, status
+    """,
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9 flagship composite: the full curation funnel in one plan —
+    exact-dedup keeper (X1: min doc_id per md5(text) window), quality
+    gate (X4: length + type-token-ratio thresholds, precedence
+    duplicate > too_short > low_quality), and the deterministic hash
+    split — reported as a (split, status) audit matrix.
+
+    One md5-keyed window shuffle for the keeper + one tiny aggregate;
+    the quality signals and split are per-row expressions fused into the
+    same stage by whole-stage codegen. This is the shape of a real
+    pre-tokenization pass: content flows through exactly one shuffle.
+    """
+    prep(spark)
+    keep_w = W.partitionBy(F.md5("text"))
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr("filter(split(text, ' '), x -> x <> '')").alias("toks"),
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 3).alias("h3"),
+        F.min("doc_id").over(keep_w).alias("keep_id"),
+    )
+    ttr = F.size(F.array_distinct("toks")).cast("double") / F.size("toks").cast(
+        "double"
+    )
+    status = (
+        F.when(F.col("doc_id") != F.col("keep_id"), "duplicate")
+        .when(F.size("toks") < 5, "too_short")
+        .when(ttr < 0.2, "low_quality")
+        .otherwise("kept")
+    )
+    split = (
+        F.when(F.col("h3") < "ccc", "train")
+        .when(F.col("h3") < "e66", "val")
+        .otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), status.alias("status"))
+        .groupBy("split", "status")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@query(
+    "sessionize_batch",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us FROM events
+    ),
+    f AS (
+      SELECT user_id, event_id, us,
+             CASE WHEN lag(us) OVER w IS NULL
+                    OR us - lag(us) OVER w > {_SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ),
+    s AS (
+      SELECT user_id, us,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sess
+      FROM f
+    )
+    SELECT user_id,
+           CAST(sess AS BIGINT) AS session_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MIN(us) AS BIGINT) AS start_us,
+           CAST(MAX(us) AS BIGINT) AS end_us,
+           CAST(MAX(us) - MIN(us) AS BIGINT) AS dur_us
+    FROM s GROUP BY user_id, sess
+    """,
+)
+def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9: gap-based sessionization over the event log (30-min gap) —
+    the batch twin of streaming/queries.py::stream_session, with a full
+    value-hash oracle (the streaming form is rows-only by design).
+
+    lag → new-session flag → running sum = session index, then one
+    aggregate per (user, session). All timestamp math happens on unix
+    micros as bigints (cross-engine exact; see catalog._events). One
+    keyed shuffle on user_id serves both window passes and the final
+    aggregate — Catalyst reuses the partitioning across the three steps.
+    """
+    prep(spark)
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us")
+    )
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    lag_us = F.lag("us").over(w)
+    flagged = ev.withColumn(
+        "new_s",
+        F.when(
+            lag_us.isNull() | (F.col("us") - lag_us > _SESSION_GAP_US), 1
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "session_idx",
+        F.sum("new_s").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("us").alias("start_us"),
+        F.max("us").alias("end_us"),
+        (F.max("us") - F.min("us")).alias("dur_us"),
+    )

@@ -481,6 +481,53 @@ def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "join_salted",
+    oracle="""
+    SELECT s_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_nationkey
+    """,
+)
+def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join — the manual hot-key mitigation for a skewed join
+    (companion to `agg_salted`, which salts an aggregate). The fact side
+    gets a deterministic salt in [0, R); the dimension side is exploded
+    into R replicas keyed (suppkey, salt); joining on the composite key
+    spreads each hot supplier over R reducers. The result is provably
+    identical to the unsalted join (the oracle IS the unsalted join).
+
+    At 100 TB this is the fallback when AQE skew-split can't help —
+    e.g. a skewed key that also feeds a following aggregate, where the
+    pre-salted partitioning is reused by the partial agg. R replicates
+    only the SMALL side (R×|dim| rows), never the fact side.
+    """
+    prep(spark)
+    R = 8
+    li = table(spark, sf_dir, "lineitem").withColumn(
+        "salt", F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(R))
+    )
+    sup = (
+        table(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(R - 1))))
+    )
+    return (
+        li.join(
+            sup,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (li["salt"] == sup["salt"]),
+        )
+        .groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            money_sum("l_quantity", "sum_qty"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.4 aggregations
 

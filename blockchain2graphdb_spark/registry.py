@@ -38,6 +38,8 @@ _OPERATOR_MODULES = (
     "blockchain2graphdb_spark.operators.ann_ivf",
     "blockchain2graphdb_spark.operators.ann_pq",
     "blockchain2graphdb_spark.operators.textops",
+    "blockchain2graphdb_spark.operators.pipeline",
+    "blockchain2graphdb_spark.operators.behavior",
     "blockchain2graphdb_spark.operators.sqlsuite",
     "blockchain2graphdb_spark.operators.ingestion",
     "blockchain2graphdb_spark.streaming.queries",

@@ -1,0 +1,121 @@
+"""Behavioral analytics (operators/behavior.py) and the curation
+composite: semantic invariants + synthetic ordered-sequence fixtures.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from datetime import datetime, timedelta
+
+import pyspark.sql.functions as F
+
+from blockchain2graphdb_spark import registry
+from blockchain2graphdb_spark.catalog import table
+
+SPECS = registry.load_all()
+
+_EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string,"
+    " value double, props string"
+)
+
+
+def _write_events(spark, tmp, rows):
+    spark.createDataFrame(rows, _EVENTS_SCHEMA).write.parquet(
+        os.path.join(tmp, "events.parquet")
+    )
+
+
+# --------------------------------------------------------------- funnel
+
+
+def test_funnel_counts_monotone(spark, sf_dir):
+    rows = sorted(
+        SPECS["funnel_conversion"].builder(spark, sf_dir).collect(),
+        key=lambda r: r["step_idx"],
+    )
+    assert [r["step"] for r in rows] == ["view", "click", "purchase"]
+    assert rows[0]["n_users"] >= rows[1]["n_users"] >= rows[2]["n_users"]
+
+
+def test_funnel_requires_order(spark):
+    """A user whose click precedes every view must NOT count as step 2."""
+    from blockchain2graphdb_spark.operators.behavior import funnel_conversion
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        # user 1: view -> click -> purchase, in order: counts everywhere
+        (0, base, 1, "view", 0.0, "{}"),
+        (1, base + timedelta(minutes=1), 1, "click", 0.0, "{}"),
+        (2, base + timedelta(minutes=2), 1, "purchase", 0.0, "{}"),
+        # user 2: click BEFORE its only view: step 1 only
+        (3, base, 2, "click", 0.0, "{}"),
+        (4, base + timedelta(minutes=1), 2, "view", 0.0, "{}"),
+        # user 3: view -> click, purchase before the click: stops at 2
+        (5, base, 3, "view", 0.0, "{}"),
+        (6, base + timedelta(minutes=1), 3, "purchase", 0.0, "{}"),
+        (7, base + timedelta(minutes=2), 3, "click", 0.0, "{}"),
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        _write_events(spark, tmp, rows)
+        got = {r["step"]: r["n_users"] for r in funnel_conversion(spark, tmp).collect()}
+    assert got == {"view": 3, "click": 2, "purchase": 1}
+
+
+def test_funnel_same_timestamp_counts(spark):
+    """`at-or-after` semantics: a click at the exact view instant counts."""
+    from blockchain2graphdb_spark.operators.behavior import funnel_conversion
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        (0, base, 1, "view", 0.0, "{}"),
+        (1, base, 1, "click", 0.0, "{}"),
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        _write_events(spark, tmp, rows)
+        got = {r["step"]: r["n_users"] for r in funnel_conversion(spark, tmp).collect()}
+    assert got["click"] == 1
+
+
+# --------------------------------------------------------------- cohort
+
+
+def test_cohort_week_zero_covers_all_users(spark, sf_dir):
+    df = SPECS["cohort_retention"].builder(spark, sf_dir)
+    rows = df.collect()
+    assert all(r["week_offset"] >= 0 for r in rows)
+    week0 = sum(r["n_users"] for r in rows if r["week_offset"] == 0)
+    total_users = (
+        table(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    # every user is by definition active in their own cohort week
+    assert week0 == total_users
+
+
+def test_cohort_retention_never_exceeds_cohort_size(spark, sf_dir):
+    rows = SPECS["cohort_retention"].builder(spark, sf_dir).collect()
+    size = {
+        r["cohort_week"]: r["n_users"] for r in rows if r["week_offset"] == 0
+    }
+    for r in rows:
+        assert r["n_users"] <= size[r["cohort_week"]], r
+
+
+# ----------------------------------------------------- curation pipeline
+
+
+def test_curation_pipeline_partitions_corpus(spark, sf_dir):
+    rows = SPECS["curation_pipeline"].builder(spark, sf_dir).collect()
+    total = table(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == total
+    assert {r["status"] for r in rows} <= {"kept", "duplicate", "too_short", "low_quality"}
+    assert {r["split"] for r in rows} <= {"train", "val", "test"}
+
+
+def test_curation_pipeline_duplicate_count_matches_exact_dedup(spark, sf_dir):
+    rows = SPECS["curation_pipeline"].builder(spark, sf_dir).collect()
+    n_dup = sum(r["n_docs"] for r in rows if r["status"] == "duplicate")
+    docs = table(spark, sf_dir, "documents")
+    expected = docs.count() - docs.select("text").distinct().count()
+    assert n_dup == expected

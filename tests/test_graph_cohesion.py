@@ -1,0 +1,77 @@
+"""join_salted parity and clustering_coefficient semantics."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pyspark.sql.functions as F
+
+from blockchain2graphdb_spark import registry
+from blockchain2graphdb_spark.catalog import table
+
+SPECS = registry.load_all()
+
+
+def test_join_salted_equals_unsalted(spark, sf_dir):
+    """The salted composite-key join must be indistinguishable from the
+    plain join it accelerates."""
+    got = {
+        r["s_nationkey"]: (r["n_lines"], r["sum_qty"])
+        for r in SPECS["join_salted"].builder(spark, sf_dir).collect()
+    }
+    li = table(spark, sf_dir, "lineitem")
+    sup = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    from blockchain2graphdb_spark.exact import money_sum
+
+    want = {
+        r["s_nationkey"]: (r["n_lines"], r["sum_qty"])
+        for r in li.join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_lines"), money_sum("l_quantity", "sum_qty"))
+        .collect()
+    }
+    assert got == want and got
+
+
+def _write_graph(spark, tmp, order_parts, part_ids):
+    """order_parts: list of (orderkey, partkey); all parts get p_size=50."""
+    spark.createDataFrame(
+        [(o, p) for o, p in order_parts], "l_orderkey long, l_partkey long"
+    ).write.parquet(os.path.join(tmp, "lineitem.parquet"))
+    spark.createDataFrame(
+        [(p, 50) for p in part_ids], "p_partkey long, p_size int"
+    ).write.parquet(os.path.join(tmp, "part.parquet"))
+
+
+def test_clustering_coefficient_complete_graph(spark):
+    """K4 (one order containing 4 parts): every node has coeff 1.0."""
+    from blockchain2graphdb_spark.operators.graphops import clustering_coefficient
+
+    with tempfile.TemporaryDirectory() as tmp:
+        _write_graph(spark, tmp, [(1, p) for p in (1, 2, 3, 4)], [1, 2, 3, 4])
+        rows = clustering_coefficient(spark, tmp).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert r["degree"] == 3 and r["n_closed"] == 3 and r["coeff"] == 1.0, r
+
+
+def test_clustering_coefficient_path_graph(spark):
+    """Path 1-2-3 (two 2-part orders): middle node has 2 unconnected
+    neighbors -> coeff 0; endpoints have degree 1 -> coeff 0."""
+    from blockchain2graphdb_spark.operators.graphops import clustering_coefficient
+
+    with tempfile.TemporaryDirectory() as tmp:
+        _write_graph(spark, tmp, [(1, 1), (1, 2), (2, 2), (2, 3)], [1, 2, 3])
+        rows = {r["node"]: r for r in clustering_coefficient(spark, tmp).collect()}
+    assert rows[2]["degree"] == 2 and rows[2]["n_closed"] == 0 and rows[2]["coeff"] == 0.0
+    assert rows[1]["degree"] == 1 and rows[1]["coeff"] == 0.0
+    assert rows[3]["degree"] == 1 and rows[3]["coeff"] == 0.0
+
+
+def test_clustering_coefficient_bounds(spark, sf_dir):
+    rows = SPECS["clustering_coefficient"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["coeff"] <= 1.0, r
+        assert 0 <= r["n_closed"] <= r["degree"] * (r["degree"] - 1) // 2, r
