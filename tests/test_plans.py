@@ -37,6 +37,7 @@ _ITERATIVE = {
     "pagerank",
     "bfs_distance",
     "triangle_count",
+    "clustering_coefficient",
     "snapshot_time_travel",
     "snapshot_reorg_overwrite",
     "sample_stratified",
@@ -165,3 +166,33 @@ def test_triangle_count_shuffle_path_above_threshold(spark):
     plan = plan_string(shuf)
     assert "BroadcastHashJoin" not in plan
     assert bcast.collect() == shuf.collect()
+
+
+def test_sample_hash_topk_rank_limit_pushdown(spark):
+    """The X9 hash sample's rn<=k must compile to WindowGroupLimit so
+    the exchange carries at most k rows per group."""
+    assert has_node(_df("sample_hash_topk", spark), "WindowGroupLimit")
+
+
+def test_sessionize_single_user_shuffle(spark):
+    """Both window passes and the (user, session) aggregate must reuse
+    ONE hashpartitioning(user_id) exchange — partitioning by user_id
+    already clusters (user_id, session_idx)."""
+    plan = plan_string(_df("sessionize_batch", spark))
+    assert plan.count("Exchange (") == 1, plan
+
+
+def test_contamination_and_funnel_never_pairwise(spark):
+    for key in ("contamination_check", "funnel_conversion", "join_salted"):
+        plan = plan_string(_df(key, spark))
+        assert "CartesianProduct" not in plan, key
+        assert "BroadcastNestedLoopJoin" not in plan, key
+
+
+def test_curation_pipeline_single_content_shuffle(spark):
+    """The composite pass's content flows through exactly one shuffle
+    (the md5 keeper window); the only other exchange feeds the tiny
+    (split, status) aggregate."""
+    plan = plan_string(_df("curation_pipeline", spark))
+    assert plan.count("Window (") == 1, plan
+    assert plan.count("Exchange (") <= 2, plan
