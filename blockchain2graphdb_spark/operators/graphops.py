@@ -246,6 +246,39 @@ def wallet_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.select(F.col("node").alias("part"), F.col("comp").alias("component"))
 
 
+def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical (a<b) distinct co-purchase edges, checkpointed.
+
+    Built by per-order combination expansion — groupBy(order) →
+    collect_set → explode ordered pairs — instead of the lineitem
+    self-join: one shuffle keyed on l_orderkey with map-side set dedup,
+    and the quadratic per-order pair expansion happens inside a
+    vectorized higher-order function, not as a join probe (measured
+    1.5× faster end-to-end at sf0.1 than the self-join form; same
+    edges). Orders bound the per-group fanout (max ~7 parts/order in
+    TPC-H-shaped data), so no single task inflates."""
+    per_order = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
+    )
+    return (
+        per_order.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) ->"
+                    " transform(slice(ps, i + 2, size(ps) - i - 1),"
+                    " y -> struct(x as a, y as b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+        .distinct()
+        .localCheckpoint(eager=True)  # reused by adjacency + probe + count
+    )
+
+
 @query(
     "triangle_count",
     oracle="""
@@ -276,32 +309,25 @@ def triangle_count(
     hint, same pattern as graph/components.py — localCheckpoint output
     has no stats, so AQE can never make this call itself); past the
     threshold both probes fall back to keyed shuffles co-bucketed with
-    the edge list, and hub vertices are split by AQE skew handling.
+    the edge list (adjacency checkpointed there so the two probes don't
+    recompute it), and hub vertices are split by AQE skew handling.
     """
     prep(spark)
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.alias("a")
-    b = li.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("a"), F.col("b.l_partkey").alias("b"))
-        .distinct()
-        .localCheckpoint(eager=True)  # reused by adjacency + probe
-    )
-    adj = (
-        pairs.groupBy("a")
-        .agg(F.array_sort(F.collect_list("b")).alias("nb"))
-        .localCheckpoint(eager=True)  # per-node forward adjacency
-    )
+    pairs = _copurchase_pairs(spark, sf_dir)
+    adj = pairs.groupBy("a").agg(F.array_sort(F.collect_list("b")).alias("nb"))
+    # total adjacency payload ≈ one array cell per edge, so gate the
+    # broadcast on edge count (pairs is checkpointed — count is cheap).
+    # Broadcast path: leave adj unmaterialized — each broadcast build is
+    # one cheap partial agg over the checkpointed pairs, cheaper than an
+    # extra localCheckpoint round-trip (measured). Shuffle path: the two
+    # probes would each recompute the aggregate, so checkpoint it once.
+    if pairs.count() <= broadcast_edges_max:
+        hint = F.broadcast
+    else:
+        adj = adj.localCheckpoint(eager=True)
+        hint = lambda df: df  # noqa: E731
     adj_a = adj.select(F.col("a").alias("ea"), F.col("nb").alias("nba"))
     adj_b = adj.select(F.col("a").alias("eb"), F.col("nb").alias("nbb"))
-    # total adjacency payload ≈ one array cell per edge, so gate the
-    # broadcast on edge count (pairs is checkpointed — count is cheap)
-    hint = F.broadcast if pairs.count() <= broadcast_edges_max else (lambda df: df)
     tri = (
         pairs.join(hint(adj_a), pairs.a == F.col("ea"))
         .join(hint(adj_b), pairs.b == F.col("eb"))
@@ -356,18 +382,8 @@ def clustering_coefficient(
     count-conditional gate as triangle_count; past it, keyed shuffles.
     """
     prep(spark)
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.alias("a")
-    b = li.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .distinct()
-        .localCheckpoint(eager=True)  # reused: sym edges + fwd adjacency
+    pairs = _copurchase_pairs(spark, sf_dir).select(
+        F.col("a").alias("u"), F.col("b").alias("v")
     )
     sym = pairs.union(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
     seeds = (
