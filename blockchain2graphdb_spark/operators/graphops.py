@@ -246,7 +246,9 @@ def wallet_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.select(F.col("node").alias("part"), F.col("comp").alias("component"))
 
 
-def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _copurchase_pairs(
+    spark: SparkSession, sf_dir: str, checkpoint: bool = True
+) -> DataFrame:
     """Canonical (a<b) distinct co-purchase edges, checkpointed.
 
     Built by per-order combination expansion — groupBy(order) →
@@ -263,7 +265,7 @@ def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey")
         .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
     )
-    return (
+    pairs = (
         per_order.select(
             F.explode(
                 F.expr(
@@ -275,8 +277,11 @@ def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p.a", "p.b")
         .distinct()
-        .localCheckpoint(eager=True)  # reused by adjacency + probe + count
     )
+    if checkpoint:
+        # reused by adjacency + probe + count in the callers
+        pairs = pairs.localCheckpoint(eager=True)
+    return pairs
 
 
 @query(
@@ -456,18 +461,13 @@ def bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..graph.pregel import pregel
 
     prep(spark)
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.alias("a")
-    b = li.alias("b")
-    # no dedup: the min combiner absorbs duplicate edges, and skipping
-    # the distinct saves a full edge shuffle (same reasoning as
-    # wallet_components; NOT valid for sum-combiner algorithms like
-    # PageRank, where multi-edges change the result)
-    pairs = a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-    ).select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+    # the combination-expansion build (one groupBy shuffle, map-side set
+    # dedup, vectorized pair explode) beats the self-join here too; the
+    # checkpoint goes on SYM, the frame every superstep re-reads — the
+    # un-checkpointed pairs are consumed exactly once by the union
+    pairs = _copurchase_pairs(spark, sf_dir, checkpoint=False).select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    )
     sym = pairs.union(pairs.select(F.col("dst"), F.col("src"))).localCheckpoint(
         eager=True
     )
