@@ -51,22 +51,43 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.ts is parquet TIMESTAMP(NANOS) — Spark's TimestampType caps
-    at microseconds, so read nanos as long and floor-divide to micros
-    (DuckDB twin for raw-ts outputs: epoch_ns(ts) // 1000). Sub-microsecond
-    truncation only matters when a predicate boundary falls inside the
-    truncated nanos, which the oracle queries avoid."""
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize `events.ts` to TimestampType regardless of how the fixture
+    was encoded. The driver has regenerated the parquet with different
+    physical encodings across rounds, so both readers (batch and streaming)
+    must branch on what they actually got:
+
+      * INT64 TIMESTAMP(NANOS) — read as bigint under
+        `spark.sql.legacy.parquet.nanosAsLong`; floor-divide to micros.
+        Spark's TimestampType caps at microseconds (DuckDB twin for raw-ts
+        outputs: epoch_ns(ts) // 1000; sub-microsecond truncation only
+        matters when a predicate boundary falls inside the truncated nanos,
+        which the oracle queries avoid).
+      * TIMESTAMP(MICROS, isAdjustedToUTC=false) — Spark reads
+        TIMESTAMP_NTZ; cast to TimestampType. `prep` pins the session TZ
+        to UTC, so the NTZ wall-clock maps 1:1 to the oracle's naive
+        timestamps.
+      * TIMESTAMP(MICROS, UTC) — already TimestampType; pass through.
+
+    Works on batch and streaming DataFrames alike (pure projection).
+    """
     from pyspark.sql import functions as F
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(df.dtypes).get("ts") == "bigint":
+    dtype = dict(df.dtypes).get("ts")
+    if dtype == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dtype == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return normalize_events_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def events_raw_schema(spark: SparkSession, sf_dir: str):
-    """Raw file schema (ts as long nanos) for the streaming file source."""
+    """Raw file schema (ts exactly as encoded on disk) for the streaming
+    file source; pair with `normalize_events_ts` after the readStream."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(f"{sf_dir}/events.parquet").schema

@@ -35,6 +35,7 @@ def connected_components(
     max_iter: int = 50,
     broadcast_nodes: int = 4_000_000,
     canonical: bool = False,
+    probe_every: int = 2,
 ) -> DataFrame:
     """Undirected connected components; returns (node, component) where
     component = min node id in the component. Deterministic.
@@ -67,13 +68,17 @@ def connected_components(
     )
     if not canonical:
         sym = sym.distinct()  # single dedup pass after symmetrization
-    sym = sym.localCheckpoint(eager=True)
+    # lazy checkpoint + count: the count action materializes the
+    # checkpoint, so the short-circuit gate and the materialization are
+    # ONE driver-visible job instead of two
+    sym = sym.localCheckpoint(eager=False)
+    n_edges = sym.count()
 
     # tiny graphs short-circuit to driver-side union-find: the
     # distributed loop costs a handful of jobs per round, which
     # dominates below ~10^5 edges (e.g. the verified-pair graphs of
     # near-dup dedup). Same labels (component = min member) either way.
-    if sym.count() <= 100_000:
+    if n_edges <= 100_000:
         spark = sym.sparkSession
         parent: dict = {}
 
@@ -101,7 +106,7 @@ def connected_components(
     )
     n_nodes = comp.count()
     hint = F.broadcast if n_nodes <= broadcast_nodes else (lambda df: df)
-    for _ in range(max_iter):
+    for i in range(max_iter):
         nbr_min = (
             sym.join(hint(comp), sym.b == comp.node)
             .select(F.col("a").alias("node"), "comp")
@@ -132,10 +137,19 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
-        changed = joined.where(F.col("new_comp") != F.col("comp")).limit(1).count()
         comp = joined.select("node", F.col("new_comp").alias("comp"))
-        if changed == 0:
-            break
+        # amortized convergence probe: pointer doubling converges in
+        # O(log diameter) rounds, so a probe per round spends more
+        # driver-visible jobs (scheduler latency × rounds) than the at
+        # most one extra no-op round the amortization can cost. An
+        # already-converged round is a fixpoint (new_comp == comp
+        # everywhere), so extra rounds never change labels.
+        if (i + 1) % probe_every == 0 or i == max_iter - 1:
+            changed = (
+                joined.where(F.col("new_comp") != F.col("comp")).limit(1).count()
+            )
+            if changed == 0:
+                break
     return comp
 
 
@@ -144,6 +158,8 @@ def list_rank(
     id_col: str = "id",
     parent_col: str = "parent",
     broadcast_nodes: int = 4_000_000,
+    max_iter: int = 64,
+    probe_every: int = 2,
 ) -> DataFrame:
     """Position of each node in its chain (1-based), from (id, parent)
     links alone, parent NULL at the head. Pointer jumping: each round
@@ -154,15 +170,22 @@ def list_rank(
     lookup side of each self-join is hinted broadcast while the node
     count (known after the first materialization) stays under
     broadcast_nodes; above it, shuffled self-joins.
+
+    The liveness probe is amortized to every `probe_every` rounds: the
+    loop bound is deterministic (ceil(log2 L) jumps), resolved rounds
+    are no-ops (null ptr keeps dist unchanged), and a probe per round
+    costs more fixed scheduler latency than the at most one extra no-op
+    round. max_iter (chains up to 2^64) is a divergence backstop only.
     """
     cur = links.select(
         F.col(id_col).alias("id"),
         F.col(parent_col).alias("ptr"),
         F.when(F.col(parent_col).isNull(), F.lit(0)).otherwise(F.lit(1)).alias("dist"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
+    # lazy checkpoint: this count both materializes it and sizes the hint
     hint = F.broadcast if cur.count() <= broadcast_nodes else (lambda df: df)
 
-    while cur.where(F.col("ptr").isNotNull()).limit(1).count() > 0:
+    for i in range(max_iter):
         a = cur.alias("x")
         b = cur.select(
             F.col("id").alias("b_id"), F.col("ptr").alias("b_ptr"), F.col("dist").alias("b_dist")
@@ -183,6 +206,9 @@ def list_rank(
             )
             .localCheckpoint(eager=True)
         )
+        if (i + 1) % probe_every == 0:
+            if cur.where(F.col("ptr").isNotNull()).limit(1).count() == 0:
+                break
     return cur.select("id", (F.col("dist") + 1).alias("pos"))
 
 

@@ -37,6 +37,7 @@ def pregel(
     broadcast_nodes: int = 4_000_000,
     needs_dst_attr: bool = True,
     check_convergence: bool = True,
+    probe_every: int = 2,
 ) -> DataFrame:
     """Returns (id, attr) at fixpoint (or after max_iter supersteps).
 
@@ -47,14 +48,20 @@ def pregel(
     under broadcast_nodes, the vertex side is hinted broadcast and each
     superstep streams the edges map-side; larger graphs fall back to
     keyed shuffles with AQE skew handling.
+
+    The convergence probe is amortized to every `probe_every` supersteps
+    (a fixpoint superstep changes no attrs, so overshooting by one round
+    is safe); a probe per superstep spends a driver-visible job per
+    round on scheduler latency alone.
     """
     v = vertices.select("id", "attr")
     if initial_msg is not None:
         v = v.select("id", vprog(F.col("attr"), initial_msg).alias("attr"))
-    v = v.localCheckpoint(eager=True)
+    # lazy checkpoint: the hint-sizing count doubles as materialization
+    v = v.localCheckpoint(eager=False)
     hint = F.broadcast if v.count() <= broadcast_nodes else (lambda df: df)
 
-    for _ in range(max_iter):
+    for i in range(max_iter):
         src = v.select(F.col("id").alias("src"), F.col("attr").alias("src_attr"))
         dst = v.select(F.col("id").alias("dst"), F.col("attr").alias("dst_attr"))
         triplets = edges.join(hint(src), "src")
@@ -82,17 +89,17 @@ def pregel(
             )
             .localCheckpoint(eager=True)
         )
+        v = stepped.select("id", F.col("new_attr").alias("attr"))
         # check_convergence=False runs exactly max_iter supersteps and
-        # saves one probe job per round (fixed-iteration algorithms)
-        if check_convergence:
+        # saves every probe job (fixed-iteration algorithms)
+        if check_convergence and ((i + 1) % probe_every == 0 or i == max_iter - 1):
             changed = (
                 stepped.where(~F.col("new_attr").eqNullSafe(F.col("attr")))
                 .limit(1)
                 .count()
             )
-        v = stepped.select("id", F.col("new_attr").alias("attr"))
-        if check_convergence and changed == 0:
-            break
+            if changed == 0:
+                break
     return v
 
 

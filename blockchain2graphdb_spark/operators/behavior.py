@@ -25,40 +25,43 @@ from ..registry import query
 
 _WEEK_US = 7 * 24 * 3600 * 1_000_000
 
-# Ordered funnel over the fixture's browse→buy path.
+# Ordered funnel over the fixture's browse→buy path. BOTH the Spark
+# builder and the DuckDB oracle are generated from this one constant
+# (round-2 ADVICE: hard-coded step labels on either side could silently
+# desync from it).
 _FUNNEL_STEPS = ("view", "click", "purchase")
 
 
-@query(
-    "funnel_conversion",
-    oracle="""
-    WITH e AS (
-      SELECT user_id, event_type, epoch_ns(ts) // 1000 AS us FROM events
-    ),
-    s1 AS (
-      SELECT user_id, MIN(us) AS t1 FROM e
-      WHERE event_type = 'view' GROUP BY user_id
-    ),
-    s2 AS (
-      SELECT e.user_id, MIN(e.us) AS t2
-      FROM e JOIN s1 USING (user_id)
-      WHERE e.event_type = 'click' AND e.us >= s1.t1
-      GROUP BY e.user_id
-    ),
-    s3 AS (
-      SELECT e.user_id, MIN(e.us) AS t3
-      FROM e JOIN s2 USING (user_id)
-      WHERE e.event_type = 'purchase' AND e.us >= s2.t2
-      GROUP BY e.user_id
-    )
-    SELECT 1 AS step_idx, 'view' AS step,
-           (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n_users
-    UNION ALL
-    SELECT 2, 'click', (SELECT CAST(COUNT(*) AS BIGINT) FROM s2)
-    UNION ALL
-    SELECT 3, 'purchase', (SELECT CAST(COUNT(*) AS BIGINT) FROM s3)
-    """,
-)
+def _funnel_oracle(steps: tuple[str, ...] = _FUNNEL_STEPS) -> str:
+    ctes = [
+        "e AS (\n"
+        "      SELECT user_id, event_type, epoch_ns(ts) // 1000 AS us FROM events\n"
+        "    )",
+        "s1 AS (\n"
+        "      SELECT user_id, MIN(us) AS t1 FROM e\n"
+        f"      WHERE event_type = '{steps[0]}' GROUP BY user_id\n"
+        "    )",
+    ]
+    for i in range(2, len(steps) + 1):
+        ctes.append(
+            f"s{i} AS (\n"
+            f"      SELECT e.user_id, MIN(e.us) AS t{i}\n"
+            f"      FROM e JOIN s{i - 1} USING (user_id)\n"
+            f"      WHERE e.event_type = '{steps[i - 1]}' AND e.us >= s{i - 1}.t{i - 1}\n"
+            "      GROUP BY e.user_id\n"
+            "    )"
+        )
+    selects = [
+        f"SELECT {i} AS step_idx, '{s}' AS step,\n"
+        f"           (SELECT CAST(COUNT(*) AS BIGINT) FROM s{i}) AS n_users"
+        if i == 1
+        else f"SELECT {i}, '{s}', (SELECT CAST(COUNT(*) AS BIGINT) FROM s{i})"
+        for i, s in enumerate(steps, 1)
+    ]
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + "\n    UNION ALL\n    ".join(selects)
+
+
+@query("funnel_conversion", oracle=_funnel_oracle())
 def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel: users who viewed, then clicked at-or-after their
     first view, then purchased at-or-after that first qualifying click.
@@ -66,7 +69,8 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     Each step is `min-timestamp aggregate → join back → filtered min` —
     the per-user sequential-pattern shape (a bounded MATCH_RECOGNIZE).
     Step frames shrink monotonically, and every join is keyed on
-    user_id; nothing is ever pairwise.
+    user_id; nothing is ever pairwise. Steps come from _FUNNEL_STEPS on
+    both the Spark and oracle side.
     """
     prep(spark)
     e = table(spark, sf_dir, "events").select(
@@ -81,24 +85,21 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("us").alias(out_t))
         )
 
-    s1 = (
-        e.where(F.col("event_type") == _FUNNEL_STEPS[0])
-        .groupBy("user_id")
-        .agg(F.min("us").alias("t1"))
-    )
-    s2 = first_at_or_after(s1, "t1", _FUNNEL_STEPS[1], "t2")
-    s3 = first_at_or_after(s2, "t2", _FUNNEL_STEPS[2], "t3")
-
     def count_frame(df: DataFrame, idx: int, name: str) -> DataFrame:
         return df.agg(F.count(F.lit(1)).alias("n_users")).select(
             F.lit(idx).alias("step_idx"), F.lit(name).alias("step"), "n_users"
         )
 
-    return (
-        count_frame(s1, 1, "view")
-        .unionByName(count_frame(s2, 2, "click"))
-        .unionByName(count_frame(s3, 3, "purchase"))
+    cur = (
+        e.where(F.col("event_type") == _FUNNEL_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t1"))
     )
+    out = count_frame(cur, 1, _FUNNEL_STEPS[0])
+    for i, step in enumerate(_FUNNEL_STEPS[1:], 2):
+        cur = first_at_or_after(cur, f"t{i - 1}", step, f"t{i}")
+        out = out.unionByName(count_frame(cur, i, step))
+    return out
 
 
 @query(

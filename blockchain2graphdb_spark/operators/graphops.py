@@ -258,7 +258,12 @@ def _copurchase_pairs(
     vectorized higher-order function, not as a join probe (measured
     1.5× faster end-to-end at sf0.1 than the self-join form; same
     edges). Orders bound the per-group fanout (max ~7 parts/order in
-    TPC-H-shaped data), so no single task inflates."""
+    TPC-H-shaped data), so no single task inflates.
+
+    Returns (pairs, edge_count); edge_count is None when
+    checkpoint=False. The checkpoint is lazy and the count action
+    materializes it, so callers get the broadcast-gate count and the
+    materialization in ONE driver-visible job."""
     per_order = (
         table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
@@ -279,9 +284,10 @@ def _copurchase_pairs(
         .distinct()
     )
     if checkpoint:
-        # reused by adjacency + probe + count in the callers
-        pairs = pairs.localCheckpoint(eager=True)
-    return pairs
+        # reused by adjacency + both probes in the callers
+        pairs = pairs.localCheckpoint(eager=False)
+        return pairs, pairs.count()
+    return pairs, None
 
 
 @query(
@@ -318,15 +324,16 @@ def triangle_count(
     recompute it), and hub vertices are split by AQE skew handling.
     """
     prep(spark)
-    pairs = _copurchase_pairs(spark, sf_dir)
+    pairs, n_edges = _copurchase_pairs(spark, sf_dir)
     adj = pairs.groupBy("a").agg(F.array_sort(F.collect_list("b")).alias("nb"))
     # total adjacency payload ≈ one array cell per edge, so gate the
-    # broadcast on edge count (pairs is checkpointed — count is cheap).
+    # broadcast on the edge count (folded into the checkpoint
+    # materialization job inside _copurchase_pairs — no separate count).
     # Broadcast path: leave adj unmaterialized — each broadcast build is
     # one cheap partial agg over the checkpointed pairs, cheaper than an
     # extra localCheckpoint round-trip (measured). Shuffle path: the two
     # probes would each recompute the aggregate, so checkpoint it once.
-    if pairs.count() <= broadcast_edges_max:
+    if n_edges <= broadcast_edges_max:
         hint = F.broadcast
     else:
         adj = adj.localCheckpoint(eager=True)
@@ -378,18 +385,23 @@ def clustering_coefficient(
     co-purchase graph — closed-wedge fraction per node, the standard
     cohesion signal next to the global triangle count.
 
-    Same never-materialize-the-wedge-stream shape as triangle_count:
-    for seed u with neighbor set N(u), each neighbor v contributes
-    |fwd(v) ∩ N(u)| closed pairs (fwd = canonical a<b adjacency, so
-    every closed pair counts once) — one vectorized array_intersect
-    per (seed, neighbor) edge instead of Σ deg² wedge rows. The
-    forward-adjacency side is broadcast only under the same
-    count-conditional gate as triangle_count; past it, keyed shuffles.
+    Same shape as triangle_count: for seed u with neighbor set N(u),
+    each neighbor v contributes |fwd(v) ∩ N(u)| closed pairs (fwd =
+    canonical a<b adjacency, so every closed pair counts once) — one
+    vectorized array_intersect per (seed, neighbor) edge. Row count is
+    linear in Σ deg(u), but each row carries the nbu and fwd ARRAYS, so
+    shuffled bytes per hub seed are still ~deg(u)·(deg(u)+avg fwd deg)
+    ≈ Σ deg² — the win over the wedge self-join is per-row overhead and
+    JVM-vectorized intersection, not asymptotics. For degree-skewed
+    graphs the scale levers are the usual ones: cap/sample hub
+    neighborhoods, or orient wedges through the lower-degree endpoint
+    so fwd arrays are bounded by forward-degree. The forward-adjacency
+    side is broadcast only under the same count-conditional gate as
+    triangle_count; past it, keyed shuffles.
     """
     prep(spark)
-    pairs = _copurchase_pairs(spark, sf_dir).select(
-        F.col("a").alias("u"), F.col("b").alias("v")
-    )
+    pairs, n_edges = _copurchase_pairs(spark, sf_dir)
+    pairs = pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
     sym = pairs.union(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
     seeds = (
         table(spark, sf_dir, "part")
@@ -402,7 +414,7 @@ def clustering_coefficient(
         F.count(F.lit(1)).alias("degree"),
     )
     fwd = pairs.groupBy("u").agg(F.array_sort(F.collect_list("v")).alias("fwd"))
-    hint = F.broadcast if pairs.count() <= broadcast_edges_max else (lambda df: df)
+    hint = F.broadcast if n_edges <= broadcast_edges_max else (lambda df: df)
     closed = (
         nb_edges.join(nb_arr.select("u", "nbu"), "u")
         .join(
@@ -465,9 +477,8 @@ def bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dedup, vectorized pair explode) beats the self-join here too; the
     # checkpoint goes on SYM, the frame every superstep re-reads — the
     # un-checkpointed pairs are consumed exactly once by the union
-    pairs = _copurchase_pairs(spark, sf_dir, checkpoint=False).select(
-        F.col("a").alias("src"), F.col("b").alias("dst")
-    )
+    pairs, _ = _copurchase_pairs(spark, sf_dir, checkpoint=False)
+    pairs = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
     sym = pairs.union(pairs.select(F.col("dst"), F.col("src"))).localCheckpoint(
         eager=True
     )

@@ -6,6 +6,8 @@ broadcast, Python stays Arrow-vectorized, top-k stays rank-limited.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 
 
@@ -25,6 +27,22 @@ def executed_plan_string(df: DataFrame) -> str:
 
 def has_node(df: DataFrame, node: str) -> bool:
     return node in plan_string(df)
+
+
+def count_nodes(df: DataFrame, node: str) -> int:
+    """Count operator nodes named exactly `node` in the physical plan.
+
+    Matches the formatted explain's per-node detail lines ("(n) Exchange")
+    rather than raw substrings, so explain-formatting changes can't skew
+    the count, and look-alike nodes (ReusedExchange for Exchange,
+    WindowGroupLimit for Window) never inflate it.
+    """
+    pat = re.compile(rf"^\(\d+\)\s+{re.escape(node)}(\s|$|\[)")
+    return sum(
+        1
+        for line in plan_string(df).splitlines()
+        if pat.match(line.strip())
+    )
 
 
 def pushed_filters(df: DataFrame) -> list[str]:

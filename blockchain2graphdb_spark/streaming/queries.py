@@ -25,7 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import events_raw_schema, prep, table
+from ..catalog import events_raw_schema, normalize_events_ts, prep, table
 from ..registry import query
 
 
@@ -38,7 +38,9 @@ def _events_stream(
         reader = reader.option(k, v)
     # the file source needs a directory, not a single parquet file
     s = reader.parquet(path or _single_replay(spark, sf_dir))
-    return s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # same encoding-robust ts normalization as the batch catalog reader —
+    # one shared helper so a fixture re-encode can't break only one side
+    return normalize_events_ts(s)
 
 
 def _run(spark: SparkSession, sdf: DataFrame, output_mode: str = "append") -> DataFrame:
@@ -242,7 +244,13 @@ def _write_replay(spark: SparkSession, sf_dir: str, name: str, splitter) -> str:
 
     import pyarrow.parquet as pq
 
+    src = f"{sf_dir}/events.parquet"
     d = f"{_TMP_ROOT}/{name}_{os.path.basename(sf_dir.rstrip('/'))}"
+    # rebuild when the driver regenerates the fixture (encoding/content may
+    # change between rounds) — a stale replay would be read with the fresh
+    # fixture's schema
+    if os.path.exists(d) and os.path.getmtime(d) < os.path.getmtime(src):
+        shutil.rmtree(d, ignore_errors=True)
     if not os.path.exists(d):
         # stage + atomic rename so a crashed writer never leaves a
         # half-built dir that later runs would trust

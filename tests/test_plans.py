@@ -13,6 +13,7 @@ sys.path.insert(0, "/root/repo")
 
 from blockchain2graphdb_spark import registry
 from blockchain2graphdb_spark.plans.inspect import (
+    count_nodes,
     executed_plan_string,
     has_node,
     plan_string,
@@ -120,15 +121,15 @@ def test_unpivot_is_shuffle_free(spark):
 def test_grouping_sets_single_expand(spark):
     """Three granularities must come from ONE Expand + one aggregation
     pass, not three scans."""
-    plan = plan_string(_df("agg_grouping_sets", spark))
-    assert plan.count("Expand (") == 1, plan  # tree entry; "(n) Expand" is the detail
+    df = _df("agg_grouping_sets", spark)
+    assert count_nodes(df, "Expand") == 1, plan_string(df)
 
 
 def test_window_ntile_single_window_node(spark):
     """NTILE/PERCENT_RANK/CUME_DIST share one window spec, so Catalyst
     must evaluate all three in a single Window operator (one sort)."""
-    plan = plan_string(_df("window_ntile", spark))
-    assert plan.count("Window (") == 1, plan  # tree entry; "(n) Window" is the detail
+    df = _df("window_ntile", spark)
+    assert count_nodes(df, "Window") == 1, plan_string(df)
 
 
 def test_asof_pandas_is_arrow_grouped(spark):
@@ -181,8 +182,8 @@ def test_sessionize_single_user_shuffle(spark):
     """Both window passes and the (user, session) aggregate must reuse
     ONE hashpartitioning(user_id) exchange — partitioning by user_id
     already clusters (user_id, session_idx)."""
-    plan = plan_string(_df("sessionize_batch", spark))
-    assert plan.count("Exchange (") == 1, plan
+    df = _df("sessionize_batch", spark)
+    assert count_nodes(df, "Exchange") == 1, plan_string(df)
 
 
 def test_contamination_and_funnel_never_pairwise(spark):
@@ -196,6 +197,6 @@ def test_curation_pipeline_single_content_shuffle(spark):
     """The composite pass's content flows through exactly one shuffle
     (the md5 keeper window); the only other exchange feeds the tiny
     (split, status) aggregate."""
-    plan = plan_string(_df("curation_pipeline", spark))
-    assert plan.count("Window (") == 1, plan
-    assert plan.count("Exchange (") <= 2, plan
+    df = _df("curation_pipeline", spark)
+    assert count_nodes(df, "Window") == 1, plan_string(df)
+    assert count_nodes(df, "Exchange") <= 2, plan_string(df)
