@@ -145,3 +145,58 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@query(
+    "event_transitions",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS us
+      FROM events
+    ),
+    seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY us, event_id
+             ) AS prev_type
+      FROM e
+    )
+    SELECT prev_type, event_type AS next_type,
+           CAST(COUNT(*) AS BIGINT) AS n_transitions,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+    """,
+)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition matrix (the Markov-chain view of
+    the event log): count consecutive (prev → next) pairs in each
+    user's timeline, plus how many distinct users made each transition.
+
+    lag over (user, time) then one aggregate: the sequential-pattern
+    primitive underneath funnel debugging ("where do users go after a
+    click?"). One shuffle keyed on user_id serves the window; the
+    transition matrix is |event_types|² rows — tiny at any corpus
+    scale. Ordering ties broken by event_id (ts alone is not unique per
+    user), same rule as sessionize_batch.
+    """
+    prep(spark)
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    seq = e.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    return (
+        seq.where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_transitions"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )

@@ -679,3 +679,84 @@ def personalized_pagerank_ranks(
         check_convergence=False,
     )
     return out.select("id", F.col("attr")["rank"].alias("rank"))
+
+
+@query(
+    "neighbor_jaccard",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    sym AS (SELECT a AS u, b AS v FROM pairs
+            UNION ALL SELECT b AS u, a AS v FROM pairs),
+    deg AS (SELECT u, COUNT(*) AS d FROM sym GROUP BY u),
+    inter AS (
+      SELECT p.a, p.b, COUNT(*) AS i
+      FROM pairs p
+      JOIN sym s1 ON s1.u = p.a
+      JOIN sym s2 ON s2.u = p.b AND s2.v = s1.v
+      GROUP BY p.a, p.b
+    )
+    SELECT p.a, p.b,
+           CAST(COALESCE(i.i, 0) AS BIGINT) AS n_common,
+           CAST(da.d + db.d - COALESCE(i.i, 0) AS BIGINT) AS n_union,
+           ROUND(COALESCE(i.i, 0) * 1.0
+                 / (da.d + db.d - COALESCE(i.i, 0)), 6) AS jaccard
+    FROM pairs p
+    JOIN deg da ON da.u = p.a
+    JOIN deg db ON db.u = p.b
+    LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
+    """,
+)
+def neighbor_jaccard(
+    spark: SparkSession, sf_dir: str, broadcast_edges_max: int = 4_000_000
+) -> DataFrame:
+    """G8 companion: per-edge neighborhood Jaccard similarity on the
+    part co-purchase graph — |N(a) ∩ N(b)| / |N(a) ∪ N(b)| for every
+    canonical edge (a, b), the standard link-strength / link-prediction
+    feature next to triangle counts (endpoints kept in the sets; no
+    self-loops exist, so they are never common and affect only the
+    union size, identically on both engines).
+
+    Same adjacency-array shape as triangle_count, but over the FULL
+    undirected adjacency (Jaccard needs both directions): one
+    array_intersect per edge gives |∩|, and |∪| = deg(a) + deg(b) −
+    |∩| from the degrees the same aggregate already produced — no
+    second intersection. Row count is linear in edges; like
+    clustering_coefficient the rows carry neighbor ARRAYS, so shuffled
+    bytes are ~Σ deg² for hub-heavy graphs — cap or minhash-sketch hub
+    neighborhoods past ~10⁴ degree at 100 TB (sketched Jaccard is the
+    dedup_minhash estimator pointed at adjacency sets). Adjacency is
+    broadcast under the same count-conditional gate as triangle_count;
+    past it, keyed shuffles with AQE skew splitting.
+    """
+    prep(spark)
+    pairs, n_edges = _copurchase_pairs(spark, sf_dir)
+    sym = pairs.union(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    adj = sym.groupBy("a").agg(
+        F.array_sort(F.collect_list("b")).alias("nb"),
+        F.count(F.lit(1)).alias("d"),
+    )
+    if n_edges > broadcast_edges_max:
+        adj = adj.localCheckpoint(eager=True)
+        hint = lambda df: df  # noqa: E731
+    else:
+        hint = F.broadcast
+    adj_a = adj.select(F.col("a").alias("ja"), F.col("nb").alias("nba"), F.col("d").alias("da"))
+    adj_b = adj.select(F.col("a").alias("jb"), F.col("nb").alias("nbb"), F.col("d").alias("db"))
+    inter = F.size(F.array_intersect("nba", "nbb")).cast("long")
+    return (
+        pairs.join(hint(adj_a), pairs.a == F.col("ja"))
+        .join(hint(adj_b), pairs.b == F.col("jb"))
+        .select(
+            "a",
+            "b",
+            inter.alias("n_common"),
+            (F.col("da") + F.col("db") - inter).cast("long").alias("n_union"),
+            F.round(
+                inter * F.lit(1.0) / (F.col("da") + F.col("db") - inter), 6
+            ).alias("jaccard"),
+        )
+    )

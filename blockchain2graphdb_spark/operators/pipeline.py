@@ -400,3 +400,137 @@ def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("us").alias("end_us"),
         (F.max("us") - F.min("us")).alias("dur_us"),
     )
+
+
+@query(
+    "corpus_mixture",
+    oracle="""
+    WITH ranked AS (
+      SELECT lang, doc_id,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    ),
+    keyed AS (
+      SELECT lang, doc_id,
+             (2 * rn - 1) * CASE lang WHEN 'en' THEN 2
+                                      WHEN 'zh' THEN 3
+                                      ELSE 6 END AS mix_key
+      FROM ranked
+    ),
+    head AS (
+      SELECT lang, doc_id, CAST(mix_key AS BIGINT) AS mix_key
+      FROM keyed ORDER BY mix_key, lang, doc_id LIMIT 200
+    )
+    SELECT CAST(row_number() OVER (ORDER BY mix_key, lang, doc_id) AS BIGINT)
+             AS position,
+           lang, doc_id, mix_key
+    FROM head
+    """,
+)
+def corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9: proportional corpus mixing by stride scheduling — emit the
+    first 200 documents of a deterministic interleave that samples
+    languages at weights en:3, zh:2, others:1 (the language-balancing
+    step of an LLM data pipeline, where heavy corpora are downweighted
+    without a random sampler).
+
+    Stride scheduling in exact integers: within each language, docs get
+    a hash-ordered rank rn; the global interleave key is
+    (2*rn - 1) * (LCM(weights)/weight_lang), so a language with weight
+    w contributes one doc every LCM/w key-units — proportions hold in
+    every prefix of the stream, not just in expectation. The top-200 by
+    key compiles to TakeOrderedAndProject (per-partition top-k, no full
+    sort), and the final position numbering runs over the 200 surviving
+    rows only — the single-partition window is bounded by the limit,
+    never by corpus size. Weights are integers and the key is exact, so
+    the result value-hashes identically on both engines.
+    """
+    prep(spark)
+    docs = table(spark, sf_dir, "documents")
+    rn_w = W.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    stride = (
+        F.when(F.col("lang") == "en", 2)
+        .when(F.col("lang") == "zh", 3)
+        .otherwise(6)
+    )
+    keyed = docs.select(
+        "lang",
+        "doc_id",
+        ((2 * F.row_number().over(rn_w) - 1) * stride).cast("long").alias("mix_key"),
+    )
+    head = keyed.orderBy("mix_key", "lang", "doc_id").limit(200)
+    pos_w = W.orderBy("mix_key", "lang", "doc_id")
+    return head.select(
+        F.row_number().over(pos_w).cast("long").alias("position"),
+        "lang",
+        "doc_id",
+        "mix_key",
+    )
+
+
+# Context-window budget for sequence packing, in characters (swap the
+# measure for textops.token_count's regex count for BPE-ish budgets —
+# the packing math is identical for any integer size column).
+_PACK_BUDGET_CHARS = 4096
+
+
+@query(
+    "pack_sequences",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT source, n_chars,
+             SUM(n_chars) OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum
+      FROM documents
+    )
+    SELECT source,
+           CAST((cum - n_chars) // {_PACK_BUDGET_CHARS} AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_total
+    FROM ordered
+    GROUP BY source, bin
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9: sequence packing — assign documents to fixed-budget context
+    windows (4096 chars) and report per-bin fill, the step that turns a
+    curated corpus into dense training examples.
+
+    Offset packing, not first-fit: docs are laid end-to-end in a
+    deterministic hash order within each source, and a doc's bin is the
+    window its START offset falls in (floor((cumsum - len) / budget)).
+    That makes the assignment a running-sum window + integer division —
+    pure prefix math, no sequential bin-state loop — so it scales as
+    one keyed shuffle per source partition; sources pack independently
+    and in parallel (the 100 TB sharding axis), and re-packing after
+    appending docs never reshuffles earlier bins. Integer cumsum over
+    an identical ordering is exact on both engines.
+    """
+    prep(spark)
+    docs = table(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    ).rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = F.sum("n_chars").over(w)
+    binned = docs.select(
+        "source",
+        "n_chars",
+        (cum - F.col("n_chars")).alias("start_off"),
+    ).select(
+        "source",
+        "n_chars",
+        # integer div, not double /: exact for any corpus size
+        F.expr(f"start_off div {_PACK_BUDGET_CHARS}").cast("long").alias("bin"),
+    )
+    return binned.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars_total"),
+    )

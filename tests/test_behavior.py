@@ -119,3 +119,44 @@ def test_curation_pipeline_duplicate_count_matches_exact_dedup(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     expected = docs.count() - docs.select("text").distinct().count()
     assert n_dup == expected
+
+
+# --------------------------------------------------------- transitions
+
+
+def test_event_transitions_conserve_events(spark, sf_dir):
+    """Each user with n events contributes exactly n-1 transitions, so
+    total transitions = total events - distinct users."""
+    rows = SPECS["event_transitions"].builder(spark, sf_dir).collect()
+    ev = table(spark, sf_dir, "events")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r["n_transitions"] for r in rows) == n_events - n_users
+    for r in rows:
+        assert 1 <= r["n_users"] <= r["n_transitions"]
+
+
+def test_event_transitions_orders_by_time(spark):
+    """Transition direction must follow event time (ties by event_id),
+    not input order: a reversed-row-order fixture still yields
+    view→click, never click→view."""
+    import tempfile
+
+    from blockchain2graphdb_spark.operators.behavior import event_transitions
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        # written click-first, but view happens first in event time
+        (2, base + timedelta(minutes=5), 1, "click", 0.0, "{}"),
+        (1, base, 1, "view", 0.0, "{}"),
+        # same-timestamp tie: event_id 3 then 4
+        (4, base + timedelta(minutes=9), 2, "purchase", 0.0, "{}"),
+        (3, base + timedelta(minutes=9), 2, "view", 0.0, "{}"),
+    ]
+    with tempfile.TemporaryDirectory(dir="/root/repo/.tmp") as tmp:
+        _write_events(spark, tmp, rows)
+        got = {
+            (r["prev_type"], r["next_type"]): r["n_transitions"]
+            for r in event_transitions(spark, tmp).collect()
+        }
+    assert got == {("view", "click"): 1, ("view", "purchase"): 1}

@@ -75,3 +75,43 @@ def test_clustering_coefficient_bounds(spark, sf_dir):
     for r in rows:
         assert 0.0 <= r["coeff"] <= 1.0, r
         assert 0 <= r["n_closed"] <= r["degree"] * (r["degree"] - 1) // 2, r
+
+
+# ------------------------------------------------------ neighbor_jaccard
+
+
+def test_neighbor_jaccard_triangle_identity(spark, sf_dir):
+    """Cross-operator conservation: a common neighbor of edge (a,b) is
+    exactly a triangle through that edge, and each triangle has 3 edges,
+    so sum(n_common) over all canonical edges = 3 x triangle_count."""
+    rows = SPECS["neighbor_jaccard"].builder(spark, sf_dir).collect()
+    n_tri = SPECS["triangle_count"].builder(spark, sf_dir).collect()[0]["n_triangles"]
+    assert sum(r["n_common"] for r in rows) == 3 * n_tri
+    for r in rows:
+        # endpoints are neighbors of each other but never common, so
+        # union >= 2 and jaccard stays in (0, 1); 1.0 needs identical
+        # closed neighborhoods, possible only with n_union == n_common
+        assert r["n_common"] >= 0 and r["n_union"] >= 2, r
+        assert 0.0 <= r["jaccard"] < 1.0 or r["n_common"] == r["n_union"], r
+
+
+def test_neighbor_jaccard_small_graphs(spark):
+    """K3: each edge's endpoints share exactly the third node; path
+    1-2-3: the end edges share nothing."""
+    from blockchain2graphdb_spark.operators.graphops import neighbor_jaccard
+
+    with tempfile.TemporaryDirectory() as tmp:
+        _write_graph(spark, tmp, [(1, p) for p in (1, 2, 3)], [1, 2, 3])
+        rows = {(r["a"], r["b"]): r for r in neighbor_jaccard(spark, tmp).collect()}
+    assert set(rows) == {(1, 2), (1, 3), (2, 3)}
+    for r in rows.values():
+        # N(1)={2,3}, N(2)={1,3}: common {3}, union {1,2,3}
+        assert r["n_common"] == 1 and r["n_union"] == 3
+        assert r["jaccard"] == 0.333333
+
+    with tempfile.TemporaryDirectory() as tmp:
+        _write_graph(spark, tmp, [(1, 1), (1, 2), (2, 2), (2, 3)], [1, 2, 3])
+        rows = {(r["a"], r["b"]): r for r in neighbor_jaccard(spark, tmp).collect()}
+    assert set(rows) == {(1, 2), (2, 3)}
+    for r in rows.values():
+        assert r["n_common"] == 0 and r["jaccard"] == 0.0

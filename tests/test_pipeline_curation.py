@@ -188,3 +188,99 @@ def test_sessionize_batch_counts_reconcile(spark, sf_dir):
         F.sum("n_events").alias("s")
     ).collect()[0]["s"]
     assert total == table(spark, sf_dir, "events").count()
+
+
+# ------------------------------------------------------------- mixture
+
+
+def test_corpus_mixture_prefix_proportions(spark, sf_dir):
+    """Stride scheduling must hold the weight proportions (en:3, zh:2,
+    de/es/fr:1 → 3/8, 2/8, 1/8 of the stream) in the emitted prefix,
+    not just in expectation: 200 rows → 75/50/25/25/25."""
+    rows = SPECS["corpus_mixture"].builder(spark, sf_dir).collect()
+    assert len(rows) == 200
+    by_lang = {}
+    for r in rows:
+        by_lang[r["lang"]] = by_lang.get(r["lang"], 0) + 1
+    assert by_lang["en"] == 75
+    assert by_lang["zh"] == 50
+    assert by_lang["de"] == by_lang["es"] == by_lang["fr"] == 25
+    # positions are a dense 1..200 numbering
+    assert sorted(r["position"] for r in rows) == list(range(1, 201))
+
+
+def test_corpus_mixture_topk_plan(spark, sf_dir):
+    """The head-of-stream cut must compile to TakeOrderedAndProject
+    (per-partition top-k), never a full global sort of the corpus."""
+    from blockchain2graphdb_spark.plans.inspect import has_node
+
+    df = SPECS["corpus_mixture"].builder(spark, sf_dir)
+    assert has_node(df, "TakeOrderedAndProject")
+
+
+# -------------------------------------------------------------- packing
+
+
+def test_pack_sequences_conserves_and_bounds(spark, sf_dir):
+    """Bins must conserve the corpus (per-source doc and char totals)
+    and be dense 0..max per source; a bin's fill can exceed the budget
+    only via its last straddling doc (start-offset binning), so
+    chars_total < budget + max doc length."""
+    from blockchain2graphdb_spark.operators.pipeline import _PACK_BUDGET_CHARS
+
+    rows = SPECS["pack_sequences"].builder(spark, sf_dir).collect()
+    docs = table(spark, sf_dir, "documents")
+    per_source = {
+        r["source"]: r
+        for r in docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").alias("chars"),
+            F.max("n_chars").alias("mx"),
+        )
+        .collect()
+    }
+    by_source = {}
+    for r in rows:
+        by_source.setdefault(r["source"], []).append(r)
+    assert set(by_source) == set(per_source)
+    for src, bins in by_source.items():
+        assert sum(b["n_docs"] for b in bins) == per_source[src]["n"]
+        assert sum(b["chars_total"] for b in bins) == per_source[src]["chars"]
+        idxs = sorted(b["bin"] for b in bins)
+        assert idxs == list(range(len(idxs))), src  # dense, no empty bins
+        for b in bins:
+            assert b["chars_total"] < _PACK_BUDGET_CHARS + per_source[src]["mx"]
+
+
+def test_pack_sequences_stable_under_append(spark, sf_dir):
+    """Packing is prefix-stable in the hash order: a doc's start offset
+    (and hence bin) depends only on docs hashing before it, so packing
+    must not move docs between bins when later-hashing docs appear —
+    verified by re-deriving bins from the cumulative sums directly."""
+    docs = table(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+    from blockchain2graphdb_spark.operators.pipeline import _PACK_BUDGET_CHARS
+
+    w = W.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    ).rowsBetween(W.unboundedPreceding, W.currentRow)
+    manual = (
+        docs.select(
+            "source",
+            "n_chars",
+            (F.sum("n_chars").over(w) - F.col("n_chars")).alias("off"),
+        )
+        .select("source", F.expr(f"off div {_PACK_BUDGET_CHARS}").alias("bin"), "n_chars")
+        .groupBy("source", "bin")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("chars_total"))
+    )
+    got = {
+        (r["source"], r["bin"]): (r["n_docs"], r["chars_total"])
+        for r in SPECS["pack_sequences"].builder(spark, "/root/testdata/sf0.001").collect()
+    }
+    want = {
+        (r["source"], r["bin"]): (r["n_docs"], r["chars_total"])
+        for r in manual.collect()
+    }
+    assert got == want
