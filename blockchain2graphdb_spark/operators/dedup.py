@@ -11,7 +11,7 @@ cannot express.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import prep, table
@@ -278,4 +278,67 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("jaccard"),
         )
+    )
+
+
+@query(
+    "dedup_keep_best",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, n_chars, md5(lower(text)) AS fingerprint FROM documents
+    ),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (
+               PARTITION BY fingerprint ORDER BY n_chars DESC, doc_id
+             ) AS rn,
+             COUNT(*) OVER (PARTITION BY fingerprint) AS n_copies
+      FROM fp
+    )
+    SELECT fingerprint, doc_id AS kept_doc_id,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(n_copies AS BIGINT) AS n_copies
+    FROM ranked WHERE rn = 1
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 canonical selection: after exact-duplicate clustering, keep ONE
+    representative per cluster — the highest-quality copy (longest, ties
+    to the smallest doc_id) — and report the cluster size. This is the
+    collapse step a training pipeline runs after `dedup_exact`
+    identifies clusters; keep-best (not keep-first) preserves the most
+    complete copy when shards carry truncated variants.
+
+    No window, no sort: the (n_chars DESC, doc_id ASC) preference is
+    packed into ONE bigint — score = n_chars << 41 | (2^41-1 - doc_id)
+    — so "best copy" is a plain MAX(long), which whole-stage codegen
+    keeps in HashAggregate with map-side partials (max(struct) /
+    max_by would demote the whole aggregate to SortAggregate: struct
+    buffers aren't hash-aggregable). Each fingerprint ships exactly one
+    partial row per input partition through the single exchange — at
+    100 TB a viral duplicate (million-copy boilerplate) costs one row
+    per upstream partition, never a million-row sorted reducer group.
+    Capacity: doc_id < 2^41 (~2.2e12 docs), n_chars < 2^21 (2 MiB) —
+    raise the shift if either bound moves. (The DuckDB oracle keeps
+    the window formulation; results are identical.)
+    """
+    prep(spark)
+    _SHIFT = 41
+    _MASK = (1 << _SHIFT) - 1
+    fp = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.md5(F.lower(F.col("text")).cast("binary")).alias("fingerprint"),
+    )
+    score = F.shiftleft(F.col("n_chars").cast("long"), _SHIFT) + (
+        F.lit(_MASK) - F.col("doc_id")
+    )
+    agg = fp.groupBy("fingerprint").agg(
+        F.max(score).alias("s"), F.count(F.lit(1)).alias("n_copies")
+    )
+    return agg.select(
+        "fingerprint",
+        (F.lit(_MASK) - F.col("s").bitwiseAND(F.lit(_MASK))).alias("kept_doc_id"),
+        F.shiftright(F.col("s"), _SHIFT).alias("n_chars"),
+        F.col("n_copies").cast("long").alias("n_copies"),
     )

@@ -334,3 +334,77 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         (F.sum("qx").cast("double") / F.count(F.lit(1))).alias("centroid_q"),
     )
+
+
+@query(
+    "similarity_range",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    norms AS (
+      SELECT vec_id, (SELECT SUM(x * x) FROM unnest(qv) AS t(x)) AS norm2 FROM q
+    ),
+    dots AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+             (SELECT SUM(a.qv[i.i] * b.qv[i.i])
+              FROM (SELECT unnest(range(1, {_N_DIM + 1})) AS i) i) AS dot
+      FROM q a JOIN q b ON b.vec_id <> a.vec_id
+      WHERE a.vec_id < 20
+    )
+    SELECT d.query_id, d.cand_id,
+           CAST(d.dot AS DOUBLE) / SQRT(CAST(na.norm2 * nb.norm2 AS DOUBLE)) AS cosine
+    FROM dots d
+    JOIN norms na ON na.vec_id = d.query_id
+    JOIN norms nb ON nb.vec_id = d.cand_id
+    WHERE d.dot > 0 AND 25 * d.dot * d.dot >= na.norm2 * nb.norm2
+    """,
+)
+def similarity_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: radius (range) search — every candidate with cosine >= 0.2 of
+    each query vector (vec_id < 20), the retrieval mode dedup and
+    contamination sweeps need where top-k's fixed k under- or
+    over-collects.
+
+    The threshold test never touches floats: cosine >= tau is evaluated
+    as dot > 0 AND dot^2 * den >= num * |q|^2 * |c|^2 with tau^2 =
+    num/den = 1/25 — all int64 (quantized values bound the products
+    well under 2^63), so the boundary is bit-exact on both engines and
+    the reported cosine (exact-integer operands, one IEEE division) is
+    hash-identical. Same broadcast-query / scan-candidates shape as
+    similarity_topk — no shuffle on the candidate side at any scale; at
+    100 TB the LSH-bucketed variant (lsh_candidate_pairs) generates the
+    candidates and this predicate reranks them.
+    """
+    prep(spark)
+    qdf = _quantized(spark, sf_dir)
+    queries = qdf.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qq"),
+        F.col("norm2").alias("qnorm2"),
+    )
+    cands = qdf.select(
+        F.col("vec_id").alias("cand_id"), F.col("q").alias("cq"), F.col("norm2").alias("cnorm2")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qq"), F.col("cq"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    return (
+        cands.join(F.broadcast(queries), F.col("cand_id") != F.col("query_id"))
+        .withColumn("dot", dot)
+        .where(
+            (F.col("dot") > 0)
+            & (F.lit(25) * F.col("dot") * F.col("dot") >= F.col("qnorm2") * F.col("cnorm2"))
+        )
+        .select(
+            "query_id",
+            "cand_id",
+            (
+                F.col("dot").cast("double")
+                / F.sqrt((F.col("qnorm2") * F.col("cnorm2")).cast("double"))
+            ).alias("cosine"),
+        )
+    )

@@ -288,3 +288,62 @@ def text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         cleaned.alias("cleaned"),
         (F.length("text") - F.length(cleaned)).alias("removed_chars"),
     )
+
+
+@query(
+    "text_ngram_freq",
+    oracle="""
+    WITH toks AS (
+      SELECT lang,
+             list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS ts
+      FROM documents
+    ),
+    bi AS (
+      SELECT lang, ts[CAST(t.i AS BIGINT)] || ' ' || ts[CAST(t.i AS BIGINT) + 1] AS bigram
+      FROM toks, UNNEST(range(1, len(ts))) AS t(i)
+    ),
+    cnt AS (SELECT lang, bigram, COUNT(*) AS n FROM bi GROUP BY 1, 2)
+    SELECT lang, bigram, CAST(n AS BIGINT) AS n
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS rn
+      FROM cnt
+    ) WHERE rn <= 10
+    """,
+)
+def text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: per-language top-10 bigram frequencies — the n-gram LM
+    statistic under contamination sniffing and boilerplate discovery.
+
+    Bigrams are built INSIDE the token array with a vectorized
+    transform-over-slice (toks[i] + ' ' + toks[i+1]) — no window, no
+    self-join; the only explode is the bigram stream feeding one
+    (lang, bigram) count whose partial aggregation happens map-side.
+    The top-10 cut compiles to WindowGroupLimit, so each language ships
+    at most 10 candidate rows per partition past the final exchange.
+    Ties at the cut break by bigram text — deterministic on both
+    engines.
+    """
+    prep(spark)
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z]+"), lambda x: x != F.lit("")
+    )
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.slice(toks, 1, F.size(toks) - 1),
+            lambda x, i: F.concat_ws(" ", x, F.element_at(toks, i + 2)),
+        ),
+    ).otherwise(F.array(F.lit(None).cast("string")))
+    cnt = (
+        table(spark, sf_dir, "documents")
+        .select("lang", F.explode(bigrams).alias("bigram"))
+        .where(F.col("bigram").isNotNull())
+        .groupBy("lang", "bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = W.partitionBy("lang").orderBy(F.col("n").desc(), F.col("bigram"))
+    return (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 10)
+        .select("lang", "bigram", F.col("n").cast("long").alias("n"))
+    )

@@ -357,3 +357,61 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("p_ts") <= F.col("e_ts") + F.expr("INTERVAL 6 HOURS")),
     ).select("e_user", "e_id", "p_id", "e_ts", "p_ts")
     return _run(spark, out)
+
+
+@query(
+    "stream_merge_sink",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS value_centi
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_merge_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 + M2 under streaming: idempotent MERGE sink via foreachBatch —
+    the first streaming key with a full value-hash oracle (the memory
+    -sink keys are rows-only because their row set depends on trigger
+    boundaries; a merge sink's FINAL STATE does not).
+
+    Each micro-batch folds to a per-user partial (count, centi-value
+    sum) and lands under batch=<id>, overwritten on replay — batch id
+    keyed writes are the exactly-once recipe for object-store sinks
+    (the reference instead re-reads and mutates one vertex per event,
+    B:91–113). The final state folds the partials; counts and integer
+    sums are associative, so the result is independent of how the
+    availableNow trigger batched the two replay files. Floor-of-centi
+    keeps the money math in exact integers on both engines.
+    """
+    prep(spark)
+    import os
+    import shutil
+
+    d = _two_file_replay(spark, sf_dir)
+    out = f"{_TMP_ROOT}/mergesink_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(f"{out}.ckpt", ignore_errors=True)
+    s = _events_stream(spark, sf_dir, path=d, maxFilesPerTrigger="1")
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        part = batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("value_centi"),
+        )
+        part.write.mode("overwrite").parquet(f"{out}/batch={batch_id}")
+
+    q = (
+        s.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", f"{out}.ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.option("basePath", out).parquet(f"{out}/batch=*")
+        .groupBy("user_id")
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum("value_centi").cast("long").alias("value_centi"),
+        )
+    )

@@ -205,3 +205,30 @@ def test_pq_recall_floor_and_determinism(spark, sf_dir):
     hit, tot = bf10.intersect(pq10).count(), bf10.count()
     assert tot == 50
     assert hit / tot >= 0.15, f"PQ recall@10 = {hit}/{tot}"
+
+
+# ------------------------------------------------------ similarity_range
+
+
+def test_range_search_consistent_with_topk(spark, sf_dir):
+    """On the shared query set (vec_id < 5), range search at tau=0.2
+    must return exactly the top-k hits scoring >= tau — plus whatever
+    k cut off — and nothing below tau."""
+    from blockchain2graphdb_spark import registry
+
+    specs = registry.load_all()
+    rng = {
+        (r["query_id"], r["cand_id"]): r["cosine"]
+        for r in specs["similarity_range"].builder(spark, sf_dir).collect()
+        if r["query_id"] < 5
+    }
+    topk = {
+        (r["query_id"], r["cand_id"]): r["cosine"]
+        for r in specs["similarity_topk"].builder(spark, sf_dir).collect()
+    }
+    for pair, cos in rng.items():
+        assert cos >= 0.2 - 1e-12, pair
+    for pair, cos in topk.items():
+        if cos >= 0.2:
+            assert pair in rng, f"top-k hit {pair} ({cos}) missing from range result"
+            assert abs(rng[pair] - cos) < 1e-12

@@ -100,3 +100,38 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql(f"DROP TABLE IF EXISTS orders_b_{suffix}")
         spark.sql(f"DROP TABLE IF EXISTS lineitem_b_{suffix}")
+
+
+# ------------------------------------------------------- dedup_keep_best
+
+
+def test_keep_best_collapses_planted_duplicates(spark):
+    """Exact-dup clusters collapse to the longest copy (ties to smallest
+    doc_id); the fixture-free synthetic corpus plants case-insensitive
+    duplicates (the md5 runs over lower(text))."""
+    import os
+    import tempfile
+
+    from blockchain2graphdb_spark.operators.dedup import dedup_keep_best
+
+    rows = [
+        # cluster A: same text modulo case, 3 copies — n_chars differ,
+        # keep the longest (doc 2)
+        (1, "Hello World", "en", "s0", 11),
+        (2, "hello world", "en", "s0", 20),
+        (3, "HELLO WORLD", "en", "s0", 11),
+        # cluster B: two copies with equal n_chars — keep smallest id
+        (4, "spark", "en", "s1", 5),
+        (5, "Spark", "en", "s1", 5),
+        # singleton
+        (6, "unique text", "en", "s1", 11),
+    ]
+    with tempfile.TemporaryDirectory(dir="/root/repo/.tmp") as tmp:
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars int"
+        ).write.parquet(os.path.join(tmp, "documents.parquet"))
+        got = {r["kept_doc_id"]: r for r in dedup_keep_best(spark, tmp).collect()}
+    assert set(got) == {2, 4, 6}
+    assert got[2]["n_copies"] == 3 and got[2]["n_chars"] == 20
+    assert got[4]["n_copies"] == 2
+    assert got[6]["n_copies"] == 1

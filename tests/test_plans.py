@@ -200,3 +200,26 @@ def test_curation_pipeline_single_content_shuffle(spark):
     df = _df("curation_pipeline", spark)
     assert count_nodes(df, "Window") == 1, plan_string(df)
     assert count_nodes(df, "Exchange") <= 2, plan_string(df)
+
+
+def test_ngram_freq_topk_pushdown_and_no_python(spark):
+    """The bigram build must stay inside vectorized array expressions
+    (no BatchEvalPython) and the per-lang top-10 must compile to
+    WindowGroupLimit."""
+    df = _df("text_ngram_freq", spark)
+    assert has_node(df, "WindowGroupLimit")
+    assert not uses_row_python(df)
+
+
+def test_keep_best_is_mergeable_hash_aggregate(spark):
+    """Keep-best must be a partial/final HASH aggregate over ONE
+    fingerprint exchange — no Window, no Sort anywhere: the packed
+    bigint keeps max() hash-aggregable, so viral duplicate clusters
+    combine map-side and never sort or concentrate."""
+    df = _df("dedup_keep_best", spark)
+    plan = plan_string(df)
+    assert count_nodes(df, "Exchange") == 1, plan
+    assert plan.count("HashAggregate") >= 2, plan  # partial + final
+    assert count_nodes(df, "SortAggregate") == 0, plan
+    assert count_nodes(df, "Window") == 0, plan
+    assert count_nodes(df, "Sort") == 0, plan

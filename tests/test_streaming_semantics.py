@@ -129,3 +129,37 @@ def test_stream_stream_join_equals_batch_interval_join(spark):
     ).select("e_user", "e_id", "p_id", "e_ts", "p_ts")
     # single-batch replay: nothing is watermark-dropped, so stream == batch
     assert _rows(got) == _rows(exp)
+
+
+# ------------------------------------------------------ stream_merge_sink
+
+
+def test_merge_sink_state_equals_batch_fold(spark, sf_dir):
+    """The merge sink's final state must equal the one-shot batch
+    aggregate over the same events — micro-batch boundaries must not
+    show — and re-running must be idempotent."""
+    from blockchain2graphdb_spark import registry
+    from blockchain2graphdb_spark.catalog import table
+    import pyspark.sql.functions as F
+
+    spec = registry.load_all()["stream_merge_sink"]
+    got = {
+        r["user_id"]: (r["n_events"], r["value_centi"])
+        for r in spec.builder(spark, sf_dir).collect()
+    }
+    want = {
+        r["user_id"]: (r["n_events"], r["value_centi"])
+        for r in table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("value_centi"),
+        )
+        .collect()
+    }
+    assert got == want and got
+    rerun = {
+        r["user_id"]: (r["n_events"], r["value_centi"])
+        for r in spec.builder(spark, sf_dir).collect()
+    }
+    assert rerun == got
