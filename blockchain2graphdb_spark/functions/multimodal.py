@@ -140,8 +140,13 @@ def resize_images(media: DataFrame, max_side: int = 16) -> DataFrame:
             for _, r in pdf.iterrows():
                 m = dict(r["meta"])
                 w, h = m.get("width"), m.get("height")
-                scale = max_side / max(w, h) if w and h and max(w, h) > max_side else 1.0
-                nw, nh = int(w * scale), int(h * scale)
+                # integer scaling ((w*max)//mx), not float-then-truncate:
+                # bit-exact, so the SQL oracle can replay the geometry
+                if w and h and max(w, h) > max_side:
+                    mx = max(w, h)
+                    nw, nh = (w * max_side) // mx, (h * max_side) // mx
+                else:
+                    nw, nh = w, h
                 payload = _fake_bytes(bytes(r["payload"][:16]), nw * nh)
                 rows.append((int(r["media_id"]), "image", payload, {"width": nw, "height": nh, "duration_ms": None}))
             yield pd.DataFrame(rows, columns=["media_id", "kind", "payload", "meta"])

@@ -88,29 +88,82 @@ def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_resize")  # rows-only: payload bytes are the stub's fake stream
+@query(
+    "multimodal_resize",
+    oracle="""
+    WITH geom AS (
+      SELECT doc_id,
+             16 + ((instr('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
+                 + (instr('0123456789abcdef', substr(md5(text), 2, 1)) - 1)) % 16 AS w,
+             16 + ((instr('0123456789abcdef', substr(md5(text), 3, 1)) - 1) * 16
+                 + (instr('0123456789abcdef', substr(md5(text), 4, 1)) - 1)) % 16 AS h
+      FROM documents
+    )
+    SELECT doc_id AS media_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+           CASE WHEN doc_id % 3 = 0 THEN CAST(
+             CASE WHEN greatest(w, h) > 16 THEN (w * 16) // greatest(w, h) ELSE w END
+             AS BIGINT) END AS width,
+           CASE WHEN doc_id % 3 = 0 THEN CAST(
+             CASE WHEN greatest(w, h) > 16 THEN (h * 16) // greatest(w, h) ELSE h END
+             AS BIGINT) END AS height,
+           CAST(CASE WHEN doc_id % 3 = 0
+                THEN (CASE WHEN greatest(w, h) > 16 THEN (w * 16) // greatest(w, h) ELSE w END)
+                   * (CASE WHEN greatest(w, h) > 16 THEN (h * 16) // greatest(w, h) ELSE h END)
+                ELSE 256 END AS BIGINT) AS n_bytes
+    FROM geom
+    """,
+)
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5: image resize stage — metadata rewrite + re-encode, non-images
-    pass through Spark-side (the Python stage only ever sees images)."""
+    pass through Spark-side (the Python stage only ever sees images).
+
+    Oracle-checked (upgraded from rows-only): the stub's source geometry
+    is bytes 0/1 of md5(text) and the downscale is pure integer math
+    ((w*max)//mx), so DuckDB replays the exact output geometry AND the
+    re-encoded payload size (nw*nh) for images, and the untouched
+    256-byte pass-through for audio/video — verifying that the resize
+    stage's 1:1 row contract, kind routing, metadata rewrite, and
+    payload re-encode all survived the mapInPandas round trip.
+    """
     prep(spark)
     media = synthesize_media(table(spark, sf_dir, "documents"))
     resized = resize_images(media, max_side=16)
     return resized.select(
         "media_id",
         "kind",
-        F.col("meta.width").alias("width"),
-        F.col("meta.height").alias("height"),
-        F.length("payload").alias("n_bytes"),
+        F.col("meta.width").cast("long").alias("width"),
+        F.col("meta.height").cast("long").alias("height"),
+        F.length("payload").cast("long").alias("n_bytes"),
     )
 
 
-@query("multimodal_frame_sample")  # rows-only: 1->N expansion of stub video payloads
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST((dur - 1) // 5000 + 1 AS BIGINT) AS n_frames,
+           CAST(((dur - 1) // 5000) * 5000 AS BIGINT) AS last_frame_ms
+    FROM (
+      SELECT doc_id,
+             1000 + ((instr('0123456789abcdef', substr(md5(text), 5, 1)) - 1) * 16
+                   + (instr('0123456789abcdef', substr(md5(text), 6, 1)) - 1)) * 100 AS dur
+      FROM documents WHERE doc_id % 3 = 2
+    )
+    """,
+)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X5: video frame sampling — UDTF-shaped 1→N expansion per video."""
+    """X5: video frame sampling — UDTF-shaped 1→N expansion per video.
+
+    Oracle-checked (upgraded from rows-only), same replay trick as
+    multimodal_audio_windows: duration is byte 2 of md5(text), so SQL
+    predicts the exact frame count ((dur-1)//5000 + 1 frames at 0,
+    5000, …) and last frame timestamp the Python expansion must emit.
+    """
     prep(spark)
     media = synthesize_media(table(spark, sf_dir, "documents"))
     frames = sample_frames(media, every_ms=5000)
     return frames.groupBy("media_id").agg(
         F.count(F.lit(1)).alias("n_frames"),
-        F.max("frame_ts_ms").alias("last_frame_ms"),
+        F.max("frame_ts_ms").cast("long").alias("last_frame_ms"),
     )
