@@ -56,12 +56,19 @@ def _run(spark: SparkSession, sdf: DataFrame, output_mode: str = "append") -> Da
     return spark.table(name)
 
 
-@query("stream_events")
+@query(
+    "stream_events",
+    oracle="""
+    SELECT event_id, user_id, value FROM events WHERE event_type = 'purchase'
+    """,
+)
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3: unbounded source → filter/project (B:138–139 stdout tail).
 
     File-source replay of `events`; the same plan runs unmodified on a
-    Kafka/socket source.
+    Kafka/socket source. Oracle-checked: an append-mode stateless
+    filter emits each input row exactly once regardless of trigger
+    boundaries, so the materialized result equals the batch query.
     """
     prep(spark)
     s = _events_stream(spark, sf_dir)
@@ -69,9 +76,17 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run(spark, out)
 
 
-@query("stream_parse")
+@query(
+    "stream_parse",
+    oracle="""
+    SELECT event_id,
+           CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INTEGER) AS k
+    FROM events
+    """,
+)
 def stream_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C2 streaming: regexp event extraction (B:143–156 `UpdateTip: new best=`)."""
+    """C2 streaming: regexp event extraction (B:143–156 `UpdateTip: new
+    best=`). Oracle-checked — stateless projection, trigger-invariant."""
     prep(spark)
     s = _events_stream(spark, sf_dir)
     out = s.select(
@@ -81,9 +96,20 @@ def stream_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run(spark, out)
 
 
-@query("stream_tumbling")
+@query(
+    "stream_tumbling",
+    oracle="""
+    SELECT make_timestamp(((epoch_ns(ts) // 1000) // 21600000000) * 21600000000)
+             AS win_start,
+           event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
 def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling event-time window aggregate (absent from the reference)."""
+    """Tumbling event-time window aggregate (absent from the reference).
+    Oracle-checked: complete-mode output is the full aggregate over all
+    input regardless of batching; Spark's epoch-aligned 6h windows are
+    integer floor-division in SQL."""
     prep(spark)
     s = _events_stream(spark, sf_dir)
     out = (
@@ -98,9 +124,24 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run(spark, out, output_mode="complete")
 
 
-@query("stream_sliding")
+@query(
+    "stream_sliding",
+    oracle="""
+    WITH e AS (SELECT epoch_ns(ts) // 1000 AS us FROM events),
+    w AS (
+      SELECT (us // 21600000000) * 21600000000 AS s FROM e
+      UNION ALL
+      SELECT (us // 21600000000) * 21600000000 - 21600000000 AS s FROM e
+    )
+    SELECT make_timestamp(s) AS win_start, CAST(COUNT(*) AS BIGINT) AS n
+    FROM w GROUP BY 1
+    """,
+)
 def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding window (12h window, 6h slide)."""
+    """Sliding window (12h window, 6h slide). Oracle-checked: every
+    event lands in exactly two epoch-aligned 12h/6h windows (its 6h
+    bucket's window and the previous one), so SQL reproduces the
+    expansion with a two-branch union."""
     prep(spark)
     s = _events_stream(spark, sf_dir)
     out = (
@@ -187,12 +228,21 @@ def stream_stateful_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run(spark, out, output_mode="update")
 
 
-@query("stream_file_tail")
+@query(
+    "stream_file_tail",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1
+    """,
+)
 def stream_file_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2: incremental tail-file scan (B:105, B:1097–1107 rescan only the
     tail blk*.dat). maxFilesPerTrigger=1 over a 2-file replay of `events`
     → two micro-batches, exactly the new-files-only pickup the reference
-    hand-rolls with currentFileCount."""
+    hand-rolls with currentFileCount. Oracle-checked: the complete-mode
+    per-day count after the final batch equals the batch aggregate, so
+    the two-batch pickup must lose and duplicate nothing."""
     prep(spark)
     d = _two_file_replay(spark, sf_dir)
     s = _events_stream(spark, sf_dir, path=d, maxFilesPerTrigger="1")
@@ -295,7 +345,16 @@ def _late_replay(spark: SparkSession, sf_dir: str) -> str:
     return _write_replay(spark, sf_dir, "late", split)
 
 
-@query("stream_static_join")
+@query(
+    "stream_static_join",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(trunc(e.value * 100) AS BIGINT)) AS BIGINT) AS value_centi
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY 1
+    """,
+)
 def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment join (absent from the reference, which
     re-fetches vertices per event, B:91–113): the events stream joined
@@ -321,7 +380,17 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run(spark, out, output_mode="complete")
 
 
-@query("stream_stream_join")
+@query(
+    "stream_stream_join",
+    oracle="""
+    SELECT e.user_id AS e_user, e.event_id AS e_id, p.event_id AS p_id,
+           e.ts AS e_ts, p.ts AS p_ts
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON p.user_id = e.user_id
+     AND p.ts >= e.ts AND p.ts <= e.ts + INTERVAL 6 HOUR
+    """,
+)
 def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join: each error event matched to the same
     user's purchases within the following 6 hours. Both sides carry
