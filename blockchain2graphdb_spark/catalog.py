@@ -9,6 +9,7 @@ pushdown / column pruning / partition pruning unchanged.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -48,7 +49,26 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown fixture table {name!r}; have {TABLES}")
     if name == "events":
         return _events(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _dates_to_timestamps(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+
+
+def _dates_to_timestamps(df: DataFrame) -> DataFrame:
+    """Round-proofing twin of `normalize_events_ts`: the driver has
+    already re-encoded one temporal column between rounds (events.ts,
+    round 3); if a date column (o_orderdate, l_shipdate) ships as
+    parquet DATE instead of TIMESTAMP, every oracle that returns it
+    would hash-mismatch (date.isoformat() != timestamp.isoformat())
+    and every timestamp-literal comparison would change type context.
+    Normalize any DateType column to TimestampType at the catalog seam
+    — a zero-cost projection when nothing drifted (no date columns
+    today), midnight-exact when something does. DuckDB's side needs no
+    change: its comparisons and epoch math are encoding-agnostic."""
+    from pyspark.sql.types import DateType
+
+    date_cols = [f.name for f in df.schema.fields if isinstance(f.dataType, DateType)]
+    for c in date_cols:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
 
 
 def normalize_events_ts(df: DataFrame) -> DataFrame:
@@ -71,8 +91,6 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
 
     Works on batch and streaming DataFrames alike (pure projection).
     """
-    from pyspark.sql import functions as F
-
     dtype = dict(df.dtypes).get("ts")
     if dtype == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -341,3 +341,60 @@ def snapshot_reorg_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec2("o_totalprice")).cast("double").alias("total"),
         )
     )
+
+
+@query(
+    "scd2_history",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type AS status, epoch_ns(ts) // 1000 AS us, event_id
+      FROM events
+    ),
+    seq AS (
+      SELECT *, lag(status) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+      FROM e
+    )
+    SELECT user_id, status,
+           CAST(us AS BIGINT) AS valid_from_us,
+           CAST(lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS BIGINT)
+             AS valid_to_us,
+           CAST(row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS BIGINT)
+             AS version
+    FROM seq WHERE prev IS NULL OR prev <> status
+    """,
+)
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2 extended — slowly-changing-dimension type-2 history build: the
+    per-user status timeline compressed to versioned validity intervals
+    (status = event_type; a new version opens at every change point,
+    valid_to = next change, NULL = current row). This is the temporal
+    -versioning write path of a warehouse dimension, derived from the
+    same event log the reference mutates row-at-a-time (B:837–947).
+
+    lag → change-point filter → lead/row_number: all four windows and
+    the filter share ONE hashpartitioning(user_id) exchange (the change
+    -point filter runs between window passes without repartitioning, so
+    the compressed interval table never reshuffles). Output is
+    |change points| rows — a compression of the log, bounded by it.
+    As-of lookups against the result are the join_asof operator.
+    """
+    prep(spark)
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_type").alias("status"),
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+    )
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    ch = e.withColumn("prev", F.lag("status").over(w)).where(
+        F.col("prev").isNull() | (F.col("prev") != F.col("status"))
+    )
+    return ch.select(
+        "user_id",
+        "status",
+        F.col("us").alias("valid_from_us"),
+        F.lead("us").over(w).alias("valid_to_us"),
+        F.row_number().over(w).cast("long").alias("version"),
+    )

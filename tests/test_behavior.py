@@ -160,3 +160,33 @@ def test_event_transitions_orders_by_time(spark):
             for r in event_transitions(spark, tmp).collect()
         }
     assert got == {("view", "click"): 1, ("view", "purchase"): 1}
+
+
+# --------------------------------------------------------------- scd2
+
+
+def test_scd2_intervals_chain_and_alternate(spark, sf_dir):
+    """Per user: versions are dense 1..n, intervals chain exactly
+    (valid_to(v) == valid_from(v+1), last is NULL/current), and
+    consecutive versions always change status."""
+    rows = SPECS["scd2_history"].builder(spark, sf_dir).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert by_user
+    for u, vs in by_user.items():
+        vs.sort(key=lambda r: r["version"])
+        assert [r["version"] for r in vs] == list(range(1, len(vs) + 1)), u
+        for a, b in zip(vs, vs[1:]):
+            assert a["valid_to_us"] == b["valid_from_us"], u
+            assert a["status"] != b["status"], u
+        assert vs[-1]["valid_to_us"] is None, u
+
+
+def test_scd2_single_user_shuffle(spark, sf_dir):
+    """All window passes and the change-point filter share one
+    hashpartitioning(user_id) exchange."""
+    from blockchain2graphdb_spark.plans.inspect import count_nodes, plan_string
+
+    df = SPECS["scd2_history"].builder(spark, sf_dir)
+    assert count_nodes(df, "Exchange") == 1, plan_string(df)

@@ -92,3 +92,35 @@ def test_all_encodings_agree(spark):
             (r.event_id, r.ts) for r in table(spark, d, "events").collect()
         )
     assert vals["nanos"] == vals["micros_ntz"] == vals["micros_utc"]
+
+
+def test_date_columns_normalize_to_timestamps(spark):
+    """Round-proofing for the OTHER temporal drift: if the driver ships
+    o_orderdate as parquet DATE instead of TIMESTAMP, catalog.table must
+    hand back TimestampType at midnight so oracle outputs and literal
+    comparisons keep hashing identically."""
+    d = f"{_TMP}/datedrift"
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    days = [dt.date(2024, 1, 1), dt.date(2024, 6, 15)]
+    tbl = pa.table(
+        {
+            "o_orderkey": pa.array([1, 2], pa.int64()),
+            "o_custkey": pa.array([10, 20], pa.int64()),
+            "o_orderdate": pa.array(days, pa.date32()),
+        }
+    )
+    pq.write_table(tbl, f"{d}/orders.parquet")
+    df = table(spark, d, "orders")
+    assert dict(df.dtypes)["o_orderdate"] == "timestamp"
+    got = sorted(r.o_orderdate for r in df.collect())
+    assert got == [dt.datetime(2024, 1, 1), dt.datetime(2024, 6, 15)]
+
+
+def test_timestamp_columns_pass_through_unchanged(spark):
+    """The date normalizer must be a no-op on today's fixtures, which
+    read as TIMESTAMP_NTZ (naive micros) — both timestamp flavors
+    collect as naive datetimes under the UTC session, so only DATE
+    needs rewriting."""
+    df = table(spark, "/root/testdata/sf0.001", "orders")
+    assert dict(df.dtypes)["o_orderdate"] in ("timestamp", "timestamp_ntz")
