@@ -760,3 +760,59 @@ def neighbor_jaccard(
             ).alias("jaccard"),
         )
     )
+
+
+@query("kcore_membership")  # rows-only: iterated deletion has no SQL oracle
+def kcore_membership(
+    spark: SparkSession, sf_dir: str, k: int = 3, max_iter: int = 30
+) -> DataFrame:
+    """G8-family: k-core decomposition (k=3) of the part co-purchase
+    graph — the maximal subgraph where every node keeps >= k neighbors,
+    the standard cohesion filter before community detection and the
+    dense-region prefilter for triangle-heavy analytics.
+
+    Iterative peeling: drop all nodes with degree < k, recompute
+    degrees on the induced subgraph, repeat to fixpoint. Each round is
+    one keyed degree aggregate + two semi-joins (edge endpoints against
+    surviving nodes), with the same iterative discipline as
+    graph/components.py: lineage cut per round via localCheckpoint,
+    lazy checkpoint + count folded into one job, and NO separate
+    convergence probe — the weak-node count the peel needs anyway IS
+    the probe. Rounds = peel depth (typically small; max_iter bounds
+    pathological chains). The surviving-node side of each semi-join is
+    count-gated for broadcast like every loop here; past the gate,
+    keyed shuffles with AQE. Exact parity with a pure-Python peel is
+    pinned in tests/test_graph_cohesion.py (no SQL oracle: DuckDB's
+    recursive CTEs append rows monotonically and cannot express
+    iterated deletion).
+    """
+    prep(spark)
+    pairs, n_edges = _copurchase_pairs(spark, sf_dir)
+    sym = pairs.union(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=False)
+    # |sym| = 2·|pairs| by construction — gate the hint without a job;
+    # the lazy checkpoint materializes under the first round's aggregate
+    hint = F.broadcast if 2 * n_edges <= 8_000_000 else (lambda df: df)
+
+    edges = sym
+    for _ in range(max_iter):
+        deg = edges.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+        weak = deg.where(F.col("deg") < k).select("a").localCheckpoint(eager=False)
+        # the peel set's size doubles as the convergence probe — no
+        # separate limit(1).count() job
+        if weak.count() == 0:
+            return deg.select(
+                F.col("a").alias("node"), F.col("deg").cast("long").alias("core_degree")
+            )
+        edges = (
+            edges.join(hint(weak), "a", "left_anti")
+            .join(
+                hint(weak.select(F.col("a").alias("b"))), "b", "left_anti"
+            )
+            .localCheckpoint(eager=True)
+        )
+    deg = edges.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    return deg.select(
+        F.col("a").alias("node"), F.col("deg").cast("long").alias("core_degree")
+    )

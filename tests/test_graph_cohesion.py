@@ -115,3 +115,58 @@ def test_neighbor_jaccard_small_graphs(spark):
     assert set(rows) == {(1, 2), (2, 3)}
     for r in rows.values():
         assert r["n_common"] == 0 and r["jaccard"] == 0.0
+
+
+# ------------------------------------------------------------ k-core
+
+
+def _python_kcore(edges, k):
+    """Reference peel: edges = set of canonical (a,b); returns
+    {node: degree in the k-core}."""
+    from collections import defaultdict
+
+    cur = set(edges)
+    while True:
+        deg = defaultdict(int)
+        for a, b in cur:
+            deg[a] += 1
+            deg[b] += 1
+        weak = {n for n, d in deg.items() if d < k}
+        if not weak:
+            return dict(deg)
+        cur = {(a, b) for a, b in cur if a not in weak and b not in weak}
+
+
+def test_kcore_matches_python_peel(spark, sf_dir):
+    """Exact parity with an independent pure-Python peel on the same
+    co-purchase edge list (the no-SQL-oracle twin check)."""
+    from blockchain2graphdb_spark.operators.graphops import (
+        _copurchase_pairs,
+        kcore_membership,
+    )
+
+    pairs, _ = _copurchase_pairs(spark, sf_dir, checkpoint=False)
+    edges = {(r["a"], r["b"]) for r in pairs.collect()}
+    want = _python_kcore(edges, 3)
+    got = {
+        r["node"]: r["core_degree"]
+        for r in kcore_membership(spark, sf_dir, k=3).collect()
+    }
+    assert got == want and got
+
+
+def test_kcore_small_graphs(spark):
+    """K4 survives a 3-core intact; a path has an empty 2-core; a
+    triangle with a pendant keeps only the triangle in its 2-core."""
+    from blockchain2graphdb_spark.operators.graphops import kcore_membership
+
+    with tempfile.TemporaryDirectory() as tmp:
+        _write_graph(spark, tmp, [(1, p) for p in (1, 2, 3, 4)], [1, 2, 3, 4])
+        rows = {r["node"]: r["core_degree"] for r in kcore_membership(spark, tmp).collect()}
+    assert rows == {1: 3, 2: 3, 3: 3, 4: 3}
+
+    with tempfile.TemporaryDirectory() as tmp:
+        # triangle 1-2-3 plus pendant 4 on node 3 (orders: one 3-part, one 2-part)
+        _write_graph(spark, tmp, [(1, 1), (1, 2), (1, 3), (2, 3), (2, 4)], [1, 2, 3, 4])
+        rows = {r["node"]: r["core_degree"] for r in kcore_membership(spark, tmp, k=2).collect()}
+    assert rows == {1: 2, 2: 2, 3: 2}
