@@ -223,3 +223,29 @@ def test_keep_best_is_mergeable_hash_aggregate(spark):
     assert count_nodes(df, "SortAggregate") == 0, plan
     assert count_nodes(df, "Window") == 0, plan
     assert count_nodes(df, "Sort") == 0, plan
+
+
+def test_similarity_range_candidate_side_shuffle_free(spark):
+    """Radius search must broadcast the query side and stream candidates
+    straight off the scan — zero shuffle Exchanges anywhere (the only
+    exchange is the BroadcastExchange of the 20 query rows)."""
+    df = _df("similarity_range", spark)
+    plan = plan_string(df)
+    assert count_nodes(df, "Exchange") == 0, plan
+    assert "BroadcastExchange" in plan, plan
+
+
+def test_event_transitions_two_keyed_exchanges(spark):
+    """One user_id exchange feeds the lag window; the only other
+    exchange is the tiny (prev,next) transition-matrix aggregate."""
+    df = _df("event_transitions", spark)
+    assert count_nodes(df, "Exchange") <= 2, plan_string(df)
+    assert count_nodes(df, "Window") == 1, plan_string(df)
+
+
+def test_pack_sequences_one_window_pass(spark):
+    """Packing is one per-source running-sum window plus the per-bin
+    aggregate — never a second sort or window over the corpus."""
+    df = _df("pack_sequences", spark)
+    assert count_nodes(df, "Window") == 1, plan_string(df)
+    assert count_nodes(df, "Exchange") <= 2, plan_string(df)
