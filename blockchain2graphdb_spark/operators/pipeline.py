@@ -534,3 +534,55 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("long").alias("chars_total"),
     )
+
+
+@query(
+    "dup_rate_by_source",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, source, md5(lower(text)) AS f FROM documents
+    ),
+    spread AS (
+      SELECT f, COUNT(DISTINCT source) AS n_sources FROM fp GROUP BY f
+    )
+    SELECT fp.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(CASE WHEN s.n_sources >= 2 THEN 1 END) AS BIGINT) AS n_cross_dup,
+           ROUND(COUNT(CASE WHEN s.n_sources >= 2 THEN 1 END) * 1.0 / COUNT(*), 6)
+             AS cross_dup_rate
+    FROM fp JOIN spread s ON s.f = fp.f
+    GROUP BY fp.source
+    """,
+)
+def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9/X1 audit: per-source cross-shard duplication rate — the
+    fraction of each source's documents whose normalized fingerprint
+    also appears in at least one OTHER source. This is the contamination
+    dashboard a multi-source crawl runs before mixing: a source whose
+    content is largely replicated elsewhere should be down-weighted or
+    dropped (pairs with corpus_mixture's weights).
+
+    Fingerprint → distinct-source spread → join back → per-source
+    conditional count: both aggregates and the join are keyed on the
+    16-byte md5, never on content; the spread table is |distinct
+    fingerprints| rows and the join is an equi-join, so the whole audit
+    is two keyed shuffles at any corpus size. Semantics on planted
+    cross-source duplicates are pinned in tests (the fixture itself has
+    no duplicate texts, which the oracle equally confirms).
+    """
+    prep(spark)
+    fp = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.md5(F.lower(F.col("text")).cast("binary")).alias("f"),
+    )
+    spread = fp.groupBy("f").agg(
+        F.count_distinct("source").alias("n_sources")
+    )
+    joined = fp.join(spread, "f")
+    cross = F.count(F.when(F.col("n_sources") >= 2, 1))
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        cross.alias("n_cross_dup"),
+        F.round(cross * F.lit(1.0) / F.count(F.lit(1)), 6).alias("cross_dup_rate"),
+    )

@@ -347,3 +347,69 @@ def text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 10)
         .select("lang", "bigram", F.col("n").cast("long").alias("n"))
     )
+
+
+@query(
+    "vocab_coverage",
+    oracle="""
+    WITH toks AS (
+      SELECT t AS term FROM (
+        SELECT UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS t
+        FROM documents
+      ) WHERE t <> ''
+    ),
+    cnt AS (SELECT term, COUNT(*) AS n FROM toks GROUP BY term),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM cnt),
+    top AS (SELECT term, n FROM cnt ORDER BY n DESC, term LIMIT 100)
+    SELECT CAST(row_number() OVER (ORDER BY n DESC, term) AS BIGINT) AS rnk,
+           term,
+           CAST(n AS BIGINT) AS n,
+           ROUND(CAST(SUM(n) OVER (ORDER BY n DESC, term
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 / (SELECT total FROM tot), 6) AS cum_coverage
+    FROM top
+    """,
+)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: vocabulary coverage curve — the top-100 tokens with the
+    cumulative fraction of the corpus they cover, the statistic behind
+    tokenizer-vocab sizing ("how many types cover 95% of tokens?").
+
+    Term counts aggregate map-side; the top-100 cut is orderBy+limit →
+    TakeOrderedAndProject (per-partition top-k, no global sort of the
+    vocabulary); the cumulative window and rank run over the 100
+    surviving rows only. The corpus-total token count rides in as a
+    broadcast 1-row cross join, never a collect. Integer counts divide
+    once into a double, ROUND(6) on both engines.
+    """
+    prep(spark)
+    toks = (
+        table(spark, sf_dir, "documents")
+        .select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col("text")), "[^a-z]+"),
+                    lambda x: x != F.lit(""),
+                )
+            ).alias("term")
+        )
+    )
+    cnt = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    total = cnt.agg(F.sum("n").alias("total"))
+    top = cnt.orderBy(F.col("n").desc(), "term").limit(100)
+    w = W.orderBy(F.col("n").desc(), "term")
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            F.row_number().over(w).cast("long").alias("rnk"),
+            "term",
+            F.col("n").cast("long").alias("n"),
+            F.round(
+                F.sum("n")
+                .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+                .cast("double")
+                / F.col("total"),
+                6,
+            ).alias("cum_coverage"),
+        )
+    )

@@ -284,3 +284,53 @@ def test_pack_sequences_stable_under_append(spark, sf_dir):
         for r in manual.collect()
     }
     assert got == want
+
+
+# ------------------------------------------------------ dup_rate_by_source
+
+
+def test_dup_rate_counts_planted_cross_source_dups(spark):
+    """A text replicated across sources counts as cross-dup in EVERY
+    source carrying it; same-source duplicates never do."""
+    import os
+    import tempfile
+
+    from blockchain2graphdb_spark.operators.pipeline import dup_rate_by_source
+
+    rows = [
+        # "shared" lives in s0 and s1 -> cross-dup in both
+        (1, "shared", "en", "s0", 6),
+        (2, "Shared", "en", "s1", 6),  # case-insensitive fingerprint
+        # "twice" duplicated WITHIN s0 only -> not cross-dup
+        (3, "twice", "en", "s0", 5),
+        (4, "twice", "en", "s0", 5),
+        # unique docs
+        (5, "only-a", "en", "s0", 6),
+        (6, "only-b", "en", "s1", 6),
+    ]
+    with tempfile.TemporaryDirectory(dir="/root/repo/.tmp") as tmp:
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars int"
+        ).write.parquet(os.path.join(tmp, "documents.parquet"))
+        got = {r["source"]: r for r in dup_rate_by_source(spark, tmp).collect()}
+    assert got["s0"]["n_docs"] == 4 and got["s0"]["n_cross_dup"] == 1
+    assert got["s0"]["cross_dup_rate"] == 0.25
+    assert got["s1"]["n_docs"] == 2 and got["s1"]["n_cross_dup"] == 1
+    assert got["s1"]["cross_dup_rate"] == 0.5
+
+
+def test_vocab_coverage_monotone_and_bounded(spark, sf_dir):
+    """Coverage is strictly ranked, cumulative, and bounded by 1; counts
+    are non-increasing down the ranking."""
+    rows = sorted(
+        SPECS["vocab_coverage"].builder(spark, sf_dir).collect(),
+        key=lambda r: r["rnk"],
+    )
+    assert rows and rows[0]["rnk"] == 1
+    prev_cov, prev_n = 0.0, None
+    for r in rows:
+        assert 0.0 < r["cum_coverage"] <= 1.0
+        assert r["cum_coverage"] >= prev_cov
+        if prev_n is not None:
+            assert r["n"] <= prev_n
+        prev_cov, prev_n = r["cum_coverage"], r["n"]
