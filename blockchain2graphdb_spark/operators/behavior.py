@@ -200,3 +200,69 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("user_id").alias("n_users"),
         )
     )
+
+
+@query(
+    "anomaly_daily_zscore",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(n) AS BIGINT) AS s,
+             CAST(SUM(n * n) AS BIGINT) AS ss
+      FROM daily GROUP BY 1
+    )
+    SELECT d.event_type, d.day, d.n,
+           ROUND((d.n - CAST(s.s AS DOUBLE) / s.k)
+                 / SQRT(CAST(s.ss AS DOUBLE) / s.k
+                      - (CAST(s.s AS DOUBLE) / s.k) * (CAST(s.s AS DOUBLE) / s.k)),
+                 6) AS zscore
+    FROM daily d JOIN stats s USING (event_type)
+    WHERE s.k >= 2 AND s.k * s.ss > s.s * s.s
+    """,
+)
+def anomaly_daily_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monitoring primitive: per-type daily event counts scored as
+    z-scores against that type's own daily distribution — the
+    volume-anomaly sweep a pipeline runs over its ingest logs.
+
+    Counts and both moments (Σn, Σn²) accumulate as exact int64, so
+    mean/variance/z are deterministic double expressions on identical
+    operands (no float accumulation order anywhere); the
+    positive-variance guard is the INTEGER comparison k·Σn² > (Σn)² —
+    exact on both engines, no epsilon. Two keyed aggregates; the
+    per-type stats join is |event types| rows, broadcast trivially.
+    """
+    prep(spark)
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.date_trunc("day", "ts").alias("day")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("s"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("ss"),
+    )
+    mean = F.col("s").cast("double") / F.col("k")
+    var = F.col("ss").cast("double") / F.col("k") - mean * mean
+    return (
+        daily.join(stats, "event_type")
+        .where(
+            (F.col("k") >= 2)
+            & (F.col("k") * F.col("ss") > F.col("s") * F.col("s"))
+        )
+        .select(
+            "event_type",
+            "day",
+            "n",
+            F.round((F.col("n") - mean) / F.sqrt(var), 6).alias("zscore"),
+        )
+    )

@@ -816,3 +816,121 @@ def kcore_membership(
     return deg.select(
         F.col("a").alias("node"), F.col("deg").cast("long").alias("core_degree")
     )
+
+
+@query(
+    "graph_assortativity",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    sym AS (SELECT a AS u, b AS v FROM pairs UNION ALL SELECT b, a FROM pairs),
+    deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY u),
+    ends AS (
+      SELECT da.d AS x, db.d AS y
+      FROM sym s JOIN deg da ON da.u = s.u JOIN deg db ON db.u = s.v
+    ),
+    sums AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM ends
+    )
+    SELECT ROUND(
+      (CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+      / SQRT((CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+           * (CAST(m AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+        AS assortativity,
+      m AS n_edge_ends
+    FROM sums
+    """,
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4 companion: degree assortativity — the Pearson correlation of
+    degrees across edge endpoints (Newman's r), the one-number summary
+    of whether hubs attach to hubs (r>0) or to leaves (r<0).
+
+    All moments (m, Σx, Σy, Σxy, Σx², Σy²) accumulate as exact int64 —
+    order-independent, so the final Pearson is a handful of
+    deterministic double ops on identical operands and hashes
+    bit-identically. Plan: one degree aggregate, two keyed joins to
+    decorate edge ends, one global moment aggregate (map-side
+    combinable) — no window, no sort, no iteration; at 100 TB the
+    degree table follows the same count-gated broadcast rule as every
+    adjacency join here (unhinted: deg is an aggregate with stats, AQE
+    decides).
+    """
+    prep(spark)
+    pairs, _ = _copurchase_pairs(spark, sf_dir)
+    sym = pairs.union(pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))).select(
+        F.col("a").alias("u"), F.col("b").alias("v")
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    ends = (
+        sym.join(deg.select(F.col("u").alias("ju"), F.col("d").alias("x")), F.col("u") == F.col("ju"))
+        .join(deg.select(F.col("u").alias("jv"), F.col("d").alias("y")), F.col("v") == F.col("jv"))
+        .select("x", "y")
+    )
+    sums = ends.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    md = F.col("m").cast("double")
+    return sums.select(
+        F.round(
+            (md * F.col("sxy") - F.col("sx").cast("double") * F.col("sy"))
+            / F.sqrt(
+                (md * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+                * (md * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+            ),
+            6,
+        ).alias("assortativity"),
+        F.col("m").alias("n_edge_ends"),
+    )
+
+
+@query(
+    "copurchase_weights",
+    oracle="""
+    SELECT a.l_partkey AS a, b.l_partkey AS b,
+           CAST(COUNT(DISTINCT a.l_orderkey) AS BIGINT) AS w
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    """,
+)
+def copurchase_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G5-adjacent: the WEIGHTED bipartite projection — co-purchase
+    edges with w = number of orders containing both parts, the edge
+    weight every similarity/community step downstream consumes (the
+    unweighted projection is `_copurchase_pairs`).
+
+    Same combination-expansion build (one groupBy(order) shuffle,
+    map-side set dedup, vectorized pair explode) but WITHOUT the
+    distinct — each order emits each pair once, so a plain count per
+    pair is the distinct-order weight with no count-distinct state.
+    """
+    prep(spark)
+    per_order = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
+    )
+    pairs = per_order.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, (x, i) ->"
+                " transform(slice(ps, i + 2, size(ps) - i - 1),"
+                " y -> struct(x as a, y as b))))"
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    return pairs.groupBy("a", "b").agg(F.count(F.lit(1)).cast("long").alias("w"))

@@ -165,3 +165,59 @@ def test_incremental_components_leaves_untouched_labels_alone(spark):
     )
     got = {(r["node"], r["comp"]) for r in out.collect()}
     assert got == {(1, 1), (2, 1), (3, 3), (4, 3), (10, 10), (11, 10)}
+
+
+# ------------------------------------------ assortativity / weighted edges
+
+
+def test_copurchase_weights_consistent_with_pairs(spark, sf_dir):
+    """Weight keys = the unweighted pair set; weights >= 1; total weight
+    = sum over orders of C(#parts, 2)."""
+    from math import comb
+
+    import pyspark.sql.functions as F
+
+    from blockchain2graphdb_spark import registry
+    from blockchain2graphdb_spark.catalog import table
+    from blockchain2graphdb_spark.operators.graphops import _copurchase_pairs
+
+    specs = registry.load_all()
+    wrows = specs["copurchase_weights"].builder(spark, sf_dir).collect()
+    pairs, _ = _copurchase_pairs(spark, sf_dir, checkpoint=False)
+    want_pairs = {(r["a"], r["b"]) for r in pairs.collect()}
+    assert {(r["a"], r["b"]) for r in wrows} == want_pairs
+    assert all(r["w"] >= 1 for r in wrows)
+    per_order = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.size(F.collect_set("l_partkey")).alias("k"))
+        .collect()
+    )
+    assert sum(r["w"] for r in wrows) == sum(comb(r["k"], 2) for r in per_order)
+
+
+def test_assortativity_bounded(spark, sf_dir):
+    from blockchain2graphdb_spark import registry
+
+    r = registry.load_all()["graph_assortativity"].builder(spark, sf_dir).collect()[0]
+    assert -1.0 <= r["assortativity"] <= 1.0
+    assert r["n_edge_ends"] > 0 and r["n_edge_ends"] % 2 == 0
+
+
+def test_zscores_center_per_type(spark, sf_dir):
+    """Population z-scores over each type's own days must sum to ~0 and
+    have unit RMS (definitional identities)."""
+    from collections import defaultdict
+    from math import sqrt
+
+    from blockchain2graphdb_spark import registry
+
+    rows = registry.load_all()["anomaly_daily_zscore"].builder(spark, sf_dir).collect()
+    by_type = defaultdict(list)
+    for r in rows:
+        by_type[r["event_type"]].append(r["zscore"])
+    assert by_type
+    for t, zs in by_type.items():
+        assert abs(sum(zs)) / len(zs) < 1e-4, t
+        rms = sqrt(sum(z * z for z in zs) / len(zs))
+        assert abs(rms - 1.0) < 1e-4, t
