@@ -586,3 +586,75 @@ def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         cross.alias("n_cross_dup"),
         F.round(cross * F.lit(1.0) / F.count(F.lit(1)), 6).alias("cross_dup_rate"),
     )
+
+
+@query(
+    "layout_zorder",
+    oracle="""
+    WITH xy AS (
+      SELECT l_partkey & 255 AS x, l_suppkey & 255 AS y FROM lineitem
+    ),
+    s1 AS (
+      SELECT x, y, ((x | (x << 4)) & 3855) AS x1, ((y | (y << 4)) & 3855) AS y1
+      FROM xy
+    ),
+    s2 AS (
+      SELECT x, y, ((x1 | (x1 << 2)) & 13107) AS x2, ((y1 | (y1 << 2)) & 13107) AS y2
+      FROM s1
+    ),
+    m AS (
+      SELECT x, y,
+             (((x2 | (x2 << 1)) & 21845) | (((y2 | (y2 << 1)) & 21845) << 1)) AS morton
+      FROM s2
+    )
+    SELECT CAST(morton // 1024 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(x) AS BIGINT) AS min_x, CAST(MAX(x) AS BIGINT) AS max_x,
+           CAST(MIN(y) AS BIGINT) AS min_y, CAST(MAX(y) AS BIGINT) AS max_y
+    FROM m GROUP BY 1
+    """,
+)
+def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X8 production layout: Z-order (Morton) clustering key for
+    two-column locality — interleave the low 8 bits of (l_partkey,
+    l_suppkey) so that sorting/partitioning by the key co-locates rows
+    that are close in BOTH dimensions. Writing files in this order
+    gives parquet min/max pruning on either column simultaneously (the
+    Delta/Iceberg OPTIMIZE ZORDER primitive); the same spread-bits
+    expression is the repartitionByRange key at write time.
+
+    The bit-spread is the classic mask ladder ((v|v<<4)&0x0F0F,
+    (v|v<<2)&0x3333, (v|v<<1)&0x5555) — pure int64 shifts/masks, exact
+    on both engines. The query reports per-1024-key-bucket occupancy
+    with the x/y bounding box each bucket covers — the locality
+    property itself (each bucket spans one 32x32 rectangle), verified
+    by the oracle and pinned in tests.
+    """
+    prep(spark)
+
+    def spread(c):
+        c = c.bitwiseOR(F.shiftleft(c, 4)).bitwiseAND(F.lit(0x0F0F))
+        c = c.bitwiseOR(F.shiftleft(c, 2)).bitwiseAND(F.lit(0x3333))
+        return c.bitwiseOR(F.shiftleft(c, 1)).bitwiseAND(F.lit(0x5555))
+
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").bitwiseAND(F.lit(255)).alias("x"),
+        F.col("l_suppkey").bitwiseAND(F.lit(255)).alias("y"),
+    )
+    m = li.select(
+        "x",
+        "y",
+        spread(F.col("x"))
+        .bitwiseOR(F.shiftleft(spread(F.col("y")), 1))
+        .alias("morton"),
+    )
+    return (
+        m.groupBy(F.expr("morton div 1024").cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("x").cast("long").alias("min_x"),
+            F.max("x").cast("long").alias("max_x"),
+            F.min("y").cast("long").alias("min_y"),
+            F.max("y").cast("long").alias("max_y"),
+        )
+    )

@@ -334,3 +334,19 @@ def test_vocab_coverage_monotone_and_bounded(spark, sf_dir):
         if prev_n is not None:
             assert r["n"] <= prev_n
         prev_cov, prev_n = r["cum_coverage"], r["n"]
+
+
+# --------------------------------------------------------- z-order layout
+
+
+def test_zorder_buckets_are_local_rectangles(spark, sf_dir):
+    """The locality property z-ordering buys: every 1024-key bucket
+    covers one aligned 32x32 rectangle of (x, y) space, so files written
+    in bucket order prune on BOTH columns' min/max stats."""
+    rows = SPECS["layout_zorder"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["max_x"] - r["min_x"] < 32
+        assert r["max_y"] - r["min_y"] < 32
+        assert r["min_x"] // 32 == r["max_x"] // 32  # aligned, not just narrow
+        assert r["min_y"] // 32 == r["max_y"] // 32
