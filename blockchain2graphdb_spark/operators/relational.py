@@ -1298,3 +1298,59 @@ def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("o_totalprice"), 2).alias("biggest_total"),
         )
     )
+
+
+@query(
+    "sketch_countmin",
+    oracle="""
+    WITH rows_d AS (
+      SELECT user_id, d FROM events, (SELECT UNNEST(range(4)) AS d)
+    ),
+    b AS (
+      SELECT d,
+        ((((instr('0123456789abcdef', substr(md5(d || ':' || user_id), 1, 1)) - 1) * 16
+         + (instr('0123456789abcdef', substr(md5(d || ':' || user_id), 2, 1)) - 1)) * 16
+         + (instr('0123456789abcdef', substr(md5(d || ':' || user_id), 3, 1)) - 1)) * 16
+         + (instr('0123456789abcdef', substr(md5(d || ':' || user_id), 4, 1)) - 1)) % 1024 AS bucket
+      FROM rows_d
+    )
+    SELECT CAST(d AS BIGINT) AS depth, CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM b GROUP BY 1, 2
+    """,
+)
+def sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8/A-decl companion: Count-Min sketch of per-user event volume —
+    the mergeable frequency sketch (4 rows × 1024 buckets) that answers
+    "roughly how many events did user X generate?" in O(1) at any
+    corpus size. Unlike the HLL key (engine-local binary, rows-only),
+    the CMS is DETERMINISTIC given its hash family — buckets here are
+    the first 4 hex chars of md5(depth ':' user_id) — so the sketch
+    itself value-hash matches a SQL replay exactly.
+
+    Build = one groupBy over (depth, bucket): map-side combinable,
+    4·1024 cells max regardless of corpus size, and two sketches merge
+    by cell-wise addition (the property that makes it a shard-and-merge
+    aggregate at 100 TB). Point estimates (min over depths) dominate
+    true counts — the CMS guarantee — pinned in tests.
+    """
+    prep(spark)
+    ev = table(spark, sf_dir, "events").select("user_id")
+    rows_d = ev.select(
+        "user_id", F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("d")
+    )
+    hex4 = F.substring(
+        F.md5(
+            F.concat(
+                F.col("d").cast("string"), F.lit(":"), F.col("user_id").cast("string")
+            ).cast("binary")
+        ),
+        1,
+        4,
+    )
+    bucket = F.conv(hex4, 16, 10).cast("long") % 1024
+    return (
+        rows_d.select(F.col("d").cast("long").alias("depth"), bucket.alias("bucket"))
+        .groupBy("depth", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

@@ -54,3 +54,39 @@ def test_hll_merge_equals_direct_sketch(spark, sf_dir):
     true = o.select("o_custkey").distinct().count()
     assert merged == direct
     assert abs(merged - true) <= 0.05 * true, (merged, true)
+
+
+# --------------------------------------------------------- count-min
+
+
+def test_countmin_estimates_dominate_true_counts(spark, sf_dir):
+    """The CMS guarantee: for every user, min over depths of the
+    user's bucket count >= the user's true event count; and per depth
+    the sketch conserves total mass."""
+    import hashlib
+
+    import pyspark.sql.functions as F
+
+    from blockchain2graphdb_spark import registry
+    from blockchain2graphdb_spark.catalog import table
+
+    cells = {
+        (r["depth"], r["bucket"]): r["cnt"]
+        for r in registry.load_all()["sketch_countmin"].builder(spark, sf_dir).collect()
+    }
+    truth = {
+        r["user_id"]: r["n"]
+        for r in table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    total = sum(truth.values())
+    for d in range(4):
+        assert sum(c for (dd, _), c in cells.items() if dd == d) == total, d
+    for uid, n in truth.items():
+        est = min(
+            cells[(d, int(hashlib.md5(f"{d}:{uid}".encode()).hexdigest()[:4], 16) % 1024)]
+            for d in range(4)
+        )
+        assert est >= n, uid
