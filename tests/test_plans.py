@@ -39,6 +39,9 @@ _ITERATIVE = {
     "bfs_distance",
     "triangle_count",
     "clustering_coefficient",
+    "neighbor_jaccard",
+    "graph_assortativity",
+    "kcore_membership",
     "snapshot_time_travel",
     "snapshot_reorg_overwrite",
     "sample_stratified",
