@@ -223,7 +223,7 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
                       - (CAST(s.s AS DOUBLE) / s.k) * (CAST(s.s AS DOUBLE) / s.k)),
                  6) AS zscore
     FROM daily d JOIN stats s USING (event_type)
-    WHERE s.k >= 2 AND s.k * s.ss > s.s * s.s
+    WHERE s.k >= 2 AND CAST(s.k AS DOUBLE) * s.ss > CAST(s.s AS DOUBLE) * s.s
     """,
 )
 def anomaly_daily_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -234,8 +234,10 @@ def anomaly_daily_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     Counts and both moments (Σn, Σn²) accumulate as exact int64, so
     mean/variance/z are deterministic double expressions on identical
     operands (no float accumulation order anywhere); the
-    positive-variance guard is the INTEGER comparison k·Σn² > (Σn)² —
-    exact on both engines, no epsilon. Two keyed aggregates; the
+    positive-variance guard k·Σn² > (Σn)² compares the products as
+    DOUBLE on both engines — identical operands give an identical IEEE
+    result, and unlike int64 the products can't wrap (Spark wraps
+    silently where DuckDB raises). Two keyed aggregates; the
     per-type stats join is |event types| rows, broadcast trivially.
     """
     prep(spark)
@@ -256,8 +258,15 @@ def anomaly_daily_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         daily.join(stats, "event_type")
         .where(
+            # guard products as double: k·Σn² in int64 can wrap at large
+            # per-day counts (Spark wraps silently, DuckDB raises — the
+            # engines would diverge exactly at scale). Same operands on
+            # both sides -> identical IEEE result, no wrap.
             (F.col("k") >= 2)
-            & (F.col("k") * F.col("ss") > F.col("s") * F.col("s"))
+            & (
+                F.col("k").cast("double") * F.col("ss")
+                > F.col("s").cast("double") * F.col("s")
+            )
         )
         .select(
             "event_type",

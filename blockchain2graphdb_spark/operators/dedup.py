@@ -319,8 +319,12 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB a viral duplicate (million-copy boilerplate) costs one row
     per upstream partition, never a million-row sorted reducer group.
     Capacity: doc_id < 2^41 (~2.2e12 docs), n_chars < 2^21 (2 MiB) —
-    raise the shift if either bound moves. (The DuckDB oracle keeps
-    the window formulation; results are identical.)
+    raise the shift if either bound moves. The bounds are ENFORCED
+    in-plan (raise_error on any out-of-range row), so capacity drift
+    fails the job loudly instead of silently electing a wrong keeper;
+    the check is a per-row branch inside codegen — no extra action, no
+    extra shuffle. (The DuckDB oracle keeps the window formulation;
+    results are identical.)
     """
     prep(spark)
     _SHIFT = 41
@@ -330,8 +334,24 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         F.md5(F.lower(F.col("text")).cast("binary")).alias("fingerprint"),
     )
-    score = F.shiftleft(F.col("n_chars").cast("long"), _SHIFT) + (
+    in_range = (
+        (F.col("n_chars") >= 0)
+        & (F.col("n_chars") < (1 << (63 - _SHIFT)))
+        & (F.col("doc_id") >= 0)
+        & (F.col("doc_id") <= _MASK)
+    )
+    packed = F.shiftleft(F.col("n_chars").cast("long"), _SHIFT) + (
         F.lit(_MASK) - F.col("doc_id")
+    )
+    score = F.when(in_range, packed).otherwise(
+        F.raise_error(
+            F.format_string(
+                "dedup_keep_best: packed-score capacity exceeded "
+                "(doc_id=%s, n_chars=%s); raise _SHIFT",
+                F.col("doc_id"),
+                F.col("n_chars"),
+            )
+        ).cast("long")
     )
     agg = fp.groupBy("fingerprint").agg(
         F.max(score).alias("s"), F.count(F.lit(1)).alias("n_copies")

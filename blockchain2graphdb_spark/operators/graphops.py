@@ -494,18 +494,23 @@ def bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(seeds.withColumn("seed", F.lit(1)), "id", "left")
         .select("id", F.when(F.col("seed") == 1, F.lit(0)).alias("attr"))
     )
+    # needs_dst_attr=False: the receiver-side prune (s+1 < dst_attr) only
+    # filtered messages the min-combiner + vprog's F.least already make
+    # harmless, yet it cost a SECOND vertex join per superstep. Dropping
+    # it halves the join work per round; check_convergence=False skips
+    # the probe jobs too — the 3-hop horizon IS the iteration bound.
     dist = pregel(
         vertices,
         sym,
         initial_msg=None,
-        send_msg=lambda s, d: F.when(
-            s.isNotNull() & (d.isNull() | (s + 1 < d)), s + 1
-        ),
+        send_msg=lambda s, d: F.when(s.isNotNull(), s + 1),
         agg_msg=F.min,
         vprog=lambda attr, msg: F.least(
             F.coalesce(attr, F.lit(2**31 - 1)), msg
         ),
         max_iter=3,
+        needs_dst_attr=False,
+        check_convergence=False,
     )
     return dist.where(F.col("attr").isNotNull()).select(
         F.col("id").alias("node"), F.col("attr").cast("int").alias("dist")
@@ -846,6 +851,8 @@ def kcore_membership(
         AS assortativity,
       m AS n_edge_ends
     FROM sums
+    WHERE CAST(m AS DOUBLE) * sxx > CAST(sx AS DOUBLE) * sx
+      AND CAST(m AS DOUBLE) * syy > CAST(sy AS DOUBLE) * sy
     """,
 )
 def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -883,7 +890,14 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
     )
     md = F.col("m").cast("double")
-    return sums.select(
+    # positive-variance guard: on a degree-regular graph the Pearson
+    # denominator is 0 and Spark's NULL would disagree with DuckDB's
+    # inf/NaN — emit no row instead, on BOTH engines. Products compared
+    # as double (not int64) so a huge edge count can't wrap the guard.
+    return sums.where(
+        (md * F.col("sxx") > F.col("sx").cast("double") * F.col("sx"))
+        & (md * F.col("syy") > F.col("sy").cast("double") * F.col("sy"))
+    ).select(
         F.round(
             (md * F.col("sxy") - F.col("sx").cast("double") * F.col("sy"))
             / F.sqrt(

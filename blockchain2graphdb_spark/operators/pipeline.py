@@ -444,9 +444,10 @@ def corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     every prefix of the stream, not just in expectation. The top-200 by
     key compiles to TakeOrderedAndProject (per-partition top-k, no full
     sort), and the final position numbering runs over the 200 surviving
-    rows only — the single-partition window is bounded by the limit,
-    never by corpus size. Weights are integers and the key is exact, so
-    the result value-hashes identically on both engines.
+    rows only — as a theta-join rank (count of strictly-earlier rows),
+    so no WindowExec touches the plan at all. Weights are integers and
+    the key is exact, so the result value-hashes identically on both
+    engines.
     """
     prep(spark)
     docs = table(spark, sf_dir, "documents")
@@ -464,12 +465,29 @@ def corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((2 * F.row_number().over(rn_w) - 1) * stride).cast("long").alias("mix_key"),
     )
     head = keyed.orderBy("mix_key", "lang", "doc_id").limit(200)
-    pos_w = W.orderBy("mix_key", "lang", "doc_id")
-    return head.select(
-        F.row_number().over(pos_w).cast("long").alias("position"),
-        "lang",
-        "doc_id",
-        "mix_key",
+    # position = 1 + |strictly-earlier rows|, via a theta-join of the
+    # 200-row head against itself — replaces the bounded-but-warning
+    # single-partition window (keys are unique tuples, so the count is
+    # exact rank)
+    prev = head.select(
+        F.col("mix_key").alias("mk2"),
+        F.col("lang").alias("lang2"),
+        F.col("doc_id").alias("id2"),
+    )
+    before = (
+        (F.col("mk2") < F.col("mix_key"))
+        | ((F.col("mk2") == F.col("mix_key")) & (F.col("lang2") < F.col("lang")))
+        | (
+            (F.col("mk2") == F.col("mix_key"))
+            & (F.col("lang2") == F.col("lang"))
+            & (F.col("id2") < F.col("doc_id"))
+        )
+    )
+    return (
+        head.join(F.broadcast(prev), before, "left")
+        .groupBy("mix_key", "lang", "doc_id")
+        .agg((F.count("id2") + 1).cast("long").alias("position"))
+        .select("position", "lang", "doc_id", "mix_key")
     )
 
 
@@ -657,4 +675,59 @@ def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("y").cast("long").alias("min_y"),
             F.max("y").cast("long").alias("max_y"),
         )
+    )
+
+
+@query(
+    "doc_chunk",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n FROM documents
+    ),
+    starts AS (
+      SELECT doc_id, text, n,
+             CAST(unnest(range(0, n + 192, 192)) AS BIGINT) AS start
+      FROM base
+    )
+    SELECT doc_id, start,
+           CAST(length(substr(text, CAST(start AS INTEGER) + 1, 256)) AS BIGINT)
+             AS chunk_len,
+           md5(substr(text, CAST(start AS INTEGER) + 1, 256)) AS chunk_md5
+    FROM starts WHERE start < n
+    """,
+)
+def doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9-adjacent: fixed-window document chunking — 256-char windows on
+    a 192-char stride (64-char overlap), the context-window splitter a
+    training/RAG pipeline runs before tokenization. Emits (doc_id,
+    start, chunk_len, chunk_md5); the md5 stands in for the chunk
+    payload so the 1->N expansion is value-checkable without shipping
+    array columns through the driver's hasher.
+
+    One generator projection (sequence + explode) and one substring —
+    map-side only, NO shuffle anywhere: chunk rows inherit the parent
+    document's partition, which is exactly what the downstream
+    tokenize/pack stages want (per-source locality preserved). Spark's
+    sequence() is inclusive and DuckDB's range() exclusive, so both
+    sides over-generate one stride past the end and share the start < n
+    filter.
+    """
+    prep(spark)
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.length("text").cast("long").alias("n")
+    )
+    starts = docs.select(
+        "doc_id",
+        "text",
+        "n",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.col("n") + 192, F.lit(192).cast("long"))
+        ).alias("start"),
+    ).where(F.col("start") < F.col("n"))
+    chunk = F.substring(F.col("text"), F.col("start").cast("int") + 1, 256)
+    return starts.select(
+        "doc_id",
+        "start",
+        F.length(chunk).cast("long").alias("chunk_len"),
+        F.md5(chunk.cast("binary")).alias("chunk_md5"),
     )

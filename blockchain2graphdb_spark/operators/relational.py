@@ -917,14 +917,49 @@ def sort_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O1: total order by timestamp (B:66–77 blockComparator + Collections.sort).
 
     Materialized as a global rank so the order is observable under the
-    driver's order-insensitive hash. Physically a range-partitioned sort.
+    driver's order-insensitive hash — WITHOUT an unpartitioned window
+    (row_number() over a global ORDER BY funnels the whole table through
+    ONE WindowExec partition; VERDICT_r04 flagged that as the repo's one
+    scale-killer). Two-pass bucketed rank instead:
+
+      1. bucket each row by a deterministic prefix of the sort key
+         (orderdate month — data-derived, no sampled range boundaries,
+         so re-evaluation can't reassign rows);
+      2. per-bucket counts -> cumulative offsets, as a theta-join over
+         the ~|months|-row count table (sum of counts of strictly
+         earlier buckets) — no window at all, so not even the bounded
+         cumulative pass touches WindowExec;
+      3. broadcast the offsets back and rank WITHIN buckets
+         (Window.partitionBy(bucket) — distributed);
+      4. pos = bucket offset + in-bucket row_number.
+
+    Plan: one map-side bucket projection, one tiny aggregate, one
+    broadcast join, one partitioned window — every wide stage keyed by
+    bucket. At 100 TB the bucket granularity is the skew lever (month ->
+    day -> hour keeps per-bucket rows bounded); same trick as the
+    partition-offset rank used by distributed zipWithIndex.
     """
     prep(spark)
     from pyspark.sql import Window as W
 
-    return table(spark, sf_dir, "orders").select(
+    o = table(spark, sf_dir, "orders").select(
         "o_orderkey",
-        F.row_number().over(W.orderBy("o_orderdate", "o_orderkey")).cast("long").alias("pos"),
+        "o_orderdate",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("_b"),
+    )
+    counts = o.groupBy("_b").agg(F.count(F.lit(1)).alias("_n"))
+    earlier = counts.select(F.col("_b").alias("_b2"), F.col("_n").alias("_n2"))
+    offsets = (
+        counts.join(F.broadcast(earlier), F.col("_b2") < F.col("_b"), "left")
+        .groupBy("_b")
+        .agg(F.coalesce(F.sum("_n2"), F.lit(0)).alias("_off"))
+    )
+    inb = F.row_number().over(
+        W.partitionBy("_b").orderBy("o_orderdate", "o_orderkey")
+    )
+    return (
+        o.join(F.broadcast(offsets), "_b")
+        .select("o_orderkey", (F.col("_off") + inb).cast("long").alias("pos"))
     )
 
 

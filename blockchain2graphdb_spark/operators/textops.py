@@ -377,10 +377,12 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Term counts aggregate map-side; the top-100 cut is orderBy+limit →
     TakeOrderedAndProject (per-partition top-k, no global sort of the
-    vocabulary); the cumulative window and rank run over the 100
-    surviving rows only. The corpus-total token count rides in as a
-    broadcast 1-row cross join, never a collect. Integer counts divide
-    once into a double, ROUND(6) on both engines.
+    vocabulary); rank and running coverage come from a theta-join of
+    the 100 surviving rows against themselves (count/sum of
+    strictly-earlier rows) — no WindowExec anywhere, not even a
+    bounded single-partition one. The corpus-total token count rides
+    in as a broadcast 1-row cross join, never a collect. Integer
+    counts divide once into a double, ROUND(6) on both engines.
     """
     prep(spark)
     toks = (
@@ -397,19 +399,230 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
     total = cnt.agg(F.sum("n").alias("total"))
     top = cnt.orderBy(F.col("n").desc(), "term").limit(100)
-    w = W.orderBy(F.col("n").desc(), "term")
+    prev = top.select(F.col("term").alias("t2"), F.col("n").alias("n2"))
+    # strictly-earlier in (n DESC, term ASC) order; keys unique per term
+    before = (F.col("n2") > F.col("n")) | (
+        (F.col("n2") == F.col("n")) & (F.col("t2") < F.col("term"))
+    )
+    ranked = (
+        top.join(F.broadcast(prev), before, "left")
+        .groupBy("term", "n")
+        .agg(
+            (F.count("t2") + 1).cast("long").alias("rnk"),
+            (F.coalesce(F.sum("n2"), F.lit(0)) + F.col("n")).alias("cum_n"),
+        )
+    )
     return (
-        top.crossJoin(F.broadcast(total))
+        ranked.crossJoin(F.broadcast(total))
         .select(
-            F.row_number().over(w).cast("long").alias("rnk"),
+            "rnk",
             "term",
             F.col("n").cast("long").alias("n"),
-            F.round(
-                F.sum("n")
-                .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
-                .cast("double")
-                / F.col("total"),
-                6,
-            ).alias("cum_coverage"),
+            F.round(F.col("cum_n").cast("double") / F.col("total"), 6).alias(
+                "cum_coverage"
+            ),
+        )
+    )
+
+
+@query(
+    "text_search",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    postings AS (
+      SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks WHERE term IN ('query', 'join', 'table')
+      GROUP BY term, doc_id
+    ),
+    scored AS (
+      SELECT doc_id, COUNT(*) AS n_terms, CAST(SUM(tf) AS BIGINT) AS tf_total
+      FROM postings GROUP BY doc_id
+    )
+    SELECT doc_id, tf_total FROM scored WHERE n_terms = 3
+    ORDER BY tf_total DESC, doc_id LIMIT 20
+    """,
+)
+def text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-text keyword search — the one capability the reference's
+    stack provisions but never exercises (an Elasticsearch mixed-index
+    backend is configured at conf/blk-cql.properties:7-9 / pom.xml:76-79
+    and no mixed index is ever created, SURVEY §1.5).
+
+    Re-expressed as an inverted-index lookup, not a regex scan: tokenize
+    -> postings (term, doc_id, tf) restricted to the query terms ->
+    conjunctive (AND) match = docs hitting all |Q| terms -> rank by
+    total tf, ties by doc_id, top-20 via TakeOrderedAndProject.
+
+    The term IN (...) predicate lands BEFORE the postings aggregate, so
+    the per-term shuffle carries only query-term hits — the on-the-fly
+    equivalent of the partition pruning a materialized postings table
+    (bucketed/partitioned by term) gives at 100 TB: query cost scales
+    with the posting lists touched, never with the corpus. No window,
+    no regex over the corpus; asserted in tests/test_plans.py.
+    """
+    prep(spark)
+    terms = ("query", "join", "table")
+    toks = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .where(F.col("term").isin(*terms))
+    )
+    postings = toks.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    scored = postings.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_terms"), F.sum("tf").cast("long").alias("tf_total")
+    )
+    return (
+        scored.where(F.col("n_terms") == len(terms))
+        .orderBy(F.col("tf_total").desc(), "doc_id")
+        .limit(20)
+        .select("doc_id", "tf_total")
+    )
+
+
+@query(
+    "text_phrase_search",
+    oracle="""
+    WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+    pos AS (SELECT doc_id, a, unnest(range(len(a))) AS i FROM arr),
+    toks AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS p, a[CAST(i AS INTEGER) + 1] AS term
+      FROM pos
+    ),
+    t1 AS (SELECT doc_id, p FROM toks WHERE term = 'window'),
+    t2 AS (SELECT doc_id, p - 1 AS p FROM toks WHERE term = 'join')
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM t1 JOIN t2 USING (doc_id, p)
+    GROUP BY doc_id
+    """,
+)
+def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase search ("window join") over a POSITIONAL inverted index —
+    the ES match_phrase capability, as a pure equi-join: posexplode
+    gives (doc_id, position, term); the phrase occurs wherever term1's
+    posting list and term2's (shifted by -1) agree on (doc_id, pos).
+
+    Generalizes to k-term phrases as k-1 further equi-joins on shifted
+    positions. Each side is pre-filtered to one term before the join,
+    so the shuffle moves two posting lists, not the corpus; both joins
+    are keyed (doc_id, pos) — co-partitioned, broadcastable when one
+    term is rare (AQE decides from the post-filter sizes).
+    """
+    prep(spark)
+    toks = table(spark, sf_dir, "documents").select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("p", "term")
+    )
+    t1 = toks.where(F.col("term") == "window").select(
+        "doc_id", F.col("p").cast("long").alias("p")
+    )
+    t2 = toks.where(F.col("term") == "join").select(
+        "doc_id", (F.col("p") - 1).cast("long").alias("p")
+    )
+    return (
+        t1.join(t2, ["doc_id", "p"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+    )
+
+
+@query(
+    "text_search_bm25",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    dl AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+      FROM toks WHERE term <> '' GROUP BY doc_id
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM dl
+    ),
+    postings AS (
+      SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks WHERE term IN ('query', 'join', 'table')
+      GROUP BY term, doc_id
+    ),
+    df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM postings GROUP BY term),
+    contrib AS (
+      SELECT p.doc_id,
+             CAST(ROUND(
+               ln((CAST(s.n_docs AS DOUBLE) - f.df + 0.5) / (f.df + 0.5) + 1.0)
+               * (p.tf * 2.2)
+               / (p.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))
+               * 1e9) AS BIGINT) AS nanos
+      FROM postings p JOIN df f USING (term) JOIN dl d USING (doc_id)
+      CROSS JOIN stats s
+    ),
+    scored AS (
+      SELECT doc_id, CAST(SUM(nanos) AS BIGINT) AS n FROM contrib GROUP BY doc_id
+    )
+    SELECT doc_id, ROUND(CAST(n AS DOUBLE) / 1e9, 6) AS bm25
+    FROM scored ORDER BY n DESC, doc_id LIMIT 15
+    """,
+)
+def text_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked (OR) full-text search with BM25 scoring (k1=1.2, b=0.75) —
+    the relevance model behind the reference's provisioned-but-unused
+    Elasticsearch backend (conf/blk-cql.properties:7-9), over the same
+    postings machinery as `text_search`.
+
+    Determinism: each term's BM25 contribution is a double built from
+    exact-integer operands (tf, df, dl, N — identical on both engines),
+    quantized to INTEGER NANOS before the per-doc sum, so the cross-term
+    addition is int64 (order-independent) and the final score divides
+    once — no float accumulation order anywhere. Ranked by the integer
+    nanos (ties by doc_id), top-15 via TakeOrderedAndProject.
+
+    Scale: postings/df/dl are the standard search-index side tables; df
+    is |query terms| rows (broadcast), dl is doc-keyed (co-partitioned
+    with postings on doc_id), stats is one broadcast row. Query cost
+    tracks posting-list sizes, never corpus size.
+    """
+    prep(spark)
+    terms = ("query", "join", "table")
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    dl = (
+        toks.where(F.col("term") != "")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    postings = (
+        toks.where(F.col("term").isin(*terms))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    df_tbl = postings.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    idf = F.log(
+        (F.col("n_docs").cast("double") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        + 1.0
+    )
+    satu = (F.col("tf") * 2.2) / (
+        F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
+    )
+    contrib = (
+        postings.join(F.broadcast(df_tbl), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id", F.round(idf * satu * F.lit(1e9)).cast("long").alias("nanos")
+        )
+    )
+    scored = contrib.groupBy("doc_id").agg(F.sum("nanos").cast("long").alias("n"))
+    return (
+        scored.orderBy(F.col("n").desc(), "doc_id")
+        .limit(15)
+        .select(
+            "doc_id", F.round(F.col("n").cast("double") / 1e9, 6).alias("bm25")
         )
     )

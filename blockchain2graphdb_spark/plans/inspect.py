@@ -66,6 +66,42 @@ def read_schemas(df: DataFrame) -> list[str]:
     ]
 
 
+def unpartitioned_unbounded_windows(df: DataFrame) -> list[str]:
+    """Window nodes with NO partitionBy whose input is UNBOUNDED — the
+    single-executor scale-killer VERDICT_r04 flagged in sort_by_key
+    (WindowExec funnels the whole child through one partition when the
+    partition spec is empty).
+
+    Walks the optimized logical plan: an empty-partitionSpec Window is
+    acceptable only when some descendant bounds its input cardinality —
+    a Limit (top-k ranks) or an Aggregate (windows over group summaries,
+    e.g. cumulative offsets over per-month counts). Everything else is
+    returned as a violation.
+    """
+    out: list[str] = []
+
+    def bounded(node) -> bool:
+        stack = [node.children().apply(i) for i in range(node.children().size())]
+        while stack:
+            n = stack.pop()
+            nm = n.getClass().getSimpleName()
+            if nm in ("GlobalLimit", "LocalLimit", "Limit", "Aggregate"):
+                return True
+            for i in range(n.children().size()):
+                stack.append(n.children().apply(i))
+        return False
+
+    def walk(node) -> None:
+        nm = node.getClass().getSimpleName()
+        if nm == "Window" and node.partitionSpec().isEmpty() and not bounded(node):
+            out.append(node.simpleString(120))
+        for i in range(node.children().size()):
+            walk(node.children().apply(i))
+
+    walk(df._jdf.queryExecution().optimizedPlan())
+    return out
+
+
 def uses_row_python(df: DataFrame) -> bool:
     """True if any stage is a row-at-a-time Python UDF (BatchEvalPython).
     Arrow-vectorized stages (ArrowEvalPython / MapInPandas /

@@ -295,12 +295,20 @@ def _write_replay(spark: SparkSession, sf_dir: str, name: str, splitter) -> str:
     import pyarrow.parquet as pq
 
     src = f"{sf_dir}/events.parquet"
-    d = f"{_TMP_ROOT}/{name}_{os.path.basename(sf_dir.rstrip('/'))}"
-    # rebuild when the driver regenerates the fixture (encoding/content may
-    # change between rounds) — a stale replay would be read with the fresh
-    # fixture's schema
-    if os.path.exists(d) and os.path.getmtime(d) < os.path.getmtime(src):
-        shutil.rmtree(d, ignore_errors=True)
+    # key the replay dir on the fixture's identity (size + mtime_ns), not
+    # on an mtime comparison: the driver regenerates fixtures between
+    # rounds and a rewrite that PRESERVES timestamps would keep an
+    # mtime-compared cache serving stale rows under the fresh schema.
+    # A different fixture -> a different directory name -> a rebuild.
+    st = os.stat(src)
+    tag = f"{os.path.basename(sf_dir.rstrip('/'))}_{st.st_size}_{st.st_mtime_ns}"
+    d = f"{_TMP_ROOT}/{name}_{tag}"
+    # drop replays of the same family keyed to older fixture identities
+    import glob as _glob
+
+    for stale in _glob.glob(f"{_TMP_ROOT}/{name}_{os.path.basename(sf_dir.rstrip('/'))}*"):
+        if stale != d:
+            shutil.rmtree(stale, ignore_errors=True)
     if not os.path.exists(d):
         # stage + atomic rename so a crashed writer never leaves a
         # half-built dir that later runs would trust
