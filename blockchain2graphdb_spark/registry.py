@@ -77,6 +77,7 @@ _SAMPLE_PRIORITY = (
     "stream_static_join",
     "stream_stream_join",
     "stream_merge_sink",
+    "stream_rate_source",
     "multimodal_features",
     "multimodal_audio_windows",
     "multimodal_resize",

@@ -492,3 +492,71 @@ def stream_merge_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("value_centi").cast("long").alias("value_centi"),
         )
     )
+
+
+@query(
+    "stream_rate_source",
+    oracle="""
+    SELECT CAST(b AS BIGINT) AS batch_id,
+           CAST(50 AS BIGINT) AS n_rows,
+           CAST(2500 * b + 1225 AS BIGINT) AS sum_value,
+           CAST(50 * b AS BIGINT) AS min_value,
+           CAST(50 * b + 49 AS BIGINT) AS max_value
+    FROM (SELECT range AS b FROM range(3))
+    """,
+)
+def stream_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 live-source demo: a genuinely UNBOUNDED generator source
+    (`rate-micro-batch`), not a file replay — the closest in-process
+    stand-in for the reference's bitcoind-stdout tail (B:124–139),
+    where the source never ends and the reader decides when to detach.
+
+    rate-micro-batch emits a deterministic `value` sequence (50 rows
+    per micro-batch, batch b = [50b, 50b+50)), so unlike a wall-clock
+    `rate` source the capture is value-checkable: we detach once three
+    full batches have landed and keep exactly values < 150 — whatever
+    extra batches raced in while stopping are filtered out, making the
+    result independent of stop timing. The oracle is the closed form of
+    those three batches (constants, like blockfile_ingest's
+    decode-seam oracle — it verifies the unbounded-source seam, not
+    fixture data). The same plan runs on Kafka with the detach point
+    replaced by offset bounds.
+    """
+    import time
+
+    prep(spark)
+    sdf = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", 50)
+        .option("numPartitions", 4)
+        .option("startTimestamp", 0)
+        .option("advanceMillisPerBatch", 1000)
+        .load()
+    )
+    name = "s" + uuid.uuid4().hex[:12]
+    q = (
+        sdf.select("value")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if spark.table(name).count() >= 150:
+                break
+            time.sleep(0.2)
+    finally:
+        q.stop()
+        q.awaitTermination()
+    base = spark.table(name).where(F.col("value") < 150)
+    return (
+        base.groupBy(F.floor(F.col("value") / 50).cast("long").alias("batch_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("value").cast("long").alias("sum_value"),
+            F.min("value").cast("long").alias("min_value"),
+            F.max("value").cast("long").alias("max_value"),
+        )
+    )
