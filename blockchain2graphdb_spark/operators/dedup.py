@@ -169,6 +169,182 @@ def minhash_clusters(docs: DataFrame, jaccard_threshold: float = 0.5) -> DataFra
     return all_docs.join(csize, "cluster_id").select("doc_id", "cluster_id", "cluster_size")
 
 
+# Deterministic MinHash twin: md5-string minhashes (lexicographic MIN
+# over lowercase-hex md5 digests is identical in any engine), 16 perms
+# banded 4×4. The fixture corpus has no near-dups, so the key seeds its
+# own: every base doc gets a 90%-truncation twin at doc_id+1_000_000 —
+# pairs with word-shingle Jaccard ~0.85, inside LSH recall range.
+_MHD_PERMS = 16
+_MHD_BANDS = 4
+
+_MHD_ORACLE = """
+WITH base AS MATERIALIZED (
+  SELECT doc_id, text FROM documents WHERE doc_id < 200
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         substr(text, 1, CAST(FLOOR(LENGTH(text) * 0.9) AS INT)) AS text
+  FROM documents WHERE doc_id < 200
+),
+toks AS MATERIALIZED (
+  SELECT doc_id, string_split(text, ' ') AS tok FROM base
+),
+grams AS MATERIALIZED (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN len(tok) >= 3
+                  THEN list_transform(range(1, len(tok) - 1),
+                       i -> array_to_string(list_slice(tok, i, i + 2), ' '))
+                  ELSE [array_to_string(tok, ' ')] END) AS g
+    FROM toks
+  )
+),
+mins AS MATERIALIZED (
+  SELECT doc_id,
+         {min_cols}
+  FROM grams GROUP BY doc_id
+),
+bands AS MATERIALIZED (
+  {band_union}
+),
+cand AS MATERIALIZED (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM bands l JOIN bands r
+    ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
+),
+sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+inter AS MATERIALIZED (
+  SELECT c.a, c.b, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN grams ga ON ga.doc_id = c.a
+  JOIN grams gb ON gb.doc_id = c.b AND gb.g = ga.g
+  GROUP BY c.a, c.b
+)
+SELECT c.a AS doc_a, c.b AS doc_b,
+       ROUND(CAST(i.n_inter AS DOUBLE)
+             / CAST(sa.n + sb.n - i.n_inter AS DOUBLE), 6) AS jaccard
+FROM cand c
+JOIN inter i ON i.a = c.a AND i.b = c.b
+JOIN sizes sa ON sa.doc_id = c.a
+JOIN sizes sb ON sb.doc_id = c.b
+WHERE CAST(i.n_inter AS DOUBLE)
+      / CAST(sa.n + sb.n - i.n_inter AS DOUBLE) >= 0.5
+""".format(
+    min_cols=",\n         ".join(
+        f"MIN(md5('{j}:' || g)) AS m{j}" for j in range(_MHD_PERMS)
+    ),
+    band_union="\n  UNION ALL\n  ".join(
+        "SELECT doc_id, {b} AS band, md5({cat}) AS sig FROM mins".format(
+            b=b,
+            cat=" || '|' || ".join(
+                f"m{b * (_MHD_PERMS // _MHD_BANDS) + j}"
+                for j in range(_MHD_PERMS // _MHD_BANDS)
+            ),
+        )
+        for b in range(_MHD_BANDS)
+    ),
+)
+
+
+@query("dedup_minhash_exact", oracle=_MHD_ORACLE)
+def dedup_minhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 oracle-checked twin of dedup_minhash: the full MinHash-LSH
+    pipeline — shingle → minhash → band → bucket equi-join → exact
+    Jaccard verify — with every hash an md5 digest, so Spark and any
+    ANSI engine produce byte-identical minhashes, identical band
+    collisions, and therefore identical candidate sets. The xxhash64
+    `dedup_minhash` stays the production path (8-byte keys vs 32-char
+    strings); this key pins the LSH *algorithm* cross-engine, including
+    which pairs the bands recall.
+
+    Same 100 TB shape: candidates only from band-signature equi-joins,
+    pairwise work confined to within-bucket verification.
+    """
+    prep(spark)
+    base = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+    )
+    trunc = base.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.expr(
+            "substring(text, 1, cast(floor(length(text) * 0.9) as int))"
+        ).alias("text"),
+    )
+    docs = base.unionByName(trunc)
+    sh = (
+        docs.select(
+            "doc_id", F.explode(_shingles(_tokens(F.col("text")))).alias("g")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    mins = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("g")).cast("binary"))).alias(
+                f"m{j}"
+            )
+            for j in range(_MHD_PERMS)
+        ]
+    )
+    per_band = _MHD_PERMS // _MHD_BANDS
+    bands = mins.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[F.col(f"m{b * per_band + j}") for j in range(per_band)],
+                            ).cast("binary")
+                        ).alias("sig"),
+                    )
+                    for b in range(_MHD_BANDS)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", "bs.band", "bs.sig")
+    l = bands.alias("l")
+    r = bands.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.sig") == F.col("r.sig"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ga = sh.withColumnRenamed("doc_id", "a")
+    gb = sh.withColumnRenamed("doc_id", "b2").withColumnRenamed("g", "g2")
+    inter = (
+        cand.join(ga, "a")
+        .join(gb, (F.col("b") == F.col("b2")) & (F.col("g") == F.col("g2")))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n", "na")
+    sb = sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n", "nb")
+    jac = F.col("n_inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_inter")
+    ).cast("double")
+    return (
+        inter.join(sa, "a")
+        .join(sb, "b")
+        .where(jac >= 0.5)
+        .select(
+            F.col("a").alias("doc_a"),
+            F.col("b").alias("doc_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+    )
+
+
 @query("dedup_simhash")  # rows-only: engine-specific base hash (xxhash64)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 variant: 32-bit SimHash fingerprints.

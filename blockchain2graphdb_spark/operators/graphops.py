@@ -546,6 +546,109 @@ def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.col("rank").desc(), F.col("part")).limit(100)
 
 
+# Integer fixed-point PageRank (the oracle-checkable G7 twin): scores
+# live in units of 1/_PR_SCALE, damping is exactly 17/20, and every
+# operation is int64 floor arithmetic — identical on any engine, so the
+# float family's "no SQL oracle" limitation disappears. Capacity: the
+# largest intermediate is 17·Σ_in(score//deg) <= 17·total_mass =
+# 17·N·_PR_SCALE, so int64 holds through N ~ 5e8 nodes at this scale;
+# all values stay below 2^53 at fixture scale so no double rounding can
+# creep in anywhere.
+_PR_SCALE = 1_000_000_000
+_PR_RESET = (3 * _PR_SCALE) // 20  # (1-d)·SCALE with d = 17/20
+_PR_ITERS = 5
+
+
+def _pagerank_exact_oracle(iters: int) -> str:
+    """Unrolled power iteration as chained MATERIALIZED CTEs; `//` in
+    DuckDB and `div` in Spark agree (floor == truncate for the
+    all-positive scores)."""
+    sql = [
+        f"""
+    WITH p0 AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    sym AS MATERIALIZED (SELECT a AS src, b AS dst FROM p0 UNION ALL SELECT b, a FROM p0),
+    deg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS deg FROM sym GROUP BY src),
+    s0 AS MATERIALIZED (SELECT id, CAST({_PR_SCALE} AS BIGINT) AS score, deg FROM deg)"""
+    ]
+    for r in range(iters):
+        sql.append(
+            f""",
+    s{r + 1} AS MATERIALIZED (
+      SELECT d.id,
+             {_PR_RESET} + (17 * COALESCE(CAST(SUM(x.score // x.deg) AS BIGINT), 0)) // 20 AS score,
+             d.deg
+      FROM deg d
+      LEFT JOIN sym e ON e.dst = d.id
+      LEFT JOIN s{r} x ON x.id = e.src
+      GROUP BY d.id, d.deg
+    )"""
+        )
+    sql.append(
+        f"""
+    SELECT id AS part, CAST(score AS BIGINT) AS score
+    FROM s{iters} ORDER BY score DESC, id LIMIT 100"""
+    )
+    return "".join(sql)
+
+
+@query("pagerank_exact", oracle=_pagerank_exact_oracle(_PR_ITERS))
+def pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G7 oracle-checked twin (VERDICT_r04 stretch): PageRank over the
+    part co-purchase graph in integer fixed-point — score units of
+    1/_PR_SCALE, damping exactly 17/20, per-edge contribution
+    score div deg, update RESET + (17·Σ) div 20. Floor arithmetic makes
+    the iteration bit-identical across engines regardless of summation
+    order, which float PageRank can never be; the float `pagerank` key
+    remains the production path (no quantization drift), this key is
+    the determinism gate for the whole Pregel machinery.
+
+    Same scale shape as pagerank_ranks: one keyed shuffle per
+    iteration (inbox groupBy dst), contributions broadcast under the
+    node-count gate, edges localCheckpointed once.
+    """
+    prep(spark)
+    pairs, n_edges = _copurchase_pairs(spark, sf_dir)
+    sym = pairs.union(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).select(F.col("a").alias("src"), F.col("b").alias("dst")).localCheckpoint(
+        eager=False
+    )
+    deg = sym.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("deg")
+    ).localCheckpoint(eager=False)
+    n_nodes = deg.count()
+    hint = F.broadcast if n_nodes <= 4_000_000 else (lambda df: df)
+
+    scores = deg.select("id", F.lit(_PR_SCALE).cast("long").alias("score"), "deg")
+    for _ in range(_PR_ITERS):
+        contrib = scores.select("id", F.expr("score div deg").alias("c"))
+        inbox = (
+            sym.join(hint(contrib), sym["src"] == contrib["id"])
+            .groupBy("dst")
+            .agg(F.sum("c").alias("m"))
+        )
+        scores = (
+            deg.join(inbox, deg["id"] == inbox["dst"], "left")
+            .select(
+                "id",
+                (
+                    F.lit(_PR_RESET)
+                    + F.expr("(17 * coalesce(m, CAST(0 AS BIGINT))) div 20")
+                ).cast("long").alias("score"),
+                "deg",
+            )
+        )
+    return (
+        scores.orderBy(F.col("score").desc(), F.col("id"))
+        .limit(100)
+        .select(F.col("id").alias("part"), "score")
+    )
+
+
 @query("personalized_pagerank")  # rows-only: fixed-point float iteration
 def personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G7 variant: personalized PageRank seeded at the p_size=50 parts
@@ -767,14 +870,73 @@ def neighbor_jaccard(
     )
 
 
-@query("kcore_membership")  # rows-only: iterated deletion has no SQL oracle
-def kcore_membership(
-    spark: SparkSession, sf_dir: str, k: int = 3, max_iter: int = 30
+# The oracle-checked kcore_membership key peels the SUPPORT>=2
+# co-purchase graph (pairs co-bought in >= _KCORE_MIN_SUPPORT distinct
+# orders) at k=_KCORE_K: on that sparser graph the peel genuinely
+# iterates at fixture scale (3 rounds at sf0.01, 6 at sf0.1), unlike
+# the dense support-1 graph where every node is already a 3-core.
+# _KCORE_ORACLE_ROUNDS bounds the unrolled DuckDB oracle; the builder
+# raises if Spark's peel has not converged within it, so a fixture
+# drift that deepens the peel fails LOUDLY instead of silently
+# diverging from the oracle.
+_KCORE_K = 2
+_KCORE_MIN_SUPPORT = 2
+_KCORE_ORACLE_ROUNDS = 12
+
+
+def _kcore_oracle(k: int, min_support: int, rounds: int) -> str:
+    """Bounded-round unrolled peel as chained CTEs (VERDICT_r04 #7).
+
+    DuckDB's recursive CTEs append rows monotonically and cannot
+    express iterated deletion, but the peel depth is data-bounded and
+    small, so `rounds` explicit rounds — degree aggregate, weak set,
+    NOT-IN edge filter — emulate the fixpoint exactly; converged
+    rounds are no-ops (empty weak set)."""
+    # AS MATERIALIZED: each round references the previous CTE three
+    # times; DuckDB's default CTE inlining would expand the chain
+    # exponentially (3^rounds scans of lineitem)
+    sql = [
+        f"""
+    WITH p0 AS MATERIALIZED (
+      SELECT a, b FROM (
+        SELECT DISTINCT a.l_orderkey AS o, a.l_partkey AS a, b.l_partkey AS b
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      ) GROUP BY a, b HAVING COUNT(*) >= {min_support}
+    ),
+    e0 AS MATERIALIZED (SELECT a, b FROM p0 UNION ALL SELECT b AS a, a AS b FROM p0)"""
+    ]
+    for r in range(rounds):
+        sql.append(
+            f""",
+    w{r} AS MATERIALIZED (
+      SELECT a FROM e{r} GROUP BY a HAVING COUNT(*) < {k}
+    ),
+    e{r + 1} AS MATERIALIZED (
+      SELECT a, b FROM e{r}
+      WHERE a NOT IN (SELECT a FROM w{r}) AND b NOT IN (SELECT a FROM w{r})
+    )"""
+        )
+    sql.append(
+        f"""
+    SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS core_degree
+    FROM e{rounds} GROUP BY a"""
+    )
+    return "".join(sql)
+
+
+def kcore(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 3,
+    max_iter: int = 30,
+    min_support: int = 1,
+    require_convergence: bool = False,
 ) -> DataFrame:
-    """G8-family: k-core decomposition (k=3) of the part co-purchase
-    graph — the maximal subgraph where every node keeps >= k neighbors,
-    the standard cohesion filter before community detection and the
-    dense-region prefilter for triangle-heavy analytics.
+    """G8-family: k-core decomposition — the maximal subgraph where
+    every node keeps >= k neighbors, the standard cohesion filter
+    before community detection and the dense-region prefilter for
+    triangle-heavy analytics.
 
     Iterative peeling: drop all nodes with degree < k, recompute
     degrees on the induced subgraph, repeat to fixpoint. Each round is
@@ -787,12 +949,13 @@ def kcore_membership(
     pathological chains). The surviving-node side of each semi-join is
     count-gated for broadcast like every loop here; past the gate,
     keyed shuffles with AQE. Exact parity with a pure-Python peel is
-    pinned in tests/test_graph_cohesion.py (no SQL oracle: DuckDB's
-    recursive CTEs append rows monotonically and cannot express
-    iterated deletion).
+    pinned in tests/test_graph_cohesion.py.
     """
     prep(spark)
-    pairs, n_edges = _copurchase_pairs(spark, sf_dir)
+    if min_support > 1:
+        pairs, n_edges = _copurchase_pairs_support(spark, sf_dir, min_support)
+    else:
+        pairs, n_edges = _copurchase_pairs(spark, sf_dir)
     sym = pairs.union(
         pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).localCheckpoint(eager=False)
@@ -817,9 +980,66 @@ def kcore_membership(
             )
             .localCheckpoint(eager=True)
         )
+    if require_convergence:
+        raise RuntimeError(
+            f"k-core peel did not converge within {max_iter} rounds; the"
+            " unrolled oracle would silently disagree — raise the bound"
+            " in BOTH _KCORE_ORACLE_ROUNDS and _kcore_oracle"
+        )
     deg = edges.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
     return deg.select(
         F.col("a").alias("node"), F.col("deg").cast("long").alias("core_degree")
+    )
+
+
+def _copurchase_pairs_support(
+    spark: SparkSession, sf_dir: str, min_support: int
+) -> tuple[DataFrame, int]:
+    """Canonical (a<b) co-purchase edges kept only when the pair
+    co-occurs in >= min_support DISTINCT orders — the sparse
+    high-confidence projection (same thresholding the copurchase_weights
+    key exposes as a weight column). Same combination-expansion build as
+    _copurchase_pairs; the support count replaces the distinct()."""
+    per_order = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
+    )
+    pairs = (
+        per_order.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) ->"
+                    " transform(slice(ps, i + 2, size(ps) - i - 1),"
+                    " y -> struct(x as a, y as b))))"
+                )
+            ).alias("p")
+        )
+        .groupBy("p.a", "p.b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= min_support)
+        .select("a", "b")
+        .localCheckpoint(eager=False)
+    )
+    return pairs, pairs.count()
+
+
+@query("kcore_membership", oracle=_kcore_oracle(_KCORE_K, _KCORE_MIN_SUPPORT, _KCORE_ORACLE_ROUNDS))
+def kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked k-core (VERDICT_r04 stretch #7): 2-core of the
+    support>=2 co-purchase graph, where the peel iterates for real at
+    fixture scale (6 rounds at sf0.1). The DuckDB oracle unrolls
+    _KCORE_ORACLE_ROUNDS peel rounds as chained CTEs; the Spark peel
+    raises if it needs more (require_convergence), so the bound can
+    never silently desynchronize."""
+    return kcore(
+        spark,
+        sf_dir,
+        k=_KCORE_K,
+        max_iter=_KCORE_ORACLE_ROUNDS,
+        min_support=_KCORE_MIN_SUPPORT,
+        require_convergence=True,
     )
 
 

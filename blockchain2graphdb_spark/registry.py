@@ -60,6 +60,8 @@ _SAMPLE_PRIORITY = (
     "text_phrase_search",
     "text_search_bm25",
     "doc_chunk",
+    "kcore_membership",
+    "pagerank_exact",
     "upsert_insert_if_absent",
     "upsert_merge",
     "update_columns",
@@ -86,6 +88,7 @@ _SAMPLE_PRIORITY = (
     "blockfile_ingest",
     "dedup_exact",
     "dedup_ngram_jaccard",
+    "dedup_minhash_exact",
     "dedup_keep_best",
     "similarity_topk",
     "dedup_embedding",

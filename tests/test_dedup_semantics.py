@@ -135,3 +135,22 @@ def test_keep_best_collapses_planted_duplicates(spark):
     assert got[2]["n_copies"] == 3 and got[2]["n_chars"] == 20
     assert got[4]["n_copies"] == 2
     assert got[6]["n_copies"] == 1
+
+
+def test_minhash_exact_recalls_seeded_neardups(spark, sf_dir):
+    """dedup_minhash_exact seeds a 90%-truncation twin for every base
+    doc; the md5-banded LSH must recall most (orig, twin) pairs, every
+    reported pair must clear the 0.5 Jaccard verify threshold, and
+    pairs are canonical (doc_a < doc_b)."""
+    from blockchain2graphdb_spark.operators.dedup import dedup_minhash_exact
+
+    rows = dedup_minhash_exact(spark, sf_dir).collect()
+    assert rows
+    pairs = {(r["doc_a"], r["doc_b"]) for r in rows}
+    for r in rows:
+        assert r["doc_a"] < r["doc_b"]
+        assert r["jaccard"] >= 0.5
+    n_base = len({a for a, _ in pairs if a < 1_000_000} | {b for _, b in pairs if b < 1_000_000})
+    seeded_found = sum(1 for a, b in pairs if b == a + 1_000_000)
+    # LSH misses are possible (bands are probabilistic) but must be rare
+    assert seeded_found >= 0.8 * max(n_base, 1)

@@ -221,3 +221,62 @@ def test_zscores_center_per_type(spark, sf_dir):
         assert abs(sum(zs)) / len(zs) < 1e-4, t
         rms = sqrt(sum(z * z for z in zs) / len(zs))
         assert abs(rms - 1.0) < 1e-4, t
+
+
+def test_pagerank_exact_python_parity(spark, sf_dir):
+    """The integer fixed-point iteration replayed in pure Python must
+    reproduce pagerank_exact bit-for-bit (the cross-engine determinism
+    claim, checked against a third implementation)."""
+    from collections import defaultdict
+
+    from blockchain2graphdb_spark.operators.graphops import (
+        _PR_ITERS,
+        _PR_RESET,
+        _PR_SCALE,
+        _copurchase_pairs,
+        pagerank_exact,
+    )
+
+    pairs, _ = _copurchase_pairs(spark, sf_dir, checkpoint=False)
+    edges = [(r["a"], r["b"]) for r in pairs.collect()]
+    adj_in = defaultdict(list)
+    deg = defaultdict(int)
+    for a, b in edges:
+        adj_in[b].append(a)
+        adj_in[a].append(b)
+        deg[a] += 1
+        deg[b] += 1
+    score = {n: _PR_SCALE for n in deg}
+    for _ in range(_PR_ITERS):
+        contrib = {n: score[n] // deg[n] for n in deg}
+        score = {
+            n: _PR_RESET + (17 * sum(contrib[s] for s in adj_in[n])) // 20
+            for n in deg
+        }
+    want = sorted(((n, s) for n, s in score.items()), key=lambda t: (-t[1], t[0]))[:100]
+    got = [(r["part"], r["score"]) for r in pagerank_exact(spark, sf_dir).collect()]
+    assert got == want
+
+
+def test_pagerank_exact_tracks_float_ranking(spark, sf_dir):
+    """Quantization sanity: the fixed-point top-20 and the float top-20
+    (same damping, same iteration count) overlap heavily — the integer
+    variant is PageRank, not a different statistic."""
+    from blockchain2graphdb_spark.operators.graphops import (
+        _copurchase_pairs,
+        pagerank_exact,
+    )
+
+    pairs, _ = _copurchase_pairs(spark, sf_dir, checkpoint=False)
+    pairs = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    float_top = {
+        r["id"]
+        for r in pagerank_ranks(pairs, n_iter=5, damping=0.85)
+        .orderBy(F.col("rank").desc(), F.col("id"))
+        .limit(20)
+        .collect()
+    }
+    exact_top = {
+        r["part"] for r in pagerank_exact(spark, sf_dir).limit(20).collect()
+    }
+    assert len(float_top & exact_top) >= 15

@@ -139,9 +139,14 @@ def _python_kcore(edges, k):
 
 def test_kcore_matches_python_peel(spark, sf_dir):
     """Exact parity with an independent pure-Python peel on the same
-    co-purchase edge list (the no-SQL-oracle twin check)."""
+    co-purchase edge list — both the dense support-1 graph at k=3 and
+    the registered support-2 / k=2 configuration."""
     from blockchain2graphdb_spark.operators.graphops import (
+        _KCORE_K,
+        _KCORE_MIN_SUPPORT,
         _copurchase_pairs,
+        _copurchase_pairs_support,
+        kcore,
         kcore_membership,
     )
 
@@ -150,23 +155,32 @@ def test_kcore_matches_python_peel(spark, sf_dir):
     want = _python_kcore(edges, 3)
     got = {
         r["node"]: r["core_degree"]
-        for r in kcore_membership(spark, sf_dir, k=3).collect()
+        for r in kcore(spark, sf_dir, k=3).collect()
     }
     assert got == want and got
+
+    sp_pairs, _ = _copurchase_pairs_support(spark, sf_dir, _KCORE_MIN_SUPPORT)
+    sp_edges = {(r["a"], r["b"]) for r in sp_pairs.collect()}
+    want2 = _python_kcore(sp_edges, _KCORE_K)
+    got2 = {
+        r["node"]: r["core_degree"]
+        for r in kcore_membership(spark, sf_dir).collect()
+    }
+    assert got2 == want2 and got2
 
 
 def test_kcore_small_graphs(spark):
     """K4 survives a 3-core intact; a path has an empty 2-core; a
     triangle with a pendant keeps only the triangle in its 2-core."""
-    from blockchain2graphdb_spark.operators.graphops import kcore_membership
+    from blockchain2graphdb_spark.operators.graphops import kcore
 
     with tempfile.TemporaryDirectory() as tmp:
         _write_graph(spark, tmp, [(1, p) for p in (1, 2, 3, 4)], [1, 2, 3, 4])
-        rows = {r["node"]: r["core_degree"] for r in kcore_membership(spark, tmp).collect()}
+        rows = {r["node"]: r["core_degree"] for r in kcore(spark, tmp).collect()}
     assert rows == {1: 3, 2: 3, 3: 3, 4: 3}
 
     with tempfile.TemporaryDirectory() as tmp:
         # triangle 1-2-3 plus pendant 4 on node 3 (orders: one 3-part, one 2-part)
         _write_graph(spark, tmp, [(1, 1), (1, 2), (1, 3), (2, 3), (2, 4)], [1, 2, 3, 4])
-        rows = {r["node"]: r["core_degree"] for r in kcore_membership(spark, tmp, k=2).collect()}
+        rows = {r["node"]: r["core_degree"] for r in kcore(spark, tmp, k=2).collect()}
     assert rows == {1: 2, 2: 2, 3: 2}

@@ -43,6 +43,7 @@ _ITERATIVE = {
     "neighbor_jaccard",
     "graph_assortativity",
     "kcore_membership",
+    "pagerank_exact",
     "snapshot_time_travel",
     "snapshot_reorg_overwrite",
     "sample_stratified",
