@@ -626,3 +626,87 @@ def text_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", F.round(F.col("n").cast("double") / 1e9, 6).alias("bm25")
         )
     )
+
+
+@query(
+    "text_pii_mask",
+    oracle=r"""
+    WITH seeded AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                  || CASE WHEN doc_id % 5 = 0
+                          THEN ' cc admin' || CAST(doc_id AS VARCHAR) || '@corp.net' ELSE '' END
+                  || CASE WHEN doc_id % 3 = 0
+                          THEN ' or call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                          ELSE '' END AS t
+      FROM documents WHERE doc_id < 300
+    ),
+    masked AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(t, '[a-z0-9._]+@[a-z0-9.]+')) AS BIGINT) AS n_emails,
+             CAST(len(regexp_extract_all(t, '555-[0-9]{4}')) AS BIGINT) AS n_phones,
+             regexp_replace(regexp_replace(t, '[a-z0-9._]+@[a-z0-9.]+', '[EMAIL]', 'g'),
+                            '555-[0-9]{4}', '[PHONE]', 'g') AS m
+      FROM seeded
+    )
+    SELECT doc_id, n_emails, n_phones,
+           CAST(LENGTH(m) AS BIGINT) AS masked_len, md5(m) AS masked_fp
+    FROM masked
+    """,
+)
+def text_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4-family pipeline stage the public corpus pipelines (C4, Dolma,
+    RefinedWeb) all run and the registry lacked: PII scrubbing — detect
+    and mask email/phone spans before training. The fixture corpus has
+    no PII, so the key seeds deterministic spans per doc (one email
+    always, a second at doc_id%5==0, a phone at doc_id%3==0) and masks
+    them back out; the oracle replays detection, counting, and the
+    masked text byte-for-byte (md5 fingerprint).
+
+    Regex subset chosen to mean the same thing in Java regex and RE2
+    (char classes + bounded repetition only — no lookarounds, no \\d
+    shorthand whose Unicode semantics differ). At 100 TB this is a
+    map-side-only stage: no shuffle, no UDF — regexp_replace and
+    regexp_extract_all are JVM-side codegen'd expressions.
+    """
+    prep(spark)
+    email_re = "[a-z0-9._]+@[a-z0-9.]+"
+    phone_re = "555-[0-9]{4}"
+    seeded = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 300)
+        .select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+                F.when(
+                    F.col("doc_id") % 5 == 0,
+                    F.concat(
+                        F.lit(" cc admin"),
+                        F.col("doc_id").cast("string"),
+                        F.lit("@corp.net"),
+                    ),
+                ).otherwise(F.lit("")),
+                F.when(
+                    F.col("doc_id") % 3 == 0,
+                    F.concat(
+                        F.lit(" or call 555-"),
+                        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                    ),
+                ).otherwise(F.lit("")),
+            ).alias("t"),
+        )
+    )
+    masked = F.regexp_replace(
+        F.regexp_replace(F.col("t"), email_re, "[EMAIL]"), phone_re, "[PHONE]"
+    )
+    return seeded.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(email_re), 0)).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(phone_re), 0)).cast("long").alias("n_phones"),
+        F.length(masked).cast("long").alias("masked_len"),
+        F.md5(masked.cast("binary")).alias("masked_fp"),
+    )

@@ -60,6 +60,7 @@ _SAMPLE_PRIORITY = (
     "text_phrase_search",
     "text_search_bm25",
     "doc_chunk",
+    "text_pii_mask",
     "kcore_membership",
     "pagerank_exact",
     "upsert_insert_if_absent",

@@ -91,3 +91,44 @@ def test_rate_source_is_stop_timing_independent(spark):
     rows = SPECS["stream_rate_source"].builder(spark, SF_DIR).collect()
     got = {r["batch_id"]: (r["n_rows"], r["sum_value"]) for r in rows}
     assert got == {b: (50, 2500 * b + 1225) for b in range(3)}
+
+
+def test_pii_mask_leaves_no_residual_pii(spark, sf_dir):
+    """After masking, no email or 555- phone pattern survives anywhere,
+    every doc has at least one masked email, and the counts follow the
+    deterministic seeding schedule (2 emails iff doc_id%5==0, a phone
+    iff doc_id%3==0)."""
+    import re
+
+    from blockchain2graphdb_spark.catalog import table
+    from blockchain2graphdb_spark.operators.textops import text_pii_mask
+
+    rows = text_pii_mask(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_emails"] == (2 if r["doc_id"] % 5 == 0 else 1), r
+        assert r["n_phones"] == (1 if r["doc_id"] % 3 == 0 else 0), r
+
+    # independently re-run the masking in Python and confirm no PII
+    # survives and the fingerprint matches
+    import hashlib
+
+    docs = {
+        d["doc_id"]: d["text"]
+        for d in table(spark, sf_dir, "documents")
+        .where("doc_id < 300")
+        .select("doc_id", "text")
+        .collect()
+    }
+    for r in rows:
+        t = docs[r["doc_id"]] + f" contact user{r['doc_id']}@example.com"
+        if r["doc_id"] % 5 == 0:
+            t += f" cc admin{r['doc_id']}@corp.net"
+        if r["doc_id"] % 3 == 0:
+            t += " or call 555-" + str(r["doc_id"] % 10000).zfill(4)
+        m = re.sub(r"[a-z0-9._]+@[a-z0-9.]+", "[EMAIL]", t)
+        m = re.sub(r"555-[0-9]{4}", "[PHONE]", m)
+        assert not re.search(r"[a-z0-9._]+@[a-z0-9.]+", m)
+        assert not re.search(r"555-[0-9]{4}", m)
+        assert r["masked_fp"] == hashlib.md5(m.encode()).hexdigest(), r["doc_id"]
+        assert r["masked_len"] == len(m)
