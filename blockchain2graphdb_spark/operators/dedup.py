@@ -538,3 +538,82 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(F.col("s"), _SHIFT).alias("n_chars"),
         F.col("n_copies").cast("long").alias("n_copies"),
     )
+
+
+# Portable md5→int: Spark conv(hex,16,10) and DuckDB '0x…'::BIGINT parse
+# the same 8-hex-digit prefix to the same 32-bit value, making SimHash's
+# per-bit votes engine-exact.
+_SHD_BITS = 32
+
+_SHD_ORACLE = """
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, t, COUNT(*) AS cnt FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+  ) WHERE t <> '' GROUP BY doc_id, t
+),
+hashed AS MATERIALIZED (
+  SELECT doc_id, cnt, ('0x' || substr(md5(t), 1, 8))::BIGINT AS th FROM toks
+),
+votes AS MATERIALIZED (
+  SELECT doc_id,
+         {vote_cols}
+  FROM hashed GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST({sim_expr} AS BIGINT) AS simhash,
+       CAST(({sim_expr}) % 65536 AS BIGINT) AS band0,
+       CAST(({sim_expr}) // 65536 AS BIGINT) AS band1
+FROM votes
+""".format(
+    vote_cols=",\n         ".join(
+        f"CAST(SUM(CASE WHEN (th >> {i}) & 1 = 1 THEN cnt ELSE -cnt END) AS BIGINT) AS b{i}"
+        for i in range(_SHD_BITS)
+    ),
+    sim_expr=" + ".join(
+        f"(CASE WHEN b{i} >= 0 THEN {1 << i} ELSE 0 END)" for i in range(_SHD_BITS)
+    ),
+)
+
+
+@query("dedup_simhash_exact", oracle=_SHD_ORACLE)
+def dedup_simhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 oracle-checked twin of dedup_simhash: identical 32-bit
+    SimHash pipeline, but the per-token base hash is the first 8 hex
+    digits of md5 parsed to an int — Spark's conv(hex,16,10) and ANSI
+    '0x…' casts agree digit-for-digit, so bit votes, fingerprints, and
+    the 16-bit hamming bands are engine-exact. The xxhash64
+    `dedup_simhash` stays the production path (no hex round-trip);
+    this key pins the SimHash algorithm cross-engine.
+
+    Same 100 TB shape: one groupBy(doc, token), one groupBy(doc) with
+    32 conditional sums (partial/final combinable), zero joins.
+    """
+    prep(spark)
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("t")).where(
+        F.col("t") != ""
+    )
+    counted = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("cnt"))
+    h = counted.withColumn(
+        "th", F.conv(F.substring(F.md5(F.col("t").cast("binary")), 1, 8), 16, 10).cast("long")
+    )
+    votes = h.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1, F.col("cnt"))
+                .otherwise(-F.col("cnt"))
+            ).cast("long").alias(f"b{i}")
+            for i in range(_SHD_BITS)
+        ]
+    )
+    simhash = sum(
+        (F.when(F.col(f"b{i}") >= 0, F.lit(1 << i)).otherwise(F.lit(0)) for i in range(_SHD_BITS)),
+        F.lit(0).cast("long"),
+    )
+    out = votes.select("doc_id", simhash.alias("simhash"))
+    return out.select(
+        "doc_id",
+        "simhash",
+        (F.col("simhash") % F.lit(65536)).cast("long").alias("band0"),
+        (F.col("simhash") / F.lit(65536)).cast("long").alias("band1"),
+    )

@@ -90,6 +90,7 @@ _SAMPLE_PRIORITY = (
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_exact",
+    "dedup_simhash_exact",
     "dedup_keep_best",
     "similarity_topk",
     "dedup_embedding",
