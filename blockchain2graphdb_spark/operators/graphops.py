@@ -649,6 +649,115 @@ def pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ppr_exact_oracle(iters: int) -> str:
+    """Personalized variant of _pagerank_exact_oracle: the reset mass
+    returns to the p_size=50 seed set instead of every vertex."""
+    sql = [
+        f"""
+    WITH p0 AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    sym AS MATERIALIZED (SELECT a AS src, b AS dst FROM p0 UNION ALL SELECT b, a FROM p0),
+    deg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS deg FROM sym GROUP BY src),
+    seeds AS MATERIALIZED (SELECT DISTINCT p_partkey AS id FROM part WHERE p_size = 50),
+    base AS MATERIALIZED (
+      SELECT d.id, d.deg,
+             CASE WHEN s.id IS NOT NULL THEN CAST({_PR_SCALE} AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END AS r
+      FROM deg d LEFT JOIN seeds s ON s.id = d.id
+    ),
+    s0 AS MATERIALIZED (SELECT id, r AS score, deg, r FROM base)"""
+    ]
+    for r in range(iters):
+        sql.append(
+            f""",
+    s{r + 1} AS MATERIALIZED (
+      SELECT b.id,
+             (3 * b.r) // 20 + (17 * COALESCE(CAST(SUM(x.score // x.deg) AS BIGINT), 0)) // 20 AS score,
+             b.deg, b.r
+      FROM base b
+      LEFT JOIN sym e ON e.dst = b.id
+      LEFT JOIN s{r} x ON x.id = e.src
+      GROUP BY b.id, b.deg, b.r
+    )"""
+        )
+    sql.append(
+        f"""
+    SELECT id AS part, CAST(score AS BIGINT) AS score
+    FROM s{iters} WHERE score > 0 ORDER BY score DESC, id LIMIT 100"""
+    )
+    return "".join(sql)
+
+
+@query("personalized_pagerank_exact", oracle=_ppr_exact_oracle(_PR_ITERS))
+def personalized_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G7 personalized variant in the same integer fixed-point form as
+    pagerank_exact: reset mass (3·r) div 20 returns only to the
+    p_size=50 seed set (r = SCALE on seeds, 0 elsewhere; iteration
+    starts from the reset vector), so score is exact integer proximity
+    to the seeds. WHERE score > 0 keeps the output to vertices actually
+    reached within the 5 supersteps — deterministic under floor
+    arithmetic, unlike a float threshold."""
+    prep(spark)
+    pairs, _ = _copurchase_pairs(spark, sf_dir)
+    sym = pairs.union(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).select(F.col("a").alias("src"), F.col("b").alias("dst")).localCheckpoint(
+        eager=False
+    )
+    deg = sym.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    seeds = (
+        table(spark, sf_dir, "part")
+        .where(F.col("p_size") == 50)
+        .select(F.col("p_partkey").alias("id"))
+        .distinct()
+        .withColumn("_s", F.lit(1))
+    )
+    base = (
+        deg.join(seeds, "id", "left")
+        .select(
+            "id",
+            "deg",
+            F.when(F.col("_s") == 1, F.lit(_PR_SCALE).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+            .alias("r"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    n_nodes = base.count()
+    hint = F.broadcast if n_nodes <= 4_000_000 else (lambda df: df)
+
+    scores = base.select("id", F.col("r").alias("score"), "deg", "r")
+    for _ in range(_PR_ITERS):
+        contrib = scores.select("id", F.expr("score div deg").alias("c"))
+        inbox = (
+            sym.join(hint(contrib), sym["src"] == contrib["id"])
+            .groupBy("dst")
+            .agg(F.sum("c").alias("m"))
+        )
+        scores = (
+            base.join(inbox, base["id"] == inbox["dst"], "left")
+            .select(
+                "id",
+                F.expr(
+                    "(3 * r) div 20 + (17 * coalesce(m, CAST(0 AS BIGINT))) div 20"
+                ).cast("long").alias("score"),
+                "deg",
+                "r",
+            )
+        )
+    return (
+        scores.where(F.col("score") > 0)
+        .orderBy(F.col("score").desc(), F.col("id"))
+        .limit(100)
+        .select(F.col("id").alias("part"), "score")
+    )
+
+
 @query("personalized_pagerank")  # rows-only: fixed-point float iteration
 def personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G7 variant: personalized PageRank seeded at the p_size=50 parts

@@ -63,6 +63,7 @@ _SAMPLE_PRIORITY = (
     "text_pii_mask",
     "kcore_membership",
     "pagerank_exact",
+    "personalized_pagerank_exact",
     "upsert_insert_if_absent",
     "upsert_merge",
     "update_columns",

@@ -44,6 +44,7 @@ _ITERATIVE = {
     "graph_assortativity",
     "kcore_membership",
     "pagerank_exact",
+    "personalized_pagerank_exact",
     "snapshot_time_travel",
     "snapshot_reorg_overwrite",
     "sample_stratified",
