@@ -253,3 +253,158 @@ def blockfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.lit(0)),
     )
     return b.unionByName(t).unionByName(o).unionByName(i)
+
+
+# Fixed-point taint (the oracle-checkable G5 twin, same recipe as
+# pagerank_exact): taint in 1e-9 units, per-edge message
+# (taint_src · value_src) div in_total — floor per term, so the sum is
+# order-independent and any engine computes identical integers. The
+# float taint_flow stays the analyst-facing path. Capacity: each term
+# <= SCALE · max_output_value; int64 holds through ~9e9 satoshi
+# outputs at this scale.
+_TAINT_SCALE = 1_000_000_000
+_TAINT_HOPS = 8
+_TAINT_TOPK = 20
+
+
+def _taint_fixture_parts():
+    """(seed_addr, floor, edges, meta): the pure-Python view of the
+    spend graph — floor[oid] = SCALE on seed-address outputs, edges =
+    (src_oid, dst_oid, src_value, tx_in_total), meta[oid] =
+    (address, value)."""
+    c = _chain()
+    genesis_hash = min(c.blocks, key=lambda b: b[2])[0]
+    genesis_cb = next(t[0] for t in c.transactions if t[4] and t[1] == genesis_hash)
+    seed_addr = next(o[4] for o in c.outputs if o[0] == genesis_cb)
+
+    val = {oid: v for _tx, _oi, oid, v, _a in c.outputs}
+    meta = {oid: (a, v) for _tx, _oi, oid, v, a in c.outputs}
+    in_total: dict = {}
+    for sp, oid in c.inputs:
+        in_total[sp] = in_total.get(sp, 0) + val[oid]
+    outs_of: dict = {}
+    for tx, _oi, oid, _v, _a in c.outputs:
+        outs_of.setdefault(tx, []).append(oid)
+    edges = [
+        (oid, dst, val[oid], in_total[sp])
+        for sp, oid in c.inputs
+        for dst in outs_of.get(sp, [])
+    ]
+    floor = {
+        oid: (_TAINT_SCALE if a == seed_addr else 0) for oid, (a, _v) in meta.items()
+    }
+    return seed_addr, floor, edges, meta
+
+
+def _expected_taint_rows() -> list[tuple[str, str, int, int]]:
+    """Top-k tainted outputs replayed in pure Python with the exact
+    integer update — the decoder- and engine-independent ground truth."""
+    _seed, floor, edges, meta = _taint_fixture_parts()
+    taint = dict(floor)
+    for _ in range(_TAINT_HOPS):
+        msgs: dict = {}
+        for s, d, v, tot in edges:
+            msgs[d] = msgs.get(d, 0) + (taint[s] * v) // tot
+        taint = {oid: max(floor[oid], msgs.get(oid, 0)) for oid in taint}
+    ranked = sorted(
+        ((oid, t) for oid, t in taint.items() if t > 0),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:_TAINT_TOPK]
+    return [(oid, meta[oid][0], meta[oid][1], t) for oid, t in ranked]
+
+
+def _taint_oracle() -> str:
+    rows = ",\n      ".join(
+        f"('{oid}', '{a}', CAST({v} AS BIGINT), CAST({t} AS BIGINT))"
+        for oid, a, v, t in _expected_taint_rows()
+    )
+    return (
+        "SELECT * FROM (VALUES\n      "
+        + rows
+        + "\n    ) AS t(output_id, address, value, taint)"
+    )
+
+
+@query("taint_flow_exact", oracle=_taint_oracle())
+def taint_flow_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G5 oracle-checked twin of taint_flow: proportional-haircut taint
+    from the genesis coinbase address in integer fixed-point. Message =
+    Σ_src (taint·value) div in_total with per-term floor, update =
+    max(seed floor, message): every engine computes identical int64
+    taints regardless of summation order, which the float haircut never
+    guarantees. The oracle is a table of CONSTANTS replayed in pure
+    Python from the fixture chain's row lists — the full differential
+    covers encoder → binary scan → Arrow decode → normalize → the
+    8-hop iteration.
+
+    Scale shape is the float twin's: weights computed once (two joins +
+    one aggregate), one keyed shuffle per hop, taint side
+    broadcast-hinted under the vertex gate.
+    """
+    root = _build_blk_files_once()
+    tables = normalize(read_blocks(spark, f"{root}/blk*.dat"))
+    c = _chain()
+    genesis_hash = min(c.blocks, key=lambda b: b[2])[0]
+    genesis_cb = next(t[0] for t in c.transactions if t[4] and t[1] == genesis_hash)
+    seed_addr = next(o[4] for o in c.outputs if o[0] == genesis_cb)
+
+    outs = tables["outputs"].select(
+        F.col("output_id").alias("id"),
+        "address",
+        "value",
+        F.when(F.col("address") == seed_addr, F.lit(_TAINT_SCALE))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("floor"),
+    ).localCheckpoint(eager=False)
+    n_outs = outs.count()
+    hint = F.broadcast if n_outs <= 4_000_000 else (lambda df: df)
+
+    spent = tables["inputs"].join(
+        tables["outputs"].select(
+            F.col("output_id").alias("spent_output_id"),
+            F.col("value").alias("in_value"),
+        ),
+        "spent_output_id",
+    )
+    totals = spent.groupBy("spending_tx_hash").agg(
+        F.sum("in_value").alias("in_total")
+    )
+    created = tables["outputs"].select(
+        F.col("tx_hash").alias("spending_tx_hash"), F.col("output_id").alias("dst")
+    )
+    edges = (
+        spent.join(totals, "spending_tx_hash")
+        .join(created, "spending_tx_hash")
+        .select(
+            F.col("spent_output_id").alias("src"), "dst", "in_value", "in_total"
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    taint = outs.select("id", F.col("floor").alias("taint"), "floor")
+    for _ in range(_TAINT_HOPS):
+        contrib = taint.select(F.col("id").alias("src"), "taint")
+        msgs = (
+            edges.join(hint(contrib), "src")
+            .select("dst", F.expr("(taint * in_value) div in_total").alias("term"))
+            .groupBy("dst")
+            .agg(F.sum("term").alias("m"))
+        )
+        taint = (
+            outs.join(msgs, outs["id"] == msgs["dst"], "left")
+            .select(
+                "id",
+                F.greatest(
+                    F.col("floor"), F.coalesce(F.col("m"), F.lit(0).cast("long"))
+                ).alias("taint"),
+                "floor",
+            )
+        )
+    return (
+        taint.where(F.col("taint") > 0)
+        .join(outs.select("id", "address", "value"), "id")
+        .orderBy(F.col("taint").desc(), F.col("id"))
+        .limit(_TAINT_TOPK)
+        .select(F.col("id").alias("output_id"), "address", "value", "taint")
+    )

@@ -88,6 +88,7 @@ _SAMPLE_PRIORITY = (
     "multimodal_frame_sample",
     "utxo_balances",
     "blockfile_ingest",
+    "taint_flow_exact",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_exact",

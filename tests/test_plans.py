@@ -45,6 +45,7 @@ _ITERATIVE = {
     "kcore_membership",
     "pagerank_exact",
     "personalized_pagerank_exact",
+    "taint_flow_exact",
     "snapshot_time_travel",
     "snapshot_reorg_overwrite",
     "sample_stratified",
