@@ -167,3 +167,124 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("centroid_sum"),
     )
     return pop.join(csum, "cell").orderBy("cell")
+
+
+# Integer-Lloyd exact twin (same recipe as the other *_exact keys):
+# quantized int64 vectors, squared-L2 in exact integer arithmetic,
+# centroid update floor(Σ/​n) per dimension, ties broken by lowest
+# centroid id — every engine computes identical assignments.
+_KMX_K = 4
+_KMX_DIM = 64
+_KMX_ROUNDS = 2  # update rounds; output is the assignment against the final centroids
+
+
+def _kmeans_exact_oracle() -> str:
+    qv = "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+    d2 = (
+        f"list_sum(list_transform(range({_KMX_DIM}),"
+        " i -> (q.qv[i+1] - c.cv[i+1]) * (q.qv[i+1] - c.cv[i+1])))"
+    )
+    sql = [
+        f"""
+    WITH q AS MATERIALIZED (
+      SELECT vec_id, {qv} AS qv FROM embeddings
+    ),
+    c0 AS MATERIALIZED (SELECT vec_id AS cid, qv AS cv FROM q WHERE vec_id < {_KMX_K})"""
+    ]
+    for r in range(_KMX_ROUNDS):
+        sql.append(
+            f""",
+    a{r + 1} AS MATERIALIZED (
+      SELECT vec_id, cid FROM (
+        SELECT q.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY {d2}, c.cid) AS rn
+        FROM q CROSS JOIN c{r} c
+      ) WHERE rn = 1
+    ),
+    u{r + 1} AS MATERIALIZED (
+      SELECT a.cid, t.dim, CAST(SUM(q.qv[t.dim + 1]) AS BIGINT) // COUNT(*) AS v
+      FROM a{r + 1} a
+      JOIN q ON q.vec_id = a.vec_id
+      CROSS JOIN UNNEST(range({_KMX_DIM})) AS t(dim)
+      GROUP BY a.cid, t.dim
+    ),
+    n{r + 1} AS MATERIALIZED (
+      SELECT cid, list(v ORDER BY dim) AS cv FROM u{r + 1} GROUP BY cid
+    ),
+    c{r + 1} AS MATERIALIZED (
+      SELECT c.cid, COALESCE(n.cv, c.cv) AS cv
+      FROM c{r} c LEFT JOIN n{r + 1} n ON n.cid = c.cid
+    )"""
+        )
+    sql.append(
+        f"""
+    SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM (
+      SELECT q.vec_id, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY {d2}, c.cid) AS rn
+      FROM q CROSS JOIN c{_KMX_ROUNDS} c
+    ) WHERE rn = 1"""
+    )
+    return "".join(sql)
+
+
+@query("kmeans_exact", oracle=_kmeans_exact_oracle())
+def kmeans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 oracle-checked twin of kmeans_embeddings: Lloyd's algorithm
+    entirely in integer arithmetic — quantized int64 vectors, exact
+    squared-L2 distances, argmin ties broken by lowest centroid id,
+    centroid update floor(Σ/n) per dimension, empty cells keep their
+    previous centroid. Assignments are bit-identical on any engine;
+    the float kmeans_fit stays the production trainer (no quantization
+    drift in the codebook).
+
+    Scale shape: the K-row centroid table broadcasts into the
+    assignment join (K ~ thousands even at web scale); the per-dim
+    update is one posexplode + keyed aggregate per round — the same
+    partial/final combine as any groupBy.
+    """
+    from ..functions.vectors import quantize
+
+    prep(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.select("vec_id", quantize("embedding").alias("qv")).localCheckpoint(
+        eager=False
+    )
+    cents = (
+        q.where(F.col("vec_id") < _KMX_K)
+        .select(F.col("vec_id").alias("cid"), F.col("qv").alias("cv"))
+    )
+
+    def assign(centroids: DataFrame) -> DataFrame:
+        d2 = F.aggregate(
+            F.zip_with("qv", "cv", lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        scored = q.crossJoin(F.broadcast(centroids)).select(
+            "vec_id", "cid", d2.alias("d2")
+        )
+        return (
+            scored.groupBy("vec_id")
+            .agg(F.min(F.struct("d2", "cid")).alias("best"))
+            .select("vec_id", F.col("best.cid").alias("cid"))
+        )
+
+    for _ in range(_KMX_ROUNDS):
+        a = assign(cents)
+        upd = (
+            a.join(q, "vec_id")
+            .select("cid", F.posexplode("qv").alias("dim", "v"))
+            .groupBy("cid", "dim")
+            .agg(F.expr("CAST(sum(v) AS BIGINT) div count(1)").alias("v"))
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "v"))).alias("dv"))
+            .select("cid", F.expr("transform(dv, s -> s.v)").alias("new_cv"))
+        )
+        cents = (
+            cents.join(upd, "cid", "left")
+            .select("cid", F.coalesce("new_cv", "cv").alias("cv"))
+            .localCheckpoint(eager=True)
+        )
+    return assign(cents).select(
+        "vec_id", F.col("cid").cast("long").alias("cluster")
+    )

@@ -98,6 +98,7 @@ _SAMPLE_PRIORITY = (
     "dedup_embedding",
     "embedding_centroids",
     "similarity_range",
+    "kmeans_exact",
     "sketch_countmin",
     "udf_scalar",
     "udf_with_fallback",

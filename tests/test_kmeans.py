@@ -87,3 +87,55 @@ def test_kmeans_keeps_empty_cluster_centroids(spark):
     assert used <= {0, 1, 2, 3}
     # every point assigned exactly once
     assert assign.count() == 40
+
+
+def test_kmeans_exact_python_parity(spark, sf_dir):
+    """Integer-Lloyd replayed in pure Python reproduces kmeans_exact's
+    assignments bit-for-bit (the cross-engine determinism claim checked
+    against a third implementation)."""
+    from blockchain2graphdb_spark.catalog import table
+    from blockchain2graphdb_spark.operators.ann_ivf import (
+        _KMX_K,
+        _KMX_ROUNDS,
+        kmeans_exact,
+    )
+
+    import math
+
+    def half_up(v):
+        # Spark/DuckDB round() is HALF_UP (away from zero); Python's
+        # built-in round is banker's
+        return int(math.floor(v + 0.5)) if v >= 0 else int(math.ceil(v - 0.5))
+
+    emb = {
+        r["vec_id"]: [half_up(float(x) * 1000) for x in r["embedding"]]
+        for r in table(spark, sf_dir, "embeddings").collect()
+    }
+    cents = {cid: emb[cid][:] for cid in range(_KMX_K)}
+
+    def assign():
+        out = {}
+        for vid, qv in emb.items():
+            best = min(
+                (sum((a - b) * (a - b) for a, b in zip(qv, cv)), cid)
+                for cid, cv in cents.items()
+            )
+            out[vid] = best[1]
+        return out
+
+    for _ in range(_KMX_ROUNDS):
+        a = assign()
+        members = {}
+        for vid, cid in a.items():
+            members.setdefault(cid, []).append(emb[vid])
+        def tdiv(s, n):
+            # Spark `div` and DuckDB `//` truncate toward zero;
+            # Python `//` floors — they differ on negative sums
+            return -((-s) // n) if s < 0 else s // n
+
+        for cid, vs in members.items():
+            n = len(vs)
+            cents[cid] = [tdiv(sum(col), n) for col in zip(*vs)]
+    want = assign()
+    got = {r["vec_id"]: r["cluster"] for r in kmeans_exact(spark, sf_dir).collect()}
+    assert got == want and len(set(got.values())) > 1

@@ -46,6 +46,7 @@ _ITERATIVE = {
     "pagerank_exact",
     "personalized_pagerank_exact",
     "taint_flow_exact",
+    "kmeans_exact",
     "snapshot_time_travel",
     "snapshot_reorg_overwrite",
     "sample_stratified",
