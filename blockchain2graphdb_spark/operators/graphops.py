@@ -1277,3 +1277,284 @@ def copurchase_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p")
     ).select("p.a", "p.b")
     return pairs.groupBy("a", "b").agg(F.count(F.lit(1)).cast("long").alias("w"))
+
+
+# Weighted single-source shortest path (the Dijkstra/Bellman-Ford face
+# of G6): integer edge costs derived from co-purchase support (a
+# high-confidence edge — >= 2 shared orders — costs 1, a weak edge 3),
+# relaxed for a fixed horizon of rounds. Integer costs + min() make the
+# whole computation order-independent, so the unrolled-CTE oracle is
+# exact. Capacity: dist <= 3 * _SSSP_ROUNDS — nowhere near int64.
+_SSSP_ROUNDS = 4
+
+
+def _sssp_oracle(rounds: int) -> str:
+    """Unrolled Bellman-Ford as chained MATERIALIZED CTEs (default CTE
+    inlining would expand the self-referencing chain exponentially)."""
+    sql = [
+        """
+    WITH p0 AS MATERIALIZED (
+      SELECT a.l_partkey AS a, b.l_partkey AS b,
+             CASE WHEN COUNT(DISTINCT a.l_orderkey) >= 2 THEN 1 ELSE 3 END AS cost
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+    ),
+    sym AS MATERIALIZED (
+      SELECT a AS src, b AS dst, cost FROM p0
+      UNION ALL
+      SELECT b AS src, a AS dst, cost FROM p0
+    ),
+    d0 AS MATERIALIZED (
+      SELECT p_partkey AS id, CAST(0 AS BIGINT) AS dist
+      FROM part WHERE p_size = 50
+    )"""
+    ]
+    for r in range(rounds):
+        sql.append(
+            f""",
+    d{r + 1} AS MATERIALIZED (
+      SELECT id, MIN(dist) AS dist FROM (
+        SELECT id, dist FROM d{r}
+        UNION ALL
+        SELECT e.dst AS id, x.dist + e.cost AS dist
+        FROM sym e JOIN d{r} x ON x.id = e.src
+      ) GROUP BY id
+    )"""
+        )
+    sql.append(
+        f"""
+    SELECT id AS node, CAST(dist AS BIGINT) AS dist FROM d{rounds}"""
+    )
+    return "".join(sql)
+
+
+@query("sssp_weighted", oracle=_sssp_oracle(_SSSP_ROUNDS))
+def sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G6 weighted variant: Bellman-Ford over the weighted co-purchase
+    graph (cost 1 for support>=2 edges, 3 for weak ones), _SSSP_ROUNDS
+    relaxation rounds from the p_size=50 seed set — the
+    shortest-weighted-path generalization of `bfs_distance` the
+    reference's repeat/until walk (B:43–46) cannot express.
+
+    Scale shape: each round is ONE keyed shuffle (relax messages
+    groupBy dst, min combiner) plus a node-keyed fold; the frontier
+    table is node-sized, broadcast into the edge join under the same
+    4M-node gate as pagerank_exact. Edges are localCheckpointed once —
+    every round re-reads the same materialized partitions.
+    """
+    prep(spark)
+    per_order = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
+    )
+    weighted = (
+        per_order.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) ->"
+                    " transform(slice(ps, i + 2, size(ps) - i - 1),"
+                    " y -> struct(x as a, y as b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+        .groupBy("a", "b")
+        .agg(F.when(F.count(F.lit(1)) >= 2, F.lit(1)).otherwise(F.lit(3)).alias("cost"))
+    )
+    sym = weighted.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), "cost"
+    ).unionByName(
+        weighted.select(
+            F.col("b").alias("src"), F.col("a").alias("dst"), "cost"
+        )
+    ).localCheckpoint(eager=False)
+    n_edges = sym.count()
+    # node count <= 2 * edges; frontier is node-sized -> broadcastable
+    hint = F.broadcast if n_edges <= 8_000_000 else (lambda df: df)
+
+    dist = (
+        table(spark, sf_dir, "part")
+        .where(F.col("p_size") == 50)
+        .select(F.col("p_partkey").alias("id"), F.lit(0).cast("long").alias("dist"))
+    )
+    for _ in range(_SSSP_ROUNDS):
+        relax = (
+            sym.join(hint(dist), sym["src"] == dist["id"])
+            .select(F.col("dst").alias("id"), (F.col("dist") + F.col("cost")).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(relax)
+            .groupBy("id")
+            .agg(F.min("dist").alias("dist"))
+        )
+    return dist.select(F.col("id").alias("node"), F.col("dist").cast("long").alias("dist"))
+
+
+# HITS hubs/authorities on the directed supplier->part bipartite graph,
+# UN-normalized for two full iterations so every value is an exact
+# int64 (normalizing divisions reintroduce engine-specific rounding;
+# rank order is normalization-invariant). Growth per half-iteration is
+# bounded by the max degree, so values stay far below 2^63 at any
+# plausible scale — and the bound is ENFORCED in-plan (raise_error past
+# 2^40 per half-step guarantees the next SUM cannot wrap silently while
+# DuckDB raises; Spark would otherwise wrap without a word).
+_HITS_GUARD = 1 << 40
+
+_HITS_ORACLE = """
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+),
+a1 AS MATERIALIZED (
+  SELECT p, CAST(COUNT(*) AS BIGINT) AS a FROM e GROUP BY p
+),
+h1 AS MATERIALIZED (
+  SELECT e.s, CAST(SUM(a1.a) AS BIGINT) AS h
+  FROM e JOIN a1 ON a1.p = e.p GROUP BY e.s
+),
+a2 AS MATERIALIZED (
+  SELECT e.p, CAST(SUM(h1.h) AS BIGINT) AS a
+  FROM e JOIN h1 ON h1.s = e.s GROUP BY e.p
+),
+h2 AS MATERIALIZED (
+  SELECT e.s, CAST(SUM(a2.a) AS BIGINT) AS h
+  FROM e JOIN a2 ON a2.p = e.p GROUP BY e.s
+),
+top_a AS (
+  SELECT 'authority' AS role, CAST(p AS BIGINT) AS id, a AS score
+  FROM a2 ORDER BY a DESC, p LIMIT 50
+),
+top_h AS (
+  SELECT 'hub' AS role, CAST(s AS BIGINT) AS id, h AS score
+  FROM h2 ORDER BY h DESC, s LIMIT 50
+)
+SELECT role, id, score FROM top_a
+UNION ALL
+SELECT role, id, score FROM top_h
+"""
+
+
+@query("hits_exact", oracle=_HITS_ORACLE)
+def hits_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G7 sibling: HITS hubs/authorities (Kleinberg) on the directed
+    supplier->part graph — authority(p) = Σ hub(s) over in-edges,
+    hub(s) = Σ authority(p) over out-edges, two full iterations in
+    exact integers (see module note on why un-normalized).
+
+    Scale shape: each half-iteration is one equi-join of the edge list
+    against a node-sized score table (broadcast under the gate) plus
+    one keyed aggregation — identical to the pagerank_exact superstep;
+    edges localCheckpointed once. Top-k is TakeOrdered, never a global
+    sort.
+    """
+    prep(spark)
+    e = (
+        table(spark, sf_dir, "lineitem")
+        .select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n_edges = e.count()
+    hint = F.broadcast if n_edges <= 8_000_000 else (lambda df: df)
+
+    def guarded(col, what):
+        return F.when(col < _HITS_GUARD, col).otherwise(
+            F.raise_error(
+                F.format_string(
+                    "hits_exact: %s exceeded the 2^40 capacity guard (%s); "
+                    "add a rescale step",
+                    F.lit(what),
+                    col,
+                )
+            )
+        )
+
+    a1 = e.groupBy("p").agg(guarded(F.count(F.lit(1)), "a1").alias("a"))
+    h1 = (
+        e.join(hint(a1), "p")
+        .groupBy("s")
+        .agg(guarded(F.sum("a"), "h1").alias("h"))
+    )
+    a2 = (
+        e.join(hint(h1), "s")
+        .groupBy("p")
+        .agg(guarded(F.sum("h"), "a2").alias("a"))
+    )
+    h2 = (
+        e.join(hint(a2), "p")
+        .groupBy("s")
+        .agg(guarded(F.sum("a"), "h2").alias("h"))
+    )
+    top_a = (
+        a2.orderBy(F.col("a").desc(), F.col("p"))
+        .limit(50)
+        .select(
+            F.lit("authority").alias("role"),
+            F.col("p").cast("long").alias("id"),
+            F.col("a").cast("long").alias("score"),
+        )
+    )
+    top_h = (
+        h2.orderBy(F.col("h").desc(), F.col("s"))
+        .limit(50)
+        .select(
+            F.lit("hub").alias("role"),
+            F.col("s").cast("long").alias("id"),
+            F.col("h").cast("long").alias("score"),
+        )
+    )
+    return top_a.unionByName(top_h)
+
+
+@query(
+    "motif_find",
+    oracle="""
+    SELECT CAST(s.s_nationkey AS BIGINT) AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_paths,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY s.s_nationkey
+    """,
+)
+def motif_find(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G9 as a registered key: GraphFrames-style motif finding
+    (PropertyGraph.find, graph/traversal.py) — the declarative twin of
+    Gremlin's pattern steps. The 4-vertex path motif
+    (customer)-[placed]->(order)-[contains]->(lineitem)-[supplied_by]->(supplier)
+    compiles to exactly the equi-join tree Catalyst would plan for the
+    hand-written query: the post-hoc segment filter is pushed down into
+    the customer scan, the supplier dim broadcasts, and the motif layer
+    adds zero physical operators — a motif is as fast as its join tree.
+    """
+    from ..graph.traversal import Edge, PropertyGraph
+    from ..exact import money_sum
+
+    prep(spark)
+    g = PropertyGraph(
+        {
+            "Customer": table(spark, sf_dir, "customer"),
+            "Order": table(spark, sf_dir, "orders"),
+            "Lineitem": table(spark, sf_dir, "lineitem"),
+            "Supplier": table(spark, sf_dir, "supplier"),
+        },
+        [
+            Edge("Customer", "placed", "Order", "c_custkey", "o_custkey"),
+            Edge("Order", "contains", "Lineitem", "o_orderkey", "l_orderkey"),
+            Edge("Lineitem", "supplied_by", "Supplier", "l_suppkey", "s_suppkey"),
+        ],
+    )
+    m = g.find("(c)-[placed]->(o); (o)-[contains]->(l); (l)-[supplied_by]->(s)")
+    return (
+        m.where(F.col("c_c_mktsegment") == "BUILDING")
+        .groupBy(F.col("s_s_nationkey").cast("long").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_paths"),
+            money_sum("l_l_quantity", "total_qty"),
+        )
+    )

@@ -408,3 +408,80 @@ def similarity_range(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cosine"),
         )
     )
+
+
+@query(
+    "embedding_quantize",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    m AS (
+      SELECT vec_id, qv,
+             list_max(list_transform(qv, x -> abs(x))) AS maxabs
+      FROM q
+    ),
+    c AS (
+      SELECT vec_id, maxabs, len(qv) AS n_dims, CAST(t.dim AS INT) AS dim,
+             qv[CAST(t.dim AS INT) + 1] AS qx,
+             CASE WHEN maxabs = 0 THEN 0
+                  ELSE (qv[CAST(t.dim AS INT) + 1] * 127) // maxabs END AS code
+      FROM m, UNNEST(range(len(qv))) AS t(dim)
+    )
+    SELECT vec_id,
+           CAST(maxabs AS BIGINT) AS maxabs,
+           CAST(MAX(n_dims) AS BIGINT) AS n_dims,
+           CAST(SUM(code * (dim + 1)) AS BIGINT) AS checksum,
+           CAST(SUM(code * code) AS BIGINT) AS ssq,
+           CAST(MAX(abs(qx * 127 - code * maxabs)) AS BIGINT) AS max_err
+    FROM c GROUP BY vec_id, maxabs
+    """,
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3/X5 compression stage: per-vector symmetric int8 quantization —
+    the 4-bytes-to-1 shrink every 100 TB embedding store applies before
+    ANN indexing (PQ's scalar-quantization sibling). code_i =
+    (q_i * 127) div maxabs with q_i = round(x_i * 1000): all-integer,
+    truncating division agrees between engines for either sign, so the
+    per-vector audit (position-weighted checksum, code energy, max
+    dequantization error in scaled units) is bit-exact.
+
+    Scale shape: entirely map-side — higher-order functions per row, no
+    explode, no shuffle, one output row per vector; the only wide
+    operation in a real pipeline would be writing the codes back. The
+    DuckDB oracle replays the same integer math via UNNEST(range())
+    (this DuckDB lacks WITH ORDINALITY).
+    """
+    prep(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    df = (
+        emb.select("vec_id", quantize("embedding").alias("qv"))
+        .withColumn("maxabs", F.array_max(F.transform(F.col("qv"), F.abs)))
+        .withColumn(
+            "codes",
+            F.expr(
+                "transform(qv, x -> CASE WHEN maxabs = 0 THEN CAST(0 AS BIGINT)"
+                " ELSE (x * 127) div maxabs END)"
+            ),
+        )
+    )
+    return df.select(
+        "vec_id",
+        F.col("maxabs").cast("long").alias("maxabs"),
+        F.size("qv").cast("long").alias("n_dims"),
+        F.expr(
+            "aggregate(zip_with(codes, sequence(1, size(codes)), (c, i) -> c * i),"
+            " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        ).alias("checksum"),
+        F.expr(
+            "aggregate(transform(codes, c -> c * c),"
+            " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        ).alias("ssq"),
+        F.expr(
+            "aggregate(zip_with(qv, codes, (x, c) -> abs(x * 127 - c * maxabs)),"
+            " CAST(0 AS BIGINT), (acc, x) -> greatest(acc, x))"
+        ).alias("max_err"),
+    )
