@@ -92,28 +92,47 @@ def minhash_clusters(docs: DataFrame, jaccard_threshold: float = 0.5) -> DataFra
     wallet-clustering machinery) → (doc_id, cluster_id, cluster_size).
 
     Every stage is a groupBy or equi-join: at 100 TB nothing is pairwise
-    except verification *within candidate buckets*.
+    except verification *within candidate buckets*. The minhash pass is
+    entirely MAP-SIDE: the distinct shingle hashes stay an array column
+    and each permutation is an `array_min(transform(...))` higher-order
+    function — no explode, no 32-way groupBy shuffle; the only wide
+    stages are the band self-join and the candidate verify join, and
+    the verify shuffles one hash ARRAY per doc instead of the exploded
+    (doc, shingle) stream (the exploded form is ~|doc| rows/doc).
     """
-    # hashed shingles computed once and reused by both the minhash pass
-    # and the exact-Jaccard verify (hash equality stands in for shingle
-    # equality; 31-bit collisions are noise at verify thresholds)
-    sh = (
+    # distinct hashed shingles per doc as an array column, computed once
+    # and reused by the minhash projection and the exact-Jaccard verify
+    # (hash equality stands in for shingle equality; 31-bit collisions
+    # are noise at verify thresholds)
+    base = (
         _fan_out(docs, "doc_id")
         .select(
-            "doc_id", F.explode(_shingles(_tokens(F.col("text")))).alias("shingle")
+            "doc_id",
+            F.array_distinct(
+                F.transform(
+                    _shingles(_tokens(F.col("text"))),
+                    lambda s: F.pmod(F.xxhash64(s), F.lit(_MH_PRIME)),
+                )
+            ).alias("hs"),
         )
-        .select("doc_id", F.pmod(F.xxhash64("shingle"), F.lit(_MH_PRIME)).alias("h"))
         .localCheckpoint(eager=False)
     )
 
-    # 32 minhash values as one aggregation pass (partial/final combine-able)
-    mins = sh.groupBy("doc_id").agg(
+    # 32 minhash values as one map-side projection (no shuffle).
+    # NB: the permutation index must be bound via a single-arg closure —
+    # a `lambda h, i=i` would make F.transform pass the ARRAY POSITION
+    # as the second argument, silently replacing the permutation number.
+    def _perm(i: int):
+        return lambda h: F.pmod(
+            h * F.lit(2 * i + 1) + F.lit(7919 * i + 13), F.lit(_MH_PRIME)
+        )
+
+    mins = base.select(
+        "doc_id",
         *[
-            F.min(
-                F.pmod(F.col("h") * F.lit(2 * i + 1) + F.lit(7919 * i + 13), F.lit(_MH_PRIME))
-            ).alias(f"m{i}")
+            F.array_min(F.transform(F.col("hs"), _perm(i))).alias(f"m{i}")
             for i in range(_MH_PERMS)
-        ]
+        ],
     )
     # band signatures -> candidate pairs via equi-join on (band, signature)
     n_bands = _MH_PERMS // _MH_BAND_SIZE
@@ -151,25 +170,21 @@ def minhash_clusters(docs: DataFrame, jaccard_threshold: float = 0.5) -> DataFra
         .distinct()
     )
 
-    # exact Jaccard verification on candidates only (over hashed shingles)
-    shs = sh.distinct()
-    sizes = shs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    ga = shs.withColumnRenamed("doc_id", "a")
-    gb = shs.withColumnRenamed("doc_id", "b2").withColumnRenamed("h", "h2")
-    inter = (
-        cand.join(ga, "a")
-        .join(gb, (F.col("b") == F.col("b2")) & (F.col("h") == F.col("h2")))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sa = sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n", "na")
-    sb = sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n", "nb")
+    # exact Jaccard verification on candidates only: join the candidate
+    # pairs back to the per-doc hash arrays (AQE broadcasts the tiny
+    # candidate side at any scale where dedup is sane) and compute
+    # |A∩B| / |A∪B| map-side via array_intersect — the exploded
+    # (doc, shingle) join + 3 bookkeeping joins of the previous form
+    # collapse into 2 keyed joins and one projection
+    a_side = base.select(F.col("doc_id").alias("a"), F.col("hs").alias("ha"))
+    b_side = base.select(F.col("doc_id").alias("b"), F.col("hs").alias("hb"))
+    n_inter = F.size(F.array_intersect(F.col("ha"), F.col("hb")))
     verified = (
-        inter.join(sa, "a")
-        .join(sb, "b")
+        cand.join(a_side, "a")
+        .join(b_side, "b")
         .where(
-            F.col("n_inter").cast("double")
-            / (F.col("na") + F.col("nb") - F.col("n_inter")).cast("double")
+            n_inter.cast("double")
+            / (F.size("ha") + F.size("hb") - n_inter).cast("double")
             >= jaccard_threshold
         )
         .select("a", "b")
@@ -177,12 +192,23 @@ def minhash_clusters(docs: DataFrame, jaccard_threshold: float = 0.5) -> DataFra
 
     comp = connected_components(verified, "a", "b", canonical=True)
     clustered = comp.select(F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id"))
-    singles = docs.join(clustered, "doc_id", "left_anti").select(
-        "doc_id", F.col("doc_id").alias("cluster_id")
+    # label assignment: clustered covers only docs inside verified
+    # clusters (a small table — near-dup clusters are a sliver of any
+    # corpus, and AQE broadcasts it when it is; the distributed-
+    # components path can legitimately return a big table, so no hard
+    # broadcast hint), LEFT-joined into the checkpointed base (no
+    # parquet re-scan), singletons defaulting to their own id — one
+    # join instead of an anti-join + union; cluster_size via a
+    # partitioned window instead of a groupBy + second join
+    all_docs = (
+        base.join(clustered, "doc_id", "left")
+        .select("doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id"))
     )
-    all_docs = clustered.unionByName(singles)
-    csize = all_docs.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
-    return all_docs.join(csize, "cluster_id").select("doc_id", "cluster_id", "cluster_size")
+    return all_docs.select(
+        "doc_id",
+        "cluster_id",
+        F.count(F.lit(1)).over(W.partitionBy("cluster_id")).alias("cluster_size"),
+    )
 
 
 # Deterministic MinHash twin: md5-string minhashes (lexicographic MIN

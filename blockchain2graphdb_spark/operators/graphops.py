@@ -1340,8 +1340,10 @@ def sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: each round is ONE keyed shuffle (relax messages
     groupBy dst, min combiner) plus a node-keyed fold; the frontier
     table is node-sized, broadcast into the edge join under the same
-    4M-node gate as pagerank_exact. Edges are localCheckpointed once —
-    every round re-reads the same materialized partitions.
+    4M-node gate as pagerank_exact (counted directly on the distinct
+    node set, not inferred from edge rows). Edges are
+    localCheckpointed once — every round re-reads the same
+    materialized partitions.
     """
     prep(spark)
     per_order = (
@@ -1371,9 +1373,12 @@ def sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b").alias("src"), F.col("a").alias("dst"), "cost"
         )
     ).localCheckpoint(eager=False)
-    n_edges = sym.count()
-    # node count <= 2 * edges; frontier is node-sized -> broadcastable
-    hint = F.broadcast if n_edges <= 8_000_000 else (lambda df: df)
+    # the broadcast side is the node-sized frontier table, so gate on
+    # the actual node count (sym is symmetric: src spans every node) —
+    # same 4M-node bound as pagerank_exact, one count on the
+    # checkpointed edge partitions
+    n_nodes = sym.select("src").distinct().count()
+    hint = F.broadcast if n_nodes <= 4_000_000 else (lambda df: df)
 
     dist = (
         table(spark, sf_dir, "part")
@@ -1456,8 +1461,18 @@ def hits_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=False)
     )
-    n_edges = e.count()
-    hint = F.broadcast if n_edges <= 8_000_000 else (lambda df: df)
+    # the broadcast sides are the hub/authority score tables (one row
+    # per distinct supplier / part), so gate on those counts directly
+    # rather than the edge-row proxy — one agg job on the checkpointed
+    # edges; same 4M-node bound as pagerank_exact
+    sides = e.agg(
+        F.countDistinct("s").alias("ns"), F.countDistinct("p").alias("np")
+    ).head()
+    hint = (
+        F.broadcast
+        if max(sides["ns"], sides["np"]) <= 4_000_000
+        else (lambda df: df)
+    )
 
     def guarded(col, what):
         return F.when(col < _HITS_GUARD, col).otherwise(

@@ -24,12 +24,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..chain import fixtures
+from ..paths import tmp_root as _tmp_root
 from ..registry import query
 from ..sources.blockfile import read_blocks, normalize
 
 _N_BLOCKS = 64
 _SEED = 11
-_ROOT = "/root/repo/.tmp/blkfix_v1"
+
+
+def _root() -> str:
+    import os
+
+    return os.path.join(_tmp_root(), "blkfix_v1")
 
 
 def _chain():
@@ -39,6 +45,7 @@ def _chain():
 def _build_blk_files_once() -> str:
     """Serialize the fixture chain into blk files (pure Python, no
     Spark), atomically: stage, then rename into place."""
+    _ROOT = _root()
     if os.path.isdir(_ROOT) and any(
         n.endswith(".dat") for n in os.listdir(_ROOT)
     ):

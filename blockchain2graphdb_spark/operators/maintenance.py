@@ -225,7 +225,11 @@ def resume_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _snapshot_root(sf_dir: str, name: str) -> str:
     import os
 
-    return f"/root/repo/.tmp/snap_{name}_{os.path.basename(sf_dir.rstrip('/'))}"
+    from ..paths import tmp_root
+
+    return os.path.join(
+        tmp_root(), f"snap_{name}_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
 
 
 def _build_once(root: str, build) -> None:

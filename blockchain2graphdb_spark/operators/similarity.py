@@ -418,6 +418,7 @@ def similarity_range(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_transform(embedding,
                x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
       FROM embeddings
+      WHERE len(embedding) > 0
     ),
     m AS (
       SELECT vec_id, qv,
@@ -427,8 +428,14 @@ def similarity_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     c AS (
       SELECT vec_id, maxabs, len(qv) AS n_dims, CAST(t.dim AS INT) AS dim,
              qv[CAST(t.dim AS INT) + 1] AS qx,
+             -- sign-explicit truncating division: abs()//positive is
+             -- truncation under either // convention (floor or trunc),
+             -- so this form cannot drift with the DuckDB version
              CASE WHEN maxabs = 0 THEN 0
-                  ELSE (qv[CAST(t.dim AS INT) + 1] * 127) // maxabs END AS code
+                  WHEN qv[CAST(t.dim AS INT) + 1] >= 0
+                    THEN (qv[CAST(t.dim AS INT) + 1] * 127) // maxabs
+                  ELSE -((-qv[CAST(t.dim AS INT) + 1] * 127) // maxabs)
+             END AS code
       FROM m, UNNEST(range(len(qv))) AS t(dim)
     )
     SELECT vec_id,
@@ -458,7 +465,11 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
     emb = table(spark, sf_dir, "embeddings")
     df = (
-        emb.select("vec_id", quantize("embedding").alias("qv"))
+        # zero-length vectors are excluded on BOTH sides: the oracle's
+        # UNNEST(range(0)) drops them implicitly, so Spark filters
+        # explicitly to keep the contract if empty embeddings appear
+        emb.where(F.size("embedding") > 0)
+        .select("vec_id", quantize("embedding").alias("qv"))
         .withColumn("maxabs", F.array_max(F.transform(F.col("qv"), F.abs)))
         .withColumn(
             "codes",

@@ -48,64 +48,35 @@ _OPERATOR_MODULES = (
 )
 
 # The driver's correctness gate samples the FIRST ~50 keys in queries()
-# order, so registration order is the sampling schedule. Rounds 1-4
-# covered the relational head (r1-r3) and the graph/window/text/pipeline/
-# behavior/TPC-H-head block (r4). This list leads with the oracle keys
-# the driver has NEVER sampled — maintenance, streaming's 8 oracle keys,
-# multimodal, ingestion, dedup, similarity, udfs, scalars (the TPC-H tail
-# q2/q4/q6-q22 rotates in next round; keys absent from this list keep
-# their module registration order after it).
+# order, so registration order is the sampling schedule. Rounds 1-5
+# covered the relational head (r1-r3), the graph/window/text/pipeline/
+# behavior/TPC-H-head block (r4), and the search/maintenance/streaming/
+# multimodal/ingestion/dedup/similarity/udf/scalar-head block (r5).
+# Round 6 leads with the 36 oracle keys the driver has NEVER sampled —
+# the TPC-H tail (q2/q4/q6-q22), the scalar/date/array/json/unpivot
+# extras, and the four keys registered after r5's sample ran
+# (sssp_weighted, hits_exact, motif_find, embedding_quantize) — then a
+# diverse re-check block fills the remaining slots. Keys absent from
+# this list keep their module registration order after it.
 _SAMPLE_PRIORITY = (
-    "text_search",
-    "text_phrase_search",
-    "text_search_bm25",
-    "doc_chunk",
-    "text_pii_mask",
-    "kcore_membership",
-    "pagerank_exact",
-    "personalized_pagerank_exact",
-    "upsert_insert_if_absent",
-    "upsert_merge",
-    "update_columns",
-    "cascade_delete",
-    "reorg_rollback",
-    "resume_anti_join",
-    "snapshot_time_travel",
-    "snapshot_reorg_overwrite",
-    "scd2_history",
-    "stream_events",
-    "stream_parse",
-    "stream_tumbling",
-    "stream_sliding",
-    "stream_file_tail",
-    "stream_static_join",
-    "stream_stream_join",
-    "stream_merge_sink",
-    "stream_rate_source",
-    "multimodal_features",
-    "multimodal_audio_windows",
-    "multimodal_resize",
-    "multimodal_frame_sample",
-    "utxo_balances",
-    "blockfile_ingest",
-    "taint_flow_exact",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_exact",
-    "dedup_simhash_exact",
-    "dedup_keep_best",
-    "similarity_topk",
-    "dedup_embedding",
-    "embedding_centroids",
-    "similarity_range",
-    "kmeans_exact",
-    "sketch_countmin",
-    "udf_scalar",
-    "udf_with_fallback",
-    "udaf_grouped",
-    "udtf_flatmap",
-    "str_concat",
-    "str_regexp_extract",
+    "tpch_q2",
+    "tpch_q4",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q10",
+    "tpch_q11",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q22",
     "str_cast",
     "str_format",
     "str_split",
@@ -120,6 +91,24 @@ _SAMPLE_PRIORITY = (
     "json_extract",
     "map_ops",
     "unpivot_stack",
+    "sssp_weighted",
+    "hits_exact",
+    "motif_find",
+    "embedding_quantize",
+    "tpch_q1",
+    "wallet_components",
+    "bfs_distance",
+    "pagerank_exact",
+    "kcore_membership",
+    "dedup_minhash_exact",
+    "similarity_topk",
+    "text_search_bm25",
+    "stream_tumbling",
+    "snapshot_time_travel",
+    "upsert_merge",
+    "taint_flow_exact",
+    "kmeans_exact",
+    "window_topk_per_group",
 )
 
 

@@ -279,7 +279,7 @@ def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- replay-directory builders (deterministic, derived from the fixture) ---
 
-_TMP_ROOT = "/root/repo/.tmp"
+from ..paths import tmp_root as _tmp_root_fn
 
 
 def _write_replay(spark: SparkSession, sf_dir: str, name: str, splitter) -> str:
@@ -302,11 +302,11 @@ def _write_replay(spark: SparkSession, sf_dir: str, name: str, splitter) -> str:
     # A different fixture -> a different directory name -> a rebuild.
     st = os.stat(src)
     tag = f"{os.path.basename(sf_dir.rstrip('/'))}_{st.st_size}_{st.st_mtime_ns}"
-    d = f"{_TMP_ROOT}/{name}_{tag}"
+    d = f"{_tmp_root_fn()}/{name}_{tag}"
     # drop replays of the same family keyed to older fixture identities
     import glob as _glob
 
-    for stale in _glob.glob(f"{_TMP_ROOT}/{name}_{os.path.basename(sf_dir.rstrip('/'))}*"):
+    for stale in _glob.glob(f"{_tmp_root_fn()}/{name}_{os.path.basename(sf_dir.rstrip('/'))}*"):
         if stale != d:
             shutil.rmtree(stale, ignore_errors=True)
     if not os.path.exists(d):
@@ -465,7 +465,7 @@ def stream_merge_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     d = _two_file_replay(spark, sf_dir)
-    out = f"{_TMP_ROOT}/mergesink_{os.path.basename(sf_dir.rstrip('/'))}"
+    out = f"{_tmp_root_fn()}/mergesink_{os.path.basename(sf_dir.rstrip('/'))}"
     shutil.rmtree(out, ignore_errors=True)
     shutil.rmtree(f"{out}.ckpt", ignore_errors=True)
     s = _events_stream(spark, sf_dir, path=d, maxFilesPerTrigger="1")

@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import os
 import tempfile
+
+from blockchain2graphdb_spark.paths import tmp_root
 from datetime import datetime, timedelta
 
 import pyspark.sql.functions as F
@@ -153,7 +155,7 @@ def test_event_transitions_orders_by_time(spark):
         (4, base + timedelta(minutes=9), 2, "purchase", 0.0, "{}"),
         (3, base + timedelta(minutes=9), 2, "view", 0.0, "{}"),
     ]
-    with tempfile.TemporaryDirectory(dir="/root/repo/.tmp") as tmp:
+    with tempfile.TemporaryDirectory(dir=tmp_root()) as tmp:
         _write_events(spark, tmp, rows)
         got = {
             (r["prev_type"], r["next_type"]): r["n_transitions"]

@@ -20,7 +20,9 @@ import pytest
 
 from blockchain2graphdb_spark.catalog import normalize_events_ts, prep, table
 
-_TMP = "/root/repo/.tmp/enc_test"
+from blockchain2graphdb_spark.paths import tmp_root
+
+_TMP = os.path.join(tmp_root(), "enc_test")
 
 # wall-clock instants (UTC); include a sub-second component
 _TS = [

@@ -113,6 +113,7 @@ def test_keep_best_collapses_planted_duplicates(spark):
     import tempfile
 
     from blockchain2graphdb_spark.operators.dedup import dedup_keep_best
+    from blockchain2graphdb_spark.paths import tmp_root
 
     rows = [
         # cluster A: same text modulo case, 3 copies — n_chars differ,
@@ -126,7 +127,7 @@ def test_keep_best_collapses_planted_duplicates(spark):
         # singleton
         (6, "unique text", "en", "s1", 11),
     ]
-    with tempfile.TemporaryDirectory(dir="/root/repo/.tmp") as tmp:
+    with tempfile.TemporaryDirectory(dir=tmp_root()) as tmp:
         spark.createDataFrame(
             rows, "doc_id long, text string, lang string, source string, n_chars int"
         ).write.parquet(os.path.join(tmp, "documents.parquet"))

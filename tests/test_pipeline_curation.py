@@ -9,6 +9,7 @@ import pyspark.sql.functions as F
 
 from blockchain2graphdb_spark import registry
 from blockchain2graphdb_spark.catalog import table
+from blockchain2graphdb_spark.paths import tmp_root
 
 SPECS = registry.load_all()
 
@@ -125,7 +126,7 @@ def test_text_repetition_flags_constant_doc(spark):
     """A document that is one phrase repeated must score near-max
     repetition; a document of unique tokens must score zero."""
     from blockchain2graphdb_spark.operators.pipeline import text_repetition
-    import tempfile, os
+    import tempfile
 
     with tempfile.TemporaryDirectory() as tmp:
         rep = " ".join(["spam ham eggs"] * 10)  # 30 tokens, 28 trigrams
@@ -308,7 +309,7 @@ def test_dup_rate_counts_planted_cross_source_dups(spark):
         (5, "only-a", "en", "s0", 6),
         (6, "only-b", "en", "s1", 6),
     ]
-    with tempfile.TemporaryDirectory(dir="/root/repo/.tmp") as tmp:
+    with tempfile.TemporaryDirectory(dir=tmp_root()) as tmp:
         spark.createDataFrame(
             rows, "doc_id long, text string, lang string, source string, n_chars int"
         ).write.parquet(os.path.join(tmp, "documents.parquet"))

@@ -39,6 +39,21 @@ def test_oracle_match(name, spark, duck):
     assert not problems, f"{name}: {problems}"
 
 
+def test_duckdb_integer_division_truncates(duck):
+    """Exact-twin oracles (embedding_quantize, kmeans_exact) depend on
+    integer division truncating toward zero on both engines. The
+    sign-explicit form used in the quantize oracle is truncation under
+    EITHER // convention; pin both facts so a DuckDB upgrade that
+    switches `//` to floor-for-integers fails loudly here rather than
+    as a silent hash mismatch (ADVICE r5)."""
+    row = duck.sql(
+        "SELECT -7 // 2 AS plain, "
+        "CASE WHEN -7 >= 0 THEN (-7) // 2 ELSE -((7) // 2) END AS signed_form"
+    ).fetchone()
+    assert row[1] == -3  # the form the oracle uses: always truncation
+    assert row[0] == -3  # current DuckDB `//` truncates for integers
+
+
 @pytest.mark.parametrize("name", ROWS_ONLY_KEYS)
 def test_rows_only_runs(name, spark):
     spec = SPECS[name]
