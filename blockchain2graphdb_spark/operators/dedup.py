@@ -660,3 +660,112 @@ def dedup_simhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("simhash") % F.lit(65536)).cast("long").alias("band0"),
         (F.col("simhash") / F.lit(65536)).cast("long").alias("band1"),
     )
+
+
+# Exact-substring overlap dedup (the "long common substring" pass LLM
+# training pipelines run besides near-dup MinHash: two documents that
+# share one long verbatim span are training-set leaks even when their
+# overall Jaccard is low). Content-defined anchoring makes it an
+# equi-join: every position's K-char gram is hashed, and a gram is an
+# ANCHOR iff hash % _SSD_MOD == 0 — an alignment-invariant choice, so
+# any shared span long enough to contain an anchor position yields the
+# SAME anchor hash in both documents, regardless of where the span
+# starts. md5-string hashes keep the anchor choice and the join keys
+# byte-identical across engines (portable hex->int via conv/'0x' cast,
+# the dedup_simhash_exact idiom).
+_SSD_K = 32       # gram width (chars)
+_SSD_MOD = 8      # keep ~1/8 of positions as anchors
+_SSD_SEED_N = 200  # docs seeding extracted-span twins (corpus has few)
+
+_SSD_ORACLE = f"""
+WITH base AS MATERIALIZED (
+  SELECT doc_id, text FROM documents WHERE doc_id < {_SSD_SEED_N}
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, substr(text, 21, 200) AS text
+  FROM documents WHERE doc_id < {_SSD_SEED_N}
+),
+grams AS MATERIALIZED (
+  SELECT DISTINCT doc_id,
+         md5(substr(text, CAST(t.i AS INT), {_SSD_K})) AS h
+  FROM base, UNNEST(range(1, greatest(length(text) - {_SSD_K - 1}, 0) + 1)) AS t(i)
+  WHERE ('0x' || substr(md5(substr(text, CAST(t.i AS INT), {_SSD_K})), 1, 8))::BIGINT
+        % {_SSD_MOD} = 0
+)
+SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM grams l JOIN grams r ON l.h = r.h AND l.doc_id < r.doc_id
+GROUP BY 1, 2
+"""
+
+
+@query("dedup_substring", oracle=_SSD_ORACLE)
+def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 companion: exact long-substring overlap detection — the
+    verbatim-span dedup pass (contiguous K=32-char grams, content-
+    defined mod-{mod} anchors) that catches copy-paste leaks MinHash's
+    bag-of-shingles similarity underweights. Returns candidate pairs
+    with the count of distinct shared anchor grams.
+
+    Scale shape: gram generation + anchor selection + per-doc distinct
+    all happen MAP-SIDE inside one projection (transform → filter →
+    array_distinct → explode); only ~1/{mod} of positions ever reach
+    the shuffle, and the pair join is an equi-join on the anchor hash —
+    never a pairwise scan. A production variant would join on
+    xxhash64 longs; the registered key keeps md5 strings so the anchor
+    choice itself is oracle-checked cross-engine. The fixture corpus
+    has few verbatim spans, so docs < {seed} seed extracted-span twins
+    (chars 21-220 of the base text) at doc_id+2,000,000.
+    """
+    prep(spark)
+    basedocs = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < _SSD_SEED_N)
+        .select("doc_id", "text")
+    )
+    twins = basedocs.select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.expr("substring(text, 21, 200)").alias("text"),
+    )
+    docs = basedocs.unionByName(twins)
+    anchors = (
+        _fan_out(docs, "doc_id")
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.filter(
+                        # guard: Spark sequence(1, 0) is DESCENDING
+                        # [1, 0], not empty — short docs must yield no
+                        # grams, matching the oracle's empty range()
+                        F.expr(
+                            f"CASE WHEN length(text) >= {_SSD_K} THEN transform("
+                            f"  sequence(1, length(text) - {_SSD_K - 1}),"
+                            f"  i -> md5(cast(substring(text, i, {_SSD_K}) as binary)))"
+                            f" ELSE array() END"
+                        ),
+                        lambda h: F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+                        % _SSD_MOD
+                        == 0,
+                    )
+                )
+            ).alias("h"),
+        )
+    )
+    l = anchors.alias("l")
+    r = anchors.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.h") == F.col("r.h"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .groupBy(
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+
+
+dedup_substring.__doc__ = dedup_substring.__doc__.format(
+    mod=_SSD_MOD, seed=_SSD_SEED_N
+)

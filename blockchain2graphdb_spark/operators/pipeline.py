@@ -731,3 +731,66 @@ def doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(chunk).cast("long").alias("chunk_len"),
         F.md5(chunk.cast("binary")).alias("chunk_md5"),
     )
+
+
+# Data-profiling columns for the quality gate: every large-scale
+# ingestion run starts with "what is actually in this table" — null
+# rates and key cardinalities per column. Exact integers only, so the
+# profile is engine-portable (no min/max string rendering drift).
+_PROFILE_COLS = (
+    "l_orderkey",
+    "l_partkey",
+    "l_suppkey",
+    "l_quantity",
+    "l_returnflag",
+    "l_linestatus",
+    "l_shipdate",
+)
+
+_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"SELECT '{c}' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+    f"CAST(COUNT(*) FILTER (WHERE {c} IS NULL) AS BIGINT) AS n_nulls, "
+    f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct "
+    f"FROM lineitem"
+    for c in _PROFILE_COLS
+)
+
+
+@query("profile_table", oracle=_PROFILE_ORACLE)
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9 intake stage: per-column profile (row count, null count,
+    exact distinct count) of the fact table — the first pass any
+    curation pipeline runs over a new 100 TB delivery.
+
+    Scale shape: ONE aggregation job over one scan. Spark plans the
+    multi-column COUNT(DISTINCT) via Expand (|cols| duplicated rows
+    map-side, then partial aggs), which is the standard exact-profile
+    cost; the approximate tier (`agg_approx_count_distinct`) is the
+    sketch alternative when ±2% suffices. The per-column rows come out
+    of `stack`, not |cols| separate scans.
+    """
+    prep(spark)
+    li = table(spark, sf_dir, "lineitem")
+    agg = li.agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[
+            e
+            for c in _PROFILE_COLS
+            for e in (
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"null_{c}"),
+                F.countDistinct(c).alias(f"nd_{c}"),
+            )
+        ],
+    )
+    stack_expr = ", ".join(
+        f"'{c}', null_{c}, nd_{c}" for c in _PROFILE_COLS
+    )
+    return agg.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_expr}) AS (col_name, n_nulls, n_distinct)",
+        "_n",
+    ).select(
+        "col_name",
+        F.col("_n").cast("long").alias("n_rows"),
+        F.col("n_nulls").cast("long").alias("n_nulls"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+    )

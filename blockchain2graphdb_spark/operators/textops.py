@@ -710,3 +710,72 @@ def text_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(masked).cast("long").alias("masked_len"),
         F.md5(masked.cast("binary")).alias("masked_fp"),
     )
+
+
+# BPE pair statistics: the inner loop of a byte-pair-encoding tokenizer
+# trainer is "count adjacent symbol pairs across the corpus, weighted by
+# word frequency, take the most frequent". One round of that count is a
+# pure exact-integer aggregation and the natural Spark form of
+# tokenizer training at 100 TB.
+_BPE_TOPK = 20
+
+_BPE_ORACLE = f"""
+WITH toks AS MATERIALIZED (
+  SELECT lower(unnest(string_split(text, ' '))) AS w FROM documents
+),
+freq AS MATERIALIZED (
+  SELECT w, COUNT(*) AS f FROM toks WHERE w <> '' GROUP BY w
+),
+pairs AS (
+  SELECT substr(w, CAST(t.i AS INT) + 1, 2) AS pair, f
+  FROM freq, UNNEST(range(length(w) - 1)) AS t(i)
+)
+SELECT pair, CAST(SUM(f) AS BIGINT) AS cnt
+FROM pairs GROUP BY pair
+ORDER BY cnt DESC, pair
+LIMIT {_BPE_TOPK}
+"""
+
+
+@query("bpe_merge_pairs", oracle=_BPE_ORACLE)
+def bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 tokenizer-training primitive: the first BPE merge-candidate
+    table — adjacent character-pair counts over the corpus, weighted by
+    word frequency, top-{k} with a deterministic (count desc, pair asc)
+    order.
+
+    Scale shape: the classic BPE-trainer optimization falls out of the
+    relational form — pair extraction runs over the DISTINCT-WORD table
+    (one shuffle keyed on the word, carrying counts), not the raw token
+    stream, so a 100 TB corpus with a ~10M-type vocabulary explodes
+    character pairs from millions of rows, not trillions; the pair
+    rollup is a second keyed agg over 2-char keys and the top-k is
+    TakeOrderedAndProject, never a global sort.
+    """
+    prep(spark)
+    freq = (
+        table(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.lower(F.col("text")), " ")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    pairs = freq.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN length(w) >= 2 THEN transform("
+                "  sequence(1, length(w) - 1), i -> substring(w, i, 2))"
+                " ELSE array() END"
+            )
+        ).alias("pair"),
+        "f",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("f").cast("long").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("pair"))
+        .limit(_BPE_TOPK)
+    )
+
+
+bpe_merge_pairs.__doc__ = bpe_merge_pairs.__doc__.format(k=_BPE_TOPK)

@@ -95,6 +95,11 @@ _SAMPLE_PRIORITY = (
     "hits_exact",
     "motif_find",
     "embedding_quantize",
+    # round-6 additions — never sampled, ahead of the re-check block
+    "dedup_substring",
+    "bpe_merge_pairs",
+    "profile_table",
+    "stream_dedup_exact",
     "tpch_q1",
     "wallet_components",
     "bfs_distance",
@@ -107,8 +112,6 @@ _SAMPLE_PRIORITY = (
     "snapshot_time_travel",
     "upsert_merge",
     "taint_flow_exact",
-    "kmeans_exact",
-    "window_topk_per_group",
 )
 
 

@@ -197,6 +197,38 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run(spark, out)
 
 
+@query(
+    "stream_dedup_exact",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_unique
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked twin of `stream_dedup`: at-least-once delivery is
+    simulated by cloning every input row 3× map-side (explode), then
+    watermark-bounded dropDuplicates on the UNIQUE key (event_id)
+    collapses the copies and a complete-mode per-type count lands on
+    exactly the batch distinct counts — arrival-order independent
+    because the dedup key is unique and the output aggregates, unlike
+    the rows-only key whose surviving row depends on delivery order.
+
+    At scale this is the idempotent-ingest front half of every
+    exactly-once pipeline: dedup state is bounded by the watermark, the
+    downstream agg sees each logical event once.
+    """
+    prep(spark)
+    s = _events_stream(spark, sf_dir)
+    cloned = s.select(
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("copy"), "*"
+    ).drop("copy")
+    dedup = cloned.withWatermark("ts", "30 days").dropDuplicates(["event_id"])
+    out = dedup.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_unique")
+    )
+    return _run(spark, out, output_mode="complete")
+
+
 @query("stream_stateful_agg")
 def stream_stateful_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M2 streaming form: arbitrary stateful fold per key via

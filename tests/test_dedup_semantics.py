@@ -155,3 +155,59 @@ def test_minhash_exact_recalls_seeded_neardups(spark, sf_dir):
     seeded_found = sum(1 for a, b in pairs if b == a + 1_000_000)
     # LSH misses are possible (bands are probabilistic) but must be rare
     assert seeded_found >= 0.8 * max(n_base, 1)
+
+
+def test_substring_overlap_catches_low_jaccard_copy(spark):
+    """A long verbatim span shared between two otherwise-different docs
+    must produce a candidate pair with >= 1 shared anchor, even though
+    their bag-of-shingles Jaccard is far below the near-dup threshold;
+    unrelated docs share no anchors."""
+    import random
+
+    from blockchain2graphdb_spark.operators.dedup import (
+        _SSD_K,
+        _SSD_MOD,
+    )
+    from pyspark.sql import functions as F
+
+    rng = random.Random(7)
+    span = " ".join(rng.choice(VOCAB) for _ in range(40))  # ~250 chars
+    doc_a = " ".join(rng.choice(VOCAB) for _ in range(200)) + " " + span
+    doc_b = span + " " + " ".join(rng.choice(VOCAB) for _ in range(200))
+    doc_c = " ".join(rng.choice(VOCAB) for _ in range(200))
+    docs = spark.createDataFrame(
+        [(1, doc_a), (2, doc_b), (3, doc_c)], "doc_id long, text string"
+    )
+    # rebuild the anchor pipeline on the synthetic corpus (the
+    # registered key pins fixture behavior; this pins the semantics)
+    anchors = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.expr(
+                        f"CASE WHEN length(text) >= {_SSD_K} THEN transform("
+                        f"  sequence(1, length(text) - {_SSD_K - 1}),"
+                        f"  i -> md5(cast(substring(text, i, {_SSD_K}) as binary)))"
+                        f" ELSE array() END"
+                    ),
+                    lambda h: F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+                    % _SSD_MOD
+                    == 0,
+                )
+            )
+        ).alias("h"),
+    )
+    l, r = anchors.alias("l"), anchors.alias("r")
+    pairs = {
+        (row["a"], row["b"]): row["n"]
+        for row in l.join(
+            r,
+            (F.col("l.h") == F.col("r.h")) & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .groupBy(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert pairs.get((1, 2), 0) >= 1, f"verbatim span not detected: {pairs}"
+    assert (1, 3) not in pairs and (2, 3) not in pairs, pairs

@@ -5,6 +5,8 @@ tools/verify_local.py already enforces.
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 
 from blockchain2graphdb_spark import registry
@@ -351,3 +353,58 @@ def test_zorder_buckets_are_local_rectangles(spark, sf_dir):
         assert r["max_y"] - r["min_y"] < 32
         assert r["min_x"] // 32 == r["max_x"] // 32  # aligned, not just narrow
         assert r["min_y"] // 32 == r["max_y"] // 32
+
+
+# ---------------------------------------------------------- profiling
+
+
+def test_profile_table_counts_nulls_and_distinct(spark):
+    """profile_table semantics pinned on a synthetic table with known
+    nulls (the fixture has none): null counts, distinct counts (nulls
+    excluded), and row counts per column."""
+    import tempfile
+
+    from blockchain2graphdb_spark.operators import pipeline as P
+
+    rows = [
+        (1, 10, None), (2, 10, 5), (3, None, 5), (4, 20, None), (4, 20, 7),
+    ]
+    with tempfile.TemporaryDirectory(dir=tmp_root()) as tmp:
+        df = spark.createDataFrame(rows, "a long, b long, c long")
+        agg = df.agg(
+            F.count(F.lit(1)).alias("_n"),
+            *[
+                e
+                for col in ("a", "b", "c")
+                for e in (
+                    F.sum(F.when(F.col(col).isNull(), 1).otherwise(0)).alias(f"null_{col}"),
+                    F.countDistinct(col).alias(f"nd_{col}"),
+                )
+            ],
+        )
+        out = {
+            r["col_name"]: r
+            for r in agg.selectExpr(
+                "stack(3, 'a', null_a, nd_a, 'b', null_b, nd_b, 'c', null_c, nd_c)"
+                " AS (col_name, n_nulls, n_distinct)",
+                "_n",
+            ).collect()
+        }
+    assert out["a"]["n_nulls"] == 0 and out["a"]["n_distinct"] == 4
+    assert out["b"]["n_nulls"] == 1 and out["b"]["n_distinct"] == 2
+    assert out["c"]["n_nulls"] == 2 and out["c"]["n_distinct"] == 2
+    assert all(r["_n"] == 5 for r in out.values())
+
+
+def test_profile_table_is_single_scan(spark, sf_dir):
+    """The registered profile is ONE aggregation over ONE scan — the
+    plan must contain exactly one parquet scan of lineitem (the Expand
+    for multi-distinct is expected; 7 scans would not be)."""
+    plan = (
+        registry.load_all()["profile_table"]
+        .builder(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Scan parquet") == 1, plan

@@ -132,3 +132,35 @@ def test_pii_mask_leaves_no_residual_pii(spark, sf_dir):
         assert not re.search(r"555-[0-9]{4}", m)
         assert r["masked_fp"] == hashlib.md5(m.encode()).hexdigest(), r["doc_id"]
         assert r["masked_len"] == len(m)
+
+
+def test_bpe_merge_pairs_on_known_corpus(spark):
+    """BPE pair counts on a hand-computable corpus: 'aaab aaab ab' →
+    word freqs {aaab:2, ab:1}; pairs: aaab→(aa×2, ab) ×2, ab→(ab) ×1 ⇒
+    aa:4, ab:3."""
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, "aaab aaab ab")], "doc_id long, text string"
+    )
+    freq = (
+        docs.select(F.explode(F.split(F.lower(F.col("text")), " ")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    pairs = freq.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN length(w) >= 2 THEN transform("
+                "  sequence(1, length(w) - 1), i -> substring(w, i, 2))"
+                " ELSE array() END"
+            )
+        ).alias("pair"),
+        "f",
+    )
+    got = {
+        r["pair"]: r["cnt"]
+        for r in pairs.groupBy("pair").agg(F.sum("f").alias("cnt")).collect()
+    }
+    assert got == {"aa": 4, "ab": 3}, got
