@@ -769,3 +769,49 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 dedup_substring.__doc__ = dedup_substring.__doc__.format(
     mod=_SSD_MOD, seed=_SSD_SEED_N
 )
+
+
+# Incremental (daily-batch) dedup: production dedup is rarely a one-shot
+# corpus pass — each ingest batch is checked against the standing
+# fingerprint store and only novel documents proceed. The fixture split
+# doc_id % 10 == 0 plays the incoming batch; the rest is the corpus.
+@query(
+    "dedup_incremental",
+    oracle="""
+    WITH corpus AS (
+      SELECT md5(text) AS fp FROM documents WHERE doc_id % 10 <> 0 GROUP BY 1
+    ),
+    batch AS (
+      SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 10 = 0
+    )
+    SELECT b.doc_id, b.fp,
+           CAST(CASE WHEN c.fp IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_dup
+    FROM batch b LEFT JOIN corpus c ON b.fp = c.fp
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 incremental form: fingerprint the incoming batch and probe the
+    standing corpus fingerprint set — the reference's per-row
+    insert-if-absent guard (M1, B:176) as ONE set-oriented join per
+    batch instead of one lookup per row.
+
+    Scale shape: both sides reduce to 16-byte md5 keys before the
+    shuffle; the corpus side is distinct-aggregated (its fingerprint
+    store would be bucketed by fp in production, making the daily probe
+    a shuffle-free bucket join — layout_zorder/X8 territory), and the
+    batch side is typically small enough that AQE broadcasts it.
+    """
+    prep(spark)
+    docs = table(spark, sf_dir, "documents")
+    corpus = (
+        docs.where(F.col("doc_id") % 10 != 0)
+        .select(F.md5(F.col("text").cast("binary")).alias("fp"))
+        .distinct()
+    )
+    batch = docs.where(F.col("doc_id") % 10 == 0).select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("fp")
+    )
+    hit = corpus.withColumn("is_dup", F.lit(1).cast("long"))
+    return batch.join(hit, "fp", "left").select(
+        "doc_id", "fp", F.coalesce("is_dup", F.lit(0).cast("long")).alias("is_dup")
+    )

@@ -794,3 +794,144 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nulls").cast("long").alias("n_nulls"),
         F.col("n_distinct").cast("long").alias("n_distinct"),
     )
+
+
+# RAG retrieval composite: chunk → embed → top-k retrieve. The embedding
+# is a DETERMINISTIC hash projection (16 dims, each dim a bounded
+# integer derived from md5(dim ':' chunk_md5)) — the documented stand-in
+# for a model-inference Pandas UDF (functions/multimodal.py's codec-seam
+# idiom): the Spark-side plumbing (chunker fan-out, embedding column
+# shape, broadcast query join, per-query top-k cut) is the real
+# pipeline; only the embedding math is fake, and being integer it is
+# exactly replayable in SQL.
+_RAG_DIMS = 16
+_RAG_TOPK = 3
+
+_RAG_EMBED_SQL = (
+    "transform(sequence(0, {last}), i -> "
+    "cast(conv(substr(md5(cast(concat(cast(i as string), ':', {col}) as binary)),"
+    " 1, 8), 16, 10) as bigint) % 1000)"
+)
+
+_RAG_ORACLE = f"""
+WITH corpus AS MATERIALIZED (
+  SELECT doc_id, CAST(start AS BIGINT) AS start,
+         md5(substr(text, CAST(start AS INTEGER) + 1, 256)) AS chunk_md5
+  FROM (
+    SELECT doc_id, text,
+           unnest(range(0, length(text) + 192, 192)) AS start
+    FROM documents WHERE doc_id % 10 <> 0
+  ) WHERE start < length(text)
+),
+cemb AS MATERIALIZED (
+  SELECT doc_id, start, CAST(d.i AS BIGINT) AS dim,
+         ('0x' || substr(md5(CAST(d.i AS VARCHAR) || ':' || chunk_md5), 1, 8))::BIGINT
+           % 1000 AS v
+  FROM corpus, UNNEST(range({_RAG_DIMS})) AS d(i)
+),
+queries AS MATERIALIZED (
+  SELECT doc_id AS query_id, md5(substr(text, 1, 256)) AS qmd5
+  FROM documents WHERE doc_id % 10 = 0 AND doc_id < 50
+),
+qemb AS MATERIALIZED (
+  SELECT query_id, CAST(d.i AS BIGINT) AS dim,
+         ('0x' || substr(md5(CAST(d.i AS VARCHAR) || ':' || qmd5), 1, 8))::BIGINT
+           % 1000 AS v
+  FROM queries, UNNEST(range({_RAG_DIMS})) AS d(i)
+),
+scores AS (
+  SELECT q.query_id, c.doc_id, c.start,
+         CAST(SUM(q.v * c.v) AS BIGINT) AS score
+  FROM qemb q JOIN cemb c ON q.dim = c.dim
+  GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT query_id, doc_id, start, score,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id, start
+         ) AS rk
+  FROM scores
+)
+SELECT query_id, doc_id, start, score, CAST(rk AS BIGINT) AS rnk
+FROM ranked WHERE rk <= {_RAG_TOPK}
+"""
+
+
+@query("chunk_embed_retrieve", oracle=_RAG_ORACLE)
+def chunk_embed_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9/X3 composite — the retrieval half of a RAG pipeline in one
+    declarative plan: 256/192 chunker (doc_chunk's shape) over the
+    corpus split, per-chunk embedding, dot-product scoring against a
+    broadcast query set, top-{k} per query.
+
+    Scale shape: chunking and embedding are map-side (chunk rows inherit
+    the document's partitions); the query side is tiny and BROADCAST so
+    scoring adds NO shuffle — the only wide operation is the per-query
+    top-k, planned as WindowGroupLimit (rank pushed before the final
+    sort). This is the exact tier; at corpus scales where brute-force
+    scoring saturates, the LSH/IVF keys (`similarity_lsh`,
+    `similarity_ivf`) provide the bucketed candidate generation and this
+    plan runs within buckets.
+    """
+    prep(spark)
+    docs = table(spark, sf_dir, "documents")
+    corpus = (
+        docs.where(F.col("doc_id") % 10 != 0)
+        .select("doc_id", "text", F.length("text").cast("long").alias("n"))
+        .select(
+            "doc_id",
+            "text",
+            "n",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"), F.col("n") + 192, F.lit(192).cast("long")
+                )
+            ).alias("start"),
+        )
+        .where(F.col("start") < F.col("n"))
+        .select(
+            "doc_id",
+            "start",
+            F.md5(
+                F.substring(F.col("text"), F.col("start").cast("int") + 1, 256).cast(
+                    "binary"
+                )
+            ).alias("chunk_md5"),
+        )
+        .withColumn(
+            "cv",
+            F.expr(_RAG_EMBED_SQL.format(last=_RAG_DIMS - 1, col="chunk_md5")),
+        )
+    )
+    q = (
+        docs.where((F.col("doc_id") % 10 == 0) & (F.col("doc_id") < 50))
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.md5(F.substring("text", 1, 256).cast("binary")).alias("qmd5"),
+        )
+        .withColumn(
+            "qv", F.expr(_RAG_EMBED_SQL.format(last=_RAG_DIMS - 1, col="qmd5"))
+        )
+    )
+    scored = corpus.join(F.broadcast(q)).select(
+        "query_id",
+        "doc_id",
+        "start",
+        F.expr(
+            "aggregate(zip_with(qv, cv, (a, b) -> a * b),"
+            " cast(0 as bigint), (acc, x) -> acc + x)"
+        ).alias("score"),
+    )
+    rk = F.row_number().over(
+        W.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col("doc_id"), F.col("start")
+        )
+    )
+    return (
+        scored.withColumn("rnk", rk.cast("long"))
+        .where(F.col("rnk") <= _RAG_TOPK)
+        .select("query_id", "doc_id", "start", "score", "rnk")
+    )
+
+
+chunk_embed_retrieve.__doc__ = chunk_embed_retrieve.__doc__.format(k=_RAG_TOPK)

@@ -100,6 +100,8 @@ _SAMPLE_PRIORITY = (
     "bpe_merge_pairs",
     "profile_table",
     "stream_dedup_exact",
+    "dedup_incremental",
+    "chunk_embed_retrieve",
     "tpch_q1",
     "wallet_components",
     "bfs_distance",
@@ -110,8 +112,6 @@ _SAMPLE_PRIORITY = (
     "text_search_bm25",
     "stream_tumbling",
     "snapshot_time_travel",
-    "upsert_merge",
-    "taint_flow_exact",
 )
 
 
