@@ -314,21 +314,30 @@ def dedup_minhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     docs = base.unionByName(trunc)
-    sh = (
+    # map-side form (minhash_clusters' shape): distinct shingles stay an
+    # array column; each md5 minhash is array_min(transform(...)) —
+    # lexicographic MIN over md5 strings is engine-uniform, and no
+    # explode/groupBy shuffle ever runs. Same values as the former
+    # explode + 16-way MIN aggregation, plan-equivalence pinned by
+    # tests/test_dedup_semantics.py's map-side-vs-agg test idiom.
+    arr = (
         _fan_out(docs, "doc_id")
         .select(
-            "doc_id", F.explode(_shingles(_tokens(F.col("text")))).alias("g")
+            "doc_id",
+            F.array_distinct(_shingles(_tokens(F.col("text")))).alias("gs"),
         )
-        .distinct()
         .localCheckpoint(eager=False)
     )
-    mins = sh.groupBy("doc_id").agg(
+
+    def _md5_perm(j: int):
+        return lambda g: F.md5(F.concat(F.lit(f"{j}:"), g).cast("binary"))
+
+    mins = arr.select(
+        "doc_id",
         *[
-            F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("g")).cast("binary"))).alias(
-                f"m{j}"
-            )
+            F.array_min(F.transform(F.col("gs"), _md5_perm(j))).alias(f"m{j}")
             for j in range(_MHD_PERMS)
-        ]
+        ],
     )
     per_band = _MHD_PERMS // _MHD_BANDS
     bands = mins.select(
@@ -362,23 +371,17 @@ def dedup_minhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
         .distinct()
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    ga = sh.withColumnRenamed("doc_id", "a")
-    gb = sh.withColumnRenamed("doc_id", "b2").withColumnRenamed("g", "g2")
-    inter = (
-        cand.join(ga, "a")
-        .join(gb, (F.col("b") == F.col("b2")) & (F.col("g") == F.col("g2")))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sa = sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n", "na")
-    sb = sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n", "nb")
-    jac = F.col("n_inter").cast("double") / (
-        F.col("na") + F.col("nb") - F.col("n_inter")
+    # verify over shingle ARRAYS (array_intersect), same as
+    # minhash_clusters: two keyed joins, no exploded-gram join
+    a_side = arr.select(F.col("doc_id").alias("a"), F.col("gs").alias("ga"))
+    b_side = arr.select(F.col("doc_id").alias("b"), F.col("gs").alias("gb"))
+    n_inter = F.size(F.array_intersect(F.col("ga"), F.col("gb")))
+    jac = n_inter.cast("double") / (
+        F.size("ga") + F.size("gb") - n_inter
     ).cast("double")
     return (
-        inter.join(sa, "a")
-        .join(sb, "b")
+        cand.join(a_side, "a")
+        .join(b_side, "b")
         .where(jac >= 0.5)
         .select(
             F.col("a").alias("doc_a"),
@@ -814,4 +817,121 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     hit = corpus.withColumn("is_dup", F.lit(1).cast("long"))
     return batch.join(hit, "fp", "left").select(
         "doc_id", "fp", F.coalesce("is_dup", F.lit(0).cast("long")).alias("is_dup")
+    )
+
+
+# End-to-end near-dup dedup: LSH candidates → exact-Jaccard verify →
+# connected components → canonical selection (keep the longest copy,
+# ties to the smallest id). Composes the md5-exact MinHash pipeline
+# with a recursive-CTE components oracle (the wallet_components idiom —
+# the verified-pair graph is tiny by construction, so the recursive
+# walk is instant) and the packed-bigint keeper selection from
+# dedup_keep_best. _DCKB_PACK bounds doc_id; the twin ids (base + 1e6)
+# sit far inside it.
+_DCKB_PACK = 100_000_000
+
+_DCKB_ORACLE = (
+    _MHD_ORACLE.split("\nSELECT c.a AS doc_a", 1)[0].replace(
+        "WITH base", "WITH RECURSIVE base", 1
+    )
+    + f""",
+verified AS MATERIALIZED (
+  SELECT c.a, c.b
+  FROM cand c
+  JOIN inter i ON i.a = c.a AND i.b = c.b
+  JOIN sizes sa ON sa.doc_id = c.a
+  JOIN sizes sb ON sb.doc_id = c.b
+  WHERE CAST(i.n_inter AS DOUBLE)
+        / CAST(sa.n + sb.n - i.n_inter AS DOUBLE) >= 0.5
+),
+sym AS (
+  SELECT a AS src, b AS dst FROM verified
+  UNION
+  SELECT b AS src, a AS dst FROM verified
+),
+vnodes AS (SELECT DISTINCT src AS node FROM sym),
+reach AS (
+  SELECT node, node AS comp FROM vnodes
+  UNION
+  SELECT s.dst AS node, r.comp FROM reach r JOIN sym s ON s.src = r.node
+),
+clustered AS (
+  SELECT node AS doc_id, MIN(comp) AS cluster_id FROM reach GROUP BY node
+),
+labeled AS (
+  SELECT b.doc_id, COALESCE(c.cluster_id, b.doc_id) AS cluster_id,
+         length(b.text) AS n_chars
+  FROM base b LEFT JOIN clustered c ON c.doc_id = b.doc_id
+)
+SELECT cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS cluster_size,
+       CAST({_DCKB_PACK} - 1 - (MAX(n_chars * {_DCKB_PACK}
+            + ({_DCKB_PACK} - 1 - doc_id)) % {_DCKB_PACK}) AS BIGINT)
+         AS keeper_doc_id,
+       CAST(MAX(n_chars * {_DCKB_PACK}
+            + ({_DCKB_PACK} - 1 - doc_id)) // {_DCKB_PACK} AS BIGINT)
+         AS keeper_len
+FROM labeled GROUP BY cluster_id
+"""
+)
+
+
+@query("dedup_cluster_keep_best", oracle=_DCKB_ORACLE)
+def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1+X2 end-to-end: the COMPLETE near-dup dedup decision — md5-exact
+    MinHash-LSH candidates (dedup_minhash_exact's pipeline), exact-
+    Jaccard verify, connected components over the verified pairs, then
+    canonical selection per cluster: keep the LONGEST copy, ties to the
+    smallest doc_id, as one packed-bigint MAX (no window, no sort —
+    dedup_keep_best's aggregate idiom).
+
+    Scale shape: everything upstream is the LSH equi-join pipeline;
+    components run over the verified-pair graph, which is orders of
+    magnitude smaller than the corpus; the final selection is one keyed
+    aggregate. The oracle replays components as a recursive CTE (safe
+    here — unlike wallet_components' corpus-scale graph, this edge set
+    is tiny by construction).
+    """
+    prep(spark)
+    # checkpoint the verified pairs once: connected_components references
+    # its edge input twice (both orientations), which would otherwise
+    # re-execute the whole LSH+verify pipeline inside the
+    # symmetrization job
+    pairs = (
+        dedup_minhash_exact(spark, sf_dir)
+        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .localCheckpoint(eager=False)
+    )
+    comp = connected_components(pairs, "a", "b", canonical=True)
+    clustered = comp.select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
+    )
+    base = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+    )
+    twins = base.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.expr(
+            "substring(text, 1, cast(floor(length(text) * 0.9) as int))"
+        ).alias("text"),
+    )
+    labeled = (
+        base.unionByName(twins)
+        .join(clustered, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+            F.length("text").cast("long").alias("n_chars"),
+        )
+    )
+    pack = F.col("n_chars") * _DCKB_PACK + (_DCKB_PACK - 1 - F.col("doc_id"))
+    mp = F.max(pack)
+    # decode in exact integer arithmetic: subtract the remainder before
+    # dividing so the quotient is an exact multiple (no float division)
+    return labeled.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size"),
+        (_DCKB_PACK - 1 - mp % _DCKB_PACK).cast("long").alias("keeper_doc_id"),
+        ((mp - mp % _DCKB_PACK) / _DCKB_PACK).cast("long").alias("keeper_len"),
     )

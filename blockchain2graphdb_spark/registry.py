@@ -102,7 +102,7 @@ _SAMPLE_PRIORITY = (
     "stream_dedup_exact",
     "dedup_incremental",
     "chunk_embed_retrieve",
-    "tpch_q1",
+    "dedup_cluster_keep_best",
     "wallet_components",
     "bfs_distance",
     "pagerank_exact",

@@ -211,3 +211,70 @@ def test_substring_overlap_catches_low_jaccard_copy(spark):
     }
     assert pairs.get((1, 2), 0) >= 1, f"verbatim span not detected: {pairs}"
     assert (1, 3) not in pairs and (2, 3) not in pairs, pairs
+
+
+def test_mapside_minhash_equals_agg_minhash(spark):
+    """The map-side array_min(transform(...)) minhash must equal the
+    explode+groupBy-min formulation permutation by permutation — guards
+    the F.transform arity trap (a two-arg lambda silently receives the
+    ARRAY INDEX as its second argument, replacing the permutation
+    number)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from blockchain2graphdb_spark.operators.dedup import (
+        _MH_PERMS,
+        _MH_PRIME,
+        _shingles,
+        _tokens,
+    )
+
+    rng = random.Random(11)
+    rows = [
+        (i, " ".join(rng.choice(VOCAB) for _ in range(rng.randint(5, 80))))
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def perm(i):
+        return lambda h: F.pmod(
+            h * F.lit(2 * i + 1) + F.lit(7919 * i + 13), F.lit(_MH_PRIME)
+        )
+
+    arr = docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                _shingles(_tokens(F.col("text"))),
+                lambda s: F.pmod(F.xxhash64(s), F.lit(_MH_PRIME)),
+            )
+        ).alias("hs"),
+    ).select(
+        "doc_id",
+        *[
+            F.array_min(F.transform(F.col("hs"), perm(i))).alias(f"m{i}")
+            for i in range(_MH_PERMS)
+        ],
+    )
+    agg = (
+        docs.select(
+            "doc_id", F.explode(_shingles(_tokens(F.col("text")))).alias("s")
+        )
+        .select("doc_id", F.pmod(F.xxhash64("s"), F.lit(_MH_PRIME)).alias("h"))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.min(
+                    F.pmod(
+                        F.col("h") * F.lit(2 * i + 1) + F.lit(7919 * i + 13),
+                        F.lit(_MH_PRIME),
+                    )
+                ).alias(f"m{i}")
+                for i in range(_MH_PERMS)
+            ]
+        )
+    )
+    a = {r["doc_id"]: [r[f"m{i}"] for i in range(_MH_PERMS)] for r in arr.collect()}
+    b = {r["doc_id"]: [r[f"m{i}"] for i in range(_MH_PERMS)] for r in agg.collect()}
+    assert a == b

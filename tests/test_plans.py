@@ -302,3 +302,39 @@ def test_phrase_search_is_positional_equi_join(spark):
     assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) or (
         "ShuffledHashJoin" in plan
     ), plan
+
+
+def test_dedup_substring_never_pairwise(spark):
+    """The substring-overlap pass must reach candidates via an anchor
+    equi-join — a Cartesian/nested-loop pairwise scan would be the 100 TB
+    scale-killer this design exists to avoid."""
+    s = executed_plan_string(_df("dedup_substring", spark))
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+    assert "HashJoin" in s or "SortMergeJoin" in s, s
+
+
+def test_chunk_embed_retrieve_topk_is_group_limited(spark):
+    """The RAG composite's per-query top-k must plan as WindowGroupLimit
+    (rank cut pushed below the final sort), and the query side must be
+    the broadcast side — the corpus is never shuffled for scoring."""
+    s = executed_plan_string(_df("chunk_embed_retrieve", spark))
+    assert "WindowGroupLimit" in s, s
+    assert "BroadcastExchange" in s, s
+
+
+def test_profile_table_single_scan(spark):
+    """One profile = one scan + one aggregation (Expand-based
+    multi-distinct), not one scan per column. The adaptive plan string
+    prints the initial AND final plan, so take the final section only."""
+    s = executed_plan_string(_df("profile_table", spark))
+    final = s.split("Initial Plan")[0]
+    assert final.count("Scan parquet") == 1, s
+
+
+def test_bpe_pairs_topk_is_take_ordered(spark):
+    """Pair extraction runs over the distinct-word table and the top-k
+    cut is TakeOrderedAndProject, never a global sort."""
+    s = executed_plan_string(_df("bpe_merge_pairs", spark))
+    assert "TakeOrderedAndProject" in s, s
+    assert s.count("Sort [") == 0 or "TakeOrdered" in s
