@@ -1336,6 +1336,48 @@ def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_mode",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(q AS BIGINT) AS mode_qty, CAST(cnt AS BIGINT) AS mode_count
+    FROM (
+      SELECT l_returnflag, l_linestatus, q, cnt,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag, l_linestatus
+                                ORDER BY cnt DESC, q) AS rn
+      FROM (
+        SELECT l_returnflag, l_linestatus,
+               CAST(l_quantity AS BIGINT) AS q, COUNT(*) AS cnt
+        FROM lineitem GROUP BY 1, 2, 3
+      )
+    ) WHERE rn = 1
+    """,
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical mode per group (§2.4 extra): the most frequent
+    l_quantity per (returnflag, linestatus), deterministically
+    tie-broken toward the smallest value — Spark's built-in `mode()`
+    breaks ties arbitrarily, so the engine-portable form is two hash
+    aggregates: per-(group, value) counts, then max_by over
+    (count, -value). No window, no sort; both shuffles carry tiny
+    grouped keys, and the first agg is map-side combinable — the 100 TB
+    shape for any "most common value" profile question."""
+    prep(spark)
+    counted = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy(
+            "l_returnflag",
+            "l_linestatus",
+            F.col("l_quantity").cast("long").alias("q"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return counted.groupBy("l_returnflag", "l_linestatus").agg(
+        F.expr("max_by(q, struct(cnt, -q))").cast("long").alias("mode_qty"),
+        F.max("cnt").cast("long").alias("mode_count"),
+    )
+
+
+@query(
     "sketch_countmin",
     oracle="""
     WITH rows_d AS (

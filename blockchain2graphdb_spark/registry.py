@@ -103,6 +103,7 @@ _SAMPLE_PRIORITY = (
     "dedup_incremental",
     "chunk_embed_retrieve",
     "dedup_cluster_keep_best",
+    "agg_mode",
     "wallet_components",
     "bfs_distance",
     "pagerank_exact",
@@ -111,7 +112,6 @@ _SAMPLE_PRIORITY = (
     "similarity_topk",
     "text_search_bm25",
     "stream_tumbling",
-    "snapshot_time_travel",
 )
 
 
