@@ -275,3 +275,73 @@ def anomaly_daily_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((F.col("n") - mean) / F.sqrt(var), 6).alias("zscore"),
         )
     )
+
+
+# RFM segmentation: the standard behavioral customer triage
+# (recency / frequency / monetary) with FIXED thresholds rather than
+# rank quantiles — threshold segments are deterministic, growth-stable
+# (a new cohort never re-labels old customers, the split_assign
+# property) and avoid a global ranking pass entirely.
+@query(
+    "orders_rfm",
+    oracle="""
+    WITH ref AS (SELECT MAX(o_orderdate) AS ref_date FROM orders),
+    per_cust AS (
+      SELECT o_custkey,
+             CAST(date_diff('day', MAX(o_orderdate),
+                            (SELECT ref_date FROM ref)) AS BIGINT)
+               AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS monetary
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey, recency_days, frequency, monetary,
+           CASE WHEN recency_days <= 90 AND frequency >= 10 THEN 'champion'
+                WHEN recency_days <= 90 THEN 'recent'
+                WHEN frequency >= 10 THEN 'loyal'
+                ELSE 'dormant' END AS segment
+    FROM per_cust
+    """,
+)
+def orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10 extension: recency/frequency/monetary segmentation over the
+    order log — one customer-keyed aggregate plus a 1-row broadcast of
+    the reference date; segment labels come from fixed thresholds, so
+    no global ranking/ntile pass and labels are stable as the customer
+    base grows. Monetary uses the exact-decimal money path
+    (`exact.money_sum` contract) so the double is bit-identical
+    cross-engine."""
+    from ..exact import dec2
+
+    prep(spark)
+    orders = table(spark, sf_dir, "orders")
+    ref = orders.agg(F.max("o_orderdate").alias("ref_date"))
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.sum(dec2("o_totalprice")).cast("double").alias("monetary"),
+        )
+        .join(F.broadcast(ref))
+        .select(
+            "o_custkey",
+            F.datediff(F.col("ref_date"), F.col("last_order"))
+            .cast("long")
+            .alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    seg = (
+        F.when(
+            (F.col("recency_days") <= 90) & (F.col("frequency") >= 10), "champion"
+        )
+        .when(F.col("recency_days") <= 90, "recent")
+        .when(F.col("frequency") >= 10, "loyal")
+        .otherwise("dormant")
+    )
+    return per_cust.select(
+        "o_custkey", "recency_days", "frequency", "monetary", seg.alias("segment")
+    )

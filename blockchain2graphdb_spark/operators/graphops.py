@@ -1573,3 +1573,80 @@ def motif_find(spark: SparkSession, sf_dir: str) -> DataFrame:
             money_sum("l_l_quantity", "total_qty"),
         )
     )
+
+
+# Link prediction (G8 sibling): Adamic-Adar is the standard
+# common-neighbor score; 1/log(deg) is float, so the exact-twin form
+# uses the harmonic surrogate floor(1e9 / deg(z)) — same ordering
+# intuition (rare shared neighbors weigh more), all-integer, identical
+# under any summation order on any engine.
+@query(
+    "link_prediction_aa",
+    oracle="""
+    WITH pairs AS (
+      -- support counts DISTINCT orders (collect_set semantics), not
+      -- lineitem row pairs — same form as the kcore oracle
+      SELECT a, b FROM (
+        SELECT DISTINCT a.l_orderkey AS o, a.l_partkey AS a, b.l_partkey AS b
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      ) GROUP BY a, b HAVING COUNT(*) >= 2
+    ),
+    sym AS (SELECT a AS u, b AS v FROM pairs UNION ALL SELECT b AS u, a AS v FROM pairs),
+    deg AS (SELECT u, COUNT(*) AS d FROM sym GROUP BY u),
+    wedges AS (
+      SELECT s1.v AS a, s2.v AS b, s1.u AS z
+      FROM sym s1 JOIN sym s2 ON s1.u = s2.u AND s1.v < s2.v
+    ),
+    cand AS (
+      SELECT w.a, w.b, w.z FROM wedges w
+      LEFT JOIN pairs p ON p.a = w.a AND p.b = w.b
+      WHERE p.a IS NULL
+    ),
+    scored AS (
+      SELECT c.a, c.b,
+             CAST(COUNT(*) AS BIGINT) AS n_common,
+             CAST(SUM(1000000000 // d.d) AS BIGINT) AS aa_score
+      FROM cand c JOIN deg d ON d.u = c.z
+      GROUP BY c.a, c.b
+    )
+    SELECT a, b, n_common, aa_score FROM scored
+    ORDER BY aa_score DESC, a, b LIMIT 50
+    """,
+)
+def link_prediction_aa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G8 sibling: top-50 predicted links on the SUPPORT>=2 co-purchase
+    graph (the sparse high-confidence projection kcore_membership also
+    uses; the support-1 graph is near-complete at every SF — median
+    degree ~120 at sf0.1 — so its distance-2 candidate set approaches
+    all-pairs and carries no signal) —
+    non-adjacent pairs ranked by the integer Adamic-Adar surrogate
+    Σ_z floor(1e9 / deg(z)) over common neighbors z (positive integer
+    division truncates identically on both engines).
+
+    Scale shape: candidates come only from the distance-2 wedge stream
+    (never all-pairs); the wedge join is the triangle-count idiom —
+    keyed on the shared neighbor, Σ deg² rows bounded by the order
+    fanout, hub vertices split by AQE skew handling; the existing-edge
+    filter is an anti-join on the canonical pair key; final cut is
+    TakeOrderedAndProject. Reference parity: the co-purchase projection
+    generalizes the reference's 2-hop counterparties walk (B:43–46)."""
+    prep(spark)
+    pairs, _ = _copurchase_pairs_support(spark, sf_dir, 2)
+    sym = pairs.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+        pairs.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    s1 = sym.select(F.col("u").alias("z"), F.col("v").alias("a"))
+    s2 = sym.select(F.col("u").alias("z"), F.col("v").alias("b"))
+    wedges = s1.join(s2, "z").where(F.col("a") < F.col("b"))
+    cand = wedges.join(pairs, ["a", "b"], "left_anti")
+    scored = (
+        cand.join(deg, cand["z"] == deg["u"])
+        .groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+            F.sum(F.expr("1000000000 div d")).cast("long").alias("aa_score"),
+        )
+    )
+    return scored.orderBy(F.col("aa_score").desc(), "a", "b").limit(50)

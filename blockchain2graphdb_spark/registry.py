@@ -104,6 +104,8 @@ _SAMPLE_PRIORITY = (
     "chunk_embed_retrieve",
     "dedup_cluster_keep_best",
     "agg_mode",
+    "orders_rfm",
+    "link_prediction_aa",
     "wallet_components",
     "bfs_distance",
     "pagerank_exact",
