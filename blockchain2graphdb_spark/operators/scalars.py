@@ -346,3 +346,37 @@ def unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
             " 'price', l_extendedprice, 'discount', l_discount)"
         ).alias("measure", "val"),
     )
+
+
+@query(
+    "str_edit_distance",
+    oracle="""
+    SELECT c_custkey,
+           CAST(levenshtein(c_name, replace(c_name, '0', 'O')) AS BIGINT)
+             AS dist_vs_ocr,
+           CAST(levenshtein(c_name,
+                            'Customer#' || CAST(c_custkey AS VARCHAR)) AS BIGINT)
+             AS dist_vs_short
+    FROM customer
+    """,
+)
+def str_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C-family completeness: Levenshtein edit distance — the
+    record-linkage / fuzzy-match scalar (e.g. OCR confusables, padded vs
+    unpadded keys). Both engines implement the same unit-cost DP, so the
+    distance is exact. Entirely map-side; at 100 TB fuzzy-JOINS must
+    never be distance-against-everything — block first (phonetic key,
+    q-gram bucket, the dedup_substring anchor idiom) and verify with
+    this scalar inside buckets only."""
+    prep(spark)
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.levenshtein(
+            F.col("c_name"), F.regexp_replace("c_name", "0", "O")
+        ).cast("long").alias("dist_vs_ocr"),
+        F.levenshtein(
+            F.col("c_name"),
+            F.concat(F.lit("Customer#"), F.col("c_custkey").cast("string")),
+        ).cast("long").alias("dist_vs_short"),
+    )

@@ -209,3 +209,31 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table(spark, sf_dir, "events").select(
         "event_id", F.count(F.lit(1)).over(w).alias("n_last_2d")
     )
+
+
+@query(
+    "window_percent_rank",
+    oracle="""
+    SELECT o_orderkey,
+           ROUND(percent_rank() OVER w, 6) AS pct_rank,
+           ROUND(cume_dist() OVER w, 6) AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)
+    """,
+)
+def window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W-decl completeness: relative-standing windows. percent_rank and
+    cume_dist are TIE-SAFE by construction — their value depends only on
+    the multiset of order keys (tied rows share a value), so unlike
+    row_number no synthetic tie-breaker is needed and the result is
+    deterministic cross-engine; both are exact rational ratios of row
+    counts, rounded to 6dp on both sides only to normalize double
+    formatting. One partitioned window (one keyed shuffle + in-partition
+    sort), the 100 TB shape for any percentile-standing feature."""
+    prep(spark)
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    return table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )

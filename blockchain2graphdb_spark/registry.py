@@ -106,6 +106,8 @@ _SAMPLE_PRIORITY = (
     "agg_mode",
     "orders_rfm",
     "link_prediction_aa",
+    "window_percent_rank",
+    "str_edit_distance",
     "wallet_components",
     "bfs_distance",
     "pagerank_exact",
