@@ -1431,3 +1431,100 @@ def sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("depth", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+# --- multi-format sources (S-family): the same logical table served
+# from CSV and JSON-lines files, proving the source abstraction is
+# format-independent. The text files are derived ONCE from the nation
+# fixture (pure pyarrow, deterministic bytes, stage+rename — the
+# blockfile/replay idiom, keyed on the fixture's identity) and scanned
+# back with an EXPLICIT schema: schema inference is a whole-extra pass
+# over 100 TB and type-drift roulette, so production text scans always
+# pin the schema.
+
+
+def _text_source_dir(sf_dir: str, fmt: str) -> str:
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..paths import tmp_root
+
+    src = os.path.join(sf_dir, "nation.parquet")
+    st = os.stat(src)
+    d = os.path.join(
+        tmp_root(), f"textsrc_{fmt}_{st.st_size}_{st.st_mtime_ns}"
+    )
+    if os.path.isdir(d):
+        return d
+    rows = pq.read_table(src).to_pylist()
+    rows.sort(key=lambda r: r["n_nationkey"])
+    stage = d + ".staging"
+    os.makedirs(stage, exist_ok=True)
+    with open(os.path.join(stage, "part-000.txt"), "w") as f:
+        if fmt == "csv":
+            f.write("n_nationkey,n_name,n_regionkey\n")
+            for r in rows:
+                f.write(f"{r['n_nationkey']},{r['n_name']},{r['n_regionkey']}\n")
+        else:  # jsonl
+            import json
+
+            for r in rows:
+                f.write(
+                    json.dumps(
+                        {
+                            "n_nationkey": r["n_nationkey"],
+                            "n_name": r["n_name"],
+                            "n_regionkey": r["n_regionkey"],
+                        },
+                        sort_keys=True,
+                    )
+                    + "\n"
+                )
+    import shutil
+
+    shutil.rmtree(d, ignore_errors=True)
+    os.rename(stage, d)
+    return d
+
+
+_TEXT_SRC_ORACLE = """
+    SELECT n_regionkey, CAST(COUNT(*) AS BIGINT) AS n_nations,
+           MIN(n_name) AS first_name,
+           CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+    FROM nation GROUP BY n_regionkey
+"""
+
+_TEXT_SRC_SCHEMA = "n_nationkey long, n_name string, n_regionkey long"
+
+
+@query("scan_csv", oracle=_TEXT_SRC_ORACLE)
+def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-family: CSV source with an explicit schema (header skipped) —
+    the same per-region rollup the parquet path produces, proving scan
+    results are format-independent. At 100 TB: explicit schema (no
+    inference pass), and the rollup pushes column pruning into the text
+    reader."""
+    prep(spark)
+    d = _text_source_dir(sf_dir, "csv")
+    df = spark.read.schema(_TEXT_SRC_SCHEMA).option("header", "true").csv(d)
+    return df.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nations"),
+        F.min("n_name").alias("first_name"),
+        F.sum("n_nationkey").cast("long").alias("key_sum"),
+    )
+
+
+@query("scan_jsonl", oracle=_TEXT_SRC_ORACLE)
+def scan_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-family: JSON-lines source with an explicit schema — same
+    contract as `scan_csv`; line-delimited JSON is the splittable form
+    (a single JSON array is one unsplittable record at any size)."""
+    prep(spark)
+    d = _text_source_dir(sf_dir, "jsonl")
+    df = spark.read.schema(_TEXT_SRC_SCHEMA).json(d)
+    return df.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nations"),
+        F.min("n_name").alias("first_name"),
+        F.sum("n_nationkey").cast("long").alias("key_sum"),
+    )

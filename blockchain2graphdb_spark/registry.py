@@ -108,6 +108,8 @@ _SAMPLE_PRIORITY = (
     "link_prediction_aa",
     "window_percent_rank",
     "str_edit_distance",
+    "scan_csv",
+    "scan_jsonl",
     "wallet_components",
     "bfs_distance",
     "pagerank_exact",
