@@ -192,3 +192,20 @@ def test_scd2_single_user_shuffle(spark, sf_dir):
 
     df = SPECS["scd2_history"].builder(spark, sf_dir)
     assert count_nodes(df, "Exchange") == 1, plan_string(df)
+
+
+def test_orders_rfm_partitions_all_customers(spark, sf_dir):
+    """Every ordering customer gets exactly one segment; thresholds are
+    honored (champions are recent AND frequent)."""
+    rows = registry.load_all()["orders_rfm"].builder(spark, sf_dir).collect()
+    n_cust = (
+        table(spark, sf_dir, "orders").select("o_custkey").distinct().count()
+    )
+    assert len(rows) == n_cust
+    for r in rows:
+        assert r["segment"] in {"champion", "recent", "loyal", "dormant"}
+        if r["segment"] == "champion":
+            assert r["recency_days"] <= 90 and r["frequency"] >= 10
+        if r["segment"] == "dormant":
+            assert r["recency_days"] > 90 and r["frequency"] < 10
+        assert r["recency_days"] >= 0 and r["monetary"] > 0

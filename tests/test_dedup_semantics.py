@@ -278,3 +278,28 @@ def test_mapside_minhash_equals_agg_minhash(spark):
     a = {r["doc_id"]: [r[f"m{i}"] for i in range(_MH_PERMS)] for r in arr.collect()}
     b = {r["doc_id"]: [r[f"m{i}"] for i in range(_MH_PERMS)] for r in agg.collect()}
     assert a == b
+
+
+def test_dedup_incremental_flags_exact_twins_only(spark, sf_dir):
+    """is_dup must be 1 exactly when the batch doc's text also appears in
+    the corpus split (recomputed independently via a text join)."""
+    from pyspark.sql import functions as F
+
+    from blockchain2graphdb_spark import registry
+    from blockchain2graphdb_spark.catalog import table
+
+    got = {
+        r["doc_id"]: r["is_dup"]
+        for r in registry.load_all()["dedup_incremental"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = docs.where(F.col("doc_id") % 10 == 0)
+    corpus = docs.where(F.col("doc_id") % 10 != 0).select("text").distinct()
+    dups = {
+        r["doc_id"]
+        for r in batch.join(corpus, "text", "left_semi").select("doc_id").collect()
+    }
+    for doc_id, is_dup in got.items():
+        assert is_dup == (1 if doc_id in dups else 0), (doc_id, is_dup)

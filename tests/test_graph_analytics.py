@@ -280,3 +280,26 @@ def test_pagerank_exact_tracks_float_ranking(spark, sf_dir):
         r["part"] for r in pagerank_exact(spark, sf_dir).limit(20).collect()
     }
     assert len(float_top & exact_top) >= 15
+
+
+def test_link_prediction_returns_only_non_edges(spark, sf_dir):
+    """Every predicted pair must be ABSENT from the support>=2 edge set
+    and share at least one neighbor; scores positive; pairs canonical."""
+    import pyspark.sql.functions as F
+
+    from blockchain2graphdb_spark import registry
+    from blockchain2graphdb_spark.operators.graphops import (
+        _copurchase_pairs_support,
+    )
+
+    preds = registry.load_all()["link_prediction_aa"].builder(spark, sf_dir)
+    rows = preds.collect()
+    assert 0 < len(rows) <= 50
+    edges = {
+        (r["a"], r["b"])
+        for r in _copurchase_pairs_support(spark, sf_dir, 2)[0].collect()
+    }
+    for r in rows:
+        assert r["a"] < r["b"], r
+        assert (r["a"], r["b"]) not in edges, f"predicted an existing edge: {r}"
+        assert r["n_common"] >= 1 and r["aa_score"] > 0, r
