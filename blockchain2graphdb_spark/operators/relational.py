@@ -1457,6 +1457,13 @@ def _text_source_dir(sf_dir: str, fmt: str) -> str:
     )
     if os.path.isdir(d):
         return d
+    # fixture regenerated since the last derivation: drop stale dirs for
+    # this format (same hygiene as the streaming replay dirs)
+    import glob as _glob
+    import shutil
+
+    for stale in _glob.glob(os.path.join(tmp_root(), f"textsrc_{fmt}_*")):
+        shutil.rmtree(stale, ignore_errors=True)
     rows = pq.read_table(src).to_pylist()
     rows.sort(key=lambda r: r["n_nationkey"])
     stage = d + ".staging"
@@ -1481,8 +1488,6 @@ def _text_source_dir(sf_dir: str, fmt: str) -> str:
                     )
                     + "\n"
                 )
-    import shutil
-
     shutil.rmtree(d, ignore_errors=True)
     os.rename(stage, d)
     return d
