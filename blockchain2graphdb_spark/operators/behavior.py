@@ -312,7 +312,7 @@ def orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     base grows. Monetary uses the exact-decimal money path
     (`exact.money_sum` contract) so the double is bit-identical
     cross-engine."""
-    from ..exact import dec2
+    from ..exact import money_sum
 
     prep(spark)
     orders = table(spark, sf_dir, "orders")
@@ -322,7 +322,7 @@ def orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max("o_orderdate").alias("last_order"),
             F.count(F.lit(1)).cast("long").alias("frequency"),
-            F.sum(dec2("o_totalprice")).cast("double").alias("monetary"),
+            money_sum("o_totalprice", "monetary"),
         )
         .join(F.broadcast(ref))
         .select(

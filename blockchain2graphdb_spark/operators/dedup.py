@@ -680,6 +680,33 @@ _SSD_K = 32       # gram width (chars)
 _SSD_MOD = 8      # keep ~1/8 of positions as anchors
 _SSD_SEED_N = 200  # docs seeding extracted-span twins (corpus has few)
 
+def substring_anchors(docs: DataFrame) -> DataFrame:
+    """(doc_id, h) anchor-gram hashes for `dedup_substring` — exposed as
+    a helper so the semantic tests exercise the SAME projection the
+    registered operator ships (not a private re-implementation)."""
+    return _fan_out(docs, "doc_id").select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    # guard: Spark sequence(1, 0) is DESCENDING [1, 0],
+                    # not empty — short docs must yield no grams,
+                    # matching the oracle's empty range()
+                    F.expr(
+                        f"CASE WHEN length(text) >= {_SSD_K} THEN transform("
+                        f"  sequence(1, length(text) - {_SSD_K - 1}),"
+                        f"  i -> md5(cast(substring(text, i, {_SSD_K}) as binary)))"
+                        f" ELSE array() END"
+                    ),
+                    lambda h: F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+                    % _SSD_MOD
+                    == 0,
+                )
+            )
+        ).alias("h"),
+    )
+
+
 _SSD_ORACLE = f"""
 WITH base AS MATERIALIZED (
   SELECT doc_id, text FROM documents WHERE doc_id < {_SSD_SEED_N}
@@ -730,30 +757,7 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("substring(text, 21, 200)").alias("text"),
     )
     docs = basedocs.unionByName(twins)
-    anchors = (
-        _fan_out(docs, "doc_id")
-        .select(
-            "doc_id",
-            F.explode(
-                F.array_distinct(
-                    F.filter(
-                        # guard: Spark sequence(1, 0) is DESCENDING
-                        # [1, 0], not empty — short docs must yield no
-                        # grams, matching the oracle's empty range()
-                        F.expr(
-                            f"CASE WHEN length(text) >= {_SSD_K} THEN transform("
-                            f"  sequence(1, length(text) - {_SSD_K - 1}),"
-                            f"  i -> md5(cast(substring(text, i, {_SSD_K}) as binary)))"
-                            f" ELSE array() END"
-                        ),
-                        lambda h: F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
-                        % _SSD_MOD
-                        == 0,
-                    )
-                )
-            ).alias("h"),
-        )
-    )
+    anchors = substring_anchors(docs)
     l = anchors.alias("l")
     r = anchors.alias("r")
     return (
@@ -926,12 +930,15 @@ def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length("text").cast("long").alias("n_chars"),
         )
     )
-    pack = F.col("n_chars") * _DCKB_PACK + (_DCKB_PACK - 1 - F.col("doc_id"))
-    mp = F.max(pack)
-    # decode in exact integer arithmetic: subtract the remainder before
-    # dividing so the quotient is an exact multiple (no float division)
+    # decode entirely in integer arithmetic (SQL `div`, not `/` — long/long
+    # in the Column API is DOUBLE division, which would round past 2^53)
+    pack_sql = f"n_chars * {_DCKB_PACK}L + ({_DCKB_PACK}L - 1 - doc_id)"
     return labeled.groupBy("cluster_id").agg(
         F.count(F.lit(1)).cast("long").alias("cluster_size"),
-        (_DCKB_PACK - 1 - mp % _DCKB_PACK).cast("long").alias("keeper_doc_id"),
-        ((mp - mp % _DCKB_PACK) / _DCKB_PACK).cast("long").alias("keeper_len"),
+        F.expr(
+            f"CAST({_DCKB_PACK} - 1 - max({pack_sql}) % {_DCKB_PACK} AS BIGINT)"
+        ).alias("keeper_doc_id"),
+        F.expr(
+            f"CAST(max({pack_sql}) div {_DCKB_PACK} AS BIGINT)"
+        ).alias("keeper_len"),
     )

@@ -1452,17 +1452,20 @@ def _text_source_dir(sf_dir: str, fmt: str) -> str:
 
     src = os.path.join(sf_dir, "nation.parquet")
     st = os.stat(src)
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
     d = os.path.join(
-        tmp_root(), f"textsrc_{fmt}_{st.st_size}_{st.st_mtime_ns}"
+        tmp_root(), f"textsrc_{fmt}_{sf_tag}_{st.st_size}_{st.st_mtime_ns}"
     )
     if os.path.isdir(d):
         return d
     # fixture regenerated since the last derivation: drop stale dirs for
-    # this format (same hygiene as the streaming replay dirs)
+    # this (format, scale factor) ONLY — an unscoped glob would delete
+    # another scale factor's live derivation out from under its lazy
+    # DataFrames (same scoping as the streaming replay dirs)
     import glob as _glob
     import shutil
 
-    for stale in _glob.glob(os.path.join(tmp_root(), f"textsrc_{fmt}_*")):
+    for stale in _glob.glob(os.path.join(tmp_root(), f"textsrc_{fmt}_{sf_tag}_*")):
         shutil.rmtree(stale, ignore_errors=True)
     rows = pq.read_table(src).to_pylist()
     rows.sort(key=lambda r: r["n_nationkey"])

@@ -6,10 +6,6 @@ bucketed-join layout proof for the 100 TB co-location story."""
 from __future__ import annotations
 
 import random
-import sys
-
-sys.path.insert(0, "/root/repo")
-
 from pyspark.sql import functions as F
 
 from blockchain2graphdb_spark.operators.dedup import minhash_clusters
@@ -164,10 +160,7 @@ def test_substring_overlap_catches_low_jaccard_copy(spark):
     unrelated docs share no anchors."""
     import random
 
-    from blockchain2graphdb_spark.operators.dedup import (
-        _SSD_K,
-        _SSD_MOD,
-    )
+    from blockchain2graphdb_spark.operators.dedup import substring_anchors
     from pyspark.sql import functions as F
 
     rng = random.Random(7)
@@ -178,26 +171,8 @@ def test_substring_overlap_catches_low_jaccard_copy(spark):
     docs = spark.createDataFrame(
         [(1, doc_a), (2, doc_b), (3, doc_c)], "doc_id long, text string"
     )
-    # rebuild the anchor pipeline on the synthetic corpus (the
-    # registered key pins fixture behavior; this pins the semantics)
-    anchors = docs.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.filter(
-                    F.expr(
-                        f"CASE WHEN length(text) >= {_SSD_K} THEN transform("
-                        f"  sequence(1, length(text) - {_SSD_K - 1}),"
-                        f"  i -> md5(cast(substring(text, i, {_SSD_K}) as binary)))"
-                        f" ELSE array() END"
-                    ),
-                    lambda h: F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
-                    % _SSD_MOD
-                    == 0,
-                )
-            )
-        ).alias("h"),
-    )
+    # the SAME projection the registered operator ships (shared helper)
+    anchors = substring_anchors(docs)
     l, r = anchors.alias("l"), anchors.alias("r")
     pairs = {
         (row["a"], row["b"]): row["n"]

@@ -359,41 +359,40 @@ def test_zorder_buckets_are_local_rectangles(spark, sf_dir):
 
 
 def test_profile_table_counts_nulls_and_distinct(spark):
-    """profile_table semantics pinned on a synthetic table with known
-    nulls (the fixture has none): null counts, distinct counts (nulls
+    """profile_table semantics pinned on a synthetic lineitem with known
+    nulls (the fixture has none) by running the REGISTERED builder
+    against a temp sf_dir: null counts, distinct counts (nulls
     excluded), and row counts per column."""
+    import datetime
     import tempfile
 
-    from blockchain2graphdb_spark.operators import pipeline as P
+    from blockchain2graphdb_spark.operators.pipeline import profile_table
 
+    d0 = datetime.date(2024, 1, 1)
     rows = [
-        (1, 10, None), (2, 10, 5), (3, None, 5), (4, 20, None), (4, 20, 7),
+        # (orderkey, partkey, suppkey, quantity, returnflag, linestatus, shipdate)
+        (1, 10, None, 5.0, "N", "O", d0),
+        (2, 10, 7, 5.0, "N", "O", None),
+        (3, None, 7, None, "R", "F", d0),
+        (4, 20, None, 9.0, None, "O", d0),
+        (4, 20, 8, 9.0, "A", "F", datetime.date(2024, 2, 2)),
     ]
+    schema = (
+        "l_orderkey long, l_partkey long, l_suppkey long, l_quantity double,"
+        " l_returnflag string, l_linestatus string, l_shipdate date"
+    )
     with tempfile.TemporaryDirectory(dir=tmp_root()) as tmp:
-        df = spark.createDataFrame(rows, "a long, b long, c long")
-        agg = df.agg(
-            F.count(F.lit(1)).alias("_n"),
-            *[
-                e
-                for col in ("a", "b", "c")
-                for e in (
-                    F.sum(F.when(F.col(col).isNull(), 1).otherwise(0)).alias(f"null_{col}"),
-                    F.countDistinct(col).alias(f"nd_{col}"),
-                )
-            ],
+        spark.createDataFrame(rows, schema).write.parquet(
+            os.path.join(tmp, "lineitem.parquet")
         )
-        out = {
-            r["col_name"]: r
-            for r in agg.selectExpr(
-                "stack(3, 'a', null_a, nd_a, 'b', null_b, nd_b, 'c', null_c, nd_c)"
-                " AS (col_name, n_nulls, n_distinct)",
-                "_n",
-            ).collect()
-        }
-    assert out["a"]["n_nulls"] == 0 and out["a"]["n_distinct"] == 4
-    assert out["b"]["n_nulls"] == 1 and out["b"]["n_distinct"] == 2
-    assert out["c"]["n_nulls"] == 2 and out["c"]["n_distinct"] == 2
-    assert all(r["_n"] == 5 for r in out.values())
+        out = {r["col_name"]: r for r in profile_table(spark, tmp).collect()}
+    assert all(r["n_rows"] == 5 for r in out.values())
+    assert out["l_orderkey"]["n_nulls"] == 0 and out["l_orderkey"]["n_distinct"] == 4
+    assert out["l_partkey"]["n_nulls"] == 1 and out["l_partkey"]["n_distinct"] == 2
+    assert out["l_suppkey"]["n_nulls"] == 2 and out["l_suppkey"]["n_distinct"] == 2
+    assert out["l_quantity"]["n_nulls"] == 1 and out["l_quantity"]["n_distinct"] == 2
+    assert out["l_returnflag"]["n_nulls"] == 1 and out["l_returnflag"]["n_distinct"] == 3
+    assert out["l_shipdate"]["n_nulls"] == 1 and out["l_shipdate"]["n_distinct"] == 2
 
 
 def test_profile_table_is_single_scan(spark, sf_dir):

@@ -5,11 +5,7 @@ CI rather than silently costing 10× at scale.
 
 from __future__ import annotations
 
-import sys
-
 import pytest
-
-sys.path.insert(0, "/root/repo")
 
 from blockchain2graphdb_spark import registry
 from blockchain2graphdb_spark.plans.inspect import (
@@ -336,5 +332,6 @@ def test_bpe_pairs_topk_is_take_ordered(spark):
     """Pair extraction runs over the distinct-word table and the top-k
     cut is TakeOrderedAndProject, never a global sort."""
     s = executed_plan_string(_df("bpe_merge_pairs", spark))
-    assert "TakeOrderedAndProject" in s, s
-    assert s.count("Sort [") == 0 or "TakeOrdered" in s
+    final = s.split("Initial Plan")[0]
+    assert "TakeOrderedAndProject" in final, s
+    assert "Sort [" not in final, s  # no corpus-wide sort beside the top-k

@@ -5,12 +5,8 @@ speed — tools/verify_local.py covers sf0.01).
 
 from __future__ import annotations
 
-import sys
-
 import duckdb
 import pytest
-
-sys.path.insert(0, "/root/repo")
 
 from blockchain2graphdb_spark import registry
 from blockchain2graphdb_spark.catalog import TABLES

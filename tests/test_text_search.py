@@ -6,10 +6,6 @@ count, BM25 rank monotonicity, and chunker coverage/overlap geometry.
 
 from __future__ import annotations
 
-import sys
-
-sys.path.insert(0, "/root/repo")
-
 from blockchain2graphdb_spark import registry
 
 from conftest import SF_DIR
