@@ -471,16 +471,17 @@ def bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     A FIXED small horizon admits a stronger plan than the iterative
     Pregel form (graph/pregel.py, still the path for unbounded or large
     horizons, e.g. `sssp_weighted`): unroll the 3 levels into ONE
-    linear Catalyst plan — level h = (level h-1 frontier) ⋈ edges →
-    distinct — then a final per-node MIN over the union of levels.
-    Each level's frontier is node-sized and broadcast under the same 4M
-    gate as pagerank_exact, so the checkpointed edge list is streamed
-    MAP-SIDE three times with no edge shuffle and, critically, no
+    linear Catalyst plan — level h expands ONLY the nodes first
+    discovered at level h-1 (anti-join against the seen set), so every
+    node lands in exactly one level and the result is a plain union,
+    no final aggregate. Each frontier is node-sized and broadcast under
+    the same 4M gate as pagerank_exact, so the lineitem projection is
+    streamed MAP-SIDE with no edge shuffle and, critically, no
     per-superstep driver synchronization, eager checkpoint, or vertex-
-    table maintenance join: one job end to end (measured 3.4 → ~1.4s at
-    sf0.1, identical recursive-CTE oracle). Past the broadcast gate the
-    frontier joins degrade to keyed shuffles — the same fallback the
-    Pregel path takes.
+    table maintenance join (3.42 → 1.75s at sf0.1 — the number STATUS
+    records; identical recursive-CTE oracle). Past the broadcast gate
+    the frontier joins degrade to keyed shuffles — the same fallback
+    the Pregel path takes.
     """
     prep(spark)
     # the co-purchase graph is the BIPARTITE part–order graph projected
@@ -498,23 +499,35 @@ def bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     # both frontier kinds are node-sized (parts / orders); gate the
-    # broadcast on the bigger side's table count (metadata-cheap)
-    n_orders = table(spark, sf_dir, "orders").count()
+    # broadcast on the bigger side's row count, read from the parquet
+    # FOOTER (genuinely metadata-only — a Spark count() would be a real
+    # scan job per invocation)
+    import os
+
+    import pyarrow.parquet as pq
+
+    n_orders = pq.ParquetFile(
+        os.path.join(sf_dir, "orders.parquet")
+    ).metadata.num_rows
     hint = F.broadcast if n_orders <= 4_000_000 else (lambda df: df)
 
+    # p_partkey is the part table's key — no dedup needed; checkpoint
+    # because seeds is referenced ~5x (level-1 frontier, the seen set
+    # at every level, the final union)
     seeds = (
         table(spark, sf_dir, "part")
         .where(F.col("p_size") == 50)
         .select(F.col("p_partkey").alias("id"))
-        .distinct()
+        .localCheckpoint(eager=False)
     )
     # textbook frontier BFS: each level expands ONLY the nodes first
     # discovered at the previous level (anti-join against everything
     # seen), so each lineitem row is emitted O(1) times across the run;
     # every node lands in exactly one level, so the result is a plain
-    # union — no final MIN aggregate. Levels are referenced 3× (next
-    # frontier, seen set, final union) — the lazy checkpoint
-    # materializes each once with no extra driver-visible job.
+    # union — no final MIN aggregate. Every level (seeds included,
+    # above) is referenced 3-5× (next frontier, the seen set, the
+    # final union) — the lazy checkpoints materialize each once with
+    # no extra driver-visible job.
     levels = [seeds.withColumn("dist", F.lit(0))]
     seen = seeds
     for h in (1, 2, 3):
