@@ -278,3 +278,30 @@ def test_dedup_incremental_flags_exact_twins_only(spark, sf_dir):
     }
     for doc_id, is_dup in got.items():
         assert is_dup == (1 if doc_id in dups else 0), (doc_id, is_dup)
+
+
+def test_minhash_clusters_degenerate_corpora(spark):
+    """Edge cases that break naive shingle pipelines: empty strings,
+    single-token docs, and exact duplicates. Exact dups must cluster
+    (Jaccard 1.0 >= any threshold); empties/singletons must survive the
+    pipeline as rows (their 1-element shingle array keeps them
+    representable) without crashing."""
+    docs = spark.createDataFrame(
+        [
+            (1, ""),
+            (2, "one"),
+            (3, "one"),
+            (4, "alpha beta gamma delta epsilon"),
+            (5, "alpha beta gamma delta epsilon"),
+            (6, "totally different words here now"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in minhash_clusters(docs).collect()}
+    assert set(out) == {1, 2, 3, 4, 5, 6}
+    # exact duplicates cluster together
+    assert out[2]["cluster_id"] == out[3]["cluster_id"]
+    assert out[4]["cluster_id"] == out[5]["cluster_id"]
+    assert out[4]["cluster_size"] == 2
+    # unrelated docs stay singletons
+    assert out[6]["cluster_id"] == 6 and out[6]["cluster_size"] == 1
