@@ -50,6 +50,16 @@ HEADLINE = [
     "upsert_merge",            # full-outer MERGE fold
 ]
 
+# Secondary, NON-gating tracked set (VERDICT r6 #7): LLM-pipeline
+# composites whose cross-round timing trend matters. Reported under
+# "secondary" in the JSON line, EXCLUDED from "value"/"queries" so the
+# headline total stays comparable to BASELINE/BENCH_r01.
+SECONDARY = [
+    "dedup_cluster_keep_best",  # LSH → Jaccard verify → CC → keeper agg
+    "text_search_bm25",         # inverted index + int-quantized BM25
+    "chunk_embed_retrieve",     # chunk → embed → retrieve composite
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -84,16 +94,41 @@ def main() -> None:
     # builders re-plan and localCheckpoint afresh each call).
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     times: dict[str, float] = {}
+    # Accumulator-lifecycle pin (BENCH_r06 postmortem): SQL-metric
+    # accumulators are registered via weak references, so when a
+    # finished query's DataFrame is dropped mid-bench and the JVM GCs
+    # its QueryExecution, the accumulators unregister — and any zombie
+    # task from that plan (stage retry / cancelled-stage straggler)
+    # that completes afterwards makes the DAGScheduler log
+    # "attempted to access non-existent accumulator N". Harmless
+    # (rc=0, timings unaffected) but noise in the recorded tail. Keep
+    # every built DataFrame referenced for the bench's lifetime so the
+    # accumulators stay registered until the session exits.
+    _refs: list = []
     for name in HEADLINE:
         best = None
         for _ in range(runs):
             t0 = time.time()
             df = specs[name].builder(spark, sf_dir)
+            _refs.append(df)
             n = df.count() if name != "similarity_topk" else len(df.collect())
             dt = round(time.time() - t0, 3)
             best = dt if best is None else min(best, dt)
         times[name] = best
         print(f"# {name}: {times[name]}s ({n} rows, best of {runs})", file=sys.stderr)
+
+    secondary: dict[str, float] = {}
+    for name in SECONDARY:
+        best = None
+        for _ in range(runs):
+            t0 = time.time()
+            df = specs[name].builder(spark, sf_dir)
+            _refs.append(df)
+            n = df.count()
+            dt = round(time.time() - t0, 3)
+            best = dt if best is None else min(best, dt)
+        secondary[name] = best
+        print(f"# [secondary] {name}: {best}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(times.values()), 3)
     print(
@@ -103,6 +138,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "secondary": secondary,
                 "sf": sf,
             }
         )

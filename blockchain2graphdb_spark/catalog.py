@@ -52,6 +52,27 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return _dates_to_timestamps(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
 
 
+def parquet_num_rows(sf_dir: str, name: str) -> int:
+    """Row count from parquet FOOTER metadata only — no Spark scan job.
+
+    The metadata-only seam behind broadcast gates (e.g. bfs_distance's
+    frontier hint): checkpointed plans lose size statistics, so gates
+    read exact row counts from footers instead of running count() jobs.
+    Tolerates both layouts the catalog can see: a single `name.parquet`
+    file (the driver fixtures) and a directory dataset (what Spark's own
+    writer and the synthetic-sf_dir tests produce) — for directories the
+    fragment footers are enumerated and summed (ADVICE r6)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isfile(path):
+        return pq.ParquetFile(path).metadata.num_rows
+    ds = pq.ParquetDataset(path)
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in ds.files)
+
+
 def _dates_to_timestamps(df: DataFrame) -> DataFrame:
     """Round-proofing twin of `normalize_events_ts`: the driver has
     already re-encoded one temporal column between rounds (events.ts,

@@ -3,15 +3,20 @@
 Catalyst has no fixpoint operator, so the two genuinely iterative pieces
 of the surface live here:
 
-* `connected_components` — min-label propagation over an undirected edge
-  list. Converges in O(diameter) keyed-join rounds; each round is one
-  shuffle on the node key. Lineage is cut with `localCheckpoint` every
-  round so the plan does not grow with the iteration count (the classic
-  iterative-DataFrame failure mode). At 100 TB the same loop holds:
-  label propagation is the alternating-join formulation of
-  large-star/small-star, skewed mega-components are handled by AQE skew
-  splitting on the join key, and convergence is detected with a cheap
-  aggregate rather than a collect of the frontier.
+* `connected_components` — Shiloach–Vishkin-style rounds over an
+  undirected edge list: hash-min (one edge pass), root hooking (node
+  aggregate by old label), full path compression (pointer jumping to
+  closure). O(log n) outer rounds on any topology — including
+  high-diameter chains, where plain min-label propagation needs
+  O(diameter) rounds. Lineage AND preserved size statistics are cut
+  with `plans.iterate.local_checkpoint` every round (the two classic
+  iterative-DataFrame failure modes: plan growth, and Spark 4.x's
+  checkpoint-preserved stats squaring through self-joins into
+  exponential driver-side BigInt math). At 100 TB the same loop holds:
+  the edge list is touched once per outer round, hooking/compression
+  touch only node-sized tables, skewed mega-components are handled by
+  AQE skew splitting on the join key, and convergence is detected with
+  a cheap aggregate rather than a collect of the frontier.
 
 * `list_rank` — pointer-jumping (path doubling) over parent links:
   O(log chain-length) self-joins instead of the reference's O(n)
@@ -27,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..plans.iterate import local_checkpoint
+
 
 def connected_components(
     edges: DataFrame,
@@ -36,6 +43,7 @@ def connected_components(
     broadcast_nodes: int = 4_000_000,
     canonical: bool = False,
     probe_every: int = 2,
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """Undirected connected components; returns (node, component) where
     component = min node id in the component. Deterministic.
@@ -77,8 +85,10 @@ def connected_components(
     # tiny graphs short-circuit to driver-side union-find: the
     # distributed loop costs a handful of jobs per round, which
     # dominates below ~10^5 edges (e.g. the verified-pair graphs of
-    # near-dup dedup). Same labels (component = min member) either way.
-    if n_edges <= 100_000:
+    # near-dup dedup). Same labels (component = min member) either way;
+    # driver_threshold=0 forces the distributed loop (two-path
+    # equivalence is pinned in tests, mirroring chain/taint.py).
+    if n_edges <= driver_threshold:
         spark = sym.sparkSession
         parent: dict = {}
 
@@ -106,50 +116,87 @@ def connected_components(
     )
     n_nodes = comp.count()
     hint = F.broadcast if n_nodes <= broadcast_nodes else (lambda df: df)
-    for i in range(max_iter):
+
+    # Shiloach–Vishkin-style union-find in rounds; each outer round:
+    #   (1) hash-min — every node takes the min label over itself and
+    #       its neighbors (the ONE pass over the edge list);
+    #   (2) hooking — the min of the new labels, grouped by OLD label,
+    #       is applied to the old label's ROOT node, so whole label
+    #       trees link across their boundary edges (without this, the
+    #       root never learns the neighboring region's min and the min
+    #       crawls one hop per round — the r6 formulation had exactly
+    #       that flaw and silently returned partial labels on a
+    #       150-node chain when max_iter ran out; caught by this
+    #       round's two-path equivalence test);
+    #   (3) full path compression — comp := comp[comp] to closure over
+    #       the node-sized label table (pointer jumping, depth halves
+    #       per jump).
+    # Converges in O(log n) outer rounds on any topology (simulated:
+    # 1 round on monotone 10k paths, 9 on a random-id 10k path, 3 on
+    # sparse random graphs). Edge joins — the 100 TB cost — happen once
+    # per outer round; hooking and compression touch only node-sized
+    # tables. If max_iter is ever exhausted the loop RAISES rather than
+    # return partial labels.
+    converged = False
+    for _ in range(max_iter):
         nbr_min = (
             sym.join(hint(comp), sym.b == comp.node)
             .select(F.col("a").alias("node"), "comp")
             .groupBy("node")
             .agg(F.min("comp").alias("nbr_comp"))
         )
-        stepped = comp.join(hint(nbr_min), "node", "left").select(
+        new1 = comp.join(hint(nbr_min), "node", "left").select(
             "node",
             "comp",
             F.least(
                 F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
-            ).alias("new_comp"),
+            ).alias("new1"),
         )
-        # pointer doubling (comp := comp[comp]): labels are node ids, so a
-        # second hop through the mapping halves the rounds to convergence
-        # (the shortcutting step of large-star/small-star)
-        lut = stepped.select(
-            F.col("node").alias("lk"), F.col("new_comp").alias("lv")
+        root_min = new1.groupBy(F.col("comp").alias("root")).agg(
+            F.min("new1").alias("root_min")
         )
-        # one materialization per round: checkpoint the (old, new) pair,
-        # then both the convergence probe and the next iteration read it
-        joined = (
-            stepped.join(hint(lut), stepped.new_comp == lut.lk, "left")
-            .select(
+        stepped = local_checkpoint(
+            new1.join(hint(root_min), new1.node == root_min.root, "left").select(
                 "node",
                 "comp",
-                F.coalesce(F.col("lv"), F.col("new_comp")).alias("new_comp"),
+                F.least(
+                    F.col("new1"), F.coalesce(F.col("root_min"), F.col("new1"))
+                ).alias("new_comp"),
             )
-            .localCheckpoint(eager=True)
         )
-        comp = joined.select("node", F.col("new_comp").alias("comp"))
-        # amortized convergence probe: pointer doubling converges in
-        # O(log diameter) rounds, so a probe per round spends more
-        # driver-visible jobs (scheduler latency × rounds) than the at
-        # most one extra no-op round the amortization can cost. An
-        # already-converged round is a fixpoint (new_comp == comp
-        # everywhere), so extra rounds never change labels.
-        if (i + 1) % probe_every == 0 or i == max_iter - 1:
-            changed = (
-                joined.where(F.col("new_comp") != F.col("comp")).limit(1).count()
+        # outer fixpoint probe every round: hooking+compression converge
+        # in O(log n) rounds, so per-round probes are few and the
+        # compression inner loop below is skipped entirely on the last
+        changed = (
+            stepped.where(F.col("new_comp") != F.col("comp")).limit(1).count()
+        )
+        comp = stepped.select("node", F.col("new_comp").alias("comp"))
+        if changed == 0:
+            converged = True
+            break
+        for j in range(max_iter):
+            lut = comp.select(F.col("node").alias("lk"), F.col("comp").alias("lv"))
+            jumped = local_checkpoint(
+                comp.join(hint(lut), comp.comp == lut.lk, "left").select(
+                    "node",
+                    "comp",
+                    F.coalesce(F.col("lv"), F.col("comp")).alias("new_comp"),
+                )
             )
-            if changed == 0:
-                break
+            comp = jumped.select("node", F.col("new_comp").alias("comp"))
+            if (j + 1) % probe_every == 0 or j == max_iter - 1:
+                if (
+                    jumped.where(F.col("new_comp") != F.col("comp"))
+                    .limit(1)
+                    .count()
+                    == 0
+                ):
+                    break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iter}"
+            " rounds — partial labels would be silently wrong"
+        )
     return comp
 
 
@@ -177,11 +224,16 @@ def list_rank(
     costs more fixed scheduler latency than the at most one extra no-op
     round. max_iter (chains up to 2^64) is a divergence backstop only.
     """
-    cur = links.select(
-        F.col(id_col).alias("id"),
-        F.col(parent_col).alias("ptr"),
-        F.when(F.col(parent_col).isNull(), F.lit(0)).otherwise(F.lit(1)).alias("dist"),
-    ).localCheckpoint(eager=False)
+    cur = local_checkpoint(
+        links.select(
+            F.col(id_col).alias("id"),
+            F.col(parent_col).alias("ptr"),
+            F.when(F.col(parent_col).isNull(), F.lit(0))
+            .otherwise(F.lit(1))
+            .alias("dist"),
+        ),
+        eager=False,
+    )
     # lazy checkpoint: this count both materializes it and sizes the hint
     hint = F.broadcast if cur.count() <= broadcast_nodes else (lambda df: df)
 
@@ -190,9 +242,10 @@ def list_rank(
         b = cur.select(
             F.col("id").alias("b_id"), F.col("ptr").alias("b_ptr"), F.col("dist").alias("b_dist")
         ).alias("y")
-        cur = (
-            a.join(hint(b), F.col("x.ptr") == F.col("y.b_id"), "left")
-            .select(
+        # stats-reset checkpoint: self-join squares preserved size
+        # estimates every round (see connected_components / STATUS.md)
+        cur = local_checkpoint(
+            a.join(hint(b), F.col("x.ptr") == F.col("y.b_id"), "left").select(
                 F.col("x.id").alias("id"),
                 F.when(F.col("x.ptr").isNull(), F.lit(None))
                 .otherwise(F.col("y.b_ptr"))
@@ -204,7 +257,6 @@ def list_rank(
                     ).otherwise(F.col("y.b_dist"))
                 ).alias("dist"),
             )
-            .localCheckpoint(eager=True)
         )
         if (i + 1) % probe_every == 0:
             if cur.where(F.col("ptr").isNotNull()).limit(1).count() == 0:

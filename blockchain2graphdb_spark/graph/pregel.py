@@ -23,6 +23,8 @@ from collections.abc import Callable
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..plans.iterate import local_checkpoint
+
 
 def pregel(
     vertices: DataFrame,  # (id, attr)
@@ -78,16 +80,16 @@ def pregel(
             .groupBy("id")
             .agg(agg_msg(F.col("msg")).alias("msg"))
         )
-        stepped = (
-            v.join(hint(msgs), "id", "left")
-            .select(
+        # stats-reset checkpoint (plans/iterate.py): the superstep joins
+        # square preserved size estimates every round otherwise
+        stepped = local_checkpoint(
+            v.join(hint(msgs), "id", "left").select(
                 "id",
                 "attr",
                 F.when(F.col("msg").isNotNull(), vprog(F.col("attr"), F.col("msg")))
                 .otherwise(F.col("attr"))
                 .alias("new_attr"),
             )
-            .localCheckpoint(eager=True)
         )
         v = stepped.select("id", F.col("new_attr").alias("attr"))
         # check_convergence=False runs exactly max_iter supersteps and

@@ -219,7 +219,11 @@ def minhash_clusters(docs: DataFrame, jaccard_threshold: float = 0.5) -> DataFra
 _MHD_PERMS = 16
 _MHD_BANDS = 4
 
-_MHD_ORACLE = """
+# Shared CTE prefix (base → shingles → minhash → bands → candidates →
+# Jaccard ingredients) composed into BOTH _MHD_ORACLE (pair output) and
+# _DCKB_ORACLE (components + keeper selection) — one definition, so a
+# cosmetic edit cannot break one derived oracle at a distance (ADVICE r6).
+_MHD_CTE_PREFIX = """
 WITH base AS MATERIALIZED (
   SELECT doc_id, text FROM documents WHERE doc_id < 200
   UNION ALL
@@ -260,17 +264,7 @@ inter AS MATERIALIZED (
   JOIN grams ga ON ga.doc_id = c.a
   JOIN grams gb ON gb.doc_id = c.b AND gb.g = ga.g
   GROUP BY c.a, c.b
-)
-SELECT c.a AS doc_a, c.b AS doc_b,
-       ROUND(CAST(i.n_inter AS DOUBLE)
-             / CAST(sa.n + sb.n - i.n_inter AS DOUBLE), 6) AS jaccard
-FROM cand c
-JOIN inter i ON i.a = c.a AND i.b = c.b
-JOIN sizes sa ON sa.doc_id = c.a
-JOIN sizes sb ON sb.doc_id = c.b
-WHERE CAST(i.n_inter AS DOUBLE)
-      / CAST(sa.n + sb.n - i.n_inter AS DOUBLE) >= 0.5
-""".format(
+)""".format(
     min_cols=",\n         ".join(
         f"MIN(md5('{j}:' || g)) AS m{j}" for j in range(_MHD_PERMS)
     ),
@@ -284,6 +278,21 @@ WHERE CAST(i.n_inter AS DOUBLE)
         )
         for b in range(_MHD_BANDS)
     ),
+)
+
+_MHD_ORACLE = (
+    _MHD_CTE_PREFIX
+    + """
+SELECT c.a AS doc_a, c.b AS doc_b,
+       ROUND(CAST(i.n_inter AS DOUBLE)
+             / CAST(sa.n + sb.n - i.n_inter AS DOUBLE), 6) AS jaccard
+FROM cand c
+JOIN inter i ON i.a = c.a AND i.b = c.b
+JOIN sizes sa ON sa.doc_id = c.a
+JOIN sizes sb ON sb.doc_id = c.b
+WHERE CAST(i.n_inter AS DOUBLE)
+      / CAST(sa.n + sb.n - i.n_inter AS DOUBLE) >= 0.5
+"""
 )
 
 
@@ -835,9 +844,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DCKB_PACK = 100_000_000
 
 _DCKB_ORACLE = (
-    _MHD_ORACLE.split("\nSELECT c.a AS doc_a", 1)[0].replace(
-        "WITH base", "WITH RECURSIVE base", 1
-    )
+    _MHD_CTE_PREFIX.replace("WITH base", "WITH RECURSIVE base", 1)
     + f""",
 verified AS MATERIALIZED (
   SELECT c.a, c.b

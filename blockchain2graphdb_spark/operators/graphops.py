@@ -11,8 +11,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..catalog import prep, table
-from ..graph.components import connected_components, list_rank
+from ..catalog import parquet_num_rows, prep, table
+from ..plans.iterate import local_checkpoint
+from ..graph.components import (
+    connected_components,
+    incremental_components,
+    list_rank,
+)
 from ..registry import query
 
 
@@ -193,9 +198,9 @@ def degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
 
 
-@query(
-    "wallet_components",
-    oracle="""
+# shared by wallet_components (default driver/distributed gate) and
+# wallet_components_dist (distributed loop forced): same edges, same labels
+_WALLET_COMPONENTS_ORACLE = """
     WITH RECURSIVE raw_edges AS (
       SELECT prev AS src, l_partkey AS dst FROM (
         SELECT l_partkey,
@@ -216,8 +221,10 @@ def degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT s.dst AS node, r.comp FROM reach r JOIN sym s ON s.src = r.node
     )
     SELECT node AS part, MIN(comp) AS component FROM reach GROUP BY node
-    """,
-)
+    """
+
+
+@query("wallet_components", oracle=_WALLET_COMPONENTS_ORACLE)
 def wallet_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G3: wallet clustering via connected components — the capability the
     reference declared but stubbed (AddressWalletID always 0; T:137,
@@ -244,6 +251,65 @@ def wallet_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     comp = connected_components(edges, canonical=True)
     return comp.select(F.col("node").alias("part"), F.col("comp").alias("component"))
+
+
+@query("wallet_components_dist", oracle=_WALLET_COMPONENTS_ORACLE)
+def wallet_components_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3 scale-path witness: identical to `wallet_components` but with
+    the driver-side union-find short-circuit disabled
+    (driver_threshold=0), so the oracle check exercises the distributed
+    min-label + pointer-doubling loop (graph/components.py:104) — the
+    code path that runs on any graph over 100k edges, i.e. the 100 TB
+    path. At sf0.01 the star graph is ~57k edges, which the default gate
+    would otherwise route to the driver path; forcing the loop gives
+    the distributed implementation a direct driver-gate correctness
+    witness on nontrivial merge structure (VERDICT r6 lead item)."""
+    prep(spark)
+    li = table(spark, sf_dir, "lineitem")
+    mins = li.groupBy("l_orderkey").agg(F.min("l_partkey").alias("src"))
+    edges = (
+        li.join(mins, "l_orderkey")
+        .select("src", F.col("l_partkey").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+    )
+    comp = connected_components(edges, canonical=True, driver_threshold=0)
+    return comp.select(F.col("node").alias("part"), F.col("comp").alias("component"))
+
+
+@query("wallet_ids_incremental", oracle=_WALLET_COMPONENTS_ORACLE)
+def wallet_ids_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7/M2: incremental wallet-id maintenance as a driver-witnessed
+    key (the reference's core competency, B:296–354 read-modify-write,
+    re-expressed as batch folds). The co-spend star edges are split into
+    three deterministic micro-batches (l_orderkey % 3) and folded through
+    graph/components.incremental_components — each fold re-labels only
+    the components the batch touches (semi-join restriction), O(affected
+    + batch) not O(graph). The oracle is the FULL-recompute recursive
+    CTE, so a green row certifies batch-fold ≡ full recompute on real
+    fixture data, not just the unit-test graphs (tests/test_chain.py)."""
+    prep(spark)
+    li = table(spark, sf_dir, "lineitem")
+    mins = li.groupBy("l_orderkey").agg(F.min("l_partkey").alias("src"))
+    edges = (
+        li.join(mins, "l_orderkey")
+        .select("l_orderkey", "src", F.col("l_partkey").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+    )
+    labels: DataFrame | None = None
+    for k in range(3):
+        batch = edges.where(
+            F.pmod(F.col("l_orderkey"), F.lit(3)) == k
+        ).select("src", "dst")
+        if labels is None:
+            labels = connected_components(batch, canonical=True)
+        else:
+            labels = incremental_components(labels, batch)
+        # cut lineage (and the preserved-stats chain) between folds, as
+        # a real micro-batch sink would
+        labels = local_checkpoint(labels)
+    return labels.select(
+        F.col("node").alias("part"), F.col("comp").alias("component")
+    )
 
 
 def _copurchase_pairs(
@@ -501,14 +567,8 @@ def bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both frontier kinds are node-sized (parts / orders); gate the
     # broadcast on the bigger side's row count, read from the parquet
     # FOOTER (genuinely metadata-only — a Spark count() would be a real
-    # scan job per invocation)
-    import os
-
-    import pyarrow.parquet as pq
-
-    n_orders = pq.ParquetFile(
-        os.path.join(sf_dir, "orders.parquet")
-    ).metadata.num_rows
+    # scan job per invocation; directory-tolerant per ADVICE r6)
+    n_orders = parquet_num_rows(sf_dir, "orders")
     hint = F.broadcast if n_orders <= 4_000_000 else (lambda df: df)
 
     # p_partkey is the part table's key — no dedup needed; checkpoint
@@ -1120,12 +1180,12 @@ def kcore(
             return deg.select(
                 F.col("a").alias("node"), F.col("deg").cast("long").alias("core_degree")
             )
-        edges = (
-            edges.join(hint(weak), "a", "left_anti")
-            .join(
+        # stats-reset checkpoint (plans/iterate.py): the per-round joins
+        # square preserved size estimates otherwise
+        edges = local_checkpoint(
+            edges.join(hint(weak), "a", "left_anti").join(
                 hint(weak.select(F.col("a").alias("b"))), "b", "left_anti"
             )
-            .localCheckpoint(eager=True)
         )
     if require_convergence:
         raise RuntimeError(

@@ -1471,11 +1471,17 @@ def _text_source_dir(sf_dir: str, fmt: str) -> str:
     rows.sort(key=lambda r: r["n_nationkey"])
     stage = d + ".staging"
     os.makedirs(stage, exist_ok=True)
-    with open(os.path.join(stage, "part-000.txt"), "w") as f:
+    with open(os.path.join(stage, "part-000.txt"), "w", newline="") as f:
         if fmt == "csv":
-            f.write("n_nationkey,n_name,n_regionkey\n")
+            # csv.writer (QUOTE_MINIMAL) keeps the derivation correct
+            # even if a name ever contains a comma/quote/newline — naive
+            # f-string concatenation would silently corrupt such rows
+            import csv
+
+            w = csv.writer(f)
+            w.writerow(["n_nationkey", "n_name", "n_regionkey"])
             for r in rows:
-                f.write(f"{r['n_nationkey']},{r['n_name']},{r['n_regionkey']}\n")
+                w.writerow([r["n_nationkey"], r["n_name"], r["n_regionkey"]])
         else:  # jsonl
             import json
 

@@ -48,76 +48,69 @@ _OPERATOR_MODULES = (
 )
 
 # The driver's correctness gate samples the FIRST ~50 keys in queries()
-# order, so registration order is the sampling schedule. Rounds 1-5
-# covered the relational head (r1-r3), the graph/window/text/pipeline/
-# behavior/TPC-H-head block (r4), and the search/maintenance/streaming/
-# multimodal/ingestion/dedup/similarity/udf/scalar-head block (r5).
-# Round 6 leads with the 36 oracle keys the driver has NEVER sampled —
-# the TPC-H tail (q2/q4/q6-q22), the scalar/date/array/json/unpivot
-# extras, and the four keys registered after r5's sample ran
-# (sssp_weighted, hits_exact, motif_find, embedding_quantize) — then a
-# diverse re-check block fills the remaining slots. Keys absent from
-# this list keep their module registration order after it.
+# order, so registration order is the sampling schedule. After round 6
+# every oracle key has been driver-witnessed green at least once
+# (VERDICT r6), so round 7 rotates by WITNESS AGE: the three new round-7
+# keys (never sampled) lead, then the stalest witnesses oldest-first —
+# the r1-r3 relational/agg/join head, which was last checked against
+# fixtures three regenerations ago (VERDICT r6 next-round #4). Keys
+# absent from this list keep their module registration order after it.
 _SAMPLE_PRIORITY = (
-    "tpch_q2",
-    "tpch_q4",
-    "tpch_q6",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q9",
-    "tpch_q10",
-    "tpch_q11",
-    "tpch_q13",
-    "tpch_q14",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q17",
-    "tpch_q18",
-    "tpch_q19",
-    "tpch_q20",
-    "tpch_q21",
-    "tpch_q22",
-    "str_cast",
-    "str_format",
-    "str_split",
-    "date_compare",
-    "null_coalesce",
-    "conditional_flag",
-    "math_ops",
-    "date_trunc_group",
-    "array_explode",
-    "date_parts",
-    "array_ops",
-    "json_extract",
-    "map_ops",
-    "unpivot_stack",
-    "sssp_weighted",
-    "hits_exact",
-    "motif_find",
-    "embedding_quantize",
-    # round-6 additions — never sampled, ahead of the re-check block
-    "dedup_substring",
-    "bpe_merge_pairs",
-    "profile_table",
-    "stream_dedup_exact",
-    "dedup_incremental",
-    "chunk_embed_retrieve",
-    "dedup_cluster_keep_best",
-    "agg_mode",
-    "orders_rfm",
-    "link_prediction_aa",
-    "window_percent_rank",
-    "str_edit_distance",
-    "scan_csv",
-    "scan_jsonl",
-    "wallet_components",
+    "wallet_components_dist",
+    "wallet_ids_incremental",
+    "stream_session_exact",
+    "agg_argmax",
+    "agg_min_max",
+    "agg_collect_set",
+    "agg_conditional_count",
+    "agg_count",
+    "agg_count_distinct",
+    "agg_cube",
+    "agg_first_seen_count",
+    "agg_grouping_sets",
+    "agg_percentile",
+    "agg_rollup",
+    "agg_salted",
+    "agg_self_transfer",
+    "agg_signed_sum",
+    "agg_stats",
+    "agg_sum",
+    "agg_sum_coalesce",
+    "anti_join",
+    "counterparties",
+    "distinct_rows",
+    "expand_children",
+    "export_edges",
+    "filter_conjunctive",
+    "filter_point",
+    "histogram_bins",
+    "join_anti",
+    "join_asof",
+    "join_asof_pandas",
+    "join_full",
+    "join_inner",
+    "join_left",
+    "join_range",
+    "join_salted",
+    "join_semi",
+    "limit_n",
+    "one_hop_join",
+    "pivot_table",
+    "sample_hash_stratified",
+    "scan_parquet",
+    "self_transfer_flag",
+    "semi_join",
+    "set_except",
+    "set_intersect",
+    "set_union",
+    "sort_by_key",
+    "topk_global",
+    "tpch_q12_shape",
+    "two_hop_join",
+    "anomaly_daily_zscore",
     "bfs_distance",
-    "pagerank_exact",
-    "kcore_membership",
-    "dedup_minhash_exact",
-    "similarity_topk",
-    "text_search_bm25",
-    "stream_tumbling",
+    "chain_tip",
+    "chain_validity",
 )
 
 

@@ -169,6 +169,57 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run(spark, out)
 
 
+@query(
+    "stream_session_exact",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us FROM events
+    ),
+    f AS (
+      SELECT user_id, us,
+             CASE WHEN lag(us) OVER w IS NULL
+                    OR us - lag(us) OVER w >= 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ),
+    s AS (
+      SELECT user_id, us,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+                              ROWS UNBOUNDED PRECEDING) AS sess
+      FROM f
+    )
+    SELECT user_id,
+           CAST(MIN(us) AS BIGINT) AS start_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, sess
+    """,
+)
+def stream_session_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked twin of `stream_session` (the r6 technique that
+    closed stream_dedup_exact): complete-mode session windows hold every
+    session in state and merge across micro-batches, so the final batch
+    output equals the batch gap-sessionization regardless of file/batch
+    arrival order. The DuckDB oracle is the lag→flag→running-sum gap
+    walk on unix micros; the boundary condition is `diff >= gap` (Spark
+    sessions are [start, last+gap), so an event exactly `gap` after its
+    predecessor opens a NEW session — unlike sessionize_batch's `>`
+    oracle, which defines its own key). Session start = min event ts,
+    emitted as unix micros so no timestamp-encoding skew can enter the
+    hash."""
+    prep(spark)
+    s = _events_stream(spark, sf_dir)
+    out = (
+        s.groupBy(F.session_window("ts", "30 minutes"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias("start_us"),
+            "n_events",
+        )
+    )
+    return _run(spark, out, output_mode="complete")
+
+
 @query("stream_watermark")
 def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Out-of-order tolerance via watermark (replaces the reference's
@@ -214,15 +265,22 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     the rows-only key whose surviving row depends on delivery order.
 
     At scale this is the idempotent-ingest front half of every
-    exactly-once pipeline: dedup state is bounded by the watermark, the
-    downstream agg sees each logical event once.
+    exactly-once pipeline: the downstream agg sees each logical event
+    once. State boundedness: plain dropDuplicates only evicts when the
+    event-time column is part of the dedup subset, so keying on
+    event_id alone would keep state forever despite the watermark;
+    dropDuplicatesWithinWatermark (Spark 3.5+) evicts each key once the
+    watermark passes its event time + delay — genuinely bounded state
+    (ADVICE r6).
     """
     prep(spark)
     s = _events_stream(spark, sf_dir)
     cloned = s.select(
         F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("copy"), "*"
     ).drop("copy")
-    dedup = cloned.withWatermark("ts", "30 days").dropDuplicates(["event_id"])
+    dedup = cloned.withWatermark("ts", "30 days").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
     out = dedup.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_unique")
     )

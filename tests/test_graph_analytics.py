@@ -120,6 +120,45 @@ def test_bfs_distance_levels(spark, sf_dir):
     assert 0 in dists  # seeds present
 
 
+def test_connected_components_driver_and_distributed_paths_agree(spark):
+    """Two-path equivalence (mirrors tests/test_taint.py): the same
+    multi-round merge graph labeled by the driver-side union-find
+    (driver_threshold=100_000) and by the distributed min-label +
+    pointer-doubling loop (driver_threshold=0) must agree exactly.
+
+    The graph is built so the distributed loop genuinely iterates:
+    three long chains with shuffled node ids (min labels must travel
+    many hops), two late bridges that merge the chains' components
+    across rounds, a star, and a singleton edge pair."""
+    import random
+
+    from blockchain2graphdb_spark.graph.components import connected_components
+
+    rng = random.Random(7)
+    ids = list(range(1_000, 1_600))
+    rng.shuffle(ids)
+    chains = [ids[0:150], ids[150:300], ids[300:450]]
+    edges = []
+    for chain in chains:
+        edges += list(zip(chain, chain[1:]))
+    edges.append((chains[0][120], chains[1][37]))  # bridge A-B
+    edges.append((chains[1][140], chains[2][12]))  # bridge B-C
+    edges += [(5_000, 5_000 + i) for i in range(1, 6)]  # star
+    edges.append((9_000, 9_001))
+    df = spark.createDataFrame(edges, "src long, dst long")
+
+    by_path = {}
+    for thr in (100_000, 0):
+        comp = connected_components(df, driver_threshold=thr)
+        by_path[thr] = sorted((r["node"], r["comp"]) for r in comp.collect())
+    assert by_path[100_000] == by_path[0]
+    # merged chain component: every chain node carries the global min id
+    labels = dict(by_path[0])
+    chain_min = min(min(c) for c in chains)
+    assert all(labels[n] == chain_min for c in chains for n in c)
+    assert labels[5_003] == 5_000 and labels[9_001] == 9_000
+
+
 def test_incremental_components_equals_full(spark):
     """Folding edge batches incrementally must equal one full CC over
     the union — across merges, brand-new components, and bridges."""
