@@ -388,6 +388,13 @@ def triangle_count(
     threshold both probes fall back to keyed shuffles co-bucketed with
     the edge list (adjacency checkpointed there so the two probes don't
     recompute it), and hub vertices are split by AQE skew handling.
+
+    Skew evidence: tests/test_graph_skew.py forces this shuffle path
+    (broadcast_edges_max=0) on a mega-hub graph (one vertex in ~30% of
+    groups) and pins the exact count. Per-ROW payload is bounded by the
+    max forward-degree (w>v orientation halves hub rows); a corpus with
+    hubs of forward-degree >~10^6 would want the wedge-stream form for
+    those vertices — documented trade-off, not needed at fixture scale.
     """
     prep(spark)
     pairs, n_edges = _copurchase_pairs(spark, sf_dir)

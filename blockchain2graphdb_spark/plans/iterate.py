@@ -68,7 +68,18 @@ def local_checkpoint(
         jdf = jvm.org.apache.spark.sql.classic.Dataset.ofRows(
             spark._jsparkSession, stripped
         )
-        return DataFrame(jdf, spark)
+        out = DataFrame(jdf, spark)
+        # Pin the ORIGINAL checkpointed Dataset to the rebuilt frame's
+        # lifetime. The internal RDD's task closures update the origin
+        # plan's SQL-metric accumulators (registered via weak refs);
+        # without this pin the origin is garbage the moment we return,
+        # and a lazy (eager=False) materialization later floods the
+        # driver log with "attempted to access non-existent
+        # accumulator" errors from every task (observed: 1.6k log lines
+        # in one bench run). Results were never affected — only metrics
+        # and log noise — but the pin removes the race entirely.
+        out._b2g_ckpt_origin = ck
+        return out
     except Exception:
         # internals moved (future Spark) — correct but slow fallback
         return ck
