@@ -258,8 +258,9 @@ def wallet_components_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G3 scale-path witness: identical to `wallet_components` but with
     the driver-side union-find short-circuit disabled
     (driver_threshold=0), so the oracle check exercises the distributed
-    min-label + pointer-doubling loop (graph/components.py:104) — the
-    code path that runs on any graph over 100k edges, i.e. the 100 TB
+    Shiloach–Vishkin-style loop (graph/components.py: hash-min edge
+    pass + root hooking + full path compression per round) — the code
+    path that runs on any graph over 100k edges, i.e. the 100 TB
     path. At sf0.01 the star graph is ~57k edges, which the default gate
     would otherwise route to the driver path; forcing the loop gives
     the distributed implementation a direct driver-gate correctness

@@ -1478,7 +1478,9 @@ def _text_source_dir(sf_dir: str, fmt: str) -> str:
             # f-string concatenation would silently corrupt such rows
             import csv
 
-            w = csv.writer(f)
+            # lineterminator='\n': csv.writer defaults to CRLF with
+            # newline='' files; keep the fixture's LF byte format
+            w = csv.writer(f, lineterminator="\n")
             w.writerow(["n_nationkey", "n_name", "n_regionkey"])
             for r in rows:
                 w.writerow([r["n_nationkey"], r["n_name"], r["n_regionkey"]])

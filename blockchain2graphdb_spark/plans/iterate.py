@@ -35,6 +35,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+_WARNED_FALLBACK = False
+
 
 def local_checkpoint(
     df: DataFrame, eager: bool = True, reset_stats: bool = True
@@ -81,5 +83,20 @@ def local_checkpoint(
         out._b2g_ckpt_origin = ck
         return out
     except Exception:
-        # internals moved (future Spark) — correct but slow fallback
+        # internals moved (future Spark) — correct but slow fallback.
+        # Warn once so the exponential driver-side stats blow-up past
+        # ~15 rounds is discoverable instead of a silent perf cliff.
+        global _WARNED_FALLBACK
+        if not _WARNED_FALLBACK:
+            _WARNED_FALLBACK = True
+            import warnings
+
+            warnings.warn(
+                "local_checkpoint: LogicalRDD stats-reset rebuild failed "
+                "(Spark internals changed?); falling back to plain "
+                "localCheckpoint. Iterative fixpoints may slow down "
+                "exponentially past ~15 rounds.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         return ck

@@ -176,7 +176,7 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us FROM events
     ),
     f AS (
-      SELECT user_id, us,
+      SELECT user_id, event_id, us,
              CASE WHEN lag(us) OVER w IS NULL
                     OR us - lag(us) OVER w >= 1800000000
                   THEN 1 ELSE 0 END AS new_s
@@ -184,7 +184,7 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     s AS (
       SELECT user_id, us,
-             SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
                               ROWS UNBOUNDED PRECEDING) AS sess
       FROM f
     )
