@@ -79,7 +79,7 @@ def connected_components(
     # lazy checkpoint + count: the count action materializes the
     # checkpoint, so the short-circuit gate and the materialization are
     # ONE driver-visible job instead of two
-    sym = sym.localCheckpoint(eager=False)
+    sym = sym.localCheckpoint(eager=True)
     n_edges = sym.count()
 
     # tiny graphs short-circuit to driver-side union-find: the
@@ -232,9 +232,9 @@ def list_rank(
             .otherwise(F.lit(1))
             .alias("dist"),
         ),
-        eager=False,
+        eager=True,
     )
-    # lazy checkpoint: this count both materializes it and sizes the hint
+    # eager checkpoint (metrics-lifecycle safe); the count sizes the hint
     hint = F.broadcast if cur.count() <= broadcast_nodes else (lambda df: df)
 
     for i in range(max_iter):

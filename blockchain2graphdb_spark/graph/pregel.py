@@ -60,7 +60,7 @@ def pregel(
     if initial_msg is not None:
         v = v.select("id", vprog(F.col("attr"), initial_msg).alias("attr"))
     # lazy checkpoint: the hint-sizing count doubles as materialization
-    v = v.localCheckpoint(eager=False)
+    v = v.localCheckpoint(eager=True)
     hint = F.broadcast if v.count() <= broadcast_nodes else (lambda df: df)
 
     for i in range(max_iter):

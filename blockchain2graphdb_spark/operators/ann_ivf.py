@@ -98,7 +98,7 @@ def kmeans_fit(
     + one (cell, dim)-keyed aggregation — the mergeable-state shape that
     scales to any point count; k and dims bound the shuffle, not rows.
     """
-    pts = points.select("vec_id", "q").localCheckpoint(eager=False)
+    pts = points.select("vec_id", "q").localCheckpoint(eager=True)
     cents = (
         pts.orderBy("vec_id")
         .limit(k)
@@ -247,7 +247,7 @@ def kmeans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
     emb = table(spark, sf_dir, "embeddings")
     q = emb.select("vec_id", quantize("embedding").alias("qv")).localCheckpoint(
-        eager=False
+        eager=True
     )
     cents = (
         q.where(F.col("vec_id") < _KMX_K)

@@ -115,7 +115,7 @@ def minhash_clusters(docs: DataFrame, jaccard_threshold: float = 0.5) -> DataFra
                 )
             ).alias("hs"),
         )
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
 
     # 32 minhash values as one map-side projection (no shuffle).
@@ -335,7 +335,7 @@ def dedup_minhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.array_distinct(_shingles(_tokens(F.col("text")))).alias("gs"),
         )
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
 
     def _md5_perm(j: int):
@@ -911,7 +911,7 @@ def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         dedup_minhash_exact(spark, sf_dir)
         .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     comp = connected_components(pairs, "a", "b", canonical=True)
     clustered = comp.select(

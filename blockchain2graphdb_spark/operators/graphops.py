@@ -67,7 +67,7 @@ def parent_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     seq = orders.select(
         "o_orderkey", "o_custkey", F.row_number().over(w).alias("rn")
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     a = seq.alias("a")
     b = seq.alias("b")
     return a.join(
@@ -352,7 +352,7 @@ def _copurchase_pairs(
     )
     if checkpoint:
         # reused by adjacency + both probes in the callers
-        pairs = pairs.localCheckpoint(eager=False)
+        pairs = pairs.localCheckpoint(eager=True)
         return pairs, pairs.count()
     return pairs, None
 
@@ -570,7 +570,7 @@ def bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = (
         table(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     # both frontier kinds are node-sized (parts / orders); gate the
     # broadcast on the bigger side's row count, read from the parquet
@@ -586,7 +586,7 @@ def bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "part")
         .where(F.col("p_size") == 50)
         .select(F.col("p_partkey").alias("id"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     # textbook frontier BFS: each level expands ONLY the nodes first
     # discovered at the previous level (anti-join against everything
@@ -611,7 +611,7 @@ def bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
             .join(hint(seen), "id", "left_anti")
             .withColumn("dist", F.lit(h))
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
         levels.append(nxt)
         seen = seen.unionByName(nxt.select("id"))
@@ -721,11 +721,11 @@ def pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = pairs.union(
         pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).select(F.col("a").alias("src"), F.col("b").alias("dst")).localCheckpoint(
-        eager=False
+        eager=True
     )
     deg = sym.groupBy(F.col("src").alias("id")).agg(
         F.count(F.lit(1)).alias("deg")
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     n_nodes = deg.count()
     hint = F.broadcast if n_nodes <= 4_000_000 else (lambda df: df)
 
@@ -811,7 +811,7 @@ def personalized_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = pairs.union(
         pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).select(F.col("a").alias("src"), F.col("b").alias("dst")).localCheckpoint(
-        eager=False
+        eager=True
     )
     deg = sym.groupBy(F.col("src").alias("id")).agg(
         F.count(F.lit(1)).alias("deg")
@@ -832,7 +832,7 @@ def personalized_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit(0).cast("long"))
             .alias("r"),
         )
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     n_nodes = base.count()
     hint = F.broadcast if n_nodes <= 4_000_000 else (lambda df: df)
@@ -1173,7 +1173,7 @@ def kcore(
         pairs, n_edges = _copurchase_pairs(spark, sf_dir)
     sym = pairs.union(
         pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     # |sym| = 2·|pairs| by construction — gate the hint without a job;
     # the lazy checkpoint materializes under the first round's aggregate
     hint = F.broadcast if 2 * n_edges <= 8_000_000 else (lambda df: df)
@@ -1181,7 +1181,7 @@ def kcore(
     edges = sym
     for _ in range(max_iter):
         deg = edges.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
-        weak = deg.where(F.col("deg") < k).select("a").localCheckpoint(eager=False)
+        weak = deg.where(F.col("deg") < k).select("a").localCheckpoint(eager=True)
         # the peel set's size doubles as the convergence probe — no
         # separate limit(1).count() job
         if weak.count() == 0:
@@ -1235,7 +1235,7 @@ def _copurchase_pairs_support(
         .agg(F.count(F.lit(1)).alias("support"))
         .where(F.col("support") >= min_support)
         .select("a", "b")
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     return pairs, pairs.count()
 
@@ -1478,7 +1478,7 @@ def sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         weighted.select(
             F.col("b").alias("src"), F.col("a").alias("dst"), "cost"
         )
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     # the broadcast side is the node-sized frontier table, so gate on
     # the actual node count (sym is symmetric: src spans every node) —
     # same 4M-node bound as pagerank_exact, one count on the
@@ -1565,7 +1565,7 @@ def hits_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "lineitem")
         .select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     # the broadcast sides are the hub/authority score tables (one row
     # per distinct supplier / part), so gate on those counts directly

@@ -363,7 +363,7 @@ def taint_flow_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0))
         .cast("long")
         .alias("floor"),
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     n_outs = outs.count()
     hint = F.broadcast if n_outs <= 4_000_000 else (lambda df: df)
 
