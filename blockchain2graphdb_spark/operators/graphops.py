@@ -1756,3 +1756,149 @@ def link_prediction_aa(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.col("aa_score").desc(), "a", "b").limit(50)
+
+
+def _lpa_oracle(rounds: int) -> str:
+    """Unrolled MATERIALIZED-CTE twin of label_propagation: r rounds of
+    synchronous most-frequent-neighbor-label updates with (count DESC,
+    label ASC) tie-breaking over the star-contraction wallet graph.
+    MATERIALIZED is load-bearing (STATUS: default inlining expands
+    chained self-referencing CTEs exponentially)."""
+    ctes = [
+        """raw AS MATERIALIZED (
+      SELECT mn AS src, l_partkey AS dst FROM (
+        SELECT l_partkey,
+               MIN(l_partkey) OVER (PARTITION BY l_orderkey) AS mn
+        FROM lineitem
+      ) WHERE mn <> l_partkey
+    )""",
+        """sym AS MATERIALIZED (
+      SELECT src, dst FROM raw UNION SELECT dst, src FROM raw
+    )""",
+        "l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lbl FROM sym)",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""c{r} AS MATERIALIZED (
+      SELECT e.src AS node, l.lbl, COUNT(*) AS cnt
+      FROM sym e JOIN l{r - 1} l ON l.node = e.dst
+      GROUP BY e.src, l.lbl
+    )"""
+        )
+        ctes.append(
+            f"""l{r} AS MATERIALIZED (
+      SELECT node, lbl FROM (
+        SELECT node, lbl,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY cnt DESC, lbl ASC) AS rn
+        FROM c{r}
+      ) WHERE rn = 1
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT node AS part, lbl AS community FROM l{rounds}"
+    )
+
+
+_LPA_ROUNDS = 3
+
+
+@query("label_propagation", oracle=_lpa_oracle(_LPA_ROUNDS))
+def label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection via synchronous label propagation (LPA,
+    Raghavan et al. 2007) over the star-contraction wallet graph — the
+    deterministic variant: every round each node adopts the most
+    frequent label among its neighbors, ties broken toward the SMALLER
+    label, for a fixed number of rounds (asynchronous/random-order LPA
+    is not oracle-checkable). Bounded iteration is replayed by an
+    unrolled MATERIALIZED-CTE oracle, the sssp_weighted technique.
+
+    Scale shape: each round is one keyed join (labels into the
+    symmetric edge list) + one (node,label) count aggregate + one
+    partitioned top-1 window — all shuffles on node ids, never
+    pairwise; the loop-carried label table goes through the
+    stats-reset checkpoint (plans/iterate.py) so driver-side plan
+    analysis stays flat. The label pick maximizes the (cnt, -lbl)
+    struct — max_by, no sort."""
+    prep(spark)
+    li = table(spark, sf_dir, "lineitem")
+    mins = li.groupBy("l_orderkey").agg(F.min("l_partkey").alias("src"))
+    raw = (
+        li.join(mins, "l_orderkey")
+        .select("src", F.col("l_partkey").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    sym = (
+        raw.unionByName(raw.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    labels = sym.select(F.col("src").alias("node")).distinct().withColumn(
+        "lbl", F.col("node")
+    )
+    for _ in range(_LPA_ROUNDS):
+        votes = (
+            sym.join(labels.select(F.col("node").alias("dst"), "lbl"), "dst")
+            .groupBy(F.col("src").alias("node"), "lbl")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = local_checkpoint(
+            votes.groupBy("node").agg(
+                F.max_by("lbl", F.struct(F.col("cnt"), (-F.col("lbl")).alias("neg"))).alias(
+                    "lbl"
+                )
+            )
+        )
+    return labels.select(F.col("node").alias("part"), F.col("lbl").alias("community"))
+
+
+@query(
+    "degree_histogram",
+    oracle="""
+    WITH raw AS (
+      SELECT mn AS src, l_partkey AS dst FROM (
+        SELECT l_partkey,
+               MIN(l_partkey) OVER (PARTITION BY l_orderkey) AS mn
+        FROM lineitem
+      ) WHERE mn <> l_partkey
+    ),
+    sym AS (SELECT DISTINCT src, dst FROM (
+      SELECT src, dst FROM raw UNION ALL SELECT dst, src FROM raw
+    )),
+    deg AS (SELECT src AS node, COUNT(*) AS deg FROM sym GROUP BY src)
+    SELECT CAST(length(bin(deg)) - 1 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(MIN(deg) AS BIGINT) AS min_deg,
+           CAST(MAX(deg) AS BIGINT) AS max_deg
+    FROM deg GROUP BY length(bin(deg)) - 1
+    """,
+)
+def degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed degree distribution of the wallet graph — the
+    skew diagnostic every graph pipeline runs before choosing a join
+    strategy (a heavy top bucket means salting / wedge-stream forms;
+    cf. triangle_count's mega-hub note, VERDICT r6). The bucket is
+    floor(log2(deg)) computed as length(bin(deg)) - 1 — pure integer/
+    string primitives with identical semantics in both engines, no
+    float log boundary risk. Two aggregates, both map-side
+    combinable; output is O(log maxdeg) rows."""
+    prep(spark)
+    li = table(spark, sf_dir, "lineitem")
+    mins = li.groupBy("l_orderkey").agg(F.min("l_partkey").alias("src"))
+    raw = (
+        li.join(mins, "l_orderkey")
+        .select("src", F.col("l_partkey").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+    )
+    sym = raw.unionByName(
+        raw.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    deg = sym.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
+    bucket = (F.length(F.bin("deg")) - 1).cast("long").alias("bucket")
+    return deg.groupBy(bucket).agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.min("deg").cast("long").alias("min_deg"),
+        F.max("deg").cast("long").alias("max_deg"),
+    )

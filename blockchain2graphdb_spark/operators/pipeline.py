@@ -935,3 +935,92 @@ def chunk_embed_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 chunk_embed_retrieve.__doc__ = chunk_embed_retrieve.__doc__.format(k=_RAG_TOPK)
+
+
+@query(
+    "doc_length_band",
+    oracle="""
+    WITH q AS (
+      SELECT quantile_cont(CAST(n_chars AS DOUBLE), 0.10) AS lo,
+             quantile_cont(CAST(n_chars AS DOUBLE), 0.90) AS hi
+      FROM documents
+    )
+    SELECT d.doc_id, d.n_chars, d.source
+    FROM documents d, q
+    WHERE CAST(d.n_chars AS DOUBLE) >= q.lo AND CAST(d.n_chars AS DOUBLE) <= q.hi
+    """,
+)
+def doc_length_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9 curation: keep documents inside the corpus P10–P90 length
+    band — the outlier-trimming filter (too-short = boilerplate/noise,
+    too-long = concatenation artifacts) applied before tokenization.
+    Exact linearly-interpolated percentiles (Spark `percentile` ≙
+    DuckDB `quantile_cont`, the agg_percentile anchor) computed in one
+    1-row aggregate that broadcasts into the filter scan — two passes
+    over doc METADATA (n_chars only, column-pruned; payloads never
+    move). At 100 TB the declared scale path swaps the exact
+    percentile for approx_percentile's mergeable sketch — the band
+    bounds are thresholds, not reported values."""
+    prep(spark)
+    docs = table(spark, sf_dir, "documents")
+    band = docs.agg(
+        F.expr("percentile(CAST(n_chars AS DOUBLE), 0.10)").alias("lo"),
+        F.expr("percentile(CAST(n_chars AS DOUBLE), 0.90)").alias("hi"),
+    )
+    return (
+        docs.crossJoin(F.broadcast(band))
+        .where(
+            (F.col("n_chars").cast("double") >= F.col("lo"))
+            & (F.col("n_chars").cast("double") <= F.col("hi"))
+        )
+        .select("doc_id", "n_chars", "source")
+    )
+
+
+@query(
+    "join_skew_report",
+    oracle="""
+    WITH c AS (
+      SELECT l_partkey AS key, COUNT(*) AS n FROM lineitem GROUP BY l_partkey
+    ),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS total, CAST(COUNT(*) AS BIGINT) AS n_keys
+          FROM c)
+    SELECT c.key, CAST(c.n AS BIGINT) AS n,
+           CAST(c.n AS DOUBLE) / CAST(t.total AS DOUBLE) AS share,
+           CAST(c.n * t.n_keys AS DOUBLE) / CAST(t.total AS DOUBLE) AS skew_factor
+    FROM c, t
+    ORDER BY c.n DESC, c.key ASC LIMIT 10
+    """,
+)
+def join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ops diagnostic: the top-10 heaviest values of a join key
+    (lineitem.l_partkey) with their row share and skew factor
+    (count / mean-count) — the pre-flight check that decides between a
+    plain shuffle join, AQE skew splitting, and explicit salting
+    (ARCHITECTURE §8). One map-side-combinable count aggregate, a
+    1-row broadcast total, and a TakeOrderedAndProject top-10 — no
+    global sort, no collect. The shares are double divisions of
+    identical exact ints, so the report itself is oracle-checkable."""
+    prep(spark)
+    c = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_partkey").alias("key"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    t = c.agg(
+        F.sum("n").cast("long").alias("total"), F.count(F.lit(1)).cast("long").alias("n_keys")
+    )
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "key",
+            F.col("n").cast("long").alias("n"),
+            (F.col("n").cast("double") / F.col("total").cast("double")).alias("share"),
+            (
+                (F.col("n") * F.col("n_keys")).cast("double")
+                / F.col("total").cast("double")
+            ).alias("skew_factor"),
+        )
+        .orderBy(F.col("n").desc(), F.col("key").asc())
+        .limit(10)
+    )

@@ -496,3 +496,57 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             " CAST(0 AS BIGINT), (acc, x) -> greatest(acc, x))"
         ).alias("max_err"),
     )
+
+
+@query(
+    "dedup_embedding_exact",
+    oracle="""
+    WITH corpus AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 10 = 0
+    ),
+    q AS (
+      SELECT vec_id,
+             md5(array_to_string(
+               list_transform(embedding,
+                 x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)),
+               ',')) AS fp
+      FROM corpus
+    )
+    SELECT vec_id,
+           MIN(vec_id) OVER (PARTITION BY fp) AS keep_id,
+           CAST(COUNT(*) OVER (PARTITION BY fp) AS BIGINT) AS group_size
+    FROM q
+    """,
+)
+def dedup_embedding_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2/X3 exact twin of dedup_embedding_lsh: byte-identical embedding
+    dedup via a quantized-vector fingerprint — round(x*1000) per
+    dimension (functions/vectors.quantize, the embedding_quantize
+    scale), serialized canonically and md5'd to a 16-byte group key.
+    The fixture has no natural duplicate vectors, so the corpus is
+    seeded with a re-ingested tenth of itself under shifted ids (the
+    dedup_incremental technique) — every seeded vector lands in a
+    2-group whose keeper is the original id.
+
+    Scale shape: fingerprinting is map-side (one higher-order transform
+    + md5 per row); the only shuffle is the 16-byte-key group — vector
+    payloads never move, exactly the dedup_exact contract. keep_id =
+    min vec_id per fingerprint via a partitioned window (no
+    self-join)."""
+    prep(spark)
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = emb.unionByName(
+        emb.where(F.col("vec_id") % 10 == 0).select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+        )
+    )
+    fp = F.md5(F.array_join(quantize("embedding"), ",")).alias("fp")
+    q = corpus.select("vec_id", fp)
+    w = W.partitionBy("fp")
+    return q.select(
+        "vec_id",
+        F.min("vec_id").over(w).alias("keep_id"),
+        F.count(F.lit(1)).over(w).cast("long").alias("group_size"),
+    )

@@ -779,3 +779,72 @@ def bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 bpe_merge_pairs.__doc__ = bpe_merge_pairs.__doc__.format(k=_BPE_TOPK)
+
+
+@query(
+    "text_surprisal",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    f AS (SELECT doc_id, t FROM toks WHERE t <> ''),
+    cnts AS (SELECT t, COUNT(*) AS c FROM f GROUP BY t),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cnts),
+    contrib AS (
+      SELECT f.doc_id,
+             CAST(ROUND(ln(CAST(tot.n AS DOUBLE) / CAST(c.c AS DOUBLE)) * 1e9)
+                  AS BIGINT) AS nanos
+      FROM f JOIN cnts c ON c.t = f.t, tot
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(nanos) AS BIGINT) AS surprisal_nanos,
+           CAST(SUM(nanos) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1e9
+             AS avg_surprisal
+    FROM contrib GROUP BY doc_id
+    """,
+)
+def text_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 quality scoring via a corpus unigram language model: per-doc
+    total and mean surprisal -ln p(t) with p(t) = count(t)/N over the
+    whole corpus — the perplexity-style filter (boilerplate scores low,
+    rare-token noise scores high) used to rank training documents.
+    Per-token contributions are quantized to integer nanos BEFORE the
+    per-doc sum (the text_search_bm25 technique), so the aggregate is
+    an order-independent int64 sum and bit-identical across engines;
+    the mean is one double division of identical ints at the end.
+
+    Scale shape: tokenization is a builtin split/explode (no Python);
+    the unigram table is a (token, count) aggregate — vocabulary-sized,
+    so the scoring join broadcasts it when small and hash-joins on the
+    token key otherwise; the corpus total is a 1-row aggregate
+    cross-joined in (broadcast by construction). Nothing is ever
+    pairwise and the raw corpus is scanned exactly twice (count pass,
+    score pass)."""
+    prep(spark)
+    toks = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+        .where(F.col("t") != "")
+    )
+    cnts = toks.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnts.agg(F.sum("c").cast("long").alias("n"))
+    contrib = (
+        toks.join(cnts, "t")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(F.col("n").cast("double") / F.col("c").cast("double")) * 1e9
+            )
+            .cast("long")
+            .alias("nanos"),
+        )
+    )
+    return contrib.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("nanos").cast("long").alias("surprisal_nanos"),
+        (
+            F.sum("nanos").cast("double") / F.count(F.lit(1)).cast("double") / F.lit(1e9)
+        ).alias("avg_surprisal"),
+    )

