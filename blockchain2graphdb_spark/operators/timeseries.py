@@ -94,6 +94,12 @@ def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("min_value"),
         F.max("value").alias("max_value"),
     )
+    # materialize the hour grain once: without this the union's two
+    # branches each re-derive it from raw (two FileScans in the static
+    # plan — verified with .explain); the hourly aggregate is
+    # cardinality |event_type| x |hours|, i.e. tiny relative to raw,
+    # which is exactly the continuous-aggregate contract
+    hour = hour.localCheckpoint(eager=True)
     day = hour.groupBy(
         "event_type",
         (F.expr(f"bucket_start_us div {_DAY_US}") * _DAY_US).alias("bucket_start_us"),

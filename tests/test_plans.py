@@ -46,6 +46,11 @@ _ITERATIVE = {
     "snapshot_time_travel",
     "snapshot_reorg_overwrite",
     "sample_stratified",
+    # round-8 builders that run a job on call (eager checkpoint of the
+    # hour grain / components' driver-threshold count / LPA rounds)
+    "hypertable_rollup",
+    "record_linkage",
+    "label_propagation",
 }
 
 _PLAN_KEYS = sorted(set(SPECS) - _EXECUTING - _ITERATIVE)

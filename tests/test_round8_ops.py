@@ -1,0 +1,152 @@
+"""Round-8 operator tests: plan-shape assertions for the new
+time-series / linkage / scoring operators plus the re-aggregation and
+fill-totality invariants their docstrings claim (SURVEY.md §4/§5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from blockchain2graphdb_spark import registry
+from blockchain2graphdb_spark.catalog import table
+from blockchain2graphdb_spark.exact import dec2
+from blockchain2graphdb_spark.plans.inspect import executed_plan_string, plan_string
+
+from conftest import SF_DIR
+
+SPECS = registry.load_all()
+
+
+def _df(name, spark):
+    return SPECS[name].builder(spark, SF_DIR)
+
+
+def test_hypertable_day_equals_day_from_raw(spark):
+    """The continuous-aggregate invariant: the day grain derived from
+    hour partials must equal a direct day aggregation of the raw table
+    (counts/decimal sums are associative, min/max idempotent)."""
+    _DAY_US = 24 * 3600 * 1_000_000
+    rolled = {
+        tuple(r)
+        for r in _df("hypertable_rollup", spark)
+        .where(F.col("grain") == "day")
+        .drop("grain")
+        .collect()
+    }
+    e = table(spark, SF_DIR, "events").select(
+        "event_type", F.unix_micros("ts").alias("us"), "value"
+    )
+    direct = {
+        tuple(r)
+        for r in e.groupBy(
+            "event_type",
+            (F.expr(f"us div {_DAY_US}") * _DAY_US).alias("bucket_start_us"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec2("value")).cast("double").alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .collect()
+    }
+    assert rolled == direct
+
+
+def test_gap_fill_is_total_and_dense(spark):
+    """Every grid bucket gets a non-null fill (the span's first bucket is
+    observed by construction), and per-user buckets are hour-contiguous."""
+    rows = _df("gap_fill_locf", spark).collect()
+    assert rows and all(r.value_filled is not None for r in rows)
+    _HOUR_US = 3600 * 1_000_000
+    by_user: dict[int, list[int]] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r.bucket_start_us)
+    for buckets in by_user.values():
+        buckets.sort()
+        assert all(b - a == _HOUR_US for a, b in zip(buckets, buckets[1:]))
+
+
+def test_gap_fill_carries_last_observation(spark):
+    """A was_gap row's fill equals the nearest preceding observed value."""
+    rows = sorted(
+        _df("gap_fill_locf", spark).collect(),
+        key=lambda r: (r.user_id, r.bucket_start_us),
+    )
+    last_obs: dict[int, float] = {}
+    for r in rows:
+        if r.was_gap:
+            assert r.value_filled == last_obs[r.user_id]
+        else:
+            last_obs[r.user_id] = r.value_filled
+
+
+def test_record_linkage_blocking_is_equi_join(spark):
+    """Candidate generation must be a blocking-key hash/merge equi-join —
+    a Cartesian or nested-loop pairwise compare is the scale-killer the
+    blocking stage exists to avoid."""
+    s = executed_plan_string(_df("record_linkage", spark))
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+    assert "HashJoin" in s or "SortMergeJoin" in s, s
+
+
+def test_record_linkage_partitions_entities(spark):
+    """Entity assignment is a partition of the input: every record
+    appears exactly once, entity sizes are consistent, and every
+    fixture block of 10 consecutive names collapses to one entity."""
+    rows = _df("record_linkage", spark).collect()
+    keys = [r.c_custkey for r in rows]
+    assert len(keys) == len(set(keys))
+    from collections import Counter
+
+    sizes = Counter(r.entity_id for r in rows)
+    assert all(sizes[r.entity_id] == r.entity_size for r in rows)
+    for r in rows:
+        assert r.entity_id == (r.c_custkey // 10) * 10
+
+
+def test_join_skew_report_is_take_ordered(spark):
+    """The top-10 cut must plan as TakeOrderedAndProject (no global
+    sort), with the 1-row total broadcast."""
+    s = plan_string(_df("join_skew_report", spark))
+    assert "TakeOrderedAndProject" in s, s
+    assert "BroadcastExchange" in s, s
+
+
+def test_surprisal_and_band_filters_stay_jvm_side(spark):
+    """The scoring joins must not fall back to row-at-a-time Python and
+    must broadcast their 1-row aggregate sides."""
+    for key in ("text_surprisal", "doc_length_band"):
+        s = plan_string(_df(key, spark))
+        assert "BatchEvalPython" not in s, key
+        assert "BroadcastExchange" in s, key
+
+
+def test_label_propagation_is_fixpoint_on_stars(spark):
+    """On the star-contraction wallet graph every component has diameter
+    2 through its hub, so 3 deterministic LPA rounds must agree with
+    connected components on the grouping (hub-labeled communities =
+    wallet components)."""
+    lpa = {r.part: r.community for r in _df("label_propagation", spark).collect()}
+    cc = {r.part: r.component for r in _df("wallet_components", spark).collect()}
+    assert set(lpa) == set(cc)
+    # LPA communities refine or equal the connected components: two nodes
+    # in different components can never share a community label
+    for node, comm in lpa.items():
+        assert cc[node] == cc[comm]
+
+
+def test_dedup_embedding_exact_finds_seeded_dups(spark):
+    """Every seeded re-ingest (vec_id % 10 == 0, shifted by 1e6) must
+    land in a group of >= 2 keeping the original id; unseeded vectors
+    stay singletons keeping themselves."""
+    rows = _df("dedup_embedding_exact", spark).collect()
+    by_id = {r.vec_id: r for r in rows}
+    for r in rows:
+        if r.vec_id >= 1_000_000:
+            orig = r.vec_id - 1_000_000
+            assert r.keep_id == by_id[orig].keep_id == orig
+            assert r.group_size >= 2
+        elif r.vec_id % 10 != 0:
+            assert r.keep_id == r.vec_id and r.group_size == 1
