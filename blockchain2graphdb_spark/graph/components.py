@@ -29,10 +29,23 @@ computed — BlockchainToGraph.java:29/58/896 leave the counter at 0).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from ..plans.iterate import local_checkpoint
+
+
+def _observed_checkpoint(df: DataFrame, metric):
+    """Checkpoint the round's result with the convergence metric
+    computed DURING materialization: `observe()` metrics are collected
+    by the eager localCheckpoint's own job (verified: Observation.get
+    returns in ~40ms with no extra job), so per-round fixpoint probes
+    cost zero jobs — previously each probe was a separate
+    limit(1).count() over the checkpoint blocks. Returns (checkpointed
+    df with stats reset, metric value)."""
+    obs = Observation()
+    ck = local_checkpoint(df.observe(obs, metric.alias("m")))
+    return ck, obs.get["m"]
 
 
 def connected_components(
@@ -155,43 +168,36 @@ def connected_components(
         root_min = new1.groupBy(F.col("comp").alias("root")).agg(
             F.min("new1").alias("root_min")
         )
-        stepped = local_checkpoint(
+        # the outer fixpoint probe rides the checkpoint job (observe):
+        # hooking+compression converge in O(log n) rounds, and the
+        # compression inner loop below is skipped entirely on the last
+        stepped, changed = _observed_checkpoint(
             new1.join(hint(root_min), new1.node == root_min.root, "left").select(
                 "node",
                 "comp",
                 F.least(
                     F.col("new1"), F.coalesce(F.col("root_min"), F.col("new1"))
                 ).alias("new_comp"),
-            )
-        )
-        # outer fixpoint probe every round: hooking+compression converge
-        # in O(log n) rounds, so per-round probes are few and the
-        # compression inner loop below is skipped entirely on the last
-        changed = (
-            stepped.where(F.col("new_comp") != F.col("comp")).limit(1).count()
+            ),
+            F.count(F.when(F.col("new_comp") != F.col("comp"), 1)),
         )
         comp = stepped.select("node", F.col("new_comp").alias("comp"))
         if changed == 0:
             converged = True
             break
-        for j in range(max_iter):
+        for _j in range(max_iter):
             lut = comp.select(F.col("node").alias("lk"), F.col("comp").alias("lv"))
-            jumped = local_checkpoint(
+            jumped, still_moving = _observed_checkpoint(
                 comp.join(hint(lut), comp.comp == lut.lk, "left").select(
                     "node",
                     "comp",
                     F.coalesce(F.col("lv"), F.col("comp")).alias("new_comp"),
-                )
+                ),
+                F.count(F.when(F.col("new_comp") != F.col("comp"), 1)),
             )
             comp = jumped.select("node", F.col("new_comp").alias("comp"))
-            if (j + 1) % probe_every == 0 or j == max_iter - 1:
-                if (
-                    jumped.where(F.col("new_comp") != F.col("comp"))
-                    .limit(1)
-                    .count()
-                    == 0
-                ):
-                    break
+            if still_moving == 0:
+                break
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge within {max_iter}"
@@ -218,11 +224,11 @@ def list_rank(
     count (known after the first materialization) stays under
     broadcast_nodes; above it, shuffled self-joins.
 
-    The liveness probe is amortized to every `probe_every` rounds: the
-    loop bound is deterministic (ceil(log2 L) jumps), resolved rounds
-    are no-ops (null ptr keeps dist unchanged), and a probe per round
-    costs more fixed scheduler latency than the at most one extra no-op
-    round. max_iter (chains up to 2^64) is a divergence backstop only.
+    The liveness probe rides the per-round checkpoint job as an
+    `observe()` metric (zero extra jobs), so the loop exits exactly at
+    resolution; `probe_every` is retained for API compatibility but no
+    longer matters. max_iter (chains up to 2^64) is a divergence
+    backstop only.
     """
     cur = local_checkpoint(
         links.select(
@@ -244,7 +250,11 @@ def list_rank(
         ).alias("y")
         # stats-reset checkpoint: self-join squares preserved size
         # estimates every round (see connected_components / STATUS.md)
-        cur = local_checkpoint(
+        # the liveness probe rides the checkpoint job (observe): an
+        # unresolved-pointer count per round costs zero extra jobs, so
+        # the loop exits exactly at resolution instead of up to
+        # probe_every - 1 no-op rounds later
+        cur, unresolved = _observed_checkpoint(
             a.join(hint(b), F.col("x.ptr") == F.col("y.b_id"), "left").select(
                 F.col("x.id").alias("id"),
                 F.when(F.col("x.ptr").isNull(), F.lit(None))
@@ -256,11 +266,11 @@ def list_rank(
                         F.col("x.ptr").isNull() | F.col("y.b_dist").isNull(), F.lit(0)
                     ).otherwise(F.col("y.b_dist"))
                 ).alias("dist"),
-            )
+            ),
+            F.count(F.when(F.col("ptr").isNotNull(), 1)),
         )
-        if (i + 1) % probe_every == 0:
-            if cur.where(F.col("ptr").isNotNull()).limit(1).count() == 0:
-                break
+        if unresolved == 0:
+            break
     return cur.select("id", (F.col("dist") + 1).alias("pos"))
 
 

@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..plans.iterate import local_checkpoint
+from .components import _observed_checkpoint
 
 
 def pregel(
@@ -51,10 +52,11 @@ def pregel(
     superstep streams the edges map-side; larger graphs fall back to
     keyed shuffles with AQE skew handling.
 
-    The convergence probe is amortized to every `probe_every` supersteps
-    (a fixpoint superstep changes no attrs, so overshooting by one round
-    is safe); a probe per superstep spends a driver-visible job per
-    round on scheduler latency alone.
+    The convergence probe rides the per-superstep checkpoint job as an
+    `observe()` metric (components._observed_checkpoint), so checking
+    every superstep costs zero extra jobs and the loop exits exactly at
+    the fixpoint. `probe_every` is retained for API compatibility but
+    no longer matters.
     """
     v = vertices.select("id", "attr")
     if initial_msg is not None:
@@ -81,27 +83,29 @@ def pregel(
             .agg(agg_msg(F.col("msg")).alias("msg"))
         )
         # stats-reset checkpoint (plans/iterate.py): the superstep joins
-        # square preserved size estimates every round otherwise
-        stepped = local_checkpoint(
-            v.join(hint(msgs), "id", "left").select(
-                "id",
-                "attr",
-                F.when(F.col("msg").isNotNull(), vprog(F.col("attr"), F.col("msg")))
-                .otherwise(F.col("attr"))
-                .alias("new_attr"),
-            )
+        # square preserved size estimates every round otherwise. The
+        # convergence probe rides the checkpoint job via observe() —
+        # zero extra jobs per superstep (components._observed_checkpoint)
+        updated = v.join(hint(msgs), "id", "left").select(
+            "id",
+            "attr",
+            F.when(F.col("msg").isNotNull(), vprog(F.col("attr"), F.col("msg")))
+            .otherwise(F.col("attr"))
+            .alias("new_attr"),
         )
-        v = stepped.select("id", F.col("new_attr").alias("attr"))
-        # check_convergence=False runs exactly max_iter supersteps and
-        # saves every probe job (fixed-iteration algorithms)
-        if check_convergence and ((i + 1) % probe_every == 0 or i == max_iter - 1):
-            changed = (
-                stepped.where(~F.col("new_attr").eqNullSafe(F.col("attr")))
-                .limit(1)
-                .count()
+        if check_convergence:
+            stepped, changed = _observed_checkpoint(
+                updated,
+                F.count(F.when(~F.col("new_attr").eqNullSafe(F.col("attr")), 1)),
             )
+            v = stepped.select("id", F.col("new_attr").alias("attr"))
             if changed == 0:
                 break
+        else:
+            # check_convergence=False runs exactly max_iter supersteps
+            # (fixed-iteration algorithms) with no metric at all
+            stepped = local_checkpoint(updated)
+            v = stepped.select("id", F.col("new_attr").alias("attr"))
     return v
 
 

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from ..catalog import parquet_num_rows, prep, table
 from ..plans.iterate import local_checkpoint
 from ..graph.components import (
+    _observed_checkpoint,
     connected_components,
     incremental_components,
     list_rank,
@@ -1181,10 +1182,13 @@ def kcore(
     edges = sym
     for _ in range(max_iter):
         deg = edges.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
-        weak = deg.where(F.col("deg") < k).select("a").localCheckpoint(eager=True)
-        # the peel set's size doubles as the convergence probe — no
-        # separate limit(1).count() job
-        if weak.count() == 0:
+        # the peel set's size is an observe() metric on its checkpoint
+        # job (components._observed_checkpoint) — one job per round,
+        # convergence probe included
+        weak, n_weak = _observed_checkpoint(
+            deg.where(F.col("deg") < k).select("a"), F.count(F.lit(1))
+        )
+        if n_weak == 0:
             return deg.select(
                 F.col("a").alias("node"), F.col("deg").cast("long").alias("core_degree")
             )
