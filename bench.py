@@ -58,6 +58,10 @@ SECONDARY = [
     "dedup_cluster_keep_best",  # LSH → Jaccard verify → CC → keeper agg
     "text_search_bm25",         # inverted index + int-quantized BM25
     "chunk_embed_retrieve",     # chunk → embed → retrieve composite
+    "record_linkage",           # blocking → levenshtein verify → CC
+    "hypertable_rollup",        # hour grain + day re-aggregated from it
+    "gap_fill_locf",            # dense resample + carry-forward fill
+    "label_propagation",        # 3-round deterministic LPA
 ]
 
 

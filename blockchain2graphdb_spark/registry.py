@@ -68,6 +68,7 @@ _SAMPLE_PRIORITY = (
     "doc_length_band",
     "join_skew_report",
     "dedup_embedding_exact",
+    "stream_stateful_agg_exact",
     # round-7 additions (witnessed once, r7)
     "wallet_components_dist",
     "wallet_ids_incremental",

@@ -22,7 +22,7 @@ from __future__ import annotations
 import uuid
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import events_raw_schema, normalize_events_ts, prep, table
@@ -649,4 +649,61 @@ def stream_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("value").cast("long").alias("min_value"),
             F.max("value").cast("long").alias("max_value"),
         )
+    )
+
+
+@query(
+    "stream_stateful_agg_exact",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS total_value_centi
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_stateful_agg_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked twin of `stream_stateful_agg` (the r6/r7
+    exact-twin technique): the same applyInPandasWithState fold over a
+    TWO-file replay (so state genuinely persists across micro-batches),
+    but only each key's FINAL state row is kept — n_events strictly
+    increases every batch that touches a key, so the max-n row per key
+    is unique and arrival-order-free, and must equal the batch
+    aggregate (count, exact centi-unit sum). Update-mode intermediates
+    are what make the base key rows-only; the final-state projection is
+    deterministic. Value centi-units go through DECIMAL(18,2)*100 on
+    the oracle side — exact integers, matching the fold's rounded
+    int64 accumulation (fixture values are 2-decimal, so no rounding
+    boundary exists)."""
+    prep(spark)
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    d = _two_file_replay(spark, sf_dir)
+    s = _events_stream(spark, sf_dir, path=d, maxFilesPerTrigger="1").select(
+        "user_id", "value"
+    )
+
+    def fold(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += int((pdf["value"] * 100).round().astype("int64").sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value_centi": [total]}
+        )
+
+    out = s.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType="user_id long, n_events long, total_value_centi long",
+        stateStructType="n long, total long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    updates = _run(spark, out, output_mode="update")
+    w = W.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        updates.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "n_events", "total_value_centi")
     )
