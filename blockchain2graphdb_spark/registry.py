@@ -50,15 +50,15 @@ _OPERATOR_MODULES = (
 )
 
 # The driver's correctness gate samples the FIRST ~50 keys in queries()
-# order, so registration order is the sampling schedule. After round 6
-# every oracle key has been driver-witnessed green at least once
-# (VERDICT r6), so round 7 rotates by WITNESS AGE: the three new round-7
-# keys (never sampled) lead, then the stalest witnesses oldest-first —
-# the r1-r3 relational/agg/join head, which was last checked against
-# fixtures three regenerations ago (VERDICT r6 next-round #4). Keys
-# absent from this list keep their module registration order after it.
+# order, so registration order is the sampling schedule. Round-8 policy
+# (continues VERDICT r6 #4's witness-age rotation): the 10 never-sampled
+# round-8 keys lead, then EVERY oracle key ordered by its oldest driver
+# witness (union of CORRECTNESS_r01..r07; r3-r4 witnesses are now the
+# stalest since r7 re-greened the r1-r3 head), rows-only keys last —
+# oracle evidence is worth more per gate slot than a weak rows-only
+# check. The list is complete (228 keys), so module order no longer
+# matters for sampling.
 _SAMPLE_PRIORITY = (
-    # round-8 additions: never driver-sampled, so they lead
     "hypertable_rollup",
     "gap_fill_locf",
     "record_linkage",
@@ -69,12 +69,155 @@ _SAMPLE_PRIORITY = (
     "join_skew_report",
     "dedup_embedding_exact",
     "stream_stateful_agg_exact",
-    # round-7 additions (witnessed once, r7)
-    "wallet_components_dist",
-    "wallet_ids_incremental",
-    "stream_session_exact",
+    "two_hop_join",
+    "anomaly_daily_zscore",
+    "bfs_distance",
+    "chain_tip",
+    "chain_validity",
+    "clustering_coefficient",
+    "cohort_retention",
+    "contamination_check",
+    "copurchase_weights",
+    "corpus_mixture",
+    "curation_pipeline",
+    "degree_stats",
+    "dup_rate_by_source",
+    "event_transitions",
+    "funnel_conversion",
+    "graph_assortativity",
+    "khop_neighborhood",
+    "layout_zorder",
+    "neighbor_jaccard",
+    "pack_sequences",
+    "parent_lookup",
+    "sample_hash_topk",
+    "sessionize_batch",
+    "split_assign",
+    "text_clean",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_ngram_freq",
+    "text_quality_score",
+    "text_repetition",
+    "text_tfidf",
+    "text_token_stats",
+    "token_count",
+    "topo_order",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "triangle_count",
+    "vocab_coverage",
+    "wallet_components",
+    "window_first_seen",
+    "window_lag",
+    "window_ntile",
+    "window_range_frame",
+    "window_rank",
+    "window_row_number",
+    "window_running_sum",
+    "window_topk_per_group",
+    "blockfile_ingest",
+    "cascade_delete",
+    "dedup_embedding",
+    "dedup_exact",
+    "dedup_keep_best",
+    "dedup_minhash_exact",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_exact",
+    "doc_chunk",
+    "embedding_centroids",
+    "kcore_membership",
+    "kmeans_exact",
+    "multimodal_audio_windows",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "pagerank_exact",
+    "personalized_pagerank_exact",
+    "reorg_rollback",
+    "resume_anti_join",
+    "scd2_history",
+    "similarity_range",
+    "similarity_topk",
+    "sketch_countmin",
+    "snapshot_reorg_overwrite",
+    "snapshot_time_travel",
+    "str_concat",
+    "str_regexp_extract",
+    "stream_events",
+    "stream_file_tail",
+    "stream_merge_sink",
+    "stream_parse",
+    "stream_rate_source",
+    "stream_sliding",
+    "stream_static_join",
+    "stream_stream_join",
+    "stream_tumbling",
+    "taint_flow_exact",
+    "text_phrase_search",
+    "text_pii_mask",
+    "text_search",
+    "text_search_bm25",
+    "udaf_grouped",
+    "udf_scalar",
+    "udf_with_fallback",
+    "udtf_flatmap",
+    "update_columns",
+    "upsert_insert_if_absent",
+    "upsert_merge",
+    "utxo_balances",
+    "agg_mode",
+    "array_explode",
+    "array_ops",
+    "bpe_merge_pairs",
+    "chunk_embed_retrieve",
+    "conditional_flag",
+    "date_compare",
+    "date_parts",
+    "date_trunc_group",
+    "dedup_cluster_keep_best",
+    "dedup_incremental",
+    "dedup_substring",
+    "embedding_quantize",
+    "hits_exact",
+    "json_extract",
+    "link_prediction_aa",
+    "map_ops",
+    "math_ops",
+    "motif_find",
+    "null_coalesce",
+    "orders_rfm",
+    "profile_table",
+    "scan_csv",
+    "scan_jsonl",
+    "sssp_weighted",
+    "str_cast",
+    "str_edit_distance",
+    "str_format",
+    "str_split",
+    "stream_dedup_exact",
+    "tpch_q10",
+    "tpch_q11",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q2",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q22",
+    "tpch_q4",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "unpivot_stack",
+    "window_percent_rank",
     "agg_argmax",
-    "agg_min_max",
     "agg_collect_set",
     "agg_conditional_count",
     "agg_count",
@@ -82,6 +225,7 @@ _SAMPLE_PRIORITY = (
     "agg_cube",
     "agg_first_seen_count",
     "agg_grouping_sets",
+    "agg_min_max",
     "agg_percentile",
     "agg_rollup",
     "agg_salted",
@@ -118,13 +262,31 @@ _SAMPLE_PRIORITY = (
     "set_intersect",
     "set_union",
     "sort_by_key",
+    "stream_session_exact",
     "topk_global",
     "tpch_q12_shape",
-    "two_hop_join",
-    "anomaly_daily_zscore",
-    "bfs_distance",
-    "chain_tip",
-    "chain_validity",
+    "wallet_components_dist",
+    "wallet_ids_incremental",
+    "agg_approx_count_distinct",
+    "agg_approx_percentile",
+    "agg_hll_merge",
+    "dedup_embedding_lsh",
+    "dedup_minhash",
+    "dedup_simhash",
+    "kmeans_embeddings",
+    "pagerank",
+    "personalized_pagerank",
+    "sample_stratified",
+    "similarity_bruteforce",
+    "similarity_ivf",
+    "similarity_lsh",
+    "similarity_pq",
+    "stream_dedup",
+    "stream_late_data",
+    "stream_session",
+    "stream_stateful_agg",
+    "stream_watermark",
+    "taint_flow",
 )
 
 
