@@ -29,23 +29,10 @@ computed — BlockchainToGraph.java:29/58/896 leave the counter at 0).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Observation
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..plans.iterate import local_checkpoint
-
-
-def _observed_checkpoint(df: DataFrame, metric):
-    """Checkpoint the round's result with the convergence metric
-    computed DURING materialization: `observe()` metrics are collected
-    by the eager localCheckpoint's own job (verified: Observation.get
-    returns in ~40ms with no extra job), so per-round fixpoint probes
-    cost zero jobs — previously each probe was a separate
-    limit(1).count() over the checkpoint blocks. Returns (checkpointed
-    df with stats reset, metric value)."""
-    obs = Observation()
-    ck = local_checkpoint(df.observe(obs, metric.alias("m")))
-    return ck, obs.get["m"]
+from ..plans.iterate import local_checkpoint, observed_checkpoint
 
 
 def connected_components(
@@ -89,9 +76,9 @@ def connected_components(
     )
     if not canonical:
         sym = sym.distinct()  # single dedup pass after symmetrization
-    # lazy checkpoint + count: the count action materializes the
-    # checkpoint, so the short-circuit gate and the materialization are
-    # ONE driver-visible job instead of two
+    # eager checkpoint (accumulator-lifecycle rule, STATUS r8); the
+    # count that gates the driver short-circuit reads the materialized
+    # blocks
     sym = sym.localCheckpoint(eager=True)
     n_edges = sym.count()
 
@@ -171,7 +158,7 @@ def connected_components(
         # the outer fixpoint probe rides the checkpoint job (observe):
         # hooking+compression converge in O(log n) rounds, and the
         # compression inner loop below is skipped entirely on the last
-        stepped, changed = _observed_checkpoint(
+        stepped, changed = observed_checkpoint(
             new1.join(hint(root_min), new1.node == root_min.root, "left").select(
                 "node",
                 "comp",
@@ -187,7 +174,7 @@ def connected_components(
             break
         for _j in range(max_iter):
             lut = comp.select(F.col("node").alias("lk"), F.col("comp").alias("lv"))
-            jumped, still_moving = _observed_checkpoint(
+            jumped, still_moving = observed_checkpoint(
                 comp.join(hint(lut), comp.comp == lut.lk, "left").select(
                     "node",
                     "comp",
@@ -254,7 +241,7 @@ def list_rank(
         # unresolved-pointer count per round costs zero extra jobs, so
         # the loop exits exactly at resolution instead of up to
         # probe_every - 1 no-op rounds later
-        cur, unresolved = _observed_checkpoint(
+        cur, unresolved = observed_checkpoint(
             a.join(hint(b), F.col("x.ptr") == F.col("y.b_id"), "left").select(
                 F.col("x.id").alias("id"),
                 F.when(F.col("x.ptr").isNull(), F.lit(None))

@@ -23,8 +23,7 @@ from collections.abc import Callable
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..plans.iterate import local_checkpoint
-from .components import _observed_checkpoint
+from ..plans.iterate import local_checkpoint, observed_checkpoint
 
 
 def pregel(
@@ -53,7 +52,7 @@ def pregel(
     keyed shuffles with AQE skew handling.
 
     The convergence probe rides the per-superstep checkpoint job as an
-    `observe()` metric (components._observed_checkpoint), so checking
+    `observe()` metric (plans.iterate.observed_checkpoint), so checking
     every superstep costs zero extra jobs and the loop exits exactly at
     the fixpoint. `probe_every` is retained for API compatibility but
     no longer matters.
@@ -61,7 +60,7 @@ def pregel(
     v = vertices.select("id", "attr")
     if initial_msg is not None:
         v = v.select("id", vprog(F.col("attr"), initial_msg).alias("attr"))
-    # lazy checkpoint: the hint-sizing count doubles as materialization
+    # eager checkpoint (accumulator-lifecycle rule); count sizes the hint
     v = v.localCheckpoint(eager=True)
     hint = F.broadcast if v.count() <= broadcast_nodes else (lambda df: df)
 
@@ -85,7 +84,7 @@ def pregel(
         # stats-reset checkpoint (plans/iterate.py): the superstep joins
         # square preserved size estimates every round otherwise. The
         # convergence probe rides the checkpoint job via observe() —
-        # zero extra jobs per superstep (components._observed_checkpoint)
+        # zero extra jobs per superstep (plans.iterate.observed_checkpoint)
         updated = v.join(hint(msgs), "id", "left").select(
             "id",
             "attr",
@@ -94,7 +93,7 @@ def pregel(
             .alias("new_attr"),
         )
         if check_convergence:
-            stepped, changed = _observed_checkpoint(
+            stepped, changed = observed_checkpoint(
                 updated,
                 F.count(F.when(~F.col("new_attr").eqNullSafe(F.col("attr")), 1)),
             )

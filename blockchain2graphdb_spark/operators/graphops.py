@@ -14,11 +14,11 @@ from pyspark.sql import functions as F
 from ..catalog import parquet_num_rows, prep, table
 from ..plans.iterate import local_checkpoint
 from ..graph.components import (
-    _observed_checkpoint,
     connected_components,
     incremental_components,
     list_rank,
 )
+from ..plans.iterate import observed_checkpoint
 from ..registry import query
 
 
@@ -595,8 +595,8 @@ def bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every node lands in exactly one level, so the result is a plain
     # union — no final MIN aggregate. Every level (seeds included,
     # above) is referenced 3-5× (next frontier, the seen set, the
-    # final union) — the lazy checkpoints materialize each once with
-    # no extra driver-visible job.
+    # final union) — each is checkpointed EAGERLY once (accumulator-
+    # lifecycle rule, STATUS r8) and re-read from blocks thereafter.
     levels = [seeds.withColumn("dist", F.lit(0))]
     seen = seeds
     for h in (1, 2, 3):
@@ -1158,10 +1158,10 @@ def kcore(
     degrees on the induced subgraph, repeat to fixpoint. Each round is
     one keyed degree aggregate + two semi-joins (edge endpoints against
     surviving nodes), with the same iterative discipline as
-    graph/components.py: lineage cut per round via localCheckpoint,
-    lazy checkpoint + count folded into one job, and NO separate
-    convergence probe — the weak-node count the peel needs anyway IS
-    the probe. Rounds = peel depth (typically small; max_iter bounds
+    graph/components.py: lineage cut per round via eager
+    localCheckpoint, and NO separate convergence probe — the weak-node
+    count the peel needs anyway rides the checkpoint job as an
+    observe() metric (plans.iterate.observed_checkpoint). Rounds = peel depth (typically small; max_iter bounds
     pathological chains). The surviving-node side of each semi-join is
     count-gated for broadcast like every loop here; past the gate,
     keyed shuffles with AQE. Exact parity with a pure-Python peel is
@@ -1175,17 +1175,17 @@ def kcore(
     sym = pairs.union(
         pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).localCheckpoint(eager=True)
-    # |sym| = 2·|pairs| by construction — gate the hint without a job;
-    # the lazy checkpoint materializes under the first round's aggregate
+    # |sym| = 2·|pairs| by construction — gate the hint without a job
+    # (the eager checkpoint above materialized sym already)
     hint = F.broadcast if 2 * n_edges <= 8_000_000 else (lambda df: df)
 
     edges = sym
     for _ in range(max_iter):
         deg = edges.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
         # the peel set's size is an observe() metric on its checkpoint
-        # job (components._observed_checkpoint) — one job per round,
+        # job (components.observed_checkpoint) — one job per round,
         # convergence probe included
-        weak, n_weak = _observed_checkpoint(
+        weak, n_weak = observed_checkpoint(
             deg.where(F.col("deg") < k).select("a"), F.count(F.lit(1))
         )
         if n_weak == 0:

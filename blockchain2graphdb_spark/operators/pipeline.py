@@ -1002,10 +1002,15 @@ def join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     global sort, no collect. The shares are double divisions of
     identical exact ints, so the report itself is oracle-checkable."""
     prep(spark)
+    # materialize the key-cardinality count table once: the total
+    # derives from it AND it is the report's left side — without the
+    # checkpoint the biggest-table scan + aggregate runs twice
+    # (verified with .explain; the hypertable_rollup pattern)
     c = (
         table(spark, sf_dir, "lineitem")
         .groupBy(F.col("l_partkey").alias("key"))
         .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
     )
     t = c.agg(
         F.sum("n").cast("long").alias("total"), F.count(F.lit(1)).cast("long").alias("n_keys")

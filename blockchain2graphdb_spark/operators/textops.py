@@ -827,10 +827,21 @@ def text_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(F.split("text", " ")).alias("t"))
         .where(F.col("t") != "")
     )
-    cnts = toks.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    # materialize the vocabulary-sized count table once: tot derives
+    # from it AND the scoring join probes it — without the checkpoint
+    # the plan re-tokenizes and re-aggregates the full corpus for each
+    # consumer (3 scans, verified with .explain; the hypertable_rollup
+    # pattern)
+    cnts = toks.groupBy("t").agg(F.count(F.lit(1)).alias("c")).localCheckpoint(
+        eager=True
+    )
     tot = cnts.agg(F.sum("c").cast("long").alias("n"))
+    # checkpointed plans lose size stats, so gate the vocab broadcast
+    # explicitly (count over materialized blocks — the codebase-wide
+    # discipline); past the gate the scoring join shuffles on the token
+    hint = F.broadcast if cnts.count() <= 4_000_000 else (lambda df: df)
     contrib = (
-        toks.join(cnts, "t")
+        toks.join(hint(cnts), "t")
         .crossJoin(F.broadcast(tot))
         .select(
             "doc_id",

@@ -46,11 +46,14 @@ _ITERATIVE = {
     "snapshot_time_travel",
     "snapshot_reorg_overwrite",
     "sample_stratified",
-    # round-8 builders that run a job on call (eager checkpoint of the
-    # hour grain / components' driver-threshold count / LPA rounds)
+    # round-8 builders that run a job on call (eager checkpoints /
+    # components' driver-threshold count / LPA rounds / count-gated
+    # broadcast hints)
     "hypertable_rollup",
     "record_linkage",
     "label_propagation",
+    "text_surprisal",
+    "join_skew_report",
 }
 
 _PLAN_KEYS = sorted(set(SPECS) - _EXECUTING - _ITERATIVE)
