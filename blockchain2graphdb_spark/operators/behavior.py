@@ -17,7 +17,7 @@ assignment. The funnel's per-step frames are single-row aggregates
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import prep, table
@@ -345,3 +345,134 @@ def orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_cust.select(
         "o_custkey", "recency_days", "frequency", "monetary", seg.alias("segment")
     )
+
+
+_SF_GAP_US = 30 * 60 * 1_000_000
+
+
+def _session_funnel_oracle(steps: tuple[str, ...] = _FUNNEL_STEPS) -> str:
+    body = f"""
+    WITH e AS (
+      SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS us FROM events
+    ),
+    f AS (
+      SELECT user_id, event_id, event_type, us,
+             CASE WHEN lag(us) OVER w IS NULL
+                    OR us - lag(us) OVER w > {_SF_GAP_US}
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ),
+    s AS (
+      SELECT user_id, event_type, us,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sess
+      FROM f
+    ),
+    p1 AS (
+      SELECT user_id, sess, event_type, us,
+             MIN(CASE WHEN event_type = '{steps[0]}' THEN us END)
+               OVER (PARTITION BY user_id, sess) AS t1
+      FROM s
+    ),
+    p2 AS (
+      SELECT user_id, sess, event_type, us, t1,
+             MIN(CASE WHEN event_type = '{steps[1]}' AND us >= t1 THEN us END)
+               OVER (PARTITION BY user_id, sess) AS t2
+      FROM p1
+    ),
+    p3 AS (
+      SELECT user_id, sess, t1, t2,
+             MIN(CASE WHEN event_type = '{steps[2]}' AND us >= t2 THEN us END)
+               OVER (PARTITION BY user_id, sess) AS t3
+      FROM p2
+    ),
+    per_sess AS (
+      SELECT user_id, sess,
+             MAX(t1) AS t1, MAX(t2) AS t2, MAX(t3) AS t3
+      FROM p3 GROUP BY user_id, sess
+    )
+    SELECT 1 AS step_idx, '{steps[0]}' AS step,
+           CAST(COUNT(t1) AS BIGINT) AS n_sessions FROM per_sess
+    UNION ALL
+    SELECT 2, '{steps[1]}', CAST(COUNT(t2) AS BIGINT) FROM per_sess
+    UNION ALL
+    SELECT 3, '{steps[2]}', CAST(COUNT(t3) AS BIGINT) FROM per_sess
+    """
+    return body
+
+
+@query("session_funnel", oracle=_session_funnel_oracle())
+def session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-scoped ordered funnel: within each 30-minute-gap session
+    (sessionize_batch semantics, `>` boundary), how many sessions
+    reached view, view→click (click at-or-after the session's first
+    view), and view→click→purchase. The composite every product
+    analytics stack runs — sessionization feeding an ordered-step
+    chain — expressed as ONE keyed shuffle on user_id: the gap walk
+    (two window passes), the three dependent per-session step minima
+    (window passes over (user, sess) — each step's floor is the
+    previous step's min, so they chain without joins), and the final
+    per-session rollup all reuse the same partitioning. Counts come
+    from one tiny aggregate; steps and oracle derive from
+    _FUNNEL_STEPS (behavior.py discipline).
+
+    At 100 TB: no joins at all — window passes over one partitioning,
+    then a 3-row result. Compare funnel_conversion (global, per-user
+    chains via joins); this is the session-granular form."""
+    prep(spark)
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    worder = W.partitionBy("user_id").orderBy("us", "event_id")
+    f = e.withColumn(
+        "new_s",
+        F.when(
+            F.lag("us").over(worder).isNull()
+            | ((F.col("us") - F.lag("us").over(worder)) > _SF_GAP_US),
+            1,
+        ).otherwise(0),
+    )
+    s = f.withColumn(
+        "sess", F.sum("new_s").over(worder.rowsBetween(W.unboundedPreceding, 0))
+    )
+    ws = W.partitionBy("user_id", "sess")
+    steps = _FUNNEL_STEPS
+    p = s.withColumn(
+        "t1", F.min(F.when(F.col("event_type") == steps[0], F.col("us"))).over(ws)
+    )
+    p = p.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == steps[1]) & (F.col("us") >= F.col("t1")),
+                F.col("us"),
+            )
+        ).over(ws),
+    )
+    p = p.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == steps[2]) & (F.col("us") >= F.col("t2")),
+                F.col("us"),
+            )
+        ).over(ws),
+    )
+    per_sess = p.groupBy("user_id", "sess").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
+    )
+    counts = per_sess.agg(
+        F.count("t1").alias("c1"), F.count("t2").alias("c2"), F.count("t3").alias("c3")
+    )
+    rows = [
+        counts.select(
+            F.lit(i).alias("step_idx"),
+            F.lit(st).alias("step"),
+            F.col(f"c{i}").cast("long").alias("n_sessions"),
+        )
+        for i, st in enumerate(steps, 1)
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out

@@ -1544,3 +1544,61 @@ def scan_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_name").alias("first_name"),
         F.sum("n_nationkey").cast("long").alias("key_sum"),
     )
+
+
+@query(
+    "join_asof_tolerance",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS us FROM events
+    ),
+    m AS (
+      SELECT event_id, us,
+             LAST_VALUE(CASE WHEN event_type = 'error' THEN us END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_err_us
+      FROM e
+    )
+    SELECT event_id,
+           CASE WHEN last_err_us IS NOT NULL
+                 AND us - last_err_us <= 3600000000
+                THEN CAST(us - last_err_us AS BIGINT) END AS staleness_us
+    FROM m
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness tolerance (kdb `aj` / pandas
+    merge_asof(tolerance=...) / TimescaleDB LOCF-with-max-gap): each
+    event picks up the time since the user's most recent prior 'error'
+    ONLY if that error is within 1 hour — older matches are treated as
+    no-match, the semantics every sensor/feature-store join needs so a
+    stale reading never leaks into a feature. Same single-sort window
+    form as join_asof (no N² probing, one partitioning on the key);
+    the tolerance is a post-window predicate on the matched timestamp,
+    so it costs nothing and pushes nothing extra through the shuffle.
+    All math on unix-micro bigints — cross-engine exact."""
+    prep(spark)
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    last_err_us = F.last(
+        F.when(F.col("event_type") == "error", F.col("us")), ignorenulls=True
+    ).over(w)
+    m = ev.withColumn("last_err_us", last_err_us)
+    tol = 3_600_000_000
+    return m.select(
+        "event_id",
+        F.when(
+            F.col("last_err_us").isNotNull()
+            & ((F.col("us") - F.col("last_err_us")) <= tol),
+            (F.col("us") - F.col("last_err_us")).cast("long"),
+        ).alias("staleness_us"),
+    )

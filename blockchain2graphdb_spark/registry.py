@@ -69,6 +69,8 @@ _SAMPLE_PRIORITY = (
     "join_skew_report",
     "dedup_embedding_exact",
     "stream_stateful_agg_exact",
+    "session_funnel",
+    "join_asof_tolerance",
     "two_hop_join",
     "anomaly_daily_zscore",
     "bfs_distance",
