@@ -1839,12 +1839,19 @@ def label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         raw.unionByName(raw.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .localCheckpoint(eager=True)
     )
-    labels = sym.select(F.col("src").alias("node")).distinct().withColumn(
-        "lbl", F.col("node")
+    labels = local_checkpoint(
+        sym.select(F.col("src").alias("node")).distinct().withColumn(
+            "lbl", F.col("node")
+        )
     )
+    # checkpointed label tables carry no size stats, so gate the
+    # broadcast explicitly (the connected_components discipline): while
+    # the node table fits, every round streams the checkpointed edges
+    # map-side with zero edge shuffle
+    hint = F.broadcast if labels.count() <= 4_000_000 else (lambda df: df)
     for _ in range(_LPA_ROUNDS):
         votes = (
-            sym.join(labels.select(F.col("node").alias("dst"), "lbl"), "dst")
+            sym.join(hint(labels.select(F.col("node").alias("dst"), "lbl")), "dst")
             .groupBy(F.col("src").alias("node"), "lbl")
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
