@@ -859,3 +859,70 @@ def text_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("nanos").cast("double") / F.count(F.lit(1)).cast("double") / F.lit(1e9)
         ).alias("avg_surprisal"),
     )
+
+
+@query(
+    "tokenize_to_ids",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, t.i AS pos, l[CAST(t.i AS INT) + 1] AS t
+      FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+           UNNEST(range(len(l))) AS t(i)
+    ),
+    f AS (SELECT doc_id, pos, t FROM toks WHERE t <> ''),
+    vocab AS (
+      SELECT t, row_number() OVER (ORDER BY COUNT(*) DESC, t ASC) AS id
+      FROM f GROUP BY t
+      ORDER BY COUNT(*) DESC, t ASC LIMIT 64
+    )
+    SELECT f.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(CASE WHEN v.id IS NULL THEN 1 END) AS BIGINT) AS n_oov,
+           CAST(SUM((f.pos + 1) * COALESCE(v.id, 0)) AS BIGINT) AS id_checksum
+    FROM f LEFT JOIN vocab v ON v.t = f.t
+    GROUP BY f.doc_id
+    """,
+)
+def tokenize_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 tokenizer-apply stage: build a 64-entry vocabulary (top tokens
+    by frequency, deterministic (count DESC, token ASC) ranking — the
+    vocab_coverage cut) and encode every document as id sequences with
+    OOV = 0 — the map-tokens-to-ids pass every training pipeline runs
+    after tokenizer training (bpe_merge_pairs is the trainer's inner
+    loop; this is the apply side). Because array outputs can't be
+    value-hashed, the encoded sequence is audited as exact integers:
+    token count, OOV count, and the position-weighted id checksum
+    Σ (pos+1)·id — any id or position drift changes it.
+
+    Scale shape: the vocabulary is a TakeOrdered top-64 broadcast into
+    the encoding join (at real vocab sizes, a hash join on the token
+    key); positions come from posexplode (original array positions on
+    BOTH engines, so empty-token filtering cannot desync them); one
+    shuffle to the per-doc aggregate."""
+    prep(spark)
+    toks = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "t"))
+        .where(F.col("t") != "")
+    )
+    vocab = (
+        toks.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("t").asc())
+        .limit(64)
+        .select(
+            "t",
+            F.row_number()
+            .over(W.orderBy(F.col("cnt").desc(), F.col("t").asc()))
+            .cast("long")
+            .alias("id"),
+        )
+    )
+    enc = toks.join(F.broadcast(vocab), "t", "left")
+    return enc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.count(F.when(F.col("id").isNull(), 1)).alias("n_oov"),
+        F.sum((F.col("pos") + 1) * F.coalesce(F.col("id"), F.lit(0)))
+        .cast("long")
+        .alias("id_checksum"),
+    )

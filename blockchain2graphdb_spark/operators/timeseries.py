@@ -191,3 +191,56 @@ def gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("value", ignorenulls=True).over(carry).alias("value_filled"),
         F.col("value").isNull().alias("was_gap"),
     )
+
+
+@query(
+    "rolling_dau",
+    oracle=f"""
+    WITH du AS (
+      SELECT DISTINCT (epoch_ns(ts) // 1000) // {_DAY_US} AS day, user_id
+      FROM events
+    ),
+    dau AS (SELECT day, COUNT(*) AS dau FROM du GROUP BY day),
+    spread AS (
+      SELECT du.day + t.i AS day, du.user_id
+      FROM du, UNNEST(range(7)) AS t(i)
+    ),
+    wau AS (
+      SELECT day, COUNT(DISTINCT user_id) AS wau_trailing FROM spread GROUP BY day
+    )
+    SELECT CAST(d.day * {_DAY_US} AS BIGINT) AS day_start_us,
+           CAST(d.dau AS BIGINT) AS dau,
+           CAST(w.wau_trailing AS BIGINT) AS wau_trailing
+    FROM dau d JOIN wau w ON w.day = d.day
+    """,
+)
+def rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users + trailing-7-day active users per observed day
+    — the engagement rollup every product pipeline computes. The
+    trailing-window DISTINCT is NOT a windowed count-distinct (Spark
+    has none, and a range-join would rescan 7× per day): each (day,
+    user) pair is EXPANDED to the 7 future days it keeps the user
+    "active" for (a map-side `sequence` explode, the gap_fill grid
+    technique), and one count-distinct per target day finishes it.
+    7× row expansion of the DEDUPLICATED (day, user) table — tiny next
+    to raw events — against zero repeated scans; at 100 TB the
+    expansion shuffles once on day. Days outside the observed set are
+    dropped by the final join (dau's day set)."""
+    prep(spark)
+    du = (
+        table(spark, sf_dir, "events")
+        .select(F.unix_micros("ts").alias("us"), "user_id")
+        .select(F.expr(f"us div {_DAY_US}").alias("day"), "user_id")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    dau = du.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    spread = du.select(
+        F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("day"), "user_id"
+    )
+    wau = spread.groupBy("day").agg(F.countDistinct("user_id").alias("wau_trailing"))
+    return dau.join(wau, "day").select(
+        (F.col("day") * _DAY_US).alias("day_start_us"),
+        F.col("dau").cast("long").alias("dau"),
+        F.col("wau_trailing").cast("long").alias("wau_trailing"),
+    )

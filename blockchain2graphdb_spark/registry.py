@@ -71,6 +71,9 @@ _SAMPLE_PRIORITY = (
     "stream_stateful_agg_exact",
     "session_funnel",
     "join_asof_tolerance",
+    "tokenize_to_ids",
+    "rolling_dau",
+    "stream_hypertable_rollup",
     "two_hop_join",
     "anomaly_daily_zscore",
     "bfs_distance",

@@ -707,3 +707,55 @@ def stream_stateful_agg_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("user_id", "n_events", "total_value_centi")
     )
+
+
+@query(
+    "stream_hypertable_rollup",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, epoch_ns(ts) // 1000 AS us, value FROM events
+    )
+    SELECT event_type,
+           CAST((us // 3600000000) * 3600000000 AS BIGINT) AS bucket_start_us,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM e GROUP BY event_type, us // 3600000000
+    """,
+)
+def stream_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming form of the continuous aggregate
+    (operators/timeseries.py::hypertable_rollup's hour grain): a
+    complete-mode hourly rollup over a two-file replay — each
+    micro-batch folds its rows into the standing per-bucket state,
+    which is exactly how TimescaleDB-style continuous aggregates
+    maintain themselves. Complete-mode output after the final batch is
+    batching-invariant, so the same DuckDB oracle as the batch hour
+    grain checks it: the incremental fold must lose and double-count
+    nothing across batch boundaries. Decimal sums / min / max are all
+    mergeable, which is WHY the incremental maintenance is exact."""
+    prep(spark)
+    d = _two_file_replay(spark, sf_dir)
+    s = _events_stream(spark, sf_dir, path=d, maxFilesPerTrigger="1")
+    out = (
+        s.groupBy(
+            "event_type",
+            F.window("ts", "1 hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("dsum"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            "event_type",
+            F.unix_micros(F.col("window.start")).alias("bucket_start_us"),
+            "n",
+            F.col("dsum").cast("double").alias("sum_value"),
+            "min_value",
+            "max_value",
+        )
+    )
+    return _run(spark, out, output_mode="complete")
