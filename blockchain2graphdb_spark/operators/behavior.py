@@ -347,7 +347,9 @@ def orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SF_GAP_US = 30 * 60 * 1_000_000
+# the session gap IS sessionize_batch's (the docstring promises its
+# semantics) — import it so a tuning there cannot silently desync this
+from .pipeline import _SESSION_GAP_US as _SF_GAP_US
 
 
 def _session_funnel_oracle(steps: tuple[str, ...] = _FUNNEL_STEPS) -> str:
@@ -464,15 +466,18 @@ def session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = per_sess.agg(
         F.count("t1").alias("c1"), F.count("t2").alias("c2"), F.count("t3").alias("c3")
     )
-    rows = [
-        counts.select(
-            F.lit(i).alias("step_idx"),
-            F.lit(st).alias("step"),
-            F.col(f"c{i}").cast("long").alias("n_sessions"),
-        )
-        for i, st in enumerate(steps, 1)
-    ]
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionAll(r)
-    return out
+    # one explode over the 1-row aggregate — a 3-branch union would
+    # carry three copies of the whole window subtree in the plan
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("step_idx"),
+                F.lit(st).alias("step"),
+                F.col(f"c{i}").cast("long").alias("n_sessions"),
+            )
+            for i, st in enumerate(steps, 1)
+        ]
+    )
+    return counts.select(F.explode(rows).alias("r")).select(
+        "r.step_idx", "r.step", "r.n_sessions"
+    )

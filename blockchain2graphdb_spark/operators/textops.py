@@ -900,10 +900,14 @@ def tokenize_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     BOTH engines, so empty-token filtering cannot desync them); one
     shuffle to the per-doc aggregate."""
     prep(spark)
+    # materialize the tokenization once: the vocab aggregate AND the
+    # encoding join both consume it (the rolling_dau / hypertable
+    # single-scan discipline)
     toks = (
         table(spark, sf_dir, "documents")
         .select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "t"))
         .where(F.col("t") != "")
+        .localCheckpoint(eager=True)
     )
     vocab = (
         toks.groupBy("t")

@@ -56,8 +56,10 @@ _OPERATOR_MODULES = (
 # witness (union of CORRECTNESS_r01..r07; r3-r4 witnesses are now the
 # stalest since r7 re-greened the r1-r3 head), rows-only keys last —
 # oracle evidence is worth more per gate slot than a weak rows-only
-# check. The list is complete (228 keys), so module order no longer
-# matters for sampling.
+# check. The list is COMPLETE — every registry key appears (pinned by
+# tests/test_round8_ops.py::test_sample_priority_is_complete, since
+# load_all() silently ignores missing keys) — so module order no
+# longer matters for sampling.
 _SAMPLE_PRIORITY = (
     "hypertable_rollup",
     "gap_fill_locf",

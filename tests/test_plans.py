@@ -54,6 +54,8 @@ _ITERATIVE = {
     "label_propagation",
     "text_surprisal",
     "join_skew_report",
+    "tokenize_to_ids",
+    "rolling_dau",
 }
 
 _PLAN_KEYS = sorted(set(SPECS) - _EXECUTING - _ITERATIVE)

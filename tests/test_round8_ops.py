@@ -150,3 +150,22 @@ def test_dedup_embedding_exact_finds_seeded_dups(spark):
             assert r.group_size >= 2
         elif r.vec_id % 10 != 0:
             assert r.keep_id == r.vec_id and r.group_size == 1
+
+
+def test_sample_priority_is_complete():
+    """_SAMPLE_PRIORITY is the entire sampling schedule — load_all()
+    silently ignores names missing from it, so completeness must be
+    pinned: every registry key appears exactly once and nothing extra."""
+    from blockchain2graphdb_spark.registry import _SAMPLE_PRIORITY
+
+    assert len(_SAMPLE_PRIORITY) == len(set(_SAMPLE_PRIORITY))
+    assert set(_SAMPLE_PRIORITY) == set(SPECS)
+
+
+def test_session_funnel_gap_is_sessionize_batch_gap():
+    """session_funnel promises sessionize_batch semantics; the constants
+    must be the same object so a tuning cannot desync them."""
+    from blockchain2graphdb_spark.operators.behavior import _SF_GAP_US
+    from blockchain2graphdb_spark.operators.pipeline import _SESSION_GAP_US
+
+    assert _SF_GAP_US is _SESSION_GAP_US
