@@ -1913,3 +1913,225 @@ def degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("deg").cast("long").alias("min_deg"),
         F.max("deg").cast("long").alias("max_deg"),
     )
+
+
+_KTRUSS_K = 3
+_KTRUSS_ROUNDS = 8  # loud-raise bound; fixture converges in <= 6
+
+
+def _ktruss_oracle(k: int, rounds: int) -> str:
+    """Unrolled MATERIALIZED-CTE twin of the k-truss peel: `rounds`
+    iterations of per-edge triangle-support counting + threshold keep.
+    The Spark side RAISES if it needs more than `rounds` rounds, so
+    the bound cannot silently drift (the kcore discipline)."""
+    ctes = [
+        """base AS MATERIALIZED (
+      SELECT a, b FROM (
+        SELECT l.l_partkey AS a, r.l_partkey AS b,
+               COUNT(DISTINCT l.l_orderkey) AS s
+        FROM lineitem l JOIN lineitem r
+          ON l.l_orderkey = r.l_orderkey AND l.l_partkey < r.l_partkey
+        GROUP BY l.l_partkey, r.l_partkey
+      ) WHERE s >= 2
+    )""",
+        "e0 AS MATERIALIZED (SELECT a, b FROM base)",
+    ]
+    for r in range(rounds):
+        ctes.append(
+            f"""s{r} AS MATERIALIZED (
+      SELECT e.a, e.b, COUNT(*) AS c
+      FROM e{r} e
+      JOIN (SELECT a, b FROM e{r} UNION ALL SELECT b, a FROM e{r}) x
+        ON x.a = e.a
+      JOIN (SELECT a, b FROM e{r} UNION ALL SELECT b, a FROM e{r}) y
+        ON y.a = e.b AND y.b = x.b
+      GROUP BY e.a, e.b
+    )"""
+        )
+        ctes.append(
+            f"e{r + 1} AS MATERIALIZED (SELECT a, b FROM s{r} WHERE c >= {k - 2})"
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT s.a, s.b, CAST(s.c AS BIGINT) AS support
+    FROM s{rounds - 1} s JOIN e{rounds} e ON e.a = s.a AND e.b = s.b
+    """
+    )
+
+
+@query("ktruss_edges", oracle=_ktruss_oracle(_KTRUSS_K, _KTRUSS_ROUNDS))
+def ktruss_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-truss decomposition (k=3) of the support-2 co-purchase graph —
+    the EDGE-level cohesion dual of k-core (Neo4j GDS / TigerGraph both
+    ship it): iteratively drop every edge in fewer than k-2 triangles,
+    recount support on the induced subgraph, repeat to fixpoint;
+    surviving edges form the maximal subgraph where every edge is
+    triangle-reinforced. Returns (a, b, support) at the fixpoint.
+
+    Scale shape per round: one wedge equi-join keyed on the shared
+    endpoint (the triangle_count idiom — Σ deg² intermediate rows,
+    AQE-skew-handled; never pairwise) + one count aggregate + one
+    filter; the edge set shrinks monotonically so rounds get cheaper.
+    Loop discipline: stats-reset checkpoint per round with the edge
+    count riding the checkpoint job as an observe() metric (zero probe
+    jobs); convergence = count unchanged. Raises if _KTRUSS_ROUNDS is
+    exceeded so the unrolled oracle can never silently disagree."""
+    prep(spark)
+    pairs, _ = _copurchase_pairs_support(spark, sf_dir, 2)
+    e = local_checkpoint(pairs.select("a", "b"))
+    n_prev = e.count()
+    supp = None
+    for _ in range(_KTRUSS_ROUNDS):
+        sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        x = sym.select(F.col("a").alias("ea"), F.col("b").alias("z"))
+        y = sym.select(F.col("a").alias("eb"), F.col("b").alias("z2"))
+        supp = (
+            e.join(x, e.a == x.ea)
+            .join(y, (e.b == y.eb) & (x.z == y.z2))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        nxt, n_next = observed_checkpoint(
+            supp.where(F.col("c") >= _KTRUSS_K - 2).select("a", "b"),
+            F.count(F.lit(1)),
+        )
+        e = nxt
+        if n_next == n_prev:
+            return supp.join(e, ["a", "b"]).select(
+                "a", "b", F.col("c").cast("long").alias("support")
+            )
+        n_prev = n_next
+    raise RuntimeError(
+        f"k-truss peel did not converge within {_KTRUSS_ROUNDS} rounds;"
+        " the unrolled oracle would silently disagree — raise the bound"
+        " in BOTH _KTRUSS_ROUNDS and _ktruss_oracle"
+    )
+
+
+def _modularity_oracle(rounds: int) -> str:
+    """LPA labels (the _lpa_oracle CTE chain) + modularity bookkeeping:
+    within-community edge counts and community degree sums as exact
+    integers, the per-community Newman term quantized to int nanos
+    before the cross-community sum (order-independent)."""
+    lpa = _lpa_oracle(rounds)
+    # strip the final SELECT; keep the CTE chain
+    ctes = lpa[: lpa.rindex("SELECT node AS part")].rstrip()
+    return (
+        ctes
+        + f""",
+    rawd AS (SELECT DISTINCT src, dst FROM raw),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM rawd),
+    lab AS (SELECT node, lbl FROM l{rounds}),
+    within AS (
+      SELECT la.lbl, COUNT(*) AS lc
+      FROM rawd r JOIN lab la ON la.node = r.src
+                  JOIN lab lb ON lb.node = r.dst AND lb.lbl = la.lbl
+      GROUP BY la.lbl
+    ),
+    degs AS (
+      SELECT la.lbl, COUNT(*) AS dc
+      FROM sym s JOIN lab la ON la.node = s.src
+      GROUP BY la.lbl
+    ),
+    terms AS (
+      SELECT d.lbl,
+             CAST(ROUND((CAST(COALESCE(w.lc, 0) AS DOUBLE) / m.m
+                         - POWER(CAST(d.dc AS DOUBLE) / (2 * m.m), 2)) * 1e9)
+                  AS BIGINT) AS nanos
+      FROM degs d LEFT JOIN within w ON w.lbl = d.lbl, m
+    )
+    SELECT CAST(m.m AS BIGINT) AS n_edges,
+           CAST((SELECT COUNT(*) FROM degs) AS BIGINT) AS n_communities,
+           CAST((SELECT SUM(nanos) FROM terms) AS BIGINT) AS modularity_nanos,
+           CAST((SELECT SUM(nanos) FROM terms) AS DOUBLE) / 1e9 AS modularity
+    FROM m
+    """
+    )
+
+
+@query("community_modularity", oracle=_modularity_oracle(_LPA_ROUNDS))
+def community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity Q of the label_propagation communities over the
+    wallet graph — the evaluation metric that tells you whether a
+    community assignment is better than chance: Q = Σ_c [L_c/m −
+    (D_c/2m)²] with L_c = within-community edges, D_c = community
+    degree sum, m = undirected edge count. Every input to the formula
+    is an exact integer aggregate; each community's term is quantized
+    to int nanos BEFORE the cross-community sum (order-independent,
+    the surprisal/BM25 technique), so the score is bit-identical
+    across engines.
+
+    Scale shape: the LPA rounds dominate (see label_propagation);
+    the bookkeeping afterwards is two keyed joins of the edge list
+    against the broadcast-gated label table plus node-sized
+    aggregates — one edge pass for L_c, one for D_c, then an
+    O(#communities) reduction."""
+    prep(spark)
+    li = table(spark, sf_dir, "lineitem")
+    mins = li.groupBy("l_orderkey").agg(F.min("l_partkey").alias("src"))
+    raw = (
+        li.join(mins, "l_orderkey")
+        .select("src", F.col("l_partkey").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    sym = (
+        raw.unionByName(raw.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    labels = local_checkpoint(
+        sym.select(F.col("src").alias("node")).distinct().withColumn("lbl", F.col("node"))
+    )
+    hint = F.broadcast if labels.count() <= 4_000_000 else (lambda df: df)
+    for _ in range(_LPA_ROUNDS):
+        votes = (
+            sym.join(hint(labels.select(F.col("node").alias("dst"), "lbl")), "dst")
+            .groupBy(F.col("src").alias("node"), "lbl")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = local_checkpoint(
+            votes.groupBy("node").agg(
+                F.max_by("lbl", F.struct(F.col("cnt"), (-F.col("lbl")).alias("neg"))).alias(
+                    "lbl"
+                )
+            )
+        )
+    raw_ck = local_checkpoint(raw)
+    m = raw_ck.count()
+    la = labels.select(F.col("node").alias("src"), F.col("lbl").alias("la"))
+    lb = labels.select(F.col("node").alias("dst"), F.col("lbl").alias("lb"))
+    within = (
+        raw_ck.join(hint(la), "src")
+        .join(hint(lb), "dst")
+        .where(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("lbl"))
+        .agg(F.count(F.lit(1)).alias("lc"))
+    )
+    degs = (
+        sym.join(hint(la), "src")
+        .groupBy(F.col("la").alias("lbl"))
+        .agg(F.count(F.lit(1)).alias("dc"))
+    )
+    terms = degs.join(within, "lbl", "left").select(
+        F.round(
+            (
+                F.coalesce(F.col("lc"), F.lit(0)).cast("double") / F.lit(float(m))
+                - F.pow(F.col("dc").cast("double") / F.lit(2.0 * m), 2)
+            )
+            * 1e9
+        )
+        .cast("long")
+        .alias("nanos")
+    )
+    agg = terms.agg(
+        F.count(F.lit(1)).alias("n_communities"),
+        F.sum("nanos").cast("long").alias("modularity_nanos"),
+    )
+    return agg.select(
+        F.lit(m).cast("long").alias("n_edges"),
+        F.col("n_communities").cast("long").alias("n_communities"),
+        "modularity_nanos",
+        (F.col("modularity_nanos").cast("double") / 1e9).alias("modularity"),
+    )

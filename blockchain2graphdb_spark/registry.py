@@ -76,6 +76,8 @@ _SAMPLE_PRIORITY = (
     "tokenize_to_ids",
     "rolling_dau",
     "stream_hypertable_rollup",
+    "ktruss_edges",
+    "community_modularity",
     "two_hop_join",
     "anomaly_daily_zscore",
     "bfs_distance",

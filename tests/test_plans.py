@@ -56,6 +56,8 @@ _ITERATIVE = {
     "join_skew_report",
     "tokenize_to_ids",
     "rolling_dau",
+    "ktruss_edges",
+    "community_modularity",
 }
 
 _PLAN_KEYS = sorted(set(SPECS) - _EXECUTING - _ITERATIVE)
