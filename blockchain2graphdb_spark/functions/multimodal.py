@@ -215,3 +215,60 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_ts_ms", "frame"])
 
     return media.where(F.col("kind") == "video").mapInPandas(fs, schema=out_schema)
+
+
+def patchify_images(media: DataFrame, patch: int = 8) -> DataFrame:
+    """ViT-style patch extraction (images only): split each image into a
+    ceil(w/p) x ceil(h/p) grid and emit one row per patch with its
+    geometry (edge patches are clipped) and a patch signature derived
+    from the image seed + grid position — the 1->N Arrow expansion a
+    real patch embedder performs before batching patches to the model.
+    The non-image filter happens Spark-side so the Python stage only
+    sees images (the resize_images discipline)."""
+    import pyspark.sql.types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("patch_row", T.IntegerType(), False),
+            T.StructField("patch_col", T.IntegerType(), False),
+            T.StructField("patch_w", T.IntegerType(), False),
+            T.StructField("patch_h", T.IntegerType(), False),
+            T.StructField("patch_sig", T.StringType(), False),
+        ]
+    )
+
+    def pf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, sig_seed, meta in zip(
+                pdf["media_id"], pdf["sig_seed"], pdf["meta"]
+            ):
+                w, h = int(meta["width"]), int(meta["height"])
+                for r in range((h + patch - 1) // patch):
+                    for c in range((w + patch - 1) // patch):
+                        rows.append(
+                            (
+                                int(media_id),
+                                r,
+                                c,
+                                min(patch, w - c * patch),
+                                min(patch, h - r * patch),
+                                hashlib.md5(
+                                    f"{sig_seed}:{r}:{c}".encode()
+                                ).hexdigest()[:8],
+                            )
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "patch_row",
+                    "patch_col",
+                    "patch_w",
+                    "patch_h",
+                    "patch_sig",
+                ],
+            )
+
+    return media.where(F.col("kind") == "image").mapInPandas(pf, schema=out_schema)

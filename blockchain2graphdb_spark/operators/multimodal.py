@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import prep, table
 from ..functions.multimodal import (
+    patchify_images,
     decode_and_featurize,
     resize_images,
     sample_frames,
@@ -167,3 +168,54 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_frames"),
         F.max("frame_ts_ms").cast("long").alias("last_frame_ms"),
     )
+
+
+@query(
+    "multimodal_patchify",
+    oracle="""
+    WITH geom AS (
+      SELECT doc_id, md5(text) AS seed,
+             16 + ((instr('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
+                 + (instr('0123456789abcdef', substr(md5(text), 2, 1)) - 1)) % 16 AS w,
+             16 + ((instr('0123456789abcdef', substr(md5(text), 3, 1)) - 1) * 16
+                 + (instr('0123456789abcdef', substr(md5(text), 4, 1)) - 1)) % 16 AS h
+      FROM documents WHERE doc_id % 3 = 0
+    )
+    SELECT g.doc_id AS media_id,
+           CAST(r.i AS INT) AS patch_row,
+           CAST(c.i AS INT) AS patch_col,
+           CAST(LEAST(8, g.w - c.i * 8) AS INT) AS patch_w,
+           CAST(LEAST(8, g.h - r.i * 8) AS INT) AS patch_h,
+           substr(md5(g.seed || ':' || CAST(r.i AS VARCHAR)
+                             || ':' || CAST(c.i AS VARCHAR)), 1, 8) AS patch_sig
+    FROM geom g,
+         UNNEST(range((g.h + 7) // 8)) AS r(i),
+         UNNEST(range((g.w + 7) // 8)) AS c(i)
+    """,
+)
+def multimodal_patchify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: ViT-style patch extraction — each image becomes its
+    ceil(w/8) x ceil(h/8) patch grid with clipped edge geometry and a
+    position-keyed patch signature, the 1->N expansion that precedes
+    patch-embedding in any vision-training pipeline. Non-images are
+    filtered Spark-side before the Arrow stage. Oracle-checked: the
+    stub geometry is bytes 0/1 of md5(text) (the resize oracle's
+    derivation) and the signature is md5 over the STRING seed + grid
+    position, so DuckDB replays the full patch table — row counts,
+    clipped sizes, and per-patch lineage — proving the mapInPandas
+    expansion loses/duplicates nothing.
+
+    Scale shape: pure map-side 1->N (no shuffle); patches inherit the
+    image rows' partitioning, exactly what a downstream patch-batch
+    embedder wants."""
+    prep(spark)
+    docs = table(spark, sf_dir, "documents")
+    media = synthesize_media(docs)
+    seeded = media.join(
+        docs.select(
+            F.col("doc_id").alias("media_id"),
+            F.md5(F.col("text").cast("binary")).alias("sig_seed"),
+        ),
+        "media_id",
+    )
+    return patchify_images(seeded, patch=8)

@@ -78,6 +78,7 @@ _SAMPLE_PRIORITY = (
     "stream_hypertable_rollup",
     "ktruss_edges",
     "community_modularity",
+    "multimodal_patchify",
     "two_hop_join",
     "anomaly_daily_zscore",
     "bfs_distance",
