@@ -1,0 +1,219 @@
+"""ML feature-prep and data-quality statistics (SURVEY.md §2.13 X15):
+per-group min-max feature scaling, chi-square feature/label
+association, and population-stability-index drift between dataset
+splits — the preprocessing/monitoring trio every training pipeline
+runs between curation (X9) and the trainer.
+
+Determinism: every statistic is computed FROM exact integer (or
+exact-decimal) aggregates, and any cross-group float sum is quantized
+to int nanos per term before summation (the BM25/surprisal/modularity
+technique) — bit-identical across engines.
+
+Scale notes (100 TB): each operator is one or two map-side-combinable
+aggregates plus a broadcast of a tiny statistics table back into the
+scan — no windows over unbounded input, no pairwise joins; the
+per-group statistics tables are O(#groups)/O(#bins) rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import prep, table
+from ..exact import dec2
+from ..registry import query
+
+
+@query(
+    "feature_scale_minmax",
+    oracle="""
+    WITH stats AS (
+      SELECT c_mktsegment, MIN(c_acctbal) AS lo, MAX(c_acctbal) AS hi
+      FROM customer GROUP BY c_mktsegment
+    )
+    SELECT c.c_custkey, c.c_mktsegment,
+           ROUND(CASE WHEN s.hi = s.lo THEN 0.0
+                      ELSE (c.c_acctbal - s.lo) / (s.hi - s.lo) END, 6)
+             AS acctbal_scaled
+    FROM customer c JOIN stats s ON s.c_mktsegment = c.c_mktsegment
+    """,
+)
+def feature_scale_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group min-max feature scaling (x - min)/(max - min) — the
+    normalization pass feeding numeric features to a model, grouped by
+    segment so each cohort scales within itself. Min/max of doubles
+    are input values (no accumulation), the ratio is one double
+    division of identical operands on both engines, rounded to 6 to
+    absorb nothing more than representation printing; constant groups
+    scale to 0 (the degenerate-range guard every scaler needs).
+
+    Scale shape: one map-side-combinable min/max aggregate producing an
+    O(#groups) table broadcast back into the scan — a second pass over
+    the column, no shuffle of the data rows."""
+    prep(spark)
+    cust = table(spark, sf_dir, "customer")
+    stats = cust.groupBy("c_mktsegment").agg(
+        F.min("c_acctbal").alias("lo"), F.max("c_acctbal").alias("hi")
+    )
+    scaled = F.when(F.col("hi") == F.col("lo"), F.lit(0.0)).otherwise(
+        (F.col("c_acctbal") - F.col("lo")) / (F.col("hi") - F.col("lo"))
+    )
+    return (
+        cust.join(F.broadcast(stats), "c_mktsegment")
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.round(scaled, 6).alias("acctbal_scaled"),
+        )
+    )
+
+
+@query(
+    "chi2_association",
+    oracle="""
+    WITH obs AS (
+      SELECT c_mktsegment AS seg, c_nationkey AS nat, COUNT(*) AS o
+      FROM customer GROUP BY c_mktsegment, c_nationkey
+    ),
+    rt AS (SELECT seg, CAST(SUM(o) AS BIGINT) AS r FROM obs GROUP BY seg),
+    ct AS (SELECT nat, CAST(SUM(o) AS BIGINT) AS c FROM obs GROUP BY nat),
+    t AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM obs),
+    cells AS (
+      SELECT obs.seg, obs.nat,
+             CAST(ROUND(POWER(CAST(obs.o AS DOUBLE)
+                              - CAST(rt.r * ct.c AS DOUBLE) / t.n, 2)
+                        / (CAST(rt.r * ct.c AS DOUBLE) / t.n) * 1e9)
+                  AS BIGINT) AS nanos
+      FROM obs JOIN rt USING (seg) JOIN ct USING (nat), t
+    )
+    SELECT CAST((SELECT COUNT(*) FROM rt) AS BIGINT) AS n_rows,
+           CAST((SELECT COUNT(*) FROM ct) AS BIGINT) AS n_cols,
+           CAST(SUM(nanos) AS BIGINT) AS chi2_nanos,
+           CAST(SUM(nanos) AS DOUBLE) / 1e9 AS chi2
+    FROM cells
+    """,
+)
+def chi2_association(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square statistic of the (segment x nation) contingency table
+    — the categorical feature/label association test behind feature
+    selection and leakage screening: chi2 = Σ (O - E)² / E with
+    E = row_total * col_total / N. Observed counts, marginals, and N
+    are exact integers; each cell's contribution is quantized to int
+    nanos before the cross-cell sum, so the statistic is bit-exact.
+
+    Scale shape: one (seg, nat) count aggregate (map-side combinable),
+    two marginal re-aggregations of that tiny table, a broadcast
+    scalar N — the contingency table is O(|seg| x |nat|), never the
+    data."""
+    prep(spark)
+    cust = table(spark, sf_dir, "customer")
+    obs = cust.groupBy(
+        F.col("c_mktsegment").alias("seg"), F.col("c_nationkey").alias("nat")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    obs = obs.localCheckpoint(eager=True)
+    rt = obs.groupBy("seg").agg(F.sum("o").cast("long").alias("r"))
+    ct = obs.groupBy("nat").agg(F.sum("o").cast("long").alias("c"))
+    t = obs.agg(F.sum("o").cast("long").alias("n"))
+    e = (F.col("r") * F.col("c")).cast("double") / F.col("n").cast("double")
+    cells = (
+        obs.join(F.broadcast(rt), "seg")
+        .join(F.broadcast(ct), "nat")
+        .crossJoin(F.broadcast(t))
+        .select(
+            F.round(F.pow(F.col("o").cast("double") - e, 2) / e * 1e9)
+            .cast("long")
+            .alias("nanos")
+        )
+    )
+    n_rows = rt.count()
+    n_cols = ct.count()
+    return cells.agg(F.sum("nanos").cast("long").alias("chi2_nanos")).select(
+        F.lit(n_rows).cast("long").alias("n_rows"),
+        F.lit(n_cols).cast("long").alias("n_cols"),
+        "chi2_nanos",
+        (F.col("chi2_nanos").cast("double") / 1e9).alias("chi2"),
+    )
+
+
+@query(
+    "split_drift_psi",
+    oracle="""
+    WITH labeled AS (
+      SELECT o_totalprice,
+             CASE WHEN (instr('0123456789abcdef',
+                              substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) - 1)
+                       < 13 THEN 'train' ELSE 'val' END AS split,
+             LEAST(CAST(FLOOR(o_totalprice / 60000) AS BIGINT), 9) AS bin
+      FROM orders
+    ),
+    counts AS (
+      SELECT bin,
+             COUNT(CASE WHEN split = 'train' THEN 1 END) AS tr,
+             COUNT(CASE WHEN split = 'val' THEN 1 END) AS va
+      FROM labeled GROUP BY bin
+    ),
+    tot AS (
+      SELECT CAST(SUM(tr) AS BIGINT) AS ttr, CAST(SUM(va) AS BIGINT) AS tva
+      FROM counts
+    ),
+    terms AS (
+      SELECT c.bin,
+             CAST(ROUND((CAST(c.tr + 1 AS DOUBLE) / (t.ttr + 10)
+                         - CAST(c.va + 1 AS DOUBLE) / (t.tva + 10))
+                        * ln((CAST(c.tr + 1 AS DOUBLE) / (t.ttr + 10))
+                             / (CAST(c.va + 1 AS DOUBLE) / (t.tva + 10)))
+                        * 1e9) AS BIGINT) AS nanos,
+             CAST(c.tr AS BIGINT) AS n_train, CAST(c.va AS BIGINT) AS n_val
+      FROM counts c, tot t
+    )
+    SELECT bin, n_train, n_val, nanos AS psi_nanos FROM terms
+    """,
+)
+def split_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the train and validation
+    splits of the order-price distribution — the drift monitor every
+    deployed pipeline runs on its features: PSI = Σ_bins (p - q)
+    ln(p/q), here per-bin (summable downstream), with add-one
+    smoothing (Laplace: +1 per bin, +#bins per total) so empty bins
+    cannot produce infinities. The split is the md5-bucket assignment
+    (split_assign's growth-stable scheme: first hex nibble < 13 →
+    train ≈ 81%); bins are fixed-width price deciles capped at 9.
+    Counts are exact ints; each bin's PSI term is int-nanos-quantized
+    (ln parity pinned by the BM25/surprisal precedent).
+
+    Scale shape: one (bin, split) count aggregate over a
+    column-pruned scan + a 1-row total broadcast — the PSI table is
+    O(#bins)."""
+    prep(spark)
+    orders = table(spark, sf_dir, "orders")
+    first_nibble = F.conv(
+        F.substring(F.md5(F.col("o_orderkey").cast("string").cast("binary")), 1, 1),
+        16,
+        10,
+    ).cast("long")
+    labeled = orders.select(
+        F.when(first_nibble < 13, "train").otherwise("val").alias("split"),
+        F.least(
+            F.floor(F.col("o_totalprice") / 60000).cast("long"), F.lit(9)
+        ).alias("bin"),
+    )
+    counts = labeled.groupBy("bin").agg(
+        F.count(F.when(F.col("split") == "train", 1)).alias("tr"),
+        F.count(F.when(F.col("split") == "val", 1)).alias("va"),
+    )
+    counts = counts.localCheckpoint(eager=True)
+    tot = counts.agg(
+        F.sum("tr").cast("long").alias("ttr"), F.sum("va").cast("long").alias("tva")
+    )
+    p = (F.col("tr") + 1).cast("double") / (F.col("ttr") + 10).cast("double")
+    q = (F.col("va") + 1).cast("double") / (F.col("tva") + 10).cast("double")
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            F.col("tr").cast("long").alias("n_train"),
+            F.col("va").cast("long").alias("n_val"),
+            F.round((p - q) * F.log(p / q) * 1e9).cast("long").alias("psi_nanos"),
+        )
+    )

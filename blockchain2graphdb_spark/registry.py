@@ -47,6 +47,7 @@ _OPERATOR_MODULES = (
     "blockchain2graphdb_spark.operators.relational",
     "blockchain2graphdb_spark.operators.timeseries",
     "blockchain2graphdb_spark.operators.linkage",
+    "blockchain2graphdb_spark.operators.mlprep",
 )
 
 # The driver's correctness gate samples the FIRST ~50 keys in queries()
@@ -79,6 +80,9 @@ _SAMPLE_PRIORITY = (
     "ktruss_edges",
     "community_modularity",
     "multimodal_patchify",
+    "feature_scale_minmax",
+    "chi2_association",
+    "split_drift_psi",
     "two_hop_join",
     "anomaly_daily_zscore",
     "bfs_distance",

@@ -58,6 +58,8 @@ _ITERATIVE = {
     "rolling_dau",
     "ktruss_edges",
     "community_modularity",
+    "chi2_association",
+    "split_drift_psi",
 }
 
 _PLAN_KEYS = sorted(set(SPECS) - _EXECUTING - _ITERATIVE)
