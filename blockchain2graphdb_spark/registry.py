@@ -48,6 +48,7 @@ _OPERATOR_MODULES = (
     "blockchain2graphdb_spark.operators.timeseries",
     "blockchain2graphdb_spark.operators.linkage",
     "blockchain2graphdb_spark.operators.mlprep",
+    "blockchain2graphdb_spark.operators.spatial",
 )
 
 # The driver's correctness gate samples the FIRST ~50 keys in queries()
@@ -83,6 +84,8 @@ _SAMPLE_PRIORITY = (
     "feature_scale_minmax",
     "chi2_association",
     "split_drift_psi",
+    "spatial_radius_join",
+    "spatial_knn",
     "two_hop_join",
     "anomaly_daily_zscore",
     "bfs_distance",

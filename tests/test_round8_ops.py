@@ -169,3 +169,32 @@ def test_session_funnel_gap_is_sessionize_batch_gap():
     from blockchain2graphdb_spark.operators.pipeline import _SESSION_GAP_US
 
     assert _SF_GAP_US is _SESSION_GAP_US
+
+
+def test_spatial_joins_are_cell_equi_joins(spark):
+    """Spatial candidates must come from the grid-cell equi-join — a
+    Cartesian/nested-loop distance compare is the O(N^2) scale-killer
+    the grid exists to avoid — and the kNN cut must compile to
+    WindowGroupLimit."""
+    for key in ("spatial_radius_join", "spatial_knn"):
+        s = plan_string(_df(key, spark))
+        assert "CartesianProduct" not in s, key
+        assert "BroadcastNestedLoopJoin" not in s, key
+    assert "WindowGroupLimit" in plan_string(_df("spatial_knn", spark))
+
+
+def test_spatial_radius_matches_bruteforce(spark):
+    """Grid-bucketed result == brute-force all-pairs on the same cloud
+    (the recall-completeness proof: cell size = radius guarantees every
+    true neighbor is inside the 3x3 probe window)."""
+    from blockchain2graphdb_spark.operators.spatial import _R2, _points
+
+    pts = _points(spark, SF_DIR).collect()
+    brute = {
+        (p.id, q.id)
+        for p in pts
+        for q in pts
+        if p.id < q.id and (p.x - q.x) ** 2 + (p.y - q.y) ** 2 <= _R2
+    }
+    grid = {(r.a, r.b) for r in _df("spatial_radius_join", spark).collect()}
+    assert grid == brute
