@@ -225,8 +225,6 @@ def patchify_images(media: DataFrame, patch: int = 8) -> DataFrame:
     real patch embedder performs before batching patches to the model.
     The non-image filter happens Spark-side so the Python stage only
     sees images (the resize_images discipline)."""
-    import pyspark.sql.types as T
-
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType(), False),

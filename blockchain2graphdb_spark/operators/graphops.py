@@ -1809,35 +1809,25 @@ def _lpa_oracle(rounds: int) -> str:
 _LPA_ROUNDS = 3
 
 
-@query("label_propagation", oracle=_lpa_oracle(_LPA_ROUNDS))
-def label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Community detection via synchronous label propagation (LPA,
-    Raghavan et al. 2007) over the star-contraction wallet graph — the
-    deterministic variant: every round each node adopts the most
-    frequent label among its neighbors, ties broken toward the SMALLER
-    label, for a fixed number of rounds (asynchronous/random-order LPA
-    is not oracle-checkable). Bounded iteration is replayed by an
-    unrolled MATERIALIZED-CTE oracle, the sssp_weighted technique.
-
-    Scale shape: each round is one keyed join (labels into the
-    symmetric edge list) + one (node,label) count aggregate + one
-    partitioned top-1 window — all shuffles on node ids, never
-    pairwise; the loop-carried label table goes through the
-    stats-reset checkpoint (plans/iterate.py) so driver-side plan
-    analysis stays flat. The label pick maximizes the (cnt, -lbl)
-    struct — max_by, no sort."""
-    prep(spark)
+def _lpa_labels(spark: SparkSession, sf_dir: str):
+    """Shared LPA core for label_propagation AND community_modularity —
+    one implementation so the scored clustering can never silently
+    diverge from the emitted one. Returns (raw_ck, sym, labels, hint):
+    the DEDUPLICATED canonical star edges (checkpointed), their
+    symmetrization (derived from the checkpoint — no second lineitem
+    scan), the converged _LPA_ROUNDS label table, and the count-gated
+    broadcast hint."""
     li = table(spark, sf_dir, "lineitem")
     mins = li.groupBy("l_orderkey").agg(F.min("l_partkey").alias("src"))
-    raw = (
+    raw_ck = (
         li.join(mins, "l_orderkey")
         .select("src", F.col("l_partkey").alias("dst"))
         .where(F.col("src") != F.col("dst"))
         .distinct()
-    )
-    sym = (
-        raw.unionByName(raw.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .localCheckpoint(eager=True)
+    )
+    sym = raw_ck.unionByName(
+        raw_ck.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     labels = local_checkpoint(
         sym.select(F.col("src").alias("node")).distinct().withColumn(
@@ -1862,6 +1852,28 @@ def label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
         )
+    return raw_ck, sym, labels, hint
+
+
+@query("label_propagation", oracle=_lpa_oracle(_LPA_ROUNDS))
+def label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection via synchronous label propagation (LPA,
+    Raghavan et al. 2007) over the star-contraction wallet graph — the
+    deterministic variant: every round each node adopts the most
+    frequent label among its neighbors, ties broken toward the SMALLER
+    label, for a fixed number of rounds (asynchronous/random-order LPA
+    is not oracle-checkable). Bounded iteration is replayed by an
+    unrolled MATERIALIZED-CTE oracle, the sssp_weighted technique.
+
+    Scale shape: each round is one keyed join (labels into the
+    symmetric edge list) + one (node,label) count aggregate + one
+    partitioned top-1 window — all shuffles on node ids, never
+    pairwise; the loop-carried label table goes through the
+    stats-reset checkpoint (plans/iterate.py) so driver-side plan
+    analysis stays flat. The label pick maximizes the (cnt, -lbl)
+    struct — max_by, no sort."""
+    prep(spark)
+    _, _, labels, _ = _lpa_labels(spark, sf_dir)
     return labels.select(F.col("node").alias("part"), F.col("lbl").alias("community"))
 
 
@@ -1979,9 +1991,10 @@ def ktruss_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     jobs); convergence = count unchanged. Raises if _KTRUSS_ROUNDS is
     exceeded so the unrolled oracle can never silently disagree."""
     prep(spark)
-    pairs, _ = _copurchase_pairs_support(spark, sf_dir, 2)
-    e = local_checkpoint(pairs.select("a", "b"))
-    n_prev = e.count()
+    # _copurchase_pairs_support already returns the (a, b)-projected,
+    # eagerly checkpointed edge set AND its count — reuse both instead
+    # of re-materializing (review r8)
+    e, n_prev = _copurchase_pairs_support(spark, sf_dir, 2)
     supp = None
     for _ in range(_KTRUSS_ROUNDS):
         sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
@@ -2069,36 +2082,7 @@ def community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates — one edge pass for L_c, one for D_c, then an
     O(#communities) reduction."""
     prep(spark)
-    li = table(spark, sf_dir, "lineitem")
-    mins = li.groupBy("l_orderkey").agg(F.min("l_partkey").alias("src"))
-    raw = (
-        li.join(mins, "l_orderkey")
-        .select("src", F.col("l_partkey").alias("dst"))
-        .where(F.col("src") != F.col("dst"))
-        .distinct()
-    )
-    sym = (
-        raw.unionByName(raw.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .localCheckpoint(eager=True)
-    )
-    labels = local_checkpoint(
-        sym.select(F.col("src").alias("node")).distinct().withColumn("lbl", F.col("node"))
-    )
-    hint = F.broadcast if labels.count() <= 4_000_000 else (lambda df: df)
-    for _ in range(_LPA_ROUNDS):
-        votes = (
-            sym.join(hint(labels.select(F.col("node").alias("dst"), "lbl")), "dst")
-            .groupBy(F.col("src").alias("node"), "lbl")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-        )
-        labels = local_checkpoint(
-            votes.groupBy("node").agg(
-                F.max_by("lbl", F.struct(F.col("cnt"), (-F.col("lbl")).alias("neg"))).alias(
-                    "lbl"
-                )
-            )
-        )
-    raw_ck = local_checkpoint(raw)
+    raw_ck, sym, labels, hint = _lpa_labels(spark, sf_dir)
     m = raw_ck.count()
     la = labels.select(F.col("node").alias("src"), F.col("lbl").alias("la"))
     lb = labels.select(F.col("node").alias("dst"), F.col("lbl").alias("lb"))

@@ -21,7 +21,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import prep, table
-from ..exact import dec2
 from ..registry import query
 
 
@@ -147,11 +146,17 @@ def chi2_association(spark: SparkSession, sf_dir: str) -> DataFrame:
              LEAST(CAST(FLOOR(o_totalprice / 60000) AS BIGINT), 9) AS bin
       FROM orders
     ),
-    counts AS (
+    raw_counts AS (
       SELECT bin,
              COUNT(CASE WHEN split = 'train' THEN 1 END) AS tr,
              COUNT(CASE WHEN split = 'val' THEN 1 END) AS va
       FROM labeled GROUP BY bin
+    ),
+    counts AS (
+      SELECT CAST(s.i AS BIGINT) AS bin,
+             COALESCE(r.tr, 0) AS tr, COALESCE(r.va, 0) AS va
+      FROM UNNEST(range(10)) AS s(i)
+      LEFT JOIN raw_counts r ON r.bin = s.i
     ),
     tot AS (
       SELECT CAST(SUM(tr) AS BIGINT) AS ttr, CAST(SUM(va) AS BIGINT) AS tva
@@ -174,9 +179,11 @@ def split_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index between the train and validation
     splits of the order-price distribution — the drift monitor every
     deployed pipeline runs on its features: PSI = Σ_bins (p - q)
-    ln(p/q), here per-bin (summable downstream), with add-one
-    smoothing (Laplace: +1 per bin, +#bins per total) so empty bins
-    cannot produce infinities. The split is the md5-bucket assignment
+    ln(p/q), here per-bin (summable downstream) over the FULL 10-bin
+    spine, with add-one smoothing (Laplace: +1 per bin, +#bins per
+    total — consistent because absent bins are materialized, so the
+    smoothed p and q each sum to exactly 1) and no infinities from
+    empty bins. The split is the md5-bucket assignment
     (split_assign's growth-stable scheme: first hex nibble < 13 →
     train ≈ 81%); bins are fixed-width price deciles capped at 9.
     Counts are exact ints; each bin's PSI term is int-nanos-quantized
@@ -198,9 +205,19 @@ def split_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("o_totalprice") / 60000).cast("long"), F.lit(9)
         ).alias("bin"),
     )
-    counts = labeled.groupBy("bin").agg(
+    raw_counts = labeled.groupBy("bin").agg(
         F.count(F.when(F.col("split") == "train", 1)).alias("tr"),
         F.count(F.when(F.col("split") == "val", 1)).alias("va"),
+    )
+    # full 0-9 bin spine BEFORE smoothing: a bin empty on both sides
+    # still contributes its (smoothed) term and the smoothed p/q each
+    # sum to exactly 1 over all 10 bins — without the spine the +10
+    # denominators assume bins the output silently drops (review r8)
+    spine = spark.range(10).select(F.col("id").alias("bin"))
+    counts = spine.join(raw_counts, "bin", "left").select(
+        "bin",
+        F.coalesce(F.col("tr"), F.lit(0)).alias("tr"),
+        F.coalesce(F.col("va"), F.lit(0)).alias("va"),
     )
     counts = counts.localCheckpoint(eager=True)
     tot = counts.agg(

@@ -56,8 +56,39 @@ def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_RADIUS_ORACLE = f"""
-    WITH pts AS ({_POINTS_SQL}),
+def _probe_home(pts: DataFrame):
+    """Shared candidate-generation build for both spatial operators:
+    (probe, home, d2) — the 3x3 probe-cell key explode, the home-cell
+    projection, and the exact int64 squared-distance expression. One
+    definition, mirroring _CELL_CTES on the oracle side."""
+    off = F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))
+    probe = (
+        pts.select(
+            F.col("id").alias("a"), F.col("x").alias("ax"), F.col("y").alias("ay"),
+            F.expr(f"x div {_R}").alias("hx"), F.expr(f"y div {_R}").alias("hy"),
+        )
+        .withColumn("dx", off)
+        .withColumn("dy", off)
+        .select(
+            "a", "ax", "ay",
+            (F.col("hx") + F.col("dx")).alias("cx"),
+            (F.col("hy") + F.col("dy")).alias("cy"),
+        )
+    )
+    home = pts.select(
+        F.col("id").alias("b"), F.col("x").alias("bx"), F.col("y").alias("by"),
+        F.expr(f"x div {_R}").alias("cx"), F.expr(f"y div {_R}").alias("cy"),
+    )
+    d2 = (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx")) + (
+        F.col("ay") - F.col("by")
+    ) * (F.col("ay") - F.col("by"))
+    return probe, home, d2
+
+
+# shared candidate-generation CTE prefix: pts -> 3x3 probe cells + home
+# cells. ONE definition so the radius and kNN oracles can never diverge
+# in cell math (review r8).
+_CELL_CTES = f"""pts AS ({_POINTS_SQL}),
     probe AS (
       SELECT id AS a, x AS ax, y AS ay,
              (x // {_R}) + dx.i - 1 AS cx, (y // {_R}) + dy.i - 1 AS cy
@@ -65,7 +96,10 @@ _RADIUS_ORACLE = f"""
     ),
     home AS (
       SELECT id AS b, x AS bx, y AS by, x // {_R} AS cx, y // {_R} AS cy FROM pts
-    )
+    )"""
+
+_RADIUS_ORACLE = f"""
+    WITH {_CELL_CTES}
     SELECT p.a, h.b,
            CAST((p.ax - h.bx) * (p.ax - h.bx)
               + (p.ay - h.by) * (p.ay - h.by) AS BIGINT) AS dist2
@@ -84,28 +118,7 @@ def spatial_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     squared-distance filter; a < b orientation makes each pair unique
     without a dedup shuffle (a probes b's single home cell once)."""
     prep(spark)
-    pts = _points(spark, sf_dir)
-    off = F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))
-    probe = (
-        pts.select(
-            F.col("id").alias("a"), F.col("x").alias("ax"), F.col("y").alias("ay"),
-            (F.expr(f"x div {_R}")).alias("hx"), (F.expr(f"y div {_R}")).alias("hy"),
-        )
-        .withColumn("dx", off)
-        .withColumn("dy", off)
-        .select(
-            "a", "ax", "ay",
-            (F.col("hx") + F.col("dx")).alias("cx"),
-            (F.col("hy") + F.col("dy")).alias("cy"),
-        )
-    )
-    home = pts.select(
-        F.col("id").alias("b"), F.col("x").alias("bx"), F.col("y").alias("by"),
-        F.expr(f"x div {_R}").alias("cx"), F.expr(f"y div {_R}").alias("cy"),
-    )
-    d2 = (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx")) + (
-        F.col("ay") - F.col("by")
-    ) * (F.col("ay") - F.col("by"))
+    probe, home, d2 = _probe_home(_points(spark, sf_dir))
     return (
         probe.join(home, ["cx", "cy"])
         .where(F.col("a") < F.col("b"))
@@ -115,15 +128,7 @@ def spatial_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _KNN_ORACLE = f"""
-    WITH pts AS ({_POINTS_SQL}),
-    probe AS (
-      SELECT id AS a, x AS ax, y AS ay,
-             (x // {_R}) + dx.i - 1 AS cx, (y // {_R}) + dy.i - 1 AS cy
-      FROM pts, UNNEST(range(3)) AS dx(i), UNNEST(range(3)) AS dy(i)
-    ),
-    home AS (
-      SELECT id AS b, x AS bx, y AS by, x // {_R} AS cx, y // {_R} AS cy FROM pts
-    ),
+    WITH {_CELL_CTES},
     cand AS (
       SELECT p.a, h.b,
              (p.ax - h.bx) * (p.ax - h.bx) + (p.ay - h.by) * (p.ay - h.by) AS d2
@@ -150,28 +155,7 @@ def spatial_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     to all-pairs for isolated points, while bounded kNN is the form
     real pipelines use (match-within-x-meters)."""
     prep(spark)
-    pts = _points(spark, sf_dir)
-    off = F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))
-    probe = (
-        pts.select(
-            F.col("id").alias("a"), F.col("x").alias("ax"), F.col("y").alias("ay"),
-            F.expr(f"x div {_R}").alias("hx"), F.expr(f"y div {_R}").alias("hy"),
-        )
-        .withColumn("dx", off)
-        .withColumn("dy", off)
-        .select(
-            "a", "ax", "ay",
-            (F.col("hx") + F.col("dx")).alias("cx"),
-            (F.col("hy") + F.col("dy")).alias("cy"),
-        )
-    )
-    home = pts.select(
-        F.col("id").alias("b"), F.col("x").alias("bx"), F.col("y").alias("by"),
-        F.expr(f"x div {_R}").alias("cx"), F.expr(f"y div {_R}").alias("cy"),
-    )
-    d2 = (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx")) + (
-        F.col("ay") - F.col("by")
-    ) * (F.col("ay") - F.col("by"))
+    probe, home, d2 = _probe_home(_points(spark, sf_dir))
     cand = (
         probe.join(home, ["cx", "cy"])
         .where(F.col("a") != F.col("b"))
