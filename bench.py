@@ -62,6 +62,8 @@ SECONDARY = [
     "hypertable_rollup",        # hour grain + day re-aggregated from it
     "gap_fill_locf",            # dense resample + carry-forward fill
     "label_propagation",        # 3-round deterministic LPA
+    "ktruss_edges",             # wedge-join truss peel to fixpoint
+    "spatial_knn",              # grid-bucketed bounded kNN
 ]
 
 
