@@ -244,3 +244,139 @@ def rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dau").cast("long").alias("dau"),
         F.col("wau_trailing").cast("long").alias("wau_trailing"),
     )
+
+
+@query(
+    "seasonality_profile",
+    oracle=f"""
+    WITH d AS (
+      SELECT event_type, (epoch_ns(ts) // 1000) // {_DAY_US} AS day FROM events
+    ),
+    daily AS (
+      SELECT event_type, day, COUNT(*) AS n FROM d GROUP BY event_type, day
+    ),
+    dow AS (
+      SELECT event_type, day % 7 AS dow, SUM(n) AS n_events, COUNT(*) AS n_days
+      FROM daily GROUP BY event_type, day % 7
+    ),
+    tot AS (
+      SELECT event_type, SUM(n) AS total, COUNT(*) AS total_days
+      FROM daily GROUP BY event_type
+    )
+    SELECT w.event_type, CAST(w.dow AS BIGINT) AS dow,
+           CAST(w.n_days AS BIGINT) AS n_days,
+           CAST(w.n_events AS BIGINT) AS n_events,
+           CAST(ROUND(CAST(w.n_events * t.total_days AS DOUBLE)
+                      / CAST(w.n_days * t.total AS DOUBLE) * 1e9) AS BIGINT)
+             AS seasonal_nanos
+    FROM dow w JOIN tot t ON t.event_type = w.event_type
+    """,
+)
+def seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality index per event type: mean daily volume
+    on each weekday slot divided by the type's overall mean daily
+    volume — the profile a forecasting/capacity pipeline extracts
+    before detrending. Weekday slot = epoch-day % 7 (pure integer; the
+    fixture's calendar alignment is irrelevant to the seasonality
+    MATH, and no engine-specific calendar function can drift). The
+    index is a ratio of two exact-integer rationals evaluated in one
+    double division and quantized to int nanos.
+
+    Scale shape: two stacked map-side-combinable aggregates (daily,
+    then weekday-slot) + an O(#types) totals join — the daily table is
+    |types| x |days| rows, everything downstream is tiny."""
+    prep(spark)
+    d = table(spark, sf_dir, "events").select(
+        "event_type", F.expr(f"unix_micros(ts) div {_DAY_US}").alias("day")
+    )
+    daily = d.groupBy("event_type", "day").agg(F.count(F.lit(1)).alias("n"))
+    daily = daily.localCheckpoint(eager=True)
+    dow = daily.groupBy("event_type", (F.col("day") % 7).alias("dow")).agg(
+        F.sum("n").alias("n_events"), F.count(F.lit(1)).alias("n_days")
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("total_days")
+    )
+    idx = (
+        (F.col("n_events") * F.col("total_days")).cast("double")
+        / (F.col("n_days") * F.col("total")).cast("double")
+        * 1e9
+    )
+    return (
+        dow.join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            F.col("dow").cast("long").alias("dow"),
+            F.col("n_days").cast("long").alias("n_days"),
+            F.col("n_events").cast("long").alias("n_events"),
+            F.round(idx).cast("long").alias("seasonal_nanos"),
+        )
+    )
+
+
+@query(
+    "cusum_drift",
+    oracle=f"""
+    WITH d AS (
+      SELECT event_type, (epoch_ns(ts) // 1000) // {_DAY_US} AS day FROM events
+    ),
+    daily AS (
+      SELECT event_type, day, COUNT(*) AS n FROM d GROUP BY event_type, day
+    ),
+    tot AS (
+      SELECT event_type, SUM(n) AS total, COUNT(*) AS n_days
+      FROM daily GROUP BY event_type
+    ),
+    walk AS (
+      SELECT d.event_type, d.day, d.n,
+             SUM(d.n * t.n_days - t.total)
+               OVER (PARTITION BY d.event_type ORDER BY d.day
+                     ROWS UNBOUNDED PRECEDING) AS s,
+             t.total, t.n_days
+      FROM daily d JOIN tot t ON t.event_type = d.event_type
+    )
+    SELECT event_type,
+           CAST(day * {_DAY_US} AS BIGINT) AS day_start_us,
+           CAST(n AS BIGINT) AS daily_n,
+           CAST(s AS BIGINT) AS cusum_scaled,
+           CAST(abs(s) * 4 > total * n_days AS BOOLEAN) AS drifted
+    FROM walk
+    """,
+)
+def cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift detection per event type: the running sum of
+    (daily count − type mean), the classic changepoint statistic — a
+    sustained rate shift accumulates linearly where noise cancels.
+    Kept EXACT by scaling: S_k = Σ (n_i·D − total) with D = day count
+    (S_k = D · classic-CUSUM, same sign/crossings, zero floats);
+    `drifted` flags days where |S| exceeds 25 % of the type's total
+    volume (|S|·4 > total·D — integer cross-multiplication, the
+    similarity_range boundary technique).
+
+    Scale shape: one daily aggregate (map-side combinable), an
+    O(#types) totals broadcast, and a PARTITIONED running-sum window
+    over the tiny |types| × |days| table — never an unpartitioned
+    window over raw events."""
+    prep(spark)
+    d = table(spark, sf_dir, "events").select(
+        "event_type", F.expr(f"unix_micros(ts) div {_DAY_US}").alias("day")
+    )
+    daily = d.groupBy("event_type", "day").agg(F.count(F.lit(1)).alias("n"))
+    tot = daily.groupBy("event_type").agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("n_days")
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    walk = daily.join(F.broadcast(tot), "event_type").withColumn(
+        "s", F.sum(F.col("n") * F.col("n_days") - F.col("total")).over(w)
+    )
+    return walk.select(
+        "event_type",
+        (F.col("day") * _DAY_US).cast("long").alias("day_start_us"),
+        F.col("n").cast("long").alias("daily_n"),
+        F.col("s").cast("long").alias("cusum_scaled"),
+        (F.abs(F.col("s")) * 4 > F.col("total") * F.col("n_days")).alias("drifted"),
+    )

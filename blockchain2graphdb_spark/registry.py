@@ -86,6 +86,8 @@ _SAMPLE_PRIORITY = (
     "split_drift_psi",
     "spatial_radius_join",
     "spatial_knn",
+    "seasonality_profile",
+    "cusum_drift",
     "two_hop_join",
     "anomaly_daily_zscore",
     "bfs_distance",

@@ -60,6 +60,7 @@ _ITERATIVE = {
     "community_modularity",
     "chi2_association",
     "split_drift_psi",
+    "seasonality_profile",
 }
 
 _PLAN_KEYS = sorted(set(SPECS) - _EXECUTING - _ITERATIVE)
