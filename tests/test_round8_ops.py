@@ -198,3 +198,56 @@ def test_spatial_radius_matches_bruteforce(spark):
     }
     grid = {(r.a, r.b) for r in _df("spatial_radius_join", spark).collect()}
     assert grid == brute
+
+
+def test_psi_terms_are_nonnegative_and_distributions_sum_to_one(spark):
+    """Each PSI term (p-q)ln(p/q) is >= 0 by construction (same sign
+    factors), and the smoothed p/q over the full 10-bin spine each sum
+    to exactly 1 — the invariant the bin-spine fix exists for."""
+    rows = _df("split_drift_psi", spark).collect()
+    assert len(rows) == 10
+    assert all(r.psi_nanos >= 0 for r in rows)
+    ttr = sum(r.n_train for r in rows)
+    tva = sum(r.n_val for r in rows)
+    assert abs(sum((r.n_train + 1) / (ttr + 10) for r in rows) - 1.0) < 1e-12
+    assert abs(sum((r.n_val + 1) / (tva + 10) for r in rows) - 1.0) < 1e-12
+
+
+def test_cusum_telescopes_to_zero(spark):
+    """S_k = sum(n_i*D - total) telescopes: the final day's cusum per
+    type is total*D - total*D = 0 exactly — any nonzero tail means the
+    walk lost or double-counted a day."""
+    rows = _df("cusum_drift", spark).collect()
+    last = {}
+    for r in sorted(rows, key=lambda r: r.day_start_us):
+        last[r.event_type] = r.cusum_scaled
+    assert last and all(v == 0 for v in last.values())
+
+
+def test_seasonality_indices_average_to_one(spark):
+    """The day-count-weighted mean of a type's seasonal indices is 1 by
+    definition (sum over slots of n_events*total_days/(total) = total_days)
+    — checked in exact integers on the unquantized identity."""
+    rows = _df("seasonality_profile", spark).collect()
+    from collections import defaultdict
+
+    per_type = defaultdict(list)
+    for r in rows:
+        per_type[r.event_type].append(r)
+    for rs in per_type.values():
+        total = sum(r.n_events for r in rs)
+        total_days = sum(r.n_days for r in rs)
+        # sum of n_events*total_days == total*total_days  <=>  weighted mean 1
+        assert sum(r.n_events * total_days for r in rs) == total * total_days
+
+
+def test_chi2_is_nonnegative_and_marginals_consistent(spark):
+    """Chi-square >= 0 and the reported table dimensions match the
+    fixture's segment/nation cardinalities."""
+    r = _df("chi2_association", spark).collect()[0]
+    assert r.chi2_nanos >= 0
+    from blockchain2graphdb_spark.catalog import table as _t
+
+    cust = _t(spark, SF_DIR, "customer")
+    assert r.n_rows == cust.select("c_mktsegment").distinct().count()
+    assert r.n_cols == cust.select("c_nationkey").distinct().count()
