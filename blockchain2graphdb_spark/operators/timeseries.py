@@ -246,15 +246,36 @@ def rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "seasonality_profile",
-    oracle=f"""
-    WITH d AS (
+# shared daily-count derivation for seasonality_profile / cusum_drift:
+# ONE definition of the epoch-day bucket convention on each side so the
+# two operators can never diverge in day math (review r8)
+_DAILY_CTES = f"""d AS (
       SELECT event_type, (epoch_ns(ts) // 1000) // {_DAY_US} AS day FROM events
     ),
     daily AS (
       SELECT event_type, day, COUNT(*) AS n FROM d GROUP BY event_type, day
-    ),
+    )"""
+
+
+def _daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, day, n) — epoch-day bucketed counts, eagerly
+    checkpointed because every consumer reads it at least twice (the
+    hypertable_rollup single-scan discipline)."""
+    d = table(spark, sf_dir, "events").select(
+        "event_type", F.expr(f"unix_micros(ts) div {_DAY_US}").alias("day")
+    )
+    return (
+        d.groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+
+
+
+@query(
+    "seasonality_profile",
+    oracle=f"""
+    WITH {_DAILY_CTES},
     dow AS (
       SELECT event_type, day % 7 AS dow, SUM(n) AS n_events, COUNT(*) AS n_days
       FROM daily GROUP BY event_type, day % 7
@@ -286,11 +307,7 @@ def seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     then weekday-slot) + an O(#types) totals join — the daily table is
     |types| x |days| rows, everything downstream is tiny."""
     prep(spark)
-    d = table(spark, sf_dir, "events").select(
-        "event_type", F.expr(f"unix_micros(ts) div {_DAY_US}").alias("day")
-    )
-    daily = d.groupBy("event_type", "day").agg(F.count(F.lit(1)).alias("n"))
-    daily = daily.localCheckpoint(eager=True)
+    daily = _daily_counts(spark, sf_dir)
     dow = daily.groupBy("event_type", (F.col("day") % 7).alias("dow")).agg(
         F.sum("n").alias("n_events"), F.count(F.lit(1)).alias("n_days")
     )
@@ -317,12 +334,7 @@ def seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "cusum_drift",
     oracle=f"""
-    WITH d AS (
-      SELECT event_type, (epoch_ns(ts) // 1000) // {_DAY_US} AS day FROM events
-    ),
-    daily AS (
-      SELECT event_type, day, COUNT(*) AS n FROM d GROUP BY event_type, day
-    ),
+    WITH {_DAILY_CTES},
     tot AS (
       SELECT event_type, SUM(n) AS total, COUNT(*) AS n_days
       FROM daily GROUP BY event_type
@@ -358,10 +370,7 @@ def cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the tiny |types| × |days| table — never an unpartitioned
     window over raw events."""
     prep(spark)
-    d = table(spark, sf_dir, "events").select(
-        "event_type", F.expr(f"unix_micros(ts) div {_DAY_US}").alias("day")
-    )
-    daily = d.groupBy("event_type", "day").agg(F.count(F.lit(1)).alias("n"))
+    daily = _daily_counts(spark, sf_dir)
     tot = daily.groupBy("event_type").agg(
         F.sum("n").alias("total"), F.count(F.lit(1)).alias("n_days")
     )

@@ -61,6 +61,7 @@ _ITERATIVE = {
     "chi2_association",
     "split_drift_psi",
     "seasonality_profile",
+    "cusum_drift",
 }
 
 _PLAN_KEYS = sorted(set(SPECS) - _EXECUTING - _ITERATIVE)

@@ -224,11 +224,13 @@ def test_cusum_telescopes_to_zero(spark):
     assert last and all(v == 0 for v in last.values())
 
 
-def test_seasonality_indices_average_to_one(spark):
-    """The day-count-weighted mean of a type's seasonal indices is 1 by
-    definition (sum over slots of n_events*total_days/(total) = total_days)
-    — checked in exact integers on the unquantized identity."""
+def test_seasonality_indices_recompute_and_average_to_one(spark):
+    """Recompute every seasonal index from the emitted integer counts
+    and compare to seasonal_nanos (a regression in the index math or
+    slot bucketing must fail this), then check the day-count-weighted
+    mean of the RECOMPUTED indices is 1 per type."""
     rows = _df("seasonality_profile", spark).collect()
+    assert rows
     from collections import defaultdict
 
     per_type = defaultdict(list)
@@ -237,8 +239,14 @@ def test_seasonality_indices_average_to_one(spark):
     for rs in per_type.values():
         total = sum(r.n_events for r in rs)
         total_days = sum(r.n_days for r in rs)
-        # sum of n_events*total_days == total*total_days  <=>  weighted mean 1
-        assert sum(r.n_events * total_days for r in rs) == total * total_days
+        wsum = 0.0
+        for r in rs:
+            idx = r.n_events * total_days / (r.n_days * total)
+            # <=1 nano tolerance: Python round() is banker's, the
+            # engines' ROUND is HALF_UP (STATUS determinism rules)
+            assert abs(r.seasonal_nanos - idx * 1e9) <= 1, r
+            wsum += idx * r.n_days
+        assert abs(wsum - total_days) < 1e-6
 
 
 def test_chi2_is_nonnegative_and_marginals_consistent(spark):
