@@ -259,3 +259,40 @@ def test_chi2_is_nonnegative_and_marginals_consistent(spark):
     cust = _t(spark, SF_DIR, "customer")
     assert r.n_rows == cust.select("c_mktsegment").distinct().count()
     assert r.n_cols == cust.select("c_nationkey").distinct().count()
+
+
+def test_spatial_grid_handles_hot_cell(spark):
+    """Skew stress: a degenerate cloud where EVERY point shares one
+    location (the worst single-cell hotspot) must still produce the
+    complete pairwise set through the grid join — correctness under
+    maximal cell skew, the AQE-skew territory the module docstring
+    claims. 200 coincident points -> C(200,2) = 19900 zero-distance
+    pairs, plus kNN returning exactly 3 neighbors per point."""
+    from pyspark.sql import functions as F
+
+    from blockchain2graphdb_spark.operators.spatial import _R2, _probe_home
+
+    n = 200
+    pts = spark.range(n).select(
+        F.col("id"), F.lit(5_000).alias("x"), F.lit(5_000).alias("y")
+    )
+    probe, home, d2 = _probe_home(pts)
+    pairs = (
+        probe.join(home, ["cx", "cy"])
+        .where(F.col("a") < F.col("b"))
+        .where(d2 <= _R2)
+        .select("a", "b")
+    )
+    assert pairs.count() == n * (n - 1) // 2
+    cand = (
+        probe.join(home, ["cx", "cy"])
+        .where(F.col("a") != F.col("b"))
+        .select("a", "b", d2.alias("d2"))
+        .where(F.col("d2") <= _R2)
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("a").orderBy("d2", "b")
+    knn = cand.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 3)
+    per_a = knn.groupBy("a").count().collect()
+    assert len(per_a) == n and all(r["count"] == 3 for r in per_a)
