@@ -76,11 +76,10 @@ def connected_components(
     )
     if not canonical:
         sym = sym.distinct()  # single dedup pass after symmetrization
-    # eager checkpoint (accumulator-lifecycle rule, STATUS r8); the
-    # count that gates the driver short-circuit reads the materialized
-    # blocks
-    sym = sym.localCheckpoint(eager=True)
-    n_edges = sym.count()
+    # eager checkpoint (accumulator-lifecycle rule, STATUS r8) with the
+    # driver-short-circuit gate count riding the materialization job as
+    # an observe() metric — no separate count job
+    sym, n_edges = observed_checkpoint(sym, F.count(F.lit(1)))
 
     # tiny graphs short-circuit to driver-side union-find: the
     # distributed loop costs a handful of jobs per round, which
@@ -111,10 +110,14 @@ def connected_components(
         rows = [(n, find(n)) for n in parent]
         return spark.createDataFrame(rows, sym.schema).toDF("node", "comp")
 
-    comp = sym.select(F.col("a").alias("node")).distinct().withColumn(
-        "comp", F.col("node")
+    # initial labels checkpointed with the node count riding the job:
+    # the loop re-reads this table every round anyway
+    comp, n_nodes = observed_checkpoint(
+        sym.select(F.col("a").alias("node")).distinct().withColumn(
+            "comp", F.col("node")
+        ),
+        F.count(F.lit(1)),
     )
-    n_nodes = comp.count()
     hint = F.broadcast if n_nodes <= broadcast_nodes else (lambda df: df)
 
     # Shiloach–Vishkin-style union-find in rounds; each outer round:
@@ -217,7 +220,8 @@ def list_rank(
     longer matters. max_iter (chains up to 2^64) is a divergence
     backstop only.
     """
-    cur = local_checkpoint(
+    # eager checkpoint with the hint-sizing count riding the job
+    cur, n_nodes = observed_checkpoint(
         links.select(
             F.col(id_col).alias("id"),
             F.col(parent_col).alias("ptr"),
@@ -225,10 +229,9 @@ def list_rank(
             .otherwise(F.lit(1))
             .alias("dist"),
         ),
-        eager=True,
+        F.count(F.lit(1)),
     )
-    # eager checkpoint (metrics-lifecycle safe); the count sizes the hint
-    hint = F.broadcast if cur.count() <= broadcast_nodes else (lambda df: df)
+    hint = F.broadcast if n_nodes <= broadcast_nodes else (lambda df: df)
 
     for i in range(max_iter):
         a = cur.alias("x")

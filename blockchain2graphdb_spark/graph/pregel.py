@@ -60,9 +60,10 @@ def pregel(
     v = vertices.select("id", "attr")
     if initial_msg is not None:
         v = v.select("id", vprog(F.col("attr"), initial_msg).alias("attr"))
-    # eager checkpoint (accumulator-lifecycle rule); count sizes the hint
-    v = v.localCheckpoint(eager=True)
-    hint = F.broadcast if v.count() <= broadcast_nodes else (lambda df: df)
+    # eager checkpoint (accumulator-lifecycle rule) with the hint-sizing
+    # count riding the materialization job as an observe() metric
+    v, n_vertices = observed_checkpoint(v, F.count(F.lit(1)))
+    hint = F.broadcast if n_vertices <= broadcast_nodes else (lambda df: df)
 
     for i in range(max_iter):
         src = v.select(F.col("id").alias("src"), F.col("attr").alias("src_attr"))
