@@ -54,7 +54,7 @@ _OPERATOR_MODULES = (
 # The driver's correctness gate samples the FIRST ~50 keys in queries()
 # order, so registration order is the sampling schedule. Round-8 policy
 # (continues VERDICT r6 #4's witness-age rotation): the never-driver-
-# sampled round-8 keys lead (23 as of the final batch), then EVERY oracle key ordered by its oldest driver
+# sampled round-8 keys lead (25 as of the final batch), then EVERY oracle key ordered by its oldest driver
 # witness (union of CORRECTNESS_r01..r07; r3-r4 witnesses are now the
 # stalest since r7 re-greened the r1-r3 head), rows-only keys last —
 # oracle evidence is worth more per gate slot than a weak rows-only
