@@ -389,3 +389,60 @@ def cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s").cast("long").alias("cusum_scaled"),
         (F.abs(F.col("s")) * 4 > F.col("total") * F.col("n_days")).alias("drifted"),
     )
+
+
+_WEEK_US = 7 * _DAY_US
+
+
+@query(
+    "week_over_week",
+    oracle=f"""
+    WITH w AS (
+      SELECT event_type, (epoch_ns(ts) // 1000) // {_WEEK_US} AS wk, COUNT(*) AS n
+      FROM events GROUP BY event_type, (epoch_ns(ts) // 1000) // {_WEEK_US}
+    )
+    SELECT event_type,
+           CAST(wk * {_WEEK_US} AS BIGINT) AS week_start_us,
+           CAST(n AS BIGINT) AS n,
+           CAST(lag(n) OVER (PARTITION BY event_type ORDER BY wk) AS BIGINT)
+             AS prev_n,
+           CAST(CASE WHEN lag(n) OVER (PARTITION BY event_type ORDER BY wk)
+                          IS NOT NULL
+                THEN ROUND((CAST(n AS DOUBLE)
+                            / lag(n) OVER (PARTITION BY event_type ORDER BY wk)
+                            - 1.0) * 1e9)
+                END AS BIGINT) AS wow_change_nanos
+    FROM w
+    """,
+)
+def week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week growth per event type — the reporting staple
+    behind every growth dashboard: epoch-week volume, the prior week's
+    volume via a partitioned lag window, and the relative change
+    (n/prev − 1) quantized to int nanos (one double division of exact
+    ints; NULL for each type's first week rather than a fake 0).
+    Consecutive epoch weeks need no gap handling on this fixture; a
+    production variant would gap-fill first (gap_fill_locf's grid).
+
+    Scale shape: one map-side-combinable weekly aggregate, then a lag
+    window over the tiny |types| × |weeks| table — partitioned, never
+    over raw events."""
+    prep(spark)
+    w = (
+        table(spark, sf_dir, "events")
+        .select("event_type", F.expr(f"unix_micros(ts) div {_WEEK_US}").alias("wk"))
+        .groupBy("event_type", "wk")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    lag_w = W.partitionBy("event_type").orderBy("wk")
+    prev = F.lag("n").over(lag_w)
+    return w.select(
+        "event_type",
+        (F.col("wk") * _WEEK_US).cast("long").alias("week_start_us"),
+        F.col("n").cast("long").alias("n"),
+        prev.cast("long").alias("prev_n"),
+        F.when(
+            prev.isNotNull(),
+            F.round((F.col("n").cast("double") / prev - 1.0) * 1e9).cast("long"),
+        ).alias("wow_change_nanos"),
+    )

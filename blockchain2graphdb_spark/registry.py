@@ -88,6 +88,7 @@ _SAMPLE_PRIORITY = (
     "spatial_knn",
     "seasonality_profile",
     "cusum_drift",
+    "week_over_week",
     "two_hop_join",
     "anomaly_daily_zscore",
     "bfs_distance",
