@@ -26,6 +26,13 @@ TABLES = (
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
+# 30-minute session gap, in microseconds (ts handled as unix micros on
+# both engines — see _events / STATUS cross-engine rules). Shared by
+# sessionize_batch, session_funnel, and the streaming session query so a
+# tuning in one place cannot silently desync the others; lives here (not
+# in an operator module) to keep operator imports acyclic.
+SESSION_GAP_US = 1_800 * 1_000_000
+
 
 def prep(spark: SparkSession) -> SparkSession:
     """Pin runtime confs the correctness gate depends on.
@@ -110,6 +117,16 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
         timestamps.
       * TIMESTAMP(MICROS, UTC) — already TimestampType; pass through.
 
+    Invariant downstream code relies on: events.ts >= 1970-01-01, i.e.
+    unix micros are NON-NEGATIVE. All bucket math (hour/day/week grains
+    in timeseries.py, rolling_dau day indices, spatial grid cells) uses
+    Spark `div` / DuckDB `//`. Both TRUNCATE toward zero (verified:
+    DuckDB -7//2 = -3), so CROSS-ENGINE parity holds on any sign — but
+    truncation makes the buckets themselves wrong pre-epoch: micros in
+    (-H, H) all land in bucket 0, a double-width cell straddling the
+    epoch. The fixture generator only emits post-epoch timestamps; a
+    pre-epoch source would need F.floor(col / const)-style flooring
+    (and FLOOR(us / const) in the oracle) at each bucket site.
     Works on batch and streaming DataFrames alike (pure projection).
     """
     dtype = dict(df.dtypes).get("ts")

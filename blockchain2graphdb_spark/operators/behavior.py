@@ -20,6 +20,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+# the session gap IS sessionize_batch's (session_funnel's docstring
+# promises its semantics) — the shared constant lives in catalog so a
+# tuning there cannot silently desync either operator
+from ..catalog import SESSION_GAP_US as _SF_GAP_US
 from ..catalog import prep, table
 from ..registry import query
 
@@ -345,11 +349,6 @@ def orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_cust.select(
         "o_custkey", "recency_days", "frequency", "monetary", seg.alias("segment")
     )
-
-
-# the session gap IS sessionize_batch's (the docstring promises its
-# semantics) — import it so a tuning there cannot silently desync this
-from .pipeline import _SESSION_GAP_US as _SF_GAP_US
 
 
 def _session_funnel_oracle(steps: tuple[str, ...] = _FUNNEL_STEPS) -> str:

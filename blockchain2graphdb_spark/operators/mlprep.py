@@ -32,9 +32,12 @@ from ..registry import query
       FROM customer GROUP BY c_mktsegment
     )
     SELECT c.c_custkey, c.c_mktsegment,
-           ROUND(CASE WHEN s.hi = s.lo THEN 0.0
-                      ELSE (c.c_acctbal - s.lo) / (s.hi - s.lo) END, 6)
-             AS acctbal_scaled
+           CAST(ROUND(CASE WHEN s.hi = s.lo THEN 0.0
+                           ELSE (c.c_acctbal - s.lo) / (s.hi - s.lo) END * 1e6)
+                AS BIGINT) AS scaled_micros,
+           CAST(CAST(ROUND(CASE WHEN s.hi = s.lo THEN 0.0
+                           ELSE (c.c_acctbal - s.lo) / (s.hi - s.lo) END * 1e6)
+                AS BIGINT) AS DOUBLE) / 1e6 AS acctbal_scaled
     FROM customer c JOIN stats s ON s.c_mktsegment = c.c_mktsegment
     """,
 )
@@ -43,9 +46,12 @@ def feature_scale_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     normalization pass feeding numeric features to a model, grouped by
     segment so each cohort scales within itself. Min/max of doubles
     are input values (no accumulation), the ratio is one double
-    division of identical operands on both engines, rounded to 6 to
-    absorb nothing more than representation printing; constant groups
-    scale to 0 (the degenerate-range guard every scaler needs).
+    division of identical operands on both engines, then quantized to
+    integer MICROS (the int-nanos family technique, ADVICE r8) — the
+    surfaced double is re-derived from the integer on both sides, so
+    there is no round(double, n)-as-double last-ULP parity exposure;
+    constant groups scale to 0 (the degenerate-range guard every
+    scaler needs).
 
     Scale shape: one map-side-combinable min/max aggregate producing an
     O(#groups) table broadcast back into the scan — a second pass over
@@ -58,12 +64,14 @@ def feature_scale_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     scaled = F.when(F.col("hi") == F.col("lo"), F.lit(0.0)).otherwise(
         (F.col("c_acctbal") - F.col("lo")) / (F.col("hi") - F.col("lo"))
     )
+    micros = F.round(scaled * 1e6).cast("long")
     return (
         cust.join(F.broadcast(stats), "c_mktsegment")
         .select(
             "c_custkey",
             "c_mktsegment",
-            F.round(scaled, 6).alias("acctbal_scaled"),
+            micros.alias("scaled_micros"),
+            (micros.cast("double") / 1e6).alias("acctbal_scaled"),
         )
     )
 

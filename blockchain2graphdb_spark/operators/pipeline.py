@@ -25,12 +25,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..catalog import SESSION_GAP_US as _SESSION_GAP_US
 from ..catalog import prep, table
 from ..registry import query
-
-# 30-minute session gap, in microseconds (ts handled as unix micros on
-# both engines — see catalog._events / STATUS cross-engine rules).
-_SESSION_GAP_US = 1_800 * 1_000_000
 
 
 @query(

@@ -446,3 +446,161 @@ def week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((F.col("n").cast("double") / prev - 1.0) * 1e9).cast("long"),
         ).alias("wow_change_nanos"),
     )
+
+
+@query(
+    "resample_ohlc",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_type, event_id, epoch_ns(ts) // 1000 AS us, value FROM events
+    ),
+    ranked AS (
+      SELECT event_type, us // {_HOUR_US} AS bkt, value,
+             row_number() OVER (PARTITION BY event_type, us // {_HOUR_US}
+                                ORDER BY us, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type, us // {_HOUR_US}) AS cnt
+      FROM e
+    )
+    SELECT event_type,
+           CAST(bkt * {_HOUR_US} AS BIGINT) AS bucket_start_us,
+           CAST(MAX(cnt) AS BIGINT) AS n,
+           MAX(CASE WHEN rn = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn = cnt THEN value END) AS close,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume
+    FROM ranked GROUP BY event_type, bkt
+    """,
+)
+def resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open/high/low/close candle resampling per (event_type, hour) —
+    the financial/metrics downsampling primitive (TimescaleDB
+    `candlestick_agg`, kdb bar builders). Open/close are the first and
+    last events within the bucket under the deterministic
+    (us, event_id) order (gap_fill_locf's pick discipline: never trust
+    arrival order for a window pick); high/low are plain min/max;
+    volume sums through DECIMAL(18,2) (exact.py).
+
+    Scale shape: one (event_type, bucket)-partitioned window supplies
+    both endpoints from a single sort (rn ascending + the partition
+    count — no second reverse-ordered window), then one
+    map-side-combinable aggregate per bucket. One shuffle keyed by the
+    bucket, reused by both stages; never a global sort."""
+    prep(spark)
+    e = table(spark, sf_dir, "events").select(
+        "event_type", "event_id", F.unix_micros("ts").alias("us"), "value"
+    )
+    e = e.withColumn("bkt", F.expr(f"us div {_HOUR_US}"))
+    part = W.partitionBy("event_type", "bkt")
+    ranked = e.select(
+        "event_type",
+        "bkt",
+        "value",
+        F.row_number().over(part.orderBy("us", "event_id")).alias("rn"),
+        F.count(F.lit(1)).over(part).alias("cnt"),
+    )
+    return ranked.groupBy("event_type", "bkt").agg(
+        F.max("cnt").cast("long").alias("n"),
+        F.max(F.when(F.col("rn") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn") == F.col("cnt"), F.col("value"))).alias("close"),
+        F.sum(dec2("value")).cast("double").alias("volume"),
+    ).select(
+        "event_type",
+        (F.col("bkt") * _HOUR_US).cast("long").alias("bucket_start_us"),
+        "n",
+        "open",
+        "high",
+        "low",
+        "close",
+        "volume",
+    )
+
+
+# trailing-EWMA geometry: alpha = 1/2 over the last _EWMA_K events, so
+# every weight is a power of two and the weighted sum is EXACT integer
+# arithmetic (centi-value x 2^(K-1-j)); den telescopes to 2^K - 2^(K-m)
+# for m available terms but is computed as the same per-term sum
+_EWMA_K = 8
+
+
+def _ewma_terms_sql() -> tuple[str, str]:
+    num = " + ".join(
+        f"COALESCE(lag(cv, {j}) OVER w * {1 << (_EWMA_K - 1 - j)}, 0)"
+        for j in range(_EWMA_K)
+    )
+    den = " + ".join(
+        f"CASE WHEN lag(cv, {j}) OVER w IS NOT NULL"
+        f" THEN {1 << (_EWMA_K - 1 - j)} ELSE 0 END"
+        for j in range(_EWMA_K)
+    )
+    return num, den
+
+
+@query(
+    "ewma_trailing",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us,
+             CAST(ROUND(value * 100) AS BIGINT) AS cv
+      FROM events
+    )
+    SELECT user_id, event_id, CAST(us AS BIGINT) AS us,
+           CAST(cv AS BIGINT) AS cv,
+           CAST({_ewma_terms_sql()[0]} AS BIGINT) AS num,
+           CAST({_ewma_terms_sql()[1]} AS BIGINT) AS den,
+           CAST(ROUND(CAST(({_ewma_terms_sql()[0]}) * 10000 AS DOUBLE)
+                      / ({_ewma_terms_sql()[1]})) AS BIGINT) AS ewma_micros
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    """,
+)
+def ewma_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing exponentially-weighted moving average of event values
+    per user (alpha = 1/2 over the last {K} events) — the smoothing
+    pass behind rate limiting, fraud scores, and feature freshness.
+    Decay 1/2 makes every weight a power of two, so the weighted sum
+    is exact integer arithmetic over centi-values: num = SUM cv_j *
+    2^(K-1-j), den = the same sum of weights over the PRESENT terms
+    (short histories at each user's head renormalize automatically).
+    The surfaced EWMA is one double division of those exact integers,
+    rounded to integer micros (the int-nanos family technique).
+
+    Scale shape: one user-partitioned window sort serving all K lag
+    taps — partition-local, never a global sort; the K=8 taps are a
+    fixed column-count cost, not a self-join. Overflow headroom: cv <
+    2^26 here, num < 2^34, num*10000 < 2^48."""
+    prep(spark)
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        F.round(F.col("value") * 100).cast("long").alias("cv"),
+    )
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    num = sum(
+        (
+            F.coalesce(F.lag("cv", j).over(w) * (1 << (_EWMA_K - 1 - j)), F.lit(0))
+            for j in range(_EWMA_K)
+        ),
+        start=F.lit(0),
+    )
+    den = sum(
+        (
+            F.when(
+                F.lag("cv", j).over(w).isNotNull(), F.lit(1 << (_EWMA_K - 1 - j))
+            ).otherwise(F.lit(0))
+            for j in range(_EWMA_K)
+        ),
+        start=F.lit(0),
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.col("us").cast("long").alias("us"),
+        F.col("cv").cast("long").alias("cv"),
+        num.cast("long").alias("num"),
+        den.cast("long").alias("den"),
+        F.round((num * 10000).cast("double") / den).cast("long").alias("ewma_micros"),
+    )

@@ -54,7 +54,7 @@ _OPERATOR_MODULES = (
 # The driver's correctness gate samples the FIRST ~50 keys in queries()
 # order, so registration order is the sampling schedule. Round-8 policy
 # (continues VERDICT r6 #4's witness-age rotation): the never-driver-
-# sampled round-8 keys lead (25 as of the final batch), then EVERY oracle key ordered by its oldest driver
+# sampled keys lead, then EVERY oracle key ordered by its oldest driver
 # witness (union of CORRECTNESS_r01..r07; r3-r4 witnesses are now the
 # stalest since r7 re-greened the r1-r3 head), rows-only keys last —
 # oracle evidence is worth more per gate slot than a weak rows-only
@@ -63,6 +63,10 @@ _OPERATOR_MODULES = (
 # load_all() silently ignores missing keys) — so module order no
 # longer matters for sampling.
 _SAMPLE_PRIORITY = (
+    # round-9 keys (never driver-sampled) lead
+    "resample_ohlc",
+    "ewma_trailing",
+    # round-8 keys, then witness-age order
     "hypertable_rollup",
     "gap_fill_locf",
     "record_linkage",
