@@ -17,10 +17,11 @@ per-group statistics tables are O(#groups)/O(#bins) rows.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import prep, table
+from ..exact import dec2
 from ..registry import query
 
 
@@ -241,4 +242,145 @@ def split_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("va").cast("long").alias("n_val"),
             F.round((p - q) * F.log(p / q) * 1e9).cast("long").alias("psi_nanos"),
         )
+    )
+
+
+@query(
+    "target_encode",
+    oracle="""
+    WITH g AS (
+      SELECT o_orderpriority AS cat,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS s_cents,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders GROUP BY o_orderpriority
+    ),
+    t AS (
+      SELECT CAST(SUM(s_cents) AS BIGINT) AS s_tot,
+             CAST(SUM(n) AS BIGINT) AS n_tot
+      FROM g
+    )
+    SELECT cat, n,
+           CAST(s_cents * n_tot + 10 * s_tot AS BIGINT) AS enc_num,
+           CAST(n_tot * (n + 10) AS BIGINT) AS enc_den,
+           CAST(ROUND(CAST(s_cents * n_tot + 10 * s_tot AS DOUBLE) * 1e4
+                      / (n_tot * (n + 10))) AS BIGINT) AS enc_micros
+    FROM g, t
+    """,
+)
+def target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target encoding of order priority against order value —
+    the categorical-encoding pass (CatBoost-style mean encoding with a
+    global-mean prior, m = 10): enc(cat) = (sum_cat + m*mean_all) /
+    (n_cat + m). Kept EXACT by clearing denominators: with integer
+    cents enc = (S_cat*N + m*S_tot) / (N*(n_cat + m)) — numerator and
+    denominator are exact int64 (headroom: cents*N < 2^59 at sf0.1),
+    surfaced both raw and as one double division quantized to integer
+    micros. No leakage handling here (that's split_assign's train-fold
+    job); this is the encoding arithmetic.
+
+    Scale shape: one map-side-combinable aggregate to O(#categories)
+    rows, one 1-row total re-aggregate cross-joined back — the data is
+    scanned once; at 100 TB the int64 cents headroom shrinks (cents*N
+    overflows past ~10^18), where the same formula runs in
+    DECIMAL(38,0)."""
+    prep(spark)
+    cents = (dec2("o_totalprice") * 100).cast("long")
+    g = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderpriority").alias("cat"))
+        .agg(
+            F.sum(cents).cast("long").alias("s_cents"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    t = g.agg(
+        F.sum("s_cents").cast("long").alias("s_tot"),
+        F.sum("n").cast("long").alias("n_tot"),
+    )
+    num = F.col("s_cents") * F.col("n_tot") + 10 * F.col("s_tot")
+    den = F.col("n_tot") * (F.col("n") + 10)
+    return g.crossJoin(F.broadcast(t)).select(
+        "cat",
+        "n",
+        num.cast("long").alias("enc_num"),
+        den.cast("long").alias("enc_den"),
+        F.round(num.cast("double") * 1e4 / den).cast("long").alias("enc_micros"),
+    )
+
+
+@query(
+    "auc_exact",
+    oracle="""
+    WITH s AS (
+      SELECT o_totalprice AS score,
+             CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS pos
+      FROM orders GROUP BY o_totalprice
+    ),
+    r AS (
+      SELECT cnt, pos,
+             SUM(cnt) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING) - cnt AS bef
+      FROM s
+    ),
+    agg AS (
+      SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+             CAST(SUM(cnt - pos) AS BIGINT) AS n_neg,
+             CAST(SUM(pos * (2 * bef + cnt + 1)) AS BIGINT) AS two_rank_pos
+      FROM r
+    )
+    SELECT n_pos, n_neg,
+           CAST(two_rank_pos - n_pos * (n_pos + 1) AS BIGINT) AS u2,
+           CAST(two_rank_pos - n_pos * (n_pos + 1) AS DOUBLE)
+             / (2.0 * n_pos * n_neg) AS auc
+    FROM agg
+    """,
+)
+def auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of order value as a classifier for fulfilled
+    status — the Mann-Whitney U form every model-eval pipeline uses:
+    AUC = (ΣR_pos − n_pos(n_pos+1)/2) / (n_pos·n_neg) with AVERAGE
+    ranks for tied scores. Tie handling stays exact-integer by scaling
+    ranks by 2: a score group preceded by `bef` rows holds average
+    rank bef + (cnt+1)/2, i.e. 2·avgrank = 2·bef + cnt + 1 — integer.
+    The statistic is surfaced as exact 2U plus one double division.
+
+    Scale shape: the data collapses to the per-score histogram first
+    (one map-side-combinable aggregate), so the cumulative-rank window
+    runs over DISTINCT SCORES, not rows — the sweep-allowed
+    global-window-over-aggregate shape; at extreme score cardinality
+    the histogram is binned first (split_drift_psi's spine) with
+    bounded AUC error."""
+    prep(spark)
+    s = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_totalprice").alias("score"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.count(F.when(F.col("o_orderstatus") == "F", 1))
+            .cast("long")
+            .alias("pos"),
+        )
+    )
+    w = W.orderBy("score").rowsBetween(W.unboundedPreceding, 0)
+    r = s.select(
+        "cnt", "pos", (F.sum("cnt").over(w) - F.col("cnt")).alias("bef")
+    )
+    agg = r.agg(
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum(F.col("cnt") - F.col("pos")).cast("long").alias("n_neg"),
+        F.sum(F.col("pos") * (2 * F.col("bef") + F.col("cnt") + 1))
+        .cast("long")
+        .alias("two_rank_pos"),
+    )
+    u2 = F.col("two_rank_pos") - F.col("n_pos") * (F.col("n_pos") + 1)
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        u2.cast("long").alias("u2"),
+        (
+            u2.cast("double")
+            / (2.0 * F.col("n_pos") * F.col("n_neg")).cast("double")
+        ).alias("auc"),
     )

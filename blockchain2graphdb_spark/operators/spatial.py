@@ -171,3 +171,58 @@ def spatial_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn").cast("long").alias("rank"),
         )
     )
+
+
+_MIN_PTS = 4  # DBSCAN minPts, INCLUDING the point itself
+
+_DBSCAN_ORACLE = f"""
+    WITH {_CELL_CTES},
+    neigh AS (
+      SELECT p.a AS id, CAST(COUNT(*) AS BIGINT) AS n_in_eps
+      FROM probe p JOIN home h ON h.cx = p.cx AND h.cy = p.cy AND p.a <> h.b
+      WHERE (p.ax - h.bx) * (p.ax - h.bx)
+          + (p.ay - h.by) * (p.ay - h.by) <= {_R2}
+      GROUP BY p.a
+    )
+    SELECT pts.id, CAST(pts.x AS BIGINT) AS x, CAST(pts.y AS BIGINT) AS y,
+           COALESCE(n.n_in_eps, 0) AS n_in_eps,
+           CAST(COALESCE(n.n_in_eps, 0) + 1 >= {_MIN_PTS} AS BOOLEAN) AS is_core
+    FROM pts LEFT JOIN neigh n ON n.id = pts.id
+    """
+
+
+@query("dbscan_core", oracle=_DBSCAN_ORACLE)
+def dbscan_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN core-point identification (eps = 150, minPts = 4
+    including self) — the density-classification half of DBSCAN, which
+    is where all the data-scale work lives: a point is CORE iff at
+    least minPts points (itself included) sit within eps. The cluster-
+    expansion half is connected components over core–core eps edges
+    (the wallet_components machinery); this operator surfaces the
+    density classification every outlier/denoising pipeline consumes
+    directly. Isolated points (empty 3x3 neighborhood) survive via the
+    left join with count 0 — they are exactly the DBSCAN noise
+    candidates.
+
+    Scale shape: identical candidate generation to spatial_radius_join
+    (3x3 probe-cell key explode, cell equi-join, exact int64 squared
+    distances), one map-side-combinable count per point, one keyed
+    left join back to the cloud. Never a cross join; skewed cells are
+    AQE skew-join territory on the cell key."""
+    prep(spark)
+    pts = _points(spark, sf_dir).localCheckpoint(eager=True)
+    probe, home, d2 = _probe_home(pts)
+    neigh = (
+        probe.join(home, ["cx", "cy"])
+        .where(F.col("a") != F.col("b"))
+        .where(d2 <= _R2)
+        .groupBy(F.col("a").alias("id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_in_eps"))
+    )
+    return pts.join(neigh, "id", "left").select(
+        "id",
+        F.col("x").cast("long").alias("x"),
+        F.col("y").cast("long").alias("y"),
+        F.coalesce(F.col("n_in_eps"), F.lit(0)).cast("long").alias("n_in_eps"),
+        (F.coalesce(F.col("n_in_eps"), F.lit(0)) + 1 >= _MIN_PTS).alias("is_core"),
+    )

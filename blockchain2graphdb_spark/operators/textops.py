@@ -930,3 +930,119 @@ def tokenize_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("id_checksum"),
     )
+
+
+@query(
+    "skipgram_pairs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, t.i AS pos, l[CAST(t.i AS INT) + 1] AS t
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS l FROM documents),
+           UNNEST(range(len(l))) AS t(i)
+    ),
+    f AS (SELECT doc_id, pos, t FROM toks WHERE t <> ''),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t_total FROM f),
+    uni AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM f GROUP BY t),
+    ctx AS (
+      SELECT doc_id, pos - k.i - 1 AS pos, t AS b
+      FROM f, UNNEST(range(2)) AS k(i)
+    ),
+    pairs AS (
+      SELECT LEAST(f.t, c.b) AS a, GREATEST(f.t, c.b) AS b,
+             CAST(COUNT(*) AS BIGINT) AS c_ab
+      FROM f JOIN ctx c ON c.doc_id = f.doc_id AND c.pos = f.pos
+      WHERE f.t <> c.b
+      GROUP BY LEAST(f.t, c.b), GREATEST(f.t, c.b)
+    ),
+    ptot AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS p_total FROM pairs)
+    SELECT a, b, c_ab,
+           ua.c AS c_a, ub.c AS c_b,
+           CAST(ROUND(ln(CAST(c_ab AS DOUBLE) * t_total * t_total
+                         / (CAST(p_total AS DOUBLE) * ua.c * ub.c)) * 1e9)
+                AS BIGINT) AS pmi_nanos
+    FROM pairs
+    JOIN uni ua ON ua.t = a
+    JOIN uni ub ON ub.t = b, tot, ptot
+    ORDER BY c_ab DESC, a, b LIMIT 100
+    """,
+)
+def skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 skip-gram extraction: unordered token co-occurrence pairs
+    within a +/-2 window over the lowercased corpus, with counts and
+    PMI — the word2vec/GloVe training-pair generator and the
+    collocation detector behind phrase mining. Window pairs come from
+    a MAP-SIDE offset expansion (each token emits its position minus
+    1 and minus 2 as CONTEXT KEYS — 2 key rows per token, no payload
+    fan-out) equi-joined back on (doc_id, pos): forward-only
+    generation so each unordered pair is produced exactly once per
+    occurrence, canonicalized (least, greatest). PMI = ln(p(a,b) /
+    (p(a) p(b))) evaluated as one double expression over exact
+    integer counts and quantized to int nanos (the BM25/surprisal ln
+    parity precedent). Self-pairs ("the the") are excluded. Top-100
+    by (count DESC, a, b) — a TakeOrdered, never a global sort.
+
+    Scale shape: tokenization and offset expansion are builtin
+    split/explode (no Python); the pair join is keyed (doc_id, pos) —
+    co-partitioned equi-join, never a per-document cross join; pair
+    and unigram aggregates are map-side combinable; the two unigram
+    probes join against the O(vocab) count table."""
+    prep(spark)
+    toks = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.posexplode(F.split(F.lower(F.col("text")), " ")).alias("pos", "t"),
+        )
+        .where(F.col("t") != "")
+        .localCheckpoint(eager=True)
+    )
+    t_total = toks.count()
+    uni = toks.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    ctx = (
+        toks.withColumn("k", F.explode(F.array(F.lit(1), F.lit(2))))
+        .select(
+            "doc_id",
+            (F.col("pos") - F.col("k")).alias("pos"),
+            F.col("t").alias("b"),
+        )
+    )
+    pairs = (
+        toks.join(ctx, ["doc_id", "pos"])
+        .where(F.col("t") != F.col("b"))
+        .select(
+            F.least("t", "b").alias("a"), F.greatest("t", "b").alias("bb")
+        )
+        .groupBy("a", "bb")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+        .localCheckpoint(eager=True)
+    )
+    p_total = pairs.agg(F.sum("c_ab")).collect()[0][0]
+    pmi = F.round(
+        F.log(
+            F.col("c_ab").cast("double")
+            * F.lit(float(t_total))
+            * F.lit(float(t_total))
+            / (F.lit(float(p_total)) * F.col("c_a") * F.col("c_b"))
+        )
+        * 1e9
+    ).cast("long")
+    return (
+        pairs.join(F.broadcast(uni.withColumnRenamed("t", "a")
+                               .withColumnRenamed("c", "c_a")), "a")
+        .join(
+            F.broadcast(
+                uni.withColumnRenamed("t", "bb").withColumnRenamed("c", "c_b")
+            ),
+            "bb",
+        )
+        .select(
+            "a",
+            F.col("bb").alias("b"),
+            "c_ab",
+            "c_a",
+            "c_b",
+            pmi.alias("pmi_nanos"),
+        )
+        .orderBy(F.col("c_ab").desc(), "a", "b")
+        .limit(100)
+    )

@@ -49,6 +49,7 @@ _OPERATOR_MODULES = (
     "blockchain2graphdb_spark.operators.linkage",
     "blockchain2graphdb_spark.operators.mlprep",
     "blockchain2graphdb_spark.operators.spatial",
+    "blockchain2graphdb_spark.operators.walks",
 )
 
 # The driver's correctness gate samples the FIRST ~50 keys in queries()
@@ -66,6 +67,11 @@ _SAMPLE_PRIORITY = (
     # round-9 keys (never driver-sampled) lead
     "resample_ohlc",
     "ewma_trailing",
+    "skipgram_pairs",
+    "random_walk_sample",
+    "target_encode",
+    "auc_exact",
+    "dbscan_core",
     # round-8 keys, then witness-age order
     "hypertable_rollup",
     "gap_fill_locf",

@@ -62,6 +62,12 @@ _ITERATIVE = {
     "split_drift_psi",
     "seasonality_profile",
     "cusum_drift",
+    # round-9 builders that run a job on call (eager checkpoints /
+    # scalar totals for PMI)
+    "skipgram_pairs",
+    "random_walk_sample",
+    "target_encode",
+    "dbscan_core",
 }
 
 _PLAN_KEYS = sorted(set(SPECS) - _EXECUTING - _ITERATIVE)

@@ -1,0 +1,208 @@
+"""Round-9 operator tests: semantic invariants and plan shapes for the
+OHLC/EWMA time-series pair, the skip-gram/walk training-data
+generators, and the target-encode/AUC/DBSCAN ML trio (SURVEY.md §4/§5).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from blockchain2graphdb_spark import registry
+from blockchain2graphdb_spark.catalog import table
+from blockchain2graphdb_spark.plans.inspect import (
+    plan_string,
+    unpartitioned_unbounded_windows,
+)
+
+from conftest import SF_DIR
+
+SPECS = registry.load_all()
+
+
+def _df(name, spark):
+    return SPECS[name].builder(spark, SF_DIR)
+
+
+# ---------------------------------------------------------------- OHLC
+
+
+def test_ohlc_bounds_and_counts(spark):
+    """open/close lie within [low, high] on every candle, and candle
+    counts re-aggregate to the raw event count per type."""
+    rows = _df("resample_ohlc", spark).collect()
+    assert rows
+    for r in rows:
+        assert r.low <= r.open <= r.high
+        assert r.low <= r.close <= r.high
+        assert r.n >= 1
+    per_type = {}
+    for r in rows:
+        per_type[r.event_type] = per_type.get(r.event_type, 0) + r.n
+    raw = {
+        r.event_type: r.n
+        for r in table(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert per_type == raw
+
+
+def test_ohlc_single_keyed_shuffle(spark):
+    """The window pick and the candle aggregate share one (event_type,
+    bucket) partitioning — no second data shuffle, no unpartitioned
+    window."""
+    df = _df("resample_ohlc", spark)
+    assert not unpartitioned_unbounded_windows(df)
+    # one real exchange for the keyed window+agg; anything further must
+    # be a reuse, not a second repartitioning of the data
+    plan = plan_string(df)
+    assert plan.count("Exchange") <= 2, plan
+
+
+# ---------------------------------------------------------------- EWMA
+
+
+def test_ewma_head_and_denominator_geometry(spark):
+    """Each user's first event renormalizes to the plain value
+    (ewma_micros == cv * 10000), and every denominator is one of the
+    telescoped partial-weight sums 256 - 2^(8-m)."""
+    rows = _df("ewma_trailing", spark).collect()
+    assert rows
+    valid_dens = {256 - (1 << (8 - m)) for m in range(1, 9)}
+    firsts = {}
+    for r in rows:
+        assert r.den in valid_dens, r
+        key = (r.us, r.event_id)
+        if r.user_id not in firsts or key < firsts[r.user_id][0]:
+            firsts[r.user_id] = (key, r)
+    for _, r in firsts.values():
+        assert r.den == 128
+        assert r.ewma_micros == r.cv * 10000
+
+
+# ------------------------------------------------------------ skipgram
+
+
+def test_skipgram_pairs_canonical_and_ranked(spark):
+    """Pairs are canonicalized (a < b), self-pairs excluded, and the
+    top-100 is ordered by (count DESC, a, b)."""
+    rows = _df("skipgram_pairs", spark).collect()
+    assert 0 < len(rows) <= 100
+    keys = [(-r.c_ab, r.a, r.b) for r in rows]
+    assert keys == sorted(keys)
+    for r in rows:
+        assert r.a < r.b
+        assert 1 <= r.c_ab
+        assert r.c_a >= 1 and r.c_b >= 1
+
+
+def test_skipgram_topk_is_take_ordered_not_global_sort(spark):
+    plan = plan_string(_df("skipgram_pairs", spark))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Cartesian" not in plan, plan
+
+
+# --------------------------------------------------------------- walks
+
+
+def test_walks_are_real_trajectories(spark):
+    """Every seed yields exactly steps 0..3 with alternating node types,
+    and every consecutive (order, part) hop is a real lineitem edge."""
+    rows = _df("random_walk_sample", spark).collect()
+    assert rows
+    by_seed = {}
+    for r in rows:
+        by_seed.setdefault(r.seed, {})[r.step] = r
+    edges = {
+        (r.o, r.p)
+        for r in table(spark, SF_DIR, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .collect()
+    }
+    for seed, steps in by_seed.items():
+        assert set(steps) == {0, 1, 2, 3}
+        assert [steps[t].node_type for t in range(4)] == [
+            "order", "part", "order", "part",
+        ]
+        assert steps[0].node == seed
+        assert (steps[0].node, steps[1].node) in edges
+        assert (steps[2].node, steps[1].node) in edges
+        assert (steps[2].node, steps[3].node) in edges
+
+
+def test_walks_deterministic_across_invocations(spark):
+    """The hash-driven picks are a pure function of the data — two
+    independent builds produce identical trajectories."""
+    a = sorted(map(tuple, _df("random_walk_sample", spark).collect()))
+    b = sorted(map(tuple, _df("random_walk_sample", spark).collect()))
+    assert a == b
+
+
+# ------------------------------------------------------- target encode
+
+
+def test_target_encode_shrinks_toward_global_mean(spark):
+    """Smoothing must pull every category's encoding strictly between
+    its raw mean and the global mean (or onto them), and category
+    counts must cover the table."""
+    rows = _df("target_encode", spark).collect()
+    orders = (
+        table(spark, SF_DIR, "orders")
+        .select("o_orderpriority", "o_totalprice")
+        .toPandas()
+    )
+    g_mean = orders.o_totalprice.mean()
+    assert sum(r.n for r in rows) == len(orders)
+    for r in rows:
+        raw_mean = orders[orders.o_orderpriority == r.cat].o_totalprice.mean()
+        enc = r.enc_num / r.enc_den / 100.0
+        lo, hi = min(raw_mean, g_mean), max(raw_mean, g_mean)
+        assert lo - 1e-9 <= enc <= hi + 1e-9
+        assert abs(r.enc_micros - enc * 1e6) <= 0.5 + 1e-6
+
+
+# ----------------------------------------------------------------- AUC
+
+
+def test_auc_matches_pandas_rank_formula(spark):
+    """Exact AUC equals the tie-aware Mann-Whitney computation from
+    pandas average ranks."""
+    r = _df("auc_exact", spark).collect()[0]
+    orders = (
+        table(spark, SF_DIR, "orders")
+        .select("o_orderstatus", "o_totalprice")
+        .toPandas()
+    )
+    pos = orders.o_orderstatus == "F"
+    ranks = orders.o_totalprice.rank(method="average")
+    n_pos, n_neg = int(pos.sum()), int((~pos).sum())
+    auc = (ranks[pos].sum() - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg)
+    assert (r.n_pos, r.n_neg) == (n_pos, n_neg)
+    assert abs(r.auc - auc) < 1e-12
+    assert 0.0 <= r.auc <= 1.0
+
+
+# -------------------------------------------------------------- DBSCAN
+
+
+def test_dbscan_core_matches_bruteforce(spark):
+    """Grid-bucketed eps-neighbor counts equal the O(N^2) brute force on
+    the small fixture — the cell join loses no neighbors."""
+    rows = _df("dbscan_core", spark).collect()
+    pts = np.array([[r.id, r.x, r.y] for r in rows])
+    xy = pts[:, 1:].astype(np.int64)
+    d2 = ((xy[:, None, :] - xy[None, :, :]) ** 2).sum(axis=2)
+    within = (d2 <= 150 * 150).sum(axis=1) - 1  # minus self
+    got = {int(r.id): (r.n_in_eps, r.is_core) for r in rows}
+    for i, pid in enumerate(pts[:, 0]):
+        n = int(within[i])
+        assert got[int(pid)] == (n, n + 1 >= 4)
+
+
+def test_dbscan_is_cell_equi_join(spark):
+    plan = plan_string(_df("dbscan_core", spark))
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan, plan
