@@ -110,12 +110,20 @@ def connected_components(
         rows = [(n, find(n)) for n in parent]
         return spark.createDataFrame(rows, sym.schema).toDF("node", "comp")
 
-    # initial labels checkpointed with the node count riding the job:
-    # the loop re-reads this table every round anyway
+    # initial labels = least(node, min neighbor), one groupBy over the
+    # symmetrized edges — this FOLDS the first outer round's hash-min
+    # into initialization with ZERO edge joins (with identity labels,
+    # min-over-neighbors needs no label join, and round-1 hooking
+    # grouped by the identity label is a no-op). Any initialization
+    # that is <= node and stays inside the component preserves the
+    # loop's invariants (labels decrease monotonically toward the
+    # component min; convergence still detected by changed == 0).
+    # Checkpointed with the node count riding the job: the loop
+    # re-reads this table every round anyway.
     comp, n_nodes = observed_checkpoint(
-        sym.select(F.col("a").alias("node")).distinct().withColumn(
-            "comp", F.col("node")
-        ),
+        sym.groupBy(F.col("a").alias("node"))
+        .agg(F.min("b").alias("mb"))
+        .select("node", F.least(F.col("node"), F.col("mb")).alias("comp")),
         F.count(F.lit(1)),
     )
     hint = F.broadcast if n_nodes <= broadcast_nodes else (lambda df: df)
