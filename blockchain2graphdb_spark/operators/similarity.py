@@ -550,3 +550,181 @@ def dedup_embedding_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("vec_id").over(w).alias("keep_id"),
         F.count(F.lit(1)).over(w).cast("long").alias("group_size"),
     )
+
+
+# -------------------------------------------------- cosine near-dup (X2)
+
+# 8 deterministic sign-LSH hyperplanes with +/-1 coefficients derived
+# from md5 at module load and INLINED AS LITERALS into both the Spark
+# plan and the oracle SQL — no cross-engine hash-parity surface at all
+import hashlib as _hashlib
+
+_ND_PLANES = 8
+_ND_COEFS: list[list[int]] = [
+    [
+        1 if int(_hashlib.md5(f"{p}:{d}".encode()).hexdigest()[0], 16) < 8 else -1
+        for d in range(_N_DIM)
+    ]
+    for p in range(_ND_PLANES)
+]
+# cos >= 0.95 as exact integer cross-multiplication: 0.95^2 = 361/400
+_ND_THR_NUM2, _ND_THR_DEN2 = 361, 400
+
+
+def _nd_oracle() -> str:
+    def proj(p: int) -> str:
+        lit = "[" + ",".join(str(c) for c in _ND_COEFS[p]) + "]"
+        return (
+            f"(SELECT SUM(qv[i.i] * ({lit})[i.i])"
+            f" FROM (SELECT unnest(range(1, {_N_DIM + 1})) AS i) i)"
+        )
+
+    bucket = " + ".join(
+        f"(CASE WHEN {proj(p)} >= 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(_ND_PLANES)
+    )
+    return f"""
+    WITH corpus AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000,
+             list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.02)
+      FROM embeddings WHERE vec_id % 10 = 0
+      UNION ALL
+      SELECT vec_id + 2000000,
+             list_transform(embedding, x -> CAST(x AS DOUBLE) * 0.6 + 0.25)
+      FROM embeddings WHERE vec_id % 10 = 5
+    ),
+    q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      FROM corpus
+    ),
+    sig AS (
+      SELECT vec_id, qv,
+             (SELECT SUM(x * x) FROM unnest(qv) AS t(x)) AS norm2,
+             {bucket} AS bucket
+      FROM q
+    ),
+    cand AS (
+      SELECT a.vec_id AS a, b.vec_id AS b, a.norm2 AS na2, b.norm2 AS nb2,
+             a.bucket AS bucket,
+             (SELECT SUM(a.qv[i.i] * b.qv[i.i])
+              FROM (SELECT unnest(range(1, {_N_DIM + 1})) AS i) i) AS num
+      FROM sig a JOIN sig b ON b.bucket = a.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT a, b, CAST(bucket AS BIGINT) AS bucket,
+           CAST(num AS DOUBLE) / SQRT(CAST(na2 * nb2 AS DOUBLE)) AS cosine
+    FROM cand
+    WHERE num > 0 AND {_ND_THR_DEN2} * num * num >= {_ND_THR_NUM2} * na2 * nb2
+    """
+
+
+@query("dedup_embedding_cosine", oracle=_nd_oracle())
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 embedding-cosine near-duplicate detection: pairs with cosine
+    >= 0.95, candidates generated by 8-plane sign-LSH bucketing — the
+    semantic-dedup pass a training pipeline runs after exact dedup
+    (dedup_embedding_exact catches byte-identical vectors; this
+    catches rescaled/re-encoded ones). The corpus is seeded with two
+    deterministic cohorts (the fixture's random vectors are mutually
+    near-orthogonal): a x1.02 rescale (cosine ~1 after quantization —
+    must be caught) and a x0.6+0.25 shift (direction dominated by the
+    offset, cosine far below 0.95 — must be rejected), so both sides
+    of the threshold do real work.
+
+    Determinism: hyperplane coefficients are +/-1 literals baked into
+    both plans at module load (no hash-parity surface); projections,
+    norms, and dot products are exact int64 over round(x*1000)
+    quantized vectors; the 0.95 threshold is the integer
+    cross-multiplication 400*num^2 >= 361*|a|^2*|b|^2 with num > 0
+    (headroom: num < 2^27 here, num^2*400 < 2^62).
+
+    Scale shape: signatures and projections are map-side (8
+    zip_with/aggregate folds per row, JVM-side); the only shuffle is
+    the bucket-keyed self-join — never all-pairs (plan-asserted); at
+    real corpus sizes the plane count grows (16-24 planes / banded
+    signatures) to keep buckets O(1), exactly the dedup_minhash band
+    geometry."""
+    prep(spark)
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    as_d = lambda c: c.cast("double")  # noqa: E731
+    corpus = (
+        emb.unionByName(
+            emb.where(F.col("vec_id") % 10 == 0).select(
+                (F.col("vec_id") + 1_000_000).alias("vec_id"),
+                F.transform("embedding", lambda x: as_d(x) * 1.02).alias("embedding"),
+            )
+        ).unionByName(
+            emb.where(F.col("vec_id") % 10 == 5).select(
+                (F.col("vec_id") + 2_000_000).alias("vec_id"),
+                F.transform("embedding", lambda x: as_d(x) * 0.6 + 0.25).alias(
+                    "embedding"
+                ),
+            )
+        )
+    )
+    q = corpus.select("vec_id", quantize("embedding").alias("qv"))
+    norm2 = F.aggregate(
+        F.transform(F.col("qv"), lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+
+    def proj(p: int) -> F.Column:
+        coefs = F.array(*[F.lit(c) for c in _ND_COEFS[p]])
+        return F.aggregate(
+            F.zip_with(F.col("qv"), coefs, lambda x, c: x * c),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        )
+
+    bucket = sum(
+        (
+            F.when(proj(p) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+            for p in range(_ND_PLANES)
+        ),
+        start=F.lit(0),
+    )
+    sig = q.select(
+        "vec_id", "qv", norm2.alias("norm2"), bucket.alias("bucket")
+    ).localCheckpoint(eager=True)
+    a = sig.select(
+        F.col("vec_id").alias("a"),
+        F.col("qv").alias("qa"),
+        F.col("norm2").alias("na2"),
+        "bucket",
+    )
+    b = sig.select(
+        F.col("vec_id").alias("b"),
+        F.col("qv").alias("qb"),
+        F.col("norm2").alias("nb2"),
+        "bucket",
+    )
+    num = F.aggregate(
+        F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, "bucket")
+        .where(F.col("a") < F.col("b"))
+        .withColumn("num", num)
+        .where(
+            (F.col("num") > 0)
+            & (
+                _ND_THR_DEN2 * F.col("num") * F.col("num")
+                >= _ND_THR_NUM2 * F.col("na2") * F.col("nb2")
+            )
+        )
+        .select(
+            "a",
+            "b",
+            F.col("bucket").cast("long").alias("bucket"),
+            (
+                F.col("num").cast("double")
+                / F.sqrt((F.col("na2") * F.col("nb2")).cast("double"))
+            ).alias("cosine"),
+        )
+    )

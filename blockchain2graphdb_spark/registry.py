@@ -72,6 +72,7 @@ _SAMPLE_PRIORITY = (
     "target_encode",
     "auc_exact",
     "dbscan_core",
+    "dedup_embedding_cosine",
     # round-8 keys, then witness-age order
     "hypertable_rollup",
     "gap_fill_locf",

@@ -68,6 +68,7 @@ _ITERATIVE = {
     "random_walk_sample",
     "target_encode",
     "dbscan_core",
+    "dedup_embedding_cosine",
 }
 
 _PLAN_KEYS = sorted(set(SPECS) - _EXECUTING - _ITERATIVE)

@@ -206,3 +206,28 @@ def test_dbscan_core_matches_bruteforce(spark):
 def test_dbscan_is_cell_equi_join(spark):
     plan = plan_string(_df("dbscan_core", spark))
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan, plan
+
+
+# ----------------------------------------------- embedding cosine dedup
+
+
+def test_embedding_cosine_dedup_threshold_does_real_work(spark):
+    """The x1.02 rescale cohort must be recovered (cosine ~1 after
+    quantization; >= 45/50 allows rare sign-LSH boundary flips); a
+    x0.6+0.25 shifted copy must NEVER match its own original (the
+    offset swamps the original direction) — though shifted copies
+    legitimately match EACH OTHER, all being near the constant vector;
+    and every surfaced cosine clears the threshold."""
+    rows = _df("dedup_embedding_cosine", spark).collect()
+    assert rows
+    rescued = {r.a for r in rows if r.b == r.a + 1_000_000}
+    assert len(rescued) >= 45, len(rescued)
+    assert not any(r.b == r.a + 2_000_000 for r in rows)
+    for r in rows:
+        assert r.cosine >= 0.95 - 1e-12
+        assert r.a < r.b
+
+
+def test_embedding_cosine_dedup_is_bucket_join(spark):
+    plan = plan_string(_df("dedup_embedding_cosine", spark))
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan, plan
