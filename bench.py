@@ -64,6 +64,10 @@ SECONDARY = [
     "label_propagation",        # 3-round deterministic LPA
     "ktruss_edges",             # wedge-join truss peel to fixpoint
     "spatial_knn",              # grid-bucketed bounded kNN
+    "skipgram_pairs",           # windowed co-occurrence + PMI top-k
+    "random_walk_sample",       # hash-driven walk trajectories
+    "dedup_embedding_cosine",   # sign-LSH bucketed cosine near-dup
+    "resample_ohlc",            # windowed candle downsampling
 ]
 
 
