@@ -1,0 +1,53 @@
+"""Distributed global ranking without an unpartitioned window.
+
+`bucketed_global_rank` is the reusable form of the two-pass rank
+sort_by_key pioneered (VERDICT_r04's scale-killer fix): a global
+row_number() OVER (ORDER BY ...) funnels the whole table through ONE
+WindowExec partition, so instead
+
+  1. bucket each row by a deterministic, data-derived prefix of the
+     sort order (a value band / calendar month — never sampled range
+     boundaries, so re-evaluation cannot reassign rows);
+  2. per-bucket counts -> cumulative offsets via a theta-join over the
+     O(#buckets) count table (no window at all);
+  3. rank WITHIN buckets (Window.partitionBy(bucket) — distributed);
+  4. pos = bucket offset + in-bucket row_number.
+
+The caller guarantees the bucket is a monotone function of the leading
+sort key (strictly earlier bucket => strictly earlier sort order), which
+makes the composed rank identical to the global one. At 100 TB bucket
+granularity is the skew lever (month -> day -> hour; wider bands ->
+narrower) — same trick as distributed zipWithIndex's partition offsets.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def bucketed_global_rank(
+    df: DataFrame, bucket: Column, order: Sequence[Column]
+) -> DataFrame:
+    """Return `df` plus `pos` (1-based global rank, long) and `n_total`
+    (long). `bucket` must ascend with the sort order (negate a value
+    band for DESC ranks); `order` must be a unique total order within
+    each bucket. Lazy — adds no jobs, no checkpoints."""
+    d = df.withColumn("_b", bucket)
+    counts = d.groupBy("_b").agg(F.count(F.lit(1)).alias("_n"))
+    earlier = counts.select(F.col("_b").alias("_b2"), F.col("_n").alias("_n2"))
+    offsets = (
+        counts.join(F.broadcast(earlier), F.col("_b2") < F.col("_b"), "left")
+        .groupBy("_b")
+        .agg(F.coalesce(F.sum("_n2"), F.lit(0)).alias("_off"))
+    )
+    tot = counts.agg(F.sum("_n").cast("long").alias("n_total"))
+    inb = F.row_number().over(W.partitionBy("_b").orderBy(*order))
+    return (
+        d.join(F.broadcast(offsets), "_b")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("pos", (F.col("_off") + inb).cast("long"))
+        .drop("_b", "_off")
+    )

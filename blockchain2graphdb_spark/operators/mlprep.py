@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import prep, table
 from ..exact import dec2
+from ..functions.ranking import bucketed_global_rank
 from ..registry import query
 
 
@@ -383,4 +384,195 @@ def auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             u2.cast("double")
             / (2.0 * F.col("n_pos") * F.col("n_neg")).cast("double")
         ).alias("auc"),
+    )
+
+
+@query(
+    "lift_gain_table",
+    oracle="""
+    WITH scored AS (
+      SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+             row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) - 1 AS rn,
+             COUNT(*) OVER () AS n
+      FROM orders
+    ),
+    binned AS (
+      SELECT CAST(rn * 10 // n AS BIGINT) AS decile,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(y) AS BIGINT) AS n_pos
+      FROM scored GROUP BY rn * 10 // n
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_rows) AS BIGINT) AS nt, CAST(SUM(n_pos) AS BIGINT) AS pt
+      FROM binned
+    ),
+    cum AS (
+      SELECT decile, n_rows, n_pos,
+             SUM(n_pos) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS cum_pos,
+             SUM(n_rows) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS cum_rows
+      FROM binned
+    )
+    SELECT decile, n_rows, n_pos,
+           CAST(cum_pos AS BIGINT) AS cum_pos,
+           CAST(ROUND(CAST(cum_pos * nt AS DOUBLE)
+                      / (cum_rows * pt) * 1e9) AS BIGINT) AS cum_lift_nanos,
+           CAST(ROUND(CAST(cum_pos AS DOUBLE) / pt * 1e9) AS BIGINT)
+             AS cum_gain_nanos
+    FROM cum, tot
+    """,
+)
+def lift_gain_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift/gain table of order value as a ranker for fulfilled
+    status — AUC's operational companion (which top-k slice to act
+    on): rows ranked by score descending (unique (score DESC, key)
+    order), split into 10 equi-depth bins by integer arithmetic
+    (rn*10 div n — no ntile, whose remainder placement would need its
+    own parity pin), then cumulative positives, lift = (cum_pos/
+    cum_rows)/(total_pos/total_rows) and gain = cum_pos/total_pos as
+    int-nanos-quantized ratios of exact integers.
+
+    Scale shape: the global rank is bucketed_global_rank's two-pass
+    form (price-band buckets, partitioned in-bucket windows — no
+    unpartitioned window over the data, the sort_by_key discipline);
+    totals and cumulatives are windows over the 10-row decile
+    aggregate. Fully lazy — no driver count, no checkpoint."""
+    prep(spark)
+    scored = table(spark, sf_dir, "orders").select(
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+        "o_totalprice",
+        "o_orderkey",
+    )
+    # bucket = negated price band: ascends with (price DESC); in-band
+    # order (price DESC, key) completes the unique total order
+    ranked = bucketed_global_rank(
+        scored,
+        -F.floor(F.col("o_totalprice") / 60000).cast("long"),
+        [F.desc("o_totalprice"), F.col("o_orderkey")],
+    )
+    binned = (
+        ranked.groupBy(
+            F.expr("(pos - 1) * 10 div n_total").alias("decile")
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("y").cast("long").alias("n_pos"),
+        )
+    )
+    wall = W.orderBy("decile").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    wc = W.orderBy("decile").rowsBetween(W.unboundedPreceding, 0)
+    cum = binned.select(
+        "decile",
+        "n_rows",
+        "n_pos",
+        F.sum("n_pos").over(wc).alias("cum_pos"),
+        F.sum("n_rows").over(wc).alias("cum_rows"),
+        F.sum("n_rows").over(wall).cast("long").alias("nt"),
+        F.sum("n_pos").over(wall).cast("long").alias("pt"),
+    )
+    return cum.select(
+        "decile",
+        "n_rows",
+        "n_pos",
+        F.col("cum_pos").cast("long").alias("cum_pos"),
+        F.round(
+            (F.col("cum_pos") * F.col("nt")).cast("double")
+            / (F.col("cum_rows") * F.col("pt"))
+            * 1e9
+        )
+        .cast("long")
+        .alias("cum_lift_nanos"),
+        F.round(F.col("cum_pos").cast("double") / F.col("pt") * 1e9)
+        .cast("long")
+        .alias("cum_gain_nanos"),
+    )
+
+
+@query(
+    "onehot_encode",
+    oracle="""
+    SELECT c_custkey,
+           CAST(c_mktsegment = 'AUTOMOBILE' AS BIGINT) AS seg_automobile,
+           CAST(c_mktsegment = 'BUILDING' AS BIGINT) AS seg_building,
+           CAST(c_mktsegment = 'FURNITURE' AS BIGINT) AS seg_furniture,
+           CAST(c_mktsegment = 'HOUSEHOLD' AS BIGINT) AS seg_household,
+           CAST(c_mktsegment = 'MACHINERY' AS BIGINT) AS seg_machinery,
+           CAST(c_mktsegment NOT IN ('AUTOMOBILE', 'BUILDING', 'FURNITURE',
+                                     'HOUSEHOLD', 'MACHINERY') AS BIGINT)
+             AS seg_other
+    FROM customer
+    """,
+)
+def onehot_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-hot encoding of the market segment with a FIXED, ordered
+    category list plus an explicit OTHER column — the
+    schema-stability discipline real feature pipelines need (a pivot
+    on observed values would let a new category silently change the
+    output schema mid-stream; the closed list + overflow column keeps
+    the feature vector width constant). Pure map-side projection —
+    zero shuffles, pushdown-friendly.
+
+    Scale shape: at training-pipeline widths the closed category list
+    comes from a dictionary table compiled into the same CASE
+    projection (codegen'd, one pass); never a runtime pivot over
+    unbounded cardinality."""
+    prep(spark)
+    cats = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    cols = [
+        (F.col("c_mktsegment") == c).cast("long").alias(f"seg_{c.lower()}")
+        for c in cats
+    ]
+    other = (~F.col("c_mktsegment").isin(cats)).cast("long").alias("seg_other")
+    return table(spark, sf_dir, "customer").select("c_custkey", *cols, other)
+
+
+@query(
+    "quantile_bucketize",
+    oracle="""
+    WITH ranked AS (
+      SELECT c_custkey, c_acctbal,
+             row_number() OVER (ORDER BY c_acctbal, c_custkey) - 1 AS rn,
+             COUNT(*) OVER () AS n
+      FROM customer
+    ),
+    b AS (SELECT c_custkey, c_acctbal, CAST(rn * 4 // n AS BIGINT) AS bucket
+          FROM ranked)
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(c_acctbal) AS lo,
+           MAX(c_acctbal) AS hi,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum
+    FROM b GROUP BY bucket
+    """,
+)
+def quantile_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth quartile binning of account balance with per-bin
+    edges and exact-decimal sums — the quantile-discretization pass
+    (Spark's QuantileDiscretizer / feature binning) done exactly:
+    bucket = rn*4 div n over the unique (value, key) order, so bins
+    differ by at most one row and bin EDGES (min/max per bin) come
+    out of the same aggregate rather than a separate percentile
+    probe.
+
+    Scale shape: the rank is bucketed_global_rank's two-pass form
+    (balance-band buckets, partitioned in-bucket windows), then one
+    map-side-combinable aggregate; at extreme scale bin edges from
+    approx_percentile seed a broadcast CASE instead — this exact form
+    is also the oracle for that approximation's error bound. Fully
+    lazy — no driver count, no checkpoint."""
+    prep(spark)
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    ranked = bucketed_global_rank(
+        cust,
+        F.floor(F.col("c_acctbal") / 1000).cast("long"),
+        [F.col("c_acctbal"), F.col("c_custkey")],
+    )
+    b = ranked.select(
+        "c_acctbal", F.expr("(pos - 1) * 4 div n_total").alias("bucket")
+    )
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.min("c_acctbal").alias("lo"),
+        F.max("c_acctbal").alias("hi"),
+        F.sum(dec2("c_acctbal")).cast("double").alias("bal_sum"),
     )

@@ -73,6 +73,9 @@ _SAMPLE_PRIORITY = (
     "auc_exact",
     "dbscan_core",
     "dedup_embedding_cosine",
+    "lift_gain_table",
+    "onehot_encode",
+    "quantile_bucketize",
     # round-8 keys, then witness-age order
     "hypertable_rollup",
     "gap_fill_locf",

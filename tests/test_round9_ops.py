@@ -231,3 +231,67 @@ def test_embedding_cosine_dedup_threshold_does_real_work(spark):
 def test_embedding_cosine_dedup_is_bucket_join(spark):
     plan = plan_string(_df("dedup_embedding_cosine", spark))
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan, plan
+
+
+# -------------------------------------------------- lift / onehot / bins
+
+
+def test_lift_gain_is_monotone_and_totals(spark):
+    """Cumulative gain is nondecreasing and ends at exactly 1.0 (1e9
+    nanos); deciles differ by at most one row; totals cover the table."""
+    rows = sorted(_df("lift_gain_table", spark).collect(), key=lambda r: r.decile)
+    assert [r.decile for r in rows] == list(range(10))
+    sizes = {r.n_rows for r in rows}
+    assert max(sizes) - min(sizes) <= 1
+    gains = [r.cum_gain_nanos for r in rows]
+    assert gains == sorted(gains)
+    assert gains[-1] == 1_000_000_000
+    n_orders = table(spark, SF_DIR, "orders").count()
+    assert sum(r.n_rows for r in rows) == n_orders
+
+
+def test_onehot_rows_are_one_hot(spark):
+    """Exactly one indicator fires per row (incl. the OTHER column)."""
+    df = _df("onehot_encode", spark)
+    ind = [c for c in df.columns if c.startswith("seg_")]
+    bad = df.where(sum(F.col(c) for c in ind) != 1).count()
+    assert bad == 0
+
+
+def test_quantile_bucketize_edges_nest(spark):
+    """Equi-depth bins: sizes differ by at most one and each bin's hi
+    <= the next bin's lo (edges from the same aggregate can't cross)."""
+    rows = sorted(_df("quantile_bucketize", spark).collect(), key=lambda r: r.bucket)
+    assert [r.bucket for r in rows] == list(range(4))
+    sizes = [r.n_rows for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    for a, b in zip(rows, rows[1:]):
+        assert a.hi <= b.lo
+
+
+def test_bucketed_rank_matches_global_row_number(spark):
+    """The two-pass rank helper reproduces the unpartitioned
+    row_number exactly (bucket monotonicity contract holds)."""
+    from blockchain2graphdb_spark.functions.ranking import bucketed_global_rank
+    from pyspark.sql import Window as W2
+
+    cust = table(spark, SF_DIR, "customer").select("c_custkey", "c_acctbal")
+    got = {
+        (r.c_custkey, r.pos)
+        for r in bucketed_global_rank(
+            cust,
+            F.floor(F.col("c_acctbal") / 1000).cast("long"),
+            [F.col("c_acctbal"), F.col("c_custkey")],
+        ).collect()
+    }
+    want = {
+        (r.c_custkey, r.pos)
+        for r in cust.select(
+            "c_custkey",
+            F.row_number()
+            .over(W2.orderBy("c_acctbal", "c_custkey"))
+            .cast("long")
+            .alias("pos"),
+        ).collect()
+    }
+    assert got == want
