@@ -576,3 +576,377 @@ def quantile_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("c_acctbal").alias("hi"),
         F.sum(dec2("c_acctbal")).cast("double").alias("bal_sum"),
     )
+
+
+@query(
+    "confusion_threshold",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(COUNT(*) FILTER (WHERE o_totalprice >= 150000
+                                     AND o_orderstatus = 'F') AS BIGINT) AS tp,
+             CAST(COUNT(*) FILTER (WHERE o_totalprice >= 150000
+                                     AND o_orderstatus <> 'F') AS BIGINT) AS fp,
+             CAST(COUNT(*) FILTER (WHERE o_totalprice < 150000
+                                     AND o_orderstatus = 'F') AS BIGINT) AS fn,
+             CAST(COUNT(*) FILTER (WHERE o_totalprice < 150000
+                                     AND o_orderstatus <> 'F') AS BIGINT) AS tn
+      FROM orders
+    )
+    SELECT tp, fp, fn, tn,
+           CAST(ROUND(CAST(tp AS DOUBLE) / (tp + fp) * 1e9) AS BIGINT)
+             AS precision_nanos,
+           CAST(ROUND(CAST(tp AS DOUBLE) / (tp + fn) * 1e9) AS BIGINT)
+             AS recall_nanos,
+           CAST(ROUND(2.0 * tp / (2 * tp + fp + fn) * 1e9) AS BIGINT)
+             AS f1_nanos,
+           CAST(ROUND(CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn) * 1e9)
+                AS BIGINT) AS accuracy_nanos
+    FROM m
+    """,
+)
+def confusion_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix + precision/recall/F1/accuracy of the
+    thresholded ranker (predict fulfilled when o_totalprice >=
+    150000) — the point-estimate companion to `auc_exact` (whole
+    curve) and `lift_gain_table` (decile sweep): the numbers a model
+    card reports at the chosen operating point. The four cells are
+    exact integer conditional counts from ONE pass; each derived rate
+    is a single double expression over those exact integers, int-nanos
+    quantized (F1 simplified to 2tp/(2tp+fp+fn) so it is one division,
+    not a composition of rounded intermediates).
+
+    Scale shape: one map-side-combinable aggregate producing a single
+    row — the minimal possible plan; no shuffle of data rows beyond
+    the 4-counter partial merge."""
+    prep(spark)
+    pred = F.col("o_totalprice") >= 150000
+    y = F.col("o_orderstatus") == "F"
+    cell = lambda c, n: F.count_if(c).cast("long").alias(n)  # noqa: E731
+    m = table(spark, sf_dir, "orders").agg(
+        cell(pred & y, "tp"),
+        cell(pred & ~y, "fp"),
+        cell(~pred & y, "fn"),
+        cell(~pred & ~y, "tn"),
+    )
+    tp, fp, fn, tn = (F.col(c) for c in ("tp", "fp", "fn", "tn"))
+    q = lambda e, n: F.round(e * 1e9).cast("long").alias(n)  # noqa: E731
+    return m.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        q(tp.cast("double") / (tp + fp), "precision_nanos"),
+        q(tp.cast("double") / (tp + fn), "recall_nanos"),
+        q(F.lit(2.0) * tp / (2 * tp + fp + fn), "f1_nanos"),
+        q((tp + tn).cast("double") / (tp + fp + fn + tn), "accuracy_nanos"),
+    )
+
+
+@query(
+    "woe_iv",
+    oracle="""
+    WITH seg AS (
+      SELECT c_mktsegment,
+             CAST(COUNT(*) FILTER (WHERE c_acctbal >= 0) AS BIGINT) AS n_good,
+             CAST(COUNT(*) FILTER (WHERE c_acctbal < 0) AS BIGINT) AS n_bad
+      FROM customer GROUP BY c_mktsegment
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_good) AS BIGINT) AS tg, CAST(SUM(n_bad) AS BIGINT) AS tb
+      FROM seg
+    )
+    SELECT c_mktsegment, n_good, n_bad,
+           CAST(ROUND(ln(CAST((2 * n_good + 1) * tb AS DOUBLE)
+                         / ((2 * n_bad + 1) * tg)) * 1e9) AS BIGINT)
+             AS woe_nanos,
+           CAST(ROUND((CAST(n_good AS DOUBLE) / tg - CAST(n_bad AS DOUBLE) / tb)
+                      * ln(CAST((2 * n_good + 1) * tb AS DOUBLE)
+                           / ((2 * n_bad + 1) * tg)) * 1e9) AS BIGINT)
+             AS iv_nanos
+    FROM seg, tot
+    """,
+)
+def woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information-value of the market segment
+    against solvency (acctbal >= 0) — the credit-scoring categorical
+    strength measure (sibling of `chi2_association` and
+    `target_encode`): WOE = ln((good_share)/(bad_share)) with
+    add-half Laplace smoothing carried as EXACT integers by clearing
+    the halves ((n+0.5)/t == (2n+1)/2t, and the 2s cancel inside the
+    ratio), so the ln sees one ratio of exact integer products — the
+    BM25/surprisal ln-parity precedent; the IV term multiplies the
+    un-smoothed share gap back in, int-nanos quantized per segment so
+    the total IV is summable downstream.
+
+    Scale shape: one (segment) conditional-count aggregate, one 2-cell
+    re-aggregate of that O(#segments) table broadcast back — never a
+    shuffle of customer rows."""
+    prep(spark)
+    seg = (
+        table(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count_if(F.col("c_acctbal") >= 0).cast("long").alias("n_good"),
+            F.count_if(F.col("c_acctbal") < 0).cast("long").alias("n_bad"),
+        )
+    )
+    tot = seg.agg(
+        F.sum("n_good").cast("long").alias("tg"),
+        F.sum("n_bad").cast("long").alias("tb"),
+    )
+    woe = F.log(
+        ((2 * F.col("n_good") + 1) * F.col("tb")).cast("double")
+        / ((2 * F.col("n_bad") + 1) * F.col("tg"))
+    )
+    gap = F.col("n_good").cast("double") / F.col("tg") - F.col("n_bad").cast(
+        "double"
+    ) / F.col("tb")
+    return seg.crossJoin(F.broadcast(tot)).select(
+        "c_mktsegment",
+        "n_good",
+        "n_bad",
+        F.round(woe * 1e9).cast("long").alias("woe_nanos"),
+        F.round(gap * woe * 1e9).cast("long").alias("iv_nanos"),
+    )
+
+
+@query(
+    "mutual_information",
+    oracle="""
+    WITH obs AS (
+      SELECT c_mktsegment AS seg, c_nationkey AS nat, COUNT(*) AS o
+      FROM customer GROUP BY c_mktsegment, c_nationkey
+    ),
+    rt AS (SELECT seg, CAST(SUM(o) AS BIGINT) AS r FROM obs GROUP BY seg),
+    ct AS (SELECT nat, CAST(SUM(o) AS BIGINT) AS c FROM obs GROUP BY nat),
+    t AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM obs),
+    cells AS (
+      SELECT CAST(ROUND(CAST(obs.o AS DOUBLE) / t.n
+                        * ln(CAST(obs.o * t.n AS DOUBLE) / (rt.r * ct.c))
+                        * 1e9) AS BIGINT) AS nanos
+      FROM obs JOIN rt USING (seg) JOIN ct USING (nat), t
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM(nanos) AS BIGINT) AS mi_nanos,
+           CAST(SUM(nanos) AS DOUBLE) / 1e9 AS mi_nats
+    FROM cells
+    """,
+)
+def mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (nats) of the (segment x nation) contingency
+    table — chi2_association's information-theoretic twin, the feature
+    -redundancy screen: MI = sum p(x,y) ln(p(x,y)/(p(x)p(y))), each
+    cell evaluated as one double expression over exact integer counts
+    (o*n / (r*c) keeps the ratio in integers until the ln) and
+    int-nanos quantized before the cross-cell sum. Zero cells simply
+    don't appear in the sparse aggregate — the 0 ln 0 = 0 convention
+    for free.
+
+    Scale shape: identical to chi2_association — one (seg, nat) count
+    (map-side combinable), marginals re-aggregated from the tiny
+    contingency table, broadcast scalar N."""
+    prep(spark)
+    obs = (
+        table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_mktsegment").alias("seg"), F.col("c_nationkey").alias("nat"))
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    rt = obs.groupBy("seg").agg(F.sum("o").cast("long").alias("r"))
+    ct = obs.groupBy("nat").agg(F.sum("o").cast("long").alias("c"))
+    t = obs.agg(F.sum("o").cast("long").alias("n"))
+    nanos = F.round(
+        F.col("o").cast("double")
+        / F.col("n")
+        * F.log((F.col("o") * F.col("n")).cast("double") / (F.col("r") * F.col("c")))
+        * 1e9
+    ).cast("long")
+    cells = (
+        obs.join(F.broadcast(rt), "seg")
+        .join(F.broadcast(ct), "nat")
+        .crossJoin(F.broadcast(t))
+        .select(nanos.alias("nanos"))
+    )
+    return cells.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sum("nanos").cast("long").alias("mi_nanos"),
+        (F.sum("nanos").cast("double") / 1e9).alias("mi_nats"),
+    )
+
+
+@query(
+    "corr_pairs",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag,
+             CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+      FROM lineitem
+    ),
+    s AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+             CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS sxx,
+             CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS syy,
+             CAST(SUM(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS sxy
+      FROM c GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           CAST(ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                      / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                      / sqrt(CAST(n * syy - sy * sy AS DOUBLE))
+                      * 1e9) AS BIGINT) AS corr_nanos
+    FROM s
+    """,
+)
+def corr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Pearson correlation of quantity vs extended price per
+    return flag — the numeric feature-redundancy screen (drop one of
+    two collinear features before training). Values become exact
+    integer cents, the five moment sums accumulate in DECIMAL(38,0)
+    (associative, order-independent — a double Σxy would hash-diverge
+    between engines), and the correlation's numerator/denominator
+    difference terms n*Sxy - Sx*Sy are formed IN EXACT ARITHMETIC so
+    the classic catastrophic cancellation of the textbook formula
+    never touches floating point; only the final ratio is double,
+    int-nanos quantized.
+
+    Scale shape: one map-side-combinable aggregate per group, output
+    O(#groups) rows; decimal partial aggregation is codegen'd JVM-side
+    (exact.py's discipline)."""
+    prep(spark)
+    d38 = "decimal(38,0)"
+    x = (dec2("l_quantity") * 100).cast("long")
+    y = (dec2("l_extendedprice") * 100).cast("long")
+    c = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", x.alias("x"), y.alias("y")
+    )
+    xd, yd = F.col("x").cast(d38), F.col("y").cast(d38)
+    s = c.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(xd).cast(d38).alias("sx"),
+        F.sum(yd).cast(d38).alias("sy"),
+        F.sum(xd * F.col("x")).cast(d38).alias("sxx"),
+        F.sum(yd * F.col("y")).cast(d38).alias("syy"),
+        F.sum(xd * F.col("y")).cast(d38).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    num = (n * F.col("sxy") - sx * sy).cast("double")
+    dx = F.sqrt((n * F.col("sxx") - sx * sx).cast("double"))
+    dy = F.sqrt((n * F.col("syy") - sy * sy).cast("double"))
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(num / dx / dy * 1e9).cast("long").alias("corr_nanos"),
+    )
+
+
+@query(
+    "iqr_outliers",
+    oracle="""
+    WITH ranked AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS pc,
+             row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS pos,
+             COUNT(*) OVER () AS n
+      FROM orders
+    ),
+    q AS (
+      SELECT CAST(MAX(n) AS BIGINT) AS n,
+             CAST(MIN(CASE WHEN pos = (n + 3) // 4 THEN pc END) AS BIGINT)
+               AS q1c,
+             CAST(MIN(CASE WHEN pos = (3 * n + 3) // 4 THEN pc END) AS BIGINT)
+               AS q3c
+      FROM ranked
+    ),
+    f AS (
+      SELECT n, q1c, q3c,
+             2 * q1c - 3 * (q3c - q1c) AS lo2,
+             2 * q3c + 3 * (q3c - q1c) AS hi2
+      FROM q
+    )
+    SELECT f.n,
+           CAST(f.q1c AS DOUBLE) / 100 AS q1,
+           CAST(f.q3c AS DOUBLE) / 100 AS q3,
+           CAST(f.lo2 AS DOUBLE) / 200 AS lo_fence,
+           CAST(f.hi2 AS DOUBLE) / 200 AS hi_fence,
+           CAST(COUNT(*) FILTER (
+                  WHERE 2 * CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                                 AS BIGINT) < f.lo2
+                     OR 2 * CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                                 AS BIGINT) > f.hi2) AS BIGINT) AS n_outliers
+    FROM orders o, f
+    GROUP BY f.n, f.q1c, f.q3c, f.lo2, f.hi2
+    """,
+)
+def iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier census of order value: EXACT rank-based
+    quartiles (value at rank ceil(n/4) / ceil(3n/4) over the unique
+    (price, key) order) and the 1.5x IQR fences with DENOMINATORS
+    CLEARED into integer cents (lo2 = 2*q1 - 3*IQR in cents, compare
+    2*price against it) so the fence test is pure int64 on both
+    engines — a half-cent fence can never flip a count via a last-ULP
+    double (the target_encode denominator-clearing discipline); the
+    surfaced fence columns are one double division of the same exact
+    integers. The distribution-sanity pass a feature pipeline runs
+    before clipping/winsorizing.
+
+    Scale shape: quartile extraction is bucketed_global_rank's
+    two-pass form filtered to two target ranks (never a driver collect
+    of the column); the fence table is one row broadcast back into a
+    second scan — doc_length_band's percentile-trim discipline."""
+    prep(spark)
+    pc = (dec2("o_totalprice") * 100).cast("long")
+    orders = table(spark, sf_dir, "orders").select(
+        pc.alias("pc"), "o_totalprice", "o_orderkey"
+    )
+    ranked = bucketed_global_rank(
+        orders,
+        F.floor(F.col("o_totalprice") / 60000).cast("long"),
+        [F.col("o_totalprice"), F.col("o_orderkey")],
+    )
+    q1_pos = F.floor((F.col("n_total") + 3) / 4).cast("long")
+    q3_pos = F.floor((3 * F.col("n_total") + 3) / 4).cast("long")
+    q = (
+        ranked.where((F.col("pos") == q1_pos) | (F.col("pos") == q3_pos))
+        .select("pos", "n_total", "pc", q1_pos.alias("p1"))
+        .groupBy()
+        .agg(
+            F.max("n_total").cast("long").alias("n"),
+            F.min(F.when(F.col("pos") == F.col("p1"), F.col("pc")))
+            .cast("long")
+            .alias("q1c"),
+            F.min(F.when(F.col("pos") != F.col("p1"), F.col("pc")))
+            .cast("long")
+            .alias("q3c"),
+        )
+    )
+    iqr = F.col("q3c") - F.col("q1c")
+    f = q.select(
+        "n",
+        "q1c",
+        "q3c",
+        (2 * F.col("q1c") - 3 * iqr).alias("lo2"),
+        (2 * F.col("q3c") + 3 * iqr).alias("hi2"),
+    )
+    return (
+        table(spark, sf_dir, "orders")
+        .select(pc.alias("pc"))
+        .crossJoin(F.broadcast(f))
+        .groupBy("n", "q1c", "q3c", "lo2", "hi2")
+        .agg(
+            F.count_if(
+                (2 * F.col("pc") < F.col("lo2")) | (2 * F.col("pc") > F.col("hi2"))
+            )
+            .cast("long")
+            .alias("n_outliers")
+        )
+        .select(
+            "n",
+            (F.col("q1c").cast("double") / 100).alias("q1"),
+            (F.col("q3c").cast("double") / 100).alias("q3"),
+            (F.col("lo2").cast("double") / 200).alias("lo_fence"),
+            (F.col("hi2").cast("double") / 200).alias("hi_fence"),
+            "n_outliers",
+        )
+    )

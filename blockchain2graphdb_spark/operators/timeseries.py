@@ -604,3 +604,149 @@ def ewma_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
         den.cast("long").alias("den"),
         F.round((num * 10000).cast("double") / den).cast("long").alias("ewma_micros"),
     )
+
+
+@query(
+    "acf_lags",
+    oracle=f"""
+    WITH d AS (
+      SELECT (epoch_ns(ts) // 1000) // {_DAY_US} AS day FROM events
+    ),
+    daily AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS x FROM d GROUP BY day),
+    st AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s
+      FROM daily
+    ),
+    dev AS (SELECT day, n * x - s AS dev FROM daily, st),
+    den AS (SELECT CAST(SUM(dev * dev) AS BIGINT) AS den FROM dev),
+    num AS (
+      SELECT t.i + 1 AS lag, CAST(SUM(a.dev * b.dev) AS BIGINT) AS num
+      FROM dev a
+      CROSS JOIN UNNEST(range(7)) AS t(i)
+      JOIN dev b ON b.day = a.day + t.i + 1
+      GROUP BY t.i + 1
+    )
+    SELECT CAST(lag AS BIGINT) AS lag, st.n AS n_days, num, den,
+           CAST(ROUND(CAST(num AS DOUBLE) / den * 1e9) AS BIGINT) AS acf_nanos
+    FROM num, den, st
+    """,
+)
+def acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the daily event-count series at lags 1..7 —
+    the seasonality/burstiness fingerprint (is the weekly cycle real?)
+    feeding forecasting and anomaly baselines. Exactness: with mean
+    mu = S/n the centered products are scaled by n^2 — dev_t =
+    n*x_t - S is an exact int64, so r_k = sum(dev_t * dev_{t+k}) /
+    sum(dev_t^2) is a ratio of exact integers and the ONLY float op
+    is the final division, int-nanos quantized. Gap days pair by
+    CALENDAR distance (a self-join on day + k), not row adjacency —
+    a lead(k) over a gappy series would silently compare wrong days.
+
+    Scale shape: one map-side daily count collapses 100 TB to
+    O(#days) rows; everything after (stats, deviations, the 7-lag
+    self-join) is broadcast arithmetic over that tiny table — no
+    window over data, no shuffle beyond the day aggregate."""
+    prep(spark)
+    # re-aggregate the checkpointed (event_type, day, n) table — the
+    # raw scan happens once even though four consumers read `daily`
+    daily = (
+        _daily_counts(spark, sf_dir)
+        .groupBy("day")
+        .agg(F.sum("n").cast("long").alias("x"))
+    )
+    st = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+    )
+    dev = daily.crossJoin(F.broadcast(st)).select(
+        "day", "n", (F.col("n") * F.col("x") - F.col("s")).alias("dev")
+    )
+    den = dev.agg(F.sum(F.col("dev") * F.col("dev")).cast("long").alias("den"))
+    lagged = dev.select(
+        F.explode(F.sequence(F.lit(1), F.lit(7))).alias("lag"),
+        (F.col("day")).alias("a_day"),
+        F.col("dev").alias("a_dev"),
+    )
+    num = (
+        lagged.join(
+            F.broadcast(dev.select(F.col("day").alias("b_day"), F.col("dev").alias("b_dev"))),
+            F.col("b_day") == F.col("a_day") + F.col("lag"),
+        )
+        .groupBy("lag")
+        .agg(F.sum(F.col("a_dev") * F.col("b_dev")).cast("long").alias("num"))
+    )
+    return (
+        num.crossJoin(F.broadcast(den))
+        .crossJoin(F.broadcast(st.select(F.col("n").alias("n_days"))))
+        .select(
+            F.col("lag").cast("long").alias("lag"),
+            "n_days",
+            "num",
+            "den",
+            F.round(F.col("num").cast("double") / F.col("den") * 1e9)
+            .cast("long")
+            .alias("acf_nanos"),
+        )
+    )
+
+
+@query(
+    "trend_ols",
+    oracle=f"""
+    WITH {_DAILY_CTES},
+    s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(day) AS BIGINT) AS sx,
+             CAST(SUM(n) AS BIGINT) AS sy,
+             CAST(SUM(day * day) AS BIGINT) AS sxx,
+             CAST(SUM(day * n) AS BIGINT) AS sxy
+      FROM daily GROUP BY event_type
+    )
+    SELECT event_type, cnt AS n_days,
+           CAST(ROUND(CAST(cnt * sxy - sx * sy AS DOUBLE)
+                      / (cnt * sxx - sx * sx) * 1e9) AS BIGINT)
+             AS slope_nanos,
+           CAST(ROUND(CAST(sy * sxx - sx * sxy AS DOUBLE)
+                      / (cnt * sxx - sx * sx) * 1e9) AS BIGINT)
+             AS intercept_nanos
+    FROM s
+    """,
+)
+def trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS trend of daily volume over epoch-day index —
+    the drift detector's parametric sibling (cusum_drift flags a level
+    shift; this measures the slope). The five moment sums are exact
+    int64 aggregates of the tiny daily table, and both normal-equation
+    numerators and the shared denominator n*Sxx - Sx^2 are formed in
+    EXACT integer arithmetic (the corr_pairs anti-cancellation
+    discipline — the textbook formula's catastrophic cancellation
+    never reaches floating point); one double division each, int-nanos
+    quantized. Intercept is at epoch day 0 by construction (documented
+    — consumers difference it with slope*day, never read it alone).
+
+    Scale shape: raw events collapse to O(#types x #days) in one
+    map-side-combinable count (the shared _daily_counts checkpoint);
+    the moment aggregate and the arithmetic run over that tiny
+    table."""
+    prep(spark)
+    daily = _daily_counts(spark, sf_dir)
+    s = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("day").cast("long").alias("sx"),
+        F.sum("n").cast("long").alias("sy"),
+        F.sum(F.col("day") * F.col("day")).cast("long").alias("sxx"),
+        F.sum(F.col("day") * F.col("n")).cast("long").alias("sxy"),
+    )
+    cnt, sx, sy = F.col("cnt"), F.col("sx"), F.col("sy")
+    den = cnt * F.col("sxx") - sx * sx
+    return s.select(
+        "event_type",
+        cnt.alias("n_days"),
+        F.round((cnt * F.col("sxy") - sx * sy).cast("double") / den * 1e9)
+        .cast("long")
+        .alias("slope_nanos"),
+        F.round((sy * F.col("sxx") - sx * F.col("sxy")).cast("double") / den * 1e9)
+        .cast("long")
+        .alias("intercept_nanos"),
+    )

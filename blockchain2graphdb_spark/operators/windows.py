@@ -237,3 +237,35 @@ def window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+@query(
+    "window_lead_nth",
+    oracle="""
+    SELECT o_orderkey,
+           LEAD(o_totalprice) OVER w AS next_price,
+           NTH_VALUE(o_totalprice, 2) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_lead_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W-decl completeness: forward-looking (LEAD) and positional
+    (NTH_VALUE) window functions over each customer's order history —
+    next order's value and the running view of the second-ever order.
+    Values pass through untouched (no arithmetic, no parity exposure);
+    the order (o_orderdate, o_orderkey) is a unique total order per
+    partition, and NTH_VALUE's frame is pinned to ROWS UNBOUNDED
+    PRECEDING..CURRENT ROW explicitly on both engines so the default-
+    frame semantics can never diverge. One keyed shuffle + one
+    in-partition sort serves both functions — the 100 TB shape."""
+    prep(spark)
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.nth_value("o_totalprice", 2).over(wf).alias("second_price"),
+    )

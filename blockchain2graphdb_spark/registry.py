@@ -76,6 +76,14 @@ _SAMPLE_PRIORITY = (
     "lift_gain_table",
     "onehot_encode",
     "quantile_bucketize",
+    "confusion_threshold",
+    "woe_iv",
+    "mutual_information",
+    "corr_pairs",
+    "iqr_outliers",
+    "acf_lags",
+    "trend_ols",
+    "window_lead_nth",
     # round-8 keys, then witness-age order
     "hypertable_rollup",
     "gap_fill_locf",

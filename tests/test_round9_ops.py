@@ -295,3 +295,137 @@ def test_bucketed_rank_matches_global_row_number(spark):
         ).collect()
     }
     assert got == want
+
+
+# --------------------------------------- eval metrics / stats (batch 2)
+
+
+def test_confusion_cells_partition_the_table(spark):
+    """tp+fp+fn+tn == |orders| and every derived rate is in [0, 1e9]."""
+    r = _df("confusion_threshold", spark).collect()[0]
+    assert r.tp + r.fp + r.fn + r.tn == table(spark, SF_DIR, "orders").count()
+    for c in ("precision_nanos", "recall_nanos", "f1_nanos", "accuracy_nanos"):
+        assert 0 <= r[c] <= 1_000_000_000
+    # F1 is the harmonic mean: between min and max of precision/recall
+    assert min(r.precision_nanos, r.recall_nanos) - 1 <= r.f1_nanos
+    assert r.f1_nanos <= max(r.precision_nanos, r.recall_nanos) + 1
+
+
+def test_woe_iv_matches_numpy(spark):
+    """WOE/IV against a NumPy recomputation from raw counts."""
+    import math
+
+    cust = table(spark, SF_DIR, "customer").select("c_mktsegment", "c_acctbal")
+    pdf = cust.toPandas()
+    good = pdf[pdf.c_acctbal >= 0].groupby("c_mktsegment").size()
+    bad = pdf[pdf.c_acctbal < 0].groupby("c_mktsegment").size()
+    tg, tb = int(good.sum()), int(bad.sum())
+    for r in _df("woe_iv", spark).collect():
+        ng, nb = int(good.get(r.c_mktsegment, 0)), int(bad.get(r.c_mktsegment, 0))
+        assert (r.n_good, r.n_bad) == (ng, nb)
+        woe = math.log((2 * ng + 1) * tb / ((2 * nb + 1) * tg))
+        assert abs(r.woe_nanos - round(woe * 1e9)) <= 1
+        iv = (ng / tg - nb / tb) * woe
+        assert abs(r.iv_nanos - round(iv * 1e9)) <= 1
+
+
+def test_mutual_information_nonnegative_and_bounded(spark):
+    """MI >= 0 (within quantization) and <= min(H(X), H(Y)) proxy via
+    ln of the smaller cardinality."""
+    import math
+
+    r = _df("mutual_information", spark).collect()[0]
+    assert r.mi_nanos >= -r.n_cells  # each cell rounds within 0.5 nano
+    n_seg = table(spark, SF_DIR, "customer").select("c_mktsegment").distinct().count()
+    assert r.mi_nats <= math.log(n_seg) + 1e-6
+
+
+def test_corr_pairs_matches_numpy(spark):
+    """Pearson r against numpy.corrcoef on the same cents-quantized
+    columns, per return flag."""
+    li = table(spark, SF_DIR, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    pdf = li.toPandas()
+    for r in _df("corr_pairs", spark).collect():
+        g = pdf[pdf.l_returnflag == r.l_returnflag]
+        x = (g.l_quantity * 100).round().astype("int64")
+        y = (g.l_extendedprice * 100).round().astype("int64")
+        want = np.corrcoef(x, y)[0, 1]
+        assert abs(r.corr_nanos / 1e9 - want) < 1e-6
+        assert r.n == len(g)
+
+
+def test_iqr_outliers_fences_and_count(spark):
+    """Fences bracket the quartiles and the outlier census matches a
+    pandas recount with the same rank-based quartile definition."""
+    r = _df("iqr_outliers", spark).collect()[0]
+    assert r.q1 <= r.q3
+    assert r.lo_fence <= r.q1 and r.q3 <= r.hi_fence
+    pdf = table(spark, SF_DIR, "orders").select("o_totalprice").toPandas()
+    pc = (pdf.o_totalprice * 100).round().astype("int64").sort_values().to_numpy()
+    n = len(pc)
+    q1c, q3c = int(pc[(n + 3) // 4 - 1]), int(pc[(3 * n + 3) // 4 - 1])
+    lo2, hi2 = 2 * q1c - 3 * (q3c - q1c), 2 * q3c + 3 * (q3c - q1c)
+    want = int(((2 * pc < lo2) | (2 * pc > hi2)).sum())
+    assert r.n_outliers == want and r.n == n
+
+
+def test_acf_lag_zero_equivalent_and_range(spark):
+    """ACF values lie in [-1, 1] (within quantization) and num/den are
+    consistent with the published ratio."""
+    rows = _df("acf_lags", spark).collect()
+    assert {r.lag for r in rows} <= set(range(1, 8))
+    for r in rows:
+        assert abs(r.acf_nanos) <= 1_000_000_001
+        assert r.acf_nanos == round(r.num / r.den * 1e9)
+
+
+def test_trend_ols_matches_numpy_polyfit(spark):
+    """Slope/intercept against numpy.polyfit on the same daily series."""
+    from blockchain2graphdb_spark.operators.timeseries import _daily_counts
+
+    daily = _daily_counts(spark, SF_DIR).toPandas()
+    for r in _df("trend_ols", spark).collect():
+        g = daily[daily.event_type == r.event_type]
+        slope, intercept = np.polyfit(g.day.astype(float), g.n.astype(float), 1)
+        assert abs(r.slope_nanos / 1e9 - slope) < 1e-5
+        assert abs(r.intercept_nanos / 1e9 - intercept) < max(
+            1e-4, abs(intercept) * 1e-7
+        )
+
+
+def test_window_lead_nth_semantics(spark):
+    """For one customer: lead is the next row's price, nth_value(2) is
+    null on the first row and the second order's price after."""
+    df = _df("window_lead_nth", spark)
+    orders = (
+        table(spark, SF_DIR, "orders")
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .toPandas()
+    )
+    got = df.toPandas().set_index("o_orderkey")
+    g = (
+        orders[orders.o_custkey == orders.o_custkey.iloc[0]]
+        .sort_values(["o_orderdate", "o_orderkey"])
+        .reset_index(drop=True)
+    )
+    for i, row in g.iterrows():
+        want_next = g.o_totalprice[i + 1] if i + 1 < len(g) else None
+        want_second = g.o_totalprice[1] if i >= 1 else None
+        gr = got.loc[row.o_orderkey]
+        assert (gr.next_price == want_next) or (
+            want_next is None and pd.isna(gr.next_price)
+        )
+        assert (gr.second_price == want_second) or (
+            want_second is None and pd.isna(gr.second_price)
+        )
+
+
+def test_new_stats_ops_have_no_unpartitioned_data_windows(spark):
+    """The batch-2 stats operators never put an unpartitioned unbounded
+    window over data-scale input (tiny aggregate tables are exempt by
+    construction: iqr/corr/MI plans contain none at all)."""
+    for key in ("corr_pairs", "mutual_information", "confusion_threshold",
+                "woe_iv", "iqr_outliers"):
+        assert unpartitioned_unbounded_windows(_df(key, spark)) == [], key
