@@ -1829,17 +1829,20 @@ def _lpa_labels(spark: SparkSession, sf_dir: str):
     sym = raw_ck.unionByName(
         raw_ck.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
+    # Round 1 folds into a single min-aggregate: with l0(node) = node,
+    # every (src, dst-label) vote over the DISTINCT edge set has cnt=1,
+    # so the (cnt DESC, lbl ASC) winner is just min(neighbor) — the
+    # components.py first-round hash-min fold. One groupBy replaces the
+    # join + two-level vote aggregate of a full round.
     labels = local_checkpoint(
-        sym.select(F.col("src").alias("node")).distinct().withColumn(
-            "lbl", F.col("node")
-        )
+        sym.groupBy(F.col("src").alias("node")).agg(F.min("dst").alias("lbl"))
     )
     # checkpointed label tables carry no size stats, so gate the
     # broadcast explicitly (the connected_components discipline): while
     # the node table fits, every round streams the checkpointed edges
     # map-side with zero edge shuffle
     hint = F.broadcast if labels.count() <= 4_000_000 else (lambda df: df)
-    for _ in range(_LPA_ROUNDS):
+    for _ in range(_LPA_ROUNDS - 1):
         votes = (
             sym.join(hint(labels.select(F.col("node").alias("dst"), "lbl")), "dst")
             .groupBy(F.col("src").alias("node"), "lbl")
