@@ -949,3 +949,134 @@ def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(max({pack_sql}) div {_DCKB_PACK} AS BIGINT)"
         ).alias("keeper_len"),
     )
+
+
+_DCT_ORACLE = f"""
+WITH base AS MATERIALIZED (
+  SELECT doc_id, text FROM documents WHERE doc_id < {_SSD_SEED_N}
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, substr(text, 21, 200) AS text
+  FROM documents WHERE doc_id < {_SSD_SEED_N}
+),
+anchors AS MATERIALIZED (
+  SELECT DISTINCT doc_id,
+         md5(substr(text, CAST(t.i AS INT), {_SSD_K})) AS h
+  FROM base, UNNEST(range(1, greatest(length(text) - {_SSD_K - 1}, 0) + 1)) AS t(i)
+  WHERE ('0x' || substr(md5(substr(text, CAST(t.i AS INT), {_SSD_K})), 1, 8))::BIGINT
+        % {_SSD_MOD} = 0
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM anchors l JOIN anchors r ON l.h = r.h AND l.doc_id < r.doc_id
+),
+grams AS MATERIALIZED (
+  SELECT DISTINCT doc_id, substr(text, CAST(t.i AS INT), 3) AS g
+  FROM base, UNNEST(range(1, greatest(length(text) - 2, 0) + 1)) AS t(i)
+),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+  FROM cand c
+  JOIN grams ga ON ga.doc_id = c.doc_a
+  JOIN grams gb ON gb.doc_id = c.doc_b AND gb.g = ga.g
+  GROUP BY c.doc_a, c.doc_b
+),
+directed AS (
+  SELECT CASE WHEN sa.n < sb.n OR (sa.n = sb.n AND i.doc_b > i.doc_a)
+              THEN i.doc_a ELSE i.doc_b END AS contained_doc,
+         CASE WHEN sa.n < sb.n OR (sa.n = sb.n AND i.doc_b > i.doc_a)
+              THEN i.doc_b ELSE i.doc_a END AS container_doc,
+         LEAST(sa.n, sb.n) AS n_small, i.n_inter
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+)
+SELECT contained_doc, container_doc, n_small, n_inter,
+       CAST(ROUND(CAST(n_inter AS DOUBLE) / n_small * 1e9) AS BIGINT)
+         AS containment_nanos
+FROM directed
+WHERE 10 * n_inter >= 8 * n_small
+"""
+
+
+@query("dedup_containment", oracle=_DCT_ORACLE)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 asymmetric near-dup: 3-gram CONTAINMENT |A∩B| / |A| — the
+    subsumption detector Jaccard misses (a 200-char span extracted from
+    a 2000-char doc has tiny Jaccard but containment ~1.0; training
+    pipelines drop the contained doc, not both). Candidates come from
+    the SAME substring_anchors blocking dedup_substring ships (shared
+    32-char anchor grams — never pairwise); the verify stage counts
+    distinct shared 3-grams per candidate pair, directs the pair
+    smaller-into-larger (gram-set size, ties toward keeping the lower
+    id as container), and keeps containment >= 0.8 via integer
+    cross-multiplication (10*n_inter >= 8*n_small — no float at the
+    cut). Corpus: the dedup_substring seeded twins, whose spans are
+    verbatim extracts.
+
+    Scale shape: anchor blocking + candidate equi-join exactly as
+    dedup_substring; the 3-gram intersection join touches only
+    candidate docs (semi-joined gram streams), map-side distinct
+    inside the gram projection; final ratio over exact integers."""
+    prep(spark)
+    basedocs = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < _SSD_SEED_N)
+        .select("doc_id", "text")
+    )
+    docs = basedocs.unionByName(
+        basedocs.select(
+            (F.col("doc_id") + 2_000_000).alias("doc_id"),
+            F.expr("substring(text, 21, 200)").alias("text"),
+        )
+    ).localCheckpoint(eager=True)
+    anchors = substring_anchors(docs)
+    cand = (
+        anchors.alias("l")
+        .join(
+            anchors.alias("r"),
+            (F.col("l.h") == F.col("r.h")) & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN length(text) >= 3 THEN array_distinct(transform("
+                "  sequence(1, length(text) - 2), i -> substring(text, i, 3)))"
+                " ELSE array() END"
+            )
+        ).alias("g"),
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ga = grams.select(F.col("doc_id").alias("doc_a"), "g")
+    gb = grams.select(F.col("doc_id").alias("doc_b2"), F.col("g").alias("g2"))
+    inter = (
+        cand.join(ga, "doc_a")
+        .join(gb, (F.col("doc_b") == F.col("doc_b2")) & (F.col("g") == F.col("g2")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    j = inter.join(sa, "doc_a").join(sb, "doc_b")
+    a_small = (F.col("na") < F.col("nb")) | (
+        (F.col("na") == F.col("nb")) & (F.col("doc_b") > F.col("doc_a"))
+    )
+    directed = j.select(
+        F.when(a_small, F.col("doc_a")).otherwise(F.col("doc_b")).alias("contained_doc"),
+        F.when(a_small, F.col("doc_b")).otherwise(F.col("doc_a")).alias("container_doc"),
+        F.least("na", "nb").alias("n_small"),
+        "n_inter",
+    )
+    return directed.where(10 * F.col("n_inter") >= 8 * F.col("n_small")).select(
+        "contained_doc",
+        "container_doc",
+        "n_small",
+        "n_inter",
+        F.round(F.col("n_inter").cast("double") / F.col("n_small") * 1e9)
+        .cast("long")
+        .alias("containment_nanos"),
+    )

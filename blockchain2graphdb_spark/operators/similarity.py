@@ -728,3 +728,98 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cosine"),
         )
     )
+
+
+@query(
+    "embedding_outlier_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    dims AS (
+      SELECT label, t.i AS i, CAST(SUM(qv[CAST(t.i AS INT)]) AS BIGINT) AS s
+      FROM q, UNNEST(range(1, {_N_DIM + 1})) AS t(i)
+      GROUP BY label, t.i
+    ),
+    cnt AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n FROM q GROUP BY label),
+    d AS (
+      SELECT q.vec_id, q.label,
+             CAST(SUM(POWER(cnt.n * qv[CAST(dims.i AS INT)] - dims.s, 2))
+                  AS BIGINT) AS d2n2
+      FROM q
+      JOIN cnt ON cnt.label = q.label
+      JOIN dims ON dims.label = q.label
+      GROUP BY q.vec_id, q.label
+    )
+    SELECT label, vec_id, d2n2,
+           CAST(ROUND(sqrt(CAST(d2n2 AS DOUBLE)) / n / 1000 * 1e9) AS BIGINT)
+             AS dist_nanos
+    FROM (
+      SELECT d.*, cnt.n,
+             row_number() OVER (PARTITION BY d.label
+                                ORDER BY d2n2 DESC, vec_id) AS rn
+      FROM d JOIN cnt ON cnt.label = d.label
+    ) WHERE rn <= 5
+    """,
+)
+def embedding_outlier_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding outliers: the 5 vectors farthest from their
+    own label's centroid — the mislabeled/noisy-sample screen a
+    curation pipeline runs before contrastive training. Exactness by
+    clearing the centroid's denominator: with per-dim label sums S_d
+    and count n, ||x - S/n||^2 * n^2 = sum_d (n*x_d - S_d)^2 is an
+    EXACT int64 over the quantized vectors, so the per-label ranking
+    is pure integer comparison (ties by vec_id); only the surfaced
+    distance (sqrt/n, de-quantized) is double, int-nanos rounded.
+
+    Scale shape: per-dim sums via one posexplode aggregate (map-side
+    combinable, O(#labels x dims) output); the sums fold back as ONE
+    broadcast array per label (sort_array over collected (dim, sum)
+    structs), the distance is a zip_with/aggregate higher-order fold —
+    no per-dim join amplification on the data side; top-5 per label
+    compiles to WindowGroupLimit."""
+    prep(spark)
+    q = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", quantize("embedding").alias("qv")
+    )
+    dims = (
+        q.select("label", F.posexplode("qv").alias("i", "x"))
+        .groupBy("label", "i")
+        .agg(F.sum("x").alias("s"))
+    )
+    cent = dims.groupBy("label").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("i", "s"))), lambda st: st["s"]
+        ).alias("sv")
+    )
+    cnt = q.groupBy("label").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    d2n2 = F.aggregate(
+        F.zip_with(
+            F.col("qv"),
+            F.col("sv"),
+            lambda x, s: (F.col("n") * x - s) * (F.col("n") * x - s),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    d = (
+        q.join(F.broadcast(cent), "label")
+        .join(F.broadcast(cnt), "label")
+        .select("label", "vec_id", "n", d2n2.alias("d2n2"))
+    )
+    w = W.partitionBy("label").orderBy(F.col("d2n2").desc(), "vec_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select(
+            "label",
+            "vec_id",
+            "d2n2",
+            F.round(F.sqrt(F.col("d2n2").cast("double")) / F.col("n") / 1000 * 1e9)
+            .cast("long")
+            .alias("dist_nanos"),
+        )
+    )

@@ -1046,3 +1046,78 @@ def skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("c_ab").desc(), "a", "b")
         .limit(100)
     )
+
+
+@query(
+    "text_readability",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id,
+             GREATEST(len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                      x -> x <> '')), 1) AS n_words,
+             GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences,
+             GREATEST(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1)
+               AS n_syllables
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_sentences AS BIGINT) AS n_sentences,
+           CAST(n_syllables AS BIGINT) AS n_syllables,
+           CAST(ROUND((206.835
+                       - 1.015 * n_words / n_sentences
+                       - 84.6 * n_syllables / n_words) * 1e6) AS BIGINT)
+             AS flesch_micros
+    FROM c
+    """,
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 quality signal: Flesch reading-ease per document from three
+    exact integer counts — words (the text_lang_id tokenizer's
+    non-empty [a-z]+ runs), sentences ([.!?]+ runs), and a syllable
+    PROXY (vowel-group runs [aeiouy]+, the standard cheap estimator) —
+    the readability band filter corpus curation applies next to
+    text_quality_score's length/punct ratios. The score is one double
+    expression over the three exact counts (each floored to 1 so
+    degenerate docs can't divide by zero), int-MICROS quantized; both
+    engines count runs with the same simple character-class regexes
+    (no engine-specific regex feature surface).
+
+    Scale shape: pure map-side projection — three regexp counts per
+    row, no shuffle at all; pushdown keeps only (doc_id, text) in the
+    scan."""
+    prep(spark)
+    words = F.greatest(
+        F.size(
+            F.filter(
+                F.split(F.lower(F.col("text")), "[^a-z]+"), lambda x: x != F.lit("")
+            )
+        ).cast("long"),
+        F.lit(1).cast("long"),
+    )
+    sents = F.greatest(
+        F.regexp_count(F.col("text"), F.lit("[.!?]+")).cast("long"),
+        F.lit(1).cast("long"),
+    )
+    syls = F.greatest(
+        F.regexp_count(F.lower(F.col("text")), F.lit("[aeiouy]+")).cast("long"),
+        F.lit(1).cast("long"),
+    )
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        words.alias("n_words"),
+        sents.alias("n_sentences"),
+        syls.alias("n_syllables"),
+    )
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015) * F.col("n_words") / F.col("n_sentences")
+        - F.lit(84.6) * F.col("n_syllables") / F.col("n_words")
+    )
+    return d.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.round(score * 1e6).cast("long").alias("flesch_micros"),
+    )

@@ -84,6 +84,9 @@ _SAMPLE_PRIORITY = (
     "acf_lags",
     "trend_ols",
     "window_lead_nth",
+    "dedup_containment",
+    "embedding_outlier_topk",
+    "text_readability",
     # round-8 keys, then witness-age order
     "hypertable_rollup",
     "gap_fill_locf",

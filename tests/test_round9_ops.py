@@ -429,3 +429,59 @@ def test_new_stats_ops_have_no_unpartitioned_data_windows(spark):
     for key in ("corr_pairs", "mutual_information", "confusion_threshold",
                 "woe_iv", "iqr_outliers"):
         assert unpartitioned_unbounded_windows(_df(key, spark)) == [], key
+
+
+# -------------------------------- containment / outliers / readability
+
+
+def test_containment_catches_seeded_twins(spark):
+    """Every anchor-detected twin pair is reported with the twin as the
+    contained side at containment ~1.0 (verbatim extract)."""
+    rows = _df("dedup_containment", spark).collect()
+    assert rows
+    twins = [r for r in rows if r.contained_doc >= 2_000_000]
+    assert len(twins) >= len(rows) * 0.9  # corpus has few natural pairs
+    for r in rows:
+        assert r.contained_doc != r.container_doc
+        assert 0 < r.n_inter <= r.n_small
+        assert r.containment_nanos >= 800_000_000
+    for r in twins:
+        # extract of the container: every 3-gram of the twin exists in it
+        if r.container_doc == r.contained_doc - 2_000_000:
+            assert r.containment_nanos == 1_000_000_000
+
+
+def test_embedding_outlier_matches_numpy(spark):
+    """d2n2 equals the numpy n^2-scaled squared distance to the label
+    centroid, and each label surfaces its true argmax."""
+    emb = table(spark, SF_DIR, "embeddings").toPandas()
+    got = _df("embedding_outlier_topk", spark).toPandas()
+    assert (got.groupby("label").size() == 5).all()
+    for label, g in got.groupby("label"):
+        sub = emb[emb.label == label]
+        q = np.round(np.stack(sub.embedding.to_numpy()).astype(np.float64) * 1000)
+        n = len(sub)
+        s = q.sum(axis=0)
+        d2n2 = ((n * q - s) ** 2).sum(axis=1)
+        want_top = d2n2.max()
+        top = g.sort_values(["d2n2", "vec_id"], ascending=[False, True]).iloc[0]
+        assert top.d2n2 == int(want_top)
+        by_id = dict(zip(sub.vec_id, d2n2))
+        for r in g.itertuples():
+            assert by_id[r.vec_id] == r.d2n2
+
+
+def test_readability_matches_python(spark):
+    """Flesch score against a pure-Python recount on 25 docs."""
+    import re as _re
+
+    docs = table(spark, SF_DIR, "documents").limit(25).toPandas()
+    got = _df("text_readability", spark).toPandas().set_index("doc_id")
+    for r in docs.itertuples():
+        words = max(len([t for t in _re.split(r"[^a-z]+", r.text.lower()) if t]), 1)
+        sents = max(len(_re.findall(r"[.!?]+", r.text)), 1)
+        syls = max(len(_re.findall(r"[aeiouy]+", r.text.lower())), 1)
+        g = got.loc[r.doc_id]
+        assert (g.n_words, g.n_sentences, g.n_syllables) == (words, sents, syls)
+        want = 206.835 - 1.015 * words / sents - 84.6 * syls / words
+        assert abs(g.flesch_micros - round(want * 1e6)) <= 1
