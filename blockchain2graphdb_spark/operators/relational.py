@@ -1602,3 +1602,72 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("us") - F.col("last_err_us")).cast("long"),
         ).alias("staleness_us"),
     )
+
+
+def _partitioned_events_dir(sf_dir: str) -> str:
+    """Hive-layout derivation of events partitioned by event_type
+    (event_type=<v>/part.parquet), content-keyed to the fixture like
+    _text_source_dir so regeneration invalidates it."""
+    import glob as _glob
+    import os
+    import shutil
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ..paths import tmp_root
+
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    d = os.path.join(
+        tmp_root(), f"evpart_{sf_tag}_{st.st_size}_{st.st_mtime_ns}"
+    )
+    if os.path.isdir(d):
+        return d
+    for stale in _glob.glob(os.path.join(tmp_root(), f"evpart_{sf_tag}_*")):
+        shutil.rmtree(stale, ignore_errors=True)
+    t = pq.read_table(src, columns=["event_id", "user_id", "value", "event_type"])
+    stage = d + ".staging"
+    for v in sorted(set(t.column("event_type").to_pylist())):
+        sub = t.filter(pc.equal(t.column("event_type"), v)).drop(["event_type"])
+        pdir = os.path.join(stage, f"event_type={v}")
+        os.makedirs(pdir, exist_ok=True)
+        pq.write_table(sub, os.path.join(pdir, "part-000.parquet"))
+    os.replace(stage, d)
+    return d
+
+
+@query(
+    "scan_partition_prune",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_clicks,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+    FROM events
+    WHERE event_type = 'click'
+    GROUP BY user_id
+    """,
+)
+def scan_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-family scale story: scan a HIVE-PARTITIONED copy of events
+    (event_type=<v>/ directories — the layout a 100 TB event lake
+    actually uses, typically by day/hour) with a filter on the
+    partition column. The filter becomes a PartitionFilter — Spark
+    lists only the matching directory and the other partitions are
+    never opened, the difference between scanning 100 TB and scanning
+    one day of it (tests assert the PartitionFilters line and that the
+    pruned plan reads a single partition directory). Results match the
+    unpartitioned oracle exactly: partitioning is a layout choice, not
+    a semantics choice.
+
+    Scale shape: partition pruning composes with column pruning (only
+    user_id/value reach the reader) and the aggregate is map-side
+    combinable; exact-decimal value sums per the exact.py contract."""
+    prep(spark)
+    d = _partitioned_events_dir(sf_dir)
+    df = spark.read.parquet(d).where(F.col("event_type") == "click")
+    return df.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clicks"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("value_sum"),
+    )

@@ -87,6 +87,7 @@ _SAMPLE_PRIORITY = (
     "dedup_containment",
     "embedding_outlier_topk",
     "text_readability",
+    "scan_partition_prune",
     # round-8 keys, then witness-age order
     "hypertable_rollup",
     "gap_fill_locf",

@@ -485,3 +485,32 @@ def test_readability_matches_python(spark):
         assert (g.n_words, g.n_sentences, g.n_syllables) == (words, sents, syls)
         want = 206.835 - 1.015 * words / sents - 84.6 * syls / words
         assert abs(g.flesch_micros - round(want * 1e6)) <= 1
+
+
+# ------------------------------------------------------ partition prune
+
+
+def test_partition_prune_reaches_the_scan(spark):
+    """The event_type filter must appear as a PartitionFilter (directory
+    pruning), not a data filter, and only pruned-partition files are
+    read; results equal the unpartitioned scan's."""
+    df = _df("scan_partition_prune", spark)
+    plan = plan_string(df)
+    assert "PartitionFilters" in plan
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters:" in ln][0]
+    assert "event_type" in pf and "click" in pf, pf
+    want = {
+        (r.user_id, r.n_clicks, round(r.value_sum, 2))
+        for r in table(spark, SF_DIR, "events")
+        .where(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clicks"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("value_sum"),
+        )
+        .collect()
+    }
+    got = {(r.user_id, r.n_clicks, round(r.value_sum, 2)) for r in df.collect()}
+    assert got == want
