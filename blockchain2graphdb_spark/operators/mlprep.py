@@ -950,3 +950,116 @@ def iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_outliers",
         )
     )
+
+
+@query(
+    "feature_hashing",
+    oracle="""
+    WITH feats AS (
+      SELECT 'seg=' || c_mktsegment AS feat FROM customer
+      UNION ALL
+      SELECT 'nat=' || CAST(c_nationkey AS VARCHAR) AS feat FROM customer
+    ),
+    b AS (
+      SELECT ('0x' || substr(md5(feat), 1, 8))::BIGINT % 32 AS bucket, feat
+      FROM feats
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT feat) AS BIGINT) AS n_features,
+           MIN(feat) AS first_feature
+    FROM b GROUP BY bucket
+    """,
+)
+def feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick for OPEN categorical vocabularies —
+    onehot_encode's counterpart when the category set is unbounded
+    (user agents, URLs, vendor ids): feature string -> md5 -> bucket
+    in a fixed 32-wide space, so the feature vector width is constant
+    without a dictionary. Emits the collision census per bucket
+    (row count, distinct features, first feature) — the diagnostic
+    that sizes the hash space (n_features > 1 = collision). The
+    bucket hash is the portable hex->int md5 prefix (split_assign /
+    spatial discipline), so assignment is engine-independent and
+    stable under corpus growth.
+
+    Scale shape: feature emission and bucketing are pure map-side
+    expressions (a 2-wide stack per row); the only shuffle is the
+    O(#buckets) census aggregate. At 100 TB the census runs on a
+    sample; the bucket expression itself ships into the feature
+    projection unchanged."""
+    prep(spark)
+    cust = table(spark, sf_dir, "customer")
+    feats = cust.select(
+        F.concat(F.lit("seg="), F.col("c_mktsegment")).alias("feat")
+    ).unionAll(
+        cust.select(
+            F.concat(F.lit("nat="), F.col("c_nationkey").cast("string")).alias("feat")
+        )
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("feat").cast("binary")), 1, 8), 16, 10)
+        .cast("long")
+        % 32
+    )
+    return (
+        feats.select(bucket.alias("bucket"), "feat")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct("feat").cast("long").alias("n_features"),
+            F.min("feat").alias("first_feature"),
+        )
+    )
+
+
+@query(
+    "group_kfold",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, event_id,
+             ('0x' || substr(md5('u' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+               % 5 AS fold
+      FROM events
+    )
+    SELECT fold,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM f GROUP BY fold
+    """,
+)
+def group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware k-fold assignment: every event of a user lands in
+    the SAME fold (fold = portable md5 hash of the user id, k=5) — the
+    leakage guard split_assign's per-row split cannot give when rows
+    of one entity are correlated (a user's events in both train and
+    val folds leak behavior across the boundary; cf. sklearn
+    GroupKFold). Assignment is content-stable: a grown corpus never
+    reassigns an existing user. Emits the fold census (users, events)
+    — balance verification before training.
+
+    Scale shape: the fold is a pure per-row expression (no join to a
+    user table, no shuffle to co-locate groups); the census is one
+    map-side-combinable aggregate over 5 keys."""
+    prep(spark)
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("u"), F.col("user_id").cast("string")).cast("binary")),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 5
+    )
+    return (
+        table(spark, sf_dir, "events")
+        .select(fold.alias("fold"), "user_id")
+        .groupBy("fold")
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+    )

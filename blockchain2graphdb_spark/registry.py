@@ -88,6 +88,8 @@ _SAMPLE_PRIORITY = (
     "embedding_outlier_topk",
     "text_readability",
     "scan_partition_prune",
+    "feature_hashing",
+    "group_kfold",
     # round-8 keys, then witness-age order
     "hypertable_rollup",
     "gap_fill_locf",

@@ -514,3 +514,33 @@ def test_partition_prune_reaches_the_scan(spark):
     }
     got = {(r.user_id, r.n_clicks, round(r.value_sum, 2)) for r in df.collect()}
     assert got == want
+
+
+# --------------------------------------------- hashing trick / group CV
+
+
+def test_feature_hashing_buckets_cover_all_features(spark):
+    """Every distinct feature string lands in exactly one bucket and
+    the census row counts re-total to 2x the customer count."""
+    rows = _df("feature_hashing", spark).collect()
+    n_cust = table(spark, SF_DIR, "customer").count()
+    assert sum(r.n_rows for r in rows) == 2 * n_cust
+    assert all(0 <= r.bucket < 32 for r in rows)
+    assert all(r.n_features >= 1 for r in rows)
+    n_seg = (
+        table(spark, SF_DIR, "customer").select("c_mktsegment").distinct().count()
+    )
+    n_nat = (
+        table(spark, SF_DIR, "customer").select("c_nationkey").distinct().count()
+    )
+    assert sum(r.n_features for r in rows) == n_seg + n_nat
+
+
+def test_group_kfold_keeps_users_whole(spark):
+    """Each user appears in exactly one fold (group integrity) and
+    event counts re-total to the table."""
+    rows = _df("group_kfold", spark).collect()
+    ev = table(spark, SF_DIR, "events")
+    assert sum(r.n_events for r in rows) == ev.count()
+    assert sum(r.n_users for r in rows) == ev.select("user_id").distinct().count()
+    assert all(0 <= r.fold < 5 for r in rows)
