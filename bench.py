@@ -68,6 +68,8 @@ SECONDARY = [
     "random_walk_sample",       # hash-driven walk trajectories
     "dedup_embedding_cosine",   # sign-LSH bucketed cosine near-dup
     "resample_ohlc",            # windowed candle downsampling
+    "dedup_containment",        # anchor-blocked asymmetric containment
+    "embedding_outlier_topk",   # per-label centroid outlier screen
 ]
 
 
