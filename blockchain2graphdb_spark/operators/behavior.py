@@ -480,3 +480,82 @@ def session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.select(F.explode(rows).alias("r")).select(
         "r.step_idx", "r.step", "r.n_sessions"
     )
+
+
+@query(
+    "session_path_topk",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS us
+      FROM events
+    ),
+    f AS (
+      SELECT user_id, event_id, event_type, us,
+             CASE WHEN lag(us) OVER w IS NULL
+                    OR us - lag(us) OVER w > {_SF_GAP_US}
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ),
+    s AS (
+      SELECT user_id, event_id, event_type, us,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sess
+      FROM f
+    ),
+    t AS (
+      SELECT event_type AS t0,
+             lead(event_type, 1) OVER w AS t1,
+             lead(event_type, 2) OVER w AS t2,
+             sess,
+             lead(sess, 2) OVER w AS sess2
+      FROM s WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ),
+    paths AS (
+      SELECT t0 || '>' || t1 || '>' || t2 AS path, COUNT(*) AS n
+      FROM t WHERE sess2 = sess
+      GROUP BY t0 || '>' || t1 || '>' || t2
+    )
+    SELECT path, CAST(n AS BIGINT) AS n
+    FROM paths ORDER BY n DESC, path LIMIT 20
+    """,
+)
+def session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 event-type trigram PATHS within sessions — the
+    path-mining rollup behind "what do users actually do" product
+    analytics, one order up from event_transitions' Markov bigrams:
+    sessionize_batch's gap logic (the shared catalog constant)
+    assigns session indices, two leads over the SAME per-user window
+    build trigrams, and lead(sess, 2) == sess drops any trigram that
+    crosses a session boundary — the leakage that makes naive path
+    mining wrong. Counting is over the path string; top-20 by
+    (n DESC, path) compiles to TakeOrderedAndProject, never a global
+    sort.
+
+    Scale shape: one keyed shuffle on user_id serves the gap window,
+    the running session sum, and both leads (same partitioning, same
+    sort — Catalyst runs them in one WindowExec pass); the path count
+    is map-side combinable over O(#type³) keys."""
+    prep(spark)
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    lag_us = F.lag("us").over(w)
+    sess = F.sum(
+        F.when(lag_us.isNull() | (F.col("us") - lag_us > _SF_GAP_US), 1).otherwise(0)
+    ).over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+    s = ev.withColumn("sess", sess)
+    t = s.select(
+        F.col("event_type").alias("t0"),
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+        "sess",
+        F.lead("sess", 2).over(w).alias("sess2"),
+    )
+    paths = (
+        t.where(F.col("sess2") == F.col("sess"))
+        .select(F.concat_ws(">", "t0", "t1", "t2").alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return paths.orderBy(F.col("n").desc(), "path").limit(20)

@@ -90,6 +90,7 @@ _SAMPLE_PRIORITY = (
     "scan_partition_prune",
     "feature_hashing",
     "group_kfold",
+    "session_path_topk",
     # round-8 keys, then witness-age order
     "hypertable_rollup",
     "gap_fill_locf",

@@ -544,3 +544,41 @@ def test_group_kfold_keeps_users_whole(spark):
     assert sum(r.n_events for r in rows) == ev.count()
     assert sum(r.n_users for r in rows) == ev.select("user_id").distinct().count()
     assert all(0 <= r.fold < 5 for r in rows)
+
+
+# --------------------------------------------------------- session paths
+
+
+def test_session_path_topk_matches_pandas(spark):
+    """Full pandas recompute: gap-sessionize, in-session trigrams only
+    (no session-boundary leakage), global top-20 by (n DESC, path)."""
+    from blockchain2graphdb_spark.catalog import SESSION_GAP_US
+
+    ev = (
+        table(spark, SF_DIR, "events")
+        .select("user_id", "event_id", "event_type", F.unix_micros("ts").alias("us"))
+        .toPandas()
+        .sort_values(["user_id", "us", "event_id"])
+    )
+    counts = {}
+    for _, g in ev.groupby("user_id"):
+        rows = list(g.itertuples())
+        sess, prev_us = 0, None
+        tagged = []
+        for r in rows:
+            if prev_us is None or r.us - prev_us > SESSION_GAP_US:
+                sess += 1
+            prev_us = r.us
+            tagged.append((sess, r.event_type))
+        for i in range(len(tagged) - 2):
+            if tagged[i][0] == tagged[i + 2][0]:
+                p = ">".join(t for _, t in tagged[i : i + 3])
+                counts[p] = counts.get(p, 0) + 1
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = [(r.path, r.n) for r in _df("session_path_topk", spark).collect()]
+    assert got == want
+
+
+def test_session_path_topk_is_take_ordered(spark):
+    plan = plan_string(_df("session_path_topk", spark))
+    assert "TakeOrderedAndProject" in plan, plan
