@@ -1,0 +1,408 @@
+"""Model-evaluation and distribution-comparison metrics (SURVEY.md
+§2.13 X18): two-sample Kolmogorov-Smirnov, NDCG@k, Gini concentration,
+Cohen's kappa, and calibration (reliability) bins — the offline-eval
+statistics a training pipeline computes between scoring and shipping,
+completing the X15 trio (AUC = threshold-free curve, lift/gain =
+decile sweep, confusion = operating point) with the distribution-level
+and agreement-level views.
+
+Determinism: every statistic is a function of exact integer (or
+exact-decimal) aggregates; cross-term float sums are quantized to int
+nanos per term before summation (the BM25/surprisal technique), and
+ratio comparisons clear denominators into integer cross-products so no
+fence/threshold decision ever rides a double (the iqr_outliers
+discipline).
+
+Scale notes (100 TB): the KS sweep and Gini ranks never use an
+unpartitioned window over raw rows — KS cumulates over the per-score
+HISTOGRAM (the auc_exact shape: window above an aggregate) and Gini
+ranks through `functions/ranking.bucketed_global_rank`'s two-pass
+form; NDCG's per-query top-k compiles to WindowGroupLimit (map-side
+partial top-k per partition, never a full per-query sort); kappa and
+calibration are single map-side-combinable aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import prep, table
+from ..exact import dec2
+from ..functions.ranking import bucketed_global_rank
+from ..registry import query
+
+
+@query(
+    "ks_statistic",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS score,
+             CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS c1,
+             CAST(COUNT(*) FILTER (WHERE o_orderstatus <> 'F') AS BIGINT) AS c2
+      FROM orders GROUP BY 1
+    ),
+    r AS (
+      SELECT SUM(c1) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING) AS cum1,
+             SUM(c2) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING) AS cum2,
+             SUM(c1) OVER () AS n1,
+             SUM(c2) OVER () AS n2
+      FROM s
+    )
+    SELECT CAST(MAX(n1) AS BIGINT) AS n1,
+           CAST(MAX(n2) AS BIGINT) AS n2,
+           CAST(MAX(ABS(cum1 * n2 - cum2 * n1)) AS BIGINT) AS ks_num,
+           CAST(MAX(ABS(cum1 * n2 - cum2 * n1)) AS DOUBLE)
+             / (CAST(MAX(n1) AS DOUBLE) * CAST(MAX(n2) AS DOUBLE)) AS ks_d
+    FROM r
+    """,
+)
+def ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic between the order-
+    value distributions of fulfilled vs non-fulfilled orders — the
+    distribution-shift test a pipeline runs between cohorts or between
+    a feature's train/serve distributions. D = max_x |F1(x) - F2(x)|
+    stays EXACT INTEGER by clearing denominators: at each distinct
+    score, |cum1*n2 - cum2*n1| is the D numerator scaled by n1*n2 —
+    the max over int64s can never be reordered by a float ulp; the
+    surfaced D is one double division of the exact max.
+
+    Scale shape: the data collapses to the per-score histogram first
+    (one map-side-combinable aggregate), so the cumulative window runs
+    over DISTINCT SCORES — the auc_exact global-window-over-aggregate
+    shape; at extreme score cardinality the histogram is binned first
+    with bounded D error (the ECDF is monotone between bin edges)."""
+    prep(spark)
+    pc = (dec2("o_totalprice") * 100).cast("long")
+    s = (
+        table(spark, sf_dir, "orders")
+        .groupBy(pc.alias("score"))
+        .agg(
+            F.count_if(F.col("o_orderstatus") == "F").cast("long").alias("c1"),
+            F.count_if(F.col("o_orderstatus") != "F").cast("long").alias("c2"),
+        )
+    )
+    wc = W.orderBy("score").rowsBetween(W.unboundedPreceding, 0)
+    wall = W.orderBy("score").rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    r = s.select(
+        F.sum("c1").over(wc).alias("cum1"),
+        F.sum("c2").over(wc).alias("cum2"),
+        F.sum("c1").over(wall).alias("n1"),
+        F.sum("c2").over(wall).alias("n2"),
+    )
+    d = F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1"))
+    return r.agg(
+        F.max("n1").cast("long").alias("n1"),
+        F.max("n2").cast("long").alias("n2"),
+        F.max(d).cast("long").alias("ks_num"),
+        (
+            F.max(d).cast("double")
+            / (F.max("n1").cast("double") * F.max("n2").cast("double"))
+        ).alias("ks_d"),
+    )
+
+
+@query(
+    "ndcg_at_k",
+    oracle="""
+    WITH scored AS (
+      SELECT o_orderpriority AS qry, o_orderkey,
+             CASE o_orderstatus WHEN 'F' THEN 2 WHEN 'P' THEN 1 ELSE 0 END AS rel,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY CASE o_orderstatus WHEN 'F' THEN 2
+                                         WHEN 'P' THEN 1 ELSE 0 END DESC,
+                                         o_orderkey) AS irn
+      FROM orders
+    ),
+    dcg AS (
+      SELECT qry,
+             CAST(SUM(CAST(ROUND(rel * ln(2.0) / ln(rn + 1) * 1e9) AS BIGINT))
+                  AS BIGINT) AS dcg_nanos
+      FROM scored WHERE rn <= 10 GROUP BY qry
+    ),
+    idcg AS (
+      SELECT qry,
+             CAST(SUM(CAST(ROUND(rel * ln(2.0) / ln(irn + 1) * 1e9) AS BIGINT))
+                  AS BIGINT) AS idcg_nanos
+      FROM scored WHERE irn <= 10 GROUP BY qry
+    )
+    SELECT d.qry, d.dcg_nanos, i.idcg_nanos,
+           CASE WHEN i.idcg_nanos = 0 THEN 0.0
+                ELSE CAST(d.dcg_nanos AS DOUBLE) / i.idcg_nanos END AS ndcg
+    FROM dcg d JOIN idcg i ON i.qry = d.qry
+    """,
+)
+def ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 per query group (order priority as the query, value-
+    descending rank as the model's ordering, fulfillment status as
+    graded relevance 2/1/0) — the ranking-quality metric for search /
+    recommendation eval. Each DCG term rel/log2(i+1) is written as
+    rel*ln(2)/ln(i+1) on BOTH engines (the ln-parity precedent; at
+    i=1 the identical-operand division gives exactly rel) and
+    int-nanos-quantized per position before the per-query sum; the
+    ideal ordering ranks by relevance descending — tie order among
+    equal relevances cannot change the rel sequence, but the key
+    tie-breaker keeps the window order total anyway (the sweep rule).
+    NDCG is one double ratio of the two exact int64 sums.
+
+    Scale shape: both rank filters (rn <= 10) compile to
+    WindowGroupLimit — Spark keeps a map-side partial top-10 per
+    partition per query, so no per-query full sort materializes; the
+    final join is over O(#queries) rows, broadcast."""
+    prep(spark)
+    rel = (
+        F.when(F.col("o_orderstatus") == "F", 2)
+        .when(F.col("o_orderstatus") == "P", 1)
+        .otherwise(0)
+    )
+    scored = table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("qry"),
+        "o_orderkey",
+        "o_totalprice",
+        rel.alias("rel"),
+    )
+    by_score = W.partitionBy("qry").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    by_rel = W.partitionBy("qry").orderBy(F.desc("rel"), "o_orderkey")
+
+    def term(rank_col: F.Column) -> F.Column:
+        return F.round(
+            F.col("rel").cast("double")
+            * F.log(F.lit(2.0))
+            / F.log((rank_col + 1).cast("double"))
+            * 1e9
+        ).cast("long")
+
+    dcg = (
+        scored.withColumn("rn", F.row_number().over(by_score))
+        .where(F.col("rn") <= 10)
+        .groupBy("qry")
+        .agg(F.sum(term(F.col("rn"))).cast("long").alias("dcg_nanos"))
+    )
+    idcg = (
+        scored.withColumn("irn", F.row_number().over(by_rel))
+        .where(F.col("irn") <= 10)
+        .groupBy("qry")
+        .agg(F.sum(term(F.col("irn"))).cast("long").alias("idcg_nanos"))
+    )
+    joined = dcg.join(F.broadcast(idcg), "qry")
+    return joined.select(
+        "qry",
+        "dcg_nanos",
+        "idcg_nanos",
+        F.when(F.col("idcg_nanos") == 0, F.lit(0.0))
+        .otherwise(F.col("dcg_nanos").cast("double") / F.col("idcg_nanos"))
+        .alias("ndcg"),
+    )
+
+
+@query(
+    "gini_concentration",
+    oracle="""
+    WITH v AS (
+      SELECT o_orderpriority AS cat,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice, o_orderkey) AS r
+      FROM orders
+    ),
+    s AS (
+      SELECT cat, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(r AS DECIMAL(38,0)) * x) AS srx,
+             SUM(CAST(x AS DECIMAL(38,0))) AS sx
+      FROM v GROUP BY cat
+    )
+    SELECT cat, n,
+           CAST(ROUND(CAST(2 * srx - (n + 1) * sx AS DOUBLE)
+                      / CAST(n * sx AS DOUBLE) * 1e9) AS BIGINT) AS gini_nanos
+    FROM s
+    """,
+)
+def gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of order-value concentration per priority class
+    — the inequality/concentration measure (how much of the spend sits
+    in the top orders) used for revenue-concentration and label-
+    imbalance reporting. Uses the rank formula G = (2*Σi*x_i - (n+1)*
+    Σx) / (n*Σx) over values ascending: ranks within tied values are
+    assigned by the unique (value, key) order, and since tied values
+    share one x, Σi*x_i over a tie group is x*Σi — invariant to tie
+    permutation, so the statistic is deterministic. Moment sums
+    accumulate in DECIMAL(38,0) (rank*cents exceeds int64 past ~sf1;
+    the corr_pairs discipline); one double division at the end,
+    int-nanos quantized.
+
+    Scale shape: per-category rank via bucketed_global_rank over a
+    COMPOSITE monotone bucket (category-digit * 1000 + value band), so
+    in-bucket windows stay partitioned; per-category rank = global pos
+    minus the category's min pos (one O(#categories) broadcast) — no
+    window partitioned by the 5-value category column ever sees raw
+    rows."""
+    prep(spark)
+    pc = (dec2("o_totalprice") * 100).cast("long")
+    orders = table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("cat"),
+        pc.alias("x"),
+        "o_totalprice",
+        "o_orderkey",
+    )
+    # priority strings '1-URGENT'..'5-LOW' sort identically to their
+    # leading digit, so cat_digit*1000 + price band ascends with
+    # (cat, price) — the monotone-bucket contract
+    cat_digit = F.substring(F.col("cat"), 1, 1).cast("long")
+    bucket = cat_digit * 1000 + F.floor(F.col("o_totalprice") / 60000).cast("long")
+    ranked = bucketed_global_rank(
+        orders, bucket, [F.col("cat"), F.col("o_totalprice"), F.col("o_orderkey")]
+    )
+    offs = ranked.groupBy("cat").agg(F.min("pos").alias("p0"))
+    d38 = "decimal(38,0)"
+    r = ranked.join(F.broadcast(offs), "cat").select(
+        "cat", "x", (F.col("pos") - F.col("p0") + 1).alias("r")
+    )
+    s = r.groupBy("cat").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("r").cast(d38) * F.col("x")).cast(d38).alias("srx"),
+        F.sum(F.col("x").cast(d38)).cast(d38).alias("sx"),
+    )
+    num = (2 * F.col("srx") - (F.col("n") + 1) * F.col("sx")).cast("double")
+    den = (F.col("n") * F.col("sx")).cast("double")
+    return s.select(
+        "cat", "n", F.round(num / den * 1e9).cast("long").alias("gini_nanos")
+    )
+
+
+@query(
+    "cohens_kappa",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(COUNT(*) FILTER (WHERE o_totalprice >= 150000
+               AND o_orderpriority IN ('1-URGENT', '2-HIGH')) AS BIGINT) AS yy,
+             CAST(COUNT(*) FILTER (WHERE o_totalprice >= 150000
+               AND o_orderpriority NOT IN ('1-URGENT', '2-HIGH')) AS BIGINT) AS yn,
+             CAST(COUNT(*) FILTER (WHERE o_totalprice < 150000
+               AND o_orderpriority IN ('1-URGENT', '2-HIGH')) AS BIGINT) AS ny,
+             CAST(COUNT(*) FILTER (WHERE o_totalprice < 150000
+               AND o_orderpriority NOT IN ('1-URGENT', '2-HIGH')) AS BIGINT) AS nn
+      FROM orders
+    )
+    SELECT yy, yn, ny, nn,
+           CAST(ROUND(CAST((yy + yn + ny + nn) * (yy + nn)
+                           - ((yy + yn) * (yy + ny) + (ny + nn) * (yn + nn))
+                           AS DOUBLE)
+                      / ((yy + yn + ny + nn) * (yy + yn + ny + nn)
+                         - ((yy + yn) * (yy + ny) + (ny + nn) * (yn + nn)))
+                      * 1e9) AS BIGINT) AS kappa_nanos
+    FROM m
+    """,
+)
+def cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa agreement between two screening rules (rater A:
+    order value >= 150k; rater B: priority urgent/high) — the
+    inter-annotator / rule-agreement statistic labeling pipelines
+    report before trusting a silver-label source. kappa = (p_o - p_e)
+    / (1 - p_e) is cleared into one exact-integer ratio: with cells
+    yy/yn/ny/nn and n their sum, kappa = (n*(yy+nn) - pe_num) /
+    (n^2 - pe_num) where pe_num = (yy+yn)(yy+ny) + (ny+nn)(yn+nn) —
+    numerator and denominator are exact int64 (n^2 < 2^63 up to ~3e9
+    rows; past that the same formula runs in DECIMAL(38,0)), then one
+    int-nanos-quantized division.
+
+    Scale shape: ONE map-side-combinable four-counter aggregate over a
+    column-pruned scan — the minimal plan, same as
+    confusion_threshold."""
+    prep(spark)
+    a = F.col("o_totalprice") >= 150000
+    b = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    cell = lambda c, n: F.count_if(c).cast("long").alias(n)  # noqa: E731
+    m = table(spark, sf_dir, "orders").agg(
+        cell(a & b, "yy"), cell(a & ~b, "yn"), cell(~a & b, "ny"), cell(~a & ~b, "nn")
+    )
+    yy, yn, ny, nn = (F.col(c) for c in ("yy", "yn", "ny", "nn"))
+    n = yy + yn + ny + nn
+    pe_num = (yy + yn) * (yy + ny) + (ny + nn) * (yn + nn)
+    return m.select(
+        "yy",
+        "yn",
+        "ny",
+        "nn",
+        F.round((n * (yy + nn) - pe_num).cast("double") / (n * n - pe_num) * 1e9)
+        .cast("long")
+        .alias("kappa_nanos"),
+    )
+
+
+@query(
+    "calibration_bins",
+    oracle="""
+    WITH scored AS (
+      SELECT ('0x' || substr(md5('p' || CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+               % 1000 AS p_permille,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders
+    )
+    SELECT p_permille // 100 AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(p_permille) AS BIGINT) AS sum_permille,
+           CAST(SUM(y) AS BIGINT) AS n_pos,
+           CAST(ROUND(CAST(SUM(p_permille) AS DOUBLE) * 1e3 / COUNT(*))
+                AS BIGINT) AS mean_p_micros,
+           CAST(ROUND(CAST(SUM(y) AS DOUBLE) * 1e6 / COUNT(*)) AS BIGINT)
+             AS pos_rate_micros
+    FROM scored GROUP BY 1
+    """,
+)
+def calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability (calibration) table: predicted probability (the
+    portable md5-permille score — a stand-in model output, the
+    split_assign hashing discipline) binned into deciles, per bin the
+    mean prediction vs the observed positive rate — the calibration
+    diagnostic behind Brier/ECE reporting (a well-calibrated model has
+    mean_p ~ pos_rate per bin). Counts and permille sums are exact
+    integers; each surfaced rate is one double division of exact
+    int64s, quantized to integer micros (mean_p_micros = sum_permille
+    * 1e3 / n since permille = p * 1000).
+
+    Scale shape: score, label, and bin are pure per-row expressions;
+    ONE map-side-combinable aggregate over 10 bins — no shuffle of the
+    data rows beyond the 10-key partial merge."""
+    prep(spark)
+    p = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("p"), F.col("o_orderkey").cast("string")).cast(
+                        "binary"
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000
+    )
+    y = F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+    scored = table(spark, sf_dir, "orders").select(
+        p.alias("p_permille"), y.alias("y")
+    )
+    return (
+        scored.groupBy(F.expr("p_permille div 100").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("p_permille").cast("long").alias("sum_permille"),
+            F.sum("y").cast("long").alias("n_pos"),
+        )
+        .select(
+            "bin",
+            "n",
+            "sum_permille",
+            "n_pos",
+            F.round(F.col("sum_permille").cast("double") * 1e3 / F.col("n"))
+            .cast("long")
+            .alias("mean_p_micros"),
+            F.round(F.col("n_pos").cast("double") * 1e6 / F.col("n"))
+            .cast("long")
+            .alias("pos_rate_micros"),
+        )
+    )

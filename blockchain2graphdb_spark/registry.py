@@ -50,6 +50,7 @@ _OPERATOR_MODULES = (
     "blockchain2graphdb_spark.operators.mlprep",
     "blockchain2graphdb_spark.operators.spatial",
     "blockchain2graphdb_spark.operators.walks",
+    "blockchain2graphdb_spark.operators.evalrank",
 )
 
 # The driver's correctness gate samples the FIRST ~50 keys in queries()
@@ -65,6 +66,11 @@ _OPERATOR_MODULES = (
 # longer matters for sampling.
 _SAMPLE_PRIORITY = (
     # round-9 keys (never driver-sampled) lead
+    "ks_statistic",
+    "ndcg_at_k",
+    "gini_concentration",
+    "cohens_kappa",
+    "calibration_bins",
     "resample_ohlc",
     "ewma_trailing",
     "skipgram_pairs",
