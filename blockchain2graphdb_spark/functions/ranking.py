@@ -28,6 +28,39 @@ from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
+def bucketed_prefix_sum(
+    df: DataFrame,
+    bucket: Column,
+    order: Sequence[Column],
+    val: Column,
+    alias: str = "cum",
+) -> DataFrame:
+    """Running SUM(`val`) over the global (bucket, order) order without
+    an unpartitioned window — the prefix-sum sibling of
+    `bucketed_global_rank` (same two-pass shape: per-bucket totals,
+    O(#buckets) broadcast theta-join offsets, in-bucket cumulative
+    windows partitioned by bucket). Same contract: `bucket` monotone
+    with the sort order, `order` a unique total order within each
+    bucket. `val` must be exact (integer/decimal) for the result to be
+    order-independent. Lazy — adds no jobs."""
+    d = df.withColumn("_b", bucket).withColumn("_v", val)
+    sums = d.groupBy("_b").agg(F.sum("_v").alias("_s"))
+    earlier = sums.select(F.col("_b").alias("_b2"), F.col("_s").alias("_s2"))
+    offsets = (
+        sums.join(F.broadcast(earlier), F.col("_b2") < F.col("_b"), "left")
+        .groupBy("_b")
+        .agg(F.coalesce(F.sum("_s2"), F.lit(0)).alias("_off"))
+    )
+    inb = F.sum("_v").over(
+        W.partitionBy("_b").orderBy(*order).rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        d.join(F.broadcast(offsets), "_b")
+        .withColumn(alias, (F.col("_off") + inb).cast("long"))
+        .drop("_b", "_off", "_v")
+    )
+
+
 def bucketed_global_rank(
     df: DataFrame, bucket: Column, order: Sequence[Column]
 ) -> DataFrame:

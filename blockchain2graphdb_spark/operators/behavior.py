@@ -25,6 +25,8 @@ from pyspark.sql import functions as F
 # tuning there cannot silently desync either operator
 from ..catalog import SESSION_GAP_US as _SF_GAP_US
 from ..catalog import prep, table
+from ..exact import dec2
+from ..functions.ranking import bucketed_prefix_sum
 from ..registry import query
 
 _WEEK_US = 7 * 24 * 3600 * 1_000_000
@@ -559,3 +561,165 @@ def session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
     return paths.orderBy(F.col("n").desc(), "path").limit(20)
+
+
+_HOUR_US = 3600 * 1_000_000
+
+
+@query(
+    "concurrent_sessions_max",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us FROM events
+    ),
+    f AS (
+      SELECT user_id, event_id, us,
+             CASE WHEN lag(us) OVER w IS NULL
+                    OR us - lag(us) OVER w > {_SF_GAP_US}
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ),
+    s AS (
+      SELECT user_id, us,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sess
+      FROM f
+    ),
+    sess AS (
+      SELECT user_id, sess, MIN(us) AS s0, MAX(us) AS e0
+      FROM s GROUP BY user_id, sess
+    ),
+    deltas AS (
+      SELECT s0 AS us, 1 AS d FROM sess
+      UNION ALL
+      SELECT e0 + 1, -1 FROM sess
+    ),
+    dts AS (SELECT us, CAST(SUM(d) AS BIGINT) AS d FROM deltas GROUP BY us),
+    c AS (
+      SELECT us, SUM(d) OVER (ORDER BY us ROWS UNBOUNDED PRECEDING) AS conc
+      FROM dts
+    ),
+    m AS (SELECT MAX(conc) AS mx FROM c)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM sess) AS n_sessions,
+           CAST(MAX(c.conc) AS BIGINT) AS max_concurrent,
+           CAST(MIN(c.us) AS BIGINT) AS at_us
+    FROM c, m WHERE c.conc = m.mx
+    """,
+)
+def concurrent_sessions_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency of user sessions (the interval-sweep / max-
+    overlap operator): sessionize (sessionize_batch's exact gap
+    semantics), turn each session [start, end] into +1/-1 boundary
+    deltas (the -1 lands at end+1us so a session is live through its
+    last event's microsecond), net the deltas per distinct timestamp,
+    and take the running sum's maximum plus the EARLIEST timestamp
+    achieving it (unique argmin — deterministic under ties). The
+    capacity-planning primitive behind "how many simultaneous
+    users/connections at peak".
+
+    Scale shape: the sweep's running sum is `functions/ranking.
+    bucketed_prefix_sum` — per-hour delta totals, O(#hours) broadcast
+    theta-join offsets, in-hour cumulative windows partitioned by the
+    hour bucket — never an unpartitioned window over the boundary
+    stream; the argmax is one broadcast of the 1-row max joined back.
+    All int64, fully deterministic."""
+    prep(spark)
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us")
+    )
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    new_s = F.when(
+        F.lag("us").over(w).isNull() | (F.col("us") - F.lag("us").over(w) > _SF_GAP_US),
+        1,
+    ).otherwise(0)
+    sess_idx = F.sum("new_s").over(
+        W.partitionBy("user_id").orderBy("us", "event_id").rowsBetween(
+            W.unboundedPreceding, 0
+        )
+    )
+    sessions = (
+        ev.withColumn("new_s", new_s)
+        .withColumn("sess", sess_idx)
+        .groupBy("user_id", "sess")
+        .agg(F.min("us").alias("s0"), F.max("us").alias("e0"))
+    )
+    deltas = sessions.select(F.col("s0").alias("us"), F.lit(1).alias("d")).unionAll(
+        sessions.select((F.col("e0") + 1).alias("us"), F.lit(-1).alias("d"))
+    )
+    dts = deltas.groupBy("us").agg(F.sum("d").cast("long").alias("d"))
+    c = bucketed_prefix_sum(
+        dts, F.expr(f"us div {_HOUR_US}"), [F.col("us")], F.col("d"), "conc"
+    )
+    m = c.agg(F.max("conc").alias("mx"))
+    nsess = sessions.agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+    return (
+        c.crossJoin(F.broadcast(m))
+        .where(F.col("conc") == F.col("mx"))
+        .groupBy()
+        .agg(
+            F.max("conc").cast("long").alias("max_concurrent"),
+            F.min("us").cast("long").alias("at_us"),
+        )
+        .crossJoin(F.broadcast(nsess))
+        .select("n_sessions", "max_concurrent", "at_us")
+    )
+
+
+@query(
+    "attribution_last_touch",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, event_type, value,
+             epoch_ns(ts) // 1000 AS us
+      FROM events
+    ),
+    t AS (
+      SELECT user_id, event_id, event_type, value, us,
+             last_value(CASE WHEN event_type IN ('click', 'view')
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_touch
+      FROM e
+    )
+    SELECT COALESCE(last_touch, 'none') AS channel,
+           CAST(COUNT(*) AS BIGINT) AS n_conversions,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM t WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase is credited to
+    the user's most recent preceding touch event (click or view;
+    'none' when the purchase is the user's first tracked action) —
+    the standard single-touch attribution rollup. "Preceding" is
+    strict in the unique (us, event_id) row order (frame ends at 1
+    PRECEDING), so a touch sharing the purchase's microsecond but a
+    later event_id never self-credits — both engines agree on the
+    frame because ROWS frames are pinned to the same total order.
+    Revenue sums ride exact decimals (exact.py).
+
+    Scale shape: ONE keyed shuffle on user_id serves the ignore-nulls
+    carry-forward window (gap_fill_locf's mechanism), then a map-side
+    filter and an O(#channels) aggregate — no self-join of the event
+    log against itself."""
+    prep(spark)
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "value", F.unix_micros("ts").alias("us")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    touch = F.when(F.col("event_type").isin("click", "view"), F.col("event_type"))
+    t = ev.withColumn("last_touch", F.last(touch, ignorenulls=True).over(w))
+    return (
+        t.where(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce(F.col("last_touch"), F.lit("none")).alias("channel"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_conversions"),
+            F.sum(dec2("value")).cast("double").alias("revenue"),
+        )
+    )
