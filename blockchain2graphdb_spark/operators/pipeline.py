@@ -1026,3 +1026,79 @@ def join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("key").asc())
         .limit(10)
     )
+
+
+@query(
+    "ngram_novelty",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    d2 AS (SELECT doc_id, toks FROM d WHERE len(toks) >= 3),
+    grams AS (
+      SELECT DISTINCT doc_id, md5(array_to_string(toks[i:i+2], ' ')) AS gh
+      FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i FROM d2)
+    ),
+    new_side AS (SELECT doc_id, gh FROM grams WHERE doc_id % 4 = 0),
+    ref AS (SELECT DISTINCT gh FROM grams WHERE doc_id % 4 <> 0)
+    SELECT n.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(COUNT(*) FILTER (WHERE r.gh IS NULL) AS BIGINT) AS n_novel,
+           CAST(ROUND(CAST(COUNT(*) FILTER (WHERE r.gh IS NULL) AS DOUBLE)
+                      * 1e6 / COUNT(*)) AS BIGINT) AS novelty_micros
+    FROM new_side n LEFT JOIN ref r ON r.gh = n.gh
+    GROUP BY n.doc_id
+    """,
+)
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9/X14: per-document n-gram novelty — the fraction of a new
+    document's distinct word-3-grams never seen in the reference
+    corpus (doc_id % 4 != 0 stands in for the existing training set) —
+    the freshness/duplication prior used to value incoming data
+    (near-zero novelty = the crawl re-fetched known content; cf.
+    contamination_check, which asks the same question about an EVAL
+    set at 5-gram granularity with per-hit provenance).
+
+    Scale shape: the reference side is pre-deduplicated to the
+    distinct gram VOCABULARY before the join (its size is the gram
+    vocabulary, not the corpus), candidates come from the md5 hash
+    equi-join (shuffles carry 32-byte digests, never text), and the
+    per-doc ratio is exact integers with one micros-quantized
+    division. The X2 dedup shuffle discipline end-to-end."""
+    prep(spark)
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr("filter(split(text, ' '), x -> x <> '')").alias("toks")
+    )
+    grams = (
+        docs.where(F.size("toks") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 2),"
+                    " i -> md5(concat_ws(' ', slice(toks, i, 3))))"
+                )
+            ).alias("gh"),
+        )
+        .distinct()
+    )
+    new_side = grams.where(F.col("doc_id") % 4 == 0)
+    ref = (
+        grams.where(F.col("doc_id") % 4 != 0)
+        .select("gh")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    novel = F.count_if(F.col("hit").isNull())
+    return (
+        new_side.join(ref, "gh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            novel.cast("long").alias("n_novel"),
+            F.round(novel.cast("double") * 1e6 / F.count(F.lit(1)))
+            .cast("long")
+            .alias("novelty_micros"),
+        )
+    )

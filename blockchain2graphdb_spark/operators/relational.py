@@ -1671,3 +1671,89 @@ def scan_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_clicks"),
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("value_sum"),
     )
+
+
+def _schema_evolution_dir(sf_dir: str) -> str:
+    """Two-generation parquet directory derived from orders: gen-1
+    files lack o_orderpriority (the pre-migration schema), gen-2 files
+    carry it — the layout a long-lived lake accumulates as producers
+    upgrade. Content-keyed to the fixture like _partitioned_events_dir
+    so regeneration invalidates it."""
+    import glob as _glob
+    import os
+    import shutil
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src)
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    from ..paths import tmp_root
+
+    d = os.path.join(tmp_root(), f"schemaevo_{sf_tag}_{st.st_size}_{st.st_mtime_ns}")
+    if os.path.isdir(d):
+        return d
+    for stale in _glob.glob(os.path.join(tmp_root(), f"schemaevo_{sf_tag}_*")):
+        shutil.rmtree(stale, ignore_errors=True)
+    t = pq.read_table(
+        src, columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"]
+    )
+    parity = pc.bit_wise_and(t.column("o_orderkey"), 1)
+    stage = d + ".staging"
+    os.makedirs(stage, exist_ok=True)
+    old = t.filter(pc.equal(parity, 0)).drop(["o_orderpriority"])
+    new = t.filter(pc.equal(parity, 1))
+    pq.write_table(old, os.path.join(stage, "part-gen1.parquet"))
+    pq.write_table(new, os.path.join(stage, "part-gen2.parquet"))
+    os.replace(stage, d)
+    return d
+
+
+@query(
+    "scan_schema_evolution",
+    oracle="""
+    WITH v AS (
+      SELECT o_orderkey, o_totalprice,
+             CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END
+               AS o_orderpriority
+      FROM orders
+    )
+    SELECT COALESCE(o_orderpriority, 'LEGACY') AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM v GROUP BY 1
+    """,
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-family schema evolution: read a mixed-generation parquet
+    directory (half the files predate the o_orderpriority column) with
+    mergeSchema=true — Spark unions the footers' schemas and fills the
+    missing column with NULL for old files, exactly DuckDB's
+    union_by_name. The query coalesces the evolved column to a
+    'LEGACY' bucket and aggregates — the read path every long-lived
+    lake needs when producers upgrade without rewriting history. The
+    oracle models the same evolution in pure SQL over the original
+    table (odd keys = gen-2 rows that carry the column), so the merged
+    read is checked value-for-value, not just schema-for-schema.
+
+    Scale shape: mergeSchema costs one footer read per FILE at
+    planning (no data scan); at 100 TB the lake pins the merged schema
+    in a metastore/Delta log instead, but the per-file missing-column
+    NULL fill is the same executor-side mechanism. Column pruning
+    still reaches the reader; the aggregate is map-side combinable
+    with exact-decimal sums."""
+    prep(spark)
+    d = _schema_evolution_dir(sf_dir)
+    df = spark.read.option("mergeSchema", "true").parquet(d)
+    return (
+        df.select(
+            F.coalesce(F.col("o_orderpriority"), F.lit("LEGACY")).alias("priority"),
+            "o_totalprice",
+        )
+        .groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(dec2("o_totalprice")).cast("double").alias("total"),
+        )
+    )

@@ -67,6 +67,8 @@ _OPERATOR_MODULES = (
 _SAMPLE_PRIORITY = (
     # round-9 keys (never driver-sampled) lead
     "ks_statistic",
+    "ngram_novelty",
+    "scan_schema_evolution",
     "concurrent_sessions_max",
     "attribution_last_touch",
     "ndcg_at_k",
