@@ -1080,3 +1080,41 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("containment_nanos"),
     )
+
+
+@query(
+    "dedup_cluster_histogram",
+    oracle="""
+    SELECT sz AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(sz * COUNT(*) AS BIGINT) AS n_docs
+    FROM (
+      SELECT CAST(COUNT(*) AS BIGINT) AS sz
+      FROM documents GROUP BY md5(text)
+    )
+    GROUP BY sz
+    """,
+)
+def dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 diagnostic: the exact-duplicate cluster-size distribution —
+    how many verbatim-identical groups of each size the corpus holds
+    (size 1 = unique docs; the tail sizes say whether dedup will
+    remove 1% or 40% of rows, the number that decides whether the
+    near-dup passes are even worth their shuffles). Clusters keyed by
+    md5(text) (dedup_exact's fingerprint discipline: the shuffle
+    carries 16-byte digests, never payloads); the histogram is a
+    second tiny aggregate over the O(#clusters) size table.
+
+    Scale shape: fingerprint groupBy (map-side partial count), then an
+    O(#distinct sizes) re-aggregate — no payload ever shuffles, no
+    join."""
+    prep(spark)
+    sizes = (
+        table(spark, sf_dir, "documents")
+        .groupBy(F.md5(F.col("text").cast("binary")).alias("h"))
+        .agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    )
+    return sizes.groupBy(F.col("sz").alias("cluster_size")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1))).cast("long").alias("n_docs"),
+    )

@@ -406,3 +406,71 @@ def calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("pos_rate_micros"),
         )
     )
+
+
+@query(
+    "rrf_fusion",
+    oracle="""
+    WITH ranked AS (
+      SELECT p_brand, p_partkey,
+             row_number() OVER (PARTITION BY p_brand
+                                ORDER BY p_retailprice DESC, p_partkey) AS r1,
+             row_number() OVER (PARTITION BY p_brand
+                                ORDER BY p_size DESC, p_partkey) AS r2
+      FROM part
+    ),
+    fused AS (
+      SELECT p_brand, p_partkey, CAST(r1 AS BIGINT) AS r1,
+             CAST(r2 AS BIGINT) AS r2,
+             CAST(ROUND(1e9 / (60 + r1)) + ROUND(1e9 / (60 + r2)) AS BIGINT)
+               AS rrf_nanos
+      FROM ranked
+    )
+    SELECT p_brand, p_partkey, r1, r2, rrf_nanos,
+           CAST(rank_fused AS BIGINT) AS rank_fused
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY p_brand
+                                   ORDER BY rrf_nanos DESC, p_partkey)
+                  AS rank_fused
+      FROM fused
+    )
+    WHERE rank_fused <= 5
+    """,
+)
+def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two per-brand part rankings (by
+    retail price and by size) into a fused top-5 — the standard
+    training-free rank aggregation behind hybrid search (BM25 +
+    vector) result merging: RRF(d) = Σ_r 1/(k + rank_r(d)), k = 60.
+    Each reciprocal term is int-nanos-quantized BEFORE the cross-
+    ranker sum (integers add associatively; a float Σ of reciprocals
+    would be order-dependent), and every window order carries the key
+    tie-breaker so ranks, scores, and the fused cut are all total.
+
+    Scale shape: three windows partitioned by brand over the 2-column
+    projection; the fused rank's <=5 filter compiles to
+    WindowGroupLimit (map-side partial top-5 per partition). In a
+    hybrid-search deployment the two input rankings arrive as top-k
+    lists, making every partition k-bounded."""
+    prep(spark)
+    p = table(spark, sf_dir, "part").select(
+        "p_brand", "p_partkey", "p_retailprice", "p_size"
+    )
+    w1 = W.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), "p_partkey")
+    w2 = W.partitionBy("p_brand").orderBy(F.desc("p_size"), "p_partkey")
+    ranked = p.select(
+        "p_brand",
+        "p_partkey",
+        F.row_number().over(w1).cast("long").alias("r1"),
+        F.row_number().over(w2).cast("long").alias("r2"),
+    )
+    rrf = (
+        F.round(F.lit(1e9) / (60 + F.col("r1")))
+        + F.round(F.lit(1e9) / (60 + F.col("r2")))
+    ).cast("long")
+    fused = ranked.withColumn("rrf_nanos", rrf)
+    wf = W.partitionBy("p_brand").orderBy(F.desc("rrf_nanos"), "p_partkey")
+    return (
+        fused.withColumn("rank_fused", F.row_number().over(wf).cast("long"))
+        .where(F.col("rank_fused") <= 5)
+    )

@@ -1063,3 +1063,123 @@ def group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_events"),
         )
     )
+
+
+@query(
+    "mad_robust",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+             o_orderkey
+      FROM orders
+    ),
+    r1 AS (
+      SELECT c, row_number() OVER (ORDER BY c, o_orderkey) AS pos,
+             COUNT(*) OVER () AS n
+      FROM v
+    ),
+    m AS (
+      SELECT CAST(MAX(n) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN pos = (n + 1) // 2 THEN c END)
+                  + SUM(CASE WHEN pos = (n + 2) // 2 THEN c END) AS BIGINT)
+               AS med2
+      FROM r1
+    ),
+    d AS (
+      SELECT ABS(2 * v.c - m.med2) AS dev2, v.o_orderkey, m.n, m.med2
+      FROM v, m
+    ),
+    r2 AS (
+      SELECT dev2, n, med2,
+             row_number() OVER (ORDER BY dev2, o_orderkey) AS pos
+      FROM d
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n,
+           CAST(MAX(med2) AS BIGINT) AS med2_cents,
+           CAST(SUM(CASE WHEN pos = (n + 1) // 2 THEN dev2 END)
+                + SUM(CASE WHEN pos = (n + 2) // 2 THEN dev2 END) AS BIGINT)
+             AS mad4_cents,
+           CAST(MAX(med2) AS DOUBLE) / 200 AS median,
+           CAST(SUM(CASE WHEN pos = (n + 1) // 2 THEN dev2 END)
+                + SUM(CASE WHEN pos = (n + 2) // 2 THEN dev2 END) AS DOUBLE)
+             / 400 AS mad
+    FROM r2
+    """,
+)
+def mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median and median-absolute-deviation of order value — the
+    robust location/scale pair (the outlier-resistant alternative to
+    mean/stddev that iqr_outliers' fences complement). Both medians
+    use the true even-n interpolation kept EXACT INTEGER by doubling:
+    med2 = x_(k1) + x_(k2) in cents (k1 = k2 at odd n, so the same
+    row is picked twice — no special case), deviations dev2 =
+    |2x - med2| are half-cent integers, and mad4 = dev2_(k1) +
+    dev2_(k2) is quarter-cent — every comparison and selection happens
+    on int64; the surfaced median/mad are single divisions of the
+    exact integers.
+
+    Scale shape: TWO bucketed_global_rank two-pass ranks (value bands,
+    then deviation bands — both partitioned in-bucket windows), each
+    filtered to its two target positions; the 1-row median table
+    broadcasts into the deviation pass. Never a driver collect of the
+    column, never an unpartitioned data window — the iqr_outliers
+    discipline applied twice."""
+    prep(spark)
+    pc = (dec2("o_totalprice") * 100).cast("long")
+    v = table(spark, sf_dir, "orders").select(
+        pc.alias("c"), "o_totalprice", "o_orderkey"
+    )
+    r1 = bucketed_global_rank(
+        v,
+        F.floor(F.col("o_totalprice") / 60000).cast("long"),
+        [F.col("c"), F.col("o_orderkey")],
+    )
+    k1 = F.floor((F.col("n_total") + 1) / 2).cast("long")
+    k2 = F.floor((F.col("n_total") + 2) / 2).cast("long")
+    m = (
+        r1.where((F.col("pos") == k1) | (F.col("pos") == k2))
+        .select("pos", "n_total", "c", k1.alias("k1"), k2.alias("k2"))
+        .groupBy()
+        .agg(
+            F.max("n_total").cast("long").alias("n"),
+            (
+                F.sum(F.when(F.col("pos") == F.col("k1"), F.col("c")))
+                + F.sum(F.when(F.col("pos") == F.col("k2"), F.col("c")))
+            )
+            .cast("long")
+            .alias("med2"),
+        )
+    )
+    d = v.crossJoin(F.broadcast(m)).select(
+        F.abs(2 * F.col("c") - F.col("med2")).alias("dev2"),
+        "o_orderkey",
+        "n",
+        "med2",
+    )
+    r2 = bucketed_global_rank(
+        d,
+        F.expr("dev2 div 10000000"),
+        [F.col("dev2"), F.col("o_orderkey")],
+    )
+    return (
+        r2.where((F.col("pos") == k1) | (F.col("pos") == k2))
+        .select("pos", "dev2", "n", "med2", k1.alias("k1"), k2.alias("k2"))
+        .groupBy()
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.max("med2").cast("long").alias("med2_cents"),
+            (
+                F.sum(F.when(F.col("pos") == F.col("k1"), F.col("dev2")))
+                + F.sum(F.when(F.col("pos") == F.col("k2"), F.col("dev2")))
+            )
+            .cast("long")
+            .alias("mad4_cents"),
+        )
+        .select(
+            "n",
+            "med2_cents",
+            "mad4_cents",
+            (F.col("med2_cents").cast("double") / 200).alias("median"),
+            (F.col("mad4_cents").cast("double") / 400).alias("mad"),
+        )
+    )

@@ -1102,3 +1102,78 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("novelty_micros"),
         )
     )
+
+
+def _entropy_branch_sql(col: str, tbl: str) -> str:
+    return f"""
+    SELECT '{tbl}.{col}' AS col_name,
+           CAST(SUM(cnt) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(SUM(CAST(ROUND(-(CAST(cnt AS DOUBLE) / tot)
+                                * ln(CAST(cnt AS DOUBLE) / tot) * 1e9)
+                         AS BIGINT)) AS BIGINT) AS entropy_nanos
+    FROM (
+      SELECT cnt, SUM(cnt) OVER () AS tot
+      FROM (SELECT COUNT(*) AS cnt FROM {tbl} GROUP BY {col})
+    )"""
+
+
+_ENTROPY_BRANCHES = (
+    ("event_type", "events"),
+    ("lang", "documents"),
+    ("source", "documents"),
+    ("c_mktsegment", "customer"),
+)
+
+_ENTROPY_ORACLE = "\nUNION ALL\n".join(
+    _entropy_branch_sql(c, t) for c, t in _ENTROPY_BRANCHES
+)
+
+
+@query("entropy_profile", oracle=_ENTROPY_ORACLE)
+def entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9 intake: Shannon entropy (nats) of the key categorical columns
+    across the corpus tables — the balance diagnostic profile_table's
+    count/null/distinct pass doesn't give (a source column with 0.1
+    nats is one crawl pretending to be twenty). Each column's
+    per-value terms -p ln p ride exact integer counts and are
+    int-nanos-quantized before the per-column sum (ln parity per the
+    BM25/surprisal precedent); the Spark builder and the oracle are
+    generated from the SAME branch list so the profiled columns can
+    never desync.
+
+    Scale shape: per column, one map-side-combinable count aggregate
+    to O(#values) rows, a window over that tiny aggregate for the
+    total, and a per-value projection — the union is across columns,
+    not data. Every branch prunes to its single column at the scan."""
+    prep(spark)
+    out = None
+    for col, tbl in _ENTROPY_BRANCHES:
+        counts = (
+            table(spark, sf_dir, tbl)
+            .groupBy(F.col(col).alias("v"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        # window over the O(#values) aggregate — the sweep-allowed shape
+        wall = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+        with_tot = counts.select("cnt", F.sum("cnt").over(wall).alias("tot"))
+        p = F.col("cnt").cast("double") / F.col("tot")
+        branch = (
+            with_tot.select(
+                F.round(-p * F.log(p) * 1e9).cast("long").alias("nanos"),
+                "cnt",
+            )
+            .agg(
+                F.sum("cnt").cast("long").alias("n_rows"),
+                F.count(F.lit(1)).cast("long").alias("n_distinct"),
+                F.sum("nanos").cast("long").alias("entropy_nanos"),
+            )
+            .select(
+                F.lit(f"{tbl}.{col}").alias("col_name"),
+                "n_rows",
+                "n_distinct",
+                "entropy_nanos",
+            )
+        )
+        out = branch if out is None else out.unionAll(branch)
+    return out

@@ -67,6 +67,10 @@ _OPERATOR_MODULES = (
 _SAMPLE_PRIORITY = (
     # round-9 keys (never driver-sampled) lead
     "ks_statistic",
+    "mad_robust",
+    "entropy_profile",
+    "rrf_fusion",
+    "dedup_cluster_histogram",
     "ngram_novelty",
     "scan_schema_evolution",
     "concurrent_sessions_max",
