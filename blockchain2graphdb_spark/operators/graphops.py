@@ -2122,3 +2122,113 @@ def community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "modularity_nanos",
         (F.col("modularity_nanos").cast("double") / 1e9).alias("modularity"),
     )
+
+
+@query(
+    "association_rules",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+          FROM items),
+    ci AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c FROM items
+           GROUP BY l_partkey),
+    pairs AS (
+      SELECT a.l_partkey AS a, b.l_partkey AS b,
+             CAST(COUNT(*) AS BIGINT) AS c_ab
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    rules AS (
+      SELECT a AS antecedent, b AS consequent, c_ab FROM pairs
+      UNION ALL
+      SELECT b, a, c_ab FROM pairs
+    )
+    SELECT r.antecedent, r.consequent, r.c_ab,
+           ca.c AS c_ante, cc.c AS c_cons,
+           CAST(ROUND(CAST(r.c_ab AS DOUBLE) * 1e9 / ca.c) AS BIGINT)
+             AS confidence_nanos,
+           CAST(ROUND(CAST(r.c_ab AS DOUBLE) * n.n_orders * 1e9
+                      / (ca.c * cc.c)) AS BIGINT) AS lift_nanos
+    FROM rules r
+    JOIN ci ca ON ca.l_partkey = r.antecedent
+    JOIN ci cc ON cc.l_partkey = r.consequent, n
+    ORDER BY lift_nanos DESC, antecedent, consequent
+    LIMIT 20
+    """,
+)
+def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over the order->part bipartite
+    family (copurchase_weights' weighted projection turned into the
+    classic support/confidence/lift triple): for every directed rule
+    a=>b with pair support >= 2, confidence = c_ab/c_a and lift =
+    N*c_ab/(c_a*c_b), both int-nanos-quantized ratios of exact
+    integer order counts; top-20 by (lift DESC, keys) — a
+    TakeOrdered, never a global sort. The recommender/affinity
+    primitive behind "frequently bought together".
+
+    Scale shape: pair candidates come from the per-order combination
+    expansion (each order's distinct sorted part set emits its C(k,2)
+    pairs map-side — the _copurchase_pairs build; hub orders are
+    bounded by basket size, not catalog size), pair and item supports
+    are map-side-combinable aggregates, and the two unigram probes are
+    broadcast-joined against the O(#parts) count table. The support
+    floor prunes the rule set before the probes."""
+    prep(spark)
+    items = (
+        table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
+    n = items.agg(F.countDistinct("l_orderkey").cast("long").alias("n_orders"))
+    ci = items.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    per_order = items.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
+    pairs = (
+        per_order.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) ->"
+                    " transform(slice(ps, i + 2, size(ps) - i - 1),"
+                    " y -> struct(x as a, y as b))))"
+                )
+            ).alias("p")
+        )
+        .groupBy("p.a", "p.b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+        .where(F.col("c_ab") >= 2)
+    )
+    rules = pairs.select(
+        F.col("a").alias("antecedent"), F.col("b").alias("consequent"), "c_ab"
+    ).unionAll(
+        pairs.select(
+            F.col("b").alias("antecedent"), F.col("a").alias("consequent"), "c_ab"
+        )
+    )
+    ca = ci.select(F.col("l_partkey").alias("antecedent"), F.col("c").alias("c_ante"))
+    cc = ci.select(F.col("l_partkey").alias("consequent"), F.col("c").alias("c_cons"))
+    out = (
+        rules.join(F.broadcast(ca), "antecedent")
+        .join(F.broadcast(cc), "consequent")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "antecedent",
+            "consequent",
+            "c_ab",
+            "c_ante",
+            "c_cons",
+            F.round(F.col("c_ab").cast("double") * 1e9 / F.col("c_ante"))
+            .cast("long")
+            .alias("confidence_nanos"),
+            F.round(
+                F.col("c_ab").cast("double")
+                * F.col("n_orders")
+                * 1e9
+                / (F.col("c_ante") * F.col("c_cons"))
+            )
+            .cast("long")
+            .alias("lift_nanos"),
+        )
+    )
+    return out.orderBy(F.desc("lift_nanos"), "antecedent", "consequent").limit(20)

@@ -67,6 +67,7 @@ _OPERATOR_MODULES = (
 _SAMPLE_PRIORITY = (
     # round-9 keys (never driver-sampled) lead
     "ks_statistic",
+    "association_rules",
     "mad_robust",
     "entropy_profile",
     "rrf_fusion",

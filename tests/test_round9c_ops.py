@@ -137,3 +137,46 @@ def test_batch3_no_unpartitioned_data_windows(spark):
         "scan_schema_evolution",
     ):
         assert unpartitioned_unbounded_windows(_df(key, spark)) == [], key
+
+
+def test_association_rules_match_pandas(spark):
+    """Top-20 rules equal the direct pandas support/confidence/lift
+    computation, and the cut is a TakeOrdered, not a global sort."""
+    import itertools
+
+    li = (
+        table(spark, SF_DIR, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    baskets: dict = {}
+    for r in li:
+        baskets.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+    n_orders = len(baskets)
+    c_item: dict = {}
+    c_pair: dict = {}
+    for ps in baskets.values():
+        for p in ps:
+            c_item[p] = c_item.get(p, 0) + 1
+        for a, b in itertools.combinations(sorted(ps), 2):
+            c_pair[(a, b)] = c_pair.get((a, b), 0) + 1
+    rules = []
+    for (a, b), cab in c_pair.items():
+        if cab < 2:
+            continue
+        for ante, cons in ((a, b), (b, a)):
+            lift = round(cab * n_orders * 1e9 / (c_item[ante] * c_item[cons]))
+            conf = round(cab * 1e9 / c_item[ante])
+            rules.append((-lift, ante, cons, cab, conf))
+    rules.sort()
+    want = rules[:20]
+    got = _df("association_rules", spark).collect()
+    assert len(got) == len(want)
+    for r, (nlift, ante, cons, cab, conf) in zip(got, want):
+        assert (r.antecedent, r.consequent) == (ante, cons)
+        assert (r.c_ab, r.confidence_nanos, r.lift_nanos) == (cab, conf, -nlift)
+        assert (r.c_ante, r.c_cons) == (c_item[ante], c_item[cons])
+    from blockchain2graphdb_spark.plans.inspect import plan_string
+
+    assert "TakeOrderedAndProject" in plan_string(_df("association_rules", spark))
