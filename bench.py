@@ -70,6 +70,10 @@ SECONDARY = [
     "resample_ohlc",            # windowed candle downsampling
     "dedup_containment",        # anchor-blocked asymmetric containment
     "embedding_outlier_topk",   # per-label centroid outlier screen
+    "concurrent_sessions_max",  # sessionize + bucketed-prefix-sum sweep
+    "association_rules",        # basket expansion + lift top-k
+    "mad_robust",               # two bucketed-rank passes (median, MAD)
+    "ngram_novelty",            # gram-vocabulary anti-probe per doc
 ]
 
 
