@@ -723,3 +723,128 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec2("value")).cast("double").alias("revenue"),
         )
     )
+
+
+_DAY_US = 24 * 3600 * 1_000_000
+
+
+@query(
+    "kaplan_meier",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_type, epoch_ns(ts) // 1000 AS us FROM events
+    ),
+    per_user AS (
+      SELECT user_id,
+             MIN(us) AS t0,
+             MIN(CASE WHEN event_type = 'purchase' THEN us END) AS tp,
+             MAX(us) AS tl
+      FROM e GROUP BY user_id
+    ),
+    durations AS (
+      SELECT user_id,
+             CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS observed,
+             (COALESCE(tp, tl) - t0) // {_DAY_US} AS day
+      FROM per_user
+    ),
+    per_day AS (
+      SELECT day,
+             CAST(SUM(observed) AS BIGINT) AS n_events,
+             CAST(COUNT(*) - SUM(observed) AS BIGINT) AS n_censored
+      FROM durations GROUP BY day
+    ),
+    risk AS (
+      SELECT day, n_events, n_censored,
+             (SELECT COUNT(*) FROM durations)
+               - (SUM(n_events + n_censored) OVER (ORDER BY day
+                    ROWS UNBOUNDED PRECEDING) - (n_events + n_censored))
+               AS n_risk
+      FROM per_day
+    ),
+    terms AS (
+      SELECT day, n_events, n_censored, CAST(n_risk AS BIGINT) AS n_risk,
+             CASE WHEN n_events < n_risk
+                  THEN CAST(ROUND(ln(1.0 - CAST(n_events AS DOUBLE) / n_risk)
+                                  * 1e9) AS BIGINT)
+                  ELSE 0 END AS term_nanos
+      FROM risk WHERE n_events > 0
+    )
+    SELECT day, n_risk, n_events, n_censored,
+           CASE WHEN n_events = n_risk THEN NULL
+                ELSE CAST(SUM(term_nanos) OVER (ORDER BY day
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           END AS ln_surv_nanos
+    FROM terms
+    """,
+)
+def kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival estimate of days-to-first-purchase per
+    user (censored at the user's last tracked event) — the
+    time-to-event / retention-curve estimator behind conversion-lag
+    and churn reporting. Emits, at each event day, the risk set n_i,
+    events d_i, censored count, and the LOG survival ln S(t) =
+    Σ ln(1 - d_i/n_i) carried as a cumulative int64 of per-day
+    int-nanos terms (the ln-parity precedent) — S itself is never
+    exponentiated engine-side, so no exp() last-ulp parity exposure
+    ever reaches the hash. Day-bucket convention: everyone with
+    duration >= d (event or censor) is at risk at day d (censoring
+    counts as at-risk through its own day).
+
+    Scale shape: one user-keyed aggregate collapses the log to one row
+    per user, a second to one row per DAY; the risk-set cumulative and
+    the survival cumulative are windows over that bounded per-day
+    table (the auc_exact shape). Nothing data-scale passes a window."""
+    prep(spark)
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    per_user = e.groupBy("user_id").agg(
+        F.min("us").alias("t0"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("us"))).alias("tp"),
+        F.max("us").alias("tl"),
+    )
+    durations = per_user.select(
+        F.when(F.col("tp").isNotNull(), 1).otherwise(0).alias("observed"),
+        F.expr(f"(coalesce(tp, tl) - t0) div {_DAY_US}").alias("day"),
+    )
+    per_day = durations.groupBy("day").agg(
+        F.sum("observed").cast("long").alias("n_events"),
+        (F.count(F.lit(1)) - F.sum("observed")).cast("long").alias("n_censored"),
+    )
+    total = durations.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    wc = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    out = F.col("n_events") + F.col("n_censored")
+    risk = per_day.crossJoin(F.broadcast(total)).select(
+        "day",
+        "n_events",
+        "n_censored",
+        (F.col("n_total") - (F.sum(out).over(wc) - out)).cast("long").alias("n_risk"),
+    )
+    # a saturated day (d == n) zeroes S(t): ln is -inf there, and it can
+    # only be the LAST event day (the risk set empties after it), so the
+    # cumulative ln over every earlier day is unaffected — surface NULL
+    # for that day's ln_surv and a 0 placeholder term kept out of view
+    terms = risk.where(F.col("n_events") > 0).select(
+        "day",
+        "n_risk",
+        "n_events",
+        "n_censored",
+        F.when(
+            F.col("n_events") < F.col("n_risk"),
+            F.round(
+                F.log(1.0 - F.col("n_events").cast("double") / F.col("n_risk"))
+                * 1e9
+            ).cast("long"),
+        )
+        .otherwise(F.lit(0))
+        .alias("term_nanos"),
+    )
+    return terms.select(
+        "day",
+        "n_risk",
+        "n_events",
+        "n_censored",
+        F.when(F.col("n_events") == F.col("n_risk"), F.lit(None).cast("long"))
+        .otherwise(F.sum("term_nanos").over(wc).cast("long"))
+        .alias("ln_surv_nanos"),
+    )

@@ -1757,3 +1757,71 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec2("o_totalprice")).cast("double").alias("total"),
         )
     )
+
+
+@query(
+    "skyline_pareto",
+    oracle="""
+    SELECT p.p_brand, p.p_partkey, p.p_retailprice,
+           CAST(p.p_size AS BIGINT) AS p_size
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE q.p_brand = p.p_brand
+        AND q.p_retailprice <= p.p_retailprice
+        AND q.p_size >= p.p_size
+        AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+    )
+    """,
+)
+def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto skyline per brand (minimize price, maximize size — the
+    "cheapest for its size" frontier): the multi-criteria dominance
+    operator behind product/candidate shortlisting. The ORACLE states
+    the semantics as the quadratic NOT EXISTS; the Spark plan uses the
+    2-D skyline WINDOW algorithm instead — sort each brand by price,
+    then a part survives iff (a) it holds its price group's max size
+    (an equal-priced larger part dominates via strict size) and (b)
+    its size strictly exceeds the running max size over all STRICTLY
+    cheaper price groups (a cheaper part with >= size dominates via
+    strict price). Ties on (price, size) are mutually non-dominating
+    and both survive. No self-join, no pairwise work — O(n log n) per
+    brand vs the oracle's O(n²).
+
+    Scale shape: one (brand, price) aggregate (map-side combinable
+    max), one window over that per-price table partitioned by brand,
+    and one keyed join back — a single brand-keyed shuffle chain; at
+    higher dimensions this degrades to block-nested skyline with
+    local-skyline pre-pruning (skyline(∪ partitions' skylines) ==
+    skyline(all) because dominance is transitive)."""
+    from pyspark.sql import Window as W
+
+    prep(spark)
+    parts = table(spark, sf_dir, "part").select(
+        "p_brand", "p_partkey", "p_retailprice", F.col("p_size").cast("long").alias("p_size")
+    )
+    per_price = parts.groupBy("p_brand", "p_retailprice").agg(
+        F.max("p_size").alias("grp_max")
+    )
+    w_prev = (
+        W.partitionBy("p_brand")
+        .orderBy("p_retailprice")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    frontier = per_price.select(
+        "p_brand",
+        "p_retailprice",
+        "grp_max",
+        F.max("grp_max").over(w_prev).alias("prev_cummax"),
+    )
+    return (
+        parts.join(frontier, ["p_brand", "p_retailprice"])
+        .where(
+            (F.col("p_size") == F.col("grp_max"))
+            & (
+                F.col("prev_cummax").isNull()
+                | (F.col("p_size") > F.col("prev_cummax"))
+            )
+        )
+        .select("p_brand", "p_partkey", "p_retailprice", "p_size")
+    )

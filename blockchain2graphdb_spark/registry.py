@@ -67,6 +67,8 @@ _OPERATOR_MODULES = (
 _SAMPLE_PRIORITY = (
     # round-9 keys (never driver-sampled) lead
     "ks_statistic",
+    "kaplan_meier",
+    "skyline_pareto",
     "association_rules",
     "mad_robust",
     "entropy_profile",

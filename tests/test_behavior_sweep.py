@@ -116,3 +116,69 @@ def test_bucketed_prefix_sum_equals_plain_cumsum(spark):
 def test_sweep_ops_have_no_unpartitioned_data_windows(spark):
     for key in ("concurrent_sessions_max", "attribution_last_touch"):
         assert unpartitioned_unbounded_windows(_df(key, spark)) == [], key
+
+
+def test_kaplan_meier_matches_python(spark):
+    """Risk sets, event counts, and cumulative ln-survival equal the
+    direct computation; the saturated terminal day surfaces NULL."""
+    import math
+
+    ev = _events(spark)
+    durations = []
+    for _, g in ev.groupby("user_id"):
+        t0 = g.us.min()
+        purchases = g.loc[g.event_type == "purchase", "us"]
+        if len(purchases):
+            durations.append((1, (purchases.min() - t0) // 86_400_000_000))
+        else:
+            durations.append((0, (g.us.max() - t0) // 86_400_000_000))
+    per_day: dict = {}
+    for obs, day in durations:
+        d, c = per_day.get(day, (0, 0))
+        per_day[day] = (d + obs, c + (1 - obs))
+    rows = {r.day: r for r in SPECS["kaplan_meier"].builder(spark, SF_DIR).collect()}
+    n_risk = len(durations)
+    cum = 0
+    prev_risk = None
+    for day in sorted(per_day):
+        d, c = per_day[day]
+        if d > 0:
+            r = rows[day]
+            assert (r.n_risk, r.n_events, r.n_censored) == (n_risk, d, c)
+            if d < n_risk:
+                cum += round(math.log(1 - d / n_risk) * 1e9)
+                assert r.ln_surv_nanos == cum
+            else:
+                assert r.ln_surv_nanos is None
+            if prev_risk is not None:
+                assert r.n_risk < prev_risk
+            prev_risk = r.n_risk
+        n_risk -= d + c
+    assert set(rows) == {day for day, (d, _) in per_day.items() if d > 0}
+
+
+def test_skyline_matches_bruteforce(spark):
+    """The window-algorithm skyline equals the quadratic dominance
+    check per brand."""
+    parts = (
+        table(spark, SF_DIR, "part")
+        .select("p_brand", "p_partkey", "p_retailprice", "p_size")
+        .toPandas()
+    )
+    want = set()
+    for brand, g in parts.groupby("p_brand"):
+        rows = list(g.itertuples(index=False))
+        for p in rows:
+            dominated = any(
+                q.p_retailprice <= p.p_retailprice
+                and q.p_size >= p.p_size
+                and (q.p_retailprice < p.p_retailprice or q.p_size > p.p_size)
+                for q in rows
+            )
+            if not dominated:
+                want.add((brand, p.p_partkey))
+    got = {
+        (r.p_brand, r.p_partkey)
+        for r in SPECS["skyline_pareto"].builder(spark, SF_DIR).collect()
+    }
+    assert got == want
