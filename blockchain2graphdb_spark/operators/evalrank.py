@@ -474,3 +474,81 @@ def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         fused.withColumn("rank_fused", F.row_number().over(wf).cast("long"))
         .where(F.col("rank_fused") <= 5)
     )
+
+
+@query(
+    "ab_test_zscore",
+    oracle="""
+    WITH assigned AS (
+      SELECT CASE WHEN (instr('0123456789abcdef',
+                             substr(md5('ab' || CAST(o_orderkey AS VARCHAR)), 1, 1))
+                        - 1) < 8
+                  THEN 'A' ELSE 'B' END AS grp,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) FILTER (WHERE grp = 'A') AS BIGINT) AS n_a,
+             CAST(COUNT(*) FILTER (WHERE grp = 'B') AS BIGINT) AS n_b,
+             CAST(SUM(CASE WHEN grp = 'A' THEN y END) AS BIGINT) AS c_a,
+             CAST(SUM(CASE WHEN grp = 'B' THEN y END) AS BIGINT) AS c_b
+      FROM assigned
+    )
+    SELECT n_a, n_b, c_a, c_b,
+           CAST(ROUND(CAST(c_a AS DOUBLE) * 1e6 / n_a) AS BIGINT) AS p_a_micros,
+           CAST(ROUND(CAST(c_b AS DOUBLE) * 1e6 / n_b) AS BIGINT) AS p_b_micros,
+           CAST(ROUND((CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+                      / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                             * (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                             * (1.0 / n_a + 1.0 / n_b))
+                      * 1e6) AS BIGINT) AS z_micros
+    FROM m
+    """,
+)
+def ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test between A/B buckets of the portable
+    md5-hash assignment ('ab'-salted first nibble < 8 → A, ~50/50) on
+    the fulfillment-rate metric — the experiment-readout primitive
+    (chi2_association tests global independence; this is the directed
+    two-arm contrast with a signed effect). Counts are exact integers
+    from ONE four-counter aggregate; rates and the pooled-variance z
+    are single double expressions over those integers, quantized to
+    int micros (z at 1e-6 resolution — far below any decision
+    threshold anyone uses).
+
+    Scale shape: assignment and metric are pure per-row expressions;
+    one map-side-combinable aggregate produces the single-row readout
+    — the cohens_kappa/confusion_threshold minimal plan."""
+    prep(spark)
+    nib = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("ab"), F.col("o_orderkey").cast("string")).cast("binary")),
+            1,
+            1,
+        ),
+        16,
+        10,
+    ).cast("long")
+    grp_a = nib < 8
+    y = F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+    m = table(spark, sf_dir, "orders").select(grp_a.alias("a"), y.alias("y")).agg(
+        F.count_if(F.col("a")).cast("long").alias("n_a"),
+        F.count_if(~F.col("a")).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("a"), F.col("y"))).cast("long").alias("c_a"),
+        F.sum(F.when(~F.col("a"), F.col("y"))).cast("long").alias("c_b"),
+    )
+    n_a, n_b = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    c_a, c_b = F.col("c_a").cast("double"), F.col("c_b").cast("double")
+    pool = (c_a + c_b) / (n_a + n_b)
+    z = (c_a / n_a - c_b / n_b) / F.sqrt(
+        pool * (1.0 - pool) * (1.0 / n_a + 1.0 / n_b)
+    )
+    return m.select(
+        "n_a",
+        "n_b",
+        "c_a",
+        "c_b",
+        F.round(c_a * 1e6 / n_a).cast("long").alias("p_a_micros"),
+        F.round(c_b * 1e6 / n_b).cast("long").alias("p_b_micros"),
+        F.round(z * 1e6).cast("long").alias("z_micros"),
+    )

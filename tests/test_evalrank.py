@@ -138,3 +138,27 @@ def test_evalrank_plan_shapes(spark):
     ):
         assert unpartitioned_unbounded_windows(_df(key, spark)) == [], key
     assert has_node(_df("ndcg_at_k", spark), "WindowGroupLimit")
+
+
+def test_ab_test_matches_python(spark):
+    """Bucket counts and the pooled z equal the direct computation."""
+    import hashlib
+    import math
+
+    r = _df("ab_test_zscore", spark).collect()[0]
+    o = _orders(spark)
+    nib = o.o_orderkey.map(
+        lambda k: int(hashlib.md5(f"ab{k}".encode()).hexdigest()[0], 16)
+    )
+    a = nib < 8
+    y = o.o_orderstatus == "F"
+    n_a, n_b = int(a.sum()), int((~a).sum())
+    c_a, c_b = int((a & y).sum()), int((~a & y).sum())
+    assert (r.n_a, r.n_b, r.c_a, r.c_b) == (n_a, n_b, c_a, c_b)
+    pool = (c_a + c_b) / (n_a + n_b)
+    z = (c_a / n_a - c_b / n_b) / math.sqrt(
+        pool * (1 - pool) * (1 / n_a + 1 / n_b)
+    )
+    assert r.z_micros == round(z * 1e6)
+    # the hash split is near-even
+    assert abs(n_a - n_b) < 0.2 * (n_a + n_b)
