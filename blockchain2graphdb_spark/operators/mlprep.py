@@ -1183,3 +1183,66 @@ def mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("mad4_cents").cast("double") / 400).alias("mad"),
         )
     )
+
+
+_PCT_CUTS = (10, 25, 50, 75, 90, 99)
+
+
+def _pct_oracle() -> str:
+    cases = ",\n           ".join(
+        f"CAST(MIN(CASE WHEN pos = ({p} * n + 99) // 100 THEN pc END) AS BIGINT)"
+        f" AS p{p}_cents" for p in _PCT_CUTS
+    )
+    return f"""
+    WITH ranked AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS pc,
+             row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS pos,
+             COUNT(*) OVER () AS n
+      FROM orders
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n,
+           {cases}
+    FROM ranked
+    """
+
+
+@query("percentile_summary", oracle=_pct_oracle())
+def percentile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p10/p25/p50/p75/p90/p99 of order value from ONE two-pass
+    rank — the N-cut generalization of iqr_outliers' quartile probe
+    (nearest-rank percentiles: value at rank ceil(p*n/100) over the
+    unique (value, key) order), the distribution summary a feature
+    card reports. Cut list drives BOTH the Spark builder and the
+    oracle (the _FUNNEL_STEPS one-constant discipline). All
+    selections are int64 cents; no interpolation (mad_robust shows
+    the interpolating form where it matters).
+
+    Scale shape: one bucketed_global_rank (value-band buckets,
+    partitioned in-bucket windows) filtered to six target ranks, one
+    single-row aggregate — never a percentile() over raw doubles,
+    never a driver collect; at extreme scale the same plan serves
+    as the exactness oracle for approx_percentile's error bound."""
+    prep(spark)
+    pcc = (dec2("o_totalprice") * 100).cast("long")
+    v = table(spark, sf_dir, "orders").select(
+        pcc.alias("pc"), "o_totalprice", "o_orderkey"
+    )
+    ranked = bucketed_global_rank(
+        v,
+        F.floor(F.col("o_totalprice") / 60000).cast("long"),
+        [F.col("pc"), F.col("o_orderkey")],
+    )
+    targets = [
+        F.floor((p * F.col("n_total") + 99) / 100).cast("long").alias(f"t{p}")
+        for p in _PCT_CUTS
+    ]
+    hit = ranked.select("pos", "n_total", "pc", *targets).where(
+        " OR ".join(f"pos = t{p}" for p in _PCT_CUTS)
+    )
+    aggs = [
+        F.min(F.when(F.col("pos") == F.col(f"t{p}"), F.col("pc")))
+        .cast("long")
+        .alias(f"p{p}_cents")
+        for p in _PCT_CUTS
+    ]
+    return hit.groupBy().agg(F.max("n_total").cast("long").alias("n"), *aggs)

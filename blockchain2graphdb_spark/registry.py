@@ -67,6 +67,7 @@ _OPERATOR_MODULES = (
 _SAMPLE_PRIORITY = (
     # round-9 keys (never driver-sampled) lead
     "ks_statistic",
+    "percentile_summary",
     "ab_test_zscore",
     "snapshot_cdc_diff",
     "kaplan_meier",

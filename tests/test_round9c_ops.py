@@ -180,3 +180,21 @@ def test_association_rules_match_pandas(spark):
     from blockchain2graphdb_spark.plans.inspect import plan_string
 
     assert "TakeOrderedAndProject" in plan_string(_df("association_rules", spark))
+
+
+def test_percentile_summary_matches_numpy(spark):
+    """Each nearest-rank cut equals the sorted-array selection."""
+    r = _df("percentile_summary", spark).collect()[0]
+    prices = [
+        row.o_totalprice
+        for row in table(spark, SF_DIR, "orders").select("o_totalprice").collect()
+    ]
+    cents = np.sort(np.round(np.array(prices) * 100).astype(np.int64))
+    n = len(cents)
+    assert r.n == n
+    for p in (10, 25, 50, 75, 90, 99):
+        k = (p * n + 99) // 100
+        assert getattr(r, f"p{p}_cents") == int(cents[k - 1]), p
+    # monotone
+    cuts = [getattr(r, f"p{p}_cents") for p in (10, 25, 50, 75, 90, 99)]
+    assert cuts == sorted(cuts)
