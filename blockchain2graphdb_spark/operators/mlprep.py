@@ -1150,6 +1150,11 @@ def mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("med2"),
         )
     )
+    # eager checkpoint of the 1-row median: the second rank pass fans m
+    # out into its counts/offsets/total branches, and without the cut
+    # each branch would re-embed (and re-run) the ENTIRE first pass
+    # (chi2_association's tiny-aggregate checkpoint discipline)
+    m = m.localCheckpoint(eager=True)
     d = v.crossJoin(F.broadcast(m)).select(
         F.abs(2 * F.col("c") - F.col("med2")).alias("dev2"),
         "o_orderkey",
