@@ -1177,3 +1177,157 @@ def entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = branch if out is None else out.unionAll(branch)
     return out
+
+
+@query(
+    "weighted_sample_topk",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderkey, o_totalprice AS weight,
+             CAST(ROUND(ln((('0x' || substr(md5('ws' || CAST(o_orderkey AS VARCHAR)),
+                                            1, 8))::BIGINT + 1) / 4294967296.0)
+                        / o_totalprice * 1e9) AS BIGINT) AS es_nanos
+      FROM orders
+    )
+    SELECT o_orderkey, weight, es_nanos
+    FROM s ORDER BY es_nanos DESC, o_orderkey LIMIT 100
+    """,
+)
+def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9 sampling: weight-proportional sample WITHOUT replacement
+    (Efraimidis-Spirakis A-ES) of 100 orders, weight = order value —
+    the importance-sampling primitive behind value-weighted corpus
+    mixing (sample_hash_topk is its uniform sibling). The classic key
+    u^(1/w) is carried in the LOG domain: es = ln(u)/w, with u a
+    portable md5-derived dyadic rational (h+1)/2^32 in (0, 1] — exact
+    in a double, identical bits on both engines — so ln parity (the
+    BM25 precedent) plus one division by the weight gives a
+    deterministic int-nanos key; top-k by (key DESC, id). Inclusion
+    probability is proportional to weight, and the sample is
+    content-stable: corpus growth never reassigns an existing row's
+    key.
+
+    Scale shape: the key is a pure per-row expression; the cut is
+    TakeOrdered (per-partition top-100 then merge of 100-row heads) —
+    the same never-a-global-sort discipline as sample_hash_topk."""
+    prep(spark)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("ws"), F.col("o_orderkey").cast("string")).cast("binary")),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h + 1).cast("double") / F.lit(4294967296.0)
+    es = F.round(F.log(u) / F.col("o_totalprice") * 1e9).cast("long")
+    return (
+        table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.col("o_totalprice").alias("weight"),
+            es.alias("es_nanos"),
+        )
+        .orderBy(F.desc("es_nanos"), "o_orderkey")
+        .limit(100)
+    )
+
+
+@query(
+    "dq_expectations",
+    oracle="""
+    SELECT 1 AS rule_id, 'orders.o_orderkey not_null' AS rule,
+           CAST(COUNT(*) AS BIGINT) AS n_checked,
+           CAST(COUNT(*) FILTER (WHERE o_orderkey IS NULL) AS BIGINT)
+             AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 2, 'orders.o_orderkey unique',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 3, 'orders.o_totalprice in [0, 1000000]',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) FILTER (WHERE o_totalprice < 0
+                                    OR o_totalprice > 1000000) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 4, 'lineitem.l_orderkey fk orders.o_orderkey',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) FILTER (WHERE o.o_orderkey IS NULL) AS BIGINT)
+    FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+    UNION ALL
+    SELECT 5, 'orders.o_orderdate in [1992, 1999)',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) FILTER (WHERE o_orderdate < TIMESTAMP '1992-01-01'
+                                    OR o_orderdate >= TIMESTAMP '1999-01-01')
+                AS BIGINT)
+    FROM orders
+    """,
+)
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9 intake: a Deequ/Great-Expectations-style data-quality rule
+    sweep — not-null, uniqueness, numeric range, referential integrity
+    (FK orphans), and date-domain checks, each emitting (n_checked,
+    n_violations) so the gate is a threshold on a table, not a crash
+    in a job. Uniqueness is COUNT(*) - COUNT(DISTINCT) (no groupBy
+    materialization of per-key counts); the FK check is a left join
+    counting null probes — at 100 TB that is the only rule with a
+    shuffle, and it is the standard keyed equi-join (broadcast when
+    the dimension fits).
+
+    Scale shape: rules 1/2/3/5 are single map-side-combinable
+    aggregates over column-pruned scans (2 shares 3's scan via
+    Catalyst CTE reuse is not required — each is one pass); the union
+    is across RULES, not data. The output is O(#rules) rows."""
+    prep(spark)
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+
+    def rule(rid: int, name: str, df: DataFrame, viol) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_checked"),
+            F.count_if(viol).cast("long").alias("n_violations"),
+        ).select(
+            F.lit(rid).cast("long").alias("rule_id"),
+            F.lit(name).alias("rule"),
+            "n_checked",
+            "n_violations",
+        )
+
+    r1 = rule(1, "orders.o_orderkey not_null", orders, F.col("o_orderkey").isNull())
+    r2 = orders.agg(
+        F.count(F.lit(1)).cast("long").alias("n_checked"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey"))
+        .cast("long")
+        .alias("n_violations"),
+    ).select(
+        F.lit(2).cast("long").alias("rule_id"),
+        F.lit("orders.o_orderkey unique").alias("rule"),
+        "n_checked",
+        "n_violations",
+    )
+    r3 = rule(
+        3,
+        "orders.o_totalprice in [0, 1000000]",
+        orders,
+        (F.col("o_totalprice") < 0) | (F.col("o_totalprice") > 1000000),
+    )
+    fk = li.join(
+        orders.select(F.col("o_orderkey").alias("_fk")),
+        li.l_orderkey == F.col("_fk"),
+        "left",
+    )
+    r4 = rule(
+        4, "lineitem.l_orderkey fk orders.o_orderkey", fk, F.col("_fk").isNull()
+    )
+    r5 = rule(
+        5,
+        "orders.o_orderdate in [1992, 1999)",
+        orders,
+        (F.col("o_orderdate") < F.lit("1992-01-01").cast("timestamp"))
+        | (F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")),
+    )
+    return r1.unionAll(r2).unionAll(r3).unionAll(r4).unionAll(r5)

@@ -67,6 +67,8 @@ _OPERATOR_MODULES = (
 _SAMPLE_PRIORITY = (
     # round-9 keys (never driver-sampled) lead
     "ks_statistic",
+    "weighted_sample_topk",
+    "dq_expectations",
     "percentile_summary",
     "ab_test_zscore",
     "snapshot_cdc_diff",

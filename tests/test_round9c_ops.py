@@ -198,3 +198,49 @@ def test_percentile_summary_matches_numpy(spark):
     # monotone
     cuts = [getattr(r, f"p{p}_cents") for p in (10, 25, 50, 75, 90, 99)]
     assert cuts == sorted(cuts)
+
+
+def test_weighted_sample_matches_python_and_is_take_ordered(spark):
+    """E-S keys equal the direct log-domain computation; the sample is
+    the true top-100; heavier rows are over-represented vs uniform."""
+    import hashlib
+    import math
+
+    orders = (
+        table(spark, SF_DIR, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .collect()
+    )
+    keys = []
+    for r in orders:
+        h = int(hashlib.md5(f"ws{r.o_orderkey}".encode()).hexdigest()[:8], 16)
+        u = (h + 1) / 4294967296.0
+        keys.append(
+            (-round(math.log(u) / r.o_totalprice * 1e9), r.o_orderkey, r.o_totalprice)
+        )
+    keys.sort()
+    want = keys[:100]
+    got = _df("weighted_sample_topk", spark).collect()
+    assert len(got) == 100
+    for g, (nk, k, w) in zip(got, want):
+        assert (g.o_orderkey, g.es_nanos) == (k, -nk)
+        assert g.weight == w
+    # weight-proportional: the sampled mean weight exceeds the corpus mean
+    corpus_mean = sum(r.o_totalprice for r in orders) / len(orders)
+    sample_mean = sum(g.weight for g in got) / len(got)
+    assert sample_mean > corpus_mean
+    from blockchain2graphdb_spark.plans.inspect import plan_string
+
+    assert "TakeOrderedAndProject" in plan_string(_df("weighted_sample_topk", spark))
+
+
+def test_dq_expectations_clean_fixture(spark):
+    """The fixture satisfies every expectation; n_checked matches the
+    table sizes; the rule set is complete and ordered."""
+    rows = sorted(_df("dq_expectations", spark).collect(), key=lambda r: r.rule_id)
+    assert [r.rule_id for r in rows] == [1, 2, 3, 4, 5]
+    n_orders = table(spark, SF_DIR, "orders").count()
+    n_li = table(spark, SF_DIR, "lineitem").count()
+    for r in rows:
+        assert r.n_violations == 0, r.rule
+        assert r.n_checked == (n_li if r.rule_id == 4 else n_orders)
