@@ -1259,10 +1259,10 @@ def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) FILTER (WHERE o.o_orderkey IS NULL) AS BIGINT)
     FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
     UNION ALL
-    SELECT 5, 'orders.o_orderdate in [1992, 1999)',
+    SELECT 5, 'orders.o_orderdate in [1992, 2002)',
            CAST(COUNT(*) AS BIGINT),
            CAST(COUNT(*) FILTER (WHERE o_orderdate < TIMESTAMP '1992-01-01'
-                                    OR o_orderdate >= TIMESTAMP '1999-01-01')
+                                    OR o_orderdate >= TIMESTAMP '2002-01-01')
                 AS BIGINT)
     FROM orders
     """,
@@ -1325,9 +1325,9 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     r5 = rule(
         5,
-        "orders.o_orderdate in [1992, 1999)",
+        "orders.o_orderdate in [1992, 2002)",
         orders,
         (F.col("o_orderdate") < F.lit("1992-01-01").cast("timestamp"))
-        | (F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")),
+        | (F.col("o_orderdate") >= F.lit("2002-01-01").cast("timestamp")),
     )
     return r1.unionAll(r2).unionAll(r3).unionAll(r4).unionAll(r5)
