@@ -1825,3 +1825,110 @@ def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p_brand", "p_partkey", "p_retailprice", "p_size")
     )
+
+
+def _corrupt_jsonl_dir(sf_dir: str) -> str:
+    """JSONL derivation of orders with SEEDED corruption: every line
+    whose o_orderkey % 97 == 0 is truncated mid-record (unparseable).
+    Content-keyed to the fixture like _text_source_dir."""
+    import glob as _glob
+    import json
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from ..paths import tmp_root
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src)
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    d = os.path.join(
+        tmp_root(), f"corruptsrc_{sf_tag}_{st.st_size}_{st.st_mtime_ns}"
+    )
+    if os.path.isdir(d):
+        return d
+    for stale in _glob.glob(os.path.join(tmp_root(), f"corruptsrc_{sf_tag}_*")):
+        shutil.rmtree(stale, ignore_errors=True)
+    rows = pq.read_table(
+        src, columns=["o_orderkey", "o_orderstatus", "o_totalprice"]
+    ).to_pylist()
+    rows.sort(key=lambda r: r["o_orderkey"])
+    stage = d + ".staging"
+    os.makedirs(stage, exist_ok=True)
+    with open(os.path.join(stage, "part-000.jsonl"), "w") as f:
+        for r in rows:
+            line = json.dumps(
+                {
+                    "o_orderkey": r["o_orderkey"],
+                    "o_orderstatus": r["o_orderstatus"],
+                    "o_totalprice": r["o_totalprice"],
+                },
+                sort_keys=True,
+            )
+            if r["o_orderkey"] % 97 == 0:
+                line = line[: len(line) // 2]  # truncated mid-record
+            f.write(line + "\n")
+    os.replace(stage, d)
+    return d
+
+
+@query(
+    "scan_corrupt_quarantine",
+    oracle="""
+    WITH lab AS (
+      SELECT o_orderstatus, o_totalprice,
+             CASE WHEN o_orderkey % 97 = 0 THEN 1 ELSE 0 END AS bad
+      FROM orders
+    )
+    SELECT COALESCE(CASE WHEN bad = 0 THEN o_orderstatus END, '_CORRUPT')
+             AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN bad = 0
+                         THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+                AS DOUBLE) AS total
+    FROM lab GROUP BY 1
+    """,
+)
+def scan_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-family resilience: scan a JSONL feed containing malformed
+    records (truncated mid-line — the reality of any 100 TB external
+    delivery) in PERMISSIVE mode with a _corrupt_record quarantine
+    column: good rows parse, bad rows surface as a counted '_CORRUPT'
+    bucket instead of failing the job (or silently vanishing, as
+    DROPMALFORMED would). The oracle re-derives which rows were seeded
+    corrupt from the generation rule (o_orderkey % 97), so the
+    quarantine COUNT and the good-row aggregates are value-checked,
+    proving the parser neither drops good rows nor heals bad ones.
+
+    Scale shape: per-line JSON parsing is the scan itself (no extra
+    pass); the quarantine projection is map-side; one
+    O(#statuses + 1)-row aggregate. At 100 TB the same plan writes the
+    corrupt bucket to a badRecordsPath-style side sink instead of
+    counting it."""
+    prep(spark)
+    d = _corrupt_jsonl_dir(sf_dir)
+    schema = (
+        "o_orderkey bigint, o_orderstatus string, o_totalprice double,"
+        " _corrupt_record string"
+    )
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(d)
+    )
+    status = F.when(
+        F.col("_corrupt_record").isNotNull(), F.lit("_CORRUPT")
+    ).otherwise(F.col("o_orderstatus"))
+    good_total = F.when(
+        F.col("_corrupt_record").isNull(), dec2("o_totalprice")
+    )
+    return (
+        df.select(status.alias("status"), good_total.alias("gt"))
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("gt").cast("double").alias("total"),
+        )
+    )

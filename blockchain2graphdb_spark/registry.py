@@ -67,6 +67,7 @@ _OPERATOR_MODULES = (
 _SAMPLE_PRIORITY = (
     # round-9 keys (never driver-sampled) lead
     "ks_statistic",
+    "scan_corrupt_quarantine",
     "weighted_sample_topk",
     "dq_expectations",
     "percentile_summary",

@@ -69,3 +69,14 @@ def test_schema_evolution_merges_generations(spark):
     # every non-legacy bucket is a real priority from gen-2 rows
     prios = {r.o_orderpriority for r in orders if r.o_orderkey % 2 == 1}
     assert set(rows) - {"LEGACY"} == prios
+
+
+def test_corrupt_quarantine_counts(spark):
+    """Quarantine count equals the seeded corruption rate; good rows
+    are neither dropped nor healed."""
+    rows = {r.status: r for r in _df("scan_corrupt_quarantine", spark).collect()}
+    orders = table(spark, SF_DIR, "orders").select("o_orderkey").collect()
+    n_bad = sum(1 for r in orders if r.o_orderkey % 97 == 0)
+    assert rows["_CORRUPT"].n_rows == n_bad
+    assert rows["_CORRUPT"].total is None
+    assert sum(r.n_rows for r in rows.values()) == len(orders)
