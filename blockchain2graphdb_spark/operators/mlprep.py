@@ -1251,3 +1251,287 @@ def percentile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         for p in _PCT_CUTS
     ]
     return hit.groupBy().agg(F.max("n_total").cast("long").alias("n"), *aggs)
+
+
+@query(
+    "ols_multi",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(CAST(l_quantity AS DECIMAL(18,2)) AS BIGINT) AS x1,
+             CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS x2,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+      FROM lineitem
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(x1 AS HUGEINT)) AS HUGEINT) AS s1,
+             CAST(SUM(CAST(x2 AS HUGEINT)) AS HUGEINT) AS s2,
+             CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+             CAST(SUM(CAST(x1 AS HUGEINT) * x1) AS HUGEINT) AS s11,
+             CAST(SUM(CAST(x2 AS HUGEINT) * x2) AS HUGEINT) AS s22,
+             CAST(SUM(CAST(x1 AS HUGEINT) * x2) AS HUGEINT) AS s12,
+             CAST(SUM(CAST(x1 AS HUGEINT) * y) AS HUGEINT) AS s1y,
+             CAST(SUM(CAST(x2 AS HUGEINT) * y) AS HUGEINT) AS s2y
+      FROM c
+    ),
+    ctr AS (
+      SELECT n, s1, s2, sy,
+             n * s11 - s1 * s1 AS c11,
+             n * s22 - s2 * s2 AS c22,
+             n * s12 - s1 * s2 AS c12,
+             n * s1y - s1 * sy AS c1y,
+             n * s2y - s2 * sy AS c2y
+      FROM m
+    )
+    SELECT n,
+           CAST(ROUND(CAST(c1y * c22 - c2y * c12 AS DOUBLE)
+                      / CAST(c11 * c22 - c12 * c12 AS DOUBLE) * 1e6)
+                AS BIGINT) AS beta1_micros,
+           CAST(ROUND(CAST(c2y * c11 - c1y * c12 AS DOUBLE)
+                      / CAST(c11 * c22 - c12 * c12 AS DOUBLE) * 1e6)
+                AS BIGINT) AS beta2_micros,
+           CAST(ROUND((CAST(sy AS DOUBLE)
+                       - CAST(c1y * c22 - c2y * c12 AS DOUBLE)
+                         / CAST(c11 * c22 - c12 * c12 AS DOUBLE)
+                         * CAST(s1 AS DOUBLE)
+                       - CAST(c2y * c11 - c1y * c12 AS DOUBLE)
+                         / CAST(c11 * c22 - c12 * c12 AS DOUBLE)
+                         * CAST(s2 AS DOUBLE))
+                      / CAST(n AS DOUBLE) * 1e2) AS BIGINT) AS intercept_tenth_cents
+    FROM ctr
+    """,
+)
+def ols_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-regressor OLS via the normal equations solved in closed
+    form (2x2 Cramer on CENTERED moments): extended price (cents) on
+    quantity (units) and discount (hundredths) — the multi-feature
+    generalization of trend_ols (timeseries.py:716). The nine moment
+    sums accumulate exactly (DECIMAL(38,0) / HUGEINT); centered
+    moments are formed with denominators cleared (Cab = n*Sab - Sa*Sb,
+    all exact — the corr_pairs cancellation discipline), and the
+    Cramer determinants multiply centered moments IN EXACT ARITHMETIC
+    (magnitudes ~1e31 at sf0.1, comfortably inside 38 digits /
+    HUGEINT); betas and the intercept are final double ratios of
+    identical exact integers, int-quantized.
+
+    Scale shape: ONE map-side-combinable nine-sum aggregate over the
+    scan — the entire regression is a single reduce to one row; adding
+    regressors grows the moment count quadratically but never adds a
+    shuffle (the classic 100 TB closed-form-regression plan)."""
+    prep(spark)
+    d38 = "decimal(38,0)"
+    c = table(spark, sf_dir, "lineitem").select(
+        dec2("l_quantity").cast("long").alias("x1"),
+        (dec2("l_discount") * 100).cast("long").alias("x2"),
+        (dec2("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    x1d, x2d, yd = (F.col(k).cast(d38) for k in ("x1", "x2", "y"))
+    m = c.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x1d).cast(d38).alias("s1"),
+        F.sum(x2d).cast(d38).alias("s2"),
+        F.sum(yd).cast(d38).alias("sy"),
+        F.sum(x1d * F.col("x1")).cast(d38).alias("s11"),
+        F.sum(x2d * F.col("x2")).cast(d38).alias("s22"),
+        F.sum(x1d * F.col("x2")).cast(d38).alias("s12"),
+        F.sum(x1d * F.col("y")).cast(d38).alias("s1y"),
+        F.sum(x2d * F.col("y")).cast(d38).alias("s2y"),
+    )
+    n = F.col("n")
+    ctr = m.select(
+        "n",
+        "s1",
+        "s2",
+        "sy",
+        (n * F.col("s11") - F.col("s1") * F.col("s1")).alias("c11"),
+        (n * F.col("s22") - F.col("s2") * F.col("s2")).alias("c22"),
+        (n * F.col("s12") - F.col("s1") * F.col("s2")).alias("c12"),
+        (n * F.col("s1y") - F.col("s1") * F.col("sy")).alias("c1y"),
+        (n * F.col("s2y") - F.col("s2") * F.col("sy")).alias("c2y"),
+    )
+    det = (F.col("c11") * F.col("c22") - F.col("c12") * F.col("c12")).cast("double")
+    b1 = (F.col("c1y") * F.col("c22") - F.col("c2y") * F.col("c12")).cast("double") / det
+    b2 = (F.col("c2y") * F.col("c11") - F.col("c1y") * F.col("c12")).cast("double") / det
+    icpt = (
+        F.col("sy").cast("double")
+        - b1 * F.col("s1").cast("double")
+        - b2 * F.col("s2").cast("double")
+    ) / n.cast("double")
+    return ctr.select(
+        "n",
+        F.round(b1 * 1e6).cast("long").alias("beta1_micros"),
+        F.round(b2 * 1e6).cast("long").alias("beta2_micros"),
+        F.round(icpt * 1e2).cast("long").alias("intercept_tenth_cents"),
+    )
+
+
+@query(
+    "winsorized_mean",
+    oracle="""
+    WITH c AS (
+      SELECT c_mktsegment, c_custkey,
+             CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS pc
+      FROM customer
+    ),
+    ranked AS (
+      SELECT pc, row_number() OVER (ORDER BY pc, c_custkey) AS pos,
+             COUNT(*) OVER () AS n
+      FROM c
+    ),
+    fences AS (
+      SELECT CAST(MIN(CASE WHEN pos = (5 * n + 99) // 100 THEN pc END)
+                  AS BIGINT) AS lo,
+             CAST(MIN(CASE WHEN pos = (95 * n + 99) // 100 THEN pc END)
+                  AS BIGINT) AS hi
+      FROM ranked
+    )
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(ROUND(CAST(CAST(SUM(c.pc) AS HUGEINT) AS DOUBLE)
+                      / COUNT(*) * 1e4) AS BIGINT) AS mean_raw_micros,
+           CAST(ROUND(CAST(CAST(SUM(LEAST(GREATEST(c.pc, f.lo), f.hi))
+                                AS HUGEINT) AS DOUBLE)
+                      / COUNT(*) * 1e4) AS BIGINT) AS mean_winsor_micros,
+           CAST(COUNT(*) FILTER (WHERE c.pc < f.lo OR c.pc > f.hi)
+                AS BIGINT) AS n_clipped
+    FROM c, fences f
+    GROUP BY c.c_mktsegment
+    """,
+)
+def winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization: clip account balances at the exact global
+    p05/p95 (nearest-rank over the unique (cents, custkey) order —
+    percentile_summary's probe) and report per-segment raw vs
+    winsorized means plus the clipped-row census — the robust-mean
+    transform a feature pipeline applies where iqr_outliers only
+    counts. Fences and clipped values are pure int64 cents (a
+    half-cent fence can never flip a LEAST/GREATEST via a last-ULP
+    double); means are one double division of exact integer sums,
+    int-micros quantized.
+
+    Scale shape: one bucketed_global_rank two-pass for the two fence
+    ranks, the 1-row fence table broadcast into a second scan, one
+    map-side-combinable per-segment aggregate — the iqr_outliers /
+    doc_length_band percentile-trim plan."""
+    prep(spark)
+    pc = (dec2("c_acctbal") * 100).cast("long")
+    c = table(spark, sf_dir, "customer").select(
+        "c_mktsegment", "c_custkey", pc.alias("pc")
+    )
+    ranked = bucketed_global_rank(
+        c.select("pc", "c_custkey"),
+        F.floor(F.col("pc") / F.lit(100_000)).cast("long"),
+        [F.col("pc"), F.col("c_custkey")],
+    )
+    fences = ranked.agg(
+        F.min(F.when(F.col("pos") == F.expr("(5 * n_total + 99) div 100"), F.col("pc")))
+        .cast("long")
+        .alias("lo"),
+        F.min(F.when(F.col("pos") == F.expr("(95 * n_total + 99) div 100"), F.col("pc")))
+        .cast("long")
+        .alias("hi"),
+    )
+    clipped = F.least(F.greatest(F.col("pc"), F.col("lo")), F.col("hi"))
+    return (
+        c.crossJoin(F.broadcast(fences))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("pc").cast("double") / F.count(F.lit(1)) * 1e4)
+            .cast("long")
+            .alias("mean_raw_micros"),
+            F.round(F.sum(clipped).cast("double") / F.count(F.lit(1)) * 1e4)
+            .cast("long")
+            .alias("mean_winsor_micros"),
+            F.count_if((F.col("pc") < F.col("lo")) | (F.col("pc") > F.col("hi")))
+            .cast("long")
+            .alias("n_clipped"),
+        )
+    )
+
+
+@query(
+    "impute_group_median",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+             CASE WHEN instr('0123456789abcdef',
+                             substr(md5('imp' || CAST(event_id AS VARCHAR)), 1, 1))
+                       - 1 = 0
+                  THEN 1 ELSE 0 END AS miss
+      FROM events
+    ),
+    ranked AS (
+      SELECT event_type, cents,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY cents, event_id) AS pos,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM e WHERE miss = 0
+    ),
+    med AS (
+      SELECT event_type,
+             CAST(MIN(CASE WHEN pos = (n + 1) // 2 THEN cents END)
+                  AS BIGINT) AS med_cents
+      FROM ranked GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           CAST(e.miss AS BIGINT) AS was_missing,
+           CAST(CASE WHEN e.miss = 1 THEN m.med_cents ELSE e.cents END
+                AS BIGINT) AS cents_imputed,
+           CAST(CASE WHEN e.miss = 1 THEN m.med_cents ELSE e.cents END
+                AS DOUBLE) / 100 AS value_imputed
+    FROM e JOIN med m USING (event_type)
+    """,
+)
+def impute_group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-median imputation: a deterministic ~1/16 of event values
+    is masked missing (portable md5 nibble assignment, the
+    ab_test_zscore hashing), and each masked value is filled with its
+    event type's EXACT lower median of the surviving values (value at
+    rank (n+1) div 2 over the unique (cents, event_id) order) — the
+    imputation pass a feature pipeline runs before scaling, with the
+    missing flag kept as a model feature. All selection and fill math
+    is int64 cents; the surfaced double is derived from the integer on
+    both engines.
+
+    Scale shape: the median pass is a window PARTITIONED BY group
+    (distributed across types; at 100 TB a heavy group upgrades to
+    bucketed_global_rank within the group); the O(#groups) median
+    table broadcasts back into the scan — no global window, no
+    driver collect."""
+    prep(spark)
+    nib = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("imp"), F.col("event_id").cast("string")).cast("binary")),
+            1,
+            1,
+        ),
+        16,
+        10,
+    ).cast("long")
+    e = table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        (dec2("value") * 100).cast("long").alias("cents"),
+        F.when(nib == 0, F.lit(1)).otherwise(F.lit(0)).alias("miss"),
+    )
+    wr = W.partitionBy("event_type").orderBy("cents", "event_id")
+    ranked = (
+        e.where(F.col("miss") == 0)
+        .withColumn("pos", F.row_number().over(wr))
+        .withColumn("n", F.count(F.lit(1)).over(W.partitionBy("event_type")))
+    )
+    med = ranked.groupBy("event_type").agg(
+        F.min(F.when(F.col("pos") == F.expr("(n + 1) div 2"), F.col("cents")))
+        .cast("long")
+        .alias("med_cents")
+    )
+    filled = F.when(F.col("miss") == 1, F.col("med_cents")).otherwise(F.col("cents"))
+    return e.join(F.broadcast(med), "event_type").select(
+        "event_id",
+        "event_type",
+        F.col("miss").cast("long").alias("was_missing"),
+        filled.cast("long").alias("cents_imputed"),
+        (filled.cast("double") / 100).alias("value_imputed"),
+    )

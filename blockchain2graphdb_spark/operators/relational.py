@@ -1932,3 +1932,117 @@ def scan_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("gt").cast("double").alias("total"),
         )
     )
+
+
+def _zonemap_orders_dir(sf_dir: str) -> str:
+    """Derivation of orders as 16 RANGE-CLUSTERED parquet files
+    (sorted by o_custkey, sliced contiguously — the layout a clustered
+    / Z-ordered lake table maintains so file-level min/max stats are
+    tight). Content-keyed to the fixture like _partitioned_events_dir
+    so regeneration invalidates it."""
+    import glob as _glob
+    import os
+    import shutil
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ..paths import tmp_root
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src)
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    d = os.path.join(tmp_root(), f"zonemap_{sf_tag}_{st.st_size}_{st.st_mtime_ns}")
+    if os.path.isdir(d):
+        return d
+    for stale in _glob.glob(os.path.join(tmp_root(), f"zonemap_{sf_tag}_*")):
+        shutil.rmtree(stale, ignore_errors=True)
+    t = pq.read_table(src, columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    t = t.take(pc.sort_indices(t, sort_keys=[("o_custkey", "ascending"),
+                                             ("o_orderkey", "ascending")]))
+    stage = d + ".staging"
+    os.makedirs(stage, exist_ok=True)
+    n_files = 16
+    step = -(-t.num_rows // n_files)
+    for i in range(n_files):
+        sl = t.slice(i * step, step)
+        if sl.num_rows:
+            pq.write_table(sl, os.path.join(stage, f"part-{i:03d}.parquet"))
+    os.replace(stage, d)
+    return d
+
+
+def _zonemap_plan(sf_dir: str) -> tuple[list[str], list[str], int, int]:
+    """File-skipping plan from parquet FOOTER zone maps only (no data
+    read): returns (all_files, kept_files, lo, hi) where [lo, hi] is
+    the data-derived o_custkey probe band (max/4 .. max/4 + max/10,
+    pure integer math on the footer max so fixture drift cannot desync
+    the oracle) and kept_files are those whose [min, max] stats
+    intersect it."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    d = _zonemap_orders_dir(sf_dir)
+    files = sorted(
+        os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+    )
+    stats = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.to_arrow_schema().get_field_index("o_custkey")
+        lo_f = min(md.row_group(g).column(idx).statistics.min for g in range(md.num_row_groups))
+        hi_f = max(md.row_group(g).column(idx).statistics.max for g in range(md.num_row_groups))
+        stats.append((f, lo_f, hi_f))
+    m = max(h for _, _, h in stats)
+    lo, hi = m // 4, m // 4 + m // 10
+    kept = [f for f, lo_f, hi_f in stats if hi_f >= lo and lo_f <= hi]
+    return files, kept, lo, hi
+
+
+@query(
+    "scan_zonemap_skip",
+    oracle="""
+    WITH band AS (
+      SELECT MAX(o_custkey) // 4 AS lo,
+             MAX(o_custkey) // 4 + MAX(o_custkey) // 10 AS hi
+      FROM orders
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MIN(o_custkey) AS BIGINT) AS min_custkey,
+           CAST(MAX(o_custkey) AS BIGINT) AS max_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS price_sum
+    FROM orders, band
+    WHERE o_custkey BETWEEN band.lo AND band.hi
+    """,
+)
+def scan_zonemap_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-family scale story #2 (the non-hive sibling of
+    scan_partition_prune): file skipping via parquet footer ZONE MAPS.
+    The derivation writes orders as 16 range-clustered files (sorted by
+    o_custkey — what a clustered/Z-ordered lake table maintains); the
+    scan planner reads ONLY the footers, keeps the files whose
+    o_custkey [min, max] intersect the probe band, and hands Spark just
+    those paths — the manifest-pruning step Iceberg/Delta data skipping
+    performs before any row is read, and the difference between
+    opening 16 files and opening 2 at 100 TB. The surviving files are
+    still scanned with the row-level predicate (zone maps overlap at
+    boundaries; skipping is an optimization, never a filter), so
+    results match the full-scan oracle exactly. The probe band is pure
+    integer math on the footer max (max/4 .. max/4 + max/10), so the
+    oracle derives the identical band from MAX(o_custkey).
+
+    Scale shape: pruning cost is O(#files) metadata reads (a manifest
+    scan, no Spark job); the data scan then reads ~1/8 of the files,
+    with predicate pushdown active inside each (tests assert files
+    were actually skipped and the plan carries the pushed filter)."""
+    prep(spark)
+    _, kept, lo, hi = _zonemap_plan(sf_dir)
+    df = spark.read.parquet(*kept).where(F.col("o_custkey").between(lo, hi))
+    return df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.min("o_custkey").cast("long").alias("min_custkey"),
+        F.max("o_custkey").cast("long").alias("max_custkey"),
+        F.sum(dec2("o_totalprice")).cast("double").alias("price_sum"),
+    )

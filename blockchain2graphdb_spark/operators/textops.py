@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import prep, table
+from ..functions.ranking import bucketed_global_rank
 from ..registry import query
 
 
@@ -1120,4 +1121,124 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_sentences",
         "n_syllables",
         F.round(score * 1e6).cast("long").alias("flesch_micros"),
+    )
+
+
+@query(
+    "zipf_fit",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS t
+      FROM documents
+    ),
+    tf AS (
+      SELECT t, CAST(COUNT(*) AS BIGINT) AS f
+      FROM toks WHERE t <> '' GROUP BY t
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size,
+             CAST(SUM(f) AS BIGINT) AS total_tokens
+      FROM tf
+    ),
+    ranked AS (
+      SELECT t, f, row_number() OVER (ORDER BY f DESC, t ASC) AS r FROM tf
+    ),
+    head AS (
+      SELECT CAST(ROUND(ln(CAST(r AS DOUBLE)) * 1e9) AS BIGINT) AS xn,
+             CAST(ROUND(ln(CAST(f AS DOUBLE)) * 1e9) AS BIGINT) AS yn,
+             CAST(ROUND(ln(CAST(r AS DOUBLE)) * ln(CAST(f AS DOUBLE)) * 1e9)
+                  AS BIGINT) AS xyn,
+             CAST(ROUND(ln(CAST(r AS DOUBLE)) * ln(CAST(r AS DOUBLE)) * 1e9)
+                  AS BIGINT) AS xxn,
+             CAST(ROUND(ln(CAST(f AS DOUBLE)) * ln(CAST(f AS DOUBLE)) * 1e9)
+                  AS BIGINT) AS yyn
+      FROM ranked WHERE r <= 1000
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS k,
+             CAST(SUM(CAST(xn AS HUGEINT)) AS HUGEINT) AS sx,
+             CAST(SUM(CAST(yn AS HUGEINT)) AS HUGEINT) AS sy,
+             CAST(SUM(CAST(xyn AS HUGEINT)) AS HUGEINT) AS sxy,
+             CAST(SUM(CAST(xxn AS HUGEINT)) AS HUGEINT) AS sxx,
+             CAST(SUM(CAST(yyn AS HUGEINT)) AS HUGEINT) AS syy
+      FROM head
+    )
+    SELECT tot.vocab_size, tot.total_tokens,
+           CAST(s.k AS BIGINT) AS n_ranks,
+           CAST(ROUND(CAST(s.k * s.sxy * 1000000000 - s.sx * s.sy AS DOUBLE)
+                      / CAST(s.k * s.sxx * 1000000000 - s.sx * s.sx AS DOUBLE)
+                      * 1e6) AS BIGINT) AS slope_micros,
+           CAST(ROUND(POWER(CAST(s.k * s.sxy * 1000000000 - s.sx * s.sy
+                                 AS DOUBLE)
+                            / sqrt(CAST(s.k * s.sxx * 1000000000 - s.sx * s.sx
+                                        AS DOUBLE))
+                            / sqrt(CAST(s.k * s.syy * 1000000000 - s.sy * s.sy
+                                        AS DOUBLE)), 2) * 1e6)
+                AS BIGINT) AS r2_micros
+    FROM s, tot
+    """,
+)
+def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 corpus-law diagnostic: fit ln(freq) = a + slope * ln(rank)
+    over the top-1000 vocabulary ranks — the Zipf exponent (healthy
+    natural-language corpora sit near -1; templated/synthetic spam
+    skews shallower), with r-squared as the fit-quality readout. Ranks
+    come from the bucketed two-pass global rank (log2-frequency-band
+    buckets — monotone with the (freq DESC, term ASC) order); each
+    term's ln terms and their products are quantized to int nanos
+    BEFORE summation (the BM25/surprisal ln-parity precedent), the
+    n*Sxy - Sx*Sy cancellations happen in exact HUGEINT/DECIMAL(38,0)
+    arithmetic (corr_pairs discipline), and slope/r2 are final double
+    ratios of identical exact integers, int-micros quantized.
+
+    Scale shape: tokenize/count is one map-side-combinable aggregate
+    over the scan; ranking the O(vocab) frequency table is the
+    two-pass bucketed rank (no unpartitioned window); the regression
+    is one single-row reduce over <= 1000 rows."""
+    prep(spark)
+    d38 = "decimal(38,0)"
+    toks = (
+        table(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("t"))
+        .where(F.col("t") != "")
+    )
+    tf = toks.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("f"))
+    tot = tf.agg(
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+        F.sum("f").cast("long").alias("total_tokens"),
+    )
+    # log2-band bucket: higher freq => higher band => negated ascends
+    # with the (f DESC, t ASC) sort order (non-strict is allowed)
+    ranked = bucketed_global_rank(
+        tf, F.expr("-(length(bin(f)) - 1)"), [F.col("f").desc(), F.col("t").asc()]
+    ).where(F.col("pos") <= 1000)
+    lnr = F.log(F.col("pos").cast("double"))
+    lnf = F.log(F.col("f").cast("double"))
+    head = ranked.select(
+        F.round(lnr * 1e9).cast("long").alias("xn"),
+        F.round(lnf * 1e9).cast("long").alias("yn"),
+        F.round(lnr * lnf * 1e9).cast("long").alias("xyn"),
+        F.round(lnr * lnr * 1e9).cast("long").alias("xxn"),
+        F.round(lnf * lnf * 1e9).cast("long").alias("yyn"),
+    )
+    s = head.agg(
+        F.count(F.lit(1)).cast(d38).alias("k"),
+        F.sum(F.col("xn").cast(d38)).cast(d38).alias("sx"),
+        F.sum(F.col("yn").cast(d38)).cast(d38).alias("sy"),
+        F.sum(F.col("xyn").cast(d38)).cast(d38).alias("sxy"),
+        F.sum(F.col("xxn").cast(d38)).cast(d38).alias("sxx"),
+        F.sum(F.col("yyn").cast(d38)).cast(d38).alias("syy"),
+    )
+    k, sx, sy = F.col("k"), F.col("sx"), F.col("sy")
+    e9 = F.lit(1_000_000_000).cast(d38)
+    num = (k * F.col("sxy") * e9 - sx * sy).cast("double")
+    denx = (k * F.col("sxx") * e9 - sx * sx).cast("double")
+    deny = (k * F.col("syy") * e9 - sy * sy).cast("double")
+    corr = num / F.sqrt(denx) / F.sqrt(deny)
+    return s.crossJoin(F.broadcast(tot)).select(
+        "vocab_size",
+        "total_tokens",
+        k.cast("long").alias("n_ranks"),
+        F.round(num / denx * 1e6).cast("long").alias("slope_micros"),
+        F.round(F.pow(corr, F.lit(2)) * 1e6).cast("long").alias("r2_micros"),
     )

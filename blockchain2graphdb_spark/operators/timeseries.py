@@ -750,3 +750,75 @@ def trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("intercept_nanos"),
     )
+
+
+@query(
+    "time_weighted_avg",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM events
+    ),
+    d AS (
+      SELECT user_id, us // {_DAY_US} AS day, us, cents,
+             lead(us) OVER (PARTITION BY user_id, us // {_DAY_US}
+                            ORDER BY us, event_id) AS next_us
+      FROM e
+    ),
+    w AS (
+      SELECT user_id, day, cents,
+             COALESCE(next_us, (day + 1) * {_DAY_US}) - us AS dur_us
+      FROM d
+    )
+    SELECT user_id, day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(dur_us) AS BIGINT) AS covered_us,
+           CAST(ROUND(CAST(CAST(SUM(CAST(cents AS HUGEINT) * dur_us)
+                                AS HUGEINT) AS DOUBLE)
+                      / CAST(SUM(dur_us) AS DOUBLE) * 1e4)
+                AS BIGINT) AS twap_micros
+    FROM w GROUP BY user_id, day
+    """,
+)
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWAP: per-(user, day) time-weighted average event value, each
+    observation weighted by its holding duration — the time until the
+    user's next same-day event, the last one carried to midnight (the
+    price-feed averaging semantics; a plain AVG over-weights bursts).
+    Durations are integer micros from lead() over the unique
+    (us, event_id) order WITHIN a (user, day) partition — a dense
+    partition-local frame, not the gappy-calendar lead acf_lags must
+    avoid; cents x duration products accumulate exactly
+    (DECIMAL(38,0) / HUGEINT, ~1e15 per term); the single final
+    division is double-over-exact-integers, int-micros quantized.
+
+    Scale shape: one shuffle keyed (user_id, day) serves both the
+    window and the aggregate (partition-local window, map-side
+    combinable sums); output is O(users x days). The
+    gap_fill_locf partitioning discipline."""
+    prep(spark)
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        (dec2("value") * 100).cast("long").alias("cents"),
+    )
+    d = e.withColumn("day", F.expr(f"us div {_DAY_US}"))
+    wl = W.partitionBy("user_id", "day").orderBy("us", "event_id")
+    w = d.withColumn(
+        "dur_us",
+        F.coalesce(F.lead("us").over(wl), (F.col("day") + 1) * F.lit(_DAY_US))
+        - F.col("us"),
+    )
+    return w.groupBy("user_id", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("dur_us").cast("long").alias("covered_us"),
+        F.round(
+            F.sum(F.col("cents").cast("decimal(38,0)") * F.col("dur_us")).cast("double")
+            / F.sum("dur_us").cast("double")
+            * 1e4
+        )
+        .cast("long")
+        .alias("twap_micros"),
+    )

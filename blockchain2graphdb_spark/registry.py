@@ -51,6 +51,7 @@ _OPERATOR_MODULES = (
     "blockchain2graphdb_spark.operators.spatial",
     "blockchain2graphdb_spark.operators.walks",
     "blockchain2graphdb_spark.operators.evalrank",
+    "blockchain2graphdb_spark.operators.experiments",
 )
 
 # The driver's correctness gate samples the FIRST ~50 keys in queries()
@@ -65,7 +66,15 @@ _OPERATOR_MODULES = (
 # load_all() silently ignores missing keys) — so module order no
 # longer matters for sampling.
 _SAMPLE_PRIORITY = (
-    # round-9 keys (never driver-sampled) lead
+    # round-9 keys (never driver-sampled) lead, newest batch first
+    "cuped_adjustment",
+    "funnel_time_to_convert",
+    "ols_multi",
+    "winsorized_mean",
+    "impute_group_median",
+    "time_weighted_avg",
+    "zipf_fit",
+    "scan_zonemap_skip",
     "ks_statistic",
     "scan_corrupt_quarantine",
     "weighted_sample_topk",
