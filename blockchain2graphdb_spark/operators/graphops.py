@@ -2232,3 +2232,68 @@ def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy(F.desc("lift_nanos"), "antecedent", "consequent").limit(20)
+
+
+@query(
+    "subtree_rollup",
+    oracle="""
+    WITH RECURSIVE edges AS (
+      SELECT p_partkey AS child, p_partkey // 10 AS par
+      FROM part WHERE p_partkey // 10 >= 1
+    ),
+    anc AS (
+      SELECT p_partkey AS node, p_partkey AS anc FROM part
+      UNION ALL
+      SELECT a.node, e.par FROM anc a JOIN edges e ON e.child = a.anc
+    ),
+    vals AS (
+      SELECT p_partkey,
+             CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      FROM part
+    )
+    SELECT anc.anc AS node,
+           CAST(COUNT(*) AS BIGINT) AS n_subtree,
+           CAST(SUM(c) AS BIGINT) AS subtree_cents
+    FROM anc JOIN vals ON vals.p_partkey = anc.node
+    GROUP BY anc.anc
+    """,
+)
+def subtree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy subtree rollup — per-node totals over ALL descendants
+    (incl. self) of the decimal part taxonomy (parent = key div 10; the
+    category-tree aggregate every catalog/org-chart report needs, and
+    the recursive shape the reference's repeat/until traversal
+    (B:43-46) would express one hop at a time).
+
+    Spark-first shape: the parent function is ARITHMETIC, so the
+    ancestor closure is PATH ENUMERATION — each row map-side expands
+    its own ancestor chain (<= 13 entries for int64 keys: key div
+    10^k while >= 1) and one explode + one hash aggregate produces
+    every subtree total. ZERO joins, zero iterations, one shuffle of
+    n x depth = n log n rows — the materialized-path technique
+    production hierarchies use at scale. The oracle instead walks
+    parent EDGES with a recursive CTE, so the cross-engine check
+    proves path enumeration == edge recursion on this forest (keys are
+    dense from 0, so every arithmetic ancestor >= 1 exists as a part
+    and the two walks visit identical chains; node 0 is its own root
+    -- 0 div 10 = 0 -- and contributes only its self row)."""
+    prep(spark)
+    part = table(spark, sf_dir, "part").select(
+        "p_partkey",
+        (F.col("p_retailprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("c"),
+    )
+    levels = F.array(*[F.expr(f"p_partkey div {10 ** k}") for k in range(1, 13)])
+    ancs = F.concat(
+        F.array(F.col("p_partkey")), F.filter(levels, lambda x: x >= 1)
+    )
+    return (
+        part.select(F.explode(ancs).alias("node"), "c")
+        .groupBy("node")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_subtree"),
+            F.sum(F.col("c").cast("decimal(38,0)")).cast("long").alias("subtree_cents"),
+        )
+        .select(F.col("node").cast("long").alias("node"), "n_subtree", "subtree_cents")
+    )

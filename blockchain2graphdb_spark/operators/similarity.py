@@ -823,3 +823,87 @@ def embedding_outlier_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dist_nanos"),
         )
     )
+
+
+@query(
+    "embedding_covariance",
+    oracle=f"""
+    WITH q AS (
+      SELECT list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    n AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM q),
+    s1 AS (
+      SELECT t.i AS i, CAST(SUM(qv[CAST(t.i AS INT)]) AS HUGEINT) AS s
+      FROM q, UNNEST(range(1, {_N_DIM + 1})) AS t(i)
+      GROUP BY t.i
+    ),
+    s2 AS (
+      SELECT ti.i AS i, tj.j AS j,
+             SUM(CAST(qv[CAST(ti.i AS INT)] AS HUGEINT)
+                 * qv[CAST(tj.j AS INT)]) AS sij
+      FROM q,
+           UNNEST(range(1, {_N_DIM + 1})) AS ti(i),
+           UNNEST(range(1, {_N_DIM + 1})) AS tj(j)
+      WHERE tj.j >= ti.i
+      GROUP BY ti.i, tj.j
+    )
+    SELECT CAST(s2.i AS BIGINT) AS i, CAST(s2.j AS BIGINT) AS j,
+           CAST(n.n * s2.sij - a.s * b.s AS BIGINT) AS cov_n2
+    FROM s2
+    CROSS JOIN n
+    JOIN s1 a ON a.i = s2.i
+    JOIN s1 b ON b.i = s2.j
+    """,
+)
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 feature diagnostic: the EXACT d x d covariance matrix of the
+    embedding dimensions (upper triangle as (i, j) rows — the
+    whitening / PCA-input statistic a representation-quality check
+    computes before training). Exactness by clearing denominators:
+    cov_ij * n^2 = n * S_ij - S_i * S_j over the integer-quantized
+    vectors, every term a DECIMAL(38,0) product of exact sums, so the
+    surfaced value is a pure integer — no float ever enters the hash
+    (the corr_pairs / embedding_outlier_topk discipline).
+
+    Scale shape (100 TB): the d^2 cross-moment sums come from ONE
+    chained-posexplode pass over the vectors aggregated on (i, j) —
+    hash aggregation is map-side combinable onto d(d+1)/2 = 2080 keys,
+    so the shuffle carries O(partitions x d^2) partial sums, never
+    O(n x d^2) rows; the per-dim sums (d rows) and the count broadcast
+    back onto the 2080-row table. Nothing in the plan scales with n
+    except the single scan."""
+    prep(spark)
+    q = table(spark, sf_dir, "embeddings").select(quantize("embedding").alias("qv"))
+    n_df = q.agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n"))
+    e1 = q.select("qv", F.posexplode("qv").alias("i0", "xi"))
+    e2 = e1.select("i0", "xi", F.posexplode("qv").alias("j0", "xj")).where(
+        F.col("j0") >= F.col("i0")
+    )
+    s2 = e2.groupBy("i0", "j0").agg(
+        F.sum((F.col("xi") * F.col("xj")).cast("decimal(38,0)")).alias("sij")
+    )
+    s1 = (
+        q.select(F.posexplode("qv").alias("i0", "x"))
+        .groupBy("i0")
+        .agg(F.sum(F.col("x").cast("decimal(38,0)")).alias("s"))
+    )
+    return (
+        s2.crossJoin(F.broadcast(n_df))
+        .join(
+            F.broadcast(s1.select(F.col("i0").alias("ia"), F.col("s").alias("sa"))),
+            F.col("i0") == F.col("ia"),
+        )
+        .join(
+            F.broadcast(s1.select(F.col("i0").alias("jb"), F.col("s").alias("sb"))),
+            F.col("j0") == F.col("jb"),
+        )
+        .select(
+            (F.col("i0") + 1).cast("long").alias("i"),
+            (F.col("j0") + 1).cast("long").alias("j"),
+            (F.col("n") * F.col("sij") - F.col("sa") * F.col("sb"))
+            .cast("long")
+            .alias("cov_n2"),
+        )
+    )

@@ -67,6 +67,9 @@ _OPERATOR_MODULES = (
 # longer matters for sampling.
 _SAMPLE_PRIORITY = (
     # round-9 keys (never driver-sampled) lead, newest batch first
+    "embedding_covariance",
+    "subtree_rollup",
+    "join_partition_prune_runtime",
     "cuped_adjustment",
     "funnel_time_to_convert",
     "ols_multi",

@@ -1,0 +1,181 @@
+"""Round-9 third-batch operator tests: exact embedding covariance,
+hierarchy subtree rollup via path enumeration, and runtime (dynamic)
+partition pruning (SURVEY.md §4/§5 test strategy: numpy/pandas parity
+pins the math, plan assertions pin the scale shape).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from blockchain2graphdb_spark import registry
+from blockchain2graphdb_spark.catalog import table
+from blockchain2graphdb_spark.plans.inspect import plan_string
+
+from conftest import SF_DIR
+
+SPECS = registry.load_all()
+
+
+def _df(name, spark):
+    return SPECS[name].builder(spark, SF_DIR)
+
+
+# ------------------------------------------------- embedding covariance
+
+
+def test_embedding_covariance_numpy_parity(spark):
+    """cov_n2 == n * S_ij - S_i * S_j over the quantized vectors,
+    recomputed with numpy int64 matrices — exact equality, no slack."""
+    out = _df("embedding_covariance", spark).toPandas()
+    vecs = (
+        table(spark, SF_DIR, "embeddings")
+        .select("embedding")
+        .toPandas()["embedding"]
+    )
+    q = np.rint(np.stack(vecs.to_numpy()).astype(np.float64) * 1000).astype(
+        np.int64
+    )
+    n = q.shape[0]
+    s = q.sum(axis=0)
+    sij = q.T @ q  # d x d exact in int64 at fixture scale
+    expect = n * sij - np.outer(s, s)
+    assert len(out) == q.shape[1] * (q.shape[1] + 1) // 2
+    for r in out.itertuples():
+        assert expect[r.i - 1, r.j - 1] == r.cov_n2, (r.i, r.j)
+
+
+def test_embedding_covariance_diag_nonneg(spark):
+    """Diagonal entries are n^2 * variance >= 0."""
+    out = _df("embedding_covariance", spark)
+    bad = out.where((F.col("i") == F.col("j")) & (F.col("cov_n2") < 0)).count()
+    assert bad == 0
+
+
+def test_embedding_covariance_single_scan_no_pairwise(spark):
+    """The d^2 cross moments come from generator + hash aggregate —
+    no join touches the n-sized side (joins are the 3 broadcast
+    folds onto the 2080-row moment table)."""
+    p = plan_string(_df("embedding_covariance", spark))
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+    # formatted plans list each node twice (tree + detail): 3 joins -> 6
+    assert p.count("BroadcastHashJoin") + p.count("BroadcastNestedLoopJoin") <= 6
+
+
+# ---------------------------------------------------- subtree rollup
+
+
+def test_subtree_rollup_pandas_parity(spark):
+    """Subtree totals match a pandas recomputation that walks the
+    parent function explicitly per node."""
+    out = (
+        _df("subtree_rollup", spark)
+        .toPandas()
+        .set_index("node")
+        .sort_index()
+    )
+    part = (
+        table(spark, SF_DIR, "part")
+        .select(
+            "p_partkey",
+            (F.col("p_retailprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("c"),
+        )
+        .toPandas()
+    )
+    agg: dict[int, list[int]] = {}
+    for p, c in zip(part.p_partkey, part.c):
+        node = int(p)
+        chain = [node]
+        while node >= 10:
+            node //= 10
+            chain.append(node)
+        for a in chain:
+            e = agg.setdefault(a, [0, 0])
+            e[0] += 1
+            e[1] += int(c)
+    assert len(out) == len(agg)
+    for a, (cnt, cents) in agg.items():
+        assert out.loc[a, "n_subtree"] == cnt
+        assert out.loc[a, "subtree_cents"] == cents
+
+
+def test_subtree_rollup_is_joinless(spark):
+    """Path enumeration: one generator + one aggregate, zero joins."""
+    p = plan_string(_df("subtree_rollup", spark))
+    assert "Join" not in p
+    assert "Generate" in p and "HashAggregate" in p
+
+
+def test_subtree_root_covers_everything(spark):
+    """Every part rolls up into some depth-1 root (node < 10), and the
+    roots' subtree counts sum to the part count."""
+    out = _df("subtree_rollup", spark).toPandas()
+    n_parts = table(spark, SF_DIR, "part").count()
+    roots = out[out.node < 10]
+    assert roots.n_subtree.sum() == n_parts
+
+
+# ------------------------------------- runtime (dynamic) partition pruning
+
+
+def test_dpp_plan_has_dynamicpruning(spark):
+    """The fact scan's PartitionFilters carry a dynamicpruning
+    subquery — runtime pruning, not just the statically propagated
+    predicate."""
+    df = _df("join_partition_prune_runtime", spark)
+    p = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "dynamicpruning" in p
+    assert "PartitionFilters" in p
+
+
+def test_dpp_matches_unpartitioned_join(spark):
+    """Pruned-scan results equal the same join over the flat table."""
+    out = (
+        _df("join_partition_prune_runtime", spark)
+        .toPandas()
+        .set_index("event_type")
+        .sort_index()
+    )
+    ev = table(spark, SF_DIR, "events")
+    dim = (
+        ev.select("event_type")
+        .distinct()
+        .where(
+            F.conv(F.substring(F.md5("event_type"), 1, 1), 16, 10).cast("long")
+            % 2
+            == 0
+        )
+    )
+    flat = (
+        ev.join(dim, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("value_sum"),
+        )
+        .toPandas()
+        .set_index("event_type")
+        .sort_index()
+    )
+    pd.testing.assert_frame_equal(out, flat)
+
+
+def test_dpp_keeps_a_proper_subset(spark):
+    """The parity filter keeps some types and drops others — the
+    pruning is real, not vacuous."""
+    out = _df("join_partition_prune_runtime", spark).toPandas()
+    n_types = (
+        table(spark, SF_DIR, "events").select("event_type").distinct().count()
+    )
+    assert 0 < len(out) < n_types
