@@ -179,3 +179,46 @@ def test_dpp_keeps_a_proper_subset(spark):
         table(spark, SF_DIR, "events").select("event_type").distinct().count()
     )
     assert 0 < len(out) < n_types
+
+
+# -------------------------- distributed CC witness at corpus scale
+
+
+def test_wallet_components_sf01_unionfind_parity(spark):
+    """Corpus-scale witness for the DISTRIBUTED Shiloach-Vishkin path:
+    at sf0.1 the wallet graph is ~900k (symmetrized) edges — far past
+    driver_threshold, so the scale path runs — and the recursive-CTE
+    oracle is infeasible in DuckDB there (quadratic on the giant
+    component). A pure-Python union-find over the same
+    star-contraction edges supplies the exact expected labels."""
+    sf = "/root/testdata/sf0.1"
+    out = SPECS["wallet_components"].builder(spark, sf).toPandas()
+    li = (
+        table(spark, sf, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .toPandas()
+    )
+    src = li.groupby("l_orderkey").l_partkey.transform("min")
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(src.to_numpy(), li.l_partkey.to_numpy()):
+        a, b = int(a), int(b)
+        if a == b:
+            continue
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    expect = {n: find(n) for n in parent}
+    got = dict(zip(out.part.astype(int), out.component.astype(int)))
+    assert got == expect
