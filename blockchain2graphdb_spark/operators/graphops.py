@@ -2297,3 +2297,44 @@ def subtree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("node").cast("long").alias("node"), "n_subtree", "subtree_cents")
     )
+
+
+@query(
+    "recursive_cte_hierarchy",
+    oracle="""
+    WITH RECURSIVE walk AS (
+      SELECT p_partkey AS node, p_partkey AS cur, 0 AS depth FROM part
+      UNION ALL
+      SELECT node, cur // 10, depth + 1 FROM walk WHERE cur >= 10
+    )
+    SELECT node,
+           CAST(MAX(depth) AS BIGINT) AS depth,
+           CAST(MIN(cur) AS BIGINT) AS root
+    FROM walk GROUP BY node
+    """,
+)
+def recursive_cte_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DECLARATIVE twin of `subtree_rollup`: per-node depth and
+    root of the part taxonomy via Spark 4's native WITH RECURSIVE
+    (SPARK-24497) — the same SQL text DuckDB runs as the oracle, modulo
+    `div` spelling. This is the reference's repeat/until loop (B:43-46)
+    expressed as a single recursive query on BOTH engines: Catalyst
+    plans each recursion step as an incremental union over the previous
+    frontier, and the recursion depth is bounded by log10(key domain)
+    (<= 13 for int64 keys), so at 100 TB the execution is a handful of
+    frontier scans, never row-at-a-time. Cross-checks the arithmetic
+    walk used by subtree_rollup's path enumeration."""
+    prep(spark)
+    table(spark, sf_dir, "part").createOrReplaceTempView("part_rcte")
+    return spark.sql("""
+      WITH RECURSIVE walk AS (
+        SELECT p_partkey AS node, p_partkey AS cur, 0 AS depth
+        FROM part_rcte
+        UNION ALL
+        SELECT node, cur DIV 10, depth + 1 FROM walk WHERE cur >= 10
+      )
+      SELECT node,
+             CAST(MAX(depth) AS BIGINT) AS depth,
+             CAST(MIN(cur) AS BIGINT) AS root
+      FROM walk GROUP BY node
+    """)

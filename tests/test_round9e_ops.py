@@ -222,3 +222,43 @@ def test_wallet_components_sf01_unionfind_parity(spark):
     expect = {n: find(n) for n in parent}
     got = dict(zip(out.part.astype(int), out.component.astype(int)))
     assert got == expect
+
+
+# ------------------------------------ native recursive CTE hierarchy
+
+
+def test_recursive_cte_matches_arithmetic_walk(spark):
+    """The WITH RECURSIVE walk agrees with a direct arithmetic
+    recomputation of depth (number of div-10 steps to the root) and
+    root per node."""
+    out = (
+        _df("recursive_cte_hierarchy", spark)
+        .toPandas()
+        .set_index("node")
+        .sort_index()
+    )
+    keys = table(spark, SF_DIR, "part").select("p_partkey").toPandas().p_partkey
+    assert len(out) == len(keys)
+    for p in keys:
+        node, depth = int(p), 0
+        while node >= 10:
+            node //= 10
+            depth += 1
+        assert out.loc[p, "depth"] == depth
+        assert out.loc[p, "root"] == node
+
+
+def test_recursive_cte_consistent_with_subtree_rollup(spark):
+    """Roots found by the recursive walk are exactly the depth-1 roots
+    subtree_rollup aggregates into (node < 10)."""
+    roots = set(
+        _df("recursive_cte_hierarchy", spark)
+        .select("root")
+        .distinct()
+        .toPandas()
+        .root
+    )
+    rollup_roots = set(
+        _df("subtree_rollup", spark).where(F.col("node") < 10).toPandas().node
+    )
+    assert roots == rollup_roots
