@@ -262,3 +262,30 @@ def test_recursive_cte_consistent_with_subtree_rollup(spark):
         _df("subtree_rollup", spark).where(F.col("node") < 10).toPandas().node
     )
     assert roots == rollup_roots
+
+
+# --------------------------------------------- VARIANT path extraction
+
+
+def test_variant_extract_matches_plain_groupby(spark):
+    """The VARIANT round-trip (build JSON -> parse_json ->
+    try_variant_get) loses nothing: results equal the direct
+    aggregate over the raw columns."""
+    out = (
+        _df("variant_extract", spark).toPandas().set_index("t").sort_index()
+    )
+    ev = table(spark, SF_DIR, "events")
+    direct = (
+        ev.groupBy(F.col("event_type").alias("t"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("user_id").cast("long").alias("u_sum"),
+            F.sum((F.col("value").cast("decimal(18,2)") * 100).cast("long"))
+            .cast("long")
+            .alias("cents_sum"),
+        )
+        .toPandas()
+        .set_index("t")
+        .sort_index()
+    )
+    pd.testing.assert_frame_equal(out, direct)
