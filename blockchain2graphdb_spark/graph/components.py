@@ -213,9 +213,10 @@ def list_rank(
     probe_every: int = 2,
 ) -> DataFrame:
     """Position of each node in its chain (1-based), from (id, parent)
-    links alone, parent NULL at the head. Pointer jumping: each round
-    rewrites ptr -> ptr's ptr and accumulates the skipped distance, so a
-    chain of length L resolves in ceil(log2 L) self-joins.
+    links alone, parent NULL at the head. Pointer jumping with THREE
+    chained compositions per checkpointed round (stride d -> 4d per
+    barrier, all probing one shared broadcast of the round's table), so
+    a chain of length L resolves in ceil(log4 L) checkpoint barriers.
 
     Same checkpoint-loses-stats story as connected_components: the
     lookup side of each self-join is hinted broadcast while the node
@@ -241,11 +242,43 @@ def list_rank(
     )
     hint = F.broadcast if n_nodes <= broadcast_nodes else (lambda df: df)
 
+    def jump(base: DataFrame, lk: DataFrame) -> DataFrame:
+        # one pointer-jump composition against lk: ptr := lk[ptr].ptr,
+        # dist += lk[ptr].dist (resolved rows pass through unchanged)
+        return base.join(hint(lk), base["ptr"] == F.col("b_id"), "left").select(
+            base["id"].alias("id"),
+            F.when(base["ptr"].isNull(), F.lit(None))
+            .otherwise(F.col("b_ptr"))
+            .alias("ptr"),
+            (
+                base["dist"]
+                + F.when(
+                    base["ptr"].isNull() | F.col("b_dist").isNull(), F.lit(0)
+                ).otherwise(F.col("b_dist"))
+            ).alias("dist"),
+        )
+
     for i in range(max_iter):
-        a = cur.alias("x")
-        b = cur.select(
-            F.col("id").alias("b_id"), F.col("ptr").alias("b_ptr"), F.col("dist").alias("b_dist")
-        ).alias("y")
+        # THREE chained jumps per checkpointed round (r9): if cur's
+        # pointers cover stride d, each jump against cur adds d more,
+        # so one round takes the stride from d to 4d — chains of
+        # length L resolve in ceil(log4 L) barriers instead of
+        # ceil(log2 L). CRITICAL: all three joins must probe the SAME
+        # lk DataFrame OBJECT so the plan carries ONE broadcast
+        # exchange (ReusedExchange for the other two probes). Minting
+        # a fresh projection per jump creates fresh exprIds → three
+        # separate broadcasts of identical data, measured ~40% SLOWER
+        # than one jump per barrier; a jump(mid, mid) self-lookup
+        # variant re-executes the intermediate join on both sides and
+        # is ~10x slower — don't retry either. Interleaved A/B at
+        # sf0.1: 7 rounds/3.4s (k=1) → 4 rounds/2.8s (k=3); k=7 adds
+        # joins for no further gain.
+        lk = cur.select(
+            F.col("id").alias("b_id"),
+            F.col("ptr").alias("b_ptr"),
+            F.col("dist").alias("b_dist"),
+        )
+        stepped = jump(jump(jump(cur, lk), lk), lk)
         # stats-reset checkpoint: self-join squares preserved size
         # estimates every round (see connected_components / STATUS.md)
         # the liveness probe rides the checkpoint job (observe): an
@@ -253,18 +286,7 @@ def list_rank(
         # the loop exits exactly at resolution instead of up to
         # probe_every - 1 no-op rounds later
         cur, unresolved = observed_checkpoint(
-            a.join(hint(b), F.col("x.ptr") == F.col("y.b_id"), "left").select(
-                F.col("x.id").alias("id"),
-                F.when(F.col("x.ptr").isNull(), F.lit(None))
-                .otherwise(F.col("y.b_ptr"))
-                .alias("ptr"),
-                (
-                    F.col("x.dist")
-                    + F.when(
-                        F.col("x.ptr").isNull() | F.col("y.b_dist").isNull(), F.lit(0)
-                    ).otherwise(F.col("y.b_dist"))
-                ).alias("dist"),
-            ),
+            stepped,
             F.count(F.when(F.col("ptr").isNotNull(), 1)),
         )
         if unresolved == 0:

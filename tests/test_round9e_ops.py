@@ -289,3 +289,28 @@ def test_variant_extract_matches_plain_groupby(spark):
         .sort_index()
     )
     pd.testing.assert_frame_equal(out, direct)
+
+
+# ----------------------------------- list_rank quad-stride pointer jump
+
+
+def test_list_rank_long_chain_quad_stride(spark):
+    """A 150-node shuffled-id chain (4 quad-stride barriers: 4^4 >=
+    150) plus a singleton ranks exactly."""
+    import random
+
+    from blockchain2graphdb_spark.graph.components import list_rank
+
+    random.seed(7)
+    ids = list(range(1000, 1150))
+    random.shuffle(ids)
+    rows = (
+        [(ids[0], None)]
+        + [(ids[k], ids[k - 1]) for k in range(1, 150)]
+        + [(5, None)]
+    )
+    df = spark.createDataFrame(rows, "id long, parent long")
+    out = {r.id: r.pos for r in list_rank(df, "id", "parent").collect()}
+    expect = {ids[k]: k + 1 for k in range(150)}
+    expect[5] = 1
+    assert out == expect
