@@ -471,3 +471,68 @@ def snapshot_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec2("o_totalprice")).cast("double").alias("total"),
         )
     )
+
+
+@query(
+    "ivm_join_delta",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS price_sum
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus
+    """,
+)
+def ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for a JOIN view (the M-family's
+    missing classic): with base tables split into old + delta batches
+    (A = A0 ∪ dA, B = B0 ∪ dB — here a deterministic key-mod split of
+    orders/lineitem standing in for 'yesterday's data + today's
+    micro-batch'), the view delta is computed by the textbook IVM
+    formula d(A ⋈ B) = dA ⋈ B0  ∪  A0 ⋈ dB  ∪  dA ⋈ dB, so the builder
+    NEVER re-joins A0 with B0 — at 100 TB that is the difference
+    between touching |delta| x join-partners and recomputing the whole
+    view (in production dA/dB ARE the micro-batch files and A0 ⋈ B0 is
+    the stored view, so the old-x-old term never reads base data at
+    all; the key-mod split here just derives all four pieces from one
+    fixture). The three delta terms and the old view fold
+    into one re-aggregation of partial (count, sum) states — exactly
+    how a maintained materialized view refreshes. The oracle computes
+    the full join from scratch, so what's checked is that the delta
+    algebra reproduces the monolithic result bit-for-bit (money in
+    exact DECIMAL until the final cast)."""
+    prep(spark)
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_extendedprice").cast("decimal(18,2)").alias("p")
+    )
+    a0 = orders.where(F.col("o_orderkey") % 10 != 0)
+    da = orders.where(F.col("o_orderkey") % 10 == 0)
+    b0 = li.where(F.col("l_orderkey") % 7 != 0)
+    db = li.where(F.col("l_orderkey") % 7 == 0)
+
+    def agg(df: DataFrame) -> DataFrame:
+        # partial (count, sum) state per group — map-side combinable,
+        # and mergeable across the old view and the three delta terms
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("p").alias("s"),
+        )
+
+    old_view = agg(a0.join(b0, a0.o_orderkey == b0.l_orderkey))
+    d1 = agg(da.join(b0, da.o_orderkey == b0.l_orderkey))
+    d2 = agg(a0.join(db, a0.o_orderkey == db.l_orderkey))
+    d3 = agg(da.join(db, da.o_orderkey == db.l_orderkey))
+    return (
+        old_view.unionAll(d1)
+        .unionAll(d2)
+        .unionAll(d3)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("s").cast("double").alias("price_sum"),
+        )
+    )

@@ -314,3 +314,45 @@ def test_list_rank_long_chain_quad_stride(spark):
     expect = {ids[k]: k + 1 for k in range(150)}
     expect[5] = 1
     assert out == expect
+
+
+# --------------------------------------- join-view incremental refresh
+
+
+def test_ivm_join_delta_matches_monolithic(spark):
+    """The delta algebra (dA:B0 + A0:dB + dA:dB folded with the old
+    view) reproduces the from-scratch join bit-for-bit."""
+    out = (
+        _df("ivm_join_delta", spark)
+        .toPandas()
+        .set_index("o_orderstatus")
+        .sort_index()
+    )
+    orders = table(spark, SF_DIR, "orders").select("o_orderkey", "o_orderstatus")
+    li = table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", F.col("l_extendedprice").cast("decimal(18,2)").alias("p")
+    )
+    full = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("p").cast("double").alias("price_sum"),
+        )
+        .toPandas()
+        .set_index("o_orderstatus")
+        .sort_index()
+    )
+    pd.testing.assert_frame_equal(out, full)
+
+
+def test_ivm_join_delta_has_exactly_four_join_terms(spark):
+    """Plan evidence: exactly the four IVM terms join (old view + three
+    delta terms) — no fifth join recomputing the unsplit bases."""
+    p = plan_string(_df("ivm_join_delta", spark))
+    joins = sum(
+        p.count(j)
+        for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
+    )
+    # formatted plans list each node twice (tree + detail): 4 joins -> 8
+    assert joins == 8, joins
