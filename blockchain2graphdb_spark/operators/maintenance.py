@@ -536,3 +536,83 @@ def ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("s").cast("double").alias("price_sum"),
         )
     )
+
+
+@query(
+    "cdc_apply",
+    oracle="""
+    WITH ops AS (
+      SELECT o_orderkey AS k, 1 AS seq, 'I' AS op,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey, 2, 'U',
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) + 500
+      FROM orders WHERE o_orderkey % 3 = 0
+      UNION ALL
+      SELECT o_orderkey, 3, 'D', NULL
+      FROM orders WHERE o_orderkey % 5 = 0
+    ),
+    latest AS (
+      SELECT k, op, cents,
+             row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+      FROM ops
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_live,
+           CAST(SUM(cents) AS BIGINT) AS cents_sum,
+           CAST(SUM(CASE WHEN cents % 1000 = 500 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_updated_tail
+    FROM latest WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-feed compaction (M-family, the ordered sibling of
+    `upsert_merge`): an insert/update/delete change log — derived
+    deterministically from orders so both engines replay the identical
+    feed — is collapsed to current state by LAST-WRITER-WINS per key
+    (row_number over seq DESC, keep rn=1, drop 'D'). This is the apply
+    step every lakehouse ingest runs on a Debezium-style feed; ONE
+    keyed shuffle for the per-key latest (the window compiles to a
+    partial TopK under WindowGroupLimit since only rn=1 survives), no
+    join against the existing table at all — at 100 TB the feed
+    compaction cost is O(feed), independent of table size, and the
+    compacted batch then MERGEs like `upsert_merge`. Money stays
+    integer cents end-to-end."""
+    prep(spark)
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    ops = (
+        o.select("k", F.lit(1).alias("seq"), F.lit("I").alias("op"), "cents")
+        .unionAll(
+            o.where(F.col("k") % 3 == 0).select(
+                "k",
+                F.lit(2).alias("seq"),
+                F.lit("U").alias("op"),
+                (F.col("cents") + 500).alias("cents"),
+            )
+        )
+        .unionAll(
+            o.where(F.col("k") % 5 == 0).select(
+                "k",
+                F.lit(3).alias("seq"),
+                F.lit("D").alias("op"),
+                F.lit(None).cast("long").alias("cents"),
+            )
+        )
+    )
+    from pyspark.sql import Window as W
+
+    latest = ops.withColumn(
+        "rn", F.row_number().over(W.partitionBy("k").orderBy(F.desc("seq")))
+    ).where((F.col("rn") == 1) & (F.col("op") != "D"))
+    return latest.agg(
+        F.count(F.lit(1)).cast("long").alias("n_live"),
+        F.sum("cents").cast("long").alias("cents_sum"),
+        F.sum(F.when(F.col("cents") % 1000 == 500, 1).otherwise(0))
+        .cast("long")
+        .alias("n_updated_tail"),
+    )

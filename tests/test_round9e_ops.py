@@ -356,3 +356,42 @@ def test_ivm_join_delta_has_exactly_four_join_terms(spark):
     )
     # formatted plans list each node twice (tree + detail): 4 joins -> 8
     assert joins == 8, joins
+
+
+# ------------------------------------------------ CDC feed compaction
+
+
+def test_cdc_apply_pandas_parity(spark):
+    """Last-writer-wins compaction matches a pandas replay of the same
+    derived feed."""
+    row = _df("cdc_apply", spark).collect()[0]
+    o = (
+        table(spark, SF_DIR, "orders")
+        .select(
+            F.col("o_orderkey").alias("k"),
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+        .toPandas()
+    )
+    state: dict[int, int | None] = {}
+    for k, c in zip(o.k, o.cents):
+        state[int(k)] = int(c)
+    for k, c in zip(o.k, o.cents):
+        if k % 3 == 0:
+            state[int(k)] = int(c) + 500
+    for k in o.k:
+        if k % 5 == 0:
+            state.pop(int(k), None)
+    live = [v for v in state.values() if v is not None]
+    assert row.n_live == len(live)
+    assert row.cents_sum == sum(live)
+    assert row.n_updated_tail == sum(1 for v in live if v % 1000 == 500)
+
+
+def test_cdc_apply_uses_window_group_limit(spark):
+    """The per-key latest compiles to a WindowGroupLimit partial top-1,
+    not a full window materialization."""
+    p = plan_string(_df("cdc_apply", spark))
+    assert "WindowGroupLimit" in p
