@@ -2100,3 +2100,81 @@ def join_partition_prune_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("value_sum"),
         )
     )
+
+
+
+@query(
+    "join_interval_overlap",
+    oracle="""
+    WITH iv AS (
+      SELECT l_suppkey AS supp, l_orderkey AS ok, l_linenumber AS ln,
+             l_partkey AS pk,
+             (CAST(l_shipdate AS DATE) - DATE '1970-01-01') AS s,
+             (CAST(l_shipdate AS DATE) - DATE '1970-01-01')
+               + CAST(l_quantity AS BIGINT) % 30 + 1 AS e
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+    )
+    SELECT a.supp AS l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM iv a JOIN iv b
+      ON a.supp = b.supp
+     AND (a.ok, a.ln, a.pk) < (b.ok, b.ln, b.pk)
+     AND a.s < b.e AND b.s < a.e
+    GROUP BY a.supp
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap SELF-join (the genomics / double-booking shape;
+    distinct from `join_range`'s point-in-band probe): per supplier,
+    count pairs of 1997 shipments whose [ship, ship + qty%30 + 1) day
+    intervals overlap. The oracle states the quadratic join; the Spark
+    plan reduces it to an EQUI-join by bucketing every interval onto
+    the epoch-week grid cells it spans (explode of a <=6-element
+    sequence), joining on (supplier, week-cell), deduplicating pairs
+    that share multiple cells, then applying the exact overlap
+    predicate — at 100 TB the cross product never forms: candidates
+    are bounded by cell co-residency (the spatial_knn grid trick on
+    the time axis). All interval arithmetic is integer epoch-days
+    (datediff from the epoch; the NTZ fixture timestamps never meet a
+    timezone); pair identity is the
+    strict lexicographic row-key order, identical on both engines."""
+    prep(spark)
+    li = table(spark, sf_dir, "lineitem")
+    day = F.datediff(
+        F.col("l_shipdate").cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("long")
+    iv = li.where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select(
+        F.col("l_suppkey").alias("supp"),
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_linenumber").alias("ln"),
+        F.col("l_partkey").alias("pk"),
+        day.alias("s"),
+        (day + F.col("l_quantity").cast("long") % 30 + 1).alias("e"),
+    )
+    cells = iv.select(
+        "*", F.explode(F.sequence(F.expr("s div 7"), F.expr("(e - 1) div 7"))).alias("wk")
+    )
+    a = cells.select(*[F.col(c).alias(f"a_{c}") for c in cells.columns])
+    b = cells.select(*[F.col(c).alias(f"b_{c}") for c in cells.columns])
+    key_a = F.struct("a_ok", "a_ln", "a_pk")
+    key_b = F.struct("b_ok", "b_ln", "b_pk")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a_supp") == F.col("b_supp")) & (F.col("a_wk") == F.col("b_wk")),
+        )
+        .where(
+            (key_a < key_b)
+            & (F.col("a_s") < F.col("b_e"))
+            & (F.col("b_s") < F.col("a_e"))
+        )
+        .select("a_supp", "a_ok", "a_ln", "a_pk", "b_ok", "b_ln", "b_pk")
+        .distinct()
+    )
+    return pairs.groupBy(F.col("a_supp").alias("l_suppkey")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )

@@ -395,3 +395,49 @@ def test_cdc_apply_uses_window_group_limit(spark):
     not a full window materialization."""
     p = plan_string(_df("cdc_apply", spark))
     assert "WindowGroupLimit" in p
+
+
+# --------------------------------------------- interval-overlap join
+
+
+def test_interval_overlap_pandas_parity(spark):
+    """Grid-bucketed pair counts match a quadratic pandas sweep."""
+    out = (
+        _df("join_interval_overlap", spark)
+        .toPandas()
+        .set_index("l_suppkey")
+        .sort_index()
+    )
+    li = table(spark, SF_DIR, "lineitem").toPandas()
+    li = li[
+        (li.l_shipdate >= pd.Timestamp("1997-01-01"))
+        & (li.l_shipdate < pd.Timestamp("1998-01-01"))
+    ]
+    epoch = pd.Timestamp("1970-01-01")
+    s = (li.l_shipdate.dt.normalize() - epoch).dt.days.to_numpy()
+    e = s + (li.l_quantity.astype("int64") % 30 + 1).to_numpy()
+    key = list(
+        zip(li.l_suppkey, li.l_orderkey, li.l_linenumber, li.l_partkey)
+    )
+    counts: dict[int, int] = {}
+    idx_by_supp: dict[int, list[int]] = {}
+    for i, k in enumerate(key):
+        idx_by_supp.setdefault(int(k[0]), []).append(i)
+    for supp, idxs in idx_by_supp.items():
+        c = 0
+        for x in range(len(idxs)):
+            for y in range(len(idxs)):
+                i, j = idxs[x], idxs[y]
+                if key[i][1:] < key[j][1:] and s[i] < e[j] and s[j] < e[i]:
+                    c += 1
+        if c:
+            counts[supp] = c
+    assert dict(zip(out.index, out.n_pairs)) == counts
+
+
+def test_interval_overlap_no_cartesian(spark):
+    """The plan joins on (supplier, week-cell) equi-keys — no
+    cartesian/nested-loop pair generation."""
+    p = plan_string(_df("join_interval_overlap", spark))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
