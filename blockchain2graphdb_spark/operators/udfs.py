@@ -131,3 +131,54 @@ def udtf_flatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     return docs.mapInPandas(explode_tokens, schema="doc_id long, n_long_tokens long")
+
+
+@query(
+    "udtf_lateral",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, t.tok AS token
+      FROM documents, UNNEST(string_split(text, ' ')) AS t(tok)
+      WHERE t.tok <> ''
+    )
+    SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM toks GROUP BY doc_id, token HAVING COUNT(*) >= 3
+    """,
+)
+def udtf_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's REAL Python UDTF surface (§2.11's third seam, beyond
+    mapInPandas): a @udtf class registered and applied through a
+    LATERAL join — the extensibility contract for 1-to-N row logic
+    that genuinely needs imperative Python (here: per-doc frequent
+    tokens, tf >= 3). Like udf_scalar this is the declared SLOW path —
+    the same semantics run JVM-side in text_token_stats; what this key
+    pins is that the UDTF seam (class lifecycle, lateral correlation,
+    schema contract) produces results identical to the relational
+    form, so a user can prototype in a UDTF and swap in the vectorized
+    twin without a semantic diff. At scale the lateral UDTF
+    parallelizes per partition like any generator; state lives per
+    task, never on the driver."""
+    prep(spark)
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="token string, tf bigint")
+    class FrequentTokens:
+        def eval(self, text: str):
+            from collections import Counter
+
+            for tok, n in sorted(
+                Counter(t for t in text.split(" ") if t).items()
+            ):
+                if n >= 3:
+                    yield tok, n
+
+    spark.udtf.register("frequent_tokens", FrequentTokens)
+    table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).createOrReplaceTempView("docs_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, f.token, f.tf
+        FROM docs_udtf d, LATERAL frequent_tokens(d.text) f
+        """
+    )

@@ -441,3 +441,30 @@ def test_interval_overlap_no_cartesian(spark):
     p = plan_string(_df("join_interval_overlap", spark))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+# ---------------------------------------------- Python UDTF (lateral)
+
+
+def test_udtf_lateral_matches_relational_twin(spark):
+    """The @udtf lateral form equals the JVM-side tokenize + groupBy."""
+    out = (
+        _df("udtf_lateral", spark)
+        .toPandas()
+        .sort_values(["doc_id", "token"])
+        .reset_index(drop=True)
+    )
+    docs = table(spark, SF_DIR, "documents").select("doc_id", "text")
+    rel = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("token")
+        )
+        .where(F.col("token") != "")
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .where(F.col("tf") >= 3)
+        .toPandas()
+        .sort_values(["doc_id", "token"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, rel)
