@@ -1535,3 +1535,63 @@ def impute_group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         filled.cast("long").alias("cents_imputed"),
         (filled.cast("double") / 100).alias("value_imputed"),
     )
+
+
+@query(
+    "weighted_median",
+    oracle="""
+    WITH g AS (
+      SELECT l_returnflag AS flag,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+      FROM lineitem GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT flag, cents, w,
+             SUM(w) OVER (PARTITION BY flag ORDER BY cents) AS cum,
+             SUM(w) OVER (PARTITION BY flag) AS tot
+      FROM g
+    )
+    SELECT flag,
+           CAST(MIN(CASE WHEN 2 * cum >= tot THEN cents END) AS BIGINT)
+             AS wmedian_cents,
+           CAST(MAX(tot) AS BIGINT) AS total_weight
+    FROM c GROUP BY flag
+    """,
+)
+def weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact WEIGHTED median per segment (quantity-weighted price —
+    the robust location statistic when rows carry unequal mass; the
+    unweighted forms live in mad_robust / percentile_summary): the
+    lower weighted median is the smallest value whose cumulative
+    weight reaches half the total, found with one cumulative window
+    OVER AN AGGREGATE — values are first merged per (segment, cents),
+    so the window input is the distinct-value table, not the raw scan
+    (the auc_exact sweep-allowed shape), and the window is partitioned
+    by segment. Everything is int64 cents/quantities; the half-total
+    comparison is the cleared-denominator form 2*cum >= tot, so no
+    division ever happens."""
+    prep(spark)
+    li = table(spark, sf_dir, "lineitem")
+    g = (
+        li.groupBy(
+            F.col("l_returnflag").alias("flag"),
+            (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("w"))
+    )
+    c = g.select(
+        "flag",
+        "cents",
+        F.sum("w").over(W.partitionBy("flag").orderBy("cents")).alias("cum"),
+        F.sum("w").over(W.partitionBy("flag")).alias("tot"),
+    )
+    return c.groupBy("flag").agg(
+        F.min(F.when(2 * F.col("cum") >= F.col("tot"), F.col("cents")))
+        .cast("long")
+        .alias("wmedian_cents"),
+        F.max("tot").cast("long").alias("total_weight"),
+    )

@@ -278,3 +278,36 @@ def test_zonemap_matches_full_scan(spark):
     )
     assert (row.n_orders, row.min_custkey, row.max_custkey) == (full.n, full.mn, full.mx)
     assert abs(row.price_sum - full.s) < 1e-6
+
+
+# ----------------------------------------------------- weighted median
+
+
+def test_weighted_median_numpy_parity(spark):
+    """Lower weighted median per flag matches an explicit numpy
+    cumulative-weight sweep."""
+    out = (
+        SPECS["weighted_median"]
+        .builder(spark, SF_DIR)
+        .toPandas()
+        .set_index("flag")
+        .sort_index()
+    )
+    li = (
+        table(spark, SF_DIR, "lineitem")
+        .select(
+            "l_returnflag",
+            (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+            F.col("l_quantity").cast("long").alias("w"),
+        )
+        .toPandas()
+    )
+    for flag, grp in li.groupby("l_returnflag"):
+        g = grp.groupby("cents").w.sum().sort_index()
+        cum = g.cumsum()
+        tot = int(g.sum())
+        med = int(cum.index[(2 * cum >= tot).argmax()])
+        assert out.loc[flag, "wmedian_cents"] == med
+        assert out.loc[flag, "total_weight"] == tot
