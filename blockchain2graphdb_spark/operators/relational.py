@@ -2178,3 +2178,70 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy(F.col("a_supp").alias("l_suppkey")).agg(
         F.count(F.lit(1)).cast("long").alias("n_pairs")
     )
+
+
+def _orc_orders_dir(sf_dir: str) -> str:
+    """Derivation of orders as an ORC dataset (written once by Spark
+    itself on first use, content-keyed to the fixture like
+    _zonemap_orders_dir so regeneration invalidates it). ORC is the
+    second columnar format the engine reads natively; the content is
+    byte-identical to orders.parquet so the parquet oracle checks the
+    ORC reader."""
+    import os
+
+    from ..paths import tmp_root
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src)
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    return os.path.join(
+        tmp_root(), f"orcorders_{sf_tag}_{st.st_size}_{st.st_mtime_ns}"
+    )
+
+
+@query(
+    "scan_orc",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS price_sum
+    FROM orders
+    WHERE o_orderkey % 4 = 1
+    GROUP BY o_orderstatus
+    """,
+)
+def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-family format axis: the same orders relation served from ORC
+    (Spark's second built-in columnar format — the path a lake with
+    mixed-format history needs). The derivation is written by Spark
+    from the parquet original on first use, so the oracle (running on
+    parquet) checks the ORC reader end-to-end: schema mapping, decimal
+    round-trip, and predicate pushdown (the key-mod residue filter and
+    column pruning reach the ORC scan exactly like parquet —
+    `PushedFilters` appears in the plan for both formats)."""
+    import glob as _glob
+    import os
+    import shutil
+
+    prep(spark)
+    d = _orc_orders_dir(sf_dir)
+    if not os.path.isdir(d):
+        for stale in _glob.glob(
+            os.path.join(os.path.dirname(d), "orcorders_*")
+        ):
+            shutil.rmtree(stale, ignore_errors=True)
+        stage = d + ".staging"
+        table(spark, sf_dir, "orders").write.mode("overwrite").orc(stage)
+        os.replace(stage, d)
+    df = spark.read.orc(d)
+    return (
+        df.where(F.col("o_orderkey") % 4 == 1)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("price_sum"),
+        )
+    )

@@ -468,3 +468,35 @@ def test_udtf_lateral_matches_relational_twin(spark):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(out, rel)
+
+
+# --------------------------------------------------------- ORC source
+
+
+def test_scan_orc_pushes_filters(spark):
+    """The residue filter and column pruning reach the ORC scan."""
+    p = plan_string(_df("scan_orc", spark))
+    assert "PushedFilters" in p
+    assert "orc" in p.lower()
+
+
+def test_scan_orc_matches_parquet(spark):
+    """ORC round-trip preserves values: same aggregate from parquet."""
+    out = (
+        _df("scan_orc", spark).toPandas().set_index("o_orderstatus").sort_index()
+    )
+    pq_side = (
+        table(spark, SF_DIR, "orders")
+        .where(F.col("o_orderkey") % 4 == 1)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("price_sum"),
+        )
+        .toPandas()
+        .set_index("o_orderstatus")
+        .sort_index()
+    )
+    pd.testing.assert_frame_equal(out, pq_side)
