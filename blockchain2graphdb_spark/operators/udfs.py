@@ -156,12 +156,14 @@ def udtf_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema contract) produces results identical to the relational
     form, so a user can prototype in a UDTF and swap in the vectorized
     twin without a semantic diff. At scale the lateral UDTF
-    parallelizes per partition like any generator; state lives per
+    parallelizes per partition like any generator (Arrow-optimized —
+    useArrow=True — so rows cross the Python boundary in batches, the
+    same policy every other Python seam follows); state lives per
     task, never on the driver."""
     prep(spark)
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="token string, tf bigint")
+    @udtf(returnType="token string, tf bigint", useArrow=True)
     class FrequentTokens:
         def eval(self, text: str):
             from collections import Counter
