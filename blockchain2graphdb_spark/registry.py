@@ -67,6 +67,7 @@ _OPERATOR_MODULES = (
 # longer matters for sampling.
 _SAMPLE_PRIORITY = (
     # round-9 keys (never driver-sampled) lead, newest batch first
+    "stream_cdc_apply",
     "scan_orc",
     "weighted_median",
     "udtf_lateral",

@@ -759,3 +759,161 @@ def stream_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run(spark, out, output_mode="complete")
+
+
+def _cdc_feed_replay(sf_dir: str) -> str:
+    """Three-file CDC feed derived from orders (the cdc_apply feed,
+    one file per seq wave: inserts, updates, deletes), content-keyed
+    to the fixture like _write_replay."""
+    import glob as _glob
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    src = f"{sf_dir}/orders.parquet"
+    st = os.stat(src)
+    tag = f"{os.path.basename(sf_dir.rstrip('/'))}_{st.st_size}_{st.st_mtime_ns}"
+    d = f"{_tmp_root_fn()}/cdcfeed_{tag}"
+    for stale in _glob.glob(
+        f"{_tmp_root_fn()}/cdcfeed_{os.path.basename(sf_dir.rstrip('/'))}*"
+    ):
+        if stale != d:
+            shutil.rmtree(stale, ignore_errors=True)
+    if not os.path.exists(d):
+        stage = f"{d}.staging"
+        shutil.rmtree(stage, ignore_errors=True)
+        os.makedirs(stage, exist_ok=True)
+        t = pq.read_table(src, columns=["o_orderkey", "o_totalprice"])
+        k = pc.cast(t.column("o_orderkey"), pa.int64())
+        cents = pc.cast(
+            pc.round(pc.multiply(pc.cast(t.column("o_totalprice"), pa.float64()), 100.0)),
+            pa.int64(),
+        )
+        def wave(mask, seq, op, c):
+            kk = pc.filter(k, mask) if mask is not None else k
+            cc = pc.filter(c, mask) if (mask is not None and c is not None) else c
+            n = len(kk)
+            return pa.table(
+                {
+                    "k": kk,
+                    "seq": pa.array([seq] * n, pa.int32()),
+                    "op": pa.array([op] * n, pa.string()),
+                    "cents": cc if cc is not None else pa.nulls(n, pa.int64()),
+                }
+            )
+        import numpy as np
+
+        kn = k.to_numpy(zero_copy_only=False)
+        m_u = pa.array(kn % 3 == 0)
+        m_d = pa.array(kn % 5 == 0)
+        waves = [
+            wave(None, 1, "I", cents),
+            wave(m_u, 2, "U", pc.add(cents, 500)),
+            wave(m_d, 3, "D", None),
+        ]
+        import time
+
+        for i, w in enumerate(waves):
+            pq.write_table(w, f"{stage}/part-{i:02d}.parquet")
+            time.sleep(0.05)
+        os.rename(stage, d)
+    return d
+
+
+@query(
+    "stream_cdc_apply",
+    oracle="""
+    WITH ops AS (
+      SELECT o_orderkey AS k, 1 AS seq, 'I' AS op,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey, 2, 'U',
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) + 500
+      FROM orders WHERE o_orderkey % 3 = 0
+      UNION ALL
+      SELECT o_orderkey, 3, 'D', NULL
+      FROM orders WHERE o_orderkey % 5 = 0
+    ),
+    latest AS (
+      SELECT k, op, cents,
+             row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+      FROM ops
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_live,
+           CAST(SUM(cents) AS BIGINT) AS cents_sum,
+           CAST(SUM(CASE WHEN cents % 1000 = 500 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_updated_tail
+    FROM latest WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 x M8: the STREAMING CDC apply — the cdc_apply feed
+    replayed as a file stream (one micro-batch per wave), folded into
+    a maintained current-state table by a foreachBatch MERGE that
+    keeps the max-seq row per key. State is VERSIONED (each batch
+    writes state v<batch_id> from v<batch_id - 1>), so a replayed
+    micro-batch overwrites its own version instead of double-applying
+    — the object-store exactly-once recipe, and the streaming twin of
+    the batch operator: same oracle, because last-writer-wins is
+    arrival-order-independent (max seq commutes), so however
+    availableNow batches the three files, the final state is
+    identical. Money stays integer cents end-to-end."""
+    prep(spark)
+    import glob as _glob
+    import os
+    import shutil
+
+    d = _cdc_feed_replay(sf_dir)
+    out = f"{_tmp_root_fn()}/cdcstate_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(f"{out}.ckpt", ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    s = (
+        spark.readStream.schema("k long, seq int, op string, cents long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        versions = sorted(
+            int(os.path.basename(v)[1:])
+            for v in _glob.glob(f"{out}/v*")
+            if int(os.path.basename(v)[1:]) < batch_id + 1
+        )
+        prev = (
+            sess.read.parquet(f"{out}/v{versions[-1]}")
+            if versions
+            else sess.createDataFrame([], "k long, seq int, op string, cents long")
+        )
+        merged = (
+            prev.unionByName(batch_df)
+            .withColumn(
+                "rn",
+                F.row_number().over(W.partitionBy("k").orderBy(F.desc("seq"))),
+            )
+            .where(F.col("rn") == 1)
+            .drop("rn")
+        )
+        merged.write.mode("overwrite").parquet(f"{out}/v{batch_id + 1}")
+
+    q = (
+        s.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", f"{out}.ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    latest = max(int(os.path.basename(v)[1:]) for v in _glob.glob(f"{out}/v*"))
+    state = spark.read.parquet(f"{out}/v{latest}")
+    return state.where(F.col("op") != "D").agg(
+        F.count(F.lit(1)).cast("long").alias("n_live"),
+        F.sum("cents").cast("long").alias("cents_sum"),
+        F.sum(F.when(F.col("cents") % 1000 == 500, 1).otherwise(0))
+        .cast("long")
+        .alias("n_updated_tail"),
+    )

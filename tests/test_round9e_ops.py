@@ -500,3 +500,14 @@ def test_scan_orc_matches_parquet(spark):
         .sort_index()
     )
     pd.testing.assert_frame_equal(out, pq_side)
+
+
+# -------------------------------------------- streaming CDC state fold
+
+
+def test_stream_cdc_apply_equals_batch_twin(spark):
+    """The streaming versioned-state fold lands on exactly the batch
+    cdc_apply result."""
+    s_row = _df("stream_cdc_apply", spark).collect()[0]
+    b_row = _df("cdc_apply", spark).collect()[0]
+    assert s_row.asDict() == b_row.asDict()
