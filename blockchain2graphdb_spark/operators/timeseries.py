@@ -822,3 +822,108 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("twap_micros"),
     )
+
+
+@query(
+    "gap_detect",
+    oracle=f"""
+    WITH ud AS (
+      SELECT DISTINCT user_id, (epoch_ns(ts) // 1000) // {_DAY_US} AS day
+      FROM events
+    ),
+    lagged AS (
+      SELECT user_id, day,
+             lag(day) OVER (PARTITION BY user_id ORDER BY day) AS prev
+      FROM ud
+    )
+    SELECT user_id,
+           CAST(prev + 1 AS BIGINT) AS gap_start_day,
+           CAST(day - 1 AS BIGINT) AS gap_end_day,
+           CAST(day - prev - 1 AS BIGINT) AS gap_days
+    FROM lagged WHERE prev IS NOT NULL AND day - prev >= 2
+    """,
+)
+def gap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DETECTION side of gap handling (gap_fill_locf is the repair
+    side): per USER, every run of missing days between two active
+    days — the dormancy/churn-risk intervals a lifecycle pipeline
+    alerts on (the per-type series has no gaps in this corpus: types
+    are active daily; users are not). One lag window OVER the distinct
+    (user, day) table — the window input is the deduplicated activity
+    calendar, never the raw log — partitioned by user; pure integer
+    epoch-day arithmetic on both engines."""
+    ud = (
+        table(spark, sf_dir, "events")
+        .select(
+            "user_id", F.expr(f"unix_micros(ts) div {_DAY_US}").alias("day")
+        )
+        .distinct()
+    )
+    w = W.partitionBy("user_id").orderBy("day")
+    lagged = ud.select("user_id", "day", F.lag("day").over(w).alias("prev"))
+    return lagged.where(
+        F.col("prev").isNotNull() & (F.col("day") - F.col("prev") >= 2)
+    ).select(
+        "user_id",
+        (F.col("prev") + 1).cast("long").alias("gap_start_day"),
+        (F.col("day") - 1).cast("long").alias("gap_end_day"),
+        (F.col("day") - F.col("prev") - 1).cast("long").alias("gap_days"),
+    )
+
+
+@query(
+    "stickiness_dau_mau",
+    oracle=f"""
+    WITH ud AS (
+      SELECT DISTINCT user_id, (epoch_ns(ts) // 1000) // {_DAY_US} AS day
+      FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM ud),
+    mau AS (
+      SELECT d.day, COUNT(DISTINCT u.user_id) AS mau
+      FROM days d JOIN ud u ON u.day BETWEEN d.day - 27 AND d.day
+      GROUP BY d.day
+    ),
+    dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY day)
+    SELECT CAST(dau.day AS BIGINT) AS day,
+           CAST(dau.dau AS BIGINT) AS dau,
+           CAST(mau.mau AS BIGINT) AS mau,
+           CAST(ROUND(CAST(dau.dau AS DOUBLE) / mau.mau * 1e9) AS BIGINT)
+             AS stickiness_nanos
+    FROM dau JOIN mau ON mau.day = dau.day
+    """,
+)
+def stickiness_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per day — the product-health ratio every
+    growth dashboard leads with. MAU(d) = distinct users active in
+    [d-27, d], computed WITHOUT a windowed count-distinct (which Spark
+    cannot partial-aggregate): each distinct (day, user) pair expands
+    map-side to the <= 28 future days it keeps alive (the rolling_dau
+    expansion trick), and one count-distinct aggregate per target day
+    finishes it — shuffle volume is 28x the DEDUPLICATED activity
+    calendar, independent of raw event volume. The ratio is one double
+    division, int-nanos quantized; everything before it is exact."""
+    ud = (
+        table(spark, sf_dir, "events")
+        .select("user_id", F.expr(f"unix_micros(ts) div {_DAY_US}").alias("day"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    days = ud.select("day").distinct()
+    contrib = ud.select(
+        "user_id", F.explode(F.sequence(F.col("day"), F.col("day") + 27)).alias("mday")
+    )
+    mau = (
+        contrib.join(days.select(F.col("day").alias("mday")), "mday", "left_semi")
+        .groupBy("mday")
+        .agg(F.count_distinct("user_id").alias("mau"))
+    )
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    return dau.join(mau, dau.day == mau.mday).select(
+        F.col("day").cast("long").alias("day"),
+        F.col("dau").cast("long").alias("dau"),
+        F.col("mau").cast("long").alias("mau"),
+        F.round(F.col("dau").cast("double") / F.col("mau") * 1e9)
+        .cast("long")
+        .alias("stickiness_nanos"),
+    )

@@ -67,6 +67,8 @@ _OPERATOR_MODULES = (
 # longer matters for sampling.
 _SAMPLE_PRIORITY = (
     # round-9 keys (never driver-sampled) lead, newest batch first
+    "gap_detect",
+    "stickiness_dau_mau",
     "stream_cdc_apply",
     "scan_orc",
     "weighted_median",

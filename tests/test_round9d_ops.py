@@ -311,3 +311,43 @@ def test_weighted_median_numpy_parity(spark):
         med = int(cum.index[(2 * cum >= tot).argmax()])
         assert out.loc[flag, "wmedian_cents"] == med
         assert out.loc[flag, "total_weight"] == tot
+
+
+# ------------------------------------------- gap detect / stickiness
+
+
+def test_gap_detect_pandas_parity(spark):
+    """Per-user gap intervals match a pandas diff over the distinct
+    activity calendar."""
+    out = SPECS["gap_detect"].builder(spark, SF_DIR).toPandas()
+    e = _events_pd(spark)
+    days = (
+        e.assign(day=e.us // _DAY_US)[["user_id", "day"]]
+        .drop_duplicates()
+        .sort_values(["user_id", "day"])
+    )
+    expect = []
+    for uid, grp in days.groupby("user_id"):
+        d = grp.day.to_numpy()
+        for i in range(1, len(d)):
+            if d[i] - d[i - 1] >= 2:
+                expect.append((uid, d[i - 1] + 1, d[i] - 1, d[i] - d[i - 1] - 1))
+    got = sorted(map(tuple, out.to_numpy().tolist()))
+    assert got == sorted(expect)
+
+
+def test_stickiness_bounds_and_dau(spark):
+    """0 < stickiness <= 1e9, and DAU matches the calendar; MAU >= DAU
+    always (the window contains the day itself)."""
+    out = SPECS["stickiness_dau_mau"].builder(spark, SF_DIR).toPandas()
+    assert ((out.stickiness_nanos > 0) & (out.stickiness_nanos <= 10**9)).all()
+    assert (out.mau >= out.dau).all()
+    e = _events_pd(spark)
+    dau = (
+        e.assign(day=e.us // _DAY_US)[["user_id", "day"]]
+        .drop_duplicates()
+        .groupby("day")
+        .size()
+    )
+    got = out.set_index("day").dau.sort_index()
+    assert (got == dau.sort_index()).all()
