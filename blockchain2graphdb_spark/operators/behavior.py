@@ -848,3 +848,95 @@ def kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.sum("term_nanos").over(wc).cast("long"))
         .alias("ln_surv_nanos"),
     )
+
+
+@query(
+    "attribution_linear",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id, event_type,
+             epoch_ns(ts) // 1000 AS us,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM events
+    ),
+    p AS (SELECT user_id, event_id AS pid, us AS pus, cents
+          FROM e WHERE event_type = 'purchase'),
+    t AS (SELECT user_id, event_id AS tid, event_type AS channel, us AS tus
+          FROM e WHERE event_type IN ('click', 'view')),
+    pairs AS (
+      SELECT p.pid, p.cents, t.channel, t.tus, t.tid
+      FROM p JOIN t ON t.user_id = p.user_id
+       AND t.tus < p.pus AND t.tus >= p.pus - 7 * {_DAY_US}
+    ),
+    credited AS (
+      SELECT channel, cents,
+             CAST(COUNT(*) OVER (PARTITION BY pid) AS BIGINT) AS n,
+             row_number() OVER (PARTITION BY pid ORDER BY tus, tid) AS rk
+      FROM pairs
+    )
+    SELECT channel,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           CAST(SUM(cents // n + CASE WHEN rk = 1 THEN cents % n ELSE 0 END)
+                AS BIGINT) AS credited_cents
+    FROM credited GROUP BY channel
+    """,
+)
+def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR multi-touch attribution (the fractional sibling of
+    `attribution_last_touch`): each purchase's revenue splits equally
+    across ALL its touches (clicks/views) in the preceding 7 days.
+    Equal division of integer cents cannot be exact, so instead of
+    rationals-through-floats the credit is allocated as EXACT integer
+    division with the remainder assigned to the EARLIEST touch
+    (deterministic: cents div n everywhere, + cents mod n at rank 1)
+    — every credited cent exists exactly once, the per-channel sums
+    are pure int64, and both engines replay the identical allocation
+    (the cleared-denominator discipline applied to money splitting).
+
+    Scale shape: the purchase-touch pairing is a user-keyed equi-join
+    with a 7-day band predicate (the join_range shape — never an
+    unkeyed interval join), and per-purchase n/rank come from windows
+    partitioned by purchase id; cents are non-negative (fixture
+    money), so truncating div == floor div on both engines."""
+    prep(spark)
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("pid"),
+        F.col("us").alias("pus"),
+        "cents",
+    )
+    t = ev.where(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        F.col("event_id").alias("tid"),
+        F.col("event_type").alias("channel"),
+        F.col("us").alias("tus"),
+    )
+    pairs = p.join(
+        t,
+        (p.user_id == t.user_id)
+        & (t.tus < p.pus)
+        & (t.tus >= p.pus - 7 * _DAY_US),
+    ).select("pid", "cents", "channel", "tus", "tid")
+    wp = W.partitionBy("pid")
+    credited = pairs.select(
+        "channel",
+        "cents",
+        F.count(F.lit(1)).over(wp).cast("long").alias("n"),
+        F.row_number().over(wp.orderBy("tus", "tid")).alias("rk"),
+    )
+    return credited.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("long").alias("n_touches"),
+        F.sum(
+            F.expr("cents div n")
+            + F.when(F.col("rk") == 1, F.col("cents") % F.col("n")).otherwise(0)
+        )
+        .cast("long")
+        .alias("credited_cents"),
+    )

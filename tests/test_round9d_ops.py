@@ -351,3 +351,27 @@ def test_stickiness_bounds_and_dau(spark):
     )
     got = out.set_index("day").dau.sort_index()
     assert (got == dau.sort_index()).all()
+
+
+# -------------------------------------------- linear attribution
+
+
+def test_attribution_linear_conserves_credited_cents(spark):
+    """Every credited purchase's cents land exactly once: channel sums
+    equal the total cents of purchases that HAVE at least one touch."""
+    out = SPECS["attribution_linear"].builder(spark, SF_DIR).toPandas()
+    ev = _events_pd(spark)
+    p = ev[ev.event_type == "purchase"]
+    t = ev[ev.event_type.isin(["click", "view"])]
+    total = 0
+    by_user = {u: g for u, g in t.groupby("user_id")}
+    for r in p.itertuples():
+        g = by_user.get(r.user_id)
+        if g is None:
+            continue
+        n = (
+            (g.us < r.us) & (g.us >= r.us - 7 * _DAY_US)
+        ).sum()
+        if n > 0:
+            total += int(r.cents)
+    assert int(out.credited_cents.sum()) == total
