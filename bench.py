@@ -74,6 +74,11 @@ SECONDARY = [
     "association_rules",        # basket expansion + lift top-k
     "mad_robust",               # two bucketed-rank passes (median, MAD)
     "ngram_novelty",            # gram-vocabulary anti-probe per doc
+    "ivm_join_delta",           # join-view IVM delta algebra
+    "cdc_apply",                # LWW change-feed compaction
+    "join_interval_overlap",    # grid-bucketed interval self-join
+    "embedding_covariance",     # exact d x d covariance, one scan
+    "recursive_cte_hierarchy",  # native WITH RECURSIVE frontier scans
 ]
 
 
