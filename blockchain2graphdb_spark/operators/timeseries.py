@@ -927,3 +927,95 @@ def stickiness_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("stickiness_nanos"),
     )
+
+
+@query(
+    "inventory_clamped_balance",
+    oracle="""
+    WITH net AS (
+      SELECT l_partkey AS part,
+             (CAST(l_shipdate AS DATE) - DATE '1970-01-01') AS day,
+             CAST(SUM(CASE WHEN l_orderkey % 2 = 0
+                           THEN CAST(l_quantity AS BIGINT)
+                           ELSE -CAST(l_quantity AS BIGINT) END)
+                  AS BIGINT) AS x
+      FROM lineitem GROUP BY 1, 2
+    ),
+    cumwalk AS (
+      SELECT part, day,
+             SUM(x) OVER (PARTITION BY part ORDER BY day) AS cum
+      FROM net
+    ),
+    walk AS (
+      SELECT part, day, cum,
+             MIN(cum) OVER (PARTITION BY part ORDER BY day) AS minpref
+      FROM cumwalk
+    ),
+    clamped AS (
+      SELECT part, day,
+             cum - LEAST(minpref, 0) AS bal
+      FROM walk
+    )
+    SELECT part,
+           CAST(MAX(CASE WHEN rn = 1 THEN bal END) AS BIGINT) AS final_bal,
+           CAST(MAX(bal) AS BIGINT) AS peak_bal,
+           CAST(SUM(CASE WHEN bal = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS days_at_zero
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY part ORDER BY day DESC) AS rn
+      FROM clamped
+    ) GROUP BY part
+    """,
+)
+def inventory_clamped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Floor-at-zero running inventory — the classic NON-ASSOCIATIVE
+    fold b_t = max(0, b_{t-1} + x_t) that looks like it needs a
+    per-row loop (or applyInPandas), expressed EXACTLY with two
+    windows via the Skorokhod reflection identity:
+    b_t = cum_t - min(0, min_{s<=t} cum_s). Per part, daily net
+    quantity (even orderkeys receive, odd ship) aggregates FIRST (so
+    the windows run over the per-(part, day) table with a unique
+    order), then one cumulative sum and one running-min of that sum
+    produce the clamped walk; final/peak/zero-day stats are one
+    aggregate on top. All int64 quantities — the identity is pure
+    integer arithmetic, so both engines replay it bit-for-bit. At
+    100 TB both windows are partitioned by part (no global ordering),
+    and the amplification-free pre-aggregation bounds the window input
+    by #(part, day), not by raw lineitem volume."""
+    prep(spark)
+    li = table(spark, sf_dir, "lineitem")
+    day = F.datediff(
+        F.col("l_shipdate").cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("long")
+    signed = F.when(
+        F.col("l_orderkey") % 2 == 0, F.col("l_quantity").cast("long")
+    ).otherwise(-F.col("l_quantity").cast("long"))
+    net = (
+        li.select(F.col("l_partkey").alias("part"), day.alias("day"), signed.alias("q"))
+        .groupBy("part", "day")
+        .agg(F.sum("q").cast("long").alias("x"))
+    )
+    w = W.partitionBy("part").orderBy("day")
+    walk = net.select(
+        "part", "day", F.sum("x").over(w).alias("cum")
+    ).select(
+        "part",
+        "day",
+        "cum",
+        F.min("cum").over(w).alias("minpref"),
+    )
+    clamped = walk.select(
+        "part",
+        "day",
+        (F.col("cum") - F.least(F.col("minpref"), F.lit(0))).alias("bal"),
+        F.row_number()
+        .over(W.partitionBy("part").orderBy(F.desc("day")))
+        .alias("rn"),
+    )
+    return clamped.groupBy("part").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("bal"))).cast("long").alias("final_bal"),
+        F.max("bal").cast("long").alias("peak_bal"),
+        F.sum(F.when(F.col("bal") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("days_at_zero"),
+    )

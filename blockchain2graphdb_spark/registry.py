@@ -67,6 +67,7 @@ _OPERATOR_MODULES = (
 # longer matters for sampling.
 _SAMPLE_PRIORITY = (
     # round-9 keys (never driver-sampled) lead, newest batch first
+    "inventory_clamped_balance",
     "attribution_linear",
     "gap_detect",
     "stickiness_dau_mau",

@@ -375,3 +375,46 @@ def test_attribution_linear_conserves_credited_cents(spark):
         if n > 0:
             total += int(r.cents)
     assert int(out.credited_cents.sum()) == total
+
+
+# --------------------------------------- clamped running balance
+
+
+def test_clamped_balance_matches_sequential_fold(spark):
+    """The reflection-identity windows equal the literal sequential
+    b_t = max(0, b_{t-1} + x_t) recursion replayed in Python."""
+    out = (
+        SPECS["inventory_clamped_balance"]
+        .builder(spark, SF_DIR)
+        .toPandas()
+        .set_index("part")
+        .sort_index()
+    )
+    li = (
+        table(spark, SF_DIR, "lineitem")
+        .select(
+            F.col("l_partkey").alias("part"),
+            F.datediff(
+                F.col("l_shipdate").cast("date"),
+                F.lit("1970-01-01").cast("date"),
+            ).alias("day"),
+            F.when(
+                F.col("l_orderkey") % 2 == 0, F.col("l_quantity").cast("long")
+            )
+            .otherwise(-F.col("l_quantity").cast("long"))
+            .alias("q"),
+        )
+        .toPandas()
+    )
+    net = li.groupby(["part", "day"]).q.sum().reset_index()
+    for part, grp in net.sort_values("day").groupby("part"):
+        b = 0
+        peak = 0
+        zero_days = 0
+        for x in grp.q:
+            b = max(0, b + int(x))
+            peak = max(peak, b)
+            zero_days += b == 0
+        assert out.loc[part, "final_bal"] == b, part
+        assert out.loc[part, "peak_bal"] == peak, part
+        assert out.loc[part, "days_at_zero"] == zero_days, part
