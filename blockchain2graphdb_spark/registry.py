@@ -55,68 +55,19 @@ _OPERATOR_MODULES = (
 )
 
 # The driver's correctness gate samples the FIRST ~50 keys in queries()
-# order, so registration order is the sampling schedule. Round-8 policy
-# (continues VERDICT r6 #4's witness-age rotation): the never-driver-
-# sampled keys lead, then EVERY oracle key ordered by its oldest driver
-# witness (union of CORRECTNESS_r01..r07; r3-r4 witnesses are now the
-# stalest since r7 re-greened the r1-r3 head), rows-only keys last —
-# oracle evidence is worth more per gate slot than a weak rows-only
-# check. The list is COMPLETE — every registry key appears (pinned by
-# tests/test_round8_ops.py::test_sample_priority_is_complete, since
-# load_all() silently ignores missing keys) — so module order no
-# longer matters for sampling.
+# order, so registration order is the sampling schedule. Round-10 policy
+# (continues the witness-age rotation from VERDICT r6 #4 / r9 #1): keys
+# with NO driver witness in any CORRECTNESS_r01..r09 lead (oracle keys
+# before rows-only ones — oracle evidence is worth more per gate slot),
+# new round-10 keys follow, then oracle keys ordered stalest-witness
+# first, then the round-9 block (freshest witnesses), then the already-
+# witnessed rows-only keys. The list is COMPLETE — every registry key
+# appears (pinned by tests/test_round8_ops.py::
+# test_sample_priority_is_complete, since load_all() silently ignores
+# missing keys) — so module order no longer matters for sampling.
 _SAMPLE_PRIORITY = (
-    # round-9 keys (never driver-sampled) lead, newest batch first
-    "inventory_clamped_balance",
-    "attribution_linear",
-    "gap_detect",
-    "stickiness_dau_mau",
-    "stream_cdc_apply",
-    "scan_orc",
-    "weighted_median",
-    "udtf_lateral",
-    "join_interval_overlap",
-    "cdc_apply",
-    "ivm_join_delta",
-    "variant_extract",
-    "recursive_cte_hierarchy",
-    "embedding_covariance",
-    "subtree_rollup",
-    "join_partition_prune_runtime",
-    "cuped_adjustment",
-    "funnel_time_to_convert",
-    "ols_multi",
-    "winsorized_mean",
-    "impute_group_median",
-    "time_weighted_avg",
-    "zipf_fit",
-    "scan_zonemap_skip",
-    "ks_statistic",
-    "scan_corrupt_quarantine",
-    "weighted_sample_topk",
-    "dq_expectations",
-    "percentile_summary",
-    "ab_test_zscore",
-    "snapshot_cdc_diff",
-    "kaplan_meier",
-    "skyline_pareto",
-    "association_rules",
-    "mad_robust",
-    "entropy_profile",
-    "rrf_fusion",
-    "dedup_cluster_histogram",
-    "ngram_novelty",
-    "scan_schema_evolution",
-    "concurrent_sessions_max",
-    "attribution_last_touch",
-    "ndcg_at_k",
-    "gini_concentration",
-    "cohens_kappa",
-    "calibration_bins",
-    "resample_ohlc",
-    "ewma_trailing",
-    "skipgram_pairs",
-    "random_walk_sample",
+    # --- never-driver-sampled ORACLE keys (VERDICT r9 #1): these 22 must
+    # head the r10 gate sample so every oracle key gains a driver witness.
     "target_encode",
     "auc_exact",
     "dbscan_core",
@@ -139,7 +90,24 @@ _SAMPLE_PRIORITY = (
     "feature_hashing",
     "group_kfold",
     "session_path_topk",
-    # round-8 keys, then witness-age order
+    # --- round-10 new keys are inserted here as they land ---
+    # --- never-driver-sampled rows-only keys (weaker check, still a witness)
+    "dedup_embedding_lsh",
+    "dedup_minhash",
+    "dedup_simhash",
+    "kmeans_embeddings",
+    "similarity_bruteforce",
+    "similarity_ivf",
+    "similarity_lsh",
+    "similarity_pq",
+    "stream_dedup",
+    "stream_late_data",
+    "stream_session",
+    "stream_stateful_agg",
+    "stream_watermark",
+    "taint_flow",
+    # --- oracle keys with r1-r8 witnesses, stalest-witness-first (order kept)
+    "random_walk_sample",
     "hypertable_rollup",
     "gap_fill_locf",
     "record_linkage",
@@ -364,26 +332,63 @@ _SAMPLE_PRIORITY = (
     "tpch_q12_shape",
     "wallet_components_dist",
     "wallet_ids_incremental",
+    # --- round-9 keys: freshest witnesses (all green in CORRECTNESS_r09)
+    "inventory_clamped_balance",
+    "attribution_linear",
+    "gap_detect",
+    "stickiness_dau_mau",
+    "stream_cdc_apply",
+    "scan_orc",
+    "weighted_median",
+    "udtf_lateral",
+    "join_interval_overlap",
+    "cdc_apply",
+    "ivm_join_delta",
+    "variant_extract",
+    "recursive_cte_hierarchy",
+    "embedding_covariance",
+    "subtree_rollup",
+    "join_partition_prune_runtime",
+    "cuped_adjustment",
+    "funnel_time_to_convert",
+    "ols_multi",
+    "winsorized_mean",
+    "impute_group_median",
+    "time_weighted_avg",
+    "zipf_fit",
+    "scan_zonemap_skip",
+    "ks_statistic",
+    "scan_corrupt_quarantine",
+    "weighted_sample_topk",
+    "dq_expectations",
+    "percentile_summary",
+    "ab_test_zscore",
+    "snapshot_cdc_diff",
+    "kaplan_meier",
+    "skyline_pareto",
+    "association_rules",
+    "mad_robust",
+    "entropy_profile",
+    "rrf_fusion",
+    "dedup_cluster_histogram",
+    "ngram_novelty",
+    "scan_schema_evolution",
+    "concurrent_sessions_max",
+    "attribution_last_touch",
+    "ndcg_at_k",
+    "gini_concentration",
+    "cohens_kappa",
+    "calibration_bins",
+    "resample_ohlc",
+    "ewma_trailing",
+    "skipgram_pairs",
+    # --- rows-only keys already driver-witnessed
     "agg_approx_count_distinct",
     "agg_approx_percentile",
     "agg_hll_merge",
-    "dedup_embedding_lsh",
-    "dedup_minhash",
-    "dedup_simhash",
-    "kmeans_embeddings",
     "pagerank",
     "personalized_pagerank",
     "sample_stratified",
-    "similarity_bruteforce",
-    "similarity_ivf",
-    "similarity_lsh",
-    "similarity_pq",
-    "stream_dedup",
-    "stream_late_data",
-    "stream_session",
-    "stream_stateful_agg",
-    "stream_watermark",
-    "taint_flow",
 )
 
 
