@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 # tuning there cannot silently desync either operator
 from ..catalog import SESSION_GAP_US as _SF_GAP_US
 from ..catalog import prep, table
-from ..exact import dec2
+from ..exact import dec2, money_sum
 from ..functions.ranking import bucketed_prefix_sum
 from ..registry import query
 
@@ -187,8 +187,6 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     user), same rule as sessionize_batch.
     """
     prep(spark)
-    from pyspark.sql import Window as W
-
     e = table(spark, sf_dir, "events").select(
         "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")
     )
@@ -318,8 +316,6 @@ def orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     base grows. Monetary uses the exact-decimal money path
     (`exact.money_sum` contract) so the double is bit-identical
     cross-engine."""
-    from ..exact import money_sum
-
     prep(spark)
     orders = table(spark, sf_dir, "orders")
     ref = orders.agg(F.max("o_orderdate").alias("ref_date"))

@@ -2267,8 +2267,10 @@ def subtree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Spark-first shape: the parent function is ARITHMETIC, so the
     ancestor closure is PATH ENUMERATION — each row map-side expands
-    its own ancestor chain (<= 13 entries for int64 keys: key div
-    10^k while >= 1) and one explode + one hash aggregate produces
+    its own ancestor chain (<= 19 entries for int64 keys: key div
+    10^k for k = 1..18 filtered to >= 1 — int64 max has 19 digits, so
+    18 divisions reach every ancestor) and one explode + one hash
+    aggregate produces
     every subtree total. ZERO joins, zero iterations, one shuffle of
     n x depth = n log n rows — the materialized-path technique
     production hierarchies use at scale. The oracle instead walks
@@ -2284,7 +2286,7 @@ def subtree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("c"),
     )
-    levels = F.array(*[F.expr(f"p_partkey div {10 ** k}") for k in range(1, 13)])
+    levels = F.array(*[F.expr(f"p_partkey div {10 ** k}") for k in range(1, 19)])
     ancs = F.concat(
         F.array(F.col("p_partkey")), F.filter(levels, lambda x: x >= 1)
     )

@@ -915,14 +915,18 @@ def iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     q3_pos = F.floor((3 * F.col("n_total") + 3) / 4).cast("long")
     q = (
         ranked.where((F.col("pos") == q1_pos) | (F.col("pos") == q3_pos))
-        .select("pos", "n_total", "pc", q1_pos.alias("p1"))
+        .select("pos", "n_total", "pc", q1_pos.alias("p1"), q3_pos.alias("p3"))
         .groupBy()
         .agg(
             F.max("n_total").cast("long").alias("n"),
             F.min(F.when(F.col("pos") == F.col("p1"), F.col("pc")))
             .cast("long")
             .alias("q1c"),
-            F.min(F.when(F.col("pos") != F.col("p1"), F.col("pc")))
+            # select on pos == p3 directly (NOT pos != p1): when n == 1
+            # both target ranks collapse to the same row, and the oracle's
+            # CASE still yields the value — `pos != p1` would yield NULL
+            # and diverge (ADVICE r9).
+            F.min(F.when(F.col("pos") == F.col("p3"), F.col("pc")))
             .cast("long")
             .alias("q3c"),
         )

@@ -2226,9 +2226,13 @@ def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     prep(spark)
     d = _orc_orders_dir(sf_dir)
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
     if not os.path.isdir(d):
+        # stale-cache cleanup scoped to THIS sf (like the evpart_/
+        # schemaevo_/zonemap_ siblings): an unscoped glob would delete —
+        # and could race — other scale factors' live ORC caches.
         for stale in _glob.glob(
-            os.path.join(os.path.dirname(d), "orcorders_*")
+            os.path.join(os.path.dirname(d), f"orcorders_{sf_tag}_*")
         ):
             shutil.rmtree(stale, ignore_errors=True)
         stage = d + ".staging"

@@ -8,6 +8,19 @@ All bucket math is integer division on unix-micro bigints (catalog
 normalization), so results are bit-identical across Spark and DuckDB
 regardless of the fixture's timestamp encoding.
 
+Truncation-vs-floor invariant (ADVICE r8/r9): Spark `div` and DuckDB
+`//` BOTH truncate toward zero, so cross-engine parity of `us div
+BUCKET` is unconditional — including for pre-epoch (negative-micros)
+timestamps, where both engines produce the same (toward-zero) bucket.
+What IS conditional on ts >= epoch is the CALENDAR reading of
+`bucket_start_us` as the bucket's left edge: for negative micros the
+truncated multiple is the bucket's right edge instead. The event
+fixture (and any post-1970 log) satisfies ts >= epoch; a deployment
+ingesting pre-epoch timestamps should switch the bucket expression to
+the exact integer floor `us - pmod(us, BUCKET)` on the Spark side and
+`us - ((us % BUCKET) + BUCKET) % BUCKET` in the oracle (kept
+truncating here so the shipped plans stay byte-stable).
+
 Scale notes (100 TB):
   * `hypertable_rollup` computes the fine grain (hour) from raw once,
     then derives the coarse grain (day) by RE-AGGREGATING THE HOUR

@@ -48,3 +48,40 @@ def test_score_sweep_has_no_unpartitioned_window_at_all(name, spark):
     bad = _all_unpartitioned_windows(df)
     assert not bad, f"{name}: {bad}"
     assert "BroadcastHashJoin" in plan_string(df)
+
+
+def test_iqr_outliers_single_row_matches_oracle(spark, tmp_path):
+    """ADVICE r9: with n == 1 both quartile target ranks collapse onto
+    the same row; q3 selection must be `pos == q3_pos` (not
+    `pos != q1_pos`, which yields NULL and diverges from the oracle's
+    CASE). Differential pin on a 1-row orders table."""
+    import duckdb
+    import pandas as pd
+
+    pd.DataFrame(
+        {
+            "o_orderkey": [7],
+            "o_custkey": [1],
+            "o_orderstatus": ["F"],
+            "o_totalprice": [123.45],
+            "o_orderdate": pd.to_datetime(["2024-01-01"]).astype("datetime64[us]"),
+            "o_orderpriority": ["1-URGENT"],
+        }
+    ).to_parquet(tmp_path / "orders.parquet")
+    got = (
+        SPECS["iqr_outliers"]
+        .builder(spark, str(tmp_path))
+        .toPandas()
+        .sort_index(axis=1)
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW orders AS "
+        f"SELECT * FROM read_parquet('{tmp_path}/orders.parquet')"
+    )
+    want = con.sql(SPECS["iqr_outliers"].oracle).df().sort_index(axis=1)
+    assert got["q1"].iloc[0] == got["q3"].iloc[0] == 123.45
+    assert got["n_outliers"].iloc[0] == 0
+    pd.testing.assert_frame_equal(
+        got.astype("float64"), want.astype("float64"), check_like=True
+    )
