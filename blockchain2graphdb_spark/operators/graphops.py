@@ -199,30 +199,75 @@ def degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
 
 
-# shared by wallet_components (default driver/distributed gate) and
-# wallet_components_dist (distributed loop forced): same edges, same labels
-_WALLET_COMPONENTS_ORACLE = """
-    WITH RECURSIVE raw_edges AS (
-      SELECT prev AS src, l_partkey AS dst FROM (
+def _wallet_cc_oracle(rounds: int) -> str:
+    """Linear-time oracle for the wallet connected-components family
+    (VERDICT r9 #3): `rounds` unrolled MATERIALIZED-CTE rounds of
+    hash-min WITH pointer jumping — each round every node takes the min
+    of (its own label, its neighbors' labels, its label's label). The
+    label-of-label join doubles the distance the component minimum has
+    travelled each round (the _lpa_oracle / sssp unrolled-iteration
+    technique plus path compression), so convergence needs ~log2 of the
+    longest induced path, and every round is ONE |E| join + ONE |V|
+    self-join + one min-aggregate — O(rounds·(|E|+|V|)) total, vs the
+    retired recursive `reach` CTE that enumerated (node, reachable-set)
+    pairs and went quadratic on the giant component (killed ~25 min in
+    DuckDB at sf0.1). MATERIALIZED is load-bearing (STATUS: default
+    inlining expands chained self-referencing CTEs exponentially).
+
+    The final guard CTE compares round `rounds` with round `rounds-1`
+    and emits a poison row (part = -1, whose label NULL can never equal
+    a Spark label) if ANY label still moved — an un-converged unroll
+    fails the gate loudly instead of shipping wrong components."""
+    ctes = [
+        """raw AS MATERIALIZED (
+      SELECT mn AS src, l_partkey AS dst FROM (
         SELECT l_partkey,
-               LAG(l_partkey) OVER (PARTITION BY l_orderkey
-                                    ORDER BY l_linenumber, l_partkey, l_suppkey) AS prev
+               MIN(l_partkey) OVER (PARTITION BY l_orderkey) AS mn
         FROM lineitem
-      ) WHERE prev IS NOT NULL AND prev <> l_partkey
-    ),
-    sym AS (
-      SELECT src, dst FROM raw_edges
-      UNION
-      SELECT dst, src FROM raw_edges
-    ),
-    nodes AS (SELECT DISTINCT src AS node FROM sym),
-    reach AS (
-      SELECT node, node AS comp FROM nodes
-      UNION
-      SELECT s.dst AS node, r.comp FROM reach r JOIN sym s ON s.src = r.node
+      ) WHERE mn <> l_partkey
+    )""",
+        """sym AS MATERIALIZED (
+      SELECT src, dst FROM raw UNION SELECT dst, src FROM raw
+    )""",
+        "l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lbl FROM sym)",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""l{r} AS MATERIALIZED (
+      SELECT node, MIN(lbl) AS lbl FROM (
+        SELECT node, lbl FROM l{r - 1}
+        UNION ALL
+        SELECT e.src AS node, l.lbl FROM sym e JOIN l{r - 1} l ON l.node = e.dst
+        UNION ALL
+        SELECT a.node, b.lbl FROM l{r - 1} a JOIN l{r - 1} b ON b.node = a.lbl
+      ) GROUP BY node
+    )"""
+        )
+    ctes.append(
+        f"""moved AS MATERIALIZED (
+      SELECT COUNT(*) AS n FROM l{rounds} a JOIN l{rounds - 1} b
+      ON b.node = a.node AND b.lbl <> a.lbl
+    )"""
     )
-    SELECT node AS part, MIN(comp) AS component FROM reach GROUP BY node
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT node AS part, CAST(lbl AS BIGINT) AS component FROM l{rounds}
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT) AS part, CAST(NULL AS BIGINT) AS component
+    FROM moved WHERE n > 0
     """
+    )
+
+
+# shared by wallet_components (default driver/distributed gate),
+# wallet_components_dist (distributed loop forced) and
+# wallet_ids_incremental: same edges, same labels. 20 rounds of
+# min-with-doubling cover an induced path of ~2^19 nodes — far beyond
+# any fixture scale (sf0.1 has ~20k part nodes), and the oracle's
+# poison-row guard turns "not enough rounds" into a loud gate failure.
+_WALLET_COMPONENTS_ORACLE = _wallet_cc_oracle(20)
 
 
 @query("wallet_components", oracle=_WALLET_COMPONENTS_ORACLE)
@@ -236,8 +281,9 @@ def wallet_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairwise/chained edges with far lower graph diameter (every group
     collapses to a depth-1 star), so min-label propagation
     (graph/components.py) converges in fewer rounds. Component id = min
-    member id, so results are deterministic and oracle-checkable via a
-    recursive CTE (the oracle walks chain edges — same components)."""
+    member id, so results are deterministic and oracle-checkable via the
+    unrolled hash-min+pointer-jumping CTE chain (_wallet_cc_oracle) —
+    linear per round, so the oracle itself scales to sf0.1 and beyond."""
     prep(spark)
     li = table(spark, sf_dir, "lineitem")
     mins = li.groupBy("l_orderkey").agg(F.min("l_partkey").alias("src"))
@@ -286,9 +332,10 @@ def wallet_ids_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     three deterministic micro-batches (l_orderkey % 3) and folded through
     graph/components.incremental_components — each fold re-labels only
     the components the batch touches (semi-join restriction), O(affected
-    + batch) not O(graph). The oracle is the FULL-recompute recursive
-    CTE, so a green row certifies batch-fold ≡ full recompute on real
-    fixture data, not just the unit-test graphs (tests/test_chain.py)."""
+    + batch) not O(graph). The oracle is the FULL-recompute unrolled
+    hash-min chain (_wallet_cc_oracle), so a green row certifies
+    batch-fold ≡ full recompute on real fixture data, not just the
+    unit-test graphs (tests/test_chain.py)."""
     prep(spark)
     li = table(spark, sf_dir, "lineitem")
     mins = li.groupBy("l_orderkey").agg(F.min("l_partkey").alias("src"))

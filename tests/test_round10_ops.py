@@ -50,6 +50,31 @@ def test_score_sweep_has_no_unpartitioned_window_at_all(name, spark):
     assert "BroadcastHashJoin" in plan_string(df)
 
 
+def test_wallet_cc_oracle_poison_guard_fires_when_unconverged():
+    """The unrolled hash-min oracle must FAIL LOUDLY (poison part = -1)
+    when given too few rounds for the graph, instead of shipping wrong
+    component labels: a 10-link part chain cannot converge in 1 round
+    but does (with pointer jumping) in 5 — plus ONE settle round for the
+    guard's last-two-rounds comparison to observe quiescence."""
+    import duckdb
+    import pandas as pd
+
+    from blockchain2graphdb_spark.operators.graphops import _wallet_cc_oracle
+
+    # orders i = {part i, part i+1}: star edges form a path 1-2-...-11
+    rows = []
+    for i in range(1, 11):
+        rows.append({"l_orderkey": i, "l_partkey": i})
+        rows.append({"l_orderkey": i, "l_partkey": i + 1})
+    con = duckdb.connect()
+    con.register("lineitem", pd.DataFrame(rows))
+    short = con.sql(_wallet_cc_oracle(1)).df()
+    assert (short["part"] == -1).any(), "guard must fire on unconverged unroll"
+    ok = con.sql(_wallet_cc_oracle(6)).df()
+    assert not (ok["part"] == -1).any()
+    assert (ok["component"] == 1).all(), "path collapses to min label 1"
+
+
 def test_iqr_outliers_single_row_matches_oracle(spark, tmp_path):
     """ADVICE r9: with n == 1 both quartile target ranks collapse onto
     the same row; q3 selection must be `pos == q3_pos` (not
