@@ -528,6 +528,95 @@ def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "join_skew_salted",
+    oracle="""
+    WITH f AS (
+      SELECT CASE WHEN l_partkey % 10 < 7 THEN 0 ELSE l_partkey END AS hk,
+             l_quantity
+      FROM lineitem
+    ),
+    d AS (
+      SELECT CASE WHEN p_partkey % 10 < 7 THEN 0 ELSE p_partkey END AS hk,
+             CAST(MIN(CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS dim_cents,
+             CAST(COUNT(*) AS BIGINT) AS n_parts
+      FROM part GROUP BY 1
+    )
+    SELECT f.hk,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           MAX(d.dim_cents) AS dim_cents,
+           MAX(d.n_parts) AS n_parts
+    FROM f JOIN d ON d.hk = f.hk
+    GROUP BY f.hk
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end skew mitigation on a HOT key (VERDICT r9 #5 —
+    `join_skew_report` only *reports* skew; this key fixes it). The
+    fixture's keys are near-uniform, so the hot key is derived
+    deterministically on BOTH engines: part keys with `key % 10 < 7`
+    collapse onto key 0, putting ~70% of the fact rows on one join key
+    (skew_factor ≈ 0.7·|keys| — the reference's hot `name`-index probe,
+    T:158, at shuffle-join scale). The mitigation is the salted
+    composite join: fact rows get a deterministic salt in [0, R), the
+    dimension side is exploded into R replicas, and the (hk, salt)
+    equi-join spreads key 0's rows over R reducers instead of one. A
+    `shuffle_hash` hint pins the shuffle-join path the demo is about —
+    at this fixture scale Spark would otherwise broadcast the tiny dim
+    (which is the RIGHT plan when the dim fits; salting is for when it
+    doesn't). The oracle is the UNSALTED join, so a green row proves
+    salting changes the schedule, never the result. Plan shape pinned
+    by tests/test_round10_ops.py (shuffle join on the composite key,
+    Generate for the dim replicas, no broadcast on the fact join)."""
+    prep(spark)
+    R = 8
+    hot_f = F.when(F.col("l_partkey") % 10 < 7, F.lit(0)).otherwise(
+        F.col("l_partkey")
+    )
+    fact = (
+        table(spark, sf_dir, "lineitem")
+        .select(
+            hot_f.cast("long").alias("hk"),
+            "l_quantity",
+            # salt from per-row identity, NOT the join key (the hot key's
+            # rows must spread across ALL R buckets)
+            F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(R)).alias(
+                "salt"
+            ),
+        )
+    )
+    hot_d = F.when(F.col("p_partkey") % 10 < 7, F.lit(0)).otherwise(
+        F.col("p_partkey")
+    )
+    dim = (
+        table(spark, sf_dir, "part")
+        .groupBy(hot_d.cast("long").alias("hk"))
+        .agg(
+            F.min((F.col("p_retailprice").cast("decimal(18,2)") * 100).cast("long"))
+            .cast("long")
+            .alias("dim_cents"),
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+        )
+        .withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(R - 1))))
+        .hint("shuffle_hash")
+    )
+    return (
+        fact.join(
+            dim,
+            (fact["hk"] == dim["hk"]) & (fact["salt"] == dim["salt"]),
+        )
+        .groupBy(fact["hk"].alias("hk"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            money_sum("l_quantity", "sum_qty"),
+            F.max("dim_cents").cast("long").alias("dim_cents"),
+            F.max("n_parts").cast("long").alias("n_parts"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.4 aggregations
 

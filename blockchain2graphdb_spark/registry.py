@@ -91,6 +91,7 @@ _SAMPLE_PRIORITY = (
     "group_kfold",
     "session_path_topk",
     # --- round-10 new keys are inserted here as they land ---
+    "join_skew_salted",
     # --- never-driver-sampled rows-only keys (weaker check, still a witness)
     "dedup_embedding_lsh",
     "dedup_minhash",
