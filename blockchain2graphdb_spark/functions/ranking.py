@@ -18,6 +18,11 @@ sort key (strictly earlier bucket => strictly earlier sort order), which
 makes the composed rank identical to the global one. At 100 TB bucket
 granularity is the skew lever (month -> day -> hour; wider bands ->
 narrower) — same trick as distributed zipWithIndex's partition offsets.
+
+The bucket must also be NON-NULL for every row: both passes join back
+on the bucket column, and an equi-join never matches NULL keys, so a
+NULL bucket would silently drop the row. Rather than document-and-hope,
+`_guarded_bucket` raises at execution time on the first NULL bucket.
 """
 
 from __future__ import annotations
@@ -26,6 +31,22 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
+
+
+def _guarded_bucket(bucket: Column) -> Column:
+    """The bucket expression with a loud NULL guard: the two-pass shape
+    equi-joins back on the bucket, and NULL never equi-matches, so a
+    NULL bucket is a silently dropped row. `raise_error` fires on the
+    first offending row at execution time (ADVICE r10)."""
+    return F.when(bucket.isNotNull(), bucket).otherwise(
+        F.raise_error(
+            F.lit(
+                "bucketed rank/prefix-sum contract violation: null bucket "
+                "(bucket must be a non-null monotone function of the "
+                "leading sort key)"
+            )
+        )
+    )
 
 
 def bucketed_prefix_sums(
@@ -44,7 +65,7 @@ def bucketed_prefix_sums(
     order-independent. All cumulative columns share ONE offsets join and
     ONE in-bucket window pass. Lazy — adds no jobs."""
     names = list(vals)
-    d = df.withColumn("_b", bucket)
+    d = df.withColumn("_b", _guarded_bucket(bucket))
     for i, name in enumerate(names):
         d = d.withColumn(f"_v{i}", vals[name])
     sums = d.groupBy("_b").agg(
@@ -96,7 +117,7 @@ def bucketed_global_rank(
     (long). `bucket` must ascend with the sort order (negate a value
     band for DESC ranks); `order` must be a unique total order within
     each bucket. Lazy — adds no jobs, no checkpoints."""
-    d = df.withColumn("_b", bucket)
+    d = df.withColumn("_b", _guarded_bucket(bucket))
     counts = d.groupBy("_b").agg(F.count(F.lit(1)).alias("_n"))
     earlier = counts.select(F.col("_b").alias("_b2"), F.col("_n").alias("_n2"))
     offsets = (

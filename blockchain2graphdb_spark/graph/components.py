@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..plans.iterate import local_checkpoint, observed_checkpoint
+from ..plans.sizing import adaptive_broadcast_rows
 
 
 def connected_components(
@@ -40,7 +41,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 50,
-    broadcast_nodes: int = 4_000_000,
+    broadcast_nodes: int | None = None,
     canonical: bool = False,
     probe_every: int = 2,
     driver_threshold: int = 100_000,
@@ -126,6 +127,9 @@ def connected_components(
         .select("node", F.least(F.col("node"), F.col("mb")).alias("comp")),
         F.count(F.lit(1)),
     )
+    if broadcast_nodes is None:
+        # adaptive (SURVEY §8 limit closed; plans/sizing.py)
+        broadcast_nodes = adaptive_broadcast_rows(edges.sparkSession)
     hint = F.broadcast if n_nodes <= broadcast_nodes else (lambda df: df)
 
     # Shiloach–Vishkin-style union-find in rounds; each outer round:
@@ -208,7 +212,7 @@ def list_rank(
     links: DataFrame,
     id_col: str = "id",
     parent_col: str = "parent",
-    broadcast_nodes: int = 4_000_000,
+    broadcast_nodes: int | None = None,
     max_iter: int = 64,
     probe_every: int = 2,
 ) -> DataFrame:
@@ -240,6 +244,9 @@ def list_rank(
         ),
         F.count(F.lit(1)),
     )
+    if broadcast_nodes is None:
+        # adaptive (SURVEY §8 limit closed; plans/sizing.py)
+        broadcast_nodes = adaptive_broadcast_rows(links.sparkSession)
     hint = F.broadcast if n_nodes <= broadcast_nodes else (lambda df: df)
 
     def jump(base: DataFrame, lk: DataFrame) -> DataFrame:

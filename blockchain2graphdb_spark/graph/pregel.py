@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..plans.iterate import local_checkpoint, observed_checkpoint
+from ..plans.sizing import adaptive_broadcast_rows
 
 
 def pregel(
@@ -36,7 +37,7 @@ def pregel(
     vprog: Callable[[Column, Column], Column],
     # vprog(attr, aggregated_msg) -> new attr
     max_iter: int = 50,
-    broadcast_nodes: int = 4_000_000,
+    broadcast_nodes: int | None = None,
     needs_dst_attr: bool = True,
     check_convergence: bool = True,
     probe_every: int = 2,
@@ -63,6 +64,10 @@ def pregel(
     # eager checkpoint (accumulator-lifecycle rule) with the hint-sizing
     # count riding the materialization job as an observe() metric
     v, n_vertices = observed_checkpoint(v, F.count(F.lit(1)))
+    if broadcast_nodes is None:
+        # adaptive (SURVEY §8 limit closed): derived from the session's
+        # executor/driver heap, resolved once per loop (plans/sizing.py)
+        broadcast_nodes = adaptive_broadcast_rows(vertices.sparkSession)
     hint = F.broadcast if n_vertices <= broadcast_nodes else (lambda df: df)
 
     for i in range(max_iter):

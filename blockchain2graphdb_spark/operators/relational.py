@@ -568,8 +568,9 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     (which is the RIGHT plan when the dim fits; salting is for when it
     doesn't). The oracle is the UNSALTED join, so a green row proves
     salting changes the schedule, never the result. Plan shape pinned
-    by tests/test_round10_ops.py (shuffle join on the composite key,
-    Generate for the dim replicas, no broadcast on the fact join)."""
+    by tests/test_round11_ops.py::test_join_skew_salted_plan_shape
+    (shuffle join on the composite key, Generate for the dim replicas,
+    no broadcast on the fact join)."""
     prep(spark)
     R = 8
     hot_f = F.when(F.col("l_partkey") % 10 < 7, F.lit(0)).otherwise(
@@ -1532,6 +1533,20 @@ def sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pin the schema.
 
 
+def _sf_cache_tag(sf_dir: str) -> str:
+    """Tag a derived-cache dir with the fixture ROOT's identity, not just
+    its basename: two roots sharing a basename (/a/sf0.1 and /b/sf0.1)
+    must never share a tag, or a cold-cache cleanup for one can
+    delete-and-race the other's live cache (ADVICE r10). The abs-path
+    hash scopes the stale-glob to this exact root; size+mtime (appended
+    by each caller) scope it to this exact fixture generation."""
+    import hashlib
+    import os
+
+    p = os.path.abspath(sf_dir.rstrip("/"))
+    return f"{os.path.basename(p)}-{hashlib.md5(p.encode()).hexdigest()[:8]}"
+
+
 def _text_source_dir(sf_dir: str, fmt: str) -> str:
     import os
 
@@ -1541,7 +1556,7 @@ def _text_source_dir(sf_dir: str, fmt: str) -> str:
 
     src = os.path.join(sf_dir, "nation.parquet")
     st = os.stat(src)
-    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    sf_tag = _sf_cache_tag(sf_dir)
     d = os.path.join(
         tmp_root(), f"textsrc_{fmt}_{sf_tag}_{st.st_size}_{st.st_mtime_ns}"
     )
@@ -1708,7 +1723,7 @@ def _partitioned_events_dir(sf_dir: str) -> str:
 
     src = os.path.join(sf_dir, "events.parquet")
     st = os.stat(src)
-    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    sf_tag = _sf_cache_tag(sf_dir)
     d = os.path.join(
         tmp_root(), f"evpart_{sf_tag}_{st.st_size}_{st.st_mtime_ns}"
     )
@@ -1777,7 +1792,7 @@ def _schema_evolution_dir(sf_dir: str) -> str:
 
     src = os.path.join(sf_dir, "orders.parquet")
     st = os.stat(src)
-    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    sf_tag = _sf_cache_tag(sf_dir)
     from ..paths import tmp_root
 
     d = os.path.join(tmp_root(), f"schemaevo_{sf_tag}_{st.st_size}_{st.st_mtime_ns}")
@@ -1931,7 +1946,7 @@ def _corrupt_jsonl_dir(sf_dir: str) -> str:
 
     src = os.path.join(sf_dir, "orders.parquet")
     st = os.stat(src)
-    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    sf_tag = _sf_cache_tag(sf_dir)
     d = os.path.join(
         tmp_root(), f"corruptsrc_{sf_tag}_{st.st_size}_{st.st_mtime_ns}"
     )
@@ -2040,7 +2055,7 @@ def _zonemap_orders_dir(sf_dir: str) -> str:
 
     src = os.path.join(sf_dir, "orders.parquet")
     st = os.stat(src)
-    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    sf_tag = _sf_cache_tag(sf_dir)
     d = os.path.join(tmp_root(), f"zonemap_{sf_tag}_{st.st_size}_{st.st_mtime_ns}")
     if os.path.isdir(d):
         return d
@@ -2282,7 +2297,7 @@ def _orc_orders_dir(sf_dir: str) -> str:
 
     src = os.path.join(sf_dir, "orders.parquet")
     st = os.stat(src)
-    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    sf_tag = _sf_cache_tag(sf_dir)
     return os.path.join(
         tmp_root(), f"orcorders_{sf_tag}_{st.st_size}_{st.st_mtime_ns}"
     )
@@ -2315,7 +2330,7 @@ def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     prep(spark)
     d = _orc_orders_dir(sf_dir)
-    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    sf_tag = _sf_cache_tag(sf_dir)
     if not os.path.isdir(d):
         # stale-cache cleanup scoped to THIS sf (like the evpart_/
         # schemaevo_/zonemap_ siblings): an unscoped glob would delete —

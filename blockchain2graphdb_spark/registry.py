@@ -55,341 +55,337 @@ _OPERATOR_MODULES = (
 )
 
 # The driver's correctness gate samples the FIRST ~50 keys in queries()
-# order, so registration order is the sampling schedule. Round-10 policy
-# (continues the witness-age rotation from VERDICT r6 #4 / r9 #1): keys
-# with NO driver witness in any CORRECTNESS_r01..r09 lead (oracle keys
-# before rows-only ones — oracle evidence is worth more per gate slot),
-# new round-10 keys follow, then oracle keys ordered stalest-witness
-# first, then the round-9 block (freshest witnesses), then the already-
-# witnessed rows-only keys. The list is COMPLETE — every registry key
-# appears (pinned by tests/test_round8_ops.py::
-# test_sample_priority_is_complete, since load_all() silently ignores
-# missing keys) — so module order no longer matters for sampling.
+# order, so registration order is the sampling schedule. Round-11 policy
+# (continues the witness-age rotation from VERDICT r6 #4 / r9 #1 / r10 #2):
+# the union of CORRECTNESS_r01..r10 witnesses all 317 keys, so the list is
+# now a PURE stalest-witness-first rotation, regenerated each round by
+# tools/gen_sample_priority.py from the CORRECTNESS_r*.json files: keys
+# sorted by (latest driver-witness round ASC, oracle-before-rows-only,
+# name) — the r11 gate samples the stalest ~50 (the r1-r5 relational /
+# window / text / tpch core), keeping every witness at most ~5 rounds
+# old. NEW keys (no witness) go at the very head as they land. The list
+# is COMPLETE — every registry key appears (pinned by
+# tests/test_round8_ops.py::test_sample_priority_is_complete, since
+# load_all() silently ignores missing keys).
 _SAMPLE_PRIORITY = (
-    # --- never-driver-sampled ORACLE keys (VERDICT r9 #1): these 22 must
-    # head the r10 gate sample so every oracle key gains a driver witness.
-    "target_encode",
-    "auc_exact",
-    "dbscan_core",
-    "dedup_embedding_cosine",
-    "lift_gain_table",
-    "onehot_encode",
-    "quantile_bucketize",
-    "confusion_threshold",
-    "woe_iv",
-    "mutual_information",
-    "corr_pairs",
-    "iqr_outliers",
-    "acf_lags",
-    "trend_ols",
-    "window_lead_nth",
-    "dedup_containment",
-    "embedding_outlier_topk",
-    "text_readability",
-    "scan_partition_prune",
-    "feature_hashing",
-    "group_kfold",
-    "session_path_topk",
-    # --- round-10 new keys are inserted here as they land ---
-    "join_skew_salted",
-    # --- never-driver-sampled rows-only keys (weaker check, still a witness)
-    "dedup_embedding_lsh",
-    "dedup_minhash",
-    "dedup_simhash",
-    "kmeans_embeddings",
-    "similarity_bruteforce",
-    "similarity_ivf",
-    "similarity_lsh",
-    "similarity_pq",
-    "stream_dedup",
-    "stream_late_data",
-    "stream_session",
-    "stream_stateful_agg",
-    "stream_watermark",
-    "taint_flow",
-    # --- oracle keys with r1-r8 witnesses, stalest-witness-first (order kept)
-    "random_walk_sample",
-    "hypertable_rollup",
-    "gap_fill_locf",
-    "record_linkage",
-    "label_propagation",
-    "degree_histogram",
-    "text_surprisal",
-    "doc_length_band",
-    "join_skew_report",
-    "dedup_embedding_exact",
-    "stream_stateful_agg_exact",
-    "session_funnel",
-    "join_asof_tolerance",
-    "tokenize_to_ids",
-    "rolling_dau",
-    "stream_hypertable_rollup",
-    "ktruss_edges",
-    "community_modularity",
-    "multimodal_patchify",
-    "feature_scale_minmax",
-    "chi2_association",
-    "split_drift_psi",
-    "spatial_radius_join",
-    "spatial_knn",
-    "seasonality_profile",
-    "cusum_drift",
-    "week_over_week",
-    "two_hop_join",
-    "anomaly_daily_zscore",
-    "bfs_distance",
-    "chain_tip",
-    "chain_validity",
-    "clustering_coefficient",
-    "cohort_retention",
-    "contamination_check",
-    "copurchase_weights",
-    "corpus_mixture",
-    "curation_pipeline",
-    "degree_stats",
-    "dup_rate_by_source",
-    "event_transitions",
-    "funnel_conversion",
-    "graph_assortativity",
-    "khop_neighborhood",
-    "layout_zorder",
-    "neighbor_jaccard",
-    "pack_sequences",
-    "parent_lookup",
-    "sample_hash_topk",
-    "sessionize_batch",
-    "split_assign",
-    "text_clean",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_ngram_freq",
-    "text_quality_score",
-    "text_repetition",
-    "text_tfidf",
-    "text_token_stats",
-    "token_count",
-    "topo_order",
-    "tpch_q1",
-    "tpch_q3",
-    "tpch_q5",
-    "triangle_count",
-    "vocab_coverage",
-    "wallet_components",
-    "window_first_seen",
-    "window_lag",
-    "window_ntile",
-    "window_range_frame",
-    "window_rank",
-    "window_row_number",
-    "window_running_sum",
-    "window_topk_per_group",
-    "blockfile_ingest",
-    "cascade_delete",
-    "dedup_embedding",
-    "dedup_exact",
-    "dedup_keep_best",
-    "dedup_minhash_exact",
-    "dedup_ngram_jaccard",
-    "dedup_simhash_exact",
-    "doc_chunk",
-    "embedding_centroids",
-    "kcore_membership",
-    "kmeans_exact",
-    "multimodal_audio_windows",
-    "multimodal_features",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    "pagerank_exact",
-    "personalized_pagerank_exact",
-    "reorg_rollback",
-    "resume_anti_join",
-    "scd2_history",
-    "similarity_range",
-    "similarity_topk",
-    "sketch_countmin",
-    "snapshot_reorg_overwrite",
-    "snapshot_time_travel",
-    "str_concat",
-    "str_regexp_extract",
-    "stream_events",
-    "stream_file_tail",
-    "stream_merge_sink",
-    "stream_parse",
-    "stream_rate_source",
-    "stream_sliding",
-    "stream_static_join",
-    "stream_stream_join",
-    "stream_tumbling",
-    "taint_flow_exact",
-    "text_phrase_search",
-    "text_pii_mask",
-    "text_search",
-    "text_search_bm25",
-    "udaf_grouped",
-    "udf_scalar",
-    "udf_with_fallback",
-    "udtf_flatmap",
-    "update_columns",
-    "upsert_insert_if_absent",
-    "upsert_merge",
-    "utxo_balances",
-    "agg_mode",
-    "array_explode",
-    "array_ops",
-    "bpe_merge_pairs",
-    "chunk_embed_retrieve",
-    "conditional_flag",
-    "date_compare",
-    "date_parts",
-    "date_trunc_group",
-    "dedup_cluster_keep_best",
-    "dedup_incremental",
-    "dedup_substring",
-    "embedding_quantize",
-    "hits_exact",
-    "json_extract",
-    "link_prediction_aa",
-    "map_ops",
-    "math_ops",
-    "motif_find",
-    "null_coalesce",
-    "orders_rfm",
-    "profile_table",
-    "scan_csv",
-    "scan_jsonl",
-    "sssp_weighted",
-    "str_cast",
-    "str_edit_distance",
-    "str_format",
-    "str_split",
-    "stream_dedup_exact",
-    "tpch_q10",
-    "tpch_q11",
-    "tpch_q13",
-    "tpch_q14",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q17",
-    "tpch_q18",
-    "tpch_q19",
-    "tpch_q2",
-    "tpch_q20",
-    "tpch_q21",
-    "tpch_q22",
-    "tpch_q4",
-    "tpch_q6",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q9",
-    "unpivot_stack",
-    "window_percent_rank",
-    "agg_argmax",
-    "agg_collect_set",
-    "agg_conditional_count",
-    "agg_count",
-    "agg_count_distinct",
-    "agg_cube",
-    "agg_first_seen_count",
-    "agg_grouping_sets",
-    "agg_min_max",
-    "agg_percentile",
-    "agg_rollup",
-    "agg_salted",
-    "agg_self_transfer",
-    "agg_signed_sum",
-    "agg_stats",
-    "agg_sum",
-    "agg_sum_coalesce",
-    "anti_join",
-    "counterparties",
-    "distinct_rows",
-    "expand_children",
-    "export_edges",
-    "filter_conjunctive",
-    "filter_point",
-    "histogram_bins",
-    "join_anti",
-    "join_asof",
-    "join_asof_pandas",
-    "join_full",
-    "join_inner",
-    "join_left",
-    "join_range",
-    "join_salted",
-    "join_semi",
-    "limit_n",
-    "one_hop_join",
-    "pivot_table",
-    "sample_hash_stratified",
-    "scan_parquet",
-    "self_transfer_flag",
-    "semi_join",
-    "set_except",
-    "set_intersect",
-    "set_union",
-    "sort_by_key",
-    "stream_session_exact",
-    "topk_global",
-    "tpch_q12_shape",
-    "wallet_components_dist",
-    "wallet_ids_incremental",
-    # --- round-9 keys: freshest witnesses (all green in CORRECTNESS_r09)
-    "inventory_clamped_balance",
-    "attribution_linear",
-    "gap_detect",
-    "stickiness_dau_mau",
-    "stream_cdc_apply",
-    "scan_orc",
-    "weighted_median",
-    "udtf_lateral",
-    "join_interval_overlap",
-    "cdc_apply",
-    "ivm_join_delta",
-    "variant_extract",
-    "recursive_cte_hierarchy",
-    "embedding_covariance",
-    "subtree_rollup",
-    "join_partition_prune_runtime",
-    "cuped_adjustment",
-    "funnel_time_to_convert",
-    "ols_multi",
-    "winsorized_mean",
-    "impute_group_median",
-    "time_weighted_avg",
-    "zipf_fit",
-    "scan_zonemap_skip",
-    "ks_statistic",
-    "scan_corrupt_quarantine",
-    "weighted_sample_topk",
-    "dq_expectations",
-    "percentile_summary",
-    "ab_test_zscore",
-    "snapshot_cdc_diff",
-    "kaplan_meier",
-    "skyline_pareto",
-    "association_rules",
-    "mad_robust",
-    "entropy_profile",
-    "rrf_fusion",
-    "dedup_cluster_histogram",
-    "ngram_novelty",
-    "scan_schema_evolution",
-    "concurrent_sessions_max",
-    "attribution_last_touch",
-    "ndcg_at_k",
-    "gini_concentration",
-    "cohens_kappa",
-    "calibration_bins",
-    "resample_ohlc",
-    "ewma_trailing",
-    "skipgram_pairs",
-    # --- rows-only keys already driver-witnessed
-    "agg_approx_count_distinct",
-    "agg_approx_percentile",
-    "agg_hll_merge",
-    "pagerank",
-    "personalized_pagerank",
-    "sample_stratified",
+    # --- new round-11 keys (no driver witness yet) ---
+    "agg_hll_merge",  # r1 rows-only
+    "agg_approx_count_distinct",  # r3 rows-only
+    "agg_approx_percentile",  # r3 rows-only
+    "sample_stratified",  # r3 rows-only
+    "text_clean",  # r4 oracle
+    "text_fingerprint",  # r4 oracle
+    "text_lang_id",  # r4 oracle
+    "text_ngram_freq",  # r4 oracle
+    "text_quality_score",  # r4 oracle
+    "text_repetition",  # r4 oracle
+    "text_tfidf",  # r4 oracle
+    "text_token_stats",  # r4 oracle
+    "token_count",  # r4 oracle
+    "topo_order",  # r4 oracle
+    "tpch_q1",  # r4 oracle
+    "tpch_q3",  # r4 oracle
+    "tpch_q5",  # r4 oracle
+    "triangle_count",  # r4 oracle
+    "vocab_coverage",  # r4 oracle
+    "wallet_components",  # r4 oracle
+    "window_first_seen",  # r4 oracle
+    "window_lag",  # r4 oracle
+    "window_ntile",  # r4 oracle
+    "window_range_frame",  # r4 oracle
+    "window_rank",  # r4 oracle
+    "window_row_number",  # r4 oracle
+    "window_running_sum",  # r4 oracle
+    "window_topk_per_group",  # r4 oracle
+    "pagerank",  # r4 rows-only
+    "personalized_pagerank",  # r4 rows-only
+    "blockfile_ingest",  # r5 oracle
+    "cascade_delete",  # r5 oracle
+    "dedup_embedding",  # r5 oracle
+    "dedup_exact",  # r5 oracle
+    "dedup_keep_best",  # r5 oracle
+    "dedup_minhash_exact",  # r5 oracle
+    "dedup_ngram_jaccard",  # r5 oracle
+    "dedup_simhash_exact",  # r5 oracle
+    "doc_chunk",  # r5 oracle
+    "embedding_centroids",  # r5 oracle
+    "kcore_membership",  # r5 oracle
+    "kmeans_exact",  # r5 oracle
+    "multimodal_audio_windows",  # r5 oracle
+    "multimodal_features",  # r5 oracle
+    "multimodal_frame_sample",  # r5 oracle
+    "multimodal_resize",  # r5 oracle
+    "pagerank_exact",  # r5 oracle
+    "personalized_pagerank_exact",  # r5 oracle
+    "reorg_rollback",  # r5 oracle
+    "resume_anti_join",  # r5 oracle
+    "scd2_history",  # r5 oracle
+    "similarity_range",  # r5 oracle
+    "similarity_topk",  # r5 oracle
+    "sketch_countmin",  # r5 oracle
+    "snapshot_reorg_overwrite",  # r5 oracle
+    "snapshot_time_travel",  # r5 oracle
+    "str_concat",  # r5 oracle
+    "str_regexp_extract",  # r5 oracle
+    "stream_events",  # r5 oracle
+    "stream_file_tail",  # r5 oracle
+    "stream_merge_sink",  # r5 oracle
+    "stream_parse",  # r5 oracle
+    "stream_rate_source",  # r5 oracle
+    "stream_sliding",  # r5 oracle
+    "stream_static_join",  # r5 oracle
+    "stream_stream_join",  # r5 oracle
+    "stream_tumbling",  # r5 oracle
+    "taint_flow_exact",  # r5 oracle
+    "text_phrase_search",  # r5 oracle
+    "text_pii_mask",  # r5 oracle
+    "text_search",  # r5 oracle
+    "text_search_bm25",  # r5 oracle
+    "udaf_grouped",  # r5 oracle
+    "udf_scalar",  # r5 oracle
+    "udf_with_fallback",  # r5 oracle
+    "udtf_flatmap",  # r5 oracle
+    "update_columns",  # r5 oracle
+    "upsert_insert_if_absent",  # r5 oracle
+    "upsert_merge",  # r5 oracle
+    "utxo_balances",  # r5 oracle
+    "agg_mode",  # r6 oracle
+    "array_explode",  # r6 oracle
+    "array_ops",  # r6 oracle
+    "bpe_merge_pairs",  # r6 oracle
+    "chunk_embed_retrieve",  # r6 oracle
+    "conditional_flag",  # r6 oracle
+    "date_compare",  # r6 oracle
+    "date_parts",  # r6 oracle
+    "date_trunc_group",  # r6 oracle
+    "dedup_cluster_keep_best",  # r6 oracle
+    "dedup_incremental",  # r6 oracle
+    "dedup_substring",  # r6 oracle
+    "embedding_quantize",  # r6 oracle
+    "hits_exact",  # r6 oracle
+    "json_extract",  # r6 oracle
+    "link_prediction_aa",  # r6 oracle
+    "map_ops",  # r6 oracle
+    "math_ops",  # r6 oracle
+    "motif_find",  # r6 oracle
+    "null_coalesce",  # r6 oracle
+    "orders_rfm",  # r6 oracle
+    "profile_table",  # r6 oracle
+    "scan_csv",  # r6 oracle
+    "scan_jsonl",  # r6 oracle
+    "sssp_weighted",  # r6 oracle
+    "str_cast",  # r6 oracle
+    "str_edit_distance",  # r6 oracle
+    "str_format",  # r6 oracle
+    "str_split",  # r6 oracle
+    "stream_dedup_exact",  # r6 oracle
+    "tpch_q10",  # r6 oracle
+    "tpch_q11",  # r6 oracle
+    "tpch_q13",  # r6 oracle
+    "tpch_q14",  # r6 oracle
+    "tpch_q15",  # r6 oracle
+    "tpch_q16",  # r6 oracle
+    "tpch_q17",  # r6 oracle
+    "tpch_q18",  # r6 oracle
+    "tpch_q19",  # r6 oracle
+    "tpch_q2",  # r6 oracle
+    "tpch_q20",  # r6 oracle
+    "tpch_q21",  # r6 oracle
+    "tpch_q22",  # r6 oracle
+    "tpch_q4",  # r6 oracle
+    "tpch_q6",  # r6 oracle
+    "tpch_q7",  # r6 oracle
+    "tpch_q8",  # r6 oracle
+    "tpch_q9",  # r6 oracle
+    "unpivot_stack",  # r6 oracle
+    "window_percent_rank",  # r6 oracle
+    "agg_argmax",  # r7 oracle
+    "agg_collect_set",  # r7 oracle
+    "agg_conditional_count",  # r7 oracle
+    "agg_count",  # r7 oracle
+    "agg_count_distinct",  # r7 oracle
+    "agg_cube",  # r7 oracle
+    "agg_first_seen_count",  # r7 oracle
+    "agg_grouping_sets",  # r7 oracle
+    "agg_min_max",  # r7 oracle
+    "agg_percentile",  # r7 oracle
+    "agg_rollup",  # r7 oracle
+    "agg_salted",  # r7 oracle
+    "agg_self_transfer",  # r7 oracle
+    "agg_signed_sum",  # r7 oracle
+    "agg_stats",  # r7 oracle
+    "agg_sum",  # r7 oracle
+    "agg_sum_coalesce",  # r7 oracle
+    "anti_join",  # r7 oracle
+    "counterparties",  # r7 oracle
+    "distinct_rows",  # r7 oracle
+    "expand_children",  # r7 oracle
+    "export_edges",  # r7 oracle
+    "filter_conjunctive",  # r7 oracle
+    "filter_point",  # r7 oracle
+    "histogram_bins",  # r7 oracle
+    "join_anti",  # r7 oracle
+    "join_asof",  # r7 oracle
+    "join_asof_pandas",  # r7 oracle
+    "join_full",  # r7 oracle
+    "join_inner",  # r7 oracle
+    "join_left",  # r7 oracle
+    "join_range",  # r7 oracle
+    "join_salted",  # r7 oracle
+    "join_semi",  # r7 oracle
+    "limit_n",  # r7 oracle
+    "one_hop_join",  # r7 oracle
+    "pivot_table",  # r7 oracle
+    "sample_hash_stratified",  # r7 oracle
+    "scan_parquet",  # r7 oracle
+    "self_transfer_flag",  # r7 oracle
+    "semi_join",  # r7 oracle
+    "set_except",  # r7 oracle
+    "set_intersect",  # r7 oracle
+    "set_union",  # r7 oracle
+    "sort_by_key",  # r7 oracle
+    "stream_session_exact",  # r7 oracle
+    "topk_global",  # r7 oracle
+    "tpch_q12_shape",  # r7 oracle
+    "wallet_components_dist",  # r7 oracle
+    "wallet_ids_incremental",  # r7 oracle
+    "anomaly_daily_zscore",  # r8 oracle
+    "bfs_distance",  # r8 oracle
+    "chain_tip",  # r8 oracle
+    "chain_validity",  # r8 oracle
+    "chi2_association",  # r8 oracle
+    "clustering_coefficient",  # r8 oracle
+    "cohort_retention",  # r8 oracle
+    "community_modularity",  # r8 oracle
+    "contamination_check",  # r8 oracle
+    "copurchase_weights",  # r8 oracle
+    "corpus_mixture",  # r8 oracle
+    "curation_pipeline",  # r8 oracle
+    "cusum_drift",  # r8 oracle
+    "degree_stats",  # r8 oracle
+    "dup_rate_by_source",  # r8 oracle
+    "event_transitions",  # r8 oracle
+    "feature_scale_minmax",  # r8 oracle
+    "funnel_conversion",  # r8 oracle
+    "graph_assortativity",  # r8 oracle
+    "khop_neighborhood",  # r8 oracle
+    "ktruss_edges",  # r8 oracle
+    "layout_zorder",  # r8 oracle
+    "multimodal_patchify",  # r8 oracle
+    "neighbor_jaccard",  # r8 oracle
+    "pack_sequences",  # r8 oracle
+    "parent_lookup",  # r8 oracle
+    "rolling_dau",  # r8 oracle
+    "sample_hash_topk",  # r8 oracle
+    "seasonality_profile",  # r8 oracle
+    "sessionize_batch",  # r8 oracle
+    "spatial_knn",  # r8 oracle
+    "spatial_radius_join",  # r8 oracle
+    "split_assign",  # r8 oracle
+    "split_drift_psi",  # r8 oracle
+    "stream_hypertable_rollup",  # r8 oracle
+    "tokenize_to_ids",  # r8 oracle
+    "two_hop_join",  # r8 oracle
+    "week_over_week",  # r8 oracle
+    "ab_test_zscore",  # r9 oracle
+    "association_rules",  # r9 oracle
+    "attribution_last_touch",  # r9 oracle
+    "attribution_linear",  # r9 oracle
+    "calibration_bins",  # r9 oracle
+    "cdc_apply",  # r9 oracle
+    "cohens_kappa",  # r9 oracle
+    "concurrent_sessions_max",  # r9 oracle
+    "cuped_adjustment",  # r9 oracle
+    "dedup_cluster_histogram",  # r9 oracle
+    "dq_expectations",  # r9 oracle
+    "embedding_covariance",  # r9 oracle
+    "entropy_profile",  # r9 oracle
+    "ewma_trailing",  # r9 oracle
+    "funnel_time_to_convert",  # r9 oracle
+    "gap_detect",  # r9 oracle
+    "gini_concentration",  # r9 oracle
+    "impute_group_median",  # r9 oracle
+    "inventory_clamped_balance",  # r9 oracle
+    "ivm_join_delta",  # r9 oracle
+    "join_interval_overlap",  # r9 oracle
+    "join_partition_prune_runtime",  # r9 oracle
+    "kaplan_meier",  # r9 oracle
+    "ks_statistic",  # r9 oracle
+    "mad_robust",  # r9 oracle
+    "ndcg_at_k",  # r9 oracle
+    "ngram_novelty",  # r9 oracle
+    "ols_multi",  # r9 oracle
+    "percentile_summary",  # r9 oracle
+    "recursive_cte_hierarchy",  # r9 oracle
+    "resample_ohlc",  # r9 oracle
+    "rrf_fusion",  # r9 oracle
+    "scan_corrupt_quarantine",  # r9 oracle
+    "scan_orc",  # r9 oracle
+    "scan_schema_evolution",  # r9 oracle
+    "scan_zonemap_skip",  # r9 oracle
+    "skipgram_pairs",  # r9 oracle
+    "skyline_pareto",  # r9 oracle
+    "snapshot_cdc_diff",  # r9 oracle
+    "stickiness_dau_mau",  # r9 oracle
+    "stream_cdc_apply",  # r9 oracle
+    "subtree_rollup",  # r9 oracle
+    "time_weighted_avg",  # r9 oracle
+    "udtf_lateral",  # r9 oracle
+    "variant_extract",  # r9 oracle
+    "weighted_median",  # r9 oracle
+    "weighted_sample_topk",  # r9 oracle
+    "winsorized_mean",  # r9 oracle
+    "zipf_fit",  # r9 oracle
+    "acf_lags",  # r10 oracle
+    "auc_exact",  # r10 oracle
+    "confusion_threshold",  # r10 oracle
+    "corr_pairs",  # r10 oracle
+    "dbscan_core",  # r10 oracle
+    "dedup_containment",  # r10 oracle
+    "dedup_embedding_cosine",  # r10 oracle
+    "dedup_embedding_exact",  # r10 oracle
+    "degree_histogram",  # r10 oracle
+    "doc_length_band",  # r10 oracle
+    "embedding_outlier_topk",  # r10 oracle
+    "feature_hashing",  # r10 oracle
+    "gap_fill_locf",  # r10 oracle
+    "group_kfold",  # r10 oracle
+    "hypertable_rollup",  # r10 oracle
+    "iqr_outliers",  # r10 oracle
+    "join_asof_tolerance",  # r10 oracle
+    "join_skew_report",  # r10 oracle
+    "join_skew_salted",  # r10 oracle
+    "label_propagation",  # r10 oracle
+    "lift_gain_table",  # r10 oracle
+    "mutual_information",  # r10 oracle
+    "onehot_encode",  # r10 oracle
+    "quantile_bucketize",  # r10 oracle
+    "random_walk_sample",  # r10 oracle
+    "record_linkage",  # r10 oracle
+    "scan_partition_prune",  # r10 oracle
+    "session_funnel",  # r10 oracle
+    "session_path_topk",  # r10 oracle
+    "stream_stateful_agg_exact",  # r10 oracle
+    "target_encode",  # r10 oracle
+    "text_readability",  # r10 oracle
+    "text_surprisal",  # r10 oracle
+    "trend_ols",  # r10 oracle
+    "window_lead_nth",  # r10 oracle
+    "woe_iv",  # r10 oracle
+    "dedup_embedding_lsh",  # r10 rows-only
+    "dedup_minhash",  # r10 rows-only
+    "dedup_simhash",  # r10 rows-only
+    "kmeans_embeddings",  # r10 rows-only
+    "similarity_bruteforce",  # r10 rows-only
+    "similarity_ivf",  # r10 rows-only
+    "similarity_lsh",  # r10 rows-only
+    "similarity_pq",  # r10 rows-only
+    "stream_dedup",  # r10 rows-only
+    "stream_late_data",  # r10 rows-only
+    "stream_session",  # r10 rows-only
+    "stream_stateful_agg",  # r10 rows-only
+    "stream_watermark",  # r10 rows-only
+    "taint_flow",  # r10 rows-only
 )
 
 

@@ -1,0 +1,189 @@
+"""Round-11 regression pins: the join_skew_salted plan shape promised by
+its docstring (ADVICE r10 medium), the bucketed_prefix_sums non-null
+bucket contract, and the orc/derived-cache tag scoping.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from blockchain2graphdb_spark import registry
+from blockchain2graphdb_spark.plans.inspect import count_nodes, plan_string
+
+from conftest import SF_DIR
+
+SPECS = registry.load_all()
+
+
+def test_join_skew_salted_plan_shape(spark):
+    """The skew-mitigation demo only demonstrates anything if the plan
+    actually takes the salted shuffle-join path: a ShuffledHashJoin on
+    the composite (hk, salt) key, a Generate (the dim-side explode into
+    R salt replicas), and NO broadcast join anywhere — Spark silently
+    reverting to broadcasting the tiny dim would make the key a no-op
+    while staying value-correct (the oracle is the unsalted join)."""
+    df = SPECS["join_skew_salted"].builder(spark, SF_DIR)
+    plan = plan_string(df)
+    assert count_nodes(df, "BroadcastHashJoin") == 0, plan
+    assert count_nodes(df, "ShuffledHashJoin") == 1, plan
+    assert count_nodes(df, "Generate") >= 1, plan
+    # the join keys are the composite (hk, salt) pair, not hk alone
+    import re
+
+    m = re.search(r"Left keys \[2\]: \[([^\]]*)\]", plan)
+    assert m is not None, plan
+    left_keys = m.group(1)
+    assert "hk" in left_keys and "salt" in left_keys, plan
+
+
+def test_bucketed_prefix_sums_rejects_null_buckets(spark):
+    """The two-pass prefix-sum joins back on the bucket column, and an
+    equi-join never matches NULL keys — so a NULL bucket would silently
+    drop rows. The contract now fails loudly instead (ADVICE r10 low)."""
+    from pyspark.sql import functions as F
+
+    from blockchain2graphdb_spark.functions.ranking import bucketed_prefix_sums
+
+    df = spark.range(10).select(
+        F.when(F.col("id") < 8, F.col("id") % 2).alias("b"),
+        F.col("id").alias("k"),
+        F.lit(1).alias("v"),
+    )
+    out = bucketed_prefix_sums(
+        df, F.col("b"), [F.col("k")], {"cum": F.col("v")}
+    )
+    with pytest.raises(Exception, match="null bucket"):
+        out.collect()
+
+
+def test_bucketed_prefix_sums_still_exact_on_nonnull(spark):
+    from pyspark.sql import functions as F
+
+    from blockchain2graphdb_spark.functions.ranking import bucketed_prefix_sums
+
+    df = spark.range(100).select(
+        (F.col("id") % 5).alias("b"),
+        F.col("id").alias("k"),
+        (F.col("id") * 3).alias("v"),
+    )
+    out = bucketed_prefix_sums(
+        df, F.col("b") , [F.col("k")], {"cum": F.col("v")}
+    ).orderBy("b", "k")
+    rows = out.collect()
+    # replay: global order is (b, k); cum is the running sum of v
+    rows_sorted = sorted(rows, key=lambda r: (r["b"], r["k"]))
+    run = 0
+    for r in rows_sorted:
+        run += r["v"]
+        assert r["cum"] == run, (r, run)
+
+
+def test_orc_cache_tag_distinguishes_same_basename_roots(tmp_path):
+    """Two fixture roots sharing a basename (e.g. /a/sf0.1 and /b/sf0.1)
+    must not share a derived-cache tag, or one root's cold-cache cleanup
+    can delete-and-race the other's live cache (ADVICE r10 low)."""
+    import os
+
+    from blockchain2graphdb_spark.operators.relational import _orc_orders_dir
+
+    a = tmp_path / "a" / "sf0.1"
+    b = tmp_path / "b" / "sf0.1"
+    for root in (a, b):
+        root.mkdir(parents=True)
+        (root / "orders.parquet").write_bytes(b"x" * 10)
+    da = _orc_orders_dir(str(a))
+    db = _orc_orders_dir(str(b))
+    assert da != db
+    # and the stale-glob prefix (everything before the size/mtime
+    # suffix) differs too, so cleanup for one never globs the other
+    pa = os.path.basename(da).rsplit("_", 2)[0]
+    pb = os.path.basename(db).rsplit("_", 2)[0]
+    assert pa != pb
+
+
+# --- adaptive broadcast threshold (VERDICT r10 #5 / SURVEY §8 limit) ---
+
+
+def test_parse_mem_units():
+    from blockchain2graphdb_spark.plans.sizing import parse_mem
+
+    assert parse_mem("8g") == 8 << 30
+    assert parse_mem("512m") == 512 << 20
+    assert parse_mem("1024k") == 1024 << 10
+    assert parse_mem("1t") == 1 << 40
+    # bare numbers are MiB (spark.executor.memory semantics)
+    assert parse_mem("2048") == 2048 << 20
+    with pytest.raises(ValueError):
+        parse_mem("lots")
+
+
+def test_adaptive_broadcast_rows_derives_from_session_heap(spark):
+    from blockchain2graphdb_spark.plans.sizing import (
+        adaptive_broadcast_rows,
+        heap_bytes,
+        parse_mem,
+    )
+
+    # local mode: the heap is the driver JVM's
+    assert spark.conf.get("spark.master").startswith("local")
+    assert heap_bytes(spark) == parse_mem(spark.conf.get("spark.driver.memory"))
+    got = adaptive_broadcast_rows(spark)
+    expected = max(
+        100_000, min(64_000_000, int(heap_bytes(spark) * 0.10) // 64)
+    )
+    assert got == expected
+    # knobs respected + clamps hold
+    assert adaptive_broadcast_rows(spark, bytes_per_row=2**60) == 100_000
+    assert adaptive_broadcast_rows(spark, fraction=1e9) == 64_000_000
+
+
+def test_pregel_broadcast_switch_equivalence(spark):
+    """The same Pregel computation forced down the broadcast path, the
+    shuffle path, and the adaptive default must agree exactly — the
+    two-path test extended to cover the adaptive switch."""
+    from blockchain2graphdb_spark.graph.pregel import chain_heights, pregel
+    from pyspark.sql import functions as F
+
+    # a 60-block chain: heights 0..59 via message passing
+    rows = [(f"h{i:03d}", None if i == 0 else f"h{i-1:03d}") for i in range(60)]
+    blocks = spark.createDataFrame(rows, "hash string, prev_hash string")
+
+    def run(bn):
+        vertices = blocks.select(
+            F.col("hash").alias("id"),
+            F.when(F.col("prev_hash").isNull(), F.lit(0))
+            .otherwise(F.lit(None))
+            .alias("attr"),
+        )
+        edges = blocks.where(F.col("prev_hash").isNotNull()).select(
+            F.col("prev_hash").alias("src"), F.col("hash").alias("dst")
+        )
+        out = pregel(
+            vertices,
+            edges,
+            initial_msg=None,
+            send_msg=lambda s, d: F.when(s.isNotNull() & d.isNull(), s + 1),
+            agg_msg=F.max,
+            vprog=lambda attr, msg: F.coalesce(attr, msg),
+            max_iter=64,
+            broadcast_nodes=bn,
+        )
+        return sorted((r["id"], r["attr"]) for r in out.collect())
+
+    forced_broadcast = run(10**9)
+    forced_shuffle = run(0)
+    adaptive = run(None)
+    assert forced_broadcast == forced_shuffle == adaptive
+    assert dict(adaptive)["h059"] == 59
+
+
+def test_components_adaptive_threshold_agrees_with_forced_paths(spark):
+    from blockchain2graphdb_spark.graph.components import connected_components
+
+    edges = [(i, i + 1) for i in range(100, 180)] + [(500, 501), (501, 502)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    outs = []
+    for bn in (0, 10**9, None):
+        comp = connected_components(df, driver_threshold=0, broadcast_nodes=bn)
+        outs.append(sorted((r["node"], r["comp"]) for r in comp.collect()))
+    assert outs[0] == outs[1] == outs[2]
