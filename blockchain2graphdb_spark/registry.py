@@ -52,6 +52,7 @@ _OPERATOR_MODULES = (
     "blockchain2graphdb_spark.operators.walks",
     "blockchain2graphdb_spark.operators.evalrank",
     "blockchain2graphdb_spark.operators.experiments",
+    "blockchain2graphdb_spark.operators.centrality",
 )
 
 # The driver's correctness gate samples the FIRST ~50 keys in queries()
@@ -69,6 +70,8 @@ _OPERATOR_MODULES = (
 # load_all() silently ignores missing keys).
 _SAMPLE_PRIORITY = (
     # --- new round-11 keys (no driver witness yet) ---
+    "betweenness_approx",
+    "closeness_approx",
     "agg_hll_merge",  # r1 rows-only
     "agg_approx_count_distinct",  # r3 rows-only
     "agg_approx_percentile",  # r3 rows-only

@@ -69,6 +69,9 @@ _ITERATIVE = {
     "target_encode",
     "dbscan_core",
     "dedup_embedding_cosine",
+    # round-11: sampled-BFS centrality checkpoints per level on call
+    "betweenness_approx",
+    "closeness_approx",
 }
 
 _PLAN_KEYS = sorted(set(SPECS) - _EXECUTING - _ITERATIVE)

@@ -187,3 +187,132 @@ def test_components_adaptive_threshold_agrees_with_forced_paths(spark):
         comp = connected_components(df, driver_threshold=0, broadcast_nodes=bn)
         outs.append(sorted((r["node"], r["comp"]) for r in comp.collect()))
     assert outs[0] == outs[1] == outs[2]
+
+
+# --- sampled centrality (round-11 capability extension) ---
+
+
+def _python_seed_bfs(sf_dir, n_seeds, depth=3):
+    """Independent pure-Python replay of _seed_bfs: distinct co-purchase
+    edges from the parquet, md5-smallest seeds, level BFS with
+    shortest-path counts."""
+    import hashlib
+    from collections import defaultdict
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"])
+    by_order = defaultdict(set)
+    for o, p in zip(t.column("l_orderkey").to_pylist(), t.column("l_partkey").to_pylist()):
+        by_order[o].add(p)
+    adj = defaultdict(set)
+    for ps in by_order.values():
+        ps = sorted(ps)
+        for i, a in enumerate(ps):
+            for b in ps[i + 1 :]:
+                adj[a].add(b)
+                adj[b].add(a)
+    nodes = sorted(adj)
+    seeds = sorted(nodes, key=lambda n: (hashlib.md5(str(n).encode()).hexdigest(), n))[
+        :n_seeds
+    ]
+    bfs = {}  # (root, node) -> (dist, sigma)
+    for root in seeds:
+        level = {root: 1}
+        seen = {root}
+        bfs[(root, root)] = (0, 1)
+        for h in range(1, depth + 1):
+            nxt = {}
+            for v, sig in level.items():
+                for w in adj[v]:
+                    if w not in seen:
+                        nxt[w] = nxt.get(w, 0) + sig
+            for w, sig in nxt.items():
+                bfs[(root, w)] = (h, sig)
+            seen |= set(nxt)
+            level = nxt
+    return bfs, seeds
+
+
+def test_betweenness_approx_python_replay(spark, sf_dir):
+    bfs, seeds = _python_seed_bfs(sf_dir, 16)
+    score = {}
+    for pid in range(8):
+        s, t = seeds[pid], seeds[pid + 8]
+        if (s, t) not in bfs:
+            continue
+        dst, sst = bfs[(s, t)]
+        for (root, node), (ds, ss) in bfs.items():
+            if root != s or node in (s, t) or (t, node) not in bfs:
+                continue
+            dt, ts = bfs[(t, node)]
+            if ds + dt == dst:
+                num = ss * ts
+                score[node] = score.get(node, 0) + (num // sst) * 10**9 + (
+                    (num % sst) * 10**9
+                ) // sst
+    expected = sorted(score.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+
+    from blockchain2graphdb_spark import registry
+
+    got = [
+        (r["node"], r["btw_nanos"])
+        for r in registry.load_all()["betweenness_approx"]
+        .builder(spark, sf_dir)
+        .collect()
+    ]
+    assert got == expected
+
+
+def test_closeness_approx_python_replay(spark, sf_dir):
+    bfs, _seeds = _python_seed_bfs(sf_dir, 8)
+    agg = {}
+    for (_root, node), (d, _sig) in bfs.items():
+        if d > 0:
+            n, h = agg.get(node, (0, 0))
+            agg[node] = (n + 1, h + 10**9 // d)
+    expected = sorted(
+        ((node, n, h) for node, (n, h) in agg.items()),
+        key=lambda r: (-r[2], r[0]),
+    )[:100]
+
+    from blockchain2graphdb_spark import registry
+
+    got = [
+        (r["node"], r["n_reached"], r["harm_nanos"])
+        for r in registry.load_all()["closeness_approx"]
+        .builder(spark, sf_dir)
+        .collect()
+    ]
+    assert got == expected
+
+
+def test_betweenness_plan_is_single_frontier_no_per_seed_loop(spark):
+    """The estimator must be ONE multi-source BFS plus a fixed number of
+    pair joins: nothing pairwise/cartesian, the final cut a TakeOrdered,
+    and the join count a CONSTANT in the seed count (seeds only widen
+    the frontier rows) — doubling the seeds must not change the plan
+    shape."""
+    from blockchain2graphdb_spark.operators.centrality import _seed_bfs
+    from blockchain2graphdb_spark.plans.inspect import (
+        count_nodes,
+        has_node,
+        plan_string,
+    )
+    from blockchain2graphdb_spark import registry
+
+    df = registry.load_all()["betweenness_approx"].builder(spark, SF_DIR)
+    plan = plan_string(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert has_node(df, "TakeOrderedAndProject"), plan
+
+    def join_count(n_seeds):
+        bfs, _ = _seed_bfs(spark, SF_DIR, n_seeds)
+        p = plan_string(bfs)
+        return sum(
+            p.count(j)
+            for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+        )
+
+    assert join_count(4) == join_count(8)
