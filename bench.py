@@ -79,6 +79,8 @@ SECONDARY = [
     "join_interval_overlap",    # grid-bucketed interval self-join
     "embedding_covariance",     # exact d x d covariance, one scan
     "recursive_cte_hierarchy",  # native WITH RECURSIVE frontier scans
+    "betweenness_approx",       # sampled-pair Brandes, one BFS frontier
+    "closeness_approx",         # sampled harmonic closeness
 ]
 
 

@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..plans.iterate import local_checkpoint, observed_checkpoint
-from ..plans.sizing import adaptive_broadcast_rows
+from ..plans.sizing import adaptive_broadcast_rows, est_row_bytes
 
 
 def connected_components(
@@ -128,8 +128,11 @@ def connected_components(
         F.count(F.lit(1)),
     )
     if broadcast_nodes is None:
-        # adaptive (SURVEY §8 limit closed; plans/sizing.py)
-        broadcast_nodes = adaptive_broadcast_rows(edges.sparkSession)
+        # adaptive (SURVEY §8 limit closed; plans/sizing.py): gate from
+        # the ACTUAL label-row schema, not a constant row size
+        broadcast_nodes = adaptive_broadcast_rows(
+            edges.sparkSession, bytes_per_row=est_row_bytes(comp.schema)
+        )
     hint = F.broadcast if n_nodes <= broadcast_nodes else (lambda df: df)
 
     # Shiloach–Vishkin-style union-find in rounds; each outer round:
@@ -245,8 +248,11 @@ def list_rank(
         F.count(F.lit(1)),
     )
     if broadcast_nodes is None:
-        # adaptive (SURVEY §8 limit closed; plans/sizing.py)
-        broadcast_nodes = adaptive_broadcast_rows(links.sparkSession)
+        # adaptive (SURVEY §8 limit closed; plans/sizing.py): gate from
+        # the ACTUAL pointer-row schema, not a constant row size
+        broadcast_nodes = adaptive_broadcast_rows(
+            links.sparkSession, bytes_per_row=est_row_bytes(cur.schema)
+        )
     hint = F.broadcast if n_nodes <= broadcast_nodes else (lambda df: df)
 
     def jump(base: DataFrame, lk: DataFrame) -> DataFrame:

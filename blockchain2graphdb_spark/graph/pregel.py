@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..plans.iterate import local_checkpoint, observed_checkpoint
-from ..plans.sizing import adaptive_broadcast_rows
+from ..plans.sizing import adaptive_broadcast_rows, est_row_bytes
 
 
 def pregel(
@@ -66,8 +66,11 @@ def pregel(
     v, n_vertices = observed_checkpoint(v, F.count(F.lit(1)))
     if broadcast_nodes is None:
         # adaptive (SURVEY §8 limit closed): derived from the session's
-        # executor/driver heap, resolved once per loop (plans/sizing.py)
-        broadcast_nodes = adaptive_broadcast_rows(vertices.sparkSession)
+        # executor/driver heap AND the actual vertex schema, resolved
+        # once per loop (plans/sizing.py)
+        broadcast_nodes = adaptive_broadcast_rows(
+            vertices.sparkSession, bytes_per_row=est_row_bytes(v.schema)
+        )
     hint = F.broadcast if n_vertices <= broadcast_nodes else (lambda df: df)
 
     for i in range(max_iter):

@@ -47,7 +47,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import parquet_num_rows, prep, table
 from ..plans.iterate import local_checkpoint
-from ..plans.sizing import adaptive_broadcast_rows
+from ..plans.sizing import adaptive_broadcast_rows, est_row_bytes
 from ..registry import query
 from .graphops import _copurchase_pairs
 
@@ -86,20 +86,19 @@ def _seed_bfs(
             ),
         )
     )
-    # frontier rows ≤ n_seeds · |parts| (nodes are part keys); broadcast
-    # under the memory-adaptive gate, keyed shuffles above it
-    n_parts = parquet_num_rows(sf_dir, "part")
-    hint = (
-        F.broadcast
-        if n_seeds * n_parts <= adaptive_broadcast_rows(spark)
-        else (lambda df: df)
-    )
-
     frontier = seeds.select(
         F.col("n").alias("root"),
         F.col("n").alias("node"),
         F.lit(1).cast("long").alias("sigma"),
     )
+    # frontier rows ≤ n_seeds · |parts| (nodes are part keys); broadcast
+    # under the memory-adaptive gate (sized from the actual frontier
+    # schema), keyed shuffles above it
+    n_parts = parquet_num_rows(sf_dir, "part")
+    gate = adaptive_broadcast_rows(
+        spark, bytes_per_row=est_row_bytes(frontier.schema)
+    )
+    hint = F.broadcast if n_seeds * n_parts <= gate else (lambda df: df)
     levels = [frontier.withColumn("dist", F.lit(0))]
     seen = frontier.select("root", "node")
     for h in range(1, depth + 1):

@@ -89,3 +89,52 @@ def adaptive_broadcast_rows(
     session's memory config (see module docstring for the model)."""
     budget = int(heap_bytes(spark) * fraction)
     return max(floor, min(cap, budget // bytes_per_row))
+
+
+# JVM defaultSize analogues for the types iterative loops actually
+# broadcast (Catalyst's DataType.defaultSize, which PySpark does not
+# expose), padded by the broadcast-hash-relation overhead factor below.
+_TYPE_BYTES = {
+    "boolean": 1,
+    "byte": 1,
+    "short": 2,
+    "integer": 4,
+    "long": 8,
+    "float": 4,
+    "double": 8,
+    "date": 4,
+    "timestamp": 8,
+    "timestamp_ntz": 8,
+    "string": 20,
+    "binary": 100,
+}
+
+# an in-memory BroadcastHashJoin relation (LongHashedRelation /
+# UnsafeHashedRelation) costs roughly 2-3x the raw row payload in map
+# entries and UnsafeRow headers; 3x keeps the estimate conservative
+_HASH_RELATION_OVERHEAD = 3
+
+
+def est_row_bytes(schema) -> int:
+    """Broadcast-relation bytes per row for a StructType: per-field
+    defaultSize (recursing into structs/arrays/maps/decimals) times the
+    hash-relation overhead. Used by the iterative loops to size the
+    adaptive gate from the ACTUAL vertex schema instead of a constant
+    (SURVEY §8 r11 residual)."""
+
+    def field_bytes(dt) -> int:
+        name = dt.typeName()
+        if name in _TYPE_BYTES:
+            return _TYPE_BYTES[name]
+        if name == "decimal":
+            return 8 if dt.precision <= 18 else 16
+        if name == "struct":
+            return sum(field_bytes(f.dataType) for f in dt.fields)
+        if name == "array":
+            return 4 * field_bytes(dt.elementType)  # assume short arrays
+        if name == "map":
+            return 4 * (field_bytes(dt.keyType) + field_bytes(dt.valueType))
+        return 20  # unknown: a conservative scalar default
+
+    raw = sum(field_bytes(f.dataType) for f in schema.fields)
+    return max(16, raw) * _HASH_RELATION_OVERHEAD

@@ -316,3 +316,34 @@ def test_betweenness_plan_is_single_frontier_no_per_seed_loop(spark):
         )
 
     assert join_count(4) == join_count(8)
+
+
+def test_est_row_bytes_schema_scaling():
+    """The adaptive gate must shrink for wider vertex rows — the SURVEY
+    §8 residual (constant 64 B estimate) closed by schema measurement."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from blockchain2graphdb_spark.plans.sizing import est_row_bytes
+
+    narrow = StructType(
+        [StructField("id", LongType()), StructField("attr", LongType())]
+    )
+    wide = StructType(
+        [
+            StructField("id", StringType()),
+            StructField(
+                "attr",
+                StructType(
+                    [StructField("r", DoubleType()), StructField("d", LongType())]
+                ),
+            ),
+        ]
+    )
+    assert est_row_bytes(narrow) < est_row_bytes(wide)
+    assert est_row_bytes(narrow) >= 16  # floor * overhead
