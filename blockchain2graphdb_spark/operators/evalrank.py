@@ -559,3 +559,147 @@ def ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(c_b * 1e6 / n_b).cast("long").alias("p_b_micros"),
         F.round(z * 1e6).cast("long").alias("z_micros"),
     )
+
+
+@query(
+    "map_at_k",
+    oracle="""
+    WITH scored AS (
+      SELECT o_orderpriority AS qry, o_orderkey,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS rel,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ),
+    top AS (
+      SELECT qry, rel, rn,
+             SUM(rel) OVER (PARTITION BY qry ORDER BY rn
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS hits
+      FROM scored WHERE rn <= 10
+    ),
+    terms AS (
+      SELECT qry,
+             CAST(SUM(CASE WHEN rel = 1 THEN (1000000000 * hits) // rn
+                           ELSE 0 END) AS BIGINT) AS ap_terms
+      FROM top GROUP BY qry
+    ),
+    relcnt AS (
+      SELECT qry, CAST(SUM(rel) AS BIGINT) AS n_rel FROM scored GROUP BY qry
+    )
+    SELECT r.qry, r.n_rel,
+           CASE WHEN LEAST(r.n_rel, 10) = 0 THEN 0
+                ELSE t.ap_terms // LEAST(r.n_rel, 10) END AS ap_nanos
+    FROM relcnt r JOIN terms t ON t.qry = r.qry
+    """,
+)
+def map_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision @ 10 per query group (X18, the third ranking-
+    quality view after NDCG and RRF): same query/ordering/relevance
+    setup as `ndcg_at_k` but binary relevance (fulfilled = relevant).
+    AP@10 = Σ_{relevant hits i ≤ 10} precision@i / min(R, 10), with
+    every precision@i term int-nanos floored (1e9·hits_i // i — both
+    operands exact integers) and the final division an integer floor —
+    the whole statistic never touches a float, so it value-hashes
+    bit-for-bit cross-engine.
+
+    Scale shape: the rank filter compiles to WindowGroupLimit (map-side
+    partial top-10 per partition per query — never a per-query full
+    sort); the running hit count windows over the ≤10-row survivors;
+    n_rel is one hash aggregate; the final join is O(#queries),
+    broadcast."""
+    prep(spark)
+    rel = F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+    scored = table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("qry"),
+        "o_orderkey",
+        "o_totalprice",
+        rel.alias("rel"),
+    )
+    by_score = W.partitionBy("qry").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    top = scored.withColumn("rn", F.row_number().over(by_score)).where(
+        F.col("rn") <= 10
+    )
+    running = (
+        W.partitionBy("qry").orderBy("rn").rowsBetween(W.unboundedPreceding, 0)
+    )
+    top = top.withColumn("hits", F.sum("rel").over(running))
+    terms = top.groupBy("qry").agg(
+        F.sum(
+            F.when(
+                F.col("rel") == 1,
+                F.expr("(1000000000 * hits) div rn"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("ap_terms")
+    )
+    relcnt = scored.groupBy("qry").agg(F.sum("rel").cast("long").alias("n_rel"))
+    m = F.least(F.col("n_rel"), F.lit(10))
+    return (
+        relcnt.join(F.broadcast(terms), "qry")
+        .select(
+            "qry",
+            "n_rel",
+            F.when(m == 0, F.lit(0))
+            .otherwise(F.expr("ap_terms div least(n_rel, 10)"))
+            .cast("long")
+            .alias("ap_nanos"),
+        )
+    )
+
+
+@query(
+    "mrr_at_k",
+    oracle="""
+    WITH scored AS (
+      SELECT o_orderpriority AS qry, o_orderkey,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS rel,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ),
+    firsts AS (
+      SELECT qry, CAST(MIN(CASE WHEN rel = 1 THEN rn END) AS BIGINT)
+               AS first_rank
+      FROM scored WHERE rn <= 10 GROUP BY qry
+    ),
+    qs AS (SELECT DISTINCT qry FROM scored)
+    SELECT q.qry,
+           CAST(COALESCE(f.first_rank, 0) AS BIGINT) AS first_rank,
+           CAST(CASE WHEN f.first_rank IS NULL THEN 0
+                ELSE 1000000000 // f.first_rank END AS BIGINT) AS rr_nanos
+    FROM qs q LEFT JOIN firsts f ON f.qry = q.qry
+    """,
+)
+def mrr_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal rank @ 10 per query group — the first-hit latency view
+    of ranking quality (chatbot/RAG eval's favorite because it only
+    cares where the first good result lands). rr = floor(1e9 /
+    first_relevant_rank), 0 when no relevant result reaches the top 10;
+    pure integer end to end. Same WindowGroupLimit top-10 shape as
+    `map_at_k`; the per-query reduction is a MIN aggregate."""
+    prep(spark)
+    rel = F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+    scored = table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("qry"),
+        "o_orderkey",
+        "o_totalprice",
+        rel.alias("rel"),
+    )
+    by_score = W.partitionBy("qry").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    top = scored.withColumn("rn", F.row_number().over(by_score)).where(
+        F.col("rn") <= 10
+    )
+    firsts = top.groupBy("qry").agg(
+        F.min(F.when(F.col("rel") == 1, F.col("rn"))).cast("long").alias("fr")
+    )
+    qs = scored.select("qry").distinct()
+    return qs.join(F.broadcast(firsts), "qry", "left").select(
+        "qry",
+        F.coalesce(F.col("fr"), F.lit(0)).cast("long").alias("first_rank"),
+        F.when(F.col("fr").isNull(), F.lit(0))
+        .otherwise(F.expr("1000000000 div fr"))
+        .cast("long")
+        .alias("rr_nanos"),
+    )

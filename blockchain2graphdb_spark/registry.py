@@ -72,6 +72,8 @@ _SAMPLE_PRIORITY = (
     # --- new round-11 keys (no driver witness yet) ---
     "betweenness_approx",
     "closeness_approx",
+    "map_at_k",
+    "mrr_at_k",
     "agg_hll_merge",  # r1 rows-only
     "agg_approx_count_distinct",  # r3 rows-only
     "agg_approx_percentile",  # r3 rows-only

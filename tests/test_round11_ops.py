@@ -347,3 +347,43 @@ def test_est_row_bytes_schema_scaling():
     )
     assert est_row_bytes(narrow) < est_row_bytes(wide)
     assert est_row_bytes(narrow) >= 16  # floor * overhead
+
+
+def test_map_mrr_plan_topk_is_window_group_limit(spark):
+    """The rank-10 cut must compile to WindowGroupLimit (map-side
+    partial top-10 per query) — a full per-query sort would be the
+    100 TB scale-killer for ranking metrics."""
+    from blockchain2graphdb_spark.plans.inspect import has_node
+
+    for key in ("map_at_k", "mrr_at_k"):
+        df = SPECS[key].builder(spark, SF_DIR)
+        assert has_node(df, "WindowGroupLimit"), key
+
+
+def test_map_at_k_python_replay(spark, sf_dir):
+    """AP@10 against an independent pandas replay of the definition."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_orderkey", "o_totalprice", "o_orderstatus"],
+    ).to_pylist()
+    by_q = {}
+    for r in t:
+        by_q.setdefault(r["o_orderpriority"], []).append(r)
+    expected = {}
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: (-r["o_totalprice"], r["o_orderkey"]))
+        n_rel = sum(1 for r in rows if r["o_orderstatus"] == "F")
+        hits, terms = 0, 0
+        for i, r in enumerate(rows[:10], start=1):
+            if r["o_orderstatus"] == "F":
+                hits += 1
+                terms += (10**9 * hits) // i
+        m = min(n_rel, 10)
+        expected[q] = (n_rel, terms // m if m else 0)
+    got = {
+        r["qry"]: (r["n_rel"], r["ap_nanos"])
+        for r in SPECS["map_at_k"].builder(spark, sf_dir).collect()
+    }
+    assert got == expected
