@@ -907,3 +907,92 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cov_n2"),
         )
     )
+
+
+@query(
+    "hard_negative_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    norms AS (
+      SELECT vec_id, (SELECT SUM(x * x) FROM unnest(qv) AS t(x)) AS norm2
+      FROM q
+    ),
+    dots AS (
+      SELECT a.vec_id AS query_id, a.label AS query_label,
+             b.vec_id AS cand_id, b.label AS cand_label,
+             (SELECT SUM(a.qv[i.i] * b.qv[i.i])
+              FROM (SELECT unnest(range(1, {64 + 1})) AS i) i) AS dot
+      FROM q a JOIN q b ON b.vec_id <> a.vec_id AND b.label <> a.label
+      WHERE a.vec_id < 8
+    ),
+    scored AS (
+      SELECT d.query_id, d.cand_id, d.cand_label,
+             CAST(d.dot AS DOUBLE)
+               / SQRT(CAST(na.norm2 * nb.norm2 AS DOUBLE)) AS cosine
+      FROM dots d
+      JOIN norms na ON na.vec_id = d.query_id
+      JOIN norms nb ON nb.vec_id = d.cand_id
+    )
+    SELECT query_id, cand_id, cand_label, cosine FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, cand_id) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+    """,
+)
+def hard_negative_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 training-data miner: HARD NEGATIVES for contrastive training —
+    per query vector, the top-5 most-similar candidates whose LABEL
+    DIFFERS (the near-miss examples a retrieval/embedding trainer needs;
+    random negatives are too easy, same-label neighbors are positives).
+    Same broadcast-query brute-force shape as `similarity_topk` with the
+    label disagreement folded into the join condition, so same-label
+    pairs are pruned BEFORE scoring; integer-quantized dot products make
+    the ranking engine-portable, and the top-5 cut compiles to
+    WindowGroupLimit. At scale the query batch broadcasts and the
+    candidate set streams map-side — one scan, no shuffle; the LSH/IVF
+    candidate generators (same file) slot in front unchanged when the
+    candidate set outgrows a scan."""
+    prep(spark)
+    qdf = _quantized(spark, sf_dir)
+    queries = qdf.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("q").alias("qq"),
+        F.col("norm2").alias("qnorm2"),
+    )
+    cands = qdf.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").alias("cand_label"),
+        F.col("q").alias("cq"),
+        F.col("norm2").alias("cnorm2"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qq"), F.col("cq"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    scored = (
+        cands.join(
+            F.broadcast(queries),
+            (F.col("cand_id") != F.col("query_id"))
+            & (F.col("cand_label") != F.col("query_label")),
+        )
+        .withColumn(
+            "cosine",
+            dot.cast("double")
+            / F.sqrt((F.col("qnorm2") * F.col("cnorm2")).cast("double")),
+        )
+        .select("query_id", "cand_id", "cand_label", "cosine")
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .drop("rn")
+    )
