@@ -280,3 +280,108 @@ def closeness_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("harm_nanos"), "node")
         .limit(100)
     )
+
+
+@query(
+    "edge_betweenness_approx",
+    oracle=f"""
+    WITH {_oracle_bfs_cte(_BTW_SEEDS)},
+    p AS (
+      SELECT a.i AS pid, a.n AS s, b.n AS t
+      FROM seeds a JOIN seeds b ON b.i = a.i + {_BTW_SEEDS // 2}
+      WHERE a.i < {_BTW_SEEDS // 2}
+    ),
+    sd AS (SELECT p.pid, b.node AS u, b.dist AS dsu, b.sigma AS ssu
+           FROM p JOIN bfs b ON b.root = p.s),
+    td AS (SELECT p.pid, b.node AS v, b.dist AS dtv, b.sigma AS tsv
+           FROM p JOIN bfs b ON b.root = p.t),
+    stt AS (SELECT p.pid, b.dist AS dst_d, b.sigma AS sst
+            FROM p JOIN bfs b ON b.root = p.s AND b.node = p.t),
+    contrib AS (
+      SELECT LEAST(e.src, e.dst) AS a, GREATEST(e.src, e.dst) AS b,
+             (((sd.ssu * td.tsv) // stt.sst) * 1000000000)
+             + (((sd.ssu * td.tsv) % stt.sst) * 1000000000) // stt.sst AS term
+      FROM sym e
+      JOIN sd ON sd.u = e.src
+      JOIN td ON td.pid = sd.pid AND td.v = e.dst
+      JOIN stt ON stt.pid = sd.pid
+      WHERE sd.dsu + 1 + td.dtv = stt.dst_d
+    )
+    SELECT a, b, CAST(SUM(term) AS BIGINT) AS ebtw_nanos
+    FROM contrib GROUP BY a, b
+    ORDER BY ebtw_nanos DESC, a, b LIMIT 50
+    """,
+)
+def edge_betweenness_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled-pair EDGE betweenness — the Girvan–Newman community-
+    detection primitive (edges with the highest shortest-path load are
+    the inter-community bridges you cut). Same seeds/BFS as
+    `betweenness_approx`; an edge (u, v) lies on a shortest s→t path iff
+    d_s(u) + 1 + d_t(v) = d_s(t), and carries σ_s(u)·σ_t(v)/σ_s(t) of
+    the pair's paths (the node formula shifted onto the edge — ds(v) =
+    ds(u)+1 is implied by the distance identity, so the edge join needs
+    no second distance probe). Per-pair dependency floored to int-nanos
+    in the same quotient+remainder form; undirected edges canonicalized
+    (a < b) at aggregation. Scale shape: the symmetric edge list joins
+    the broadcast-sized per-pair BFS tables once — one keyed shuffle to
+    the (pid, v) join, one hash aggregate; comparable to one extra BFS
+    level, never pairwise."""
+    prep(spark)
+    bfs, seeds = _seed_bfs(spark, sf_dir, _BTW_SEEDS)
+    pairs, _n = _copurchase_pairs(spark, sf_dir)
+    sym = pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    half = _BTW_SEEDS // 2
+    a, b = seeds.alias("sa"), seeds.alias("sb")
+    p = (
+        a.join(b, F.col("sb.i") == F.col("sa.i") + half)
+        .where(F.col("sa.i") < half)
+        .select(
+            F.col("sa.i").alias("pid"),
+            F.col("sa.n").alias("s"),
+            F.col("sb.n").alias("t"),
+        )
+    )
+    sd = F.broadcast(p).join(bfs, bfs["root"] == F.col("s")).select(
+        "pid",
+        F.col("node").alias("u"),
+        F.col("dist").alias("dsu"),
+        F.col("sigma").alias("ssu"),
+    )
+    td = F.broadcast(p).join(bfs, bfs["root"] == F.col("t")).select(
+        F.col("pid").alias("pid_t"),
+        F.col("node").alias("v"),
+        F.col("dist").alias("dtv"),
+        F.col("sigma").alias("tsv"),
+    )
+    stt = (
+        F.broadcast(p)
+        .join(bfs, (bfs["root"] == F.col("s")) & (bfs["node"] == F.col("t")))
+        .select(
+            F.col("pid").alias("pid_s"),
+            F.col("dist").alias("dst_d"),
+            F.col("sigma").alias("sst"),
+        )
+    )
+    term = F.expr(
+        "(((ssu * tsv) div sst) * 1000000000)"
+        " + (((ssu * tsv) % sst) * 1000000000) div sst"
+    )
+    contrib = (
+        sym.join(F.broadcast(sd), sym["src"] == sd["u"])
+        .join(td, (F.col("pid_t") == F.col("pid")) & (td["v"] == sym["dst"]))
+        .join(F.broadcast(stt), F.col("pid_s") == F.col("pid"))
+        .where(F.col("dsu") + 1 + F.col("dtv") == F.col("dst_d"))
+        .select(
+            F.least(F.col("src"), F.col("dst")).alias("a"),
+            F.greatest(F.col("src"), F.col("dst")).alias("b"),
+            term.alias("term"),
+        )
+    )
+    return (
+        contrib.groupBy("a", "b")
+        .agg(F.sum("term").cast("long").alias("ebtw_nanos"))
+        .orderBy(F.desc("ebtw_nanos"), "a", "b")
+        .limit(50)
+    )

@@ -75,6 +75,7 @@ _SAMPLE_PRIORITY = (
     "map_at_k",
     "mrr_at_k",
     "hard_negative_topk",
+    "edge_betweenness_approx",
     "agg_hll_merge",  # r1 rows-only
     "agg_approx_count_distinct",  # r3 rows-only
     "agg_approx_percentile",  # r3 rows-only

@@ -387,3 +387,53 @@ def test_map_at_k_python_replay(spark, sf_dir):
         for r in SPECS["map_at_k"].builder(spark, sf_dir).collect()
     }
     assert got == expected
+
+
+def test_edge_betweenness_python_replay(spark, sf_dir):
+    bfs, seeds = _python_seed_bfs(sf_dir, 16)
+    # adjacency for edge enumeration
+    import hashlib
+    from collections import defaultdict
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"])
+    by_order = defaultdict(set)
+    for o, p in zip(t.column("l_orderkey").to_pylist(), t.column("l_partkey").to_pylist()):
+        by_order[o].add(p)
+    edges = set()
+    for ps in by_order.values():
+        ps = sorted(ps)
+        for i, a in enumerate(ps):
+            for b in ps[i + 1 :]:
+                edges.add((a, b))
+    score = {}
+    for pid in range(8):
+        s, t_ = seeds[pid], seeds[pid + 8]
+        if (s, t_) not in bfs:
+            continue
+        dst, sst = bfs[(s, t_)]
+        for (a, b) in edges:
+            for u, v in ((a, b), (b, a)):
+                if (s, u) not in bfs or (t_, v) not in bfs:
+                    continue
+                dsu, ssu = bfs[(s, u)]
+                dtv, tsv = bfs[(t_, v)]
+                if dsu + 1 + dtv == dst:
+                    num = ssu * tsv
+                    key = (min(u, v), max(u, v))
+                    score[key] = score.get(key, 0) + (num // sst) * 10**9 + (
+                        (num % sst) * 10**9
+                    ) // sst
+    expected = sorted(score.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    expected = [(a, b, s_) for (a, b), s_ in expected]
+
+    from blockchain2graphdb_spark import registry
+
+    got = [
+        (r["a"], r["b"], r["ebtw_nanos"])
+        for r in registry.load_all()["edge_betweenness_approx"]
+        .builder(spark, sf_dir)
+        .collect()
+    ]
+    assert got == expected
