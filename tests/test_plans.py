@@ -72,6 +72,7 @@ _ITERATIVE = {
     # round-11: sampled-BFS centrality checkpoints per level on call
     "betweenness_approx",
     "closeness_approx",
+    "edge_betweenness_approx",
 }
 
 _PLAN_KEYS = sorted(set(SPECS) - _EXECUTING - _ITERATIVE)
