@@ -996,3 +996,124 @@ def hard_negative_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 5)
         .drop("rn")
     )
+
+
+@query(
+    "label_noise_knn",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    norms AS (
+      SELECT vec_id, (SELECT SUM(x * x) FROM unnest(qv) AS t(x)) AS norm2
+      FROM q
+    ),
+    scored AS (
+      SELECT a.vec_id AS query_id, a.label AS own_label,
+             b.vec_id AS cand_id, b.label AS cand_label,
+             CAST((SELECT SUM(a.qv[i.i] * b.qv[i.i])
+                   FROM (SELECT unnest(range(1, {64 + 1})) AS i) i) AS DOUBLE)
+               / SQRT(CAST(na.norm2 * nb.norm2 AS DOUBLE)) AS cosine
+      FROM q a
+      JOIN q b ON b.vec_id <> a.vec_id
+      JOIN norms na ON na.vec_id = a.vec_id
+      JOIN norms nb ON nb.vec_id = b.vec_id
+      WHERE a.vec_id % 4 = 0
+    ),
+    top5 AS (
+      SELECT query_id, own_label, cand_label FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, cand_id) AS rn
+        FROM scored
+      ) WHERE rn <= 5
+    ),
+    votes AS (
+      SELECT query_id, own_label, cand_label,
+             CAST(COUNT(*) AS BIGINT) AS n_votes
+      FROM top5 GROUP BY 1, 2, 3
+    ),
+    majority AS (
+      SELECT query_id, own_label, cand_label AS knn_label, n_votes FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY n_votes DESC, cand_label) AS mr
+        FROM votes
+      ) WHERE mr = 1
+    )
+    SELECT query_id AS vec_id, CAST(own_label AS BIGINT) AS label,
+           CAST(knn_label AS BIGINT) AS knn_label, n_votes,
+           CAST(CASE WHEN own_label <> knn_label THEN 1 ELSE 0 END AS BIGINT)
+             AS flagged
+    FROM majority
+    """,
+)
+def label_noise_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X16 training-data quality: kNN LABEL-NOISE detection (the
+    confident-learning heuristic) — for each audited vector, the
+    majority label among its 5 nearest different-id neighbors; a row is
+    FLAGGED when its own label disagrees, surfacing probable
+    mislabeled examples before they poison a training run. Audit set =
+    vec_id % 4 == 0 (a deterministic 25% sample — auditing is a sampled
+    activity; the full-corpus version swaps the brute-force scorer for
+    the LSH/IVF candidate generators in this file, unchanged).
+
+    Majority ties break (votes DESC, label ASC) on both engines; the
+    cosine ranking reuses the integer-quantized dot + double ratio the
+    whole X3 family shares, so ordering is bit-identical cross-engine.
+    Scale shape: audited queries broadcast, candidates stream in one
+    scan; top-5 compiles to WindowGroupLimit; votes/majority are
+    O(5·#queries) aggregates."""
+    prep(spark)
+    qdf = _quantized(spark, sf_dir)
+    queries = qdf.where(F.col("vec_id") % 4 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("own_label"),
+        F.col("q").alias("qq"),
+        F.col("norm2").alias("qnorm2"),
+    )
+    cands = qdf.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").alias("cand_label"),
+        F.col("q").alias("cq"),
+        F.col("norm2").alias("cnorm2"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qq"), F.col("cq"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    scored = (
+        cands.join(F.broadcast(queries), F.col("cand_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            dot.cast("double")
+            / F.sqrt((F.col("qnorm2") * F.col("cnorm2")).cast("double")),
+        )
+        .select("query_id", "own_label", "cand_id", "cand_label", "cosine")
+    )
+    w5 = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    top5 = (
+        scored.withColumn("rn", F.row_number().over(w5))
+        .where(F.col("rn") <= 5)
+        .select("query_id", "own_label", "cand_label")
+    )
+    votes = top5.groupBy("query_id", "own_label", "cand_label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_votes")
+    )
+    wm = W.partitionBy("query_id").orderBy(F.desc("n_votes"), "cand_label")
+    majority = (
+        votes.withColumn("mr", F.row_number().over(wm))
+        .where(F.col("mr") == 1)
+        .select(
+            F.col("query_id").alias("vec_id"),
+            F.col("own_label").cast("long").alias("label"),
+            F.col("cand_label").cast("long").alias("knn_label"),
+            "n_votes",
+        )
+    )
+    return majority.withColumn(
+        "flagged",
+        F.when(F.col("label") != F.col("knn_label"), 1).otherwise(0).cast("long"),
+    )

@@ -164,3 +164,92 @@ def random_walk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(out(s2, 2, "order"))
         .unionAll(out(s3, 3, "part"))
     )
+
+
+@query(
+    "gnn_neighbor_sample",
+    oracle="""
+    WITH pr AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    sym AS MATERIALIZED (
+      SELECT a AS src, b AS dst FROM pr UNION ALL SELECT b, a FROM pr
+    ),
+    nodes AS (SELECT DISTINCT src AS n FROM sym),
+    seeds AS MATERIALIZED (
+      SELECT n FROM nodes ORDER BY md5(CAST(n AS VARCHAR)), n LIMIT 32
+    ),
+    l1 AS MATERIALIZED (
+      SELECT src, dst FROM (
+        SELECT e.src, e.dst,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.src
+                 ORDER BY md5(CAST(e.src AS VARCHAR) || '-'
+                              || CAST(e.dst AS VARCHAR)), e.dst) AS rn
+        FROM sym e JOIN seeds s ON s.n = e.src
+      ) WHERE rn <= 3
+    ),
+    f2 AS (SELECT DISTINCT dst AS n FROM l1),
+    l2 AS (
+      SELECT src, dst FROM (
+        SELECT e.src, e.dst,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.src
+                 ORDER BY md5(CAST(e.src AS VARCHAR) || '-'
+                              || CAST(e.dst AS VARCHAR)), e.dst) AS rn
+        FROM sym e JOIN f2 s ON s.n = e.src
+      ) WHERE rn <= 3
+    )
+    SELECT CAST(1 AS BIGINT) AS layer, src, dst FROM l1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT) AS layer, src, dst FROM l2
+    """,
+)
+def gnn_neighbor_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X17 GNN-training primitive: GraphSAGE-style 2-layer NEIGHBOR
+    SAMPLING — for each of 32 content-hash seed nodes, at most 3
+    neighbors per node per layer, neighbors chosen by md5(src-dst) rank
+    (the deterministic stand-in for the sampler's RNG, same philosophy
+    as `random_walk_sample`), layer 2 expanding the DEDUPED layer-1
+    frontier. Output is the sampled computation graph (layer, src, dst)
+    a GNN minibatch trainer consumes.
+
+    Scale shape: the per-node cut is a rank window PARTITIONED BY src —
+    WindowGroupLimit keeps it a map-side partial top-3 per partition, so
+    hub nodes never materialize their full neighbor list; each layer is
+    one semi-join (frontier) + one windowed scan of the adjacency; depth
+    is a compile-time constant, one linear DAG, no driver loop."""
+    prep(spark)
+    from .graphops import _copurchase_pairs
+
+    pairs, _n = _copurchase_pairs(spark, sf_dir)
+    sym = pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    nodes = (
+        pairs.select(F.col("a").alias("n"))
+        .unionByName(pairs.select(F.col("b").alias("n")))
+        .distinct()
+    )
+    seeds = nodes.orderBy(F.md5(F.col("n").cast("string")), "n").limit(32)
+
+    def sample_layer(frontier: DataFrame) -> DataFrame:
+        ekey = F.md5(
+            F.concat_ws("-", F.col("src").cast("string"), F.col("dst").cast("string"))
+        )
+        w = W.partitionBy("src").orderBy(ekey, "dst")
+        return (
+            sym.join(F.broadcast(frontier), sym["src"] == frontier["n"], "left_semi")
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 3)
+            .select("src", "dst")
+        )
+
+    l1 = sample_layer(seeds)
+    f2 = l1.select(F.col("dst").alias("n")).distinct()
+    l2 = sample_layer(f2)
+    return l1.select(F.lit(1).cast("long").alias("layer"), "src", "dst").unionByName(
+        l2.select(F.lit(2).cast("long").alias("layer"), "src", "dst")
+    )

@@ -76,6 +76,8 @@ _SAMPLE_PRIORITY = (
     "mrr_at_k",
     "hard_negative_topk",
     "edge_betweenness_approx",
+    "gnn_neighbor_sample",
+    "label_noise_knn",
     "agg_hll_merge",  # r1 rows-only
     "agg_approx_count_distinct",  # r3 rows-only
     "agg_approx_percentile",  # r3 rows-only

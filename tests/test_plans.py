@@ -73,6 +73,7 @@ _ITERATIVE = {
     "betweenness_approx",
     "closeness_approx",
     "edge_betweenness_approx",
+    "gnn_neighbor_sample",  # _copurchase_pairs checkpoint+count on call
 }
 
 _PLAN_KEYS = sorted(set(SPECS) - _EXECUTING - _ITERATIVE)
