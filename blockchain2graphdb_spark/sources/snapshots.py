@@ -427,3 +427,124 @@ class SnapshotStore:
             f"compact({target_files})",
             schema_json=base.schema.json(),
         )
+
+
+class TableGroup:
+    """Snapshot-consistent MULTI-TABLE transactions over SnapshotStores —
+    the Nessie/Iceberg-catalog shape, rebuilt on the same parquet+JSON
+    primitives. The reference ingests blocks AND transactions per batch
+    (B:38–113); with independent single-table logs a reader can observe
+    table A's new version beside table B's old one. Here the TRUTH is a
+    group-level commit log mapping every table to a pinned version:
+
+        <root>/tables/<name>/...   ordinary SnapshotStores (data staging)
+        <root>/_commits/g{G}.json  {table: version} — CAS-claimed
+
+    * `commit({name: df, ...})` stages and commits each table's new
+      version BASED ON THE CATALOG-PINNED version (not the table's own
+      latest — see orphan note), then claims the next group slot with
+      the same atomic hard-link CAS as SnapshotStore. Losing the group
+      CAS triggers a REBASE: the new catalog head is read, each table's
+      file list is rebuilt as winner's-files + own staged files (staged
+      data is reused, never rewritten), and the claim retries — the
+      optimistic-transaction loop, no lost updates.
+    * `read(spark, name, group=None)` resolves the version through a
+      group commit, so readers get a CONSISTENT CROSS-TABLE snapshot,
+      and group time travel pins all tables at once.
+    * Crash safety: a writer dying after its table-version commit but
+      before the group claim leaves an ORPHAN table version. It is
+      invisible (no group references it), and it cannot leak: later
+      transactions base on the catalog's pinned version, never on the
+      table's raw latest. Orphan files are reclaimable by vacuum.
+
+    At 100 TB the group manifest is O(#tables) and every commit is
+    O(files touched) — same cost model as the single-table log.
+    """
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(f"{root}/tables", exist_ok=True)
+        os.makedirs(f"{root}/_commits", exist_ok=True)
+        self._stores: dict[str, SnapshotStore] = {}
+
+    def store(self, name: str) -> SnapshotStore:
+        if name not in self._stores:
+            self._stores[name] = SnapshotStore(f"{self.root}/tables/{name}")
+        return self._stores[name]
+
+    def latest_group(self) -> int:
+        best = 0
+        for n in os.listdir(f"{self.root}/_commits"):
+            if n.startswith("g") and n.endswith(".json"):
+                try:
+                    best = max(best, int(n[1:-5]))
+                except ValueError:
+                    pass
+        return best
+
+    def group_manifest(self, group: int | None = None) -> dict[str, int]:
+        g = self.latest_group() if group is None else group
+        if not 0 <= g <= self.latest_group():
+            raise ValueError(f"group {g} out of range 0..{self.latest_group()}")
+        if g == 0:
+            return {}
+        with open(f"{self.root}/_commits/g{g:08d}.json") as f:
+            return json.load(f)["tables"]
+
+    def read(
+        self, spark: SparkSession, name: str, group: int | None = None
+    ) -> DataFrame:
+        pinned = self.group_manifest(group)
+        if name not in pinned:
+            raise ValueError(
+                f"table {name!r} not in group "
+                f"{self.latest_group() if group is None else group}"
+            )
+        return self.store(name).read(spark, version=pinned[name])
+
+    def history(self) -> list[dict]:
+        return [
+            {"group": g, "tables": self.group_manifest(g)}
+            for g in range(1, self.latest_group() + 1)
+        ]
+
+    def commit(self, writes: dict[str, "DataFrame"], op: str = "txn") -> int:
+        """Atomically commit `writes` (table -> rows to APPEND) across
+        all named tables. Returns the new group version. Tables not in
+        `writes` carry their pinned versions forward unchanged."""
+        staged = {
+            name: self.store(name)._stage(df, None) for name, df in writes.items()
+        }
+        schemas = {name: df.schema.json() for name, df in writes.items()}
+        while True:
+            base = self.group_manifest()
+            new_versions: dict[str, int] = {}
+            for name, files in staged.items():
+                st = self.store(name)
+                base_files = (
+                    st.files(base[name]) if base.get(name) else []
+                )
+                new_versions[name] = st._commit(
+                    lambda bf=base_files, fs=files: bf + fs,
+                    None,
+                    f"{op}-append",
+                    schema_json=schemas[name],
+                )
+            final = {**base, **new_versions}
+            new_g = self.latest_group() + 1
+            gpath = f"{self.root}/_commits/g{new_g:08d}.json"
+            tmp = f"{self.root}/_commits/.claim-{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                json.dump({"group": new_g, "op": op, "tables": final}, f)
+                f.flush()
+                os.fsync(f.fileno())
+            try:
+                os.link(tmp, gpath)
+                return new_g
+            except FileExistsError:
+                # lost the group CAS: rebase on the winner's catalog and
+                # re-commit each table (staged files reused) — the
+                # just-created table versions become invisible orphans
+                continue
+            finally:
+                os.unlink(tmp)

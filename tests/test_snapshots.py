@@ -391,3 +391,85 @@ def test_randomized_op_sequences_match_model(spark, tmp_path):
                 for r in store.read(spark, version=v).collect()
             )
             assert got == sorted(expected), f"trial {trial} version {v}"
+
+
+# --- TableGroup: snapshot-consistent multi-table transactions (r11) ---
+
+
+@pytest.fixture()
+def group(tmp_path):
+    from blockchain2graphdb_spark.sources.snapshots import TableGroup
+
+    return TableGroup(str(tmp_path / "group"))
+
+
+def _rows(spark, vals):
+    return spark.createDataFrame([(v,) for v in vals], "x long")
+
+
+def test_group_commit_is_cross_table_consistent(spark, group):
+    g1 = group.commit({"blocks": _rows(spark, [1]), "txs": _rows(spark, [10, 11])})
+    g2 = group.commit({"blocks": _rows(spark, [2]), "txs": _rows(spark, [20])})
+    assert (g1, g2) == (1, 2)
+    # group time travel pins BOTH tables at once
+    assert sorted(r["x"] for r in group.read(spark, "blocks", group=1).collect()) == [1]
+    assert sorted(r["x"] for r in group.read(spark, "txs", group=1).collect()) == [10, 11]
+    assert sorted(r["x"] for r in group.read(spark, "blocks").collect()) == [1, 2]
+    assert sorted(r["x"] for r in group.read(spark, "txs").collect()) == [10, 11, 20]
+
+
+def test_group_commit_carries_untouched_tables_forward(spark, group):
+    group.commit({"blocks": _rows(spark, [1]), "txs": _rows(spark, [10])})
+    group.commit({"blocks": _rows(spark, [2])})  # txs untouched
+    m = group.group_manifest()
+    assert m["txs"] == 1 and m["blocks"] == 2
+    assert sorted(r["x"] for r in group.read(spark, "txs").collect()) == [10]
+
+
+def test_orphan_table_version_never_leaks(spark, group):
+    """A writer dying AFTER its table-version commit but BEFORE the
+    group claim leaves an orphan table version: invisible to group
+    readers, and excluded from later transactions (they base on the
+    catalog-pinned version, not the table's raw latest)."""
+    group.commit({"blocks": _rows(spark, [1])})
+    st = group.store("blocks")
+    # simulate the half-dead writer: commit a table version directly
+    orphan_files = st._stage(_rows(spark, [666]), None)
+    st._commit(lambda: st.files() + orphan_files, None, "orphan-append")
+    assert st.latest_version() == 2  # the orphan exists at table level
+    # group reader never sees it
+    assert sorted(r["x"] for r in group.read(spark, "blocks").collect()) == [1]
+    # and the next transaction does not leak it
+    group.commit({"blocks": _rows(spark, [2])})
+    assert sorted(r["x"] for r in group.read(spark, "blocks").collect()) == [1, 2]
+
+
+def test_concurrent_group_commits_rebase_not_lose(spark, group):
+    """Two threads committing to the same table concurrently: the loser
+    rebases on the winner's catalog, so both transactions' rows land and
+    group versions are sequential."""
+    import threading
+
+    group.commit({"t": _rows(spark, [0])})
+    errs = []
+
+    def writer(vals):
+        try:
+            group.commit({"t": _rows(spark, vals)})
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    ths = [threading.Thread(target=writer, args=([i],)) for i in (1, 2, 3)]
+    for t in ths:
+        t.start()
+    for t in ths:
+        t.join()
+    assert not errs
+    assert group.latest_group() == 4
+    assert sorted(r["x"] for r in group.read(spark, "t").collect()) == [0, 1, 2, 3]
+    # every historical group reads a consistent prefix-closed row set
+    sizes = [
+        len(group.read(spark, "t", group=g).collect())
+        for g in range(1, group.latest_group() + 1)
+    ]
+    assert sizes == sorted(sizes) and sizes[-1] == 4
