@@ -21,12 +21,12 @@ statistics on that reduction; quantiles use the bucketed two-pass rank
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import prep, table
 from ..exact import dec2
-from ..functions.ranking import bucketed_global_rank
+from ..functions.ranking import bucketed_global_rank, bucketed_prefix_sums
 from ..registry import query
 
 _D38 = "decimal(38,0)"
@@ -220,4 +220,270 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("delta_us").cast("long").alias("max_us"),
         F.min(F.when(pos == med_pos, F.col("delta_us"))).cast("long").alias("median_us"),
         F.min(F.when(pos == p90_pos, F.col("delta_us"))).cast("long").alias("p90_us"),
+    )
+
+
+@query(
+    "mann_whitney_u",
+    oracle="""
+    WITH o AS (
+      SELECT CASE WHEN ('0x' || substr(md5('mw' || CAST(o_orderkey AS VARCHAR)), 1, 1))::BIGINT < 8
+                  THEN 1 ELSE 0 END AS a,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM orders
+    ),
+    v AS (
+      SELECT cents,
+             CAST(SUM(a) AS BIGINT) AS cnt_a,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM o GROUP BY cents
+    ),
+    r AS (
+      SELECT cents, cnt_a, cnt,
+             CAST(SUM(cnt) OVER (ORDER BY cents) AS BIGINT) AS cum
+      FROM v
+    ),
+    m AS (
+      SELECT CAST(SUM(cnt_a) AS BIGINT) AS n1,
+             CAST(SUM(cnt) AS BIGINT) AS n,
+             CAST(SUM(CAST(cnt_a AS HUGEINT) * (2 * cum - cnt + 1))
+                  AS HUGEINT) AS r2a,
+             CAST(SUM(CAST(cnt AS HUGEINT) * cnt * cnt - cnt)
+                  AS HUGEINT) AS tie_t
+      FROM r
+    )
+    SELECT n1 AS n_a,
+           n - n1 AS n_b,
+           CAST(r2a - n1 * (n1 + 1) AS BIGINT) AS u_a_x2,
+           CAST(tie_t AS BIGINT) AS tie_cubes,
+           CAST(ROUND(
+             CAST(r2a - n1 * (n1 + 1) - n1 * (n - n1) AS DOUBLE)
+             / (2 * sqrt(
+                 CAST(CAST(n1 AS HUGEINT) * (n - n1)
+                      * (CAST(n + 1 AS HUGEINT) * n * (n - 1) - tie_t)
+                      AS DOUBLE)
+                 / CAST(12 * CAST(n AS HUGEINT) * (n - 1) AS DOUBLE)))
+             * 1e6) AS BIGINT) AS z_micros
+    FROM m
+    """,
+)
+def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test between the md5-assigned
+    A/B arms ('mw'-salted first nibble < 8 -> A, the ab_test_zscore
+    assignment pattern) on order value - the NONPARAMETRIC two-arm
+    contrast a platform runs when the metric is heavy-tailed and the
+    z-test's mean is the wrong summary. Midranks (tied values share the
+    average rank) are kept exact by working with DOUBLED ranks:
+    2*midrank(v) = 2*cum_before(v) + cnt(v) + 1 is always an integer, so
+    the doubled rank-sum 2*R_A, the doubled statistic 2*U_A =
+    2*R_A - n1(n1+1), and the tie-correction term T = sum(t^3 - t) are
+    all exact DECIMAL(38,0)/HUGEINT sums. The normal-approximation z
+    (with tie-corrected variance n1*n2*((n+1)n(n-1) - T)/(12n(n-1)))
+    is ONE double ratio of those exact integers, int-micros quantized -
+    the corr_pairs discipline.
+
+    Scale shape (100 TB): one hash aggregate collapses the table to
+    O(#distinct values); the exclusive prefix count uses
+    bucketed_prefix_sums (per-bucket totals + broadcast offsets +
+    in-bucket windows - never one WindowExec partition); one final
+    map-side-combinable moment aggregate yields the single-row readout.
+    No pairwise anything - the naive U definition is the quadratic
+    comparison count; the rank identity makes it linear."""
+    prep(spark)
+    nib = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("mw"), F.col("o_orderkey").cast("string")).cast("binary")),
+            1,
+            1,
+        ),
+        16,
+        10,
+    ).cast("long")
+    o = table(spark, sf_dir, "orders").select(
+        F.when(nib < 8, 1).otherwise(0).alias("a"),
+        (dec2("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    v = o.groupBy("cents").agg(
+        F.sum("a").cast("long").alias("cnt_a"),
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+    )
+    # exclusive-prefix rank base: inclusive cum over the value order,
+    # bucketed by 1000-dollar bands (trunc-div is monotone, values > 0)
+    r = bucketed_prefix_sums(
+        v, F.expr("cents div 100000"), [F.col("cents")], {"cum": F.col("cnt")}
+    )
+    mid2 = 2 * F.col("cum") - F.col("cnt") + 1
+    cntd = F.col("cnt").cast(_D38)
+    m = r.agg(
+        F.sum("cnt_a").cast("long").alias("n1"),
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum(F.col("cnt_a").cast(_D38) * mid2).cast(_D38).alias("r2a"),
+        F.sum(cntd * F.col("cnt") * F.col("cnt") - F.col("cnt")).cast(_D38).alias("tie_t"),
+    )
+    n1, n = F.col("n1").cast(_D38), F.col("n").cast(_D38)
+    u2a = F.col("r2a") - n1 * (F.col("n1") + 1)
+    var_num = (n1 * (F.col("n") - F.col("n1"))) * (
+        (n + 1) * F.col("n") * (F.col("n") - 1) - F.col("tie_t")
+    )
+    var_den = (F.lit(12).cast(_D38) * n * (F.col("n") - 1)).cast("double")
+    z = (u2a - n1 * (F.col("n") - F.col("n1"))).cast("double") / (
+        2 * F.sqrt(var_num.cast("double") / var_den)
+    )
+    return m.select(
+        F.col("n1").alias("n_a"),
+        (F.col("n") - F.col("n1")).cast("long").alias("n_b"),
+        u2a.cast("long").alias("u_a_x2"),
+        F.col("tie_t").cast("long").alias("tie_cubes"),
+        F.round(z * 1e6).cast("long").alias("z_micros"),
+    )
+
+
+# Poisson(1) inverse-CDF thresholds scaled to 2^60 (floor(cdf(k) * 2^60),
+# computed once with 50-digit Decimal arithmetic): a 60-bit md5-derived
+# uniform u gets bootstrap weight k = #thresholds below u (7 past the
+# table, P ~ 8e-5). Integer compares, so both engines derive IDENTICAL
+# weights from the same md5 - no float CDF parity exposure.
+_POISSON1_T60 = (
+    424136118829305329,   # k=0  cdf 0.36787944117144233
+    848272237658610659,   # k=1  cdf 0.7357588823428847
+    1060340297073263324,  # k=2  cdf 0.9196986029286058
+    1131029650211480879,  # k=3  cdf 0.9810118431238462
+    1148701988496035267,  # k=4  cdf 0.9963401531726563
+    1152236456152946145,  # k=5  cdf 0.9994058151824183
+    1152825534095764625,  # k=6  cdf 0.9999167588507119
+)
+_BOOT_B = 64
+
+
+@query(
+    "bootstrap_ci",
+    oracle=f"""
+    WITH o AS (
+      SELECT o_orderkey AS k,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM orders
+    ),
+    u AS (
+      SELECT b.b, o.cents,
+             ('0x' || substr(md5('boot' || CAST(o.k AS VARCHAR) || ':'
+                                 || CAST(b.b AS VARCHAR)), 1, 15))::BIGINT AS u60
+      FROM o CROSS JOIN generate_series(1, {_BOOT_B}) b(b)
+    ),
+    w AS (
+      SELECT b, cents,
+             ({" + ".join(f"CASE WHEN u60 >= {t} THEN 1 ELSE 0 END" for t in _POISSON1_T60)})
+             AS wt
+      FROM u
+    ),
+    rep AS (
+      SELECT b,
+             CAST((CAST(SUM(CAST(wt AS HUGEINT) * cents) AS HUGEINT) * 1000000)
+                  // SUM(wt) AS BIGINT) AS mean_micros
+      FROM w GROUP BY b
+    ),
+    ranked AS (
+      SELECT mean_micros,
+             row_number() OVER (ORDER BY mean_micros, b) AS pos
+      FROM rep
+    ),
+    pt AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST((CAST(SUM(CAST(cents AS HUGEINT)) AS HUGEINT) * 1000000)
+                  // COUNT(*) AS BIGINT) AS mean_micros
+      FROM o
+    )
+    SELECT pt.n_orders,
+           CAST({_BOOT_B} AS BIGINT) AS b_reps,
+           pt.mean_micros,
+           CAST(MIN(CASE WHEN pos = 2 THEN ranked.mean_micros END) AS BIGINT)
+             AS lo_micros,
+           CAST(MIN(CASE WHEN pos = {_BOOT_B - 1} THEN ranked.mean_micros END)
+                AS BIGINT) AS hi_micros
+    FROM ranked, pt
+    GROUP BY pt.n_orders, pt.mean_micros
+    """,
+)
+def bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap 95% CI for mean order value - THE
+    distributed-bootstrap construction (each row draws an independent
+    Poisson(1) replication count per replicate, so no resample ever
+    needs a global n or a shared RNG stream; the standard trick for
+    bootstrapping sharded data). Replicate weights are DETERMINISTIC:
+    a 60-bit uniform from md5('boot'||key||':'||b) walks a hardcoded
+    integer threshold ladder (floor(Poisson(1)-cdf * 2^60), computed at
+    50-digit precision) - pure integer compares, so Spark and DuckDB
+    derive identical weights. Replicate means are exact integer
+    division ((sum(w*cents)*1e6) div sum(w), positive so trunc==floor);
+    the CI is the 2.5%/97.5% EXACT-RANK order statistics (pos 2 and 63
+    of B=64) over the replicate means - no interpolation.
+
+    Scale shape (100 TB): explode x64 then ONE map-side-combinable hash
+    aggregate into 64 groups (partial aggregation collapses each task's
+    rows before the 64-row shuffle); the rank pass runs over the 64-row
+    aggregate (bounded - the declared sweep-exempt shape). Linear in
+    the data, constant in replicates' shuffle width."""
+    prep(spark)
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        (dec2("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    u60 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("boot"),
+                    F.col("k").cast("string"),
+                    F.lit(":"),
+                    F.col("b").cast("string"),
+                ).cast("binary")
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    wt = F.lit(0)
+    for t in _POISSON1_T60:
+        wt = wt + F.when(F.col("u") >= t, 1).otherwise(0)
+    rep = (
+        o.withColumn("b", F.explode(F.sequence(F.lit(1), F.lit(_BOOT_B))))
+        .withColumn("u", u60)
+        .withColumn("wt", wt)
+        .groupBy("b")
+        .agg(
+            F.sum(F.col("wt").cast(_D38) * F.col("cents")).cast(_D38).alias("swc"),
+            F.sum("wt").cast("long").alias("sw"),
+        )
+        .select(
+            "b",
+            F.expr("(cast(swc as decimal(38,0)) * 1000000) div sw")
+            .cast("long")
+            .alias("mean_micros"),
+        )
+    )
+    # 64-row post-aggregate input: a plain global window here is the
+    # declared bounded sweep-exempt shape (kaplan_meier discipline)
+    ranked = rep.withColumn(
+        "pos", F.row_number().over(W.orderBy("mean_micros", "b")).cast("long")
+    )
+    pt = o.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.expr("(cast(sum(cast(cents as decimal(38,0))) as decimal(38,0)) * 1000000) div count(*)")
+        .cast("long")
+        .alias("mean_micros"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(pt.withColumnRenamed("mean_micros", "pt_mean")))
+        .agg(
+            F.max("n_orders").alias("n_orders"),
+            F.lit(_BOOT_B).cast("long").alias("b_reps"),
+            F.max("pt_mean").alias("mean_micros"),
+            F.min(F.when(F.col("pos") == 2, F.col("mean_micros")))
+            .cast("long")
+            .alias("lo_micros"),
+            F.min(F.when(F.col("pos") == _BOOT_B - 1, F.col("mean_micros")))
+            .cast("long")
+            .alias("hi_micros"),
+        )
     )

@@ -1605,3 +1605,148 @@ def weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("wmedian_cents"),
         F.max("tot").cast("long").alias("total_weight"),
     )
+
+
+@query(
+    "conformal_interval",
+    oracle="""
+    WITH o AS (
+      SELECT o.o_orderkey AS k, c.c_mktsegment AS seg, o.o_orderpriority AS pri,
+             CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+             ('0x' || substr(md5('conf' || CAST(o.o_orderkey AS VARCHAR)), 1, 1))::BIGINT
+               AS nib
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    mu AS (
+      SELECT seg, pri,
+             CAST((CAST(SUM(CAST(cents AS HUGEINT)) AS HUGEINT) * 1000000)
+                  // COUNT(*) AS BIGINT) AS mean_micros
+      FROM o WHERE nib < 8 GROUP BY seg, pri
+    ),
+    cal AS (
+      SELECT o.k, abs(o.cents * 1000000 - mu.mean_micros) AS r
+      FROM o JOIN mu ON mu.seg = o.seg AND mu.pri = o.pri
+      WHERE o.nib BETWEEN 8 AND 11
+    ),
+    ranked AS (
+      SELECT r, row_number() OVER (ORDER BY r, k) AS pos,
+             COUNT(*) OVER () AS n
+      FROM cal
+    ),
+    q AS (
+      SELECT CAST(MAX(n) AS BIGINT) AS n_cal,
+             CAST(MIN(CASE WHEN pos = (9 * n + 18) // 10 THEN r END)
+                  AS BIGINT) AS qhat_micros
+      FROM ranked
+    ),
+    tst AS (
+      SELECT o.k, abs(o.cents * 1000000 - mu.mean_micros) AS r
+      FROM o JOIN mu ON mu.seg = o.seg AND mu.pri = o.pri
+      WHERE o.nib >= 12
+    )
+    SELECT q.n_cal,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           q.qhat_micros,
+           CAST((CAST(SUM(CASE WHEN tst.r <= q.qhat_micros THEN 1 ELSE 0 END)
+                      AS HUGEINT) * 1000000000) // COUNT(*) AS BIGINT)
+             AS coverage_nanos
+    FROM tst, q
+    GROUP BY q.n_cal, q.qhat_micros
+    """,
+)
+def conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split conformal prediction over order values: a group-mean
+    predictor (customer segment x order priority, fit on the md5 'conf'
+    train split, nibble < 8), the 90% conformal quantile qhat = the
+    absolute-residual value at EXACT rank ceil(0.9 * (n_cal + 1)) over
+    the calibration split (nibble 8-11), and the realized coverage of
+    |y - yhat| <= qhat on the held-out test split (nibble >= 12) — the
+    distribution-free uncertainty wrapper modern ML pipelines bolt onto
+    any point predictor, and the audit that the promised >=90% marginal
+    coverage actually holds. Everything is integer micros: group means
+    are (sum*1e6) div n (positive, trunc == floor), residuals are
+    int64, the quantile is an order statistic (no interpolation), and
+    coverage is (covered * 1e9) div n_test.
+
+    Scale shape (100 TB): the predictor table is O(#groups) and
+    broadcast back into the scan; the calibration rank pass is the
+    bucketed two-pass form (signed-log2 residual bands — never one
+    WindowExec partition); qhat is a 1-row broadcast; the coverage
+    pass is one map-side-combinable aggregate. Split membership is a
+    per-row hash — no shuffle to assign."""
+    prep(spark)
+    nib = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("conf"), F.col("k").cast("string")).cast("binary")),
+            1,
+            1,
+        ),
+        16,
+        10,
+    ).cast("long")
+    orders = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        "o_custkey",
+        F.col("o_orderpriority").alias("pri"),
+        (dec2("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("seg")
+    )
+    o = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .select("k", "seg", "pri", "cents")
+        .withColumn("nib", nib)
+    )
+    mu = (
+        o.where(F.col("nib") < 8)
+        .groupBy("seg", "pri")
+        .agg(
+            F.expr(
+                "(cast(sum(cast(cents as decimal(38,0))) as decimal(38,0)) * 1000000)"
+                " div count(*)"
+            )
+            .cast("long")
+            .alias("mean_micros")
+        )
+    )
+    resid = F.abs(F.col("cents") * 1000000 - F.col("mean_micros")).alias("r")
+    cal = (
+        o.where((F.col("nib") >= 8) & (F.col("nib") <= 11))
+        .join(F.broadcast(mu), ["seg", "pri"])
+        .select("k", resid)
+    )
+    ranked = bucketed_global_rank(
+        cal,
+        F.expr("length(bin(r div 1000 + 1)) - 1"),
+        [F.col("r"), F.col("k")],
+    )
+    q = ranked.agg(
+        F.max("n_total").cast("long").alias("n_cal"),
+        F.min(
+            F.when(
+                F.col("pos") == F.expr("(9 * n_total + 18) div 10"), F.col("r")
+            )
+        )
+        .cast("long")
+        .alias("qhat_micros"),
+    )
+    tst = (
+        o.where(F.col("nib") >= 12)
+        .join(F.broadcast(mu), ["seg", "pri"])
+        .select(resid)
+    )
+    return (
+        tst.crossJoin(F.broadcast(q))
+        .agg(
+            F.max("n_cal").alias("n_cal"),
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.max("qhat_micros").alias("qhat_micros"),
+            F.expr(
+                "(cast(sum(case when r <= qhat_micros then 1 else 0 end)"
+                " as decimal(38,0)) * 1000000000) div count(*)"
+            )
+            .cast("long")
+            .alias("coverage_nanos"),
+        )
+    )

@@ -45,6 +45,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import prep, table
 from ..exact import dec2
+from ..functions.ranking import bucketed_global_rank
 from ..registry import query
 
 _HOUR_US = 3_600 * 1_000_000
@@ -1031,4 +1032,122 @@ def inventory_clamped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("bal") == 0, 1).otherwise(0))
         .cast("long")
         .alias("days_at_zero"),
+    )
+
+
+@query(
+    "theil_sen_slope",
+    oracle=f"""
+    WITH d AS (
+      SELECT CAST(epoch_ns(o_orderdate) // 1000 // {_DAY_US} AS BIGINT) AS day,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ),
+    p AS (
+      SELECT a.day AS d1, b.day AS d2,
+             CAST(CAST(b.cents - a.cents AS HUGEINT) * 1000000000
+                  // (b.day - a.day) AS BIGINT) AS slope_nanos
+      FROM d a JOIN d b ON b.day > a.day
+    ),
+    r AS (
+      SELECT slope_nanos,
+             row_number() OVER (ORDER BY slope_nanos, d1, d2) AS pos,
+             COUNT(*) OVER () AS n
+      FROM p
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM d) AS n_days,
+           CAST(MAX(n) AS BIGINT) AS n_pairs,
+           CAST(MIN(CASE WHEN pos = (n + 3) // 4 THEN slope_nanos END)
+                AS BIGINT) AS slope_p25_nanos,
+           CAST(MIN(CASE WHEN pos = (n + 1) // 2 THEN slope_nanos END)
+                AS BIGINT) AS slope_med_nanos,
+           CAST(MIN(CASE WHEN pos = (3 * n + 3) // 4 THEN slope_nanos END)
+                AS BIGINT) AS slope_p75_nanos
+    FROM r
+    """,
+)
+def theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of daily order revenue: the median (and
+    quartiles, a Theil-Sen confidence band) of ALL pairwise slopes
+    (cents_j - cents_i)/(day_j - day_i) over the daily aggregate - the
+    estimator that shrugs off the outlier days that wreck `trend_ols`.
+    Slopes are quantized ONCE at formation - trunc((dc * 1e9) div dd),
+    Spark `div` and DuckDB `//` both truncate toward zero (module
+    invariant above) so negative slopes agree - and the median/quartiles
+    are VALUES AT EXACT RANKS (ceil(n/4), (n+1) div 2, ceil(3n/4) over
+    the unique (slope, d1, d2) order), no interpolation.
+
+    Scale shape (100 TB): the raw table collapses to O(#days) in one
+    hash aggregate; the pairwise stage runs over that CALENDAR-BOUNDED
+    aggregate (days^2 / 2 pairs - ~3M for a 7-year calendar, CONSTANT
+    in data size; the kaplan_meier bounded-post-aggregate exemption),
+    and the rank pass is the bucketed two-pass form, so even the pair
+    table never funnels through one WindowExec partition."""
+    prep(spark)
+    d = (
+        table(spark, sf_dir, "orders")
+        .select(
+            F.expr(f"unix_micros(cast(o_orderdate as timestamp)) div {_DAY_US}").alias("day"),
+            (dec2("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("day")
+        .agg(F.sum("cents").cast("long").alias("cents"))
+    )
+    a = d.select(F.col("day").alias("d1"), F.col("cents").alias("c1"))
+    b = d.select(F.col("day").alias("d2"), F.col("cents").alias("c2"))
+    # greatest(..., 1) guards the ANSI div: inside the fused
+    # BNLJ/cartesian codegen stage Catalyst evaluates this projection
+    # for candidate pairs BEFORE the d2 > d1 condition discards them
+    # (expressions are assumed pure and reorder freely), so a d2 == d1
+    # pair would hard-fail DIVIDE_BY_ZERO — and a nullif guard would
+    # instead trip the bucketed-rank NULL-bucket raise on those same
+    # doomed rows. Clamping the divisor makes the doomed evaluation a
+    # harmless garbage value the join condition then drops; surviving
+    # pairs always have d2 - d1 >= 1, where the clamp is the identity.
+    p = a.join(b, F.col("d2") > F.col("d1")).select(
+        "d1",
+        "d2",
+        F.expr(
+            "(cast(c2 - c1 as decimal(38,0)) * 1000000000) div greatest(d2 - d1, 1)"
+        )
+        .cast("long")
+        .alias("slope_nanos"),
+    )
+    # materialize the pair table once: bucketed_global_rank reads its
+    # input three times (per-bucket counts, offsets, in-bucket ranks)
+    # and without a barrier each pass re-runs the cartesian (~75s at
+    # any sf; 14 BNLJ nodes in the unchecked plan). Eager per the
+    # checkpoint-lifecycle rule (STATUS round 8).
+    p = p.localCheckpoint(eager=True)
+    # signed log2 band: monotone in slope_nanos (abs shrinks toward
+    # zero from the left, grows to the right; the sign flips the band
+    # order back to ascending), ~60 buckets total — a fixed-width band
+    # would mint one bucket per pair here (slopes span ~15 orders of
+    # magnitude) and turn the offsets theta-join quadratic
+    ranked = bucketed_global_rank(
+        p,
+        F.expr(
+            "cast(sign(slope_nanos) as bigint)"
+            " * (length(bin(abs(slope_nanos) div 1000000 + 1)) - 1)"
+        ),
+        [F.col("slope_nanos"), F.col("d1"), F.col("d2")],
+    )
+    n, pos = F.col("n_total"), F.col("pos")
+    n_days = d.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    return (
+        ranked.crossJoin(F.broadcast(n_days))
+        .agg(
+            F.max("n_days").alias("n_days"),
+            F.max(n).cast("long").alias("n_pairs"),
+            F.min(F.when(pos == F.expr("(n_total + 3) div 4"), F.col("slope_nanos")))
+            .cast("long")
+            .alias("slope_p25_nanos"),
+            F.min(F.when(pos == F.expr("(n_total + 1) div 2"), F.col("slope_nanos")))
+            .cast("long")
+            .alias("slope_med_nanos"),
+            F.min(F.when(pos == F.expr("(3 * n_total + 3) div 4"), F.col("slope_nanos")))
+            .cast("long")
+            .alias("slope_p75_nanos"),
+        )
     )

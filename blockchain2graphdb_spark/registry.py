@@ -53,6 +53,7 @@ _OPERATOR_MODULES = (
     "blockchain2graphdb_spark.operators.evalrank",
     "blockchain2graphdb_spark.operators.experiments",
     "blockchain2graphdb_spark.operators.centrality",
+    "blockchain2graphdb_spark.operators.diffusion",
 )
 
 # The driver's correctness gate samples the FIRST ~50 keys in queries()
@@ -78,6 +79,11 @@ _SAMPLE_PRIORITY = (
     "edge_betweenness_approx",
     "gnn_neighbor_sample",
     "label_noise_knn",
+    "mann_whitney_u",
+    "bootstrap_ci",
+    "theil_sen_slope",
+    "conformal_interval",
+    "influence_cascade",
     "agg_hll_merge",  # r1 rows-only
     "agg_approx_count_distinct",  # r3 rows-only
     "agg_approx_percentile",  # r3 rows-only

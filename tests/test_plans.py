@@ -74,6 +74,8 @@ _ITERATIVE = {
     "closeness_approx",
     "edge_betweenness_approx",
     "gnn_neighbor_sample",  # _copurchase_pairs checkpoint+count on call
+    "theil_sen_slope",  # eager pair-table checkpoint on call
+    "influence_cascade",  # per-round frontier checkpoints + counts on call
 }
 
 _PLAN_KEYS = sorted(set(SPECS) - _EXECUTING - _ITERATIVE)

@@ -1,0 +1,222 @@
+"""Round-11 second batch: Python-replay parity for the new robust/
+nonparametric statistics keys (mann_whitney_u, bootstrap_ci,
+theil_sen_slope). Each replay recomputes the statistic from the raw
+parquet with hashlib/numpy — an engine-independent third opinion next
+to the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from decimal import Decimal
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from blockchain2graphdb_spark import registry
+
+from conftest import SF_DIR
+
+SPECS = registry.load_all()
+
+
+def _orders():
+    t = pq.read_table(
+        f"{SF_DIR}/orders.parquet", columns=["o_orderkey", "o_totalprice", "o_orderdate"]
+    )
+    d = t.to_pydict()
+    cents = [
+        int(
+            (Decimal(str(p)).quantize(Decimal("0.01")) * 100).to_integral_value()
+        )
+        for p in d["o_totalprice"]
+    ]
+    return d["o_orderkey"], cents, d["o_orderdate"]
+
+
+def _nib(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[0], 16)
+
+
+def test_mann_whitney_u_python_replay(spark):
+    keys, cents, _ = _orders()
+    a_mask = [_nib(f"mw{k}") < 8 for k in keys]
+    order = sorted(range(len(cents)), key=lambda i: cents[i])
+    # midranks over tied cent values, doubled to stay integer
+    r2a = 0
+    tie_t = 0
+    i = 0
+    pos = 0  # rows before the current tie-group
+    svals = [cents[j] for j in order]
+    while i < len(svals):
+        j = i
+        while j < len(svals) and svals[j] == svals[i]:
+            j += 1
+        t = j - i
+        mid2 = 2 * pos + t + 1
+        for k in range(i, j):
+            if a_mask[order[k]]:
+                r2a += mid2
+        tie_t += t * t * t - t
+        pos += t
+        i = j
+    n = len(cents)
+    n1 = sum(a_mask)
+    n2 = n - n1
+    u2a = r2a - n1 * (n1 + 1)
+    var = (n1 * n2 * ((n + 1) * n * (n - 1) - tie_t)) / (12 * n * (n - 1))
+    z = (u2a - n1 * n2) / (2 * var**0.5)
+
+    row = SPECS["mann_whitney_u"].builder(spark, SF_DIR).collect()[0]
+    assert row["n_a"] == n1 and row["n_b"] == n2
+    assert row["u_a_x2"] == u2a
+    assert row["tie_cubes"] == tie_t
+    # float-op ordering differs between the replay and the engines;
+    # the engines themselves are pinned bit-for-bit by the oracle
+    assert abs(row["z_micros"] - round(z * 1e6)) <= 1
+
+
+def _poisson_w(u60: int) -> int:
+    from blockchain2graphdb_spark.operators.experiments import _POISSON1_T60
+
+    return sum(1 for t in _POISSON1_T60 if u60 >= t)
+
+
+def test_bootstrap_ci_python_replay(spark):
+    from blockchain2graphdb_spark.operators.experiments import _BOOT_B
+
+    keys, cents, _ = _orders()
+    means = []
+    for b in range(1, _BOOT_B + 1):
+        swc = sw = 0
+        for k, c in zip(keys, cents):
+            u60 = int(hashlib.md5(f"boot{k}:{b}".encode()).hexdigest()[:15], 16)
+            w = _poisson_w(u60)
+            swc += w * c
+            sw += w
+        means.append((swc * 1_000_000) // sw)
+    means.sort()
+    lo, hi = means[1], means[_BOOT_B - 2]  # pos 2 and B-1, 1-based
+    point = (sum(cents) * 1_000_000) // len(cents)
+
+    row = SPECS["bootstrap_ci"].builder(spark, SF_DIR).collect()[0]
+    assert row["n_orders"] == len(cents)
+    assert row["b_reps"] == _BOOT_B
+    assert row["mean_micros"] == point
+    assert row["lo_micros"] == lo
+    assert row["hi_micros"] == hi
+    assert row["lo_micros"] <= row["mean_micros"] <= row["hi_micros"]
+
+
+def test_theil_sen_slope_python_replay(spark):
+    _, cents, dates = _orders()
+    day_cents: dict[int, int] = {}
+    for c, dt in zip(cents, dates):
+        day = dt.toordinal() - 719163  # ordinal of 1970-01-01
+        day_cents[day] = day_cents.get(day, 0) + c
+    days = sorted(day_cents)
+    d = np.array(days, dtype=np.int64)
+    c = np.array([day_cents[x] for x in days], dtype=object)  # exact ints
+    slopes = []
+    for i in range(len(d)):
+        for j in range(i + 1, len(d)):
+            num = int(c[j] - c[i]) * 1_000_000_000
+            den = int(d[j] - d[i])
+            q = abs(num) // den  # trunc toward zero
+            slopes.append(q if num >= 0 else -q)
+    slopes.sort()
+    n = len(slopes)
+    p25 = slopes[(n + 3) // 4 - 1]
+    med = slopes[(n + 1) // 2 - 1]
+    p75 = slopes[(3 * n + 3) // 4 - 1]
+
+    row = SPECS["theil_sen_slope"].builder(spark, SF_DIR).collect()[0]
+    assert row["n_days"] == len(days)
+    assert row["n_pairs"] == n
+    assert row["slope_p25_nanos"] == p25
+    assert row["slope_med_nanos"] == med
+    assert row["slope_p75_nanos"] == p75
+
+
+def test_conformal_interval_python_replay(spark):
+    o = pq.read_table(
+        f"{SF_DIR}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"],
+    ).to_pydict()
+    c = pq.read_table(
+        f"{SF_DIR}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).to_pydict()
+    seg = dict(zip(c["c_custkey"], c["c_mktsegment"]))
+    rows = []
+    for k, ck, p, pri in zip(
+        o["o_orderkey"], o["o_custkey"], o["o_totalprice"], o["o_orderpriority"]
+    ):
+        cents = int((Decimal(str(p)).quantize(Decimal("0.01")) * 100).to_integral_value())
+        rows.append((k, seg[ck], pri, cents, _nib(f"conf{k}")))
+    mu: dict[tuple, list] = {}
+    for k, s, pri, cents, nib in rows:
+        if nib < 8:
+            mu.setdefault((s, pri), [0, 0])
+            mu[(s, pri)][0] += cents
+            mu[(s, pri)][1] += 1
+    mean = {g: (t * 1_000_000) // n for g, (t, n) in mu.items()}
+    cal = sorted(
+        (abs(cents * 1_000_000 - mean[(s, pri)]), k)
+        for k, s, pri, cents, nib in rows
+        if 8 <= nib <= 11 and (s, pri) in mean
+    )
+    n_cal = len(cal)
+    qhat = cal[(9 * n_cal + 18) // 10 - 1][0]
+    tst = [
+        abs(cents * 1_000_000 - mean[(s, pri)])
+        for k, s, pri, cents, nib in rows
+        if nib >= 12 and (s, pri) in mean
+    ]
+    covered = sum(1 for r in tst if r <= qhat)
+    cov = (covered * 1_000_000_000) // len(tst)
+
+    row = SPECS["conformal_interval"].builder(spark, SF_DIR).collect()[0]
+    assert row["n_cal"] == n_cal
+    assert row["n_test"] == len(tst)
+    assert row["qhat_micros"] == qhat
+    assert row["coverage_nanos"] == cov
+    # the conformal promise: ~90% marginal coverage (wide tolerance —
+    # small calibration sets wobble)
+    assert 0.80e9 <= cov <= 1.0e9
+
+
+def test_influence_cascade_python_replay(spark):
+    li = pq.read_table(
+        f"{SF_DIR}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).to_pydict()
+    by_order: dict[int, set] = {}
+    for o, p in zip(li["l_orderkey"], li["l_partkey"]):
+        by_order.setdefault(o, set()).add(p)
+    edges = set()
+    for ps in by_order.values():
+        s = sorted(ps)
+        for i in range(len(s)):
+            for j in range(i + 1, len(s)):
+                edges.add((s[i], s[j]))
+    adj: dict[int, list] = {}
+    for a, b in edges:
+        for u, v in ((a, b), (b, a)):
+            if _nib(f"ic{u}:{v}") < 8:
+                adj.setdefault(u, []).append(v)
+    nodes = sorted({x for e in edges for x in e})
+    seeds = sorted(nodes, key=lambda n: (hashlib.md5(str(n).encode()).hexdigest(), n))[:4]
+    seen = set(seeds)
+    frontier = set(seeds)
+    expect = [(0, len(frontier))]
+    for h in (1, 2, 3):
+        nxt = {v for u in frontier for v in adj.get(u, ())} - seen
+        expect.append((h, len(nxt)))
+        seen |= nxt
+        frontier = nxt
+
+    got = sorted(
+        (r["round"], r["n_activated"])
+        for r in SPECS["influence_cascade"].builder(spark, SF_DIR).collect()
+    )
+    assert got == expect
