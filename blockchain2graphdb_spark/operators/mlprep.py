@@ -1750,3 +1750,60 @@ def conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("coverage_nanos"),
         )
     )
+
+
+@query(
+    "benford_deviation",
+    oracle="""
+    WITH o AS (
+      SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                               AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM orders
+    ),
+    cnt AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs FROM o GROUP BY digit),
+    tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM cnt)
+    SELECT cnt.digit, cnt.n_obs,
+           CAST(ROUND(log10(1.0 + 1.0 / cnt.digit) * tot.n * 1e9) AS BIGINT)
+             AS expected_nanos,
+           CAST(cnt.n_obs * 1000000000
+                - CAST(ROUND(log10(1.0 + 1.0 / cnt.digit) * tot.n * 1e9) AS BIGINT)
+                AS BIGINT) AS dev_nanos
+    FROM cnt, tot
+    """,
+)
+def benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of order amounts: observed first-significant-
+    digit counts vs the expected n*log10(1 + 1/d) — the classic
+    fabricated-numbers / data-quality screen (synthetic or truncated
+    money columns drift from Benford long before any schema check
+    fails). The first digit is taken from the exact integer cents'
+    decimal string (both engines render bigints identically — no float
+    formatting exposure); the expected count is one log10 per digit,
+    int-nanos quantized (STATUS ln/log rule), scaled by the exact total.
+
+    Scale shape (100 TB): a per-row substring, one map-side-combinable
+    9-group aggregate, and a 1-row broadcast total — the minimal
+    two-aggregate plan. Output is 9 rows regardless of input size."""
+    prep(spark)
+    digit = F.substring(
+        (dec2("o_totalprice") * 100).cast("long").cast("string"), 1, 1
+    ).cast("long")
+    cnt = (
+        table(spark, sf_dir, "orders")
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    )
+    tot = cnt.agg(F.sum("n_obs").cast("long").alias("n"))
+    expected = F.round(
+        F.log10(1.0 + 1.0 / F.col("digit")) * F.col("n") * 1e9
+    ).cast("long")
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n_obs",
+            expected.alias("expected_nanos"),
+            (F.col("n_obs") * F.lit(1000000000) - expected).alias("dev_nanos"),
+        )
+    )

@@ -1242,3 +1242,81 @@ def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(num / denx * 1e6).cast("long").alias("slope_micros"),
         F.round(F.pow(corr, F.lit(2)) * 1e6).cast("long").alias("r2_micros"),
     )
+
+
+_HILL_K = 128
+
+
+@query(
+    "doc_length_tail_index",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT n_chars,
+             row_number() OVER (ORDER BY n_chars DESC, doc_id) AS pos
+      FROM documents
+      ORDER BY n_chars DESC, doc_id LIMIT {_HILL_K + 1}
+    ),
+    ref AS (SELECT n_chars AS ref_len FROM ranked WHERE pos = {_HILL_K + 1}),
+    s AS (
+      SELECT CAST(SUM(CAST(ROUND((ln(CAST(ranked.n_chars AS DOUBLE))
+                                  - ln(CAST(ref.ref_len AS DOUBLE))) * 1e9)
+                           AS BIGINT)) AS BIGINT) AS hill_sum
+      FROM ranked, ref WHERE ranked.pos <= {_HILL_K}
+    )
+    SELECT CAST({_HILL_K} AS BIGINT) AS k,
+           ref.ref_len,
+           CAST(s.hill_sum // {_HILL_K} AS BIGINT) AS hill_nanos,
+           CAST(ROUND(1e15 / (s.hill_sum // {_HILL_K})) AS BIGINT) AS alpha_micros
+    FROM s, ref
+    """,
+)
+def doc_length_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill tail-index estimate of the document-length distribution:
+    over the k = 128 longest documents (ties broken by doc_id), H =
+    (1/k) * sum ln(len_i / len_(k+1)) and the tail exponent alpha = 1/H
+    — the heavy-tail diagnostic a pretraining pipeline runs before
+    picking truncation/packing lengths (alpha <= 2 means unbounded
+    variance: a handful of giant documents dominate token mass). Each
+    ln term is int-nanos quantized BEFORE summation (the BM25/surprisal
+    cross-engine rule); H is an exact integer division; alpha is one
+    final double ratio, int-micros quantized.
+
+    Scale shape (100 TB): the only data-wide work is TakeOrdered(k+1)
+    — per-partition top-k then a k-row driver merge, no global sort,
+    no shuffle of the corpus. Everything downstream is over k+1 rows
+    (bounded below the Limit — the declared sweep-exempt shape)."""
+    prep(spark)
+    top = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .orderBy(F.desc("n_chars"), "doc_id")
+        .limit(_HILL_K + 1)
+    )
+    ranked = top.withColumn(
+        "pos", F.row_number().over(W.orderBy(F.desc("n_chars"), "doc_id")).cast("long")
+    )
+    ref = ranked.where(F.col("pos") == _HILL_K + 1).select(
+        F.col("n_chars").alias("ref_len")
+    )
+    terms = (
+        ranked.where(F.col("pos") <= _HILL_K)
+        .crossJoin(F.broadcast(ref))
+        .select(
+            "ref_len",
+            F.round(
+                (
+                    F.log(F.col("n_chars").cast("double"))
+                    - F.log(F.col("ref_len").cast("double"))
+                )
+                * 1e9
+            )
+            .cast("long")
+            .alias("t"),
+        )
+    )
+    return terms.agg(
+        F.lit(_HILL_K).cast("long").alias("k"),
+        F.max("ref_len").alias("ref_len"),
+        F.expr(f"sum(t) div {_HILL_K}").cast("long").alias("hill_nanos"),
+        F.round(1e15 / F.expr(f"sum(t) div {_HILL_K}")).cast("long").alias("alpha_micros"),
+    )

@@ -84,6 +84,8 @@ _SAMPLE_PRIORITY = (
     "theil_sen_slope",
     "conformal_interval",
     "influence_cascade",
+    "benford_deviation",
+    "doc_length_tail_index",
     "agg_hll_merge",  # r1 rows-only
     "agg_approx_count_distinct",  # r3 rows-only
     "agg_approx_percentile",  # r3 rows-only

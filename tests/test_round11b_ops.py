@@ -220,3 +220,46 @@ def test_influence_cascade_python_replay(spark):
         for r in SPECS["influence_cascade"].builder(spark, SF_DIR).collect()
     )
     assert got == expect
+
+
+def test_benford_deviation_python_replay(spark):
+    import math
+
+    _, cents, _ = _orders()
+    counts: dict[int, int] = {}
+    for c in cents:
+        d = int(str(c)[0])
+        counts[d] = counts.get(d, 0) + 1
+    n = len(cents)
+    got = {
+        r["digit"]: (r["n_obs"], r["expected_nanos"], r["dev_nanos"])
+        for r in SPECS["benford_deviation"].builder(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(counts)
+    for d, c in counts.items():
+        exp = round(math.log10(1 + 1 / d) * n * 1e9)
+        n_obs, e_nanos, dev = got[d]
+        assert n_obs == c
+        assert abs(e_nanos - exp) <= 1  # replay float-op order slack
+        assert dev == n_obs * 1_000_000_000 - e_nanos
+    # Benford totals: expected_nanos sums to ~n * 1e9
+    assert abs(sum(v[1] for v in got.values()) - n * 1_000_000_000) < 100
+
+
+def test_doc_length_tail_index_python_replay(spark):
+    import math
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "n_chars"])
+    d = t.to_pydict()
+    rows = sorted(zip(d["n_chars"], d["doc_id"]), key=lambda x: (-x[0], x[1]))
+    k = 128
+    ref = rows[k][0]
+    hill_sum = sum(round((math.log(x) - math.log(ref)) * 1e9) for x, _ in rows[:k])
+    hill = hill_sum // k
+
+    row = SPECS["doc_length_tail_index"].builder(spark, SF_DIR).collect()[0]
+    assert row["k"] == k
+    assert row["ref_len"] == ref
+    # per-term rounding can differ by 1 nano between replay and engines
+    assert abs(row["hill_nanos"] - hill) <= k
+    assert row["alpha_micros"] > 0
