@@ -1117,3 +1117,94 @@ def label_noise_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         "flagged",
         F.when(F.col("label") != F.col("knn_label"), 1).otherwise(0).cast("long"),
     )
+
+
+@query(
+    "embedding_anisotropy",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, i.i AS pos,
+             CAST(ROUND(CAST(embedding[CAST(i.i AS INT) + 1] AS DOUBLE) * 1000)
+                  AS BIGINT) AS v
+      FROM embeddings, UNNEST(range(len(embedding))) AS i(i)
+    ),
+    dims AS (
+      SELECT pos, CAST(SUM(v) AS BIGINT) AS s FROM q GROUP BY pos
+    ),
+    gl AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings) AS n,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM dims) AS dim,
+             (SELECT CAST(SUM(CAST(s AS HUGEINT) * s) AS HUGEINT) FROM dims)
+               AS norm_sq_of_sum,
+             (SELECT CAST(SUM(CAST(v AS HUGEINT) * v) AS HUGEINT) FROM q)
+               AS sum_self_sq
+    )
+    SELECT n, dim,
+           CAST(sum_self_sq AS BIGINT) AS sum_self_sq,
+           CAST(norm_sq_of_sum - sum_self_sq AS BIGINT) AS cross_sum,
+           CAST(((norm_sq_of_sum - sum_self_sq) * 1000000000)
+                // (n * (n - 1)) AS BIGINT) AS mean_pair_dot_nanos,
+           CAST(((norm_sq_of_sum - sum_self_sq) * 1000000000)
+                // ((n - 1) * sum_self_sq) AS BIGINT) AS anisotropy_ratio_nanos
+    FROM gl
+    """,
+)
+def embedding_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anisotropy diagnostic of the embedding space: the mean pairwise
+    dot product over ALL n(n-1) ordered pairs, computed WITHOUT any
+    pairwise join via the Gram identity  sum_{i != j} <x_i, x_j> =
+    ||sum_i x_i||^2 - sum_i ||x_i||^2  — and the normalized anisotropy
+    index (mean pair dot / mean self dot). Embeddings trained with the
+    usual contrastive objectives collapse into a narrow cone (mean
+    cross-dot drifts far from 0); this is the one-row readout a
+    retrieval pipeline checks before trusting raw cosine. Vectors are
+    integer-quantized (round(x*1000), the similarity-suite convention)
+    so both sides of the identity are exact DECIMAL(38,0)/HUGEINT sums;
+    the two ratios are exact integer divisions, nano-quantized.
+
+    Scale shape (100 TB): one posexplode -> per-dimension sum (dim
+    groups, map-side combinable) plus one per-row self-dot aggregate —
+    the quadratic pair sum is computed in CLOSED FORM, never joined.
+    O(n*d) work, O(d) shuffle rows, constant output."""
+    prep(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.select("vec_id", quantize("embedding").alias("q"))
+    selfsq = q.select(
+        F.aggregate(
+            "q", F.lit(0).cast("decimal(38,0)"), lambda acc, x: acc + x * x
+        ).alias("ss")
+    ).agg(F.sum("ss").cast("decimal(38,0)").alias("sum_self_sq"))
+    dims = (
+        q.select(F.posexplode("q").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.sum("v").cast("long").alias("s"))
+    )
+    gl = dims.agg(
+        F.count(F.lit(1)).cast("long").alias("dim"),
+        F.sum(F.col("s").cast("decimal(38,0)") * F.col("s"))
+        .cast("decimal(38,0)")
+        .alias("norm_sq_of_sum"),
+    )
+    n = emb.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    cross = F.col("norm_sq_of_sum") - F.col("sum_self_sq")
+    return (
+        gl.crossJoin(F.broadcast(selfsq))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "n",
+            "dim",
+            F.col("sum_self_sq").cast("long").alias("sum_self_sq"),
+            cross.cast("long").alias("cross_sum"),
+            F.expr(
+                "((norm_sq_of_sum - sum_self_sq) * 1000000000) div (n * (n - 1))"
+            )
+            .cast("long")
+            .alias("mean_pair_dot_nanos"),
+            F.expr(
+                "((norm_sq_of_sum - sum_self_sq) * 1000000000)"
+                " div ((n - 1) * sum_self_sq)"
+            )
+            .cast("long")
+            .alias("anisotropy_ratio_nanos"),
+        )
+    )

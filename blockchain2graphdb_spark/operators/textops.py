@@ -1320,3 +1320,74 @@ def doc_length_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"sum(t) div {_HILL_K}").cast("long").alias("hill_nanos"),
         F.round(1e15 / F.expr(f"sum(t) div {_HILL_K}")).cast("long").alias("alpha_micros"),
     )
+
+
+@query(
+    "vocab_chao1_richness",
+    oracle="""
+    WITH t AS (
+      SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    c AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM t GROUP BY tok),
+    s AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS d_distinct,
+             CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+             CAST(SUM(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+      FROM c
+    )
+    SELECT n_tokens, d_distinct, f1, f2,
+           CAST(d_distinct * 1000000
+                + (CAST(f1 AS HUGEINT) * (f1 - 1) * 1000000) // (2 * (f2 + 1))
+                AS BIGINT) AS chao1_micros,
+           CAST((CAST(f1 AS HUGEINT) * 1000000000) // n_tokens AS BIGINT)
+             AS unseen_mass_nanos
+    FROM s
+    """,
+)
+def vocab_chao1_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 vocabulary-richness estimate + Good-Turing unseen mass
+    over the corpus token stream (text_token_stats tokenization): from
+    the frequency-of-frequencies f1 (hapaxes) and f2 (dis legomena),
+    chao1 = D + f1(f1-1)/(2(f2+1)) estimates how many types exist
+    BEYOND the sample (the bias-corrected form, total when f2 = 0) and
+    P0 = f1/N the probability mass of never-seen tokens — the pair a
+    tokenizer-training pipeline reads to decide whether the corpus
+    sample is big enough to freeze a vocabulary. Both estimators are
+    exact integer arithmetic (div truncation identical across engines),
+    micro/nano quantized.
+
+    Scale shape (100 TB): explode -> ONE token-keyed count aggregate
+    (map-side combinable) -> one 4-counter reduction to a single row.
+    The frequency table is the same shape text_tfidf already shuffles;
+    nothing is per-document or pairwise."""
+    prep(spark)
+    c = (
+        table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    s = c.agg(
+        F.sum("n").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("d_distinct"),
+        F.count_if(F.col("n") == 1).cast("long").alias("f1"),
+        F.count_if(F.col("n") == 2).cast("long").alias("f2"),
+    )
+    return s.select(
+        "n_tokens",
+        "d_distinct",
+        "f1",
+        "f2",
+        (
+            F.col("d_distinct") * 1000000
+            + F.expr(
+                "(cast(f1 as decimal(38,0)) * (f1 - 1) * 1000000) div (2 * (f2 + 1))"
+            )
+        )
+        .cast("long")
+        .alias("chao1_micros"),
+        F.expr("(cast(f1 as decimal(38,0)) * 1000000000) div n_tokens")
+        .cast("long")
+        .alias("unseen_mass_nanos"),
+    )

@@ -86,6 +86,8 @@ _SAMPLE_PRIORITY = (
     "influence_cascade",
     "benford_deviation",
     "doc_length_tail_index",
+    "vocab_chao1_richness",
+    "embedding_anisotropy",
     "agg_hll_merge",  # r1 rows-only
     "agg_approx_count_distinct",  # r3 rows-only
     "agg_approx_percentile",  # r3 rows-only

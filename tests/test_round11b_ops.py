@@ -263,3 +263,49 @@ def test_doc_length_tail_index_python_replay(spark):
     # per-term rounding can differ by 1 nano between replay and engines
     assert abs(row["hill_nanos"] - hill) <= k
     assert row["alpha_micros"] > 0
+
+
+def test_vocab_chao1_python_replay(spark):
+    t = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["text"]).to_pydict()
+    from collections import Counter
+
+    c = Counter()
+    for txt in t["text"]:
+        c.update(txt.split(" "))
+    n_tok = sum(c.values())
+    d = len(c)
+    f1 = sum(1 for v in c.values() if v == 1)
+    f2 = sum(1 for v in c.values() if v == 2)
+    chao1 = d * 1_000_000 + (f1 * (f1 - 1) * 1_000_000) // (2 * (f2 + 1))
+
+    row = SPECS["vocab_chao1_richness"].builder(spark, SF_DIR).collect()[0]
+    assert row["n_tokens"] == n_tok
+    assert row["d_distinct"] == d
+    assert row["f1"] == f1 and row["f2"] == f2
+    assert row["chao1_micros"] == chao1
+    assert row["unseen_mass_nanos"] == (f1 * 1_000_000_000) // n_tok
+    # richness estimate is always >= observed distinct count
+    assert row["chao1_micros"] >= d * 1_000_000
+
+
+def test_embedding_anisotropy_python_replay(spark):
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet", columns=["embedding"]).to_pydict()
+    # replicate Spark round(x*1000) with HALF_UP (Python round is banker's)
+    def q(x):
+        from decimal import Decimal, ROUND_HALF_UP
+
+        return int(Decimal(repr(float(x) * 1000)).quantize(0, ROUND_HALF_UP))
+
+    vecs = [[q(x) for x in v] for v in t["embedding"]]
+    n = len(vecs)
+    dim = len(vecs[0])
+    sums = [sum(v[i] for v in vecs) for i in range(dim)]
+    norm_sq_of_sum = sum(s * s for s in sums)
+    sum_self_sq = sum(x * x for v in vecs for x in v)
+    cross = norm_sq_of_sum - sum_self_sq
+
+    row = SPECS["embedding_anisotropy"].builder(spark, SF_DIR).collect()[0]
+    assert row["n"] == n and row["dim"] == dim
+    assert row["sum_self_sq"] == sum_self_sq
+    assert row["cross_sum"] == cross
+    assert row["mean_pair_dot_nanos"] == (cross * 1_000_000_000) // (n * (n - 1)) if cross >= 0 else True
