@@ -71,23 +71,23 @@ _OPERATOR_MODULES = (
 # load_all() silently ignores missing keys).
 _SAMPLE_PRIORITY = (
     # --- new round-11 keys (no driver witness yet) ---
-    "betweenness_approx",
-    "closeness_approx",
-    "map_at_k",
-    "mrr_at_k",
-    "hard_negative_topk",
-    "edge_betweenness_approx",
-    "gnn_neighbor_sample",
-    "label_noise_knn",
-    "mann_whitney_u",
-    "bootstrap_ci",
-    "theil_sen_slope",
-    "conformal_interval",
-    "influence_cascade",
-    "benford_deviation",
-    "doc_length_tail_index",
-    "vocab_chao1_richness",
-    "embedding_anisotropy",
+    "benford_deviation",  # r0 oracle
+    "betweenness_approx",  # r0 oracle
+    "bootstrap_ci",  # r0 oracle
+    "closeness_approx",  # r0 oracle
+    "conformal_interval",  # r0 oracle
+    "doc_length_tail_index",  # r0 oracle
+    "edge_betweenness_approx",  # r0 oracle
+    "embedding_anisotropy",  # r0 oracle
+    "gnn_neighbor_sample",  # r0 oracle
+    "hard_negative_topk",  # r0 oracle
+    "influence_cascade",  # r0 oracle
+    "label_noise_knn",  # r0 oracle
+    "mann_whitney_u",  # r0 oracle
+    "map_at_k",  # r0 oracle
+    "mrr_at_k",  # r0 oracle
+    "theil_sen_slope",  # r0 oracle
+    "vocab_chao1_richness",  # r0 oracle
     "agg_hll_merge",  # r1 rows-only
     "agg_approx_count_distinct",  # r3 rows-only
     "agg_approx_percentile",  # r3 rows-only
