@@ -309,3 +309,43 @@ def test_embedding_anisotropy_python_replay(spark):
     assert row["sum_self_sq"] == sum_self_sq
     assert row["cross_sum"] == cross
     assert row["mean_pair_dot_nanos"] == (cross * 1_000_000_000) // (n * (n - 1)) if cross >= 0 else True
+
+
+def test_new_keys_plan_shapes(spark):
+    """Scale-shape pins for the round-11b keys: the quadratic work each
+    one avoids must stay avoided."""
+    from blockchain2graphdb_spark.plans.inspect import count_nodes, plan_string
+
+    # anisotropy: the n(n-1) pair sum is closed-form — no join between
+    # two embedding branches at all (only broadcast scalar folds)
+    df = SPECS["embedding_anisotropy"].builder(spark, SF_DIR)
+    p = plan_string(df)
+    assert count_nodes(df, "SortMergeJoin") == 0, p
+    assert count_nodes(df, "ShuffledHashJoin") == 0, p
+    assert "CartesianProduct" not in p, p
+
+    # benford: two aggregates (9-group + 1-row total), no window, no
+    # non-broadcast join
+    df = SPECS["benford_deviation"].builder(spark, SF_DIR)
+    p = plan_string(df)
+    assert count_nodes(df, "Window") == 0, p
+    assert count_nodes(df, "SortMergeJoin") == 0, p
+
+    # hill tail index: the corpus-wide work is TakeOrdered, never a
+    # global Sort + Window over the table
+    df = SPECS["doc_length_tail_index"].builder(spark, SF_DIR)
+    p = plan_string(df)
+    assert "TakeOrderedAndProject" in p, p
+
+    # chao1: one token-keyed aggregate chain, no joins anywhere
+    df = SPECS["vocab_chao1_richness"].builder(spark, SF_DIR)
+    p = plan_string(df)
+    assert "Join" not in p, p
+
+    # mann-whitney: distributed rank — every Window is partitioned
+    from blockchain2graphdb_spark.plans.inspect import (
+        unpartitioned_unbounded_windows,
+    )
+
+    df = SPECS["mann_whitney_u"].builder(spark, SF_DIR)
+    assert not unpartitioned_unbounded_windows(df)
