@@ -253,3 +253,166 @@ def gnn_neighbor_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l1.select(F.lit(1).cast("long").alias("layer"), "src", "dst").unionByName(
         l2.select(F.lit(2).cast("long").alias("layer"), "src", "dst")
     )
+
+
+_N2V_SEEDS = 64
+_N2V_STEPS = 3
+
+
+def _n2v_pick(step: int) -> str:
+    return (
+        f"('0x' || substr(md5('n2v' || CAST(seed AS VARCHAR) || ':{step}'), 1, 8))"
+        f"::BIGINT"
+    )
+
+
+def _n2v_oracle() -> str:
+    """Unrolled 3-step return-biased walk: step 1 uniform; steps 2-3
+    weight the return edge 1 and every other neighbor 2 (node2vec
+    p = 2, q = 1), chosen by integer slot arithmetic over
+    T = 2*deg - 1 md5 slots."""
+    biased = """
+    s{h} AS MATERIALIZED (
+      SELECT s.seed, a.dst AS node, s.node AS prev
+      FROM s{g} s
+      JOIN deg d ON d.src = s.node
+      JOIN adj pa ON pa.src = s.node AND pa.dst = s.prev
+      JOIN adj a ON a.src = s.node
+       AND a.idx = CASE
+         WHEN {r} % (2 * d.deg - 1) = 2 * d.deg - 2 THEN pa.idx
+         ELSE CASE WHEN ({r} % (2 * d.deg - 1)) // 2 < pa.idx
+                   THEN ({r} % (2 * d.deg - 1)) // 2
+                   ELSE ({r} % (2 * d.deg - 1)) // 2 + 1 END
+       END
+    )"""
+    return f"""
+    WITH pr AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    sym AS MATERIALIZED (
+      SELECT a AS src, b AS dst FROM pr UNION ALL SELECT b, a FROM pr
+    ),
+    adj AS MATERIALIZED (
+      SELECT src, dst,
+             row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx
+      FROM sym
+    ),
+    deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM sym GROUP BY src),
+    nodes AS (SELECT DISTINCT src FROM sym),
+    seeds AS MATERIALIZED (
+      SELECT src AS seed FROM nodes
+      ORDER BY md5(CAST(src AS VARCHAR)), src LIMIT {_N2V_SEEDS}
+    ),
+    s1 AS MATERIALIZED (
+      SELECT s.seed, a.dst AS node, s.seed AS prev
+      FROM seeds s
+      JOIN deg d ON d.src = s.seed
+      JOIN adj a ON a.src = s.seed AND a.idx = {_n2v_pick(1)} % d.deg
+    ),
+    {biased.format(h=2, g=1, r=_n2v_pick(2))},
+    {biased.format(h=3, g=2, r=_n2v_pick(3))}
+    SELECT seed, CAST(0 AS BIGINT) AS step, CAST(seed AS BIGINT) AS node
+    FROM seeds
+    UNION ALL SELECT seed, 1, CAST(node AS BIGINT) FROM s1
+    UNION ALL SELECT seed, 2, CAST(node AS BIGINT) FROM s2
+    UNION ALL SELECT seed, 3, CAST(node AS BIGINT) FROM s3
+    """
+
+
+@query("node2vec_walk_sample", oracle=_n2v_oracle())
+def node2vec_walk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Return-biased (node2vec p = 2, q = 1) deterministic walks over
+    the co-purchase part graph from the 64 smallest-md5 seeds, 3 steps:
+    step 1 is uniform; later steps give the BACKTRACK edge weight 1/p
+    and every other neighbor weight 1 — realized exactly in integers by
+    giving non-return neighbors 2 slots and the return edge 1 slot of a
+    T = 2*deg - 1 slot wheel indexed by md5('n2v', seed, step) mod T.
+    q = 1 is the deliberate restriction: a q != 1 bias needs
+    "is-candidate-adjacent-to-prev" — a per-candidate triangle probe
+    whose state is the edge-pair alias table node2vec precomputes
+    (O(sum deg(u)*deg(v)) memory, the known node2vec scale wall);
+    p-only keeps every step two O(#walks) equi-joins (degree, prev
+    index, then (src, idx) pick), no hub fan-out, exactly the
+    random_walk_sample shape.
+
+    Scale shape (100 TB): adjacency/degree built once from the distinct
+    symmetric edge list (one partitioned window + one aggregate); per
+    step O(#walks) shuffle rows; walk length is a literal — one linear
+    DAG, no driver loop."""
+    prep(spark)
+    from .graphops import _copurchase_pairs
+
+    pairs, _n = _copurchase_pairs(spark, sf_dir)
+    sym = pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    adj = sym.select(
+        "src",
+        "dst",
+        (F.row_number().over(W.partitionBy("src").orderBy("dst")) - 1).alias("idx"),
+    ).localCheckpoint(eager=True)
+    deg = adj.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    seeds = (
+        adj.select(F.col("src").alias("seed"))
+        .distinct()
+        .orderBy(F.md5(F.col("seed").cast("string")), "seed")
+        .limit(_N2V_SEEDS)
+    )
+
+    def pick(step: int) -> F.Column:
+        key = F.concat(
+            F.lit("n2v"), F.col("seed").cast("string"), F.lit(f":{step}")
+        )
+        return F.conv(F.substring(F.md5(key.cast("binary")), 1, 8), 16, 10).cast(
+            "long"
+        )
+
+    # step 1: uniform over deg(seed)
+    s1 = (
+        seeds.join(deg, seeds["seed"] == deg["src"])
+        .select("seed", (pick(1) % F.col("deg")).alias("i"))
+        .join(adj, (F.col("seed") == adj["src"]) & (F.col("i") == adj["idx"]))
+        .select("seed", F.col("dst").alias("node"), F.col("seed").alias("prev"))
+    )
+
+    def biased_step(cur: DataFrame, step: int) -> DataFrame:
+        pa = adj.select(
+            F.col("src").alias("c"), F.col("dst").alias("p"), F.col("idx").alias("pidx")
+        )
+        d = cur.join(deg, cur["node"] == deg["src"]).select(
+            "seed", "node", "prev", "deg"
+        )
+        d = d.join(
+            pa, (d["node"] == pa["c"]) & (d["prev"] == pa["p"])
+        ).select("seed", "node", "deg", "pidx")
+        r = pick(step) % (2 * F.col("deg") - 1)
+        half = F.expr("r div 2")
+        chosen = (
+            F.when(F.col("r") == 2 * F.col("deg") - 2, F.col("pidx"))
+            .otherwise(F.when(half < F.col("pidx"), half).otherwise(half + 1))
+        )
+        d = d.withColumn("r", r).withColumn("i", chosen)
+        return d.join(adj, (d["node"] == adj["src"]) & (d["i"] == adj["idx"])).select(
+            "seed", F.col("dst").alias("node"), d["node"].alias("prev")
+        )
+
+    s2 = biased_step(s1, 2)
+    s3 = biased_step(s2, 3)
+
+    def out(df: DataFrame, t: int) -> DataFrame:
+        return df.select(
+            "seed",
+            F.lit(t).cast("long").alias("step"),
+            F.col("node").cast("long").alias("node"),
+        )
+
+    return (
+        seeds.select(
+            "seed", F.lit(0).cast("long").alias("step"), F.col("seed").cast("long").alias("node")
+        )
+        .unionAll(out(s1, 1))
+        .unionAll(out(s2, 2))
+        .unionAll(out(s3, 3))
+    )

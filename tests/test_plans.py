@@ -76,6 +76,7 @@ _ITERATIVE = {
     "gnn_neighbor_sample",  # _copurchase_pairs checkpoint+count on call
     "theil_sen_slope",  # eager pair-table checkpoint on call
     "influence_cascade",  # per-round frontier checkpoints + counts on call
+    "node2vec_walk_sample",  # copurchase checkpoint + adjacency checkpoint on call
 }
 
 _PLAN_KEYS = sorted(set(SPECS) - _EXECUTING - _ITERATIVE)

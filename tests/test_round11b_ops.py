@@ -349,3 +349,57 @@ def test_new_keys_plan_shapes(spark):
 
     df = SPECS["mann_whitney_u"].builder(spark, SF_DIR)
     assert not unpartitioned_unbounded_windows(df)
+
+
+def test_node2vec_walk_python_replay(spark):
+    """Full deterministic replay of the return-biased walk, including
+    the slot-wheel mapping (2 slots per non-return neighbor, 1 for the
+    return edge)."""
+    li = pq.read_table(
+        f"{SF_DIR}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).to_pydict()
+    by_order: dict[int, set] = {}
+    for o, p in zip(li["l_orderkey"], li["l_partkey"]):
+        by_order.setdefault(o, set()).add(p)
+    nbrs: dict[int, list] = {}
+    edges = set()
+    for ps in by_order.values():
+        s = sorted(ps)
+        for i in range(len(s)):
+            for j in range(i + 1, len(s)):
+                edges.add((s[i], s[j]))
+    for a, b in edges:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    nbrs = {k: sorted(v) for k, v in nbrs.items()}
+    nodes = sorted(nbrs)
+    seeds = sorted(nodes, key=lambda n: (hashlib.md5(str(n).encode()).hexdigest(), n))[:64]
+
+    def u32(seed, step):
+        return int(hashlib.md5(f"n2v{seed}:{step}".encode()).hexdigest()[:8], 16)
+
+    expect = set()
+    for seed in seeds:
+        expect.add((seed, 0, seed))
+        ns = nbrs[seed]
+        cur = ns[u32(seed, 1) % len(ns)]
+        prev = seed
+        expect.add((seed, 1, cur))
+        for step in (2, 3):
+            ns = nbrs[cur]
+            deg = len(ns)
+            pidx = ns.index(prev)
+            r = u32(seed, step) % (2 * deg - 1)
+            if r == 2 * deg - 2:
+                i = pidx
+            else:
+                h = r // 2
+                i = h if h < pidx else h + 1
+            prev, cur = cur, ns[i]
+            expect.add((seed, step, cur))
+
+    got = {
+        (r["seed"], r["step"], r["node"])
+        for r in SPECS["node2vec_walk_sample"].builder(spark, SF_DIR).collect()
+    }
+    assert got == expect
