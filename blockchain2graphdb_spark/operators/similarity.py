@@ -1208,3 +1208,154 @@ def embedding_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("anisotropy_ratio_nanos"),
         )
     )
+
+
+@query(
+    "embedding_mmd_drift",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id,
+             CASE WHEN ('0x' || substr(md5('mmd' || CAST(vec_id AS VARCHAR)), 1, 1))::BIGINT < 8
+                  THEN 'a' ELSE 'b' END AS grp,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    s2 AS (
+      SELECT grp, ti.i AS i, tj.j AS j,
+             CAST(SUM(CAST(qv[CAST(ti.i AS INT)] AS HUGEINT)
+                      * qv[CAST(tj.j AS INT)]) AS HUGEINT) AS sij
+      FROM q,
+           UNNEST(range(1, {_N_DIM + 1})) AS ti(i),
+           UNNEST(range(1, {_N_DIM + 1})) AS tj(j)
+      WHERE tj.j >= ti.i
+      GROUP BY grp, ti.i, tj.j
+    ),
+    inner_ AS (
+      SELECT vec_id, grp,
+             CAST(SUM(CAST(qv[CAST(t.i AS INT)] AS HUGEINT)
+                      * qv[CAST(t.i AS INT)]) AS HUGEINT) AS ss
+      FROM q, UNNEST(range(1, {_N_DIM + 1})) AS t(i)
+      GROUP BY vec_id, grp
+    ),
+    sk AS (
+      SELECT grp, CAST(SUM(ss * ss) AS HUGEINT) AS s_self,
+             CAST(COUNT(*) AS HUGEINT) AS m
+      FROM inner_ GROUP BY grp
+    ),
+    frob AS (
+      SELECT
+        (SELECT CAST(SUM((CASE WHEN i = j THEN 1 ELSE 2 END) * sij * sij)
+                     AS HUGEINT) FROM s2 WHERE grp = 'a') AS paa,
+        (SELECT CAST(SUM((CASE WHEN i = j THEN 1 ELSE 2 END) * sij * sij)
+                     AS HUGEINT) FROM s2 WHERE grp = 'b') AS pbb,
+        (SELECT CAST(SUM((CASE WHEN a.i = a.j THEN 1 ELSE 2 END) * a.sij * b.sij)
+                     AS HUGEINT)
+         FROM s2 a JOIN s2 b ON b.i = a.i AND b.j = a.j
+         WHERE a.grp = 'a' AND b.grp = 'b') AS pab,
+        (SELECT s_self FROM sk WHERE grp = 'a') AS sa,
+        (SELECT s_self FROM sk WHERE grp = 'b') AS sb,
+        (SELECT m FROM sk WHERE grp = 'a') AS ma,
+        (SELECT m FROM sk WHERE grp = 'b') AS mb
+    )
+    SELECT CAST(ma AS BIGINT) AS m_a,
+           CAST(mb AS BIGINT) AS n_b,
+           CAST((paa - sa) // (ma * (ma - 1)) AS BIGINT) AS mean_within_a,
+           CAST((pbb - sb) // (mb * (mb - 1)) AS BIGINT) AS mean_within_b,
+           CAST(pab // (ma * mb) AS BIGINT) AS mean_cross,
+           CAST((paa - sa) // (ma * (ma - 1))
+                + (pbb - sb) // (mb * (mb - 1))
+                - 2 * (pab // (ma * mb)) AS BIGINT) AS mmd2_q
+    FROM frob
+    """,
+)
+def embedding_mmd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample kernel MMD^2 drift test between md5 halves of the
+    embedding table under the quadratic kernel k(x,y) = (x.y)^2 — the
+    distribution-level answer to "did my embedding space move between
+    snapshots/splits?" (split_drift_psi tests one scalar; this tests
+    the joint vector distribution). The kernel sums are CLOSED FORM:
+    sum_{x in A, y in B} (x.y)^2 = <M_A, M_B>_F where M_g = sum x x^T
+    is the d x d second-moment matrix — so the |A||B| pair sum becomes
+    a Frobenius product of two 2080-entry (upper-triangle, weight 2
+    off-diagonal) integer matrices; within-group sums subtract the
+    exact self-kernel sum_x ||x||^4. Unbiased MMD^2 = mean within_A +
+    mean within_B - 2 mean cross, every mean an exact HUGEINT/
+    DECIMAL(38,0) integer division at the kernel's natural scale
+    (values ~1e10+ — quantization already provides the resolution).
+
+    Scale shape (100 TB): the embedding_covariance chained-posexplode
+    shape per group — ONE scan, map-side-combinable hash aggregation
+    onto 2 x 2080 moment keys, a 2080-row self-join for the cross
+    term, two O(n) row-local folds for ||x||^4. Nothing pairwise,
+    nothing scales with n except the scan."""
+    prep(spark)
+    grp = F.when(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("mmd"), F.col("vec_id").cast("string")).cast("binary")),
+                1,
+                1,
+            ),
+            16,
+            10,
+        ).cast("long")
+        < 8,
+        F.lit("a"),
+    ).otherwise(F.lit("b"))
+    q = table(spark, sf_dir, "embeddings").select(
+        "vec_id", grp.alias("grp"), quantize("embedding").alias("qv")
+    )
+    e1 = q.select("grp", "qv", F.posexplode("qv").alias("i0", "xi"))
+    e2 = e1.select("grp", "i0", "xi", F.posexplode("qv").alias("j0", "xj")).where(
+        F.col("j0") >= F.col("i0")
+    )
+    s2 = e2.groupBy("grp", "i0", "j0").agg(
+        F.sum((F.col("xi").cast("decimal(38,0)") * F.col("xj"))).cast("decimal(38,0)").alias("sij")
+    )
+    w = F.when(F.col("i0") == F.col("j0"), 1).otherwise(2)
+    within = s2.groupBy("grp").agg(
+        F.sum(w * F.col("sij") * F.col("sij")).cast("decimal(38,0)").alias("p")
+    )
+    a2 = s2.where(F.col("grp") == "a").select("i0", "j0", F.col("sij").alias("sa"))
+    b2 = s2.where(F.col("grp") == "b").select("i0", "j0", F.col("sij").alias("sb"))
+    pab = a2.join(b2, ["i0", "j0"]).agg(
+        F.sum(w * F.col("sa") * F.col("sb")).cast("decimal(38,0)").alias("pab")
+    )
+    selfk = (
+        q.select(
+            "grp",
+            F.aggregate(
+                "qv", F.lit(0).cast("decimal(38,0)"), lambda acc, x: acc + x * x
+            ).alias("ss"),
+        )
+        .groupBy("grp")
+        .agg(
+            F.sum(F.col("ss") * F.col("ss")).cast("decimal(38,0)").alias("s_self"),
+            F.count(F.lit(1)).cast("long").alias("m"),
+        )
+    )
+    g = within.join(selfk, "grp").select(
+        "grp", "p", "s_self", "m"
+    )
+    ga = g.where(F.col("grp") == "a").select(
+        F.col("p").alias("paa"), F.col("s_self").alias("sa"), F.col("m").alias("ma")
+    )
+    gb = g.where(F.col("grp") == "b").select(
+        F.col("p").alias("pbb"), F.col("s_self").alias("sb"), F.col("m").alias("mb")
+    )
+    t1 = F.expr("(paa - sa) div (cast(ma as decimal(38,0)) * (ma - 1))")
+    t2 = F.expr("(pbb - sb) div (cast(mb as decimal(38,0)) * (mb - 1))")
+    t3 = F.expr("pab div (cast(ma as decimal(38,0)) * mb)")
+    return (
+        ga.crossJoin(F.broadcast(gb))
+        .crossJoin(F.broadcast(pab))
+        .select(
+            F.col("ma").alias("m_a"),
+            F.col("mb").alias("n_b"),
+            t1.cast("long").alias("mean_within_a"),
+            t2.cast("long").alias("mean_within_b"),
+            t3.cast("long").alias("mean_cross"),
+            (t1 + t2 - 2 * t3).cast("long").alias("mmd2_q"),
+        )
+    )

@@ -72,6 +72,7 @@ _OPERATOR_MODULES = (
 _SAMPLE_PRIORITY = (
     # --- new round-11 keys (no driver witness yet) ---
     "benford_deviation",  # r0 oracle
+    "embedding_mmd_drift",  # r0 oracle
     "node2vec_walk_sample",  # r0 oracle
     "betweenness_approx",  # r0 oracle
     "bootstrap_ci",  # r0 oracle

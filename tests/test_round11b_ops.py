@@ -403,3 +403,57 @@ def test_node2vec_walk_python_replay(spark):
         for r in SPECS["node2vec_walk_sample"].builder(spark, SF_DIR).collect()
     }
     assert got == expect
+
+
+def test_embedding_mmd_drift_python_replay(spark):
+    t = pq.read_table(
+        f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).to_pydict()
+
+    def qz(x):
+        from decimal import Decimal, ROUND_HALF_UP
+
+        return int(Decimal(repr(float(x) * 1000)).quantize(0, ROUND_HALF_UP))
+
+    groups = {"a": [], "b": []}
+    for vid, v in zip(t["vec_id"], t["embedding"]):
+        g = "a" if _nib(f"mmd{vid}") < 8 else "b"
+        groups[g].append([qz(x) for x in v])
+
+    def stats(vs):
+        dim = len(vs[0])
+        M = [[0] * dim for _ in range(dim)]
+        s_self = 0
+        for v in vs:
+            ss = sum(x * x for x in v)
+            s_self += ss * ss
+            for i in range(dim):
+                for j in range(i, dim):
+                    M[i][j] += v[i] * v[j]
+        return M, s_self, len(vs)
+
+    Ma, sa, ma = stats(groups["a"])
+    Mb, sb, mb = stats(groups["b"])
+    dim = len(Ma)
+
+    def frob(A, B):
+        tot = 0
+        for i in range(dim):
+            for j in range(i, dim):
+                w = 1 if i == j else 2
+                tot += w * A[i][j] * B[i][j]
+        return tot
+
+    t1 = (frob(Ma, Ma) - sa) // (ma * (ma - 1))
+    t2 = (frob(Mb, Mb) - sb) // (mb * (mb - 1))
+    t3 = frob(Ma, Mb) // (ma * mb)
+
+    row = SPECS["embedding_mmd_drift"].builder(spark, SF_DIR).collect()[0]
+    assert row["m_a"] == ma and row["n_b"] == mb
+    assert row["mean_within_a"] == t1
+    assert row["mean_within_b"] == t2
+    assert row["mean_cross"] == t3
+    assert row["mmd2_q"] == t1 + t2 - 2 * t3
+    # same-distribution halves: MMD^2 should be tiny relative to the
+    # kernel's own scale
+    assert abs(row["mmd2_q"]) < row["mean_cross"] // 10
