@@ -1807,3 +1807,116 @@ def benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_obs") * F.lit(1000000000) - expected).alias("dev_nanos"),
         )
     )
+
+
+@query(
+    "wasserstein_1d_drift",
+    oracle="""
+    WITH o AS (
+      SELECT CASE WHEN ('0x' || substr(md5('w1' || CAST(o_orderkey AS VARCHAR)), 1, 1))::BIGINT < 8
+                  THEN 1 ELSE 0 END AS a,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM orders
+    ),
+    v AS (
+      SELECT cents,
+             CAST(SUM(a) AS BIGINT) AS ca,
+             CAST(COUNT(*) - SUM(a) AS BIGINT) AS cb
+      FROM o GROUP BY cents
+    ),
+    r AS (
+      SELECT cents,
+             CAST(SUM(ca) OVER w AS BIGINT) AS cum_a,
+             CAST(SUM(cb) OVER w AS BIGINT) AS cum_b,
+             CAST(row_number() OVER (ORDER BY cents) AS BIGINT) AS pos
+      FROM v WINDOW w AS (ORDER BY cents)
+    ),
+    tot AS (
+      SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb
+      FROM v
+    ),
+    terms AS (
+      SELECT abs(CAST(c.cum_a AS HUGEINT) * tot.nb - CAST(c.cum_b AS HUGEINT) * tot.na)
+             * (n.cents - c.cents) AS term
+      FROM r c JOIN r n ON n.pos = c.pos + 1, tot
+    )
+    SELECT tot.na AS n_a, tot.nb AS n_b,
+           CAST((CAST(COALESCE(SUM(term), 0) AS HUGEINT) * 1000000)
+                // (CAST(tot.na AS HUGEINT) * tot.nb) AS BIGINT)
+             AS w1_microcents
+    FROM terms, tot GROUP BY tot.na, tot.nb
+    """,
+)
+def wasserstein_1d_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 1-D Wasserstein (earth-mover) distance between the md5
+    A/B halves of the order-value distribution: W1 = integral
+    |F_A - F_B| dx over the step CDFs, i.e. per consecutive distinct
+    value sum |cumA*nB - cumB*nA| * gap with the common denominator
+    nA*nB cleared — every term an exact integer, so the hash-sensitive
+    magnitude-aware drift metric (PSI and KS ignore HOW FAR mass moved;
+    W1 is the one that prices it) is bit-identical across engines,
+    surfaced once as micro-cents.
+
+    Scale shape (100 TB): one hash aggregate to O(#distinct values);
+    ONE bucketed_prefix_sums pass produces BOTH cumulative counts AND
+    the position (running +1) — never an unpartitioned window; the
+    consecutive-value gap is a pos/pos+1 equi-join on the same
+    aggregate (no lead() across bucket boundaries); one final
+    map-side-combinable reduction."""
+    prep(spark)
+    from ..functions.ranking import bucketed_prefix_sums
+
+    nib = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("w1"), F.col("o_orderkey").cast("string")).cast("binary")),
+            1,
+            1,
+        ),
+        16,
+        10,
+    ).cast("long")
+    o = table(spark, sf_dir, "orders").select(
+        F.when(nib < 8, 1).otherwise(0).alias("a"),
+        (dec2("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    v = o.groupBy("cents").agg(
+        F.sum("a").cast("long").alias("ca"),
+        (F.count(F.lit(1)) - F.sum("a")).cast("long").alias("cb"),
+    )
+    r = bucketed_prefix_sums(
+        v,
+        F.expr("cents div 100000"),
+        [F.col("cents")],
+        {"cum_a": F.col("ca"), "cum_b": F.col("cb"), "pos": F.lit(1)},
+    )
+    tot = v.agg(
+        F.sum("ca").cast("long").alias("na"), F.sum("cb").cast("long").alias("nb")
+    )
+    cur = r.select("cents", "cum_a", "cum_b", "pos")
+    nxt = r.select(F.col("pos").alias("npos"), F.col("cents").alias("ncents"))
+    terms = (
+        cur.join(nxt, F.col("npos") == F.col("pos") + 1)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            (
+                F.abs(
+                    F.col("cum_a").cast("decimal(38,0)") * F.col("nb")
+                    - F.col("cum_b").cast("decimal(38,0)") * F.col("na")
+                )
+                * (F.col("ncents") - F.col("cents"))
+            ).alias("term")
+        )
+    )
+    return (
+        terms.agg(
+            F.coalesce(F.sum("term"), F.lit(0)).cast("decimal(38,0)").alias("s")
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("na").alias("n_a"),
+            F.col("nb").alias("n_b"),
+            F.expr("(s * 1000000) div (cast(na as decimal(38,0)) * nb)")
+            .cast("long")
+            .alias("w1_microcents"),
+        )
+    )

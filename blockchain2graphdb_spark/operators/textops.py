@@ -1391,3 +1391,108 @@ def vocab_chao1_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("unseen_mass_nanos"),
     )
+
+
+@query(
+    "corpus_js_divergence",
+    oracle="""
+    WITH t AS (
+      SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    st AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS a
+           FROM t GROUP BY source, tok),
+    ct AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS b FROM t GROUP BY tok),
+    tots AS (SELECT source, CAST(SUM(a) AS BIGINT) AS aa FROM st GROUP BY source),
+    big AS (SELECT CAST(COUNT(*) AS BIGINT) AS bb FROM t),
+    terms AS (
+      SELECT st.source,
+             CAST(ROUND(CAST(st.a AS DOUBLE) / tots.aa
+                        * ln(2.0 * st.a * big.bb
+                             / (CAST(st.a AS HUGEINT) * big.bb
+                                + CAST(ct.b AS HUGEINT) * tots.aa))
+                        * 1e9) AS BIGINT)
+             + CAST(ROUND(CAST(ct.b AS DOUBLE) / big.bb
+                          * ln(2.0 * ct.b * tots.aa
+                               / (CAST(st.a AS HUGEINT) * big.bb
+                                  + CAST(ct.b AS HUGEINT) * tots.aa))
+                          * 1e9) AS BIGINT) AS term,
+             ct.b AS b
+      FROM st
+      JOIN ct ON ct.tok = st.tok
+      JOIN tots ON tots.source = st.source
+      CROSS JOIN big
+    )
+    SELECT terms.source,
+           tots.aa AS n_tokens_src,
+           CAST((SUM(term)
+                 + CAST(ROUND(ln(2.0) * (big.bb - SUM(b)) / big.bb * 1e9)
+                        AS BIGINT)) // 2 AS BIGINT) AS js_nanos
+    FROM terms
+    JOIN tots ON tots.source = terms.source
+    CROSS JOIN big
+    GROUP BY terms.source, tots.aa, big.bb
+    """,
+)
+def corpus_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence of each source's token distribution
+    against the whole-corpus mixture — the per-source "how different is
+    this slice" readout a corpus-mixing pipeline ranks sources by
+    (split_drift_psi compares two scalar splits; this compares full
+    unigram distributions, bounded in [0, ln 2]). Per shared token the
+    two KL terms p*ln(2p/(p+q)) and q*ln(2q/(p+q)) are computed with
+    the ratios cleared to exact integers inside the ln (2aB/(aB+bA)),
+    int-nanos quantized PER TERM before summation (the BM25/surprisal
+    ln rule); tokens the source never emits contribute q*ln2 in closed
+    form (their p-side is exactly 0), folded in as ONE remainder term
+    ln2*(B - sum_in_source b)/B — no anti-join needed.
+
+    Scale shape (100 TB): two token-keyed hash aggregates (per-source
+    and corpus-wide) and one (tok)-keyed equi-join between them — the
+    text_tfidf join shape, AQE-broadcast at small scale, sort-merge at
+    web scale; per-source reduction is map-side combinable onto
+    O(#sources) keys."""
+    prep(spark)
+    t = table(spark, sf_dir, "documents").select(
+        "source", F.explode(F.split("text", " ")).alias("tok")
+    )
+    st = t.groupBy("source", "tok").agg(F.count(F.lit(1)).cast("long").alias("a"))
+    ct = t.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("b"))
+    tots = st.groupBy("source").agg(F.sum("a").cast("long").alias("aa"))
+    big = t.agg(F.count(F.lit(1)).cast("long").alias("bb"))
+    den = (
+        F.col("a").cast("decimal(38,0)") * F.col("bb")
+        + F.col("b").cast("decimal(38,0)") * F.col("aa")
+    ).cast("double")
+    tp = F.round(
+        F.col("a").cast("double")
+        / F.col("aa")
+        * F.log(2.0 * F.col("a") * F.col("bb") / den)
+        * 1e9
+    ).cast("long")
+    tq = F.round(
+        F.col("b").cast("double")
+        / F.col("bb")
+        * F.log(2.0 * F.col("b") * F.col("aa") / den)
+        * 1e9
+    ).cast("long")
+    terms = (
+        st.join(ct, "tok")
+        .join(F.broadcast(tots), "source")
+        .crossJoin(F.broadcast(big))
+        .select("source", "aa", "bb", (tp + tq).alias("term"), "b")
+    )
+    rest = F.round(
+        F.log(F.lit(2.0))
+        * (F.col("bb") - F.col("sb")).cast("double")
+        / F.col("bb")
+        * 1e9
+    ).cast("long")
+    return (
+        terms.groupBy("source", "aa", "bb")
+        .agg(F.sum("term").cast("long").alias("st_"), F.sum("b").cast("long").alias("sb"))
+        .select(
+            "source",
+            F.col("aa").alias("n_tokens_src"),
+            ((F.col("st_") + rest) / 2).cast("long").alias("js_nanos"),
+        )
+    )

@@ -72,6 +72,8 @@ _OPERATOR_MODULES = (
 _SAMPLE_PRIORITY = (
     # --- new round-11 keys (no driver witness yet) ---
     "benford_deviation",  # r0 oracle
+    "wasserstein_1d_drift",  # r0 oracle
+    "corpus_js_divergence",  # r0 oracle
     "embedding_mmd_drift",  # r0 oracle
     "node2vec_walk_sample",  # r0 oracle
     "betweenness_approx",  # r0 oracle

@@ -457,3 +457,70 @@ def test_embedding_mmd_drift_python_replay(spark):
     # same-distribution halves: MMD^2 should be tiny relative to the
     # kernel's own scale
     assert abs(row["mmd2_q"]) < row["mean_cross"] // 10
+
+
+def test_wasserstein_python_replay(spark):
+    keys, cents, _ = _orders()
+    a = sorted(c for k, c in zip(keys, cents) if _nib(f"w1{k}") < 8)
+    b = sorted(c for k, c in zip(keys, cents) if _nib(f"w1{k}") >= 8)
+    na, nb = len(a), len(b)
+    vals = sorted(set(cents))
+    ia = ib = 0
+    cum_a = cum_b = 0
+    s = 0
+    for x, nx in zip(vals, vals[1:]):
+        while ia < na and a[ia] <= x:
+            ia += 1
+        while ib < nb and b[ib] <= x:
+            ib += 1
+        s += abs(ia * nb - ib * na) * (nx - x)
+    w1 = (s * 1_000_000) // (na * nb)
+
+    row = SPECS["wasserstein_1d_drift"].builder(spark, SF_DIR).collect()[0]
+    assert row["n_a"] == na and row["n_b"] == nb
+    assert row["w1_microcents"] == w1
+    # same-distribution halves: W1 is sampling noise, far below the
+    # value RANGE (~O(range/sqrt(n)), not O(range))
+    rng = (max(cents) - min(cents)) * 1_000_000
+    assert row["w1_microcents"] < rng // 10
+
+
+def test_corpus_js_divergence_python_replay(spark):
+    import math
+    from collections import Counter
+
+    t = pq.read_table(
+        f"{SF_DIR}/documents.parquet", columns=["source", "text"]
+    ).to_pydict()
+    per_src: dict[str, Counter] = {}
+    corpus = Counter()
+    for src, txt in zip(t["source"], t["text"]):
+        toks = txt.split(" ")
+        per_src.setdefault(src, Counter()).update(toks)
+        corpus.update(toks)
+    B = sum(corpus.values())
+    expect = {}
+    for src, cnts in per_src.items():
+        A = sum(cnts.values())
+        tot = 0
+        sb = 0
+        for tok, a in cnts.items():
+            b = corpus[tok]
+            sb += b
+            den = a * B + b * A
+            tot += round(a / A * math.log(2.0 * a * B / den) * 1e9)
+            tot += round(b / B * math.log(2.0 * b * A / den) * 1e9)
+        tot += round(math.log(2.0) * (B - sb) / B * 1e9)
+        expect[src] = (A, tot // 2 if tot >= 0 else -((-tot) // 2))
+
+    got = {
+        r["source"]: (r["n_tokens_src"], r["js_nanos"])
+        for r in SPECS["corpus_js_divergence"].builder(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(expect)
+    for src, (aa, js) in expect.items():
+        assert got[src][0] == aa
+        # per-term float-op order differs replay-vs-engines; allow
+        # 1-nano-per-term slack
+        assert abs(got[src][1] - js) <= len(per_src[src]) + 1
+        assert 0 <= got[src][1] <= int(math.log(2) * 1e9) + 1
