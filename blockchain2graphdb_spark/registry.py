@@ -72,17 +72,15 @@ _OPERATOR_MODULES = (
 _SAMPLE_PRIORITY = (
     # --- new round-11 keys (no driver witness yet) ---
     "benford_deviation",  # r0 oracle
-    "wasserstein_1d_drift",  # r0 oracle
-    "corpus_js_divergence",  # r0 oracle
-    "embedding_mmd_drift",  # r0 oracle
-    "node2vec_walk_sample",  # r0 oracle
     "betweenness_approx",  # r0 oracle
     "bootstrap_ci",  # r0 oracle
     "closeness_approx",  # r0 oracle
     "conformal_interval",  # r0 oracle
+    "corpus_js_divergence",  # r0 oracle
     "doc_length_tail_index",  # r0 oracle
     "edge_betweenness_approx",  # r0 oracle
     "embedding_anisotropy",  # r0 oracle
+    "embedding_mmd_drift",  # r0 oracle
     "gnn_neighbor_sample",  # r0 oracle
     "hard_negative_topk",  # r0 oracle
     "influence_cascade",  # r0 oracle
@@ -90,8 +88,10 @@ _SAMPLE_PRIORITY = (
     "mann_whitney_u",  # r0 oracle
     "map_at_k",  # r0 oracle
     "mrr_at_k",  # r0 oracle
+    "node2vec_walk_sample",  # r0 oracle
     "theil_sen_slope",  # r0 oracle
     "vocab_chao1_richness",  # r0 oracle
+    "wasserstein_1d_drift",  # r0 oracle
     "agg_hll_merge",  # r1 rows-only
     "agg_approx_count_distinct",  # r3 rows-only
     "agg_approx_percentile",  # r3 rows-only
