@@ -616,3 +616,75 @@ def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_updated_tail"),
     )
+
+
+@query(
+    "ivm_agg_delta",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum,
+           CAST((CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                      AS HUGEINT) * 1000000) // COUNT(*) AS BIGINT) AS avg_micros,
+           MIN(o_orderkey) AS min_key
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def ivm_agg_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for an AGGREGATE view — the sibling
+    of ivm_join_delta: the stored view holds MERGEABLE PARTIAL STATES
+    (count, exact-decimal sum, integer-cents sum, min), never finished
+    values, so a micro-batch refresh is  merge(view_partials,
+    delta_partials)  followed by re-finishing — AVG is re-derived from
+    the merged (sum, count), never averaged-of-averages, and MIN merges
+    because min is idempotent-associative (deletions would need a
+    2-level re-scan or a monoid with inverses; this view is
+    insert-only, the Structured-Streaming 'update mode' contract). The
+    deterministic key-mod split stands in for yesterday's view + one
+    micro-batch; the oracle aggregates from scratch, so what's checked
+    is that the partial-state merge algebra reproduces the monolithic
+    result bit-for-bit.
+
+    Scale shape (100 TB): the refresh touches O(|delta|) rows plus
+    O(#groups) stored partials — never the base table; both aggregates
+    are map-side combinable and the merge is a groupBy over
+    2 x #groups partial rows."""
+    prep(spark)
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+        (dec2("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    base = orders.where(F.col("o_orderkey") % 10 != 0)
+    delta = orders.where(F.col("o_orderkey") % 10 == 0)
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("p").cast("decimal(18,2)").alias("psum"),
+            F.sum("cents").cast("long").alias("csum"),
+            F.min("o_orderkey").alias("mk"),
+        )
+
+    merged = (
+        partials(base)
+        .unionByName(partials(delta))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("psum").cast("decimal(18,2)").alias("psum"),
+            F.sum("csum").cast("long").alias("csum"),
+            F.min("mk").alias("mk"),
+        )
+    )
+    return merged.select(
+        "o_orderpriority",
+        "n",
+        F.col("psum").cast("double").alias("price_sum"),
+        F.expr("(cast(csum as decimal(38,0)) * 1000000) div n")
+        .cast("long")
+        .alias("avg_micros"),
+        F.col("mk").alias("min_key"),
+    )

@@ -71,6 +71,7 @@ _OPERATOR_MODULES = (
 # load_all() silently ignores missing keys).
 _SAMPLE_PRIORITY = (
     # --- new round-11 keys (no driver witness yet) ---
+    "ivm_agg_delta",  # r0 oracle
     "benford_deviation",  # r0 oracle
     "betweenness_approx",  # r0 oracle
     "bootstrap_ci",  # r0 oracle

@@ -524,3 +524,25 @@ def test_corpus_js_divergence_python_replay(spark):
         # 1-nano-per-term slack
         assert abs(got[src][1] - js) <= len(per_src[src]) + 1
         assert 0 <= got[src][1] <= int(math.log(2) * 1e9) + 1
+
+
+def test_ivm_agg_delta_matches_monolithic_and_is_incremental(spark):
+    """The merged-partials view must equal a from-scratch aggregate,
+    and the refresh side must only read the delta slice (pushed filter
+    on the key-mod split)."""
+    from pyspark.sql import functions as F
+
+    from blockchain2graphdb_spark.catalog import table
+
+    df = SPECS["ivm_agg_delta"].builder(spark, SF_DIR)
+    got = {r["o_orderpriority"]: r for r in df.collect()}
+    full = (
+        table(spark, SF_DIR, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("o_orderkey").alias("mk"))
+        .collect()
+    )
+    for r in full:
+        g = got[r["o_orderpriority"]]
+        assert g["n"] == r["n"]
+        assert g["min_key"] == r["mk"]
