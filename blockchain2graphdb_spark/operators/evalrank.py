@@ -703,3 +703,133 @@ def mrr_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rr_nanos"),
     )
+
+
+@query(
+    "isotonic_calibration",
+    oracle="""
+    WITH scored AS (
+      SELECT ('0x' || substr(md5('p' || CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+               % 1000 AS p_permille,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders
+    ),
+    bins AS (
+      SELECT p_permille // 20 AS bin,
+             CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(y) AS BIGINT) AS pos
+      FROM scored GROUP BY 1
+    ),
+    pairs AS (
+      SELECT j.bin AS jb, k.bin AS kb,
+             SUM(b.cnt) AS cnt_jk, SUM(b.pos) AS pos_jk
+      FROM bins j JOIN bins k ON j.bin <= k.bin
+      JOIN bins b ON b.bin BETWEEN j.bin AND k.bin
+      GROUP BY 1, 2
+    ),
+    q AS (
+      SELECT jb, kb,
+             (CAST(pos_jk AS HUGEINT) * 1000000000) // cnt_jk AS qv
+      FROM pairs
+    ),
+    m AS (
+      SELECT i.bin AS bin, q.jb, MIN(q.qv) AS mq
+      FROM q JOIN bins i ON q.jb <= i.bin AND i.bin <= q.kb
+      GROUP BY 1, 2
+    ),
+    iso AS (SELECT bin, MAX(mq) AS iso_nanos FROM m GROUP BY 1)
+    SELECT b.bin, b.cnt AS n, b.pos AS n_pos,
+           CAST((CAST(b.pos AS HUGEINT) * 1000000000) // b.cnt AS BIGINT)
+             AS pos_rate_nanos,
+           CAST(iso.iso_nanos AS BIGINT) AS iso_nanos
+    FROM bins b JOIN iso ON iso.bin = b.bin
+    """,
+)
+def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISOTONIC (PAV) calibration of a model score — the monotone
+    recalibration step (sklearn's IsotonicRegression / Platt's rival)
+    a scoring pipeline fits between raw model outputs and decision
+    thresholds. Scores are the portable md5-permille prediction (the
+    calibration_bins stand-in) bucketed into 50 bins; the fit is the
+    pool-adjacent-violators solution computed by its MINIMAX identity
+    fit(i) = max_{j<=i} min_{k>=i} avg(pos[j..k]) — no sequential
+    PAV loop, just joins over the bin table. Exactness: the weighted
+    interval average is quantized by integer floor division
+    (floor(1e9 * pos/cnt)); floor is monotone, so it commutes with
+    the min/max nesting, and both engines run the identical integer
+    arithmetic — the surfaced fit is exactly floor(1e9 * true_fit).
+
+    Scale shape (100 TB): the ONLY data-sized operation is the one
+    map-side-combinable (bin -> cnt, pos) aggregate; the O(B^2)
+    interval table and O(B^3) expansion are over the 50-row bin
+    table (~2x10^4 rows), all broadcast joins — the classic
+    bounded-post-aggregate pattern (kaplan_meier's shape). B is the
+    resolution/robustness knob, not a scale knob."""
+    prep(spark)
+    p = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("p"), F.col("o_orderkey").cast("string")).cast(
+                        "binary"
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000
+    )
+    y = F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+    bins = (
+        table(spark, sf_dir, "orders")
+        .select(p.alias("p_permille"), y.alias("y"))
+        .groupBy(F.expr("p_permille div 20").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum("y").cast("long").alias("pos"),
+        )
+    )
+    bj = bins.select(F.col("bin").alias("jb"))
+    bk = bins.select(F.col("bin").alias("kb"))
+    bb = bins.select(
+        F.col("bin").alias("b"), F.col("cnt").alias("cb"), F.col("pos").alias("pb")
+    )
+    pairs = (
+        bj.join(F.broadcast(bk), F.col("jb") <= F.col("kb"))
+        .join(
+            F.broadcast(bb),
+            (F.col("b") >= F.col("jb")) & (F.col("b") <= F.col("kb")),
+        )
+        .groupBy("jb", "kb")
+        .agg(F.sum("cb").alias("cnt_jk"), F.sum("pb").alias("pos_jk"))
+    )
+    q = pairs.select(
+        "jb",
+        "kb",
+        F.expr(
+            "CAST(pos_jk AS DECIMAL(38,0)) * 1000000000 div cnt_jk"
+        ).alias("qv"),
+    )
+    bi = bins.select(F.col("bin").alias("i"))
+    iso = (
+        q.join(
+            F.broadcast(bi),
+            (F.col("jb") <= F.col("i")) & (F.col("i") <= F.col("kb")),
+        )
+        .groupBy("i", "jb")
+        .agg(F.min("qv").alias("mq"))
+        .groupBy("i")
+        .agg(F.max("mq").cast("long").alias("iso_nanos"))
+    )
+    return bins.join(F.broadcast(iso), F.col("bin") == F.col("i")).select(
+        "bin",
+        F.col("cnt").alias("n"),
+        F.col("pos").alias("n_pos"),
+        F.expr("CAST(pos AS DECIMAL(38,0)) * 1000000000 div cnt")
+        .cast("long")
+        .alias("pos_rate_nanos"),
+        "iso_nanos",
+    )

@@ -91,3 +91,118 @@ def record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "entity_size",
         F.count(F.lit(1)).over(W.partitionBy("entity_id")).cast("long"),
     )
+
+
+@query(
+    "linkage_blocking_quality",
+    oracle="""
+    WITH c AS (
+      SELECT c_custkey, c_nationkey, c_mktsegment,
+             CAST(c_acctbal * 100 AS BIGINT) // 1000 AS bal_band
+      FROM customer
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_records FROM c),
+    truth AS (
+      SELECT a.c_custkey AS s, b.c_custkey AS d,
+             CASE WHEN a.c_nationkey = b.c_nationkey THEN 1 ELSE 0 END AS caught
+      FROM c a JOIN c b
+        ON a.c_mktsegment = b.c_mktsegment AND a.bal_band = b.bal_band
+       AND a.c_custkey < b.c_custkey
+    ),
+    cand AS (
+      SELECT CAST(SUM(m * (m - 1) // 2) AS BIGINT) AS n_cand
+      FROM (SELECT COUNT(*) AS m FROM c GROUP BY c_nationkey, c_mktsegment)
+    ),
+    t AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_true,
+             CAST(SUM(caught) AS BIGINT) AS n_caught
+      FROM truth
+    )
+    SELECT n.n_records,
+           CAST(n.n_records * (n.n_records - 1) // 2 AS BIGINT) AS n_all_pairs,
+           t.n_true, cand.n_cand, t.n_caught,
+           CAST(CAST(t.n_caught AS HUGEINT) * 1000000000
+                // t.n_true AS BIGINT) AS completeness_nanos,
+           CAST(1000000000 - CAST(cand.n_cand AS HUGEINT) * 1000000000
+                // (n.n_records * (n.n_records - 1) // 2) AS BIGINT)
+             AS reduction_nanos
+    FROM n, t, cand
+    """,
+)
+def linkage_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-scheme evaluation — the audit an entity-resolution
+    pipeline runs BEFORE trusting a blocking key: pair completeness
+    (what fraction of true matches the blocking keeps as candidates)
+    vs reduction ratio (what fraction of the n(n-1)/2 all-pairs space
+    it prunes). Ground-truth matches are pairs agreeing on
+    (mktsegment, 10-dollar acctbal band); the evaluated blocking is
+    the coarser (nationkey, mktsegment) key — deliberately imperfect,
+    so both metrics are non-trivial (a good blocking maximizes BOTH).
+
+    Scale shape (100 TB): the candidate count NEVER materializes
+    candidate pairs — it is sum(m*(m-1)/2) over the O(#blocks)
+    group-count table; only the (small by construction) truth pairs
+    are materialized, by a band equi-join. Ratios are exact-int64
+    divisions quantized to nanos, so the row value-hashes identically
+    on both engines."""
+    prep(spark)
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.expr("CAST(c_acctbal * 100 AS BIGINT) div 1000").alias("bal_band"),
+    )
+    n = c.agg(F.count(F.lit(1)).cast("long").alias("n_records"))
+    a = c.select(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("bal_band").alias("bb"),
+        F.col("c_custkey").alias("s"),
+        F.col("c_nationkey").alias("nat_s"),
+    )
+    b = c.select(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("bal_band").alias("bb"),
+        F.col("c_custkey").alias("d"),
+        F.col("c_nationkey").alias("nat_d"),
+    )
+    truth = (
+        a.join(b, ["seg", "bb"])
+        .where(F.col("s") < F.col("d"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_true"),
+            F.count_if(F.col("nat_s") == F.col("nat_d"))
+            .cast("long")
+            .alias("n_caught"),
+        )
+    )
+    cand = (
+        c.groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .agg(
+            F.sum(F.expr("m * (m - 1) div 2")).cast("long").alias("n_cand")
+        )
+    )
+    return (
+        n.crossJoin(F.broadcast(truth))
+        .crossJoin(F.broadcast(cand))
+        .select(
+            "n_records",
+            F.expr("n_records * (n_records - 1) div 2")
+            .cast("long")
+            .alias("n_all_pairs"),
+            "n_true",
+            "n_cand",
+            "n_caught",
+            F.expr(
+                "CAST(n_caught AS DECIMAL(38,0)) * 1000000000 div n_true"
+            )
+            .cast("long")
+            .alias("completeness_nanos"),
+            F.expr(
+                "1000000000 - CAST(n_cand AS DECIMAL(38,0)) * 1000000000"
+                " div (n_records * (n_records - 1) div 2)"
+            )
+            .cast("long")
+            .alias("reduction_nanos"),
+        )
+    )

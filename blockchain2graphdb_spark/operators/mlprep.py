@@ -1920,3 +1920,86 @@ def wasserstein_1d_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("w1_microcents"),
         )
     )
+
+
+@query(
+    "quantile_normalize",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS a_cents
+      FROM orders
+    ),
+    ra AS (
+      SELECT o_orderkey, a_cents,
+             row_number() OVER (ORDER BY a_cents, o_orderkey) AS pos
+      FROM a
+    ),
+    b AS (
+      SELECT o_orderkey,
+             CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) * 100 AS b_cents
+      FROM orders
+    ),
+    rb AS (
+      SELECT b_cents,
+             row_number() OVER (ORDER BY b_cents, o_orderkey) AS pos
+      FROM b
+    )
+    SELECT ra.o_orderkey, CAST(ra.pos AS BIGINT) AS pos, ra.a_cents,
+           rb.b_cents,
+           ra.a_cents + rb.b_cents AS qnorm_x2_cents
+    FROM ra JOIN rb ON rb.pos = ra.pos
+    """,
+)
+def quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTILE NORMALIZATION across two feature columns — the
+    rank-based distribution-matching transform (microarray/genomics
+    classic, and the feature-alignment step before mixing features
+    with wildly different marginals): each row's feature value is
+    replaced by the mean, across columns, of the order statistics at
+    that row's rank. Column A is order value in cents; column B is
+    the order date as epoch-day pseudo-cents (deliberately alien
+    units — the transform's point is to erase marginal differences).
+    The surfaced value is the x2 SUM of the two order statistics so
+    it stays exact int64 (the attribution_linear money discipline:
+    never divide ints by 2 and hash the float).
+
+    Scale shape (100 TB): each column's global rank is
+    `bucketed_global_rank`'s two-pass band-bucketed form (value band
+    for cents, 32-day band for days — monotone non-null buckets, no
+    unpartitioned window anywhere); the final alignment is ONE
+    equi-join on rank position (both sides already shuffled by pos'
+    parent keys; the join is the only row-sized shuffle beyond the
+    ranks themselves)."""
+    prep(spark)
+    orders = table(spark, sf_dir, "orders")
+    a = orders.select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("a_cents"),
+    )
+    ra = bucketed_global_rank(
+        a,
+        F.expr("a_cents div 1000000"),
+        [F.col("a_cents"), F.col("o_orderkey")],
+    ).select("o_orderkey", "a_cents", "pos")
+    b = orders.select(
+        "o_orderkey",
+        F.expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01') AS BIGINT) * 100").alias("b_cents"),
+    )
+    rb = bucketed_global_rank(
+        b,
+        F.expr("b_cents div 3200"),
+        [F.col("b_cents"), F.col("o_orderkey")],
+    ).select(F.col("b_cents"), F.col("pos").alias("pos_b"))
+    return (
+        ra.join(rb, F.col("pos") == F.col("pos_b"))
+        .select(
+            "o_orderkey",
+            "pos",
+            "a_cents",
+            "b_cents",
+            (F.col("a_cents") + F.col("b_cents")).cast("long").alias("qnorm_x2_cents"),
+        )
+    )

@@ -1331,3 +1331,93 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         | (F.col("o_orderdate") >= F.lit("2002-01-01").cast("timestamp")),
     )
     return r1.unionAll(r2).unionAll(r3).unionAll(r4).unionAll(r5)
+
+
+# Target compacted-file size for compaction_bin_pack, in rows (stands in
+# for the byte target a real OPTIMIZE uses; the planning math is
+# identical for any integer size column).
+_COMPACT_TARGET_ROWS = 256
+
+
+@query(
+    "compaction_bin_pack",
+    oracle=f"""
+    WITH files AS (
+      SELECT l_returnflag AS part_key, l_shipdate AS file_id,
+             CAST(COUNT(*) AS BIGINT) AS size_rows
+      FROM lineitem GROUP BY 1, 2
+    ),
+    laid AS (
+      SELECT part_key, file_id, size_rows,
+             SUM(size_rows) OVER (
+               PARTITION BY part_key
+               ORDER BY size_rows DESC, file_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum
+      FROM files
+    )
+    SELECT part_key,
+           CAST((cum - size_rows) // {_COMPACT_TARGET_ROWS} AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(size_rows) AS BIGINT) AS rows_total,
+           CAST(MAX(size_rows) AS BIGINT) AS largest_file,
+           CAST(MIN(size_rows) AS BIGINT) AS smallest_file
+    FROM laid
+    GROUP BY part_key, bin
+    """,
+)
+def compaction_bin_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9 storage maintenance: small-file COMPACTION PLANNING — the
+    Delta/Iceberg `OPTIMIZE` planning step that groups a table
+    partition's many small files into target-sized rewrite groups.
+    The file inventory is modeled as the per-(l_returnflag,
+    l_shipdate) row counts (one "file" per ingest day per partition,
+    the shape a daily append job leaves behind); the plan lays files
+    end-to-end in size-DESC order (big files first keeps every bin
+    within one file of the target, the first-fit-decreasing
+    guarantee) and assigns each file to the bin its START offset
+    falls in — `pack_sequences`' offset math applied to a derived
+    inventory rather than raw rows, so the whole plan is prefix
+    arithmetic, no sequential bin-state loop.
+
+    Scale shape (100 TB): the inventory build is ONE
+    map-side-combinable aggregate (file metadata is O(#files), not
+    O(rows) — in production it comes straight from the table
+    manifest, skipping the scan entirely); the layout window is
+    partitioned by the table-partition key, so partitions plan
+    independently and in parallel, and the output is O(#bins) rows.
+    Integer cumsum over a unique (size DESC, file_id) order is exact
+    on both engines."""
+    prep(spark)
+    files = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.col("l_returnflag").alias("part_key"),
+            F.col("l_shipdate").alias("file_id"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("size_rows"))
+    )
+    w = (
+        W.partitionBy("part_key")
+        .orderBy(F.col("size_rows").desc(), F.col("file_id"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    laid = files.select(
+        "part_key",
+        "size_rows",
+        (F.sum("size_rows").over(w) - F.col("size_rows")).alias("start_off"),
+    )
+    return (
+        laid.select(
+            "part_key",
+            "size_rows",
+            F.expr(f"start_off div {_COMPACT_TARGET_ROWS}").cast("long").alias("bin"),
+        )
+        .groupBy("part_key", "bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum("size_rows").cast("long").alias("rows_total"),
+            F.max("size_rows").cast("long").alias("largest_file"),
+            F.min("size_rows").cast("long").alias("smallest_file"),
+        )
+    )

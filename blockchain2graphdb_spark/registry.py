@@ -71,11 +71,11 @@ _OPERATOR_MODULES = (
 # load_all() silently ignores missing keys).
 _SAMPLE_PRIORITY = (
     # --- new round-11 keys (no driver witness yet) ---
-    "ivm_agg_delta",  # r0 oracle
     "benford_deviation",  # r0 oracle
     "betweenness_approx",  # r0 oracle
     "bootstrap_ci",  # r0 oracle
     "closeness_approx",  # r0 oracle
+    "compaction_bin_pack",  # r0 oracle
     "conformal_interval",  # r0 oracle
     "corpus_js_divergence",  # r0 oracle
     "doc_length_tail_index",  # r0 oracle
@@ -85,11 +85,15 @@ _SAMPLE_PRIORITY = (
     "gnn_neighbor_sample",  # r0 oracle
     "hard_negative_topk",  # r0 oracle
     "influence_cascade",  # r0 oracle
+    "isotonic_calibration",  # r0 oracle
+    "ivm_agg_delta",  # r0 oracle
     "label_noise_knn",  # r0 oracle
+    "linkage_blocking_quality",  # r0 oracle
     "mann_whitney_u",  # r0 oracle
     "map_at_k",  # r0 oracle
     "mrr_at_k",  # r0 oracle
     "node2vec_walk_sample",  # r0 oracle
+    "quantile_normalize",  # r0 oracle
     "theil_sen_slope",  # r0 oracle
     "vocab_chao1_richness",  # r0 oracle
     "wasserstein_1d_drift",  # r0 oracle

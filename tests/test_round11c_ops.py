@@ -1,0 +1,201 @@
+"""Round-11 third batch: semantic pins for the data-management /
+calibration / linkage keys added this session (compaction_bin_pack,
+linkage_blocking_quality, isotonic_calibration, quantile_normalize).
+Each test recomputes the expected answer from the raw parquet with
+pandas/numpy — an engine-independent third opinion next to the DuckDB
+oracle.
+"""
+
+from __future__ import annotations
+
+import pyarrow.parquet as pq
+
+from blockchain2graphdb_spark import registry
+from blockchain2graphdb_spark.plans.inspect import (
+    count_nodes,
+    plan_string,
+)
+
+from conftest import SF_DIR
+
+SPECS = registry.load_all()
+
+
+def _df(name, spark):
+    return SPECS[name].builder(spark, SF_DIR)
+
+
+# ---------------------------------------------------------------------------
+# compaction_bin_pack
+
+
+def test_compaction_bins_partition_rows(spark):
+    """Every input row lands in exactly one bin, and bins per partition
+    are contiguous from 0 (offset packing leaves no gaps)."""
+    out = _df("compaction_bin_pack", spark).collect()
+    li = pq.read_table(f"{SF_DIR}/lineitem.parquet", columns=["l_returnflag"])
+    assert sum(r.rows_total for r in out) == li.num_rows
+    by_part = {}
+    for r in out:
+        by_part.setdefault(r.part_key, []).append(r.bin)
+    for part, bins in by_part.items():
+        assert sorted(bins) == list(range(len(bins))), part
+
+
+def test_compaction_layout_is_size_desc(spark):
+    """Size-DESC layout: the largest file in bin b is >= the largest
+    file in bin b+1 of the same partition (FFD ordering means file
+    sizes are non-increasing along the laid-out sequence)."""
+    out = _df("compaction_bin_pack", spark).collect()
+    by_part = {}
+    for r in out:
+        by_part.setdefault(r.part_key, {})[r.bin] = r
+    for part, bins in by_part.items():
+        for b in range(len(bins) - 1):
+            assert bins[b].largest_file >= bins[b + 1].largest_file, (part, b)
+            # within one laid-out prefix, the next bin's largest file
+            # cannot exceed the previous bin's smallest
+            assert bins[b].smallest_file >= bins[b + 1].largest_file, (part, b)
+
+
+def test_compaction_plan_single_window(spark):
+    """The plan is: one aggregate (inventory), one keyed window
+    (layout), one aggregate (bins) — no second sort of the data."""
+    df = _df("compaction_bin_pack", spark)
+    assert count_nodes(df, "Window") == 1, plan_string(df)
+
+
+# ---------------------------------------------------------------------------
+# linkage_blocking_quality
+
+
+def test_blocking_quality_python_replay(spark):
+    row = _df("linkage_blocking_quality", spark).collect()[0]
+    t = pq.read_table(f"{SF_DIR}/customer.parquet").to_pydict()
+    n = len(t["c_custkey"])
+    recs = list(
+        zip(
+            t["c_custkey"],
+            t["c_nationkey"],
+            t["c_mktsegment"],
+            [int(round(b * 100)) // 1000 for b in t["c_acctbal"]],
+        )
+    )
+    from collections import Counter
+
+    truth = n_caught = 0
+    by_band = {}
+    for k, nat, seg, band in recs:
+        by_band.setdefault((seg, band), []).append((k, nat))
+    for members in by_band.values():
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                truth += 1
+                if members[i][1] == members[j][1]:
+                    n_caught += 1
+    blocks = Counter((nat, seg) for _, nat, seg, _ in recs)
+    n_cand = sum(m * (m - 1) // 2 for m in blocks.values())
+    assert row.n_records == n
+    assert row.n_all_pairs == n * (n - 1) // 2
+    assert row.n_true == truth
+    assert row.n_caught == n_caught
+    assert row.n_cand == n_cand
+    assert row.completeness_nanos == n_caught * 10**9 // truth
+    assert (
+        row.reduction_nanos
+        == 10**9 - n_cand * 10**9 // (n * (n - 1) // 2)
+    )
+
+
+def test_blocking_quality_never_materializes_candidates(spark):
+    """The candidate count is sum(m*(m-1)/2) over block counts — the
+    plan must not contain a second self-join producing candidate pairs
+    (exactly one join: the band equi-join for truth pairs)."""
+    df = _df("linkage_blocking_quality", spark)
+    plan = plan_string(df)
+    joins = sum(
+        plan.count(j)
+        for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    )
+    # truth-pair join + the three O(1)-row result joins; anything more
+    # means candidates got materialized
+    assert joins <= 4, plan
+
+
+# ---------------------------------------------------------------------------
+# isotonic_calibration
+
+
+def test_isotonic_fit_matches_sequential_pav(spark):
+    """The minimax (max-min interval average) form must equal the
+    classic sequential pool-adjacent-violators fit, and be monotone."""
+    rows = sorted(_df("isotonic_calibration", spark).collect())
+    iso = [r.iso_nanos for r in rows]
+    assert iso == sorted(iso)
+    # sequential weighted PAV over the same bins, exact rationals
+    from fractions import Fraction
+
+    stack = []  # (pos_sum, cnt_sum, n_bins)
+    for r in rows:
+        stack.append([r.n_pos, r.n, 1])
+        while len(stack) > 1 and Fraction(stack[-2][0], stack[-2][1]) > Fraction(
+            stack[-1][0], stack[-1][1]
+        ):
+            s2 = stack.pop()
+            s1 = stack.pop()
+            stack.append([s1[0] + s2[0], s1[1] + s2[1], s1[2] + s2[2]])
+    fit = []
+    for pos, cnt, nb in stack:
+        fit.extend([pos * 10**9 // cnt] * nb)
+    assert iso == fit
+
+
+def test_isotonic_single_data_aggregate(spark):
+    """Only ONE aggregate touches the orders scan; everything above it
+    operates on the <=50-row bin table via broadcast joins."""
+    df = _df("isotonic_calibration", spark)
+    plan = plan_string(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# quantile_normalize
+
+
+def test_quantile_normalize_python_replay(spark):
+    rows = _df("quantile_normalize", spark).collect()
+    t = pq.read_table(
+        f"{SF_DIR}/orders.parquet", columns=["o_orderkey", "o_totalprice", "o_orderdate"]
+    ).to_pydict()
+    from decimal import Decimal
+
+    keys = t["o_orderkey"]
+    a = {
+        k: int(
+            (Decimal(str(p)).quantize(Decimal("0.01")) * 100).to_integral_value()
+        )
+        for k, p in zip(keys, t["o_totalprice"])
+    }
+    epoch = __import__("datetime").date(1970, 1, 1)
+    b = {
+        k: (d.date() - epoch).days * 100 for k, d in zip(keys, t["o_orderdate"])
+    }
+    order_a = sorted(keys, key=lambda k: (a[k], k))
+    sorted_b = sorted((b[k], k) for k in keys)
+    expect = {
+        k: (i + 1, a[k], sorted_b[i][0]) for i, k in enumerate(order_a)
+    }
+    assert len(rows) == len(keys)
+    for r in rows:
+        pos, ac, bc = expect[r.o_orderkey]
+        assert (r.pos, r.a_cents, r.b_cents) == (pos, ac, bc), r
+        assert r.qnorm_x2_cents == ac + bc
+
+
+def test_quantile_normalize_no_global_window(spark):
+    from blockchain2graphdb_spark.plans.inspect import (
+        unpartitioned_unbounded_windows,
+    )
+
+    df = _df("quantile_normalize", spark)
+    assert not unpartitioned_unbounded_windows(df), plan_string(df)
