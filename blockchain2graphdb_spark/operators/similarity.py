@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import prep, table
 from ..functions.vectors import float_cosine, quantize
+from ..plans.iterate import local_checkpoint
 from ..registry import query
 
 _N_DIM = 64
@@ -1358,4 +1359,191 @@ def embedding_mmd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             t3.cast("long").alias("mean_cross"),
             (t1 + t2 - 2 * t3).cast("long").alias("mmd2_q"),
         )
+    )
+
+
+_PCA_ROUNDS = 32
+
+
+def _pca_power_oracle(rounds: int = _PCA_ROUNDS) -> str:
+    """Unrolled power-iteration oracle (the ktruss/wallet-CC linear
+    pattern): one CTE trio per round — matrix-vector product, max-abs
+    rescale denominator, integer renormalization. HUGEINT throughout;
+    headroom: |cv| < 1e16 at sf0.1, x v (1e6) x 64 dims < 1e24."""
+    blocks = []
+    prev = "v0"
+    for r in range(1, rounds + 1):
+        blocks.append(
+            f"""    w{r} AS MATERIALIZED (
+      SELECT c.i AS i, SUM(c.cv * {prev}.v) AS w
+      FROM cov2 c JOIN {prev} ON {prev}.i = c.j GROUP BY c.i
+    ),
+    v{r} AS MATERIALIZED (
+      SELECT i,
+             CASE WHEN w < 0 THEN -1 ELSE 1 END
+               * ((ABS(w) * 1000000) // (MAX(ABS(w)) OVER ())) AS v
+      FROM w{r}
+    )"""
+        )
+        prev = f"v{r}"
+    body = ",\n".join(blocks)
+    return f"""
+    WITH q AS (
+      SELECT list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    n AS (SELECT CAST(COUNT(*) AS HUGEINT) AS nn FROM q),
+    s1 AS (
+      SELECT t.i AS i, CAST(SUM(qv[CAST(t.i AS INT)]) AS HUGEINT) AS s
+      FROM q, UNNEST(range(1, {_N_DIM + 1})) AS t(i)
+      GROUP BY t.i
+    ),
+    s2 AS (
+      SELECT ti.i AS i, tj.j AS j,
+             SUM(CAST(qv[CAST(ti.i AS INT)] AS HUGEINT)
+                 * qv[CAST(tj.j AS INT)]) AS sij
+      FROM q,
+           UNNEST(range(1, {_N_DIM + 1})) AS ti(i),
+           UNNEST(range(1, {_N_DIM + 1})) AS tj(j)
+      GROUP BY ti.i, tj.j
+    ),
+    cov AS MATERIALIZED (
+      SELECT s2.i, s2.j, n.nn * s2.sij - a.s * b.s AS cv
+      FROM s2 CROSS JOIN n
+      JOIN s1 a ON a.i = s2.i
+      JOIN s1 b ON b.i = s2.j
+    ),
+    c2r AS (
+      SELECT a.i AS i, b.j AS j, SUM(a.cv * b.cv) AS cv
+      FROM cov a JOIN cov b ON b.i = a.j
+      GROUP BY a.i, b.j
+    ),
+    cov2 AS MATERIALIZED (
+      SELECT i, j,
+             CASE WHEN cv < 0 THEN -1 ELSE 1 END
+               * ((ABS(cv) * 1000000000000) // (MAX(ABS(cv)) OVER ())) AS cv
+      FROM c2r
+    ),
+    v0 AS (
+      SELECT t.i AS i, CAST(1000000 AS HUGEINT) AS v
+      FROM UNNEST(range(1, {_N_DIM + 1})) AS t(i)
+    ),
+{body}
+    SELECT CAST(i AS BIGINT) AS dim, CAST(v AS BIGINT) AS v_micros
+    FROM v{rounds}
+    """
+
+
+@query("embedding_pca_power", oracle=_pca_power_oracle())
+def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 representation diagnostic: the TOP PRINCIPAL DIRECTION of the
+    embedding cloud by deterministic POWER ITERATION over the exact
+    integer covariance — the first step of PCA whitening / spectral
+    embedding-quality checks (a collapsed top direction with a huge
+    eigengap is the anisotropy pathology `embedding_anisotropy`
+    measures in aggregate; this key surfaces the direction itself).
+
+    Exactness across engines without floats: the covariance is the
+    cleared-denominator integer matrix of `embedding_covariance`
+    (cov*n^2 = n*S_ij - S_i*S_j); iteration state v is an integer
+    vector renormalized each round to max-abs = 1e6 by non-negative
+    floor division with the sign reapplied (floor-of-abs + CASE sign,
+    identical on both engines; never a negative integer division,
+    whose floor/trunc semantics differ). The matrix is SQUARED once
+    (renormalized to max-abs 1e12) so each of the 32 fixed rounds does
+    the work of two — the synthetic fixture embeddings are nearly
+    isotropic (eigengap ~1.07, the hard case; real embedding clouds
+    are strongly anisotropic and converge much faster) — and both
+    engines run the IDENTICAL arithmetic, so the result value-hashes
+    even where the iteration hasn't fully converged; convergence to
+    numpy's eigenvector is pinned separately in tests.
+
+    Scale shape (100 TB): the ONLY data-sized work is the one
+    chained-posexplode moment pass (same as embedding_covariance, d^2
+    map-side-combinable keys); the d x d integer matrix is
+    local-checkpointed ONCE (plus one d^3 squaring join over the d^2
+    table) and the 32 rounds run as broadcast joins over 64-row
+    vectors — iteration cost is independent of
+    corpus size. Rounds is an accuracy knob (eigengap-dependent),
+    not a scale knob."""
+    prep(spark)
+    q = table(spark, sf_dir, "embeddings").select(quantize("embedding").alias("qv"))
+    n_df = q.agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("nn"))
+    e1 = q.select("qv", F.posexplode("qv").alias("i0", "xi"))
+    e2 = e1.select("i0", "xi", F.posexplode("qv").alias("j0", "xj"))
+    s2 = e2.groupBy("i0", "j0").agg(
+        F.sum((F.col("xi") * F.col("xj")).cast("decimal(38,0)")).alias("sij")
+    )
+    s1 = (
+        q.select(F.posexplode("qv").alias("i0", "x"))
+        .groupBy("i0")
+        .agg(F.sum(F.col("x").cast("decimal(38,0)")).alias("s"))
+    )
+    cov = (
+        s2.crossJoin(F.broadcast(n_df))
+        .join(
+            F.broadcast(s1.select(F.col("i0").alias("ia"), F.col("s").alias("sa"))),
+            F.col("i0") == F.col("ia"),
+        )
+        .join(
+            F.broadcast(s1.select(F.col("i0").alias("jb"), F.col("s").alias("sb"))),
+            F.col("j0") == F.col("jb"),
+        )
+        .select(
+            F.col("i0").alias("i"),
+            F.col("j0").alias("j"),
+            (F.col("nn") * F.col("sij") - F.col("sa") * F.col("sb")).alias("cv"),
+        )
+    )
+    # one eager checkpoint: the corpus-sized moment pass runs exactly
+    # once; every iteration round reuses the 4096-row integer matrix
+    cov = local_checkpoint(cov)
+    # square the matrix once (eigengap -> gap^2: each iteration round
+    # does the work of two) and renormalize entries to max-abs 1e12 by
+    # the same sign-split floor division used for v
+    ca = cov.select(F.col("i").alias("ai"), F.col("j").alias("ak"), F.col("cv").alias("acv"))
+    cb = cov.select(F.col("i").alias("bk"), F.col("j").alias("bj"), F.col("cv").alias("bcv"))
+    c2 = (
+        ca.join(F.broadcast(cb), F.col("ak") == F.col("bk"))
+        .groupBy(F.col("ai").alias("i"), F.col("bj").alias("j"))
+        .agg(F.sum(F.col("acv") * F.col("bcv")).alias("cv"))
+    )
+    cov = local_checkpoint(
+        c2.select(
+            "i",
+            "j",
+            (
+                F.when(F.col("cv") < 0, -1).otherwise(1)
+                * F.expr("(ABS(cv) * 1000000000000) div (MAX(ABS(cv)) OVER ())")
+            )
+            .cast("decimal(38,0)")
+            .alias("cv"),
+        )
+    )
+    v = spark.range(_N_DIM).select(
+        F.col("id").alias("vi"), F.lit(1000000).cast("decimal(38,0)").alias("v")
+    )
+    for _ in range(_PCA_ROUNDS):
+        w = (
+            cov.join(F.broadcast(v), cov["j"] == F.col("vi"))
+            .groupBy("i")
+            .agg(F.sum(F.col("cv") * F.col("v")).alias("w"))
+        )
+        # the rescale denominator rides a full-frame window over the
+        # 64-row aggregate (sweep-exempt bounded shape) so each round
+        # references w exactly ONCE -- a second aggregate branch would
+        # DOUBLE the lineage per round (2^rounds plan blowup)
+        v = w.select(
+            F.col("i").alias("vi"),
+            (
+                F.when(F.col("w") < 0, -1).otherwise(1)
+                * F.expr("(ABS(w) * 1000000) div (MAX(ABS(w)) OVER ())")
+            )
+            .cast("decimal(38,0)")
+            .alias("v"),
+        )
+    return v.select(
+        (F.col("vi") + 1).cast("long").alias("dim"),
+        F.col("v").cast("long").alias("v_micros"),
     )

@@ -199,3 +199,31 @@ def test_quantile_normalize_no_global_window(spark):
 
     df = _df("quantile_normalize", spark)
     assert not unpartitioned_unbounded_windows(df), plan_string(df)
+
+
+# ---------------------------------------------------------------------------
+# embedding_pca_power
+
+
+def test_pca_power_aligns_with_numpy_eigenvector(spark):
+    """The 12-round integer power iteration must align (|cosine| >
+    0.999) with numpy's exact top covariance eigenvector."""
+    import numpy as np
+
+    rows = sorted(_df("embedding_pca_power", spark).collect())
+    v = np.array([r.v_micros for r in rows], dtype=float)
+    emb = pq.read_table(f"{SF_DIR}/embeddings.parquet", columns=["embedding"])
+    x = np.array(
+        [np.round(np.asarray(e, dtype=float) * 1000) for e in emb["embedding"].to_pylist()]
+    )
+    cov = np.cov(x, rowvar=False, bias=True)
+    vals, vecs = np.linalg.eigh(cov)
+    top = vecs[:, -1]
+    cos = abs(v @ top) / (np.linalg.norm(v) * np.linalg.norm(top))
+    assert cos > 0.999, cos
+
+
+def test_pca_power_scale_is_max_component(spark):
+    """Renormalization contract: max |component| == 1e6 exactly."""
+    rows = _df("embedding_pca_power", spark).collect()
+    assert max(abs(r.v_micros) for r in rows) == 1_000_000
