@@ -27,6 +27,7 @@ from ..catalog import SESSION_GAP_US as _SF_GAP_US
 from ..catalog import prep, table
 from ..exact import dec2, money_sum
 from ..functions.ranking import bucketed_prefix_sum
+from ..plans.iterate import local_checkpoint
 from ..registry import query
 
 _WEEK_US = 7 * 24 * 3600 * 1_000_000
@@ -935,4 +936,270 @@ def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("credited_cents"),
+    )
+
+
+_MARKOV_ROUNDS = 24
+
+
+def _markov_oracle(rounds: int = _MARKOV_ROUNDS) -> str:
+    """Unrolled Markov-absorption oracle (per-round MATERIALIZED CTEs —
+    DuckDB inlines chained round expressions exponentially otherwise,
+    the embedding_pca_power lesson)."""
+    blocks = []
+    prev = "p0"
+    for r in range(1, rounds + 1):
+        blocks.append(
+            f"""    u{r} AS MATERIALIZED (
+      SELECT e.rm, e.src,
+             SUM(CAST(e.cnt AS HUGEINT)
+                 * CASE e.dst WHEN 'CONV' THEN 1000000000
+                              WHEN 'NULL' THEN 0
+                              ELSE COALESCE(p.p, 0) END) // MAX(o.o) AS p
+      FROM edges e
+      JOIN outs o ON o.src = e.src
+      LEFT JOIN {prev} p ON p.rm = e.rm AND p.state = e.dst
+      GROUP BY e.rm, e.src
+    ),
+    p{r} AS MATERIALIZED (
+      SELECT s.rm, s.state, COALESCE(u.p, 0) AS p
+      FROM states_v s
+      LEFT JOIN u{r} u ON u.rm = s.rm AND u.src = s.state
+    )"""
+        )
+        prev = f"p{r}"
+    body = ",\n".join(blocks)
+    return f"""
+    WITH e0 AS (
+      SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS us
+      FROM events
+    ),
+    pu AS (
+      SELECT user_id, MIN(us) AS pu FROM e0
+      WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    t AS (
+      SELECT e0.user_id, e0.event_type AS ch, e0.us, e0.event_id,
+             CASE WHEN pu.user_id IS NOT NULL THEN 1 ELSE 0 END AS conv
+      FROM e0 LEFT JOIN pu ON pu.user_id = e0.user_id
+      WHERE e0.event_type <> 'purchase'
+        AND (pu.pu IS NULL OR e0.us < pu.pu)
+    ),
+    seq AS (
+      SELECT user_id, ch, conv,
+             LAG(ch) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY us DESC, event_id DESC) AS rdesc
+      FROM t
+    ),
+    trans AS MATERIALIZED (
+      SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+        SELECT COALESCE(prev, 'START') AS src, ch AS dst FROM seq
+        UNION ALL
+        SELECT ch AS src,
+               CASE WHEN conv = 1 THEN 'CONV' ELSE 'NULL' END AS dst
+        FROM seq WHERE rdesc = 1
+        UNION ALL
+        SELECT 'START' AS src, 'CONV' AS dst
+        FROM pu LEFT JOIN (SELECT DISTINCT user_id FROM t) tt
+          ON tt.user_id = pu.user_id
+        WHERE tt.user_id IS NULL
+      ) GROUP BY src, dst
+    ),
+    outs AS (SELECT src, SUM(cnt) AS o FROM trans GROUP BY src),
+    channels AS (SELECT DISTINCT src AS ch FROM trans WHERE src <> 'START'),
+    variants AS (SELECT ch AS rm FROM channels UNION ALL SELECT 'none'),
+    states AS (SELECT DISTINCT src AS state FROM trans),
+    states_v AS (SELECT v.rm, s.state FROM variants v CROSS JOIN states s),
+    edges AS MATERIALIZED (
+      SELECT v.rm, t.src, t.dst, t.cnt
+      FROM variants v CROSS JOIN trans t
+      WHERE t.dst <> v.rm
+    ),
+    p0 AS (SELECT rm, state, CAST(0 AS HUGEINT) AS p FROM states_v),
+{body},
+    full_p AS (
+      SELECT p AS p_full FROM p{rounds}
+      WHERE rm = 'none' AND state = 'START'
+    ),
+    rem AS (
+      SELECT rm AS channel, p AS p_removed FROM p{rounds}
+      WHERE rm <> 'none' AND state = 'START'
+    ),
+    eff AS (
+      SELECT channel, p_full, p_removed, p_full - p_removed AS effect
+      FROM rem CROSS JOIN full_p
+    ),
+    tot AS (SELECT SUM(effect) AS te FROM eff)
+    SELECT channel,
+           CAST(p_full AS BIGINT) AS p_full_nanos,
+           CAST(p_removed AS BIGINT) AS p_removed_nanos,
+           CAST(effect AS BIGINT) AS removal_effect_nanos,
+           CAST(CASE WHEN tot.te > 0
+                     THEN (effect * 1000000000) // tot.te
+                     ELSE 0 END AS BIGINT) AS share_nanos
+    FROM eff CROSS JOIN tot
+    """
+
+
+@query("attribution_markov", oracle=_markov_oracle())
+def attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MARKOV-CHAIN (removal-effect) attribution — the data-driven
+    multi-touch model next to the positional ones
+    (`attribution_last_touch`, `attribution_linear`): build the
+    first-order channel-transition matrix from user journeys, compute
+    the absorption probability of conversion from START, and credit
+    each channel by its REMOVAL EFFECT — how much the conversion
+    probability drops when journeys can no longer pass through it
+    (transitions INTO the removed channel are redirected to NULL;
+    denominators stay, so remaining probability mass is NOT
+    renormalized — the standard removal-effect convention). Shares
+    are effects normalized over channels.
+
+    Journeys: per user, the touch sequence (every non-purchase event
+    type is a channel) strictly BEFORE the first purchase, ending in
+    CONV (converted) or NULL; a user whose first tracked action is
+    the purchase contributes START->CONV. Absorption probabilities by
+    24 fixed rounds of p <- T.p with p(CONV)=1e9, p(NULL)=0 in
+    integer nanos (floor division by the out-degree, non-negative
+    everywhere) — both engines run identical integer arithmetic, so
+    the result value-hashes even where iteration hasn't fully
+    converged; convergence vs an exact linear solve is pinned in
+    tests.
+
+    Scale shape (100 TB): ONE user-keyed shuffle builds the ordered
+    journeys (lag + last-row windows share the partition pass); the
+    transition matrix is O(#channels^2) rows and is checkpointed
+    once; the 24 rounds and the removal dimension run as broadcast
+    joins over the (variants x states) table — iteration cost is
+    independent of the event-log size, exactly like
+    embedding_pca_power's loop."""
+    prep(spark)
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    pu = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("pu"))
+    )
+    t = (
+        ev.where(F.col("event_type") != "purchase")
+        .join(pu.withColumnRenamed("user_id", "pu_uid"),
+              F.col("user_id") == F.col("pu_uid"), "left")
+        .where(F.col("pu").isNull() | (F.col("us") < F.col("pu")))
+        .select(
+            "user_id",
+            F.col("event_type").alias("ch"),
+            "us",
+            "event_id",
+            F.when(F.col("pu_uid").isNotNull(), 1).otherwise(0).alias("conv"),
+        )
+    )
+    wseq = W.partitionBy("user_id").orderBy("us", "event_id")
+    wdesc = W.partitionBy("user_id").orderBy(F.desc("us"), F.desc("event_id"))
+    seq = t.select(
+        "ch",
+        "conv",
+        F.lag("ch").over(wseq).alias("prev"),
+        F.row_number().over(wdesc).alias("rdesc"),
+    )
+    mid = seq.select(
+        F.coalesce(F.col("prev"), F.lit("START")).alias("src"),
+        F.col("ch").alias("dst"),
+    )
+    end = seq.where(F.col("rdesc") == 1).select(
+        F.col("ch").alias("src"),
+        F.when(F.col("conv") == 1, F.lit("CONV")).otherwise(F.lit("NULL")).alias("dst"),
+    )
+    start_conv = (
+        pu.join(t.select("user_id").distinct(), "user_id", "left_anti")
+        .select(F.lit("START").alias("src"), F.lit("CONV").alias("dst"))
+    )
+    trans = local_checkpoint(
+        mid.unionAll(end)
+        .unionAll(start_conv)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    outs = trans.groupBy("src").agg(F.sum("cnt").cast("long").alias("o"))
+    channels = trans.select("src").where(F.col("src") != "START").distinct()
+    variants = channels.select(F.col("src").alias("rm")).unionAll(
+        channels.sparkSession.range(1).select(F.lit("none").alias("rm"))
+    )
+    states = trans.select(F.col("src").alias("state")).distinct()
+    states_v = variants.crossJoin(F.broadcast(states))
+    edges = (
+        variants.crossJoin(F.broadcast(trans))
+        .where(F.col("dst") != F.col("rm"))
+        .join(F.broadcast(outs), "src")
+    )
+    edges = local_checkpoint(edges)
+    states_v = local_checkpoint(states_v)
+    p = states_v.select("rm", "state", F.lit(0).cast("long").alias("p"))
+    for r in range(_MARKOV_ROUNDS):
+        pd_ = p.select(
+            F.col("rm").alias("p_rm"), F.col("state").alias("p_state"),
+            F.col("p").alias("p_prev"),
+        )
+        upd = (
+            edges.join(
+                F.broadcast(pd_),
+                (F.col("rm") == F.col("p_rm")) & (F.col("dst") == F.col("p_state")),
+                "left",
+            )
+            .groupBy("rm", "src", "o")
+            .agg(
+                F.sum(
+                    F.col("cnt").cast("decimal(38,0)")
+                    * F.when(F.col("dst") == "CONV", F.lit(1000000000))
+                    .when(F.col("dst") == "NULL", F.lit(0))
+                    .otherwise(F.coalesce(F.col("p_prev"), F.lit(0)))
+                    .cast("decimal(38,0)")
+                ).alias("num")
+            )
+            .select(
+                F.col("rm").alias("u_rm"),
+                F.col("src").alias("u_src"),
+                F.expr("num div o").alias("pn"),
+            )
+        )
+        p = (
+            states_v.join(
+                F.broadcast(upd),
+                (F.col("rm") == F.col("u_rm")) & (F.col("state") == F.col("u_src")),
+                "left",
+            )
+            .select(
+                "rm", "state", F.coalesce(F.col("pn"), F.lit(0)).alias("p")
+            )
+        )
+        if (r + 1) % 4 == 0:
+            p = local_checkpoint(p)
+    full_p = (
+        p.where((F.col("rm") == "none") & (F.col("state") == "START"))
+        .select(F.col("p").alias("p_full"))
+    )
+    rem = p.where((F.col("rm") != "none") & (F.col("state") == "START")).select(
+        F.col("rm").alias("channel"), F.col("p").alias("p_removed")
+    )
+    eff = rem.crossJoin(F.broadcast(full_p)).select(
+        "channel",
+        "p_full",
+        "p_removed",
+        (F.col("p_full") - F.col("p_removed")).alias("effect"),
+    )
+    tot = eff.agg(F.sum("effect").cast("long").alias("te"))
+    return eff.crossJoin(F.broadcast(tot)).select(
+        "channel",
+        F.col("p_full").cast("long").alias("p_full_nanos"),
+        F.col("p_removed").cast("long").alias("p_removed_nanos"),
+        F.col("effect").cast("long").alias("removal_effect_nanos"),
+        F.when(
+            F.col("te") > 0,
+            F.expr("(CAST(effect AS DECIMAL(38,0)) * 1000000000) div te"),
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("share_nanos"),
     )

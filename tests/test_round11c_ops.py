@@ -227,3 +227,76 @@ def test_pca_power_scale_is_max_component(spark):
     """Renormalization contract: max |component| == 1e6 exactly."""
     rows = _df("embedding_pca_power", spark).collect()
     assert max(abs(r.v_micros) for r in rows) == 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# attribution_markov
+
+
+def test_markov_attribution_matches_exact_linear_solve(spark):
+    """The 24-round integer absorption iteration must sit within 0.5%
+    of the exact (I - Q)^-1 b linear solve, for the full chain and
+    every removal variant; shares must sum to <= 1e9."""
+    import numpy as np
+    import duckdb
+
+    rows = _df("attribution_markov", spark).collect()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF_DIR}/events.parquet')"
+    )
+    trans = con.execute(
+        """
+        WITH e0 AS (SELECT user_id, event_id, event_type,
+                           epoch_ns(ts)//1000 AS us FROM events),
+        pu AS (SELECT user_id, MIN(us) AS pu FROM e0
+               WHERE event_type='purchase' GROUP BY 1),
+        t AS (SELECT e0.user_id, e0.event_type AS ch, e0.us, e0.event_id,
+                     CASE WHEN pu.user_id IS NOT NULL THEN 1 ELSE 0 END AS conv
+              FROM e0 LEFT JOIN pu ON pu.user_id=e0.user_id
+              WHERE e0.event_type<>'purchase'
+                AND (pu.pu IS NULL OR e0.us<pu.pu)),
+        seq AS (SELECT user_id, ch, conv,
+                LAG(ch) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev,
+                ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY us DESC, event_id DESC) AS rdesc
+                FROM t)
+        SELECT src, dst, COUNT(*) AS cnt FROM (
+          SELECT COALESCE(prev,'START') AS src, ch AS dst FROM seq
+          UNION ALL
+          SELECT ch, CASE WHEN conv=1 THEN 'CONV' ELSE 'NULL' END
+          FROM seq WHERE rdesc=1
+          UNION ALL
+          SELECT 'START','CONV' FROM pu
+          LEFT JOIN (SELECT DISTINCT user_id FROM t) tt
+            ON tt.user_id=pu.user_id WHERE tt.user_id IS NULL
+        ) GROUP BY 1,2
+        """
+    ).fetchall()
+    states = sorted({s for s, _, _ in trans})
+    idx = {s: i for i, s in enumerate(states)}
+    out = {}
+    for s, _, c in trans:
+        out[s] = out.get(s, 0) + c
+
+    def solve(removed=None):
+        n = len(states)
+        q = np.zeros((n, n))
+        b = np.zeros(n)
+        for s, d, c in trans:
+            if removed and d == removed:
+                continue
+            pr = c / out[s]
+            if d == "CONV":
+                b[idx[s]] += pr
+            elif d != "NULL":
+                q[idx[s], idx[d]] += pr
+        return np.linalg.solve(np.eye(n) - q, b)[idx["START"]]
+
+    full_exact = solve()
+    assert rows, rows
+    for r in rows:
+        assert abs(r.p_full_nanos / 1e9 - full_exact) < 5e-3, r
+        assert abs(r.p_removed_nanos / 1e9 - solve(r.channel)) < 5e-3, r
+        assert r.removal_effect_nanos == r.p_full_nanos - r.p_removed_nanos
+    assert sum(r.share_nanos for r in rows) <= 10**9
