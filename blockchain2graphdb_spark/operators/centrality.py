@@ -385,3 +385,146 @@ def edge_betweenness_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("ebtw_nanos"), "a", "b")
         .limit(50)
     )
+
+
+_DIAM_DEPTH = 4
+
+
+def _diameter_oracle(depth: int = _DIAM_DEPTH) -> str:
+    """Two unrolled plain-BFS sweeps (no sigma), the second seeded by
+    the first sweep's argmax — per-level MATERIALIZED CTEs."""
+
+    def sweep(tag: str, seed_cte: str) -> str:
+        parts = [
+            f"""    {tag}0 AS MATERIALIZED (
+      SELECT (SELECT n FROM {seed_cte}) AS node, 0 AS dist
+    )"""
+        ]
+        for h in range(1, depth + 1):
+            anti = " AND ".join(
+                f"NOT EXISTS (SELECT 1 FROM {tag}{j} WHERE {tag}{j}.node = c.node)"
+                for j in range(h)
+            )
+            parts.append(
+                f"""    {tag}{h} AS MATERIALIZED (
+      SELECT c.node, {h} AS dist FROM (
+        SELECT DISTINCT s.dst AS node
+        FROM {tag}{h - 1} l JOIN sym s ON s.src = l.node
+      ) c WHERE {anti}
+    )"""
+            )
+        union = " UNION ALL ".join(
+            f"SELECT node, dist FROM {tag}{h}" for h in range(depth + 1)
+        )
+        parts.append(f"    {tag}d AS MATERIALIZED ({union})")
+        return ",\n".join(parts)
+
+    return f"""
+    WITH pr AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    sym AS MATERIALIZED (
+      SELECT a AS src, b AS dst FROM pr UNION ALL SELECT b, a FROM pr
+    ),
+    nodes AS MATERIALIZED (SELECT DISTINCT src AS n FROM sym),
+    seed1 AS MATERIALIZED (
+      SELECT n FROM nodes ORDER BY md5(CAST(n AS VARCHAR)), n LIMIT 1
+    ),
+{sweep("x", "seed1")},
+    seed2 AS MATERIALIZED (
+      SELECT node AS n FROM xd ORDER BY dist DESC, node LIMIT 1
+    ),
+{sweep("y", "seed2")}
+    SELECT (SELECT n FROM seed1) AS seed_node,
+           (SELECT n FROM seed2) AS far_node,
+           (SELECT MAX(dist) FROM xd) AS ecc_seed,
+           (SELECT MAX(dist) FROM yd) AS diameter_lb,
+           (SELECT COUNT(*) FROM nodes) AS n_nodes,
+           (SELECT COUNT(*) FROM yd) AS n_reached
+    """
+
+
+@query("graph_diameter_lb", oracle=_diameter_oracle())
+def graph_diameter_lb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph DIAMETER lower bound by the DOUBLE-SWEEP heuristic
+    (Magnien–Latapy–Habib): BFS from a content-hash seed, re-BFS from
+    the farthest node found, and report that node's eccentricity —
+    empirically tight (often exact) at a cost of two BFS passes where
+    the exact diameter needs all-pairs. The G-family's "how wide is
+    this graph" diagnostic next to the sampled centralities (same
+    co-purchase graph, same md5 seed discipline).
+
+    Both sweeps unroll 4 levels with the frontier anti-joined
+    against the seen set (the `bfs_distance` strategy) — depth covers
+    the fixture graph's true eccentricities (probed 2–3 at
+    sf0.001–0.01), and `n_reached` vs `n_nodes` makes any truncation
+    or disconnection visible in the result itself rather than
+    silently capping. Every value is an exact integer; the oracle
+    runs the identical two sweeps as unrolled MATERIALIZED CTEs, so
+    the row value-hashes bit-for-bit.
+
+    Scale shape (100 TB): each level is one keyed join frontier->sym
+    plus an anti-join (frontier broadcast under the adaptive gate,
+    keyed shuffles past it); the second sweep's seed is a 1-row
+    TakeOrdered result — no driver-side argmax, no per-node loop. The
+    edge list is built once and checkpointed (`_copurchase_pairs`).
+    """
+    prep(spark)
+    pairs, _ = _copurchase_pairs(spark, sf_dir)
+    sym = pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    nodes = (
+        pairs.select(F.col("a").alias("n"))
+        .unionByName(pairs.select(F.col("b").alias("n")))
+        .distinct()
+    )
+    n_parts = parquet_num_rows(sf_dir, "part")
+    gate = adaptive_broadcast_rows(spark, bytes_per_row=16)
+    hint = F.broadcast if n_parts <= gate else (lambda df: df)
+
+    def sweep(seed_df: DataFrame) -> DataFrame:
+        frontier = local_checkpoint(seed_df.select(F.col("n").alias("node")))
+        seen = frontier
+        levels = [frontier.withColumn("dist", F.lit(0).cast("long"))]
+        for h in range(1, _DIAM_DEPTH + 1):
+            nxt = (
+                sym.join(hint(frontier), sym["src"] == frontier["node"])
+                .select(F.col("dst").alias("node"))
+                .distinct()
+                .join(hint(seen), "node", "left_anti")
+            )
+            frontier = local_checkpoint(nxt)
+            levels.append(frontier.withColumn("dist", F.lit(h).cast("long")))
+            seen = seen.unionByName(frontier)
+        out = levels[0]
+        for lv in levels[1:]:
+            out = out.unionByName(lv)
+        return out
+
+    hkey = F.md5(F.col("n").cast("string"))
+    seed1 = nodes.orderBy(hkey, "n").limit(1)
+    d1 = sweep(seed1)
+    seed2 = d1.orderBy(F.desc("dist"), "node").limit(1).select(
+        F.col("node").alias("n")
+    )
+    d2 = sweep(seed2)
+    s1 = seed1.select(F.col("n").cast("long").alias("seed_node"))
+    s2 = seed2.select(F.col("n").cast("long").alias("far_node"))
+    e1 = d1.agg(F.max("dist").cast("long").alias("ecc_seed"))
+    e2 = d2.agg(
+        F.max("dist").cast("long").alias("diameter_lb"),
+        F.count(F.lit(1)).cast("long").alias("n_reached"),
+    )
+    nn = nodes.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    return (
+        s1.crossJoin(F.broadcast(s2))
+        .crossJoin(F.broadcast(e1))
+        .crossJoin(F.broadcast(e2))
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "seed_node", "far_node", "ecc_seed", "diameter_lb", "n_nodes", "n_reached"
+        )
+    )

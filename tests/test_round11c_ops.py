@@ -300,3 +300,53 @@ def test_markov_attribution_matches_exact_linear_solve(spark):
         assert abs(r.p_removed_nanos / 1e9 - solve(r.channel)) < 5e-3, r
         assert r.removal_effect_nanos == r.p_full_nanos - r.p_removed_nanos
     assert sum(r.share_nanos for r in rows) <= 10**9
+
+
+# ---------------------------------------------------------------------------
+# graph_diameter_lb
+
+
+def test_diameter_lb_python_replay(spark):
+    """Double-sweep result must match a networkx-free Python BFS replay
+    of the same co-purchase graph, and LB >= first-sweep eccentricity."""
+    row = _df("graph_diameter_lb", spark).collect()[0]
+    import hashlib
+    from collections import deque
+
+    li = pq.read_table(
+        f"{SF_DIR}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).to_pydict()
+    by_order = {}
+    for o, p in zip(li["l_orderkey"], li["l_partkey"]):
+        by_order.setdefault(o, set()).add(p)
+    adj = {}
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for i, a in enumerate(ps):
+            for b in ps[i + 1 :]:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+
+    def bfs(src):
+        dist = {src: 0}
+        dq = deque([src])
+        while dq:
+            u = dq.popleft()
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    dq.append(v)
+        return dist
+
+    seed = min(adj, key=lambda n: (hashlib.md5(str(n).encode()).hexdigest(), n))
+    d1 = bfs(seed)
+    ecc1 = max(d1.values())
+    far = min((n for n in d1 if d1[n] == ecc1))
+    d2 = bfs(far)
+    assert row.seed_node == seed
+    assert row.far_node == far
+    assert row.ecc_seed == ecc1
+    assert row.diameter_lb == max(d2.values())
+    assert row.diameter_lb >= row.ecc_seed
+    assert row.n_nodes == len(adj)
+    assert row.n_reached == len(d2)
