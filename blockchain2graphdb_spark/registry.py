@@ -71,6 +71,7 @@ _OPERATOR_MODULES = (
 # load_all() silently ignores missing keys).
 _SAMPLE_PRIORITY = (
     # --- new round-11 keys (no driver witness yet) ---
+    "attribution_markov",  # r0 oracle
     "benford_deviation",  # r0 oracle
     "betweenness_approx",  # r0 oracle
     "bootstrap_ci",  # r0 oracle
@@ -82,7 +83,9 @@ _SAMPLE_PRIORITY = (
     "edge_betweenness_approx",  # r0 oracle
     "embedding_anisotropy",  # r0 oracle
     "embedding_mmd_drift",  # r0 oracle
+    "embedding_pca_power",  # r0 oracle
     "gnn_neighbor_sample",  # r0 oracle
+    "graph_diameter_lb",  # r0 oracle
     "hard_negative_topk",  # r0 oracle
     "influence_cascade",  # r0 oracle
     "isotonic_calibration",  # r0 oracle
