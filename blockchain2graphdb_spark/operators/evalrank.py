@@ -833,3 +833,101 @@ def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("pos_rate_nanos"),
         "iso_nanos",
     )
+
+
+@query(
+    "pr_curve_points",
+    oracle="""
+    WITH scored AS (
+      SELECT ('0x' || substr(md5('p' || CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+               % 1000 AS p_permille,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders
+    ),
+    h AS (
+      SELECT p_permille AS threshold,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS pos
+      FROM scored GROUP BY 1
+    ),
+    s AS (
+      SELECT threshold,
+             CAST(SUM(pos) OVER (ORDER BY threshold DESC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS BIGINT) AS tp,
+             CAST(SUM(n) OVER (ORDER BY threshold DESC
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS pp,
+             CAST(SUM(pos) OVER () AS BIGINT) AS p_total
+      FROM h
+    )
+    SELECT threshold, tp, pp - tp AS fp,
+           CAST((CAST(tp AS HUGEINT) * 1000000000) // pp AS BIGINT)
+             AS precision_nanos,
+           CAST((CAST(tp AS HUGEINT) * 1000000000) // p_total AS BIGINT)
+             AS recall_nanos
+    FROM s
+    """,
+)
+def pr_curve_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full PRECISION-RECALL CURVE of the portable md5-permille
+    score against the order-status label — every operating point, not
+    just one threshold (`confusion_threshold`) or ranked deciles
+    (`lift_gain_table`): at threshold t, predictions are positive
+    where score >= t, tp/fp come from suffix sums over the per-score
+    histogram, and precision/recall are exact-int64 ratios quantized
+    to nanos.
+
+    Scale shape: ONE map-side-combinable histogram aggregate (at most
+    1000 rows — the score's resolution bounds the curve, not the data
+    size), then cumulative windows OVER that aggregate (the declared
+    sweep-exempt auc_exact shape) and pure per-row arithmetic. The
+    whole curve costs one scan regardless of corpus size."""
+    prep(spark)
+    p = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("p"), F.col("o_orderkey").cast("string")).cast(
+                        "binary"
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000
+    )
+    y = F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+    h = (
+        table(spark, sf_dir, "orders")
+        .select(p.alias("threshold"), y.alias("y"))
+        .groupBy("threshold")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("y").cast("long").alias("pos"),
+        )
+    )
+    wdesc = W.orderBy(F.desc("threshold")).rowsBetween(W.unboundedPreceding, 0)
+    wall = W.orderBy(F.desc("threshold")).rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    s = h.select(
+        "threshold",
+        F.sum("pos").over(wdesc).cast("long").alias("tp"),
+        F.sum("n").over(wdesc).cast("long").alias("pp"),
+        F.sum("pos").over(wall).cast("long").alias("p_total"),
+    )
+    return s.select(
+        "threshold",
+        "tp",
+        (F.col("pp") - F.col("tp")).cast("long").alias("fp"),
+        F.expr("CAST(tp AS DECIMAL(38,0)) * 1000000000 div pp")
+        .cast("long")
+        .alias("precision_nanos"),
+        F.expr("CAST(tp AS DECIMAL(38,0)) * 1000000000 div p_total")
+        .cast("long")
+        .alias("recall_nanos"),
+    )

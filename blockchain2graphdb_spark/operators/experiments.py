@@ -487,3 +487,237 @@ def bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("hi_micros"),
         )
     )
+
+
+@query(
+    "diff_in_diff",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, epoch_ns(ts) // 1000 AS us,
+             CASE WHEN event_type = 'purchase'
+                  THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                  ELSE 0 END AS cents
+      FROM events
+    ),
+    cut AS (SELECT (MIN(us) + MAX(us)) // 2 AS cutoff FROM e),
+    u AS (
+      SELECT user_id,
+             CASE WHEN ('0x' || substr(md5('dd' || CAST(user_id AS VARCHAR)), 1, 1))::BIGINT < 8
+                  THEN 1 ELSE 0 END AS treat,
+             CAST(SUM(CASE WHEN us < cutoff THEN cents ELSE 0 END) AS BIGINT) AS pre,
+             CAST(SUM(CASE WHEN us >= cutoff THEN cents ELSE 0 END) AS BIGINT) AS post
+      FROM e, cut GROUP BY user_id
+    ),
+    m AS (
+      SELECT treat,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(pre) AS BIGINT) AS s_pre,
+             CAST(SUM(post) AS BIGINT) AS s_post,
+             (CAST(SUM(pre) AS HUGEINT) * 1000000000) // COUNT(*) AS m_pre,
+             (CAST(SUM(post) AS HUGEINT) * 1000000000) // COUNT(*) AS m_post
+      FROM u GROUP BY treat
+    )
+    SELECT t.n AS n_treat, c.n AS n_ctrl,
+           CAST(t.m_pre AS BIGINT) AS m_treat_pre_nanos,
+           CAST(t.m_post AS BIGINT) AS m_treat_post_nanos,
+           CAST(c.m_pre AS BIGINT) AS m_ctrl_pre_nanos,
+           CAST(c.m_post AS BIGINT) AS m_ctrl_post_nanos,
+           CAST((t.m_post - t.m_pre) - (c.m_post - c.m_pre) AS BIGINT)
+             AS did_nanos
+    FROM (SELECT * FROM m WHERE treat = 1) t
+    CROSS JOIN (SELECT * FROM m WHERE treat = 0) c
+    """,
+)
+def diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIFFERENCE-IN-DIFFERENCES over the event panel — the workhorse
+    quasi-experimental estimator next to the randomized readouts
+    (ab_test_zscore, cuped_adjustment, mann_whitney_u): per-user
+    purchase spend in the pre/post halves of the calendar (the CUPED
+    data-derived midpoint), md5-salted treatment assignment, and
+    DiD = (treat post-pre change) - (control post-pre change) on
+    user-level means. Every cell mean is quantized ONCE by
+    non-negative integer floor division (cents sums are >= 0) and the
+    estimator is a pure integer subtraction of quantized means — no
+    negative division ever happens, so floor/trunc divergence between
+    engines cannot arise.
+
+    Scale shape: one user-keyed conditional aggregate (log ->
+    O(#users)), one 2-row arm aggregate, one 1x1 cross join. The
+    cutoff is a 1-row broadcast."""
+    prep(spark)
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.when(
+            F.col("event_type") == "purchase", (dec2("value") * 100).cast("long")
+        )
+        .otherwise(0)
+        .alias("cents"),
+    )
+    cut = e.agg(F.expr("(min(us) + max(us)) div 2").cast("long").alias("cutoff"))
+    treat = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("dd"), F.col("user_id").cast("string")).cast("binary")),
+                1,
+                1,
+            ),
+            16,
+            10,
+        ).cast("long")
+        < 8
+    )
+    u = (
+        e.crossJoin(F.broadcast(cut))
+        .groupBy("user_id")
+        .agg(
+            F.max(F.when(treat, 1).otherwise(0)).alias("treat"),
+            F.sum(F.when(F.col("us") < F.col("cutoff"), F.col("cents")).otherwise(0))
+            .cast("long")
+            .alias("pre"),
+            F.sum(F.when(F.col("us") >= F.col("cutoff"), F.col("cents")).otherwise(0))
+            .cast("long")
+            .alias("post"),
+        )
+    )
+    m = u.groupBy("treat").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("pre").cast("long").alias("s_pre"),
+        F.sum("post").cast("long").alias("s_post"),
+        F.expr("CAST(SUM(pre) AS DECIMAL(38,0)) * 1000000000 div COUNT(*)")
+        .cast("long")
+        .alias("m_pre"),
+        F.expr("CAST(SUM(post) AS DECIMAL(38,0)) * 1000000000 div COUNT(*)")
+        .cast("long")
+        .alias("m_post"),
+    )
+    t = m.where(F.col("treat") == 1).select(
+        F.col("n").alias("n_treat"),
+        F.col("m_pre").alias("m_treat_pre_nanos"),
+        F.col("m_post").alias("m_treat_post_nanos"),
+    )
+    c = m.where(F.col("treat") == 0).select(
+        F.col("n").alias("n_ctrl"),
+        F.col("m_pre").alias("m_ctrl_pre_nanos"),
+        F.col("m_post").alias("m_ctrl_post_nanos"),
+    )
+    return t.crossJoin(F.broadcast(c)).select(
+        "n_treat",
+        "n_ctrl",
+        "m_treat_pre_nanos",
+        "m_treat_post_nanos",
+        "m_ctrl_pre_nanos",
+        "m_ctrl_post_nanos",
+        (
+            (F.col("m_treat_post_nanos") - F.col("m_treat_pre_nanos"))
+            - (F.col("m_ctrl_post_nanos") - F.col("m_ctrl_pre_nanos"))
+        )
+        .cast("long")
+        .alias("did_nanos"),
+    )
+
+
+# SPRT constants: H0 p=0.3 vs H1 p=0.5 conversion, alpha = beta = 0.05.
+# Hardcoded int-nanos log-likelihood increments (computed once here and
+# embedded in BOTH engines' arithmetic — the bootstrap_ci hardcoded-
+# ladder discipline, so no engine ever evaluates ln()).
+import math as _math  # noqa: E402
+
+_SPRT_L1 = round(_math.log(0.5 / 0.3) * 1e9)  # x=1 increment
+_SPRT_L0 = round(_math.log(0.5 / 0.7) * 1e9)  # x=0 increment (negative)
+_SPRT_A = round(_math.log(0.95 / 0.05) * 1e9)  # accept-H1 boundary
+_SPRT_B = -_SPRT_A  # accept-H0 boundary (symmetric alpha=beta)
+
+
+@query(
+    "sprt_sequential",
+    oracle=f"""
+    WITH e AS (
+      SELECT epoch_ns(ts) // 1000 AS us, event_id,
+             CASE WHEN event_type = 'purchase' THEN {_SPRT_L1}
+                  ELSE {_SPRT_L0} END AS inc
+      FROM events
+    ),
+    c AS (
+      SELECT us, event_id,
+             CAST(SUM(inc) OVER (ORDER BY us, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS BIGINT) AS llr,
+             CAST(ROW_NUMBER() OVER (ORDER BY us, event_id) AS BIGINT) AS pos
+      FROM e
+    ),
+    x AS (
+      SELECT pos, llr FROM c
+      WHERE llr >= {_SPRT_A} OR llr <= {_SPRT_B}
+      ORDER BY pos LIMIT 1
+    ),
+    f AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_obs,
+             CAST(SUM(inc) AS BIGINT) AS llr_final_nanos
+      FROM e
+    )
+    SELECT f.n_obs, f.llr_final_nanos,
+           COALESCE(x.pos, 0) AS first_cross_pos,
+           CASE WHEN x.pos IS NULL THEN 'continue'
+                WHEN x.llr >= {_SPRT_A} THEN 'accept_h1'
+                ELSE 'accept_h0' END AS decision,
+           COALESCE(x.llr, 0) AS llr_at_cross_nanos
+    FROM f LEFT JOIN x ON TRUE
+    """,
+)
+def sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's SEQUENTIAL PROBABILITY RATIO TEST over the event stream —
+    the early-stopping sibling of the fixed-horizon readouts
+    (ab_test_zscore, mann_whitney_u): walk the log in time order,
+    accumulate the Bernoulli log-likelihood ratio of 'this event
+    converts' under H1 p=0.5 vs H0 p=0.3, and report the first
+    boundary crossing (ln((1-b)/a) / its negation, alpha=beta=0.05).
+    The per-observation increments and boundaries are HARDCODED
+    int-nanos constants computed once at module load and embedded in
+    both engines' arithmetic (the bootstrap_ci ladder discipline) —
+    neither engine ever evaluates a logarithm, so the cumulative walk
+    is exact integer addition and hashes bit-for-bit.
+
+    Scale shape: the cumulative LLR and position ride ONE
+    bucketed-prefix-sum + bucketed-rank pass (per-day bands, no
+    unpartitioned window over the log); the first crossing is a 1-row
+    TakeOrdered; totals are one aggregate. At 100 TB the decision is
+    usually reached in the first band — the operator still scans once
+    (batch semantics); the streaming twin would carry llr as
+    applyInPandasWithState state."""
+    prep(spark)
+    e = table(spark, sf_dir, "events").select(
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+        F.when(F.col("event_type") == "purchase", F.lit(_SPRT_L1))
+        .otherwise(F.lit(_SPRT_L0))
+        .cast("long")
+        .alias("inc"),
+    )
+    day = F.expr("us div 86400000000")
+    c = bucketed_prefix_sums(
+        e, day, [F.col("us"), F.col("event_id")], {"llr": F.col("inc")}
+    )
+    c = bucketed_global_rank(c, day, [F.col("us"), F.col("event_id")])
+    crossed = (
+        c.where((F.col("llr") >= _SPRT_A) | (F.col("llr") <= _SPRT_B))
+        .orderBy("pos")
+        .limit(1)
+        .select(F.col("pos").alias("first_cross_pos"), F.col("llr").alias("xllr"))
+    )
+    f = e.agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        F.sum("inc").cast("long").alias("llr_final_nanos"),
+    )
+    return f.join(F.broadcast(crossed), F.lit(True), "left").select(
+        "n_obs",
+        "llr_final_nanos",
+        F.coalesce(F.col("first_cross_pos"), F.lit(0)).cast("long").alias(
+            "first_cross_pos"
+        ),
+        F.when(F.col("first_cross_pos").isNull(), F.lit("continue"))
+        .when(F.col("xllr") >= _SPRT_A, F.lit("accept_h1"))
+        .otherwise(F.lit("accept_h0"))
+        .alias("decision"),
+        F.coalesce(F.col("xllr"), F.lit(0)).cast("long").alias("llr_at_cross_nanos"),
+    )

@@ -79,6 +79,7 @@ _SAMPLE_PRIORITY = (
     "compaction_bin_pack",  # r0 oracle
     "conformal_interval",  # r0 oracle
     "corpus_js_divergence",  # r0 oracle
+    "diff_in_diff",  # r0 oracle
     "doc_length_tail_index",  # r0 oracle
     "edge_betweenness_approx",  # r0 oracle
     "embedding_anisotropy",  # r0 oracle
@@ -96,7 +97,9 @@ _SAMPLE_PRIORITY = (
     "map_at_k",  # r0 oracle
     "mrr_at_k",  # r0 oracle
     "node2vec_walk_sample",  # r0 oracle
+    "pr_curve_points",  # r0 oracle
     "quantile_normalize",  # r0 oracle
+    "sprt_sequential",  # r0 oracle
     "theil_sen_slope",  # r0 oracle
     "vocab_chao1_richness",  # r0 oracle
     "wasserstein_1d_drift",  # r0 oracle

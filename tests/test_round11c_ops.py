@@ -350,3 +350,102 @@ def test_diameter_lb_python_replay(spark):
     assert row.diameter_lb >= row.ecc_seed
     assert row.n_nodes == len(adj)
     assert row.n_reached == len(d2)
+
+
+# ---------------------------------------------------------------------------
+# diff_in_diff / sprt_sequential / pr_curve_points
+
+
+def test_diff_in_diff_python_replay(spark):
+    import hashlib
+    from decimal import Decimal
+
+    row = _df("diff_in_diff", spark).collect()[0]
+    t = pq.read_table(
+        f"{SF_DIR}/events.parquet",
+        columns=["user_id", "ts", "event_type", "value"],
+    ).to_pydict()
+    us = [v.timestamp() * 1e6 for v in t["ts"]]
+    us = [int(round(v)) for v in us]
+    cut = (min(us) + max(us)) // 2
+    per = {}
+    for uid, u, et, val in zip(t["user_id"], us, t["event_type"], t["value"]):
+        c = (
+            int((Decimal(str(val)).quantize(Decimal("0.01")) * 100).to_integral_value())
+            if et == "purchase"
+            else 0
+        )
+        pre, post = per.get(uid, (0, 0))
+        if u < cut:
+            pre += c
+        else:
+            post += c
+        per[uid] = (pre, post)
+
+    def arm(uid):
+        return int(hashlib.md5(f"dd{uid}".encode()).hexdigest()[0], 16) < 8
+
+    cells = {True: [0, 0, 0], False: [0, 0, 0]}  # n, s_pre, s_post
+    for uid, (pre, post) in per.items():
+        cell = cells[arm(uid)]
+        cell[0] += 1
+        cell[1] += pre
+        cell[2] += post
+    mtp = cells[True][1] * 10**9 // cells[True][0]
+    mtq = cells[True][2] * 10**9 // cells[True][0]
+    mcp = cells[False][1] * 10**9 // cells[False][0]
+    mcq = cells[False][2] * 10**9 // cells[False][0]
+    assert (row.n_treat, row.n_ctrl) == (cells[True][0], cells[False][0])
+    assert (row.m_treat_pre_nanos, row.m_treat_post_nanos) == (mtp, mtq)
+    assert (row.m_ctrl_pre_nanos, row.m_ctrl_post_nanos) == (mcp, mcq)
+    assert row.did_nanos == (mtq - mtp) - (mcq - mcp)
+
+
+def test_sprt_first_crossing_python_replay(spark):
+    from blockchain2graphdb_spark.operators.experiments import (
+        _SPRT_A,
+        _SPRT_B,
+        _SPRT_L0,
+        _SPRT_L1,
+    )
+
+    row = _df("sprt_sequential", spark).collect()[0]
+    t = pq.read_table(
+        f"{SF_DIR}/events.parquet", columns=["event_id", "ts", "event_type"]
+    ).to_pydict()
+    evs = sorted(
+        zip(
+            [int(round(v.timestamp() * 1e6)) for v in t["ts"]],
+            t["event_id"],
+            t["event_type"],
+        )
+    )
+    llr = 0
+    cross_pos = 0
+    cross_llr = 0
+    for i, (_, _, et) in enumerate(evs, start=1):
+        llr += _SPRT_L1 if et == "purchase" else _SPRT_L0
+        if cross_pos == 0 and (llr >= _SPRT_A or llr <= _SPRT_B):
+            cross_pos, cross_llr = i, llr
+    assert row.n_obs == len(evs)
+    assert row.llr_final_nanos == llr
+    assert row.first_cross_pos == cross_pos
+    assert row.llr_at_cross_nanos == cross_llr
+    expect = (
+        "continue"
+        if cross_pos == 0
+        else ("accept_h1" if cross_llr >= _SPRT_A else "accept_h0")
+    )
+    assert row.decision == expect
+
+
+def test_pr_curve_is_monotone_and_anchored(spark):
+    """Recall is non-increasing in threshold; the lowest threshold
+    recalls everything; tp/fp sum to the prefix size everywhere."""
+    rows = sorted(_df("pr_curve_points", spark).collect())
+    assert rows[0].recall_nanos == 10**9  # threshold = min score
+    recalls = [r.recall_nanos for r in rows]
+    assert recalls == sorted(recalls, reverse=True)
+    for r in rows:
+        assert 0 <= r.precision_nanos <= 10**9
+        assert r.tp + r.fp >= r.tp >= 0
