@@ -917,3 +917,173 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_updated_tail"),
     )
+
+
+def _time_replay(spark: SparkSession, sf_dir: str) -> str:
+    """Two-file replay in TIME order ((ts, event_id) ascending, split at
+    the midpoint) — for stateful operators whose fold is order-
+    sensitive (SPRT's first crossing), unlike `_two_file_replay`'s
+    event_id split (commutative folds only)."""
+
+    def split(tbl):
+        import pyarrow.compute as pc
+
+        idx = pc.sort_indices(
+            tbl, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+        )
+        tbl = tbl.take(idx)
+        mid = tbl.num_rows // 2
+        return [tbl.slice(0, mid), tbl.slice(mid)]
+
+    return _write_replay(spark, sf_dir, "timeorder", split)
+
+
+from ..operators.experiments import (  # noqa: E402  (shared constants)
+    _SPRT_A,
+    _SPRT_B,
+    _SPRT_L0,
+    _SPRT_L1,
+)
+
+
+@query(
+    "stream_sprt",
+    oracle=f"""
+    WITH e AS (
+      SELECT epoch_ns(ts) // 1000 AS us, event_id,
+             CASE WHEN ('0x' || substr(md5('sp' || CAST(user_id AS VARCHAR)), 1, 1))::BIGINT < 8
+                  THEN 1 ELSE 0 END AS arm,
+             CASE WHEN event_type = 'purchase' THEN {_SPRT_L1}
+                  ELSE {_SPRT_L0} END AS inc
+      FROM events
+    ),
+    c AS (
+      SELECT arm, us, event_id,
+             CAST(SUM(inc) OVER (PARTITION BY arm ORDER BY us, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS BIGINT) AS llr,
+             CAST(ROW_NUMBER() OVER (PARTITION BY arm
+                                     ORDER BY us, event_id) AS BIGINT) AS pos
+      FROM e
+    ),
+    x AS (
+      SELECT arm, pos, llr,
+             ROW_NUMBER() OVER (PARTITION BY arm ORDER BY pos) AS rn
+      FROM c WHERE llr >= {_SPRT_A} OR llr <= {_SPRT_B}
+    ),
+    f AS (
+      SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_obs,
+             CAST(SUM(inc) AS BIGINT) AS llr_final_nanos
+      FROM e GROUP BY arm
+    )
+    SELECT f.arm, f.n_obs, f.llr_final_nanos,
+           COALESCE(x.pos, 0) AS first_cross_pos,
+           CASE WHEN x.pos IS NULL THEN 'continue'
+                WHEN x.llr >= {_SPRT_A} THEN 'accept_h1'
+                ELSE 'accept_h0' END AS decision,
+           COALESCE(x.llr, 0) AS llr_at_cross_nanos
+    FROM f LEFT JOIN (SELECT * FROM x WHERE rn = 1) x ON x.arm = f.arm
+    """,
+)
+def stream_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING sequential test: the applyInPandasWithState twin of
+    `sprt_sequential`, one SPRT walk per md5 arm — the always-on
+    experiment monitor that stops the test the moment a boundary is
+    crossed, instead of re-scanning the log. State per arm is four
+    integers (n, llr, first-cross pos, llr at cross); increments and
+    boundaries are the SAME hardcoded int-nanos constants as the batch
+    twin (imported, not recomputed), so the final state row equals the
+    batch walk exactly and the key is oracle-checked, not rows-only.
+
+    Order discipline: the replay is TIME-split (`_time_replay` — file
+    1 is strictly earlier than file 2) and each micro-batch's rows are
+    sorted (us, event_id) inside the fold, so the walk sees the global
+    time order across batches; update-mode emits one row per arm per
+    batch and the final-state projection keeps the max-n row (n
+    strictly increases — the stream_stateful_agg_exact technique).
+
+    Scale shape: state is O(#arms x 4 ints); per-arm sequential
+    consumption is inherent to sequential testing (the walk is not
+    associative), so throughput is bounded by per-arm event rate —
+    the honest contract of ANY sequential monitor; the batch twin is
+    the backfill/audit path."""
+    prep(spark)
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    d = _time_replay(spark, sf_dir)
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("sp"), F.col("user_id").cast("string")).cast(
+                        "binary"
+                    )
+                ),
+                1,
+                1,
+            ),
+            16,
+            10,
+        ).cast("long")
+        < 8
+    )
+    s = _events_stream(spark, sf_dir, path=d, maxFilesPerTrigger="1").select(
+        F.when(arm, 1).otherwise(0).cast("long").alias("arm"),
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+        F.when(F.col("event_type") == "purchase", F.lit(_SPRT_L1))
+        .otherwise(F.lit(_SPRT_L0))
+        .cast("long")
+        .alias("inc"),
+    )
+
+    def fold(key, pdfs, state: GroupState):
+        n, llr, cpos, cllr = state.get if state.exists else (0, 0, 0, 0)
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(["us", "event_id"])
+        for inc in pdf["inc"].astype("int64"):
+            n += 1
+            llr += int(inc)
+            if cpos == 0 and (llr >= _SPRT_A or llr <= _SPRT_B):
+                cpos, cllr = n, llr
+        state.update((n, llr, cpos, cllr))
+        decision = (
+            "continue"
+            if cpos == 0
+            else ("accept_h1" if cllr >= _SPRT_A else "accept_h0")
+        )
+        yield pd.DataFrame(
+            {
+                "arm": [key[0]],
+                "n_obs": [n],
+                "llr_final_nanos": [llr],
+                "first_cross_pos": [cpos],
+                "decision": [decision],
+                "llr_at_cross_nanos": [cllr],
+            }
+        )
+
+    out = s.groupBy("arm").applyInPandasWithState(
+        fold,
+        outputStructType=(
+            "arm long, n_obs long, llr_final_nanos long,"
+            " first_cross_pos long, decision string, llr_at_cross_nanos long"
+        ),
+        stateStructType="n long, llr long, cpos long, cllr long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    updates = _run(spark, out, output_mode="update")
+    w = W.partitionBy("arm").orderBy(F.desc("n_obs"))
+    return (
+        updates.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "arm",
+            "n_obs",
+            "llr_final_nanos",
+            "first_cross_pos",
+            "decision",
+            "llr_at_cross_nanos",
+        )
+    )

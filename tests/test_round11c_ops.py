@@ -449,3 +449,47 @@ def test_pr_curve_is_monotone_and_anchored(spark):
     for r in rows:
         assert 0 <= r.precision_nanos <= 10**9
         assert r.tp + r.fp >= r.tp >= 0
+
+
+# ---------------------------------------------------------------------------
+# stream_sprt
+
+
+def test_stream_sprt_matches_python_walk(spark):
+    """The streaming per-arm fold must equal a per-arm Python walk over
+    the time-ordered log (state carried correctly across micro-batch
+    boundaries, order preserved by the time-split replay)."""
+    import hashlib
+
+    from blockchain2graphdb_spark.operators.experiments import (
+        _SPRT_A,
+        _SPRT_B,
+        _SPRT_L0,
+        _SPRT_L1,
+    )
+
+    rows = {r.arm: r for r in _df("stream_sprt", spark).collect()}
+    t = pq.read_table(
+        f"{SF_DIR}/events.parquet",
+        columns=["event_id", "ts", "event_type", "user_id"],
+    ).to_pydict()
+    evs = sorted(
+        zip(
+            [int(round(v.timestamp() * 1e6)) for v in t["ts"]],
+            t["event_id"],
+            t["event_type"],
+            t["user_id"],
+        )
+    )
+    walks = {0: [0, 0, 0, 0], 1: [0, 0, 0, 0]}  # n, llr, cpos, cllr
+    for _, _, et, uid in evs:
+        a = 1 if int(hashlib.md5(f"sp{uid}".encode()).hexdigest()[0], 16) < 8 else 0
+        w = walks[a]
+        w[0] += 1
+        w[1] += _SPRT_L1 if et == "purchase" else _SPRT_L0
+        if w[2] == 0 and (w[1] >= _SPRT_A or w[1] <= _SPRT_B):
+            w[2], w[3] = w[0], w[1]
+    for a, (n, llr, cpos, cllr) in walks.items():
+        r = rows[a]
+        assert (r.n_obs, r.llr_final_nanos) == (n, llr), (a, r)
+        assert (r.first_cross_pos, r.llr_at_cross_nanos) == (cpos, cllr), (a, r)
