@@ -2353,3 +2353,93 @@ def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("price_sum"),
         )
     )
+
+
+def _fixed_width_dir(sf_dir: str) -> str:
+    """Derive a fixed-width text rendering of `orders` under .tmp
+    (same identity-keyed caching as `_text_source_dir`). Layout:
+    orderkey 12 (zero-padded) | status 1 | total cents 14 (zero-
+    padded) | orderdate 10 (yyyy-mm-dd) — 37 chars per record, the
+    mainframe/COBOL copybook shape."""
+    import glob as _glob
+    import os
+    import shutil
+    from decimal import Decimal
+
+    import pyarrow.parquet as pq
+
+    from ..paths import tmp_root
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src)
+    sf_tag = _sf_cache_tag(sf_dir)
+    d = os.path.join(tmp_root(), f"fixedw_{sf_tag}_{st.st_size}_{st.st_mtime_ns}")
+    if os.path.isdir(d):
+        return d
+    for stale in _glob.glob(os.path.join(tmp_root(), f"fixedw_{sf_tag}_*")):
+        shutil.rmtree(stale, ignore_errors=True)
+    rows = pq.read_table(
+        src, columns=["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"]
+    ).to_pylist()
+    rows.sort(key=lambda r: r["o_orderkey"])
+    stage = d + ".staging"
+    os.makedirs(stage, exist_ok=True)
+    with open(os.path.join(stage, "part-000.txt"), "w", newline="\n") as f:
+        for r in rows:
+            cents = int(
+                (
+                    Decimal(str(r["o_totalprice"])).quantize(Decimal("0.01")) * 100
+                ).to_integral_value()
+            )
+            f.write(
+                f"{r['o_orderkey']:012d}"
+                f"{r['o_orderstatus']:.1s}"
+                f"{cents:014d}"
+                f"{r['o_orderdate'].date().isoformat():.10s}\n"
+            )
+    os.rename(stage, d)
+    return d
+
+
+@query(
+    "scan_fixed_width",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS cents_total,
+           MIN(CAST(CAST(o_orderdate AS DATE) AS VARCHAR)) AS first_date,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM orders GROUP BY 1
+    """,
+)
+def scan_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-family: FIXED-WIDTH record source — the mainframe/copybook
+    layout (zero-padded numeric fields at fixed byte offsets, no
+    delimiters) that legacy feeds still arrive in. Orders are rendered
+    to a 37-char layout once under .tmp (identity-keyed cache, the
+    scan_csv derivation discipline) and read back with `spark.read
+    .text` + substring/cast parsing; the per-status rollup must equal
+    the same rollup straight off the parquet — proving the render →
+    text scan → offset-parse round trip is lossless (cents survive as
+    exact integers; dates as ISO strings).
+
+    Scale shape (100 TB): text files split by line; parsing is pure
+    per-row JVM substring/cast expressions inside whole-stage codegen
+    (no regex, no UDF), then ONE map-side-combinable aggregate. An
+    explicit layout means no inference pass over the data."""
+    prep(spark)
+    d = _fixed_width_dir(sf_dir)
+    raw = spark.read.text(d)
+    parsed = raw.select(
+        F.substring("value", 1, 12).cast("long").alias("o_orderkey"),
+        F.substring("value", 13, 1).alias("status"),
+        F.substring("value", 14, 14).cast("long").alias("cents"),
+        F.substring("value", 28, 10).alias("date_str"),
+    )
+    return parsed.groupBy("status").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("cents_total"),
+        F.min("date_str").alias("first_date"),
+        F.max("o_orderkey").cast("long").alias("max_key"),
+    )

@@ -1496,3 +1496,57 @@ def corpus_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("st_") + rest) / 2).cast("long").alias("js_nanos"),
         )
     )
+
+
+@query(
+    "text_hashing_vectorizer",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, t AS term FROM (
+        SELECT doc_id,
+               UNNEST(string_split_regex(LOWER(text), '[^a-z]+')) AS t
+        FROM documents
+      ) WHERE t <> ''
+    )
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(term), 1, 8))::BIGINT % 32 AS BIGINT)
+             AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT term) AS BIGINT) AS n_terms
+    FROM toks GROUP BY 1, 2
+    """,
+)
+def text_hashing_vectorizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: the HASHING-TRICK document vectorizer (sklearn's
+    HashingVectorizer / Vowpal Wabbit's feature hashing applied to
+    tokens) — each document becomes a sparse 32-bucket count vector
+    keyed by the md5 of the token, the open-vocabulary featurizer
+    that needs NO fitted vocabulary and therefore no global pass:
+    new terms at inference time land in a bucket deterministically.
+    The per-bucket distinct-term count (n_terms) surfaces collision
+    pressure, the diagnostic that sizes the hash width (the
+    categorical sibling is `feature_hashing`, mlprep.py).
+
+    Scale shape (100 TB): tokenize-explode is map-side; ONE hash
+    aggregate onto (doc, bucket) keys — partial+final combinable, the
+    sparse-vector rows never wider than min(#tokens, 32) per doc.
+    Portable md5 bucketing makes the vector engine-independent (the
+    split_assign discipline), unlike JVM-hash featurizers."""
+    prep(spark)
+    toks = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("term"),
+        )
+        .where(F.col("term") != "")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("term").cast("binary")), 1, 8), 16, 10)
+        .cast("long")
+        % 32
+    )
+    return toks.groupBy("doc_id", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.count_distinct("term").cast("long").alias("n_terms"),
+    )

@@ -99,8 +99,10 @@ _SAMPLE_PRIORITY = (
     "node2vec_walk_sample",  # r0 oracle
     "pr_curve_points",  # r0 oracle
     "quantile_normalize",  # r0 oracle
+    "scan_fixed_width",  # r0 oracle
     "sprt_sequential",  # r0 oracle
     "stream_sprt",  # r0 oracle
+    "text_hashing_vectorizer",  # r0 oracle
     "theil_sen_slope",  # r0 oracle
     "vocab_chao1_richness",  # r0 oracle
     "wasserstein_1d_drift",  # r0 oracle

@@ -493,3 +493,64 @@ def test_stream_sprt_matches_python_walk(spark):
         r = rows[a]
         assert (r.n_obs, r.llr_final_nanos) == (n, llr), (a, r)
         assert (r.first_cross_pos, r.llr_at_cross_nanos) == (cpos, cllr), (a, r)
+
+
+# ---------------------------------------------------------------------------
+# scan_fixed_width / text_hashing_vectorizer
+
+
+def test_fixed_width_roundtrip_lossless(spark):
+    """The rendered fixed-width rollup equals the same rollup straight
+    off the parquet (render -> text scan -> offset parse is lossless)."""
+    from decimal import Decimal
+
+    rows = {r.status: r for r in _df("scan_fixed_width", spark).collect()}
+    t = pq.read_table(
+        f"{SF_DIR}/orders.parquet",
+        columns=["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"],
+    ).to_pydict()
+    agg = {}
+    for k, st, p, d in zip(
+        t["o_orderkey"], t["o_orderstatus"], t["o_totalprice"], t["o_orderdate"]
+    ):
+        cents = int(
+            (Decimal(str(p)).quantize(Decimal("0.01")) * 100).to_integral_value()
+        )
+        a = agg.setdefault(st, [0, 0, "9999-99-99", 0])
+        a[0] += 1
+        a[1] += cents
+        a[2] = min(a[2], d.date().isoformat())
+        a[3] = max(a[3], k)
+    assert set(rows) == set(agg)
+    for st, (n, cents, first, mk) in agg.items():
+        r = rows[st]
+        assert (r.n_orders, r.cents_total, r.first_date, r.max_key) == (
+            n,
+            cents,
+            first,
+            mk,
+        ), st
+
+
+def test_hashing_vectorizer_python_replay(spark):
+    import hashlib
+    import re
+    from collections import Counter
+
+    rows = _df("text_hashing_vectorizer", spark).collect()
+    t = pq.read_table(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pydict()
+    expect = Counter()
+    terms = {}
+    for did, txt in zip(t["doc_id"], t["text"]):
+        for tok in re.split(r"[^a-z]+", txt.lower()):
+            if not tok:
+                continue
+            b = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % 32
+            expect[(did, b)] += 1
+            terms.setdefault((did, b), set()).add(tok)
+    assert len(rows) == len(expect)
+    for r in rows:
+        assert r.n_tokens == expect[(r.doc_id, r.bucket)], r
+        assert r.n_terms == len(terms[(r.doc_id, r.bucket)]), r
