@@ -931,3 +931,81 @@ def pr_curve_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("recall_nanos"),
     )
+
+
+@query(
+    "expected_calibration_error",
+    oracle="""
+    WITH scored AS (
+      SELECT ('0x' || substr(md5('p' || CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+               % 1000 AS p_permille,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders
+    ),
+    b AS (
+      SELECT p_permille // 100 AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(p_permille) AS BIGINT) AS sum_permille,
+             CAST(SUM(y) AS BIGINT) AS pos
+      FROM scored GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
+           CAST(SUM(n) AS BIGINT) AS n_total,
+           CAST(SUM(ABS(CAST(sum_permille AS HUGEINT) * 1000000
+                        - CAST(pos AS HUGEINT) * 1000000000))
+                // SUM(n) AS BIGINT) AS ece_nanos,
+           CAST(MAX(ABS(CAST(sum_permille AS HUGEINT) * 1000000
+                        - CAST(pos AS HUGEINT) * 1000000000) // n)
+                AS BIGINT) AS mce_nanos
+    FROM b
+    """,
+)
+def expected_calibration_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ECE / MCE — the one-number calibration summary over
+    `calibration_bins`' deciles: ECE = sum_b (n_b/N)·|mean-pred -
+    pos-rate|, MCE the worst bin. The per-bin gap times n_b collapses
+    EXACTLY to |sum_permille·1e6 - pos·1e9| (both means share the n_b
+    denominator), so ECE is ONE integer floor division of an exact
+    sum — no per-bin rounding ever happens, tighter than quantizing
+    each bin's gap first.
+
+    Scale shape: one map-side-combinable 10-bin aggregate, one 1-row
+    reduction. Nothing scales with the data but the scan."""
+    prep(spark)
+    p = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("p"), F.col("o_orderkey").cast("string")).cast(
+                        "binary"
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000
+    )
+    y = F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+    b = (
+        table(spark, sf_dir, "orders")
+        .select(p.alias("p_permille"), y.alias("y"))
+        .groupBy(F.expr("p_permille div 100").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("p_permille").cast("long").alias("sum_permille"),
+            F.sum("y").cast("long").alias("pos"),
+        )
+    )
+    gap = F.abs(
+        F.col("sum_permille").cast("decimal(38,0)") * 1000000
+        - F.col("pos").cast("decimal(38,0)") * 1000000000
+    )
+    return b.select("n", gap.alias("gap")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.sum("n").cast("long").alias("n_total"),
+        F.expr("SUM(gap) div SUM(n)").cast("long").alias("ece_nanos"),
+        F.max(F.expr("gap div n")).cast("long").alias("mce_nanos"),
+    )

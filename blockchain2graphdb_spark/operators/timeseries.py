@@ -1151,3 +1151,133 @@ def theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("slope_p75_nanos"),
         )
     )
+
+
+@query(
+    "bollinger_bands",
+    oracle=f"""
+    WITH rev AS (
+      SELECT (epoch_ns(ts) // 1000) // {_DAY_US} AS day,
+             CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    w AS (
+      SELECT day, cents,
+             CAST(COUNT(*) OVER f AS BIGINT) AS n7,
+             CAST(SUM(cents) OVER f AS HUGEINT) AS s7,
+             CAST(SUM(CAST(cents AS HUGEINT) * cents) OVER f AS HUGEINT) AS q7
+      FROM rev
+      WINDOW f AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT day, cents, n7,
+           CAST((s7 * 1000000000) // n7 AS BIGINT) AS mean_nanos,
+           CAST(ROUND(SQRT(CAST(n7 * q7 - s7 * s7 AS DOUBLE)) / n7 * 1e9)
+                AS BIGINT) AS sd_nanos
+    FROM w
+    """,
+)
+def bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOLLINGER BANDS over daily purchase revenue — the trailing
+    7-day mean +- volatility envelope (the rolling z-score's chartable
+    form, next to ewma_trailing / anomaly_daily_zscore). The trailing
+    frame's count/sum/sum-of-squares are exact integers; the mean is
+    one floor division quantized to nanos, and the population sd rides
+    the cleared-denominator identity sd = sqrt(n*q - s^2)/n as ONE
+    textually-identical double expression on both engines (IEEE sqrt
+    and division are exactly rounded, so the doubles agree bit-for-bit
+    — the kappa/trend_ols discipline). Bands are mean +- 2 sd, left to
+    the consumer as exact columns rather than pre-added (no double
+    addition enters the hash).
+
+    Scale shape: ONE map-side-combinable daily aggregate; the rolling
+    window runs OVER that bounded per-day table (the sweep-exempt
+    auc_exact shape). Hash-partition by series key when charting many
+    series."""
+    prep(spark)
+    rev = (
+        table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .groupBy(F.expr(f"unix_micros(ts) div {_DAY_US}").alias("day"))
+        .agg(F.sum((dec2("value") * 100).cast("long")).cast("long").alias("cents"))
+    )
+    f = W.orderBy("day").rowsBetween(-6, 0)
+    w = rev.select(
+        "day",
+        "cents",
+        F.count(F.lit(1)).over(f).cast("long").alias("n7"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).over(f).alias("s7"),
+        F.sum((F.col("cents").cast("decimal(38,0)") * F.col("cents"))).over(f).alias(
+            "q7"
+        ),
+    )
+    return w.select(
+        "day",
+        "cents",
+        "n7",
+        F.expr("(s7 * 1000000000) div n7").cast("long").alias("mean_nanos"),
+        F.expr("ROUND(SQRT(CAST(n7 * q7 - s7 * s7 AS DOUBLE)) / n7 * 1e9)")
+        .cast("long")
+        .alias("sd_nanos"),
+    )
+
+
+@query(
+    "forecast_baseline_error",
+    oracle=f"""
+    WITH {_DAILY_CTES},
+    l AS (
+      SELECT event_type, day, n,
+             LAG(n, 1) OVER (PARTITION BY event_type ORDER BY day) AS prev1,
+             LAG(n, 7) OVER (PARTITION BY event_type ORDER BY day) AS prev7
+      FROM daily
+    )
+    SELECT event_type,
+           CAST(COUNT(prev1) AS BIGINT) AS n_scored_naive,
+           CAST((CAST(SUM(ABS(n - prev1)) AS HUGEINT) * 1000000000)
+                // COUNT(prev1) AS BIGINT) AS mae_naive_nanos,
+           CAST(COUNT(prev7) AS BIGINT) AS n_scored_seasonal,
+           CAST((CAST(SUM(ABS(n - prev7)) AS HUGEINT) * 1000000000)
+                // COUNT(prev7) AS BIGINT) AS mae_seasonal_nanos
+    FROM l GROUP BY event_type
+    """,
+)
+def forecast_baseline_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORECAST BASELINE benchmarking — the MAE of the naive (carry
+    yesterday) and seasonal-naive (carry last week's same slot)
+    forecasters over the per-type daily series: the floor every real
+    forecasting model must beat, and the first number a demand-
+    forecast evaluation reports (MASE's denominator). Lags are row
+    lags over the OBSERVED day sequence (documented: a gap day
+    shortens the horizon rather than scoring an imputed zero —
+    gap_fill_locf is the imputation path). Absolute errors are exact
+    integers; each MAE is one cleared-denominator floor division.
+
+    Scale shape: one map-side-combinable daily aggregate, lag windows
+    partitioned by series key over the bounded per-day table, one
+    O(#types) reduction."""
+    prep(spark)
+    daily = _daily_counts(spark, sf_dir)
+    wl = W.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type",
+        "n",
+        F.lag("n", 1).over(wl).alias("prev1"),
+        F.lag("n", 7).over(wl).alias("prev7"),
+    )
+    return lagged.groupBy("event_type").agg(
+        F.count("prev1").cast("long").alias("n_scored_naive"),
+        F.expr(
+            "(CAST(SUM(ABS(n - prev1)) AS DECIMAL(38,0)) * 1000000000)"
+            " div COUNT(prev1)"
+        )
+        .cast("long")
+        .alias("mae_naive_nanos"),
+        F.count("prev7").cast("long").alias("n_scored_seasonal"),
+        F.expr(
+            "(CAST(SUM(ABS(n - prev7)) AS DECIMAL(38,0)) * 1000000000)"
+            " div COUNT(prev7)"
+        )
+        .cast("long")
+        .alias("mae_seasonal_nanos"),
+    )

@@ -269,3 +269,62 @@ def window_lead_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("o_totalprice").over(w).alias("next_price"),
         F.nth_value("o_totalprice", 2).over(wf).alias("second_price"),
     )
+
+
+@query(
+    "window_cume_dist",
+    oracle="""
+    WITH h AS (
+      SELECT l_returnflag, l_quantity AS qty, CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT l_returnflag, qty, n,
+           CAST((CAST(SUM(n) OVER (PARTITION BY l_returnflag ORDER BY qty
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS HUGEINT) * 1000000000)
+                // SUM(n) OVER (PARTITION BY l_returnflag) AS BIGINT)
+             AS cume_nanos
+    FROM h
+    """,
+)
+def window_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W-family: CUME_DIST — the fraction of a partition's rows at or
+    below each value (the empirical CDF the relative-rank family
+    exposes; percent_rank's <=-variant). Computed over the per-(flag,
+    quantity) HISTOGRAM rather than raw rows: cume_dist of the
+    underlying rows is cum(n)/total(n) per distinct value, which (a)
+    surfaces the same numbers SQL CUME_DIST would attach to every row
+    of that value and (b) keeps the window input bounded by the value
+    domain, not the data (the auc_exact shape). The ratio is one
+    exact-int floor division quantized to nanos — no float rank.
+
+    Scale shape: ONE map-side-combinable histogram aggregate, then
+    windows partitioned by flag over the bounded histogram."""
+    prep(spark)
+    h = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", F.col("l_quantity").alias("qty"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    wcum = (
+        W.partitionBy("l_returnflag")
+        .orderBy("qty")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    wall = W.partitionBy("l_returnflag").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    return h.select(
+        "l_returnflag",
+        "qty",
+        "n",
+        F.sum("n").over(wcum).alias("_cum"),
+        F.sum("n").over(wall).alias("_tot"),
+    ).select(
+        "l_returnflag",
+        "qty",
+        "n",
+        F.expr("CAST(_cum AS DECIMAL(38,0)) * 1000000000 div _tot")
+        .cast("long")
+        .alias("cume_nanos"),
+    )

@@ -74,6 +74,7 @@ _SAMPLE_PRIORITY = (
     "attribution_markov",  # r0 oracle
     "benford_deviation",  # r0 oracle
     "betweenness_approx",  # r0 oracle
+    "bollinger_bands",  # r0 oracle
     "bootstrap_ci",  # r0 oracle
     "closeness_approx",  # r0 oracle
     "compaction_bin_pack",  # r0 oracle
@@ -85,6 +86,8 @@ _SAMPLE_PRIORITY = (
     "embedding_anisotropy",  # r0 oracle
     "embedding_mmd_drift",  # r0 oracle
     "embedding_pca_power",  # r0 oracle
+    "expected_calibration_error",  # r0 oracle
+    "forecast_baseline_error",  # r0 oracle
     "gnn_neighbor_sample",  # r0 oracle
     "graph_diameter_lb",  # r0 oracle
     "hard_negative_topk",  # r0 oracle
@@ -106,6 +109,7 @@ _SAMPLE_PRIORITY = (
     "theil_sen_slope",  # r0 oracle
     "vocab_chao1_richness",  # r0 oracle
     "wasserstein_1d_drift",  # r0 oracle
+    "window_cume_dist",  # r0 oracle
     "agg_hll_merge",  # r1 rows-only
     "agg_approx_count_distinct",  # r3 rows-only
     "agg_approx_percentile",  # r3 rows-only

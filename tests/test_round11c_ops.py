@@ -554,3 +554,73 @@ def test_hashing_vectorizer_python_replay(spark):
     for r in rows:
         assert r.n_tokens == expect[(r.doc_id, r.bucket)], r
         assert r.n_terms == len(terms[(r.doc_id, r.bucket)]), r
+
+
+# ---------------------------------------------------------------------------
+# window_cume_dist / expected_calibration_error / bollinger_bands /
+# forecast_baseline_error
+
+
+def test_cume_dist_matches_row_level_definition(spark):
+    """cum(n)/total per distinct value == the CUME_DIST every row of
+    that value would get, and the last value of a partition hits 1."""
+    rows = _df("window_cume_dist", spark).collect()
+    by_flag = {}
+    for r in rows:
+        by_flag.setdefault(r.l_returnflag, []).append(r)
+    for flag, rs in by_flag.items():
+        rs.sort(key=lambda r: r.qty)
+        tot = sum(r.n for r in rs)
+        cum = 0
+        for r in rs:
+            cum += r.n
+            assert r.cume_nanos == cum * 10**9 // tot, (flag, r.qty)
+        assert rs[-1].cume_nanos == 10**9, flag
+
+
+def test_ece_equals_binwise_recomputation(spark):
+    row = _df("expected_calibration_error", spark).collect()[0]
+    bins = {r.bin: r for r in SPECS["calibration_bins"].builder(spark, SF_DIR).collect()}
+    gaps = {
+        b: abs(r.sum_permille * 10**6 - r.n_pos * 10**9) for b, r in bins.items()
+    }
+    n = sum(r.n for r in bins.values())
+    assert row.n_bins == len(bins)
+    assert row.n_total == n
+    assert row.ece_nanos == sum(gaps.values()) // n
+    assert row.mce_nanos == max(gaps[b] // bins[b].n for b in bins)
+
+
+def test_bollinger_matches_numpy_rolling(spark):
+    import numpy as np
+
+    rows = sorted(_df("bollinger_bands", spark).collect(), key=lambda r: r.day)
+    cents = [r.cents for r in rows]
+    for i, r in enumerate(rows):
+        lo = max(0, i - 6)
+        win = np.array(cents[lo : i + 1], dtype=float)
+        assert r.n7 == len(win)
+        assert r.mean_nanos == int(sum(cents[lo : i + 1])) * 10**9 // len(win)
+        sd = float(win.std())  # population
+        assert abs(r.sd_nanos / 1e9 - sd) < 1e-3 * max(1.0, sd), (r.day, sd)
+
+
+def test_forecast_baseline_python_replay(spark):
+    rows = {r.event_type: r for r in _df("forecast_baseline_error", spark).collect()}
+    t = pq.read_table(f"{SF_DIR}/events.parquet", columns=["ts", "event_type"]).to_pydict()
+    from collections import Counter
+
+    daily = Counter()
+    for ts, et in zip(t["ts"], t["event_type"]):
+        daily[(et, int(round(ts.timestamp() * 1e6)) // (24 * 3600 * 1_000_000))] += 1
+    series = {}
+    for (et, day), n in sorted(daily.items()):
+        series.setdefault(et, []).append(n)
+    for et, ns in series.items():
+        r = rows[et]
+        e1 = [abs(b - a) for a, b in zip(ns, ns[1:])]
+        e7 = [abs(ns[i] - ns[i - 7]) for i in range(7, len(ns))]
+        assert r.n_scored_naive == len(e1)
+        assert r.mae_naive_nanos == sum(e1) * 10**9 // len(e1)
+        assert r.n_scored_seasonal == len(e7)
+        assert r.mae_seasonal_nanos == sum(e7) * 10**9 // len(e7)
