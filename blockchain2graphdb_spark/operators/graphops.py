@@ -361,6 +361,29 @@ def wallet_ids_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# session-scoped memo for the checkpointed co-purchase edge list: the
+# driver gate and bench run MANY graph keys in one SparkSession, and
+# each used to rebuild the same ~1.5-2s edge list. Keyed by the Spark
+# application + the fixture's identity (abs path + size + mtime), so a
+# regenerated fixture or a new session can never serve stale edges;
+# localCheckpoint RDDs live for the session, so the cached DataFrame
+# stays valid exactly as long as the key does.
+_PAIRS_MEMO: dict = {}
+
+
+def _pairs_memo_key(spark: SparkSession, sf_dir: str) -> tuple:
+    import os
+
+    src = os.path.join(sf_dir, "lineitem.parquet")
+    st = os.stat(src)
+    return (
+        spark.sparkContext.applicationId,
+        os.path.abspath(sf_dir),
+        st.st_size,
+        st.st_mtime_ns,
+    )
+
+
 def _copurchase_pairs(
     spark: SparkSession, sf_dir: str, checkpoint: bool = True
 ) -> DataFrame:
@@ -399,9 +422,16 @@ def _copurchase_pairs(
         .distinct()
     )
     if checkpoint:
+        key = _pairs_memo_key(spark, sf_dir)
+        hit = _PAIRS_MEMO.get(key)
+        if hit is not None:
+            return hit
         # reused by adjacency + both probes in the callers
         pairs = pairs.localCheckpoint(eager=True)
-        return pairs, pairs.count()
+        if len(_PAIRS_MEMO) >= 8:  # bound driver-side handles
+            _PAIRS_MEMO.clear()
+        _PAIRS_MEMO[key] = (pairs, pairs.count())
+        return _PAIRS_MEMO[key]
     return pairs, None
 
 
