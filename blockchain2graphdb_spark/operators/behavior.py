@@ -1203,3 +1203,86 @@ def attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("share_nanos"),
     )
+
+
+@query(
+    "cohort_ltv",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, (epoch_ns(ts) // 1000) // {_WEEK_US} AS w,
+             CASE WHEN event_type = 'purchase'
+                  THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                  ELSE 0 END AS cents
+      FROM events
+    ),
+    c AS (SELECT user_id, MIN(w) AS cw FROM e GROUP BY user_id),
+    sz AS (SELECT cw, CAST(COUNT(*) AS BIGINT) AS cohort_users FROM c GROUP BY cw),
+    wk AS (
+      SELECT c.cw, e.w - c.cw AS age, CAST(SUM(e.cents) AS BIGINT) AS cents
+      FROM e JOIN c USING (user_id) GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT cw, age, cents,
+             CAST(SUM(cents) OVER (PARTITION BY cw ORDER BY age
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS BIGINT) AS cum_cents
+      FROM wk
+    )
+    SELECT CAST(cum.cw AS BIGINT) AS cohort_week,
+           CAST(cum.age AS BIGINT) AS week_offset,
+           cum.cents AS cents_in_week,
+           cum.cum_cents,
+           sz.cohort_users,
+           CAST((CAST(cum.cum_cents AS HUGEINT) * 1000000000)
+                // sz.cohort_users AS BIGINT) AS ltv_per_user_nanos
+    FROM cum JOIN sz USING (cw)
+    """,
+)
+def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LIFETIME VALUE triangle — the revenue companion of
+    `cohort_retention`: users grouped by first-active epoch-week,
+    purchase cents summed per (cohort, age-week), cumulated along the
+    age axis, and normalized per cohort member (the LTV curve a
+    payback-period model reads off). Cents are exact integers; the
+    per-user LTV is one cleared-denominator floor division — the
+    cohort size is the FULL cohort (not just buyers), the standard
+    LTV convention, so curves are comparable across cohorts.
+
+    Scale shape: one user-keyed aggregate derives cohorts, one keyed
+    join + aggregate collapses the log to the |weeks|^2 triangle, and
+    the cumulative window runs OVER that bounded triangle partitioned
+    by cohort (the sweep-exempt shape). Nothing scales with the data
+    but the two keyed passes."""
+    prep(spark)
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(f"unix_micros(ts) div {_WEEK_US}").alias("w"),
+        F.when(
+            F.col("event_type") == "purchase", (dec2("value") * 100).cast("long")
+        )
+        .otherwise(0)
+        .alias("cents"),
+    )
+    c = e.groupBy("user_id").agg(F.min("w").alias("cw"))
+    sz = c.groupBy("cw").agg(F.count(F.lit(1)).cast("long").alias("cohort_users"))
+    wk = (
+        e.join(c, "user_id")
+        .groupBy("cw", (F.col("w") - F.col("cw")).alias("age"))
+        .agg(F.sum("cents").cast("long").alias("cents_in_week"))
+    )
+    wcum = (
+        W.partitionBy("cw").orderBy("age").rowsBetween(W.unboundedPreceding, 0)
+    )
+    cum = wk.withColumn(
+        "cum_cents", F.sum("cents_in_week").over(wcum).cast("long")
+    )
+    return cum.join(F.broadcast(sz), "cw").select(
+        F.col("cw").cast("long").alias("cohort_week"),
+        F.col("age").cast("long").alias("week_offset"),
+        "cents_in_week",
+        "cum_cents",
+        "cohort_users",
+        F.expr("(CAST(cum_cents AS DECIMAL(38,0)) * 1000000000) div cohort_users")
+        .cast("long")
+        .alias("ltv_per_user_nanos"),
+    )

@@ -2003,3 +2003,105 @@ def quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a_cents") + F.col("b_cents")).cast("long").alias("qnorm_x2_cents"),
         )
     )
+
+
+@query(
+    "adversarial_validation",
+    oracle="""
+    WITH lab AS (
+      SELECT o_totalprice AS score,
+             CASE WHEN ('0x' || substr(md5('av' || CAST(o_orderkey AS VARCHAR)), 1, 1))::BIGINT < 12
+                  THEN 0 ELSE 1 END AS is_test
+      FROM orders
+    ),
+    s AS (
+      SELECT score,
+             CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(is_test) AS BIGINT) AS pos
+      FROM lab GROUP BY score
+    ),
+    r AS (
+      SELECT cnt, pos,
+             SUM(cnt) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING) - cnt AS bef
+      FROM s
+    ),
+    agg AS (
+      SELECT CAST(SUM(pos) AS BIGINT) AS n_test,
+             CAST(SUM(cnt - pos) AS BIGINT) AS n_train,
+             CAST(SUM(pos * (2 * bef + cnt + 1)) AS BIGINT) AS two_rank_pos
+      FROM r
+    )
+    SELECT n_test, n_train,
+           CAST(two_rank_pos - n_test * (n_test + 1) AS BIGINT) AS u2,
+           CAST(ABS(CAST(two_rank_pos - n_test * (n_test + 1) AS DOUBLE)
+                    / (2.0 * n_test * n_train) - 0.5) * 2 AS DOUBLE)
+             AS separability
+    FROM agg
+    """,
+)
+def adversarial_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADVERSARIAL VALIDATION — the leakage/shift check run before
+    trusting a train/test split: how well does a feature distinguish
+    the test rows from the train rows? A sound random split is
+    indistinguishable (AUC ~ 0.5); drift or leakage shows up as
+    separability >> 0. Here the split is the md5 'av'-salted 80/20
+    assignment (the split_assign discipline) and the probe feature is
+    order value; the readout is the tie-aware exact Mann-Whitney AUC
+    (`auc_exact`'s 2x-scaled-rank machinery with the split flag as the
+    label) folded to separability = 2*|AUC - 1/2|. Because the md5
+    split is genuinely content-random, the expected separability is ~0
+    — the null calibration of the audit, pinned in tests.
+
+    Scale shape: identical to auc_exact — per-score histogram (one
+    map-side-combinable aggregate), bucketed prefix sums for the
+    cumulative rank, one 1-row reduction. No unpartitioned window."""
+    prep(spark)
+    is_test = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("av"), F.col("o_orderkey").cast("string")).cast(
+                        "binary"
+                    )
+                ),
+                1,
+                1,
+            ),
+            16,
+            10,
+        ).cast("long")
+        >= 12
+    )
+    s = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_totalprice").alias("score"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.count(F.when(is_test, 1)).cast("long").alias("pos"),
+        )
+    )
+    r = bucketed_prefix_sum(
+        s,
+        F.floor(F.col("score") / 10000).cast("long"),
+        [F.col("score")],
+        F.col("cnt"),
+        "cum",
+    ).withColumn("bef", F.col("cum") - F.col("cnt"))
+    agg = r.agg(
+        F.sum("pos").cast("long").alias("n_test"),
+        F.sum(F.col("cnt") - F.col("pos")).cast("long").alias("n_train"),
+        F.sum(F.col("pos") * (2 * F.col("bef") + F.col("cnt") + 1))
+        .cast("long")
+        .alias("two_rank_pos"),
+    )
+    return agg.select(
+        "n_test",
+        "n_train",
+        (F.col("two_rank_pos") - F.col("n_test") * (F.col("n_test") + 1))
+        .cast("long")
+        .alias("u2"),
+        F.expr(
+            "CAST(ABS(CAST(two_rank_pos - n_test * (n_test + 1) AS DOUBLE)"
+            " / (2.0 * n_test * n_train) - 0.5) * 2 AS DOUBLE)"
+        ).alias("separability"),
+    )

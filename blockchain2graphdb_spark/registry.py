@@ -71,12 +71,14 @@ _OPERATOR_MODULES = (
 # load_all() silently ignores missing keys).
 _SAMPLE_PRIORITY = (
     # --- new round-11 keys (no driver witness yet) ---
+    "adversarial_validation",  # r0 oracle
     "attribution_markov",  # r0 oracle
     "benford_deviation",  # r0 oracle
     "betweenness_approx",  # r0 oracle
     "bollinger_bands",  # r0 oracle
     "bootstrap_ci",  # r0 oracle
     "closeness_approx",  # r0 oracle
+    "cohort_ltv",  # r0 oracle
     "compaction_bin_pack",  # r0 oracle
     "conformal_interval",  # r0 oracle
     "corpus_js_divergence",  # r0 oracle

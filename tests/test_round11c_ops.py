@@ -624,3 +624,60 @@ def test_forecast_baseline_python_replay(spark):
         assert r.mae_naive_nanos == sum(e1) * 10**9 // len(e1)
         assert r.n_scored_seasonal == len(e7)
         assert r.mae_seasonal_nanos == sum(e7) * 10**9 // len(e7)
+
+
+# ---------------------------------------------------------------------------
+# cohort_ltv / adversarial_validation
+
+
+def test_cohort_ltv_python_replay(spark):
+    from decimal import Decimal
+
+    rows = _df("cohort_ltv", spark).collect()
+    t = pq.read_table(
+        f"{SF_DIR}/events.parquet", columns=["user_id", "ts", "event_type", "value"]
+    ).to_pydict()
+    week = 7 * 24 * 3600 * 1_000_000
+    first = {}
+    per = {}
+    recs = []
+    for uid, ts, et, val in zip(
+        t["user_id"], t["ts"], t["event_type"], t["value"]
+    ):
+        w = int(round(ts.timestamp() * 1e6)) // week
+        c = (
+            int((Decimal(str(val)).quantize(Decimal("0.01")) * 100).to_integral_value())
+            if et == "purchase"
+            else 0
+        )
+        recs.append((uid, w, c))
+        first[uid] = min(first.get(uid, w), w)
+    sizes = {}
+    for uid, cw in first.items():
+        sizes[cw] = sizes.get(cw, 0) + 1
+    for uid, w, c in recs:
+        cw = first[uid]
+        per[(cw, w - cw)] = per.get((cw, w - cw), 0) + c
+    assert len(rows) == len(per)
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r.cohort_week, []).append(r)
+    for cw, rs in by_cohort.items():
+        rs.sort(key=lambda r: r.week_offset)
+        cum = 0
+        for r in rs:
+            assert r.cents_in_week == per[(cw, r.week_offset)]
+            cum += r.cents_in_week
+            assert r.cum_cents == cum
+            assert r.cohort_users == sizes[cw]
+            assert r.ltv_per_user_nanos == cum * 10**9 // sizes[cw]
+
+
+def test_adversarial_validation_null_is_calibrated(spark):
+    """A content-random md5 split must be near-indistinguishable:
+    separability well under 0.1 (AUC within 0.05 of chance), and the
+    counts must reflect the 12/16 train share."""
+    row = _df("adversarial_validation", spark).collect()[0]
+    n = row.n_test + row.n_train
+    assert 0.15 < row.n_test / n < 0.35  # 4/16 expected
+    assert row.separability < 0.1, row
