@@ -688,3 +688,67 @@ def ivm_agg_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("avg_micros"),
         F.col("mk").alias("min_key"),
     )
+
+
+@query(
+    "snapshot_shallow_clone",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_src FROM orders GROUP BY 1
+    ),
+    b AS (
+      SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_appended FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-06-01 00:00:00' GROUP BY 1
+    )
+    SELECT a.o_orderstatus,
+           a.n_src,
+           COALESCE(b.n_appended, 0) AS n_appended,
+           a.n_src + COALESCE(b.n_appended, 0) AS n_clone
+    FROM a LEFT JOIN b ON b.o_orderstatus = a.o_orderstatus
+    """,
+)
+def snapshot_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M-family at the storage layer: Delta-style SHALLOW CLONE — a
+    zero-copy dev/test branch of a versioned table. The source store
+    holds all orders; the clone is one manifest commit referencing the
+    source's files verbatim (no data movement), then the clone appends
+    the post-1997-06 slice as its own files. The readout proves the
+    branch semantics: the source still reads exactly its original
+    rows (isolation — the clone's append never leaked back), and the
+    clone reads source + appended. Clone commits ride the same CAS
+    loop as every write; `SnapshotStore.clone_from` documents the two
+    shallow-clone hazards (source vacuum, partitioned sources
+    refused).
+
+    Scale shape: the clone commit is O(#files) metadata; reads plan
+    from explicit file lists so pushdown/pruning are unchanged."""
+    from ..sources.snapshots import SnapshotStore
+
+    prep(spark)
+    src_root = _snapshot_root(sf_dir, "clone_src")
+    dst_root = _snapshot_root(sf_dir, "clone_dst")
+    cut = F.lit("1997-06-01").cast("timestamp")
+
+    def build_src(store: SnapshotStore) -> None:
+        store.write(table(spark, sf_dir, "orders"))
+
+    _build_once(src_root, build_src)
+
+    def build_dst(store: SnapshotStore) -> None:
+        store.clone_from(SnapshotStore(src_root))
+        extra = table(spark, sf_dir, "orders").where(F.col("o_orderdate") >= cut)
+        store.append(extra)
+
+    _build_once(dst_root, build_dst)
+    src = SnapshotStore(src_root).read(spark)
+    clone = SnapshotStore(dst_root).read(spark)
+    a = src.groupBy("o_orderstatus").agg(F.count(F.lit(1)).cast("long").alias("n_src"))
+    b = clone.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clone")
+    )
+    return a.join(b, "o_orderstatus").select(
+        "o_orderstatus",
+        "n_src",
+        (F.col("n_clone") - F.col("n_src")).cast("long").alias("n_appended"),
+        "n_clone",
+    )

@@ -105,6 +105,7 @@ _SAMPLE_PRIORITY = (
     "pr_curve_points",  # r0 oracle
     "quantile_normalize",  # r0 oracle
     "scan_fixed_width",  # r0 oracle
+    "snapshot_shallow_clone",  # r0 oracle
     "sprt_sequential",  # r0 oracle
     "stream_sprt",  # r0 oracle
     "text_hashing_vectorizer",  # r0 oracle

@@ -277,6 +277,40 @@ class SnapshotStore:
             schema_json=None if m is None else m.get("schema"),
         )
 
+    def clone_from(
+        self, src: "SnapshotStore", version: int | None = None,
+        tag: str | None = None,
+    ) -> int:
+        """SHALLOW (zero-copy) clone: commit a manifest into THIS store
+        that references the source snapshot's data files verbatim —
+        Delta's CLONE semantics rebuilt on the manifest log. Manifests
+        store root-relative paths, so the foreign files are recorded as
+        `../src/...` traversals; later appends land in this store's own
+        data/ and never touch the source, and this store's vacuum()
+        only walks its own data/ so it can never delete source files.
+
+        Documented hazards (the same ones Delta shallow clones carry):
+        (1) vacuum() on the SOURCE does not know about clones — it can
+        delete files a clone still references; deep-copy before
+        vacuuming a cloned-from store. (2) partitioned sources are
+        refused: the clone's read path derives partition discovery from
+        its OWN data/ basePath, which cannot cover foreign files."""
+        v = src.latest_version() if version is None else src._check(version)
+        if v == 0:
+            raise ValueError(f"{src.root}: nothing to clone (version 0)")
+        m = src._manifest(v)
+        if m["partition_col"] is not None:
+            raise ValueError(
+                "shallow clone of a partitioned store is not supported "
+                "(foreign files fall outside the clone's basePath); "
+                "deep-copy instead"
+            )
+        files = src.files(v)
+        return self._commit(
+            lambda: files, None, f"clone({src.root}@v{v})", tag,
+            schema_json=m.get("schema"),
+        )
+
     # ---- read path ------------------------------------------------------
 
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:

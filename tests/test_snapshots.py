@@ -473,3 +473,39 @@ def test_concurrent_group_commits_rebase_not_lose(spark, group):
         for g in range(1, group.latest_group() + 1)
     ]
     assert sizes == sorted(sizes) and sizes[-1] == 4
+
+
+def test_shallow_clone_isolation_and_hazards(spark, tmp_path):
+    """Clone references source files with zero copy; appends to the
+    clone never leak to the source; partitioned sources are refused;
+    the clone's own vacuum never deletes source files."""
+    import os
+
+    from blockchain2graphdb_spark.sources.snapshots import SnapshotStore
+
+    src = SnapshotStore(str(tmp_path / "src"))
+    df = spark.range(10).withColumn("v", F.col("id") * 2)
+    src.write(df)
+    dst = SnapshotStore(str(tmp_path / "dst"))
+    v = dst.clone_from(src)
+    assert v == 1
+    # zero copy: clone's data dir holds nothing yet
+    ddir = str(tmp_path / "dst" / "data")
+    n_own = sum(len(fs) for _, _, fs in os.walk(ddir)) if os.path.isdir(ddir) else 0
+    assert n_own == 0
+    assert dst.read(spark).count() == 10
+    dst.append(spark.range(100, 103).withColumn("v", F.col("id")))
+    assert dst.read(spark).count() == 13
+    assert src.read(spark).count() == 10  # isolation
+    # clone vacuum never touches foreign files
+    deleted = dst.vacuum()
+    assert deleted == []
+    assert src.read(spark).count() == 10
+    # partitioned source refused
+    import pytest as _pytest
+
+    psrc = SnapshotStore(str(tmp_path / "psrc"))
+    pdf = spark.range(6).withColumn("p", (F.col("id") % 2).cast("string"))
+    psrc.write(pdf, partition_col="p")
+    with _pytest.raises(ValueError, match="partitioned"):
+        SnapshotStore(str(tmp_path / "pdst")).clone_from(psrc)
