@@ -85,6 +85,7 @@ _SAMPLE_PRIORITY = (
     "diff_in_diff",  # r0 oracle
     "doc_length_tail_index",  # r0 oracle
     "edge_betweenness_approx",  # r0 oracle
+    "eigenvector_centrality",  # r0 oracle
     "embedding_anisotropy",  # r0 oracle
     "embedding_mmd_drift",  # r0 oracle
     "embedding_pca_power",  # r0 oracle

@@ -681,3 +681,41 @@ def test_adversarial_validation_null_is_calibrated(spark):
     n = row.n_test + row.n_train
     assert 0.15 < row.n_test / n < 0.35  # 4/16 expected
     assert row.separability < 0.1, row
+
+
+# ---------------------------------------------------------------------------
+# eigenvector_centrality
+
+
+def test_eigenvector_centrality_matches_numpy(spark):
+    import numpy as np
+
+    rows = _df("eigenvector_centrality", spark).collect()
+    li = pq.read_table(
+        f"{SF_DIR}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).to_pydict()
+    by_order = {}
+    for o, p in zip(li["l_orderkey"], li["l_partkey"]):
+        by_order.setdefault(o, set()).add(p)
+    edges = set()
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for i, a in enumerate(ps):
+            for b in ps[i + 1 :]:
+                edges.add((a, b))
+    nodes = sorted({x for e in edges for x in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    a = np.zeros((len(nodes), len(nodes)))
+    for x, y in edges:
+        a[idx[x], idx[y]] = 1
+        a[idx[y], idx[x]] = 1
+    vals, vecs = np.linalg.eigh(a)
+    top = np.abs(vecs[:, -1])
+    order = sorted(nodes, key=lambda n: (-top[idx[n]], n))[:50]
+    got = [r.node for r in rows]
+    # ranking parity on the top-50 (integer iteration vs eigh), and
+    # score parity within quantization
+    assert got == order, (got[:5], order[:5])
+    mx = max(top)
+    for r in rows:
+        assert abs(r.v_micros / 1e6 - top[idx[r.node]] / mx) < 1e-3, r
