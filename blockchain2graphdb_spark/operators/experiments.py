@@ -721,3 +721,251 @@ def sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("decision"),
         F.coalesce(F.col("xllr"), F.lit(0)).cast("long").alias("llr_at_cross_nanos"),
     )
+
+
+@query(
+    "psm_att",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CASE WHEN ('0x' || substr(md5('ps' || CAST(user_id AS VARCHAR)), 1, 1))::BIGINT < 8
+                  THEN 1 ELSE 0 END AS treat,
+             CAST(COUNT(*) AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                           THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS y
+      FROM events GROUP BY user_id
+    ),
+    t AS (SELECT user_id AS tid, x AS tx, y AS ty, x // 4 AS band
+          FROM u WHERE treat = 1),
+    c AS (SELECT user_id AS cid, x AS cx, y AS cy, x // 4 AS band
+          FROM u WHERE treat = 0),
+    cand AS (
+      SELECT t.tid, t.ty, c.cy,
+             ROW_NUMBER() OVER (PARTITION BY t.tid
+                                ORDER BY ABS(t.tx - c.cx), c.cid) AS rn
+      FROM t JOIN c ON c.band = t.band
+    ),
+    m AS (SELECT tid, ty - cy AS diff FROM cand WHERE rn = 1),
+    agg AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM t) AS n_treat,
+             CAST(COUNT(*) AS BIGINT) AS n_matched,
+             CAST(COALESCE(SUM(diff), 0) AS BIGINT) AS sum_diff_cents
+      FROM m
+    )
+    SELECT n_treat, n_matched, sum_diff_cents,
+           CASE WHEN n_matched = 0 THEN 0
+                WHEN sum_diff_cents < 0
+                THEN -CAST((CAST(-sum_diff_cents AS HUGEINT) * 1000000000)
+                           // n_matched AS BIGINT)
+                ELSE CAST((CAST(sum_diff_cents AS HUGEINT) * 1000000000)
+                          // n_matched AS BIGINT) END AS att_nanos
+    FROM agg
+    """,
+)
+def psm_att(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROPENSITY-SCORE-MATCHED ATT (average treatment effect on the
+    treated), 1:1 nearest-neighbor matching WITH REPLACEMENT — the
+    observational-causal estimator next to diff_in_diff: per-user
+    activity count is the matching covariate, each md5-treated user
+    matches the closest control inside its activity band (band = the
+    caliper: no in-band control -> unmatched, surfaced as n_treat vs
+    n_matched), and ATT is the mean treated-minus-matched outcome
+    difference in exact cents. With-replacement matching is the
+    order-free variant — greedy without-replacement is inherently
+    sequential and engine-divergent. The mean is quantized ONCE by
+    sign-split floor division (the sum can be negative; naive
+    negative div would hit the floor/trunc divergence).
+
+    Scale shape: one user-keyed aggregate; candidates ONLY from the
+    band equi-join (the record_linkage blocking discipline — never
+    all treated x all controls); per-treated argmin is a
+    WindowGroupLimit-shaped rank-1 cut partitioned by treated user."""
+    prep(spark)
+    treat = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("ps"), F.col("user_id").cast("string")).cast(
+                        "binary"
+                    )
+                ),
+                1,
+                1,
+            ),
+            16,
+            10,
+        ).cast("long")
+        < 8
+    )
+    u = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max(F.when(treat, 1).otherwise(0)).alias("treat"),
+            F.count(F.lit(1)).cast("long").alias("x"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    (dec2("value") * 100).cast("long"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    t = u.where(F.col("treat") == 1).select(
+        F.col("user_id").alias("tid"),
+        F.col("x").alias("tx"),
+        F.col("y").alias("ty"),
+        F.expr("x div 4").alias("band"),
+    )
+    c = u.where(F.col("treat") == 0).select(
+        F.col("user_id").alias("cid"),
+        F.col("x").alias("cx"),
+        F.col("y").alias("cy"),
+        F.expr("x div 4").alias("band"),
+    )
+    wmin = W.partitionBy("tid").orderBy(
+        F.abs(F.col("tx") - F.col("cx")), F.col("cid")
+    )
+    m = (
+        t.join(c, "band")
+        .withColumn("rn", F.row_number().over(wmin))
+        .where(F.col("rn") == 1)
+        .select((F.col("ty") - F.col("cy")).alias("diff"))
+    )
+    nt = t.agg(F.count(F.lit(1)).cast("long").alias("n_treat"))
+    agg = m.agg(
+        F.count(F.lit(1)).cast("long").alias("n_matched"),
+        F.coalesce(F.sum("diff"), F.lit(0)).cast("long").alias("sum_diff_cents"),
+    )
+    return nt.crossJoin(F.broadcast(agg)).select(
+        "n_treat",
+        "n_matched",
+        "sum_diff_cents",
+        F.when(F.col("n_matched") == 0, F.lit(0))
+        .otherwise(
+            F.signum("sum_diff_cents").cast("long")
+            * F.expr(
+                "(CAST(ABS(sum_diff_cents) AS DECIMAL(38,0)) * 1000000000)"
+                " div n_matched"
+            )
+        )
+        .cast("long")
+        .alias("att_nanos"),
+    )
+
+
+@query(
+    "uplift_by_decile",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CASE WHEN ('0x' || substr(md5('up' || CAST(user_id AS VARCHAR)), 1, 1))::BIGINT < 8
+                  THEN 1 ELSE 0 END AS treat,
+             ('0x' || substr(md5('us' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+               % 1000 AS score,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY user_id
+    )
+    SELECT score // 100 AS decile,
+           CAST(SUM(treat) AS BIGINT) AS n_treat,
+           CAST(SUM(1 - treat) AS BIGINT) AS n_ctrl,
+           CAST(SUM(treat * conv) AS BIGINT) AS conv_treat,
+           CAST(SUM((1 - treat) * conv) AS BIGINT) AS conv_ctrl,
+           CAST(CASE WHEN SUM(treat) > 0 AND SUM(1 - treat) > 0
+                THEN (CAST(SUM(treat * conv) AS HUGEINT) * 1000000000)
+                       // SUM(treat)
+                     - (CAST(SUM((1 - treat) * conv) AS HUGEINT) * 1000000000)
+                       // SUM(1 - treat)
+                END AS BIGINT) AS uplift_nanos
+    FROM u GROUP BY 1
+    """,
+)
+def uplift_by_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPLIFT (incremental-effect) table by model-score decile — the
+    readout an uplift/persuasion model is evaluated with (the Qini
+    curve's binned form): per decile of the portable md5 score, the
+    treated conversion rate minus the control conversion rate.
+    Per-arm rates are non-negative floor-quantized THEN subtracted
+    (pure integer arithmetic, never a negative division). A decile
+    with an empty arm surfaces a NULL uplift on BOTH engines (at tiny
+    scale the 50/50 split can leave a decile one-armed; the readout
+    says 'no estimate' rather than inventing one).
+
+    Scale shape: one user-keyed aggregate (log -> O(#users)), one
+    10-key map-side-combinable aggregate. Nothing else."""
+    prep(spark)
+    treat = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("up"), F.col("user_id").cast("string")).cast(
+                        "binary"
+                    )
+                ),
+                1,
+                1,
+            ),
+            16,
+            10,
+        ).cast("long")
+        < 8
+    )
+    score = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("us"), F.col("user_id").cast("string")).cast(
+                        "binary"
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000
+    )
+    u = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max(F.when(treat, 1).otherwise(0)).alias("treat"),
+            F.max(score).alias("score"),
+            F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+                "conv"
+            ),
+        )
+    )
+    return (
+        u.groupBy(F.expr("score div 100").alias("decile"))
+        .agg(
+            F.sum("treat").cast("long").alias("n_treat"),
+            F.sum(1 - F.col("treat")).cast("long").alias("n_ctrl"),
+            F.sum(F.col("treat") * F.col("conv")).cast("long").alias("conv_treat"),
+            F.sum((1 - F.col("treat")) * F.col("conv"))
+            .cast("long")
+            .alias("conv_ctrl"),
+        )
+        .select(
+            "decile",
+            "n_treat",
+            "n_ctrl",
+            "conv_treat",
+            "conv_ctrl",
+            F.when(
+                (F.col("n_treat") > 0) & (F.col("n_ctrl") > 0),
+                F.expr(
+                    "(CAST(conv_treat AS DECIMAL(38,0)) * 1000000000) div n_treat"
+                )
+                - F.expr(
+                    "(CAST(conv_ctrl AS DECIMAL(38,0)) * 1000000000) div n_ctrl"
+                ),
+            )
+            .cast("long")
+            .alias("uplift_nanos"),
+        )
+    )

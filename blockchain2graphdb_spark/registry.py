@@ -104,6 +104,7 @@ _SAMPLE_PRIORITY = (
     "mrr_at_k",  # r0 oracle
     "node2vec_walk_sample",  # r0 oracle
     "pr_curve_points",  # r0 oracle
+    "psm_att",  # r0 oracle
     "quantile_normalize",  # r0 oracle
     "scan_fixed_width",  # r0 oracle
     "snapshot_shallow_clone",  # r0 oracle
@@ -111,6 +112,7 @@ _SAMPLE_PRIORITY = (
     "stream_sprt",  # r0 oracle
     "text_hashing_vectorizer",  # r0 oracle
     "theil_sen_slope",  # r0 oracle
+    "uplift_by_decile",  # r0 oracle
     "vocab_chao1_richness",  # r0 oracle
     "wasserstein_1d_drift",  # r0 oracle
     "window_cume_dist",  # r0 oracle

@@ -719,3 +719,77 @@ def test_eigenvector_centrality_matches_numpy(spark):
     mx = max(top)
     for r in rows:
         assert abs(r.v_micros / 1e6 - top[idx[r.node]] / mx) < 1e-3, r
+
+
+# ---------------------------------------------------------------------------
+# psm_att / uplift_by_decile
+
+
+def test_psm_att_python_replay(spark):
+    import hashlib
+    from decimal import Decimal
+
+    row = _df("psm_att", spark).collect()[0]
+    t = pq.read_table(
+        f"{SF_DIR}/events.parquet", columns=["user_id", "event_type", "value"]
+    ).to_pydict()
+    per = {}
+    for uid, et, val in zip(t["user_id"], t["event_type"], t["value"]):
+        x, y = per.get(uid, (0, 0))
+        x += 1
+        if et == "purchase":
+            y += int(
+                (Decimal(str(val)).quantize(Decimal("0.01")) * 100).to_integral_value()
+            )
+        per[uid] = (x, y)
+    treats, ctrls = [], []
+    for uid, (x, y) in per.items():
+        arm = int(hashlib.md5(f"ps{uid}".encode()).hexdigest()[0], 16) < 8
+        (treats if arm else ctrls).append((uid, x, y))
+    by_band = {}
+    for cid, cx, cy in ctrls:
+        by_band.setdefault(cx // 4, []).append((cid, cx, cy))
+    diffs = []
+    for tid, tx, ty in treats:
+        cands = by_band.get(tx // 4)
+        if not cands:
+            continue
+        cid, cx, cy = min(cands, key=lambda c: (abs(tx - c[1]), c[0]))
+        diffs.append(ty - cy)
+    assert row.n_treat == len(treats)
+    assert row.n_matched == len(diffs)
+    sd = sum(diffs)
+    assert row.sum_diff_cents == sd
+    expect = 0 if not diffs else (1 if sd >= 0 else -1) * (abs(sd) * 10**9 // len(diffs))
+    assert row.att_nanos == expect
+
+
+def test_uplift_decile_python_replay(spark):
+    import hashlib
+
+    rows = {r.decile: r for r in _df("uplift_by_decile", spark).collect()}
+    t = pq.read_table(
+        f"{SF_DIR}/events.parquet", columns=["user_id", "event_type"]
+    ).to_pydict()
+    conv = {}
+    for uid, et in zip(t["user_id"], t["event_type"]):
+        conv[uid] = conv.get(uid, 0) or (1 if et == "purchase" else 0)
+    cells = {}
+    for uid, c in conv.items():
+        treat = int(hashlib.md5(f"up{uid}".encode()).hexdigest()[0], 16) < 8
+        dec = (int(hashlib.md5(f"us{uid}".encode()).hexdigest()[:8], 16) % 1000) // 100
+        k = cells.setdefault(dec, [0, 0, 0, 0])
+        if treat:
+            k[0] += 1
+            k[2] += c
+        else:
+            k[1] += 1
+            k[3] += c
+    assert set(rows) == set(cells)
+    for dec, (nt, nc, ct, cc) in cells.items():
+        r = rows[dec]
+        assert (r.n_treat, r.n_ctrl, r.conv_treat, r.conv_ctrl) == (nt, nc, ct, cc)
+        if nt > 0 and nc > 0:
+            assert r.uplift_nanos == ct * 10**9 // nt - cc * 10**9 // nc
+        else:
+            assert r.uplift_nanos is None
