@@ -98,7 +98,7 @@ def record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH c AS (
       SELECT c_custkey, c_nationkey, c_mktsegment,
-             CAST(c_acctbal * 100 AS BIGINT) // 1000 AS bal_band
+             CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) // 1000 AS bal_band
       FROM customer
     ),
     n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_records FROM c),
@@ -150,7 +150,7 @@ def linkage_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         "c_nationkey",
         "c_mktsegment",
-        F.expr("CAST(c_acctbal * 100 AS BIGINT) div 1000").alias("bal_band"),
+        F.expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) div 1000").alias("bal_band"),
     )
     n = c.agg(F.count(F.lit(1)).cast("long").alias("n_records"))
     a = c.select(

@@ -2105,3 +2105,92 @@ def adversarial_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / (2.0 * n_test * n_train) - 0.5) * 2 AS DOUBLE)"
         ).alias("separability"),
     )
+
+
+@query(
+    "feature_pit_join",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, event_type,
+             epoch_ns(ts) // 1000 AS us,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM events
+    ),
+    merged AS (
+      SELECT user_id, event_id, us,
+             0 AS kind, 0 AS cnt_inc, 0 AS cents_inc
+      FROM e WHERE event_type = 'view'
+      UNION ALL
+      SELECT user_id, event_id, us,
+             1 AS kind, 1 AS cnt_inc, cents AS cents_inc
+      FROM e WHERE event_type = 'purchase'
+    ),
+    carried AS (
+      SELECT user_id, event_id, us, kind,
+             CAST(SUM(cnt_inc) OVER w AS BIGINT) AS n_prior_purchases,
+             CAST(SUM(cents_inc) OVER w AS BIGINT) AS prior_spend_cents
+      FROM merged
+      WINDOW w AS (PARTITION BY user_id ORDER BY us, kind, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, us, n_prior_purchases, prior_spend_cents
+    FROM carried WHERE kind = 0
+    """,
+)
+def feature_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME feature join — the leakage-free feature-store
+    lookup (Feast/Tecton's core semantics): every 'view' event (the
+    training example) is enriched with the user's RUNNING purchase
+    features (count, spend) as of strictly before the example's
+    timestamp. Unlike `join_asof` (latest single event), the features
+    are running AGGREGATES, and the implementation never joins at
+    all: updates and queries are UNIONED into one per-user timeline,
+    cumulative sums carry the state forward, and query rows (sorted
+    BEFORE same-microsecond updates, so an equal-timestamp purchase
+    is never visible — the strict-before contract that kills label
+    leakage) read the feature value for free.
+
+    Scale shape: ONE user-keyed shuffle serves the whole enrichment —
+    the merge-then-window form replaces the per-feature as-of join
+    fan-out a naive feature store does (k features = k joins); here k
+    features are k running columns in the same window pass."""
+    prep(spark)
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        (dec2("value") * 100).cast("long").alias("cents"),
+    )
+    q = e.where(F.col("event_type") == "view").select(
+        "user_id",
+        "event_id",
+        "us",
+        F.lit(0).alias("kind"),
+        F.lit(0).alias("cnt_inc"),
+        F.lit(0).cast("long").alias("cents_inc"),
+    )
+    upd = e.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "event_id",
+        "us",
+        F.lit(1).alias("kind"),
+        F.lit(1).alias("cnt_inc"),
+        F.col("cents").alias("cents_inc"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("us", "kind", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    carried = q.unionByName(upd).select(
+        "user_id",
+        "event_id",
+        "us",
+        "kind",
+        F.sum("cnt_inc").over(w).cast("long").alias("n_prior_purchases"),
+        F.sum("cents_inc").over(w).cast("long").alias("prior_spend_cents"),
+    )
+    return carried.where(F.col("kind") == 0).select(
+        "event_id", "user_id", "us", "n_prior_purchases", "prior_spend_cents"
+    )

@@ -1421,3 +1421,60 @@ def compaction_bin_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("size_rows").cast("long").alias("smallest_file"),
         )
     )
+
+
+@query(
+    "k_anonymity_audit",
+    oracle="""
+    WITH qi AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) // 100000 AS bal_band,
+             c_custkey
+      FROM customer
+    ),
+    g AS (
+      SELECT c_nationkey, c_mktsegment, bal_band,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM qi GROUP BY 1, 2, 3
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(MIN(k) AS BIGINT) AS min_k,
+           CAST(SUM(CASE WHEN k < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_groups_below_5,
+           CAST(SUM(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT)
+             AS n_rows_at_risk,
+           CAST(SUM(k) AS BIGINT) AS n_rows
+    FROM g
+    """,
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-ANONYMITY audit — the privacy-governance gate a dataset
+    passes before release: group by the quasi-identifier tuple
+    (nation, market segment, $1000 balance band) and report the
+    smallest equivalence class, plus how many classes and rows fall
+    below k=5 (the re-identifiable population a generalization ladder
+    must widen away). Complements `text_pii_mask` (direct identifiers)
+    with the QUASI-identifier risk the masking step cannot see.
+
+    Scale shape: ONE map-side-combinable aggregate onto the QI tuple,
+    one 1-row reduction over the O(#classes) table. At 100 TB the QI
+    histogram IS the audit — no row-level data leaves the executors."""
+    prep(spark)
+    g = (
+        table(spark, sf_dir, "customer")
+        .groupBy(
+            "c_nationkey",
+            "c_mktsegment",
+            F.expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) div 100000").alias("bal_band"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("k"))
+    )
+    return g.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.min("k").cast("long").alias("min_k"),
+        F.count_if(F.col("k") < 5).cast("long").alias("n_groups_below_5"),
+        F.sum(F.when(F.col("k") < 5, F.col("k")).otherwise(0))
+        .cast("long")
+        .alias("n_rows_at_risk"),
+        F.sum("k").cast("long").alias("n_rows"),
+    )

@@ -90,6 +90,7 @@ _SAMPLE_PRIORITY = (
     "embedding_mmd_drift",  # r0 oracle
     "embedding_pca_power",  # r0 oracle
     "expected_calibration_error",  # r0 oracle
+    "feature_pit_join",  # r0 oracle
     "forecast_baseline_error",  # r0 oracle
     "gnn_neighbor_sample",  # r0 oracle
     "graph_diameter_lb",  # r0 oracle
@@ -97,6 +98,7 @@ _SAMPLE_PRIORITY = (
     "influence_cascade",  # r0 oracle
     "isotonic_calibration",  # r0 oracle
     "ivm_agg_delta",  # r0 oracle
+    "k_anonymity_audit",  # r0 oracle
     "label_noise_knn",  # r0 oracle
     "linkage_blocking_quality",  # r0 oracle
     "mann_whitney_u",  # r0 oracle

@@ -21,6 +21,19 @@ from conftest import SF_DIR
 SPECS = registry.load_all()
 
 
+def _cents(x) -> int:
+    from decimal import Decimal
+
+    return int((Decimal(str(x)).quantize(Decimal("0.01")) * 100).to_integral_value())
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncating integer division (Spark div / DuckDB // semantics —
+    BOTH truncate toward zero, unlike Python's floor //)."""
+    q = abs(a) // b
+    return -q if a < 0 else q
+
+
 def _df(name, spark):
     return SPECS[name].builder(spark, SF_DIR)
 
@@ -78,7 +91,7 @@ def test_blocking_quality_python_replay(spark):
             t["c_custkey"],
             t["c_nationkey"],
             t["c_mktsegment"],
-            [int(round(b * 100)) // 1000 for b in t["c_acctbal"]],
+            [_tdiv(_cents(b), 1000) for b in t["c_acctbal"]],
         )
     )
     from collections import Counter
@@ -793,3 +806,66 @@ def test_uplift_decile_python_replay(spark):
             assert r.uplift_nanos == ct * 10**9 // nt - cc * 10**9 // nc
         else:
             assert r.uplift_nanos is None
+
+
+# ---------------------------------------------------------------------------
+# feature_pit_join / k_anonymity_audit
+
+
+def test_pit_join_is_strictly_before(spark):
+    """The leakage contract: each view's features equal the purchase
+    aggregates STRICTLY before its (us, kind, event_id) position — an
+    equal-timestamp purchase is never visible."""
+    from decimal import Decimal
+
+    rows = _df("feature_pit_join", spark).collect()
+    t = pq.read_table(
+        f"{SF_DIR}/events.parquet",
+        columns=["user_id", "event_id", "ts", "event_type", "value"],
+    ).to_pydict()
+    timeline = {}
+    for uid, eid, ts, et, val in zip(
+        t["user_id"], t["event_id"], t["ts"], t["event_type"], t["value"]
+    ):
+        if et not in ("view", "purchase"):
+            continue
+        us = int(round(ts.timestamp() * 1e6))
+        kind = 0 if et == "view" else 1
+        cents = (
+            int((Decimal(str(val)).quantize(Decimal("0.01")) * 100).to_integral_value())
+            if kind
+            else 0
+        )
+        timeline.setdefault(uid, []).append((us, kind, eid, cents))
+    expect = {}
+    for uid, evs in timeline.items():
+        n = spend = 0
+        for us, kind, eid, cents in sorted(evs):
+            if kind == 0:
+                expect[eid] = (n, spend)
+            else:
+                n += 1
+                spend += cents
+    assert len(rows) == len(expect)
+    for r in rows:
+        assert (r.n_prior_purchases, r.prior_spend_cents) == expect[r.event_id], r
+
+
+def test_k_anonymity_python_replay(spark):
+    from collections import Counter
+
+    row = _df("k_anonymity_audit", spark).collect()[0]
+    t = pq.read_table(
+        f"{SF_DIR}/customer.parquet",
+        columns=["c_nationkey", "c_mktsegment", "c_acctbal"],
+    ).to_pydict()
+    groups = Counter(
+        (n, s, _tdiv(_cents(b), 100000))
+        for n, s, b in zip(t["c_nationkey"], t["c_mktsegment"], t["c_acctbal"])
+    )
+    ks = list(groups.values())
+    assert row.n_groups == len(ks)
+    assert row.min_k == min(ks)
+    assert row.n_groups_below_5 == sum(1 for k in ks if k < 5)
+    assert row.n_rows_at_risk == sum(k for k in ks if k < 5)
+    assert row.n_rows == sum(ks)
