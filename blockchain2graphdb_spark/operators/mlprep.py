@@ -2194,3 +2194,112 @@ def feature_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return carried.where(F.col("kind") == 0).select(
         "event_id", "user_id", "us", "n_prior_purchases", "prior_spend_cents"
     )
+
+
+@query(
+    "gini_split_points",
+    oracle="""
+    WITH scored AS (
+      SELECT ('0x' || substr(md5('p' || CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+               % 1000 AS f,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders
+    ),
+    h AS (
+      SELECT f, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS pos
+      FROM scored GROUP BY f
+    ),
+    c AS (
+      SELECT f,
+             CAST(SUM(n) OVER w AS BIGINT) AS nl,
+             CAST(SUM(pos) OVER w AS BIGINT) AS pl,
+             CAST(SUM(n) OVER () AS BIGINT) AS nt,
+             CAST(SUM(pos) OVER () AS BIGINT) AS pt
+      FROM h
+      WINDOW w AS (ORDER BY f ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+    )
+    SELECT f AS threshold, nl AS n_left, pl AS pos_left,
+           nt - nl AS n_right, pt - pl AS pos_right,
+           CAST(CASE WHEN nl = 0 OR nt - nl = 0 THEN 0
+                ELSE (CAST(pl AS HUGEINT) * pl + CAST(nl - pl AS HUGEINT)
+                      * (nl - pl)) * 1000000000 // nl
+                     + (CAST(pt - pl AS HUGEINT) * (pt - pl)
+                        + CAST((nt - nl) - (pt - pl) AS HUGEINT)
+                          * ((nt - nl) - (pt - pl))) * 1000000000 // (nt - nl)
+                END AS BIGINT) AS purity_nanos
+    FROM c WHERE nt - nl > 0
+    """,
+)
+def gini_split_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECISION-TREE SPLIT FINDING — the weighted-Gini scan a tree
+    trainer runs per feature: for every candidate threshold t (rows
+    with feature <= t go left), the class counts on each side and the
+    split's purity. Minimizing weighted Gini impurity n_L·G_L+n_R·G_R
+    is EQUIVALENT to maximizing purity = Σc_L²/n_L + Σc_R²/n_R (the
+    n - Σc²/n identity clears the 1-minus and the shared n), so the
+    surfaced score is a sum of two exact-integer floor divisions —
+    argmax(purity_nanos) is the best split, no float impurity ever
+    forms. Degenerate one-sided splits surface purity 0.
+
+    Scale shape: ONE map-side-combinable per-value histogram, then
+    cumulative windows OVER that bounded table (the pr_curve shape) —
+    the whole per-feature scan costs one pass regardless of rows; a
+    real trainer fans this out over features as independent columns
+    of the same histogram pass."""
+    prep(spark)
+    p = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("p"), F.col("o_orderkey").cast("string")).cast(
+                        "binary"
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000
+    )
+    y = F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+    h = (
+        table(spark, sf_dir, "orders")
+        .select(p.alias("f"), y.alias("y"))
+        .groupBy("f")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("y").cast("long").alias("pos"),
+        )
+    )
+    wcum = W.orderBy("f").rowsBetween(W.unboundedPreceding, 0)
+    wall = W.orderBy("f").rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    c = h.select(
+        "f",
+        F.sum("n").over(wcum).cast("long").alias("nl"),
+        F.sum("pos").over(wcum).cast("long").alias("pl"),
+        F.sum("n").over(wall).cast("long").alias("nt"),
+        F.sum("pos").over(wall).cast("long").alias("pt"),
+    )
+    purity = F.expr(
+        "CASE WHEN nl = 0 OR nt - nl = 0 THEN 0"
+        " ELSE (CAST(pl AS DECIMAL(38,0)) * pl + CAST(nl - pl AS DECIMAL(38,0))"
+        "       * (nl - pl)) * 1000000000 div nl"
+        "      + (CAST(pt - pl AS DECIMAL(38,0)) * (pt - pl)"
+        "         + CAST((nt - nl) - (pt - pl) AS DECIMAL(38,0))"
+        "           * ((nt - nl) - (pt - pl))) * 1000000000 div (nt - nl)"
+        " END"
+    )
+    return (
+        c.where(F.col("nt") - F.col("nl") > 0)
+        .select(
+            F.col("f").alias("threshold"),
+            F.col("nl").alias("n_left"),
+            F.col("pl").alias("pos_left"),
+            (F.col("nt") - F.col("nl")).cast("long").alias("n_right"),
+            (F.col("pt") - F.col("pl")).cast("long").alias("pos_right"),
+            purity.cast("long").alias("purity_nanos"),
+        )
+    )

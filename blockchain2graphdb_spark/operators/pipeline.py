@@ -1478,3 +1478,173 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_rows_at_risk"),
         F.sum("k").cast("long").alias("n_rows"),
     )
+
+
+@query(
+    "neyman_allocation",
+    oracle="""
+    WITH m AS (
+      SELECT o_orderstatus AS stratum,
+             CAST(COUNT(*) AS BIGINT) AS nh,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                  AS HUGEINT) AS s,
+             CAST(SUM(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                            AS HUGEINT)
+                           * CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                                  AS BIGINT) AS HUGEINT)) AS HUGEINT) AS q
+      FROM orders GROUP BY 1
+    ),
+    w AS (
+      SELECT stratum, nh,
+             CAST(ROUND(SQRT(CAST((nh * q - s * s) // (nh * nh) AS DOUBLE))
+                        * 1e9) AS BIGINT) AS sd_nanos
+      FROM m
+    ),
+    t AS (
+      SELECT stratum, nh, sd_nanos,
+             CAST(nh AS HUGEINT) * sd_nanos AS num,
+             SUM(CAST(nh AS HUGEINT) * sd_nanos) OVER () AS den
+      FROM w
+    ),
+    b AS (
+      SELECT stratum, nh, sd_nanos,
+             CAST((num * 1000) // den AS BIGINT) AS base,
+             CAST((num * 1000) % den AS HUGEINT) AS rem,
+             CAST(1000 - SUM((num * 1000) // den) OVER () AS BIGINT) AS extra
+      FROM t
+    )
+    SELECT stratum, nh, sd_nanos,
+           base + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, stratum)
+                            <= extra THEN 1 ELSE 0 END AS n_alloc
+    FROM b
+    """,
+)
+def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEYMAN (optimal) STRATIFIED-SAMPLE ALLOCATION — the sampling
+    design step before any stratified draw (`sample_stratified` takes
+    quotas; this computes them): allocate a budget of 1000 samples
+    across order-status strata proportional to N_h * S_h (big AND
+    variable strata earn more), with the integer seats assigned by the
+    LARGEST-REMAINDER method — floor shares first, leftover seats to
+    the largest fractional remainders (tie: stratum name) — so the
+    allocations are integers that sum exactly to the budget on both
+    engines. S_h's variance is reduced to an EXACT
+    integer (floor((n*q - s^2) / n^2), < 2^53 so the int->double
+    conversion is exact) before the single IEEE sqrt — the raw moment
+    difference exceeds 2^53 and its conversion rounding diverged
+    between engines by 1 ulp; nanos-quantized BEFORE entering the
+    allocation integers.
+
+    Scale shape: one map-side-combinable moment aggregate (3 strata),
+    then O(#strata) window arithmetic. The design costs one scan."""
+    prep(spark)
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    m = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderstatus").alias("stratum"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("nh"),
+            F.sum(cents.cast("decimal(38,0)")).alias("s"),
+            F.sum((cents.cast("decimal(38,0)") * cents)).alias("q"),
+        )
+    )
+    w = m.select(
+        "stratum",
+        "nh",
+        # exact-integer variance FIRST (fits 2^53, so the double
+        # conversion is exact), then one IEEE sqrt/multiply — the raw
+        # nh*q - s*s here exceeds 2^53 and its int->double rounding
+        # diverged between engines by 1 ulp
+        F.expr("ROUND(SQRT(CAST((nh * q - s * s) div (nh * nh) AS DOUBLE)) * 1e9)")
+        .cast("long")
+        .alias("sd_nanos"),
+    )
+    wall = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    t = w.select(
+        "stratum",
+        "nh",
+        "sd_nanos",
+        (F.col("nh").cast("decimal(38,0)") * F.col("sd_nanos")).alias("num"),
+        F.sum(F.col("nh").cast("decimal(38,0)") * F.col("sd_nanos"))
+        .over(wall)
+        .alias("den"),
+    )
+    b = t.select(
+        "stratum",
+        "nh",
+        "sd_nanos",
+        F.expr("(num * 1000) div den").cast("long").alias("base"),
+        F.expr("(num * 1000) % den").alias("rem"),
+        (F.lit(1000) - F.sum(F.expr("(num * 1000) div den")).over(wall))
+        .cast("long")
+        .alias("extra"),
+    )
+    rk = F.row_number().over(W.orderBy(F.desc("rem"), "stratum"))
+    return b.select(
+        "stratum",
+        "nh",
+        "sd_nanos",
+        (F.col("base") + F.when(rk <= F.col("extra"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_alloc"),
+    )
+
+
+@query(
+    "l_diversity_audit",
+    oracle="""
+    WITH qi AS (
+      SELECT c_nationkey,
+             CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) // 100000
+               AS bal_band,
+             c_mktsegment
+      FROM customer
+    ),
+    g AS (
+      SELECT c_nationkey, bal_band,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS l
+      FROM qi GROUP BY 1, 2
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(MIN(l) AS BIGINT) AS min_l,
+           CAST(SUM(CASE WHEN l < 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_homogeneous_groups,
+           CAST(SUM(CASE WHEN l < 2 THEN k ELSE 0 END) AS BIGINT)
+             AS n_rows_at_risk
+    FROM g
+    """,
+)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L-DIVERSITY audit — k-anonymity's necessary companion: a large
+    equivalence class is still unsafe if its SENSITIVE attribute is
+    homogeneous (everyone in the class shares the value, so linking
+    any member discloses it). QI here is (nation, $1000 balance band);
+    the sensitive attribute is the market segment; the audit reports
+    the least-diverse class and the homogeneous (l = 1) population.
+
+    Scale shape: one aggregate onto the QI tuple with a distinct-count
+    (partial+final combinable), one 1-row reduction — the same
+    histogram-is-the-audit shape as `k_anonymity_audit`."""
+    prep(spark)
+    g = (
+        table(spark, sf_dir, "customer")
+        .groupBy(
+            "c_nationkey",
+            F.expr(
+                "CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) div 100000"
+            ).alias("bal_band"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("k"),
+            F.count_distinct("c_mktsegment").cast("long").alias("l"),
+        )
+    )
+    return g.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.min("l").cast("long").alias("min_l"),
+        F.count_if(F.col("l") < 2).cast("long").alias("n_homogeneous_groups"),
+        F.sum(F.when(F.col("l") < 2, F.col("k")).otherwise(0))
+        .cast("long")
+        .alias("n_rows_at_risk"),
+    )

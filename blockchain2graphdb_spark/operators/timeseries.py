@@ -1172,8 +1172,8 @@ def theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT day, cents, n7,
            CAST((s7 * 1000000000) // n7 AS BIGINT) AS mean_nanos,
-           CAST(ROUND(SQRT(CAST(n7 * q7 - s7 * s7 AS DOUBLE)) / n7 * 1e9)
-                AS BIGINT) AS sd_nanos
+           CAST(ROUND(SQRT(CAST((n7 * q7 - s7 * s7) // (n7 * n7) AS DOUBLE))
+                      * 1e9) AS BIGINT) AS sd_nanos
     FROM w
     """,
 )
@@ -1182,11 +1182,11 @@ def bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     7-day mean +- volatility envelope (the rolling z-score's chartable
     form, next to ewma_trailing / anomaly_daily_zscore). The trailing
     frame's count/sum/sum-of-squares are exact integers; the mean is
-    one floor division quantized to nanos, and the population sd rides
-    the cleared-denominator identity sd = sqrt(n*q - s^2)/n as ONE
-    textually-identical double expression on both engines (IEEE sqrt
-    and division are exactly rounded, so the doubles agree bit-for-bit
-    — the kappa/trend_ols discipline). Bands are mean +- 2 sd, left to
+    one floor division quantized to nanos, and the population sd reduces the
+    cleared-denominator identity to an EXACT floored integer variance
+    (n*q - s^2) div n^2 BEFORE the one IEEE sqrt — the raw moment
+    difference can exceed 2^53, where int->double conversion rounding
+    is engine-divergent (the neyman_allocation 1-ulp lesson). Bands are mean +- 2 sd, left to
     the consumer as exact columns rather than pre-added (no double
     addition enters the hash).
 
@@ -1216,7 +1216,11 @@ def bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cents",
         "n7",
         F.expr("(s7 * 1000000000) div n7").cast("long").alias("mean_nanos"),
-        F.expr("ROUND(SQRT(CAST(n7 * q7 - s7 * s7 AS DOUBLE)) / n7 * 1e9)")
+        # exact-integer variance FIRST: the raw n*q - s^2 can exceed
+        # 2^53, where int->double conversion rounding is engine-
+        # divergent (the neyman_allocation 1-ulp lesson); the floored
+        # variance is ~sd^2 in cents^2 and converts exactly
+        F.expr("ROUND(SQRT(CAST((n7 * q7 - s7 * s7) div (n7 * n7) AS DOUBLE)) * 1e9)")
         .cast("long")
         .alias("sd_nanos"),
     )

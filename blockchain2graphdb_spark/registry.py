@@ -92,6 +92,7 @@ _SAMPLE_PRIORITY = (
     "expected_calibration_error",  # r0 oracle
     "feature_pit_join",  # r0 oracle
     "forecast_baseline_error",  # r0 oracle
+    "gini_split_points",  # r0 oracle
     "gnn_neighbor_sample",  # r0 oracle
     "graph_diameter_lb",  # r0 oracle
     "hard_negative_topk",  # r0 oracle
@@ -99,11 +100,13 @@ _SAMPLE_PRIORITY = (
     "isotonic_calibration",  # r0 oracle
     "ivm_agg_delta",  # r0 oracle
     "k_anonymity_audit",  # r0 oracle
+    "l_diversity_audit",  # r0 oracle
     "label_noise_knn",  # r0 oracle
     "linkage_blocking_quality",  # r0 oracle
     "mann_whitney_u",  # r0 oracle
     "map_at_k",  # r0 oracle
     "mrr_at_k",  # r0 oracle
+    "neyman_allocation",  # r0 oracle
     "node2vec_walk_sample",  # r0 oracle
     "pr_curve_points",  # r0 oracle
     "psm_att",  # r0 oracle

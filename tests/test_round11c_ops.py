@@ -869,3 +869,76 @@ def test_k_anonymity_python_replay(spark):
     assert row.n_groups_below_5 == sum(1 for k in ks if k < 5)
     assert row.n_rows_at_risk == sum(k for k in ks if k < 5)
     assert row.n_rows == sum(ks)
+
+
+# ---------------------------------------------------------------------------
+# gini_split_points / neyman_allocation / l_diversity_audit
+
+
+def test_gini_best_split_matches_sklearn_free_scan(spark):
+    """argmax(purity) == argmin(weighted Gini) computed directly with
+    exact fractions; per-threshold counts replayed from raw data."""
+    import hashlib
+    from fractions import Fraction
+
+    rows = sorted(_df("gini_split_points", spark).collect())
+    t = pq.read_table(
+        f"{SF_DIR}/orders.parquet", columns=["o_orderkey", "o_orderstatus"]
+    ).to_pydict()
+    pts = {}
+    for k, st in zip(t["o_orderkey"], t["o_orderstatus"]):
+        f = int(hashlib.md5(f"p{k}".encode()).hexdigest()[:8], 16) % 1000
+        n, pos = pts.get(f, (0, 0))
+        pts[f] = (n + 1, pos + (1 if st == "F" else 0))
+    fs = sorted(pts)
+    nt = sum(n for n, _ in pts.values())
+    pt = sum(p for _, p in pts.values())
+    nl = pl = 0
+    best = None
+    got = {r.threshold: r for r in rows}
+    for f in fs:
+        nl += pts[f][0]
+        pl += pts[f][1]
+        nr, prr = nt - nl, pt - pl
+        if nr == 0:
+            assert f not in got
+            continue
+        r = got[f]
+        assert (r.n_left, r.pos_left, r.n_right, r.pos_right) == (nl, pl, nr, prr)
+        if nl and nr:
+            gini = Fraction(nl) - Fraction(pl * pl + (nl - pl) ** 2, nl)
+            gini += Fraction(nr) - Fraction(prr * prr + (nr - prr) ** 2, nr)
+            if best is None or gini < best[0]:
+                best = (gini, f)
+    spark_best = max(rows, key=lambda r: (r.purity_nanos, -r.threshold))
+    assert spark_best.threshold == best[1]
+
+
+def test_neyman_allocations_sum_to_budget(spark):
+    rows = _df("neyman_allocation", spark).collect()
+    assert sum(r.n_alloc for r in rows) == 1000
+    # bigger N*S gets at least as many seats (up to the +-1 remainder)
+    srt = sorted(rows, key=lambda r: r.nh * r.sd_nanos)
+    for a, b in zip(srt, srt[1:]):
+        assert b.n_alloc >= a.n_alloc - 1
+
+
+def test_l_diversity_python_replay(spark):
+    row = _df("l_diversity_audit", spark).collect()[0]
+    t = pq.read_table(
+        f"{SF_DIR}/customer.parquet",
+        columns=["c_nationkey", "c_mktsegment", "c_acctbal"],
+    ).to_pydict()
+    groups = {}
+    for n, s, b in zip(t["c_nationkey"], t["c_mktsegment"], t["c_acctbal"]):
+        g = groups.setdefault((n, _tdiv(_cents(b), 100000)), [0, set()])
+        g[0] += 1
+        g[1].add(s)
+    assert row.n_groups == len(groups)
+    assert row.min_l == min(len(s) for _, s in groups.values())
+    assert row.n_homogeneous_groups == sum(
+        1 for _, s in groups.values() if len(s) < 2
+    )
+    assert row.n_rows_at_risk == sum(
+        k for k, s in groups.values() if len(s) < 2
+    )
