@@ -1286,3 +1286,113 @@ def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("ltv_per_user_nanos"),
     )
+
+
+@query(
+    "nelson_aalen",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_type, epoch_ns(ts) // 1000 AS us FROM events
+    ),
+    per_user AS (
+      SELECT user_id,
+             MIN(us) AS t0,
+             MIN(CASE WHEN event_type = 'purchase' THEN us END) AS tp,
+             MAX(us) AS tl
+      FROM e GROUP BY user_id
+    ),
+    durations AS (
+      SELECT user_id,
+             CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS observed,
+             (COALESCE(tp, tl) - t0) // {_DAY_US} AS day
+      FROM per_user
+    ),
+    per_day AS (
+      SELECT day,
+             CAST(SUM(observed) AS BIGINT) AS n_events,
+             CAST(COUNT(*) - SUM(observed) AS BIGINT) AS n_censored
+      FROM durations GROUP BY day
+    ),
+    risk AS (
+      SELECT day, n_events, n_censored,
+             (SELECT COUNT(*) FROM durations)
+               - (SUM(n_events + n_censored) OVER (ORDER BY day
+                    ROWS UNBOUNDED PRECEDING) - (n_events + n_censored))
+               AS n_risk
+      FROM per_day
+    ),
+    terms AS (
+      SELECT day, n_events, n_censored, CAST(n_risk AS BIGINT) AS n_risk,
+             CAST((CAST(n_events AS HUGEINT) * 1000000000) // n_risk
+                  AS BIGINT) AS term_nanos
+      FROM risk WHERE n_events > 0
+    )
+    SELECT day, n_risk, n_events, n_censored,
+           CAST(SUM(term_nanos) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS cum_hazard_nanos
+    FROM terms
+    """,
+)
+def nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NELSON-AALEN cumulative hazard H(t) = Σ d_i/n_i over the same
+    days-to-first-purchase durations as `kaplan_meier` — the hazard-
+    scale companion every survival readout pairs with the KM curve
+    (H is additive, so it aggregates and compares across cohorts
+    where S multiplies; and exp(-H) is the Fleming-Harrington
+    survival estimate). Unlike KM's ln terms, every hazard increment
+    d_i/n_i is a pure exact-integer floor division — no transcendental
+    enters the pipeline at all, so the whole curve is int64 arithmetic
+    end to end (stronger than the ln-parity KM relies on).
+
+    Scale shape: identical to kaplan_meier — one user-keyed reduction
+    to durations, one per-day aggregate, cumulative windows OVER that
+    bounded per-day table."""
+    prep(spark)
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    per_user = e.groupBy("user_id").agg(
+        F.min("us").alias("t0"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("us"))).alias("tp"),
+        F.max("us").alias("tl"),
+    )
+    durations = per_user.select(
+        F.when(F.col("tp").isNotNull(), 1).otherwise(0).alias("observed"),
+        F.expr(f"(COALESCE(tp, tl) - t0) div {_DAY_US}").alias("day"),
+    )
+    per_day = durations.groupBy("day").agg(
+        F.sum("observed").cast("long").alias("n_events"),
+        (F.count(F.lit(1)) - F.sum("observed")).cast("long").alias("n_censored"),
+    )
+    wcum = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    wall = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    risk = per_day.select(
+        "day",
+        "n_events",
+        "n_censored",
+        (
+            F.sum(F.col("n_events") + F.col("n_censored")).over(wall)
+            - F.sum(F.col("n_events") + F.col("n_censored")).over(wcum)
+            + (F.col("n_events") + F.col("n_censored"))
+        )
+        .cast("long")
+        .alias("n_risk"),
+    )
+    terms = risk.where(F.col("n_events") > 0).select(
+        "day",
+        "n_risk",
+        "n_events",
+        "n_censored",
+        F.expr("(CAST(n_events AS DECIMAL(38,0)) * 1000000000) div n_risk")
+        .cast("long")
+        .alias("term_nanos"),
+    )
+    return terms.select(
+        "day",
+        "n_risk",
+        "n_events",
+        "n_censored",
+        F.sum("term_nanos").over(W.orderBy("day").rowsBetween(W.unboundedPreceding, 0))
+        .cast("long")
+        .alias("cum_hazard_nanos"),
+    )

@@ -1118,3 +1118,147 @@ def dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_clusters"),
         (F.col("cluster_size") * F.count(F.lit(1))).cast("long").alias("n_docs"),
     )
+
+
+@query(
+    "similarity_join_prefix",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 150
+    ),
+    docs AS (
+      SELECT doc_id, text FROM base
+      UNION ALL
+      SELECT doc_id + 1000000,
+             substr(text, 1, CAST(floor(length(text) * 0.9) AS INT))
+      FROM base
+    ),
+    toks AS (
+      SELECT DISTINCT doc_id, t AS tok FROM (
+        SELECT doc_id,
+               UNNEST(string_split_regex(LOWER(text), '[^a-z]+')) AS t
+        FROM docs
+      ) WHERE t <> ''
+    ),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM toks GROUP BY 1),
+    pairs AS (
+      SELECT a.doc_id AS a, b.doc_id AS b,
+             CAST(COUNT(*) AS BIGINT) AS inter
+      FROM toks a JOIN toks b ON b.tok = a.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT p.a, p.b, p.inter,
+           sa.sz + sb.sz - p.inter AS union_sz,
+           CAST((CAST(p.inter AS HUGEINT) * 1000000000)
+                // (sa.sz + sb.sz - p.inter) AS BIGINT) AS jaccard_nanos
+    FROM pairs p
+    JOIN sizes sa ON sa.doc_id = p.a
+    JOIN sizes sb ON sb.doc_id = p.b
+    WHERE p.inter * 5 >= (sa.sz + sb.sz - p.inter) * 4
+    """,
+)
+def similarity_join_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SET-SIMILARITY JOIN with PREFIX FILTERING (PPJoin's candidate
+    rule) — the third classic candidate generator next to MinHash
+    bands (X2) and LSH buckets (X3): order each document's distinct
+    tokens by GLOBAL rarity (document frequency asc — rare-first
+    maximizes pruning), keep only the first |s| - ceil(0.8|s|) + 1
+    tokens, and let candidates be pairs sharing a PREFIX token. The
+    rule is LOSSLESS for Jaccard >= 0.8 (two sets above the threshold
+    must overlap within their prefixes — the pigeonhole argument), so
+    the ORACLE is the FULL all-pairs token join: a green hash proves
+    the pruned candidate set found EVERY qualifying pair, a
+    completeness differential rather than a same-pipeline replay.
+    Matches are guaranteed by 90%-truncation twins (the
+    dedup_minhash_exact seeded-fixture discipline); the threshold
+    compare is cross-multiplied exact ints (inter*5 >= union*4).
+
+    Scale shape: df ranking is one aggregate + an in-doc rank window;
+    candidates come ONLY from the prefix-token equi-join (prefix
+    length ~ 0.2|s|, and rare-first prefixes collide seldom); the
+    verify joins full token sets for CANDIDATE pairs only. At 100 TB
+    this is the published PPJoin recipe verbatim — the all-pairs form
+    the oracle runs exists only at fixture scale."""
+    prep(spark)
+    base = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 150)
+        .select("doc_id", "text")
+    )
+    trunc = base.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.expr(
+            "substring(text, 1, cast(floor(length(text) * 0.9) as int))"
+        ).alias("text"),
+    )
+    docs = base.unionByName(trunc)
+    toks = (
+        _fan_out(docs, "doc_id")
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.filter(
+                        F.split(F.lower("text"), "[^a-z]+"), lambda t: t != ""
+                    )
+                )
+            ).alias("tok"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    ranked = (
+        toks.join(dfreq, "tok")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("doc_id").orderBy("df", "tok")
+            ),
+        )
+        .join(sizes, "doc_id")
+        # prefix_len = sz - ceil(0.6 sz) + 1; ceil(3x/5) = (3x+4) div 5
+        .where(F.col("rk") <= F.col("sz") - F.expr("(4 * sz + 4) div 5") + 1)
+        .select("doc_id", "tok")
+    )
+    cand = (
+        ranked.alias("x")
+        .join(ranked.alias("y"), "tok")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b")
+        )
+        .distinct()
+    )
+    ta = toks.select(F.col("doc_id").alias("a"), "tok")
+    tb = toks.select(F.col("doc_id").alias("b2"), F.col("tok").alias("tok_b"))
+    inter = (
+        cand.join(ta, "a")
+        .join(tb, (F.col("b") == F.col("b2")) & (F.col("tok") == F.col("tok_b")))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("szb"))
+    return (
+        inter.join(sa, "a")
+        .join(sb, "b")
+        .where(
+            F.col("inter") * 5
+            >= (F.col("sza") + F.col("szb") - F.col("inter")) * 4
+        )
+        .select(
+            "a",
+            "b",
+            "inter",
+            (F.col("sza") + F.col("szb") - F.col("inter"))
+            .cast("long")
+            .alias("union_sz"),
+            F.expr(
+                "(CAST(inter AS DECIMAL(38,0)) * 1000000000)"
+                " div (sza + szb - inter)"
+            )
+            .cast("long")
+            .alias("jaccard_nanos"),
+        )
+    )

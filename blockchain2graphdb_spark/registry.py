@@ -106,12 +106,14 @@ _SAMPLE_PRIORITY = (
     "mann_whitney_u",  # r0 oracle
     "map_at_k",  # r0 oracle
     "mrr_at_k",  # r0 oracle
+    "nelson_aalen",  # r0 oracle
     "neyman_allocation",  # r0 oracle
     "node2vec_walk_sample",  # r0 oracle
     "pr_curve_points",  # r0 oracle
     "psm_att",  # r0 oracle
     "quantile_normalize",  # r0 oracle
     "scan_fixed_width",  # r0 oracle
+    "similarity_join_prefix",  # r0 oracle
     "snapshot_shallow_clone",  # r0 oracle
     "sprt_sequential",  # r0 oracle
     "stream_sprt",  # r0 oracle

