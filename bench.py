@@ -81,6 +81,10 @@ SECONDARY = [
     "recursive_cte_hierarchy",  # native WITH RECURSIVE frontier scans
     "betweenness_approx",       # sampled-pair Brandes, one BFS frontier
     "closeness_approx",         # sampled harmonic closeness
+    "edge_betweenness_approx",  # Girvan-Newman edge load (shared BFS memo)
+    "eigenvector_centrality",   # 10-round integer power iteration
+    "attribution_markov",       # absorption-probability removal effects
+    "influence_cascade",        # deterministic IC-model diffusion rounds
 ]
 
 

@@ -56,13 +56,58 @@ _BTW_SEEDS = 16  # 8 source/target pairs
 _CLO_SEEDS = 8
 
 
+# Session-scoped BFS memo (VERDICT r11 #3, the _copurchase_pairs
+# discipline): betweenness, closeness, and edge-betweenness all need
+# the same sampled-seed BFS — build it ONCE per (application, fixture
+# identity, depth) at the largest seed count and derive smaller seed
+# sets by exact root filtering (the k smallest-md5 seeds are a prefix
+# of the 2k smallest, and per-root BFS results are independent, so the
+# filter is bit-exact). Evicted entries unpersist their checkpoint
+# blocks so stale fixtures don't pin executor storage.
+_SEED_BFS_MEMO: dict = {}
+
+
 def _seed_bfs(
     spark: SparkSession, sf_dir: str, n_seeds: int, depth: int = _DEPTH
 ) -> tuple[DataFrame, DataFrame]:
+    """Memoized multi-source BFS (see `_seed_bfs_build` for the
+    algorithm). Returns (bfs(root, node, dist, sigma), seeds(n, i))
+    restricted to the n_seeds smallest-md5 seeds."""
+    if n_seeds > _BTW_SEEDS:
+        bfs, seeds, _cks = _seed_bfs_build(spark, sf_dir, n_seeds, depth)
+        return bfs, seeds
+    from .graphops import _pairs_memo_key
+
+    key = _pairs_memo_key(spark, sf_dir) + (depth,)
+    hit = _SEED_BFS_MEMO.get(key)
+    if hit is None:
+        while len(_SEED_BFS_MEMO) >= 8:  # bound driver-side handles
+            _old_bfs, _old_seeds, old_cks = _SEED_BFS_MEMO.pop(
+                next(iter(_SEED_BFS_MEMO))
+            )
+            for ck in old_cks:
+                try:
+                    ck.rdd.unpersist(False)
+                except Exception:
+                    pass
+        hit = _seed_bfs_build(spark, sf_dir, _BTW_SEEDS, depth)
+        _SEED_BFS_MEMO[key] = hit
+    bfs, seeds, _cks = hit
+    if n_seeds == _BTW_SEEDS:
+        return bfs, seeds
+    sub_seeds = seeds.where(F.col("i") < n_seeds)
+    roots = sub_seeds.select(F.col("n").alias("root"))
+    return bfs.join(F.broadcast(roots), "root"), sub_seeds
+
+
+def _seed_bfs_build(
+    spark: SparkSession, sf_dir: str, n_seeds: int, depth: int = _DEPTH
+) -> tuple[DataFrame, DataFrame, list]:
     """Multi-source BFS with shortest-path counts from the n_seeds
     smallest-md5 nodes of the co-purchase graph. Returns
-    (bfs(root, node, dist, sigma), seeds(n, i)) — one frontier
-    DataFrame for ALL seeds, `depth` unrolled join rounds."""
+    (bfs(root, node, dist, sigma), seeds(n, i), checkpoint_handles) —
+    one frontier DataFrame for ALL seeds, `depth` unrolled join
+    rounds; the handles let the memo release blocks on eviction."""
     pairs, _n_edges = _copurchase_pairs(spark, sf_dir)
     sym = pairs.select(
         F.col("a").alias("src"), F.col("b").alias("dst")
@@ -76,6 +121,7 @@ def _seed_bfs(
     # TakeOrdered top-k by content hash, then indices 0..k-1 via a
     # window over the k-row result (bounded by the Limit — the declared
     # sweep-exempt shape)
+    cks: list = []
     seeds = local_checkpoint(
         nodes.orderBy(hkey, "n")
         .limit(n_seeds)
@@ -86,6 +132,7 @@ def _seed_bfs(
             ),
         )
     )
+    cks.append(seeds)
     frontier = seeds.select(
         F.col("n").alias("root"),
         F.col("n").alias("node"),
@@ -111,12 +158,17 @@ def _seed_bfs(
         frontier = local_checkpoint(
             expanded.join(hint(seen), ["root", "node"], "left_anti")
         )
+        cks.append(frontier)
         levels.append(frontier.withColumn("dist", F.lit(h)))
         seen = seen.unionByName(frontier.select("root", "node"))
     bfs = levels[0]
     for lv in levels[1:]:
         bfs = bfs.unionByName(lv)
-    return bfs.select("root", "node", F.col("dist").cast("int").alias("dist"), "sigma"), seeds
+    return (
+        bfs.select("root", "node", F.col("dist").cast("int").alias("dist"), "sigma"),
+        seeds,
+        cks,
+    )
 
 
 def _oracle_bfs_cte(n_seeds: int, depth: int = _DEPTH) -> str:

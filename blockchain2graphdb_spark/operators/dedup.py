@@ -1217,7 +1217,7 @@ def similarity_join_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .join(sizes, "doc_id")
-        # prefix_len = sz - ceil(0.6 sz) + 1; ceil(3x/5) = (3x+4) div 5
+        # prefix_len = sz - ceil(0.8 sz) + 1; ceil(4x/5) = (4x+4) div 5
         .where(F.col("rk") <= F.col("sz") - F.expr("(4 * sz + 4) div 5") + 1)
         .select("doc_id", "tok")
     )

@@ -538,8 +538,10 @@ def diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     user-level means. Every cell mean is quantized ONCE by
     non-negative integer floor division (cents sums are >= 0) and the
     estimator is a pure integer subtraction of quantized means — no
-    negative division ever happens, so floor/trunc divergence between
-    engines cannot arise.
+    negative division ever happens, so the floor-vs-truncate question
+    is moot. (Spark `div` and DuckDB `//` both truncate toward zero;
+    the divergence that matters is Python's flooring `//` in replay
+    tests, which only differs on negatives.)
 
     Scale shape: one user-keyed conditional aggregate (log ->
     O(#users)), one 2-row arm aggregate, one 1x1 cross join. The
@@ -774,8 +776,10 @@ def psm_att(spark: SparkSession, sf_dir: str) -> DataFrame:
     difference in exact cents. With-replacement matching is the
     order-free variant — greedy without-replacement is inherently
     sequential and engine-divergent. The mean is quantized ONCE by
-    sign-split floor division (the sum can be negative; naive
-    negative div would hit the floor/trunc divergence).
+    sign-split truncating division (the sum can be negative; Spark
+    `div` and DuckDB `//` agree — both truncate toward zero — but
+    Python's `//` floors, so the sign-split keeps the replay-test
+    arithmetic identical on negatives too).
 
     Scale shape: one user-keyed aggregate; candidates ONLY from the
     band equi-join (the record_linkage blocking discipline — never

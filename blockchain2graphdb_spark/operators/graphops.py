@@ -386,7 +386,7 @@ def _pairs_memo_key(spark: SparkSession, sf_dir: str) -> tuple:
 
 def _copurchase_pairs(
     spark: SparkSession, sf_dir: str, checkpoint: bool = True
-) -> DataFrame:
+) -> "tuple[DataFrame, int | None]":
     """Canonical (a<b) distinct co-purchase edges, checkpointed.
 
     Built by per-order combination expansion — groupBy(order) →
@@ -428,8 +428,16 @@ def _copurchase_pairs(
             return hit
         # reused by adjacency + both probes in the callers
         pairs = pairs.localCheckpoint(eager=True)
-        if len(_PAIRS_MEMO) >= 8:  # bound driver-side handles
-            _PAIRS_MEMO.clear()
+        while len(_PAIRS_MEMO) >= 8:  # bound driver-side handles
+            # Evict oldest-first (dict insertion order) and release its
+            # checkpoint blocks so stale fixtures don't pin executor
+            # storage for the whole session. Best-effort: the RDD may
+            # already be gone if the context restarted.
+            old_df, _cnt = _PAIRS_MEMO.pop(next(iter(_PAIRS_MEMO)))
+            try:
+                old_df.rdd.unpersist(False)
+            except Exception:
+                pass
         _PAIRS_MEMO[key] = (pairs, pairs.count())
         return _PAIRS_MEMO[key]
     return pairs, None

@@ -2044,8 +2044,9 @@ def adversarial_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     trusting a train/test split: how well does a feature distinguish
     the test rows from the train rows? A sound random split is
     indistinguishable (AUC ~ 0.5); drift or leakage shows up as
-    separability >> 0. Here the split is the md5 'av'-salted 80/20
-    assignment (the split_assign discipline) and the probe feature is
+    separability >> 0. Here the split is the md5 'av'-salted 75/25
+    assignment (first hex nibble < 12, i.e. 12/16 of keys train —
+    the split_assign discipline) and the probe feature is
     order value; the readout is the tie-aware exact Mann-Whitney AUC
     (`auc_exact`'s 2x-scaled-rank machinery with the split flag as the
     label) folded to separability = 2*|AUC - 1/2|. Because the md5

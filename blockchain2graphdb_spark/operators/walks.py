@@ -416,3 +416,203 @@ def node2vec_walk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(out(s2, 2))
         .unionAll(out(s3, 3))
     )
+
+
+def _n2v_pq_pick(step: int) -> str:
+    return (
+        f"('0x' || substr(md5('n2vpq' || CAST(seed AS VARCHAR) || ':{step}'),"
+        f" 1, 8))::BIGINT"
+    )
+
+
+def _n2v_pq_oracle() -> str:
+    """Unrolled 3-step node2vec walk with BOTH biases (p = 2, q = 2):
+    per candidate neighbor x of the current node (given previous node
+    prev), slots(x) = 1 if x = prev (backtrack, weight 1/p), 2 if x is
+    adjacent to prev (distance 1, weight 1), 1 otherwise (distance 2,
+    weight 1/q) — the exact ×2-scaled integer weights. The candidate
+    list is ordered by adjacency idx, prefix-summed into slot spans,
+    and the md5 pick mod the span total selects the span it lands in.
+    The triangle mark is ONE extra LEFT JOIN against the adjacency —
+    no alias tables."""
+    biased = """
+    cand{h} AS MATERIALIZED (
+      SELECT s.seed, s.node AS cu, s.prev, a.dst AS cand, a.idx,
+             CASE WHEN a.dst = s.prev THEN 1
+                  WHEN t.dst IS NOT NULL THEN 2
+                  ELSE 1 END AS slots
+      FROM s{g} s
+      JOIN adj a ON a.src = s.node
+      LEFT JOIN adj t ON t.src = s.prev AND t.dst = a.dst
+    ),
+    cum{h} AS MATERIALIZED (
+      SELECT *,
+             SUM(slots) OVER (PARTITION BY seed ORDER BY idx
+                              ROWS UNBOUNDED PRECEDING) - slots AS st,
+             SUM(slots) OVER (PARTITION BY seed) AS tot
+      FROM cand{h}
+    ),
+    s{h} AS MATERIALIZED (
+      SELECT seed, cand AS node, cu AS prev FROM cum{h}
+      WHERE ({r} % tot) >= st AND ({r} % tot) < st + slots
+    )"""
+    return f"""
+    WITH pr AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    sym AS MATERIALIZED (
+      SELECT a AS src, b AS dst FROM pr UNION ALL SELECT b, a FROM pr
+    ),
+    adj AS MATERIALIZED (
+      SELECT src, dst,
+             row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx
+      FROM sym
+    ),
+    deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM sym GROUP BY src),
+    nodes AS (SELECT DISTINCT src FROM sym),
+    seeds AS MATERIALIZED (
+      SELECT src AS seed FROM nodes
+      ORDER BY md5(CAST(src AS VARCHAR)), src LIMIT {_N2V_SEEDS}
+    ),
+    s1 AS MATERIALIZED (
+      SELECT s.seed, a.dst AS node, s.seed AS prev
+      FROM seeds s
+      JOIN deg d ON d.src = s.seed
+      JOIN adj a ON a.src = s.seed AND a.idx = {_n2v_pq_pick(1)} % d.deg
+    ),
+    {biased.format(h=2, g=1, r=_n2v_pq_pick(2))},
+    {biased.format(h=3, g=2, r=_n2v_pq_pick(3))}
+    SELECT seed, CAST(0 AS BIGINT) AS step, CAST(seed AS BIGINT) AS node
+    FROM seeds
+    UNION ALL SELECT seed, 1, CAST(node AS BIGINT) FROM s1
+    UNION ALL SELECT seed, 2, CAST(node AS BIGINT) FROM s2
+    UNION ALL SELECT seed, 3, CAST(node AS BIGINT) FROM s3
+    """
+
+
+@query("node2vec_walk_sample_pq", oracle=_n2v_pq_oracle())
+def node2vec_walk_sample_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL node2vec biased walks (p = 2, q = 2) over the co-purchase
+    part graph — the q != 1 distance-2 bias that `node2vec_walk_sample`
+    deliberately restricts away (VERDICT r11 #5 closes that residual).
+    Per step, each candidate neighbor x of the current node (previous
+    node = prev) gets integer slots on a wheel: 1 slot if x = prev
+    (backtrack, weight 1/p = 1/2), 2 slots if x is ADJACENT TO prev
+    (distance 1, weight 1), 1 slot otherwise (distance 2, weight
+    1/q = 1/2) — the ×2-scaled exact weights, no floating point. The
+    md5('n2vpq', seed, step) pick mod the wheel total selects a span
+    via per-walk prefix sums, so the walk stays a pure function of the
+    data (replays identically on any engine / retry / partitioning —
+    the `random_walk_sample` determinism contract; full-trajectory
+    Python replay pinned in tests/test_round12_ops.py).
+
+    Distance-2 bias needs "is candidate adjacent to prev" — here ONE
+    extra equi-join of the candidate list against the adjacency (a
+    left-join triangle probe), not node2vec's precomputed per-edge
+    alias tables (O(sum_uv deg(u)·deg(v)) memory, the known scale
+    wall). The honest cost shift vs the p-only walk: each step now
+    materializes the candidate list, O(#walks × deg) rows instead of
+    O(#walks) — the standard node2vec sampling cost, bounded by the
+    co-purchase graph's bounded degree; the prefix-sum window is
+    partitioned per walk (never global), and the adjacency/degree
+    tables are still built once.
+
+    Reference parity: the reference's graph layer stops at stored
+    traversals (B:1100–1180); this extends the X17 training-data
+    sampling surface."""
+    prep(spark)
+    from .graphops import _copurchase_pairs
+
+    pairs, _n = _copurchase_pairs(spark, sf_dir)
+    sym = pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    adj = sym.select(
+        "src",
+        "dst",
+        (F.row_number().over(W.partitionBy("src").orderBy("dst")) - 1).alias("idx"),
+    ).localCheckpoint(eager=True)
+    deg = adj.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    seeds = (
+        adj.select(F.col("src").alias("seed"))
+        .distinct()
+        .orderBy(F.md5(F.col("seed").cast("string")), "seed")
+        .limit(_N2V_SEEDS)
+    )
+
+    def pick(step: int) -> F.Column:
+        key = F.concat(
+            F.lit("n2vpq"), F.col("seed").cast("string"), F.lit(f":{step}")
+        )
+        return F.conv(F.substring(F.md5(key.cast("binary")), 1, 8), 16, 10).cast(
+            "long"
+        )
+
+    # step 1: uniform over deg(seed) — identical shape to the p-only walk
+    s1 = (
+        seeds.join(deg, seeds["seed"] == deg["src"])
+        .select("seed", (pick(1) % F.col("deg")).alias("i"))
+        .join(adj, (F.col("seed") == adj["src"]) & (F.col("i") == adj["idx"]))
+        .select("seed", F.col("dst").alias("node"), F.col("seed").alias("prev"))
+    )
+
+    def biased_pq_step(cur: DataFrame, step: int) -> DataFrame:
+        cand = cur.join(adj, cur["node"] == adj["src"]).select(
+            "seed",
+            cur["node"].alias("cu"),
+            "prev",
+            F.col("dst").alias("cand"),
+            "idx",
+        )
+        tri = adj.select(
+            F.col("src").alias("tp"), F.col("dst").alias("tc")
+        ).withColumn("is_tri", F.lit(1))
+        cand = cand.join(
+            tri, (cand["prev"] == tri["tp"]) & (cand["cand"] == tri["tc"]), "left"
+        ).select(
+            "seed",
+            "cu",
+            "prev",
+            "cand",
+            "idx",
+            F.when(F.col("cand") == F.col("prev"), F.lit(1))
+            .when(F.col("is_tri").isNotNull(), F.lit(2))
+            .otherwise(F.lit(1))
+            .cast("long")
+            .alias("slots"),
+        )
+        wseed = W.partitionBy("seed")
+        cand = cand.withColumn(
+            "st",
+            F.sum("slots").over(
+                wseed.orderBy("idx").rowsBetween(W.unboundedPreceding, 0)
+            )
+            - F.col("slots"),
+        ).withColumn("tot", F.sum("slots").over(wseed))
+        r = pick(step) % F.col("tot")
+        return cand.where((r >= F.col("st")) & (r < F.col("st") + F.col("slots"))).select(
+            "seed", F.col("cand").alias("node"), F.col("cu").alias("prev")
+        )
+
+    s2 = biased_pq_step(s1, 2)
+    s3 = biased_pq_step(s2, 3)
+
+    def out(df: DataFrame, t: int) -> DataFrame:
+        return df.select(
+            "seed",
+            F.lit(t).cast("long").alias("step"),
+            F.col("node").cast("long").alias("node"),
+        )
+
+    return (
+        seeds.select(
+            "seed",
+            F.lit(0).cast("long").alias("step"),
+            F.col("seed").cast("long").alias("node"),
+        )
+        .unionAll(out(s1, 1))
+        .unionAll(out(s2, 2))
+        .unionAll(out(s3, 3))
+    )

@@ -70,57 +70,7 @@ _OPERATOR_MODULES = (
 # tests/test_round8_ops.py::test_sample_priority_is_complete, since
 # load_all() silently ignores missing keys).
 _SAMPLE_PRIORITY = (
-    # --- new round-11 keys (no driver witness yet) ---
-    "adversarial_validation",  # r0 oracle
-    "attribution_markov",  # r0 oracle
-    "benford_deviation",  # r0 oracle
-    "betweenness_approx",  # r0 oracle
-    "bollinger_bands",  # r0 oracle
-    "bootstrap_ci",  # r0 oracle
-    "closeness_approx",  # r0 oracle
-    "cohort_ltv",  # r0 oracle
-    "compaction_bin_pack",  # r0 oracle
-    "conformal_interval",  # r0 oracle
-    "corpus_js_divergence",  # r0 oracle
-    "diff_in_diff",  # r0 oracle
-    "doc_length_tail_index",  # r0 oracle
-    "edge_betweenness_approx",  # r0 oracle
-    "eigenvector_centrality",  # r0 oracle
-    "embedding_anisotropy",  # r0 oracle
-    "embedding_mmd_drift",  # r0 oracle
-    "embedding_pca_power",  # r0 oracle
-    "expected_calibration_error",  # r0 oracle
-    "feature_pit_join",  # r0 oracle
-    "forecast_baseline_error",  # r0 oracle
-    "gini_split_points",  # r0 oracle
-    "gnn_neighbor_sample",  # r0 oracle
-    "graph_diameter_lb",  # r0 oracle
-    "hard_negative_topk",  # r0 oracle
-    "influence_cascade",  # r0 oracle
-    "isotonic_calibration",  # r0 oracle
-    "ivm_agg_delta",  # r0 oracle
-    "k_anonymity_audit",  # r0 oracle
-    "l_diversity_audit",  # r0 oracle
-    "label_noise_knn",  # r0 oracle
-    "linkage_blocking_quality",  # r0 oracle
-    "mann_whitney_u",  # r0 oracle
-    "map_at_k",  # r0 oracle
-    "mrr_at_k",  # r0 oracle
-    "nelson_aalen",  # r0 oracle
-    "neyman_allocation",  # r0 oracle
-    "node2vec_walk_sample",  # r0 oracle
-    "pr_curve_points",  # r0 oracle
-    "psm_att",  # r0 oracle
-    "quantile_normalize",  # r0 oracle
-    "scan_fixed_width",  # r0 oracle
-    "similarity_join_prefix",  # r0 oracle
-    "snapshot_shallow_clone",  # r0 oracle
-    "sprt_sequential",  # r0 oracle
-    "stream_sprt",  # r0 oracle
-    "text_hashing_vectorizer",  # r0 oracle
-    "theil_sen_slope",  # r0 oracle
-    "uplift_by_decile",  # r0 oracle
-    "vocab_chao1_richness",  # r0 oracle
+    # --- new round-12 head: never-driver-witnessed first, then stalest ---
     "wasserstein_1d_drift",  # r0 oracle
     "window_cume_dist",  # r0 oracle
     "agg_hll_merge",  # r1 rows-only
@@ -440,6 +390,56 @@ _SAMPLE_PRIORITY = (
     "stream_stateful_agg",  # r10 rows-only
     "stream_watermark",  # r10 rows-only
     "taint_flow",  # r10 rows-only
+    "adversarial_validation",  # r11 oracle
+    "attribution_markov",  # r11 oracle
+    "benford_deviation",  # r11 oracle
+    "betweenness_approx",  # r11 oracle
+    "bollinger_bands",  # r11 oracle
+    "bootstrap_ci",  # r11 oracle
+    "closeness_approx",  # r11 oracle
+    "cohort_ltv",  # r11 oracle
+    "compaction_bin_pack",  # r11 oracle
+    "conformal_interval",  # r11 oracle
+    "corpus_js_divergence",  # r11 oracle
+    "diff_in_diff",  # r11 oracle
+    "doc_length_tail_index",  # r11 oracle
+    "edge_betweenness_approx",  # r11 oracle
+    "eigenvector_centrality",  # r11 oracle
+    "embedding_anisotropy",  # r11 oracle
+    "embedding_mmd_drift",  # r11 oracle
+    "embedding_pca_power",  # r11 oracle
+    "expected_calibration_error",  # r11 oracle
+    "feature_pit_join",  # r11 oracle
+    "forecast_baseline_error",  # r11 oracle
+    "gini_split_points",  # r11 oracle
+    "gnn_neighbor_sample",  # r11 oracle
+    "graph_diameter_lb",  # r11 oracle
+    "hard_negative_topk",  # r11 oracle
+    "influence_cascade",  # r11 oracle
+    "isotonic_calibration",  # r11 oracle
+    "ivm_agg_delta",  # r11 oracle
+    "k_anonymity_audit",  # r11 oracle
+    "l_diversity_audit",  # r11 oracle
+    "label_noise_knn",  # r11 oracle
+    "linkage_blocking_quality",  # r11 oracle
+    "mann_whitney_u",  # r11 oracle
+    "map_at_k",  # r11 oracle
+    "mrr_at_k",  # r11 oracle
+    "nelson_aalen",  # r11 oracle
+    "neyman_allocation",  # r11 oracle
+    "node2vec_walk_sample",  # r11 oracle
+    "pr_curve_points",  # r11 oracle
+    "psm_att",  # r11 oracle
+    "quantile_normalize",  # r11 oracle
+    "scan_fixed_width",  # r11 oracle
+    "similarity_join_prefix",  # r11 oracle
+    "snapshot_shallow_clone",  # r11 oracle
+    "sprt_sequential",  # r11 oracle
+    "stream_sprt",  # r11 oracle
+    "text_hashing_vectorizer",  # r11 oracle
+    "theil_sen_slope",  # r11 oracle
+    "uplift_by_decile",  # r11 oracle
+    "vocab_chao1_richness",  # r11 oracle
 )
 
 

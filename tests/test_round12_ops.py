@@ -1,0 +1,141 @@
+"""Round-12 pins: full-trajectory Python replay of the q != 1 node2vec
+walk (VERDICT r11 #5), its adjacency/weight invariants, and the
+seed-BFS memo's exactness (closeness derived from the 16-seed build
+must equal an independent 8-seed build).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections import defaultdict
+
+import pyarrow.parquet as pq
+
+from blockchain2graphdb_spark import registry
+
+from conftest import SF_DIR
+
+SPECS = registry.load_all()
+
+
+def _copurchase_adj(sf_dir):
+    """Distinct co-purchase edges from the parquet, symmetric adjacency
+    as sorted neighbor lists (idx order = Spark's row_number order)."""
+    t = pq.read_table(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    by_order = defaultdict(set)
+    for o, p in zip(
+        t.column("l_orderkey").to_pylist(), t.column("l_partkey").to_pylist()
+    ):
+        by_order[o].add(p)
+    adj = defaultdict(set)
+    for ps in by_order.values():
+        ps = sorted(ps)
+        for i, a in enumerate(ps):
+            for b in ps[i + 1 :]:
+                adj[a].add(b)
+                adj[b].add(a)
+    return {n: sorted(vs) for n, vs in adj.items()}
+
+
+def _pick(seed, step):
+    h = hashlib.md5(f"n2vpq{seed}:{step}".encode()).hexdigest()
+    return int(h[:8], 16)
+
+
+def _python_n2v_pq_walks(sf_dir, n_seeds=64, steps=3):
+    """Independent full-trajectory replay of node2vec_walk_sample_pq:
+    step 1 uniform; steps 2+ pick from the x2-scaled slot wheel —
+    backtrack 1 slot, prev-adjacent 2 slots, distance-2 1 slot —
+    over candidates in adjacency order."""
+    adj = _copurchase_adj(sf_dir)
+    seeds = sorted(
+        adj, key=lambda n: (hashlib.md5(str(n).encode()).hexdigest(), n)
+    )[:n_seeds]
+    rows = set()
+    for seed in seeds:
+        rows.add((seed, 0, seed))
+        neigh = adj[seed]
+        node = neigh[_pick(seed, 1) % len(neigh)]
+        prev = seed
+        rows.add((seed, 1, node))
+        for step in range(2, steps + 1):
+            cands = adj[node]
+            prev_set = set(adj[prev])
+            slots = [
+                1 if c == prev else (2 if c in prev_set else 1) for c in cands
+            ]
+            tot = sum(slots)
+            r = _pick(seed, step) % tot
+            acc = 0
+            nxt = None
+            for c, s in zip(cands, slots):
+                if acc <= r < acc + s:
+                    nxt = c
+                    break
+                acc += s
+            prev, node = node, nxt
+            rows.add((seed, step, node))
+    return rows
+
+
+def test_node2vec_pq_full_trajectory_replay(spark):
+    """Every (seed, step, node) row must equal the pure-Python replay —
+    the engine-independent pin that the oracle (same algorithm in SQL)
+    cannot provide."""
+    got = {
+        (r["seed"], r["step"], r["node"])
+        for r in SPECS["node2vec_walk_sample_pq"].builder(spark, SF_DIR).collect()
+    }
+    want = _python_n2v_pq_walks(SF_DIR)
+    assert got == want
+
+
+def test_node2vec_pq_steps_follow_edges(spark):
+    """Structural invariants independent of the replay: one node per
+    (seed, step); consecutive nodes are adjacent in the co-purchase
+    graph; walks never leave the graph."""
+    rows = SPECS["node2vec_walk_sample_pq"].builder(spark, SF_DIR).collect()
+    adj = _copurchase_adj(SF_DIR)
+    byseed = defaultdict(dict)
+    for r in rows:
+        assert r["step"] not in byseed[r["seed"]], "duplicate step"
+        byseed[r["seed"]][r["step"]] = r["node"]
+    for seed, path in byseed.items():
+        assert sorted(path) == [0, 1, 2, 3]
+        assert path[0] == seed
+        for t in range(1, 4):
+            assert path[t] in adj[path[t - 1]], (seed, t)
+
+
+def test_node2vec_pq_distance2_bias_differs_from_p_only(spark):
+    """q = 2 must actually change behavior vs the p-only walk on the
+    same seeds (different hash salt AND different wheel): if the two
+    keys emitted identical trajectories the bias would be dead code."""
+    pq_rows = {
+        (r["seed"], r["step"], r["node"])
+        for r in SPECS["node2vec_walk_sample_pq"].builder(spark, SF_DIR).collect()
+    }
+    p_rows = {
+        (r["seed"], r["step"], r["node"])
+        for r in SPECS["node2vec_walk_sample"].builder(spark, SF_DIR).collect()
+    }
+    assert pq_rows != p_rows
+
+
+def test_seed_bfs_memo_subset_is_exact(spark):
+    """The memoized closeness derivation (8 seeds filtered out of the
+    16-seed BFS) must be row-identical to an independent un-memoized
+    8-seed build."""
+    from blockchain2graphdb_spark.operators import centrality as C
+
+    bfs8, seeds8 = C._seed_bfs(spark, SF_DIR, 8)  # via the 16-seed memo
+    fresh_bfs, fresh_seeds, _cks = C._seed_bfs_build(spark, SF_DIR, 8)
+    key = lambda r: (r["root"], r["node"])
+    got = {key(r): (r["dist"], r["sigma"]) for r in bfs8.collect()}
+    want = {key(r): (r["dist"], r["sigma"]) for r in fresh_bfs.collect()}
+    assert got == want
+    assert sorted(r["n"] for r in seeds8.collect()) == sorted(
+        r["n"] for r in fresh_seeds.collect()
+    )

@@ -509,3 +509,137 @@ def test_shallow_clone_isolation_and_hazards(spark, tmp_path):
     psrc.write(pdf, partition_col="p")
     with _pytest.raises(ValueError, match="partitioned"):
         SnapshotStore(str(tmp_path / "pdst")).clone_from(psrc)
+
+
+# ---------------------------------------------------------------------------
+# Commit-protocol seam (VERDICT r11 #4): the os.link CAS and an
+# object-store conditional PUT must be interchangeable behind
+# `claim(tmp, target) -> bool`. A fake in-memory object store stands in
+# for S3/GCS: PUT-if-absent under a lock, then materialize the object
+# for the unchanged local read path (the fake's GET).
+# ---------------------------------------------------------------------------
+
+
+class _FakeObjectStore:
+    """Conditional-PUT object store: `put_if_absent` is the atomic
+    primitive (S3 `If-None-Match: *`). Tracks every attempt so tests
+    can assert the retry traffic."""
+
+    def __init__(self):
+        import threading
+
+        self.lock = threading.Lock()
+        self.objects: dict[str, bytes] = {}
+        self.attempts = 0
+        self.conflicts = 0
+
+    def put_if_absent(self, tmp: str, target: str) -> bool:
+        with open(tmp, "rb") as f:
+            payload = f.read()
+        with self.lock:
+            self.attempts += 1
+            if target in self.objects:
+                self.conflicts += 1
+                return False
+            self.objects[target] = payload
+            # materialize the committed object so the (unchanged) local
+            # manifest read path observes exactly what a GET would
+            with open(target, "wb") as f:
+                f.write(payload)
+            return True
+
+
+def test_fake_object_store_protocol_roundtrip(spark, sf_dir, tmp_path):
+    """The whole SnapshotStore surface must work unchanged through the
+    injected conditional-PUT protocol: write/append/restore/time-travel,
+    with every manifest present in the fake store's object map."""
+    fake = _FakeObjectStore()
+    store = SnapshotStore(str(tmp_path / "obj"), claim=fake.put_if_absent)
+    df = _orders(spark, sf_dir)
+    a = df.filter(F.col("o_orderkey") % 2 == 0)
+    b = df.filter(F.col("o_orderkey") % 2 == 1)
+    assert store.write(a) == 1
+    assert store.append(b) == 2
+    assert _count_sum(store.read(spark)) == _count_sum(df)
+    assert _count_sum(store.read(spark, version=1)) == _count_sum(a)
+    assert store.restore(1) == 3
+    assert _count_sum(store.read(spark)) == _count_sum(a)
+    # every committed manifest went through the object store, none torn
+    assert len(fake.objects) == 3
+    assert fake.attempts == 3 and fake.conflicts == 0
+
+
+def test_fake_object_store_racing_claims_one_winner(spark, sf_dir, tmp_path):
+    """Many writers racing the SAME version slot through the
+    conditional-PUT seam: exactly one PUT wins per slot, losers retry
+    at the next version, the log stays gapless, and the conflict count
+    proves the race actually happened."""
+    import threading
+
+    fake = _FakeObjectStore()
+    store = SnapshotStore(str(tmp_path / "obj"), claim=fake.put_if_absent)
+    store.write(_orders(spark, sf_dir).limit(10))
+    n = 6
+    barrier = threading.Barrier(n)
+    results: list[int] = []
+
+    def run():
+        barrier.wait()
+        results.append(store.restore(1))
+
+    threads = [threading.Thread(target=run) for _ in range(n)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert sorted(results) == list(range(2, 2 + n))
+    assert fake.conflicts >= 1  # the race was real, losers rebased
+    assert len(fake.objects) == 1 + n  # one object per committed version
+
+
+def test_injected_claim_race_forces_rebase_no_lost_update(spark, sf_dir, tmp_path):
+    """Deterministic race injection: the claim wrapper makes a competing
+    writer land FIRST on the victim's initial attempt. The victim must
+    lose the CAS, rebase on the winner's files, and re-commit carrying
+    BOTH writers' rows — the no-lost-update contract independent of
+    thread timing."""
+    from blockchain2graphdb_spark.sources.snapshots import link_claim
+
+    root = str(tmp_path / "raced")
+    rival = SnapshotStore(root)  # plain protocol, same log
+    rival.write(_rows(spark, [1, 2]))  # v1
+    state = {"injected": False}
+
+    def racing_claim(tmp: str, target: str) -> bool:
+        if not state["injected"]:
+            state["injected"] = True
+            # the rival commits v2 first — the victim's claim MUST fail
+            rival.append(_rows(spark, [777]))
+        return link_claim(tmp, target)
+
+    victim = SnapshotStore(root, claim=racing_claim)
+    assert victim.append(_rows(spark, [3])) == 3  # lost v2, landed at v3
+    vals = sorted(r["x"] for r in victim.read(spark).collect())
+    assert vals == [1, 2, 3, 777]  # nobody's rows were lost
+    assert state["injected"]
+    # gapless, every version readable, and v2 = the rival's view
+    assert sorted(r["x"] for r in victim.read(spark, version=2).collect()) == [
+        1,
+        2,
+        777,
+    ]
+
+
+def test_group_commit_through_object_store_seam(spark, tmp_path):
+    """TableGroup's two-level commit (per-table CAS + group CAS) must
+    run entirely through the injected protocol."""
+    from blockchain2graphdb_spark.sources.snapshots import TableGroup
+
+    fake = _FakeObjectStore()
+    group = TableGroup(str(tmp_path / "g"), claim=fake.put_if_absent)
+    group.commit({"blocks": _rows(spark, [1]), "txs": _rows(spark, [10, 11])})
+    group.commit({"blocks": _rows(spark, [2])})
+    assert sorted(r["x"] for r in group.read(spark, "blocks").collect()) == [1, 2]
+    assert sorted(r["x"] for r in group.read(spark, "txs").collect()) == [10, 11]
+    # 3 table-version manifests + 2 group manifests, all via the store
+    assert len(fake.objects) == 5 and fake.conflicts == 0
