@@ -139,3 +139,105 @@ def test_seed_bfs_memo_subset_is_exact(spark):
     assert sorted(r["n"] for r in seeds8.collect()) == sorted(
         r["n"] for r in fresh_seeds.collect()
     )
+
+
+# --- stream_multi_table_ingest (VERDICT r11 #8): atomicity + replay ---
+
+
+def _rows12(spark, vals):
+    return spark.createDataFrame([(v,) for v in vals], "x long")
+
+
+def test_group_commit_crash_between_tables_is_atomic(spark, tmp_path):
+    """A writer dying AFTER the first table's version commit but BEFORE
+    the second table's (injected through the claim seam) must leave NO
+    partial visibility: the group catalog is unchanged, the orphan
+    table version is invisible, and a retry lands both tables exactly
+    once."""
+    import pytest
+    from blockchain2graphdb_spark.sources.snapshots import TableGroup, link_claim
+
+    root = str(tmp_path / "g")
+    plain = TableGroup(root)
+    plain.commit({"ord": _rows12(spark, [1]), "cust": _rows12(spark, [10])})
+    base = plain.group_manifest()
+
+    calls = {"n": 0}
+
+    def crash_on_second(tmp, target):
+        calls["n"] += 1
+        if calls["n"] == 2:  # first table committed, second table's claim
+            raise RuntimeError("crash between tables")
+        return link_claim(tmp, target)
+
+    crashing = TableGroup(root, claim=crash_on_second)
+    with pytest.raises(RuntimeError, match="between tables"):
+        crashing.commit({"ord": _rows12(spark, [2]), "cust": _rows12(spark, [20])})
+
+    # no partial state visible anywhere
+    assert plain.group_manifest() == base
+    assert sorted(r["x"] for r in plain.read(spark, "ord").collect()) == [1]
+    assert sorted(r["x"] for r in plain.read(spark, "cust").collect()) == [10]
+
+    # retry lands BOTH, exactly once; the orphan never resurfaces
+    plain.commit({"ord": _rows12(spark, [2]), "cust": _rows12(spark, [20])})
+    assert sorted(r["x"] for r in plain.read(spark, "ord").collect()) == [1, 2]
+    assert sorted(r["x"] for r in plain.read(spark, "cust").collect()) == [10, 20]
+
+
+def test_group_commit_crash_before_group_manifest_is_atomic(spark, tmp_path):
+    """Same, dying AFTER both table-version commits but BEFORE the group
+    manifest claim: both versions are orphans, readers see nothing new,
+    retry is exact."""
+    import pytest
+    from blockchain2graphdb_spark.sources.snapshots import TableGroup, link_claim
+
+    root = str(tmp_path / "g2")
+    plain = TableGroup(root)
+    plain.commit({"a": _rows12(spark, [1]), "b": _rows12(spark, [2])})
+
+    calls = {"n": 0}
+
+    def crash_on_group(tmp, target):
+        calls["n"] += 1
+        if "_commits" in target and calls["n"] > 2:
+            raise RuntimeError("crash before group manifest")
+        return link_claim(tmp, target)
+
+    crashing = TableGroup(root, claim=crash_on_group)
+    with pytest.raises(RuntimeError, match="group manifest"):
+        crashing.commit({"a": _rows12(spark, [3]), "b": _rows12(spark, [4])})
+    assert plain.latest_group() == 1
+    assert sorted(r["x"] for r in plain.read(spark, "a").collect()) == [1]
+    plain.commit({"a": _rows12(spark, [3]), "b": _rows12(spark, [4])})
+    assert sorted(r["x"] for r in plain.read(spark, "a").collect()) == [1, 3]
+    assert sorted(r["x"] for r in plain.read(spark, "b").collect()) == [2, 4]
+
+
+def test_stream_multi_table_ingest_replay_is_idempotent(spark):
+    """Re-running the stream with its CHECKPOINT DELETED (so every
+    micro-batch re-fires against the retained group log) must be a
+    no-op: the op-tag dedupe skips replayed batches — same readout,
+    no doubled rows, no extra group commits."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from blockchain2graphdb_spark.paths import tmp_root
+    from blockchain2graphdb_spark.sources.snapshots import TableGroup
+    from blockchain2graphdb_spark.streaming.queries import _orders_wave_replay
+
+    builder = SPECS["stream_multi_table_ingest"].builder
+    first = sorted(map(tuple, builder(spark, SF_DIR).collect()))
+
+    d = _orders_wave_replay(SF_DIR)
+    groot = f"{tmp_root()}/mtgroup_{os.path.basename(d)[len('mtfeed_'):]}"
+    shutil.rmtree(f"{groot}.ckpt", ignore_errors=True)  # force full replay
+    second = sorted(map(tuple, builder(spark, SF_DIR).collect()))
+    assert first == second
+
+    group = TableGroup(groot)
+    assert group.latest_group() == 3  # one commit per wave, no extras
+    n_orders = pq.read_metadata(f"{SF_DIR}/orders.parquet").num_rows
+    assert group.read(spark, "ord").count() == n_orders  # no double-append
