@@ -26,9 +26,11 @@ from pyspark.sql import functions as F
 from ..catalog import SESSION_GAP_US as _SF_GAP_US
 from ..catalog import prep, table
 from ..exact import dec2, money_sum
-from ..functions.ranking import bucketed_prefix_sum
+from ..functions.ranking import bucketed_global_rank, bucketed_prefix_sum
 from ..plans.iterate import local_checkpoint
 from ..registry import query
+
+_D38B = "decimal(38,0)"
 
 _WEEK_US = 7 * 24 * 3600 * 1_000_000
 
@@ -1068,12 +1070,18 @@ def attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests.
 
     Scale shape (100 TB): ONE user-keyed shuffle builds the ordered
-    journeys (lag + last-row windows share the partition pass); the
-    transition matrix is O(#channels^2) rows and is checkpointed
-    once; the 24 rounds and the removal dimension run as broadcast
-    joins over the (variants x states) table — iteration cost is
-    independent of the event-log size, exactly like
-    embedding_pca_power's loop."""
+    journeys (lag + last-row windows share the partition pass) and one
+    hash aggregate reduces them to the transition matrix — the only
+    data-sized work. The matrix is O(#channels^2) rows BY CONSTRUCTION
+    (channels = event types, a domain constant — it cannot grow with
+    the data), so the 24-round absorption iteration runs DRIVER-SIDE
+    on the collected matrix in exact Python integers (bit-identical
+    floor/div arithmetic to the unrolled SQL oracle): the r11 form ran
+    the same tiny iteration as 24 rounds of broadcast joins and spent
+    ~6s of pure job-scheduling overhead at sf0.1 (8.0s -> ~2s). This
+    is the documented bounded-state collect (the
+    graph/components.py:103 convention): the collect is O(#channels^2)
+    at ANY data scale, never O(data)."""
     prep(spark)
     ev = table(spark, sf_dir, "events").select(
         "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")
@@ -1122,87 +1130,65 @@ def attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
-    outs = trans.groupBy("src").agg(F.sum("cnt").cast("long").alias("o"))
-    channels = trans.select("src").where(F.col("src") != "START").distinct()
-    variants = channels.select(F.col("src").alias("rm")).unionAll(
-        channels.sparkSession.range(1).select(F.lit("none").alias("rm"))
+    # Bounded-state collect: O(#channels^2) rows at ANY data scale.
+    t_rows = [(r["src"], r["dst"], r["cnt"]) for r in trans.collect()]
+    schema = (
+        "channel string, p_full_nanos long, p_removed_nanos long,"
+        " removal_effect_nanos long, share_nanos long"
     )
-    states = trans.select(F.col("src").alias("state")).distinct()
-    states_v = variants.crossJoin(F.broadcast(states))
-    edges = (
-        variants.crossJoin(F.broadcast(trans))
-        .where(F.col("dst") != F.col("rm"))
-        .join(F.broadcast(outs), "src")
-    )
-    edges = local_checkpoint(edges)
-    states_v = local_checkpoint(states_v)
-    p = states_v.select("rm", "state", F.lit(0).cast("long").alias("p"))
-    for r in range(_MARKOV_ROUNDS):
-        pd_ = p.select(
-            F.col("rm").alias("p_rm"), F.col("state").alias("p_state"),
-            F.col("p").alias("p_prev"),
+    if not t_rows:
+        return spark.createDataFrame([], schema)
+    outs: dict = {}
+    for s, _d, c in t_rows:
+        outs[s] = outs.get(s, 0) + c
+    states = sorted(outs)
+    channels = [s for s in states if s != "START"]
+    variants = channels + ["none"]
+
+    def absorb(rm: str) -> int:
+        """24 rounds of p <- T.p in exact integer nanos — the same
+        floor-div recurrence the SQL oracle unrolls (all values are
+        non-negative, so Python's // is the engines' trunc div)."""
+        p = {s: 0 for s in states}
+        for _ in range(_MARKOV_ROUNDS):
+            nxt = {}
+            for s in states:
+                num = 0
+                for src, dst, cnt in t_rows:
+                    if src != s or dst == rm:
+                        continue
+                    if dst == "CONV":
+                        val = 1_000_000_000
+                    elif dst == "NULL":
+                        val = 0
+                    else:
+                        val = p.get(dst, 0)
+                    num += cnt * val
+                nxt[s] = num // outs[s]
+            p = nxt
+        return p["START"]
+
+    p_full = absorb("none")
+    rem = [(ch, absorb(ch)) for ch in channels]
+    effects = [(ch, p_full - pr, pr) for ch, pr in rem]
+    te = sum(e for _, e, _ in effects)
+    # sign-split trunc division: the oracle's `div` truncates toward
+    # zero, Python's // floors — they differ on a (theoretical)
+    # negative effect
+    def tdiv(a: int, b: int) -> int:
+        return -((-a) // b) if a < 0 else a // b
+
+    out_rows = [
+        (
+            ch,
+            p_full,
+            pr,
+            eff,
+            tdiv(eff * 1_000_000_000, te) if te > 0 else 0,
         )
-        upd = (
-            edges.join(
-                F.broadcast(pd_),
-                (F.col("rm") == F.col("p_rm")) & (F.col("dst") == F.col("p_state")),
-                "left",
-            )
-            .groupBy("rm", "src", "o")
-            .agg(
-                F.sum(
-                    F.col("cnt").cast("decimal(38,0)")
-                    * F.when(F.col("dst") == "CONV", F.lit(1000000000))
-                    .when(F.col("dst") == "NULL", F.lit(0))
-                    .otherwise(F.coalesce(F.col("p_prev"), F.lit(0)))
-                    .cast("decimal(38,0)")
-                ).alias("num")
-            )
-            .select(
-                F.col("rm").alias("u_rm"),
-                F.col("src").alias("u_src"),
-                F.expr("num div o").alias("pn"),
-            )
-        )
-        p = (
-            states_v.join(
-                F.broadcast(upd),
-                (F.col("rm") == F.col("u_rm")) & (F.col("state") == F.col("u_src")),
-                "left",
-            )
-            .select(
-                "rm", "state", F.coalesce(F.col("pn"), F.lit(0)).alias("p")
-            )
-        )
-        if (r + 1) % 4 == 0:
-            p = local_checkpoint(p)
-    full_p = (
-        p.where((F.col("rm") == "none") & (F.col("state") == "START"))
-        .select(F.col("p").alias("p_full"))
-    )
-    rem = p.where((F.col("rm") != "none") & (F.col("state") == "START")).select(
-        F.col("rm").alias("channel"), F.col("p").alias("p_removed")
-    )
-    eff = rem.crossJoin(F.broadcast(full_p)).select(
-        "channel",
-        "p_full",
-        "p_removed",
-        (F.col("p_full") - F.col("p_removed")).alias("effect"),
-    )
-    tot = eff.agg(F.sum("effect").cast("long").alias("te"))
-    return eff.crossJoin(F.broadcast(tot)).select(
-        "channel",
-        F.col("p_full").cast("long").alias("p_full_nanos"),
-        F.col("p_removed").cast("long").alias("p_removed_nanos"),
-        F.col("effect").cast("long").alias("removal_effect_nanos"),
-        F.when(
-            F.col("te") > 0,
-            F.expr("(CAST(effect AS DECIMAL(38,0)) * 1000000000) div te"),
-        )
-        .otherwise(0)
-        .cast("long")
-        .alias("share_nanos"),
-    )
+        for ch, eff, pr in effects
+    ]
+    return spark.createDataFrame(out_rows, schema)
 
 
 @query(
@@ -1395,4 +1381,169 @@ def nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("term_nanos").over(W.orderBy("day").rowsBetween(W.unboundedPreceding, 0))
         .cast("long")
         .alias("cum_hazard_nanos"),
+    )
+
+
+@query(
+    "herfindahl_concentration",
+    oracle="""
+    WITH cc AS (
+      SELECT c.c_nationkey AS nk,
+             o.o_custkey AS cust,
+             CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                  AS BIGINT)) AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_nationkey, o.o_custkey
+    ),
+    agg AS (
+      SELECT nk,
+             CAST(COUNT(*) AS BIGINT) AS n_customers,
+             CAST(SUM(CAST(cents AS HUGEINT)) AS HUGEINT) AS t,
+             CAST(SUM(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS sq
+      FROM cc GROUP BY nk
+    )
+    SELECT n.n_name AS nation, a.n_customers,
+           CAST(a.t AS BIGINT) AS total_cents,
+           CAST((a.sq * 1000000000) // (a.t * a.t) AS BIGINT) AS hhi_nanos,
+           CAST((a.t * a.t * 1000000) // a.sq AS BIGINT)
+             AS effective_n_micros
+    FROM agg a JOIN nation n ON n.n_nationkey = a.nk
+    ORDER BY nation
+    """,
+)
+def herfindahl_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HERFINDAHL–HIRSCHMAN concentration index of customer revenue per
+    nation — the market-concentration diagnostic next to
+    `gini_concentration`: HHI = Σ_c (share_c)² over each nation's
+    customers (1e9 = monopoly, 1/n = perfectly even), plus the
+    effective customer count 1/HHI (the "numbers equivalent"). Both
+    are a SINGLE integer division of exact moment sums: HHI·1e9 =
+    floor(Σ cents² · 1e9 / T²), effective·1e6 = floor(T²·1e6 / Σ
+    cents²) — squares and products run in DECIMAL(38,0)/HUGEINT (the
+    corr_pairs discipline), no per-customer share is ever a float.
+
+    Scale shape: one customer-keyed aggregate (orders → O(#customers)),
+    one nation-keyed moment aggregate (→ O(#nations)), one broadcast
+    dim join. No windows, nothing pairwise."""
+    prep(spark)
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey", (dec2("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    cc = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(F.sum("cents").cast("long").alias("cents"))
+    )
+    cd = F.col("cents").cast(_D38B)
+    agg = cc.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum(cd).cast(_D38B).alias("t"),
+        F.sum(cd * F.col("cents")).cast(_D38B).alias("sq"),
+    )
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        agg.join(F.broadcast(n), agg["c_nationkey"] == n["n_nationkey"])
+        .select(
+            F.col("n_name").alias("nation"),
+            "n_customers",
+            F.col("t").cast("long").alias("total_cents"),
+            F.expr("CAST((sq * 1000000000) div (t * t) AS LONG)").alias(
+                "hhi_nanos"
+            ),
+            F.expr("CAST((t * t * 1000000) div sq AS LONG)").alias(
+                "effective_n_micros"
+            ),
+        )
+        .orderBy("nation")
+    )
+
+
+@query(
+    "lorenz_curve_deciles",
+    oracle="""
+    WITH cc AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                  AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT cents,
+             row_number() OVER (ORDER BY cents, o_custkey) AS pos,
+             COUNT(*) OVER () AS n
+      FROM cc
+    ),
+    dec AS (
+      SELECT ((pos - 1) * 10) // n AS decile,
+             CAST(COUNT(*) AS BIGINT) AS n_customers,
+             CAST(SUM(CAST(cents AS HUGEINT)) AS HUGEINT) AS cents_sum
+      FROM ranked GROUP BY ((pos - 1) * 10) // n
+    ),
+    tot AS (SELECT SUM(cents_sum) AS t FROM dec)
+    SELECT CAST(d.decile AS BIGINT) AS decile,
+           d.n_customers,
+           CAST(d.cents_sum AS BIGINT) AS cents_sum,
+           CAST((SUM(d.cents_sum) OVER (ORDER BY d.decile
+                 ROWS UNBOUNDED PRECEDING) * 1000000000) // tot.t
+                AS BIGINT) AS cum_share_nanos
+    FROM dec AS d, tot
+    ORDER BY decile
+    """,
+)
+def lorenz_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LORENZ CURVE of customer spend by decile — the distributional
+    readout behind `gini_concentration`: customers ranked poorest
+    first (total order: (cents, custkey)), split into 10 rank deciles
+    ((pos−1)·10 div n), each reporting its population, spend, and the
+    CUMULATIVE spend share in int-nanos (floor((Σ_{d'<=d} cents)·1e9 /
+    T) — one division per decile over exact HUGEINT/DECIMAL(38,0)
+    sums). A perfectly equal book shows cum shares 1e8, 2e8, …; the
+    sag below that diagonal is the inequality Gini integrates.
+
+    Scale shape: one customer-keyed aggregate (orders →
+    O(#customers)); the global rank is `bucketed_global_rank` (cents
+    div 1e4 buckets ascend with the sort order — per-bucket counts +
+    broadcast offsets + in-bucket windows, never one WindowExec
+    partition); the decile fold is a 10-row aggregate and the
+    cumulative window runs over those 10 rows."""
+    prep(spark)
+    cc = (
+        table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey", (dec2("o_totalprice") * 100).cast("long").alias("cents")
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum("cents").cast("long").alias("cents"))
+    )
+    ranked = bucketed_global_rank(
+        cc,
+        F.expr("cents div 10000"),
+        [F.col("cents"), F.col("o_custkey")],
+    )
+    dec = (
+        ranked.select(
+            F.expr("((pos - 1) * 10) div n_total").alias("decile"),
+            "cents",
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum(F.col("cents").cast(_D38B)).cast(_D38B).alias("cents_sum"),
+        )
+    )
+    tot = dec.agg(F.sum("cents_sum").cast(_D38B).alias("t"))
+    wcum = W.orderBy("decile").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        dec.crossJoin(F.broadcast(tot))
+        .withColumn("cum", F.sum("cents_sum").over(wcum).cast(_D38B))
+        .select(
+            F.col("decile").cast("long").alias("decile"),
+            "n_customers",
+            F.col("cents_sum").cast("long").alias("cents_sum"),
+            F.expr("CAST((cum * 1000000000) div t AS LONG)").alias(
+                "cum_share_nanos"
+            ),
+        )
+        .orderBy("decile")
     )

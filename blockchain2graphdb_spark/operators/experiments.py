@@ -973,3 +973,163 @@ def uplift_by_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("uplift_nanos"),
         )
     )
+
+
+@query(
+    "srm_check",
+    oracle="""
+    WITH u AS (
+      SELECT DISTINCT user_id FROM events
+    ),
+    arms AS (
+      SELECT CASE WHEN ('0x' || substr(md5('srm' || CAST(user_id AS VARCHAR)),
+                        1, 1))::BIGINT < 8
+                  THEN 1 ELSE 0 END AS a
+      FROM u
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(a) AS BIGINT) AS n_a
+      FROM arms
+    )
+    SELECT n AS n_units, n_a, n - n_a AS n_b,
+           CAST((CAST(2 * n_a - n AS HUGEINT) * (2 * n_a - n) * 1000000000)
+                // n AS BIGINT) AS chi2_nanos,
+           CAST(CASE WHEN (CAST(2 * n_a - n AS HUGEINT) * (2 * n_a - n)
+                           * 1000000000) // n > 3841458820
+                     THEN 1 ELSE 0 END AS BIGINT) AS srm_flag
+    FROM m
+    """,
+)
+def srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAMPLE RATIO MISMATCH check — the first gate every experiment
+    readout must pass: with a 50/50 intended split, does the observed
+    arm allocation deviate more than chance allows? Units are the
+    distinct event users, assigned by the md5 'srm'-salted first
+    nibble (< 8 → A, the ab_test_zscore pattern). The 2-cell
+    chi-square against expected n/2 collapses to (n_a - n_b)^2 / n —
+    pure integer arithmetic, floored to int-nanos (the square runs in
+    DECIMAL(38,0)/HUGEINT so a large-n fixture can't overflow). The
+    flag compares against the hardcoded chi2(0.95, df=1) critical
+    value 3.841458820694124 quantized to nanos (3841458820) — no
+    engine evaluates a CDF (the stream_sprt hardcoded-constant
+    discipline). Because the md5 split is genuinely content-random,
+    the expected readout is flag=0 — the audit's null calibration.
+
+    Scale shape: one distinct (map-side combinable), one 1-row
+    aggregate. O(#users) total, no windows, no joins."""
+    prep(spark)
+    u = table(spark, sf_dir, "events").select("user_id").distinct()
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("srm"), F.col("user_id").cast("string")).cast(
+                        "binary"
+                    )
+                ),
+                1,
+                1,
+            ),
+            16,
+            10,
+        ).cast("long")
+        < 8
+    )
+    m = u.select(F.when(arm, 1).otherwise(0).alias("a")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("a").cast("long").alias("n_a"),
+    )
+    diff = (F.lit(2).cast(_D38) * F.col("n_a") - F.col("n")).cast(_D38)
+    chi2 = F.expr(
+        "CAST((CAST(2 * n_a - n AS decimal(38,0)) * (2 * n_a - n)"
+        " * 1000000000) div n AS LONG)"
+    )
+    return m.select(
+        F.col("n").alias("n_units"),
+        "n_a",
+        (F.col("n") - F.col("n_a")).cast("long").alias("n_b"),
+        chi2.alias("chi2_nanos"),
+        F.when(chi2 > 3841458820, 1).otherwise(0).cast("long").alias("srm_flag"),
+    )
+
+
+@query(
+    "mde_power_analysis",
+    oracle="""
+    WITH pu AS (
+      SELECT user_id,
+             CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM events GROUP BY user_id
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(cents AS HUGEINT)) AS HUGEINT) AS sx,
+             CAST(SUM(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS sxx
+      FROM pu
+    )
+    SELECT n AS n_units, n // 2 AS n_per_arm,
+           CAST(sx AS BIGINT) AS sum_cents,
+           CAST(ROUND(
+             2.8015852181129683
+             * sqrt(2.0 * (CAST(n * sxx - sx * sx AS DOUBLE)
+                           / CAST(n AS DOUBLE) / CAST(n - 1 AS DOUBLE))
+                    / CAST(n // 2 AS DOUBLE))
+             * 1e6) AS BIGINT) AS mde_cents_micros,
+           CAST(ROUND(
+             (2.8015852181129683
+              * sqrt(2.0 * (CAST(n * sxx - sx * sx AS DOUBLE)
+                            / CAST(n AS DOUBLE) / CAST(n - 1 AS DOUBLE))
+                     / CAST(n // 2 AS DOUBLE)))
+             / (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+             * 1e6) AS BIGINT) AS mde_rel_micros
+    FROM m
+    """,
+)
+def mde_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MINIMUM DETECTABLE EFFECT power analysis — the pre-experiment
+    sizing readout: given the user-level spend distribution the log
+    actually shows, what absolute/relative lift could a 50/50 split of
+    these users detect at alpha = 0.05 (two-sided) with power 0.8?
+    MDE = (z_{0.975} + z_{0.80}) * sqrt(2 s^2 / n_arm) with the
+    hardcoded constant z sum 1.959963984540054 + 0.8416212335729143 =
+    2.8015852181129683 (no engine evaluates a normal quantile — the
+    SPRT discipline). The sample variance's cancellation n*Sxx - Sx^2
+    runs in exact DECIMAL(38,0)/HUGEINT (corr_pairs discipline); the
+    variance, sqrt, and ratio are the only double steps, structured
+    identically in both engines and micro-quantized once.
+
+    Scale shape: one user-keyed aggregate (log -> O(#users)), one
+    map-side-combinable moment aggregate -> 1 row. No windows."""
+    prep(spark)
+    pu = (
+        table(spark, sf_dir, "events")
+        .select("user_id", (dec2("value") * 100).cast("long").alias("cents"))
+        .groupBy("user_id")
+        .agg(F.sum("cents").cast("long").alias("cents"))
+    )
+    xd = F.col("cents").cast(_D38)
+    m = pu.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(xd).cast(_D38).alias("sx"),
+        F.sum(xd * F.col("cents")).cast(_D38).alias("sxx"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    var = (
+        (n * sxx - sx * sx).cast("double")
+        / n.cast("double")
+        / (n - 1).cast("double")
+    )
+    n_arm = F.expr("n div 2")
+    z = F.lit(2.8015852181129683)
+    mde = z * F.sqrt(F.lit(2.0) * var / n_arm.cast("double"))
+    return m.select(
+        n.alias("n_units"),
+        n_arm.cast("long").alias("n_per_arm"),
+        sx.cast("long").alias("sum_cents"),
+        F.round(mde * 1e6).cast("long").alias("mde_cents_micros"),
+        F.round(mde / (sx.cast("double") / n.cast("double")) * 1e6)
+        .cast("long")
+        .alias("mde_rel_micros"),
+    )

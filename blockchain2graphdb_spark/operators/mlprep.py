@@ -2304,3 +2304,116 @@ def gini_split_points(spark: SparkSession, sf_dir: str) -> DataFrame:
             purity.cast("long").alias("purity_nanos"),
         )
     )
+
+
+@query(
+    "temporal_edge_split",
+    oracle="""
+    WITH inter AS (
+      SELECT o.o_custkey AS cust, l.l_partkey AS item,
+             CAST(date_diff('day', DATE '1970-01-01',
+                  CAST(o.o_orderdate AS DATE)) AS BIGINT) AS day
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    cut AS (
+      SELECT MIN(day) + ((MAX(day) - MIN(day)) * 4) // 5 AS cutoff
+      FROM inter
+    ),
+    train AS (SELECT * FROM inter, cut WHERE day < cutoff),
+    test AS (SELECT * FROM inter, cut WHERE day >= cutoff),
+    tc AS (SELECT DISTINCT cust FROM train),
+    ti AS (SELECT DISTINCT item FROM train),
+    marked AS (
+      SELECT t.cust, t.item,
+             CASE WHEN tc.cust IS NULL THEN 1 ELSE 0 END AS cold_user,
+             CASE WHEN ti.item IS NULL THEN 1 ELSE 0 END AS cold_item
+      FROM test t
+      LEFT JOIN tc ON tc.cust = t.cust
+      LEFT JOIN ti ON ti.item = t.item
+    )
+    SELECT (SELECT cutoff FROM cut) AS cutoff_day,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM train) AS n_train,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(SUM(CASE WHEN cold_user = 0 AND cold_item = 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_test_inductive,
+           CAST(SUM(cold_user) AS BIGINT) AS n_cold_user_rows,
+           CAST(SUM(cold_item) AS BIGINT) AS n_cold_item_rows
+    FROM marked
+    """,
+)
+def temporal_edge_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAK-FREE TEMPORAL SPLIT of the customer–part interaction graph
+    — the split discipline recommender/GNN training actually needs
+    (a random `split_assign` on interactions leaks future edges into
+    train): train = the first 80% of the calendar (cutoff = min +
+    floor((max−min)·4/5) on epoch days, data-derived integer math so
+    fixture-calendar drift cannot desync engines), test = the rest,
+    and the INDUCTIVE test subset keeps only rows whose BOTH endpoints
+    were seen in train — cold-user / cold-item rows are counted and
+    surfaced, not silently evaluated (the #1 silent inflation in
+    link-pred benchmarks: scoring edges the model has no embedding
+    for).
+
+    Scale shape (100 TB): the interaction build is one fact-fact
+    equi-join; the cutoff is a 1-row broadcast; seen-sets are two
+    distinct aggregates probed by broadcast-able left joins; the
+    readout is one conditional aggregate. No windows, nothing
+    pairwise."""
+    prep(spark)
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("cust"),
+        F.expr(
+            "CAST(datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01') AS BIGINT)"
+        ).alias("day"),
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_partkey").alias("item")
+    )
+    inter = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        "cust", "item", "day"
+    )
+    cut = inter.agg(
+        F.expr("min(day) + ((max(day) - min(day)) * 4) div 5")
+        .cast("long")
+        .alias("cutoff")
+    )
+    withcut = inter.crossJoin(F.broadcast(cut))
+    train = withcut.where(F.col("day") < F.col("cutoff"))
+    test = withcut.where(F.col("day") >= F.col("cutoff"))
+    tc = train.select("cust").distinct().withColumn("seen_u", F.lit(1))
+    ti = train.select("item").distinct().withColumn("seen_i", F.lit(1))
+    marked = (
+        test.join(tc, "cust", "left")
+        .join(ti, "item", "left")
+        .select(
+            F.when(F.col("seen_u").isNull(), 1).otherwise(0).alias("cold_user"),
+            F.when(F.col("seen_i").isNull(), 1).otherwise(0).alias("cold_item"),
+        )
+    )
+    n_train = train.agg(F.count(F.lit(1)).cast("long").alias("n_train"))
+    summary = marked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.sum(
+            F.when((F.col("cold_user") == 0) & (F.col("cold_item") == 0), 1).otherwise(
+                0
+            )
+        )
+        .cast("long")
+        .alias("n_test_inductive"),
+        F.sum("cold_user").cast("long").alias("n_cold_user_rows"),
+        F.sum("cold_item").cast("long").alias("n_cold_item_rows"),
+    )
+    return (
+        cut.select(F.col("cutoff").alias("cutoff_day"))
+        .crossJoin(F.broadcast(n_train))
+        .crossJoin(F.broadcast(summary))
+        .select(
+            "cutoff_day",
+            "n_train",
+            "n_test",
+            "n_test_inductive",
+            "n_cold_user_rows",
+            "n_cold_item_rows",
+        )
+    )

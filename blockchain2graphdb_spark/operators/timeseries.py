@@ -1285,3 +1285,115 @@ def forecast_baseline_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("mae_seasonal_nanos"),
     )
+
+
+@query(
+    "page_hinkley_drift",
+    oracle=f"""
+    WITH {_DAILY_CTES},
+    walk AS (
+      SELECT event_type, day, n,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS i,
+             SUM(n) OVER (PARTITION BY event_type ORDER BY day
+                          ROWS UNBOUNDED PRECEDING) AS s
+      FROM daily
+    ),
+    terms AS (
+      SELECT event_type, day, n, i,
+             n * 1000000 - (s * 1000000) // i AS term
+      FROM walk
+    ),
+    m AS (
+      SELECT event_type, day,
+             SUM(term) OVER (PARTITION BY event_type ORDER BY day
+                             ROWS UNBOUNDED PRECEDING) AS mt
+      FROM terms
+    ),
+    ph AS (
+      SELECT event_type, day,
+             mt - MIN(mt) OVER (PARTITION BY event_type ORDER BY day
+                                ROWS UNBOUNDED PRECEDING) AS ph
+      FROM m
+    ),
+    best AS (
+      SELECT event_type, MAX(ph) AS ph_max FROM ph GROUP BY event_type
+    ),
+    tot AS (
+      SELECT event_type, CAST(SUM(n) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS n_days
+      FROM daily GROUP BY event_type
+    )
+    SELECT b.event_type,
+           t.n_days,
+           CAST(b.ph_max AS BIGINT) AS ph_max_micros,
+           CAST(MIN(p.day) * {_DAY_US} AS BIGINT) AS peak_day_start_us,
+           CAST(b.ph_max * t.n_days > t.total * 1000000 AS BOOLEAN) AS drifted
+    FROM best b
+    JOIN tot t ON t.event_type = b.event_type
+    JOIN ph p ON p.event_type = b.event_type AND p.ph = b.ph_max
+    GROUP BY b.event_type, t.n_days, b.ph_max, t.total
+    ORDER BY b.event_type
+    """,
+)
+def page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAGE–HINKLEY drift detection per event type — the ONLINE
+    changepoint sibling of `cusum_drift`: where CUSUM compares each
+    day against the GLOBAL mean (needs the whole series up front), PH
+    accumulates deviations from the RUNNING mean, m_t = Σ_{{s<=t}}
+    (x_s − x̄_{{1..s}}), and alarms when m_t rises PH = m_t − min_{{s<=t}}
+    m_s above a threshold — the standard streaming-drift statistic
+    (Page 1954; the detector inside river/MOA). Kept exact by
+    micro-scaling the running mean: term_s = x_s·1e6 − floor(S_s·1e6/s)
+    (non-negative prefix sums, so floor == trunc on both engines); the
+    report is each type's peak PH, the day it peaks (ties to the
+    EARLIEST day — a MIN over the argmax set, not a nondeterministic
+    max_by), and a drift flag by integer cross-multiplication
+    (PH·n_days > total·1e6, i.e. the peak exceeds one mean day of
+    volume — the cusum_drift boundary technique).
+
+    Scale shape: one daily aggregate (map-side combinable) reduces the
+    log to the |types| × |days| table; every window is PARTITIONED by
+    event_type over that bounded table; the argmax is an O(#types)
+    join, never a global sort."""
+    prep(spark)
+    daily = _daily_counts(spark, sf_dir)
+    wday = W.partitionBy("event_type").orderBy("day")
+    wrun = wday.rowsBetween(W.unboundedPreceding, 0)
+    walk = daily.select(
+        "event_type",
+        "day",
+        "n",
+        F.row_number().over(wday).alias("i"),
+        F.sum("n").over(wrun).alias("s"),
+    ).withColumn(
+        "term", F.col("n") * 1000000 - F.expr("(s * 1000000) div i")
+    )
+    m = walk.withColumn("mt", F.sum("term").over(wrun))
+    ph = m.withColumn("ph", F.col("mt") - F.min("mt").over(wrun))
+    best = ph.groupBy("event_type").agg(F.max("ph").alias("ph_max"))
+    tot = daily.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+    phj = ph.select(
+        F.col("event_type").alias("et_j"), F.col("ph").alias("ph_j"), "day"
+    )
+    return (
+        best.join(F.broadcast(tot), "event_type")
+        .join(
+            phj,
+            (F.col("event_type") == F.col("et_j"))
+            & (F.col("ph_j") == F.col("ph_max")),
+        )
+        .groupBy("event_type", "n_days", "ph_max", "total")
+        .agg(F.min("day").alias("peak_day"))
+        .select(
+            "event_type",
+            "n_days",
+            F.col("ph_max").cast("long").alias("ph_max_micros"),
+            (F.col("peak_day") * _DAY_US).cast("long").alias("peak_day_start_us"),
+            (F.col("ph_max") * F.col("n_days") > F.col("total") * 1000000).alias(
+                "drifted"
+            ),
+        )
+    )

@@ -616,3 +616,160 @@ def node2vec_walk_sample_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(out(s2, 2))
         .unionAll(out(s3, 3))
     )
+
+
+_NEG_TRIALS = 3
+_NEG_MOD = 20  # every 20th canonical edge seeds a training pair
+
+
+def _neg_oracle() -> str:
+    pick = (
+        "('0x' || substr(md5('neg' || CAST(p.a AS VARCHAR) || ':'"
+        " || CAST(p.b AS VARCHAR) || ':' || CAST(tr.t AS VARCHAR)), 1, 8))"
+        "::BIGINT"
+    )
+    return f"""
+    WITH pr AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    nodes AS MATERIALIZED (
+      SELECT n, row_number() OVER (ORDER BY n) AS pos
+      FROM (SELECT a AS n FROM pr UNION SELECT b FROM pr)
+    ),
+    ntot AS (SELECT COUNT(*) AS nt FROM nodes),
+    pos_edges AS (
+      SELECT a, b FROM pr
+      WHERE ('0x' || substr(md5(CAST(a AS VARCHAR) || '-'
+                            || CAST(b AS VARCHAR)), 1, 8))::BIGINT
+            % {_NEG_MOD} = 0
+    ),
+    cand AS (
+      -- the pick expression must not reference nd, or the node join
+      -- degrades to a nested loop evaluating md5 per (cand x node)
+      SELECT p.a, p.b, tr.t, nd.n AS neg
+      FROM pos_edges p
+      CROSS JOIN (VALUES (1), (2), (3)) AS tr(t)
+      CROSS JOIN ntot
+      JOIN nodes nd ON nd.pos = {pick} % ntot.nt + 1
+    ),
+    ok AS (
+      SELECT c.a, c.b, c.t, c.neg
+      FROM cand c
+      LEFT JOIN pr e ON e.a = LEAST(c.a, c.neg) AND e.b = GREATEST(c.a, c.neg)
+      WHERE c.neg <> c.a AND c.neg <> c.b AND e.a IS NULL
+    ),
+    first_ok AS (
+      SELECT a, b, t, neg,
+             row_number() OVER (PARTITION BY a, b ORDER BY t) AS rn
+      FROM ok
+    )
+    SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+           CAST(neg AS BIGINT) AS neg, CAST(t AS BIGINT) AS trial
+    FROM first_ok WHERE rn = 1
+    """
+
+
+@query("negative_edge_sample", oracle=_neg_oracle())
+def negative_edge_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC NEGATIVE SAMPLING for link-prediction training —
+    the third leg of the X17 GNN-data surface next to
+    `gnn_neighbor_sample` (positives' neighborhoods) and the walk
+    corpora: every {_NEG_MOD}th canonical co-purchase edge (by content
+    hash — growth-stable, no RNG) becomes a (a, b, neg) triplet where
+    `neg` is a corruption of the pair verified to be a NON-edge. The
+    corruption is drawn by md5('neg', a, b, trial) mod |nodes| against
+    a 1-based global node index; up to {_NEG_TRIALS} trials per
+    positive, keeping the FIRST trial that is neither an endpoint nor
+    an edge (rejection sampling with a deterministic trial ladder —
+    the standard corrupt-and-filter recipe, engine-replayable).
+    Positives whose every trial collides are dropped rather than
+    silently kept as false negatives.
+
+    Scale shape (100 TB): the node index is `bucketed_global_rank`
+    (per-bucket counts + broadcast offsets — never one WindowExec
+    partition over the node set); candidates are O(#positives ×
+    {_NEG_TRIALS}) rows joined by idx equi-join; the non-edge check is
+    ONE left-anti join against the canonical edge list; the
+    first-trial cut is a per-positive window over ≤{_NEG_TRIALS}
+    rows. Nothing is pairwise, nothing is data-sized-windowed."""
+    prep(spark)
+    from ..functions.ranking import bucketed_global_rank
+    from .graphops import _copurchase_pairs
+
+    pairs, _n = _copurchase_pairs(spark, sf_dir)
+    nodes = (
+        pairs.select(F.col("a").alias("n"))
+        .unionByName(pairs.select(F.col("b").alias("n")))
+        .distinct()
+    )
+    idx = bucketed_global_rank(
+        nodes, F.expr("n div 1000"), [F.col("n")]
+    ).select("n", "pos", "n_total")
+    ekey = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("a").cast("string"), F.lit("-"), F.col("b").cast("string")
+                ).cast("binary")
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    pos_edges = pairs.where(ekey % _NEG_MOD == 0)
+    trials = pos_edges.select(
+        "a", "b", F.explode(F.array(*[F.lit(t) for t in range(1, _NEG_TRIALS + 1)])).alias("t")
+    )
+    pick = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("neg"),
+                    F.col("a").cast("string"),
+                    F.lit(":"),
+                    F.col("b").cast("string"),
+                    F.lit(":"),
+                    F.col("t").cast("string"),
+                ).cast("binary")
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    cand = (
+        trials.crossJoin(
+            F.broadcast(idx.agg(F.max("n_total").cast("long").alias("nt")))
+        )
+        .withColumn("want", pick % F.col("nt") + 1)
+        .join(idx.select(F.col("pos").alias("want"), F.col("n").alias("neg")), "want")
+        .select("a", "b", "t", "neg")
+    )
+    canon = pairs.select(
+        F.col("a").alias("ea"), F.col("b").alias("eb")
+    )
+    ok = (
+        cand.where((F.col("neg") != F.col("a")) & (F.col("neg") != F.col("b")))
+        .join(
+            canon,
+            (F.least("a", "neg") == F.col("ea"))
+            & (F.greatest("a", "neg") == F.col("eb")),
+            "left_anti",
+        )
+    )
+    w = W.partitionBy("a", "b").orderBy("t")
+    return (
+        ok.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("a").cast("long").alias("a"),
+            F.col("b").cast("long").alias("b"),
+            F.col("neg").cast("long").alias("neg"),
+            F.col("t").cast("long").alias("trial"),
+        )
+    )

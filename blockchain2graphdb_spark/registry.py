@@ -71,6 +71,15 @@ _OPERATOR_MODULES = (
 # load_all() silently ignores missing keys).
 _SAMPLE_PRIORITY = (
     # --- new round-12 head: never-driver-witnessed first, then stalest ---
+    "herfindahl_concentration",  # r0 oracle
+    "lorenz_curve_deciles",  # r0 oracle
+    "mde_power_analysis",  # r0 oracle
+    "negative_edge_sample",  # r0 oracle
+    "node2vec_walk_sample_pq",  # r0 oracle
+    "page_hinkley_drift",  # r0 oracle
+    "srm_check",  # r0 oracle
+    "stream_multi_table_ingest",  # r0 oracle
+    "temporal_edge_split",  # r0 oracle
     "wasserstein_1d_drift",  # r0 oracle
     "window_cume_dist",  # r0 oracle
     "agg_hll_merge",  # r1 rows-only
