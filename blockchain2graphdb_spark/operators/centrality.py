@@ -681,3 +681,105 @@ def eigenvector_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("v_micros"), "node")
         .limit(50)
     )
+
+
+_KATZ_ROUNDS = 8
+
+
+def _katz_oracle(rounds: int = _KATZ_ROUNDS) -> str:
+    blocks = []
+    prev = "k0"
+    for r in range(1, rounds + 1):
+        blocks.append(
+            f"""    kw{r} AS MATERIALIZED (
+      SELECT s.src AS node, SUM(p.v) AS w
+      FROM sym s JOIN {prev} p ON p.node = s.dst GROUP BY s.src
+    ),
+    k{r} AS MATERIALIZED (
+      SELECT node, 1000000 + w // (SELECT att FROM att) AS v FROM kw{r}
+    )"""
+        )
+        prev = f"k{r}"
+    body = ",\n".join(blocks)
+    return f"""
+    WITH pr AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    sym AS MATERIALIZED (
+      SELECT a AS src, b AS dst FROM pr UNION ALL SELECT b, a FROM pr
+    ),
+    att AS (
+      SELECT MAX(d) + 1 AS att
+      FROM (SELECT src, COUNT(*) AS d FROM sym GROUP BY src)
+    ),
+    k0 AS (
+      SELECT DISTINCT src AS node, CAST(1000000 AS HUGEINT) AS v FROM sym
+    ),
+{body}
+    SELECT CAST(node AS BIGINT) AS node, CAST(v AS BIGINT) AS katz_micros
+    FROM k{rounds}
+    ORDER BY v DESC, node LIMIT 50
+    """
+
+
+@query("katz_centrality", oracle=_katz_oracle())
+def katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUNCATED KATZ CENTRALITY on the co-purchase graph — the
+    walk-counting prestige measure between degree (walks of length 1)
+    and eigenvector centrality (the β→1/λ_max limit): x = Σ_k β^k A^k 1,
+    here the standard length-{_KATZ_ROUNDS} truncation with a
+    DATA-DERIVED attenuation β = 1/(max_degree + 1) (the classic
+    sufficient condition β < 1/λ_max, since λ_max ≤ d_max on an
+    undirected graph — so the truncated sum is a genuine partial sum
+    of a convergent series, not a diverging iterate). Realized in pure
+    integers: x ← 1e6 + floor(Σ_nbr x(nbr) / att) per round, every
+    operand non-negative so floor == trunc on both engines and the
+    fixed-round result value-hashes bit-for-bit regardless of how far
+    the tail has decayed.
+
+    Scale shape: identical to `eigenvector_centrality` — each round is
+    ONE keyed join edges→x plus a hash aggregate (the Pregel superstep
+    shape), per-round localCheckpoint cuts the lineage, att is a 1-row
+    broadcast, x is node-sized and broadcast under the adaptive gate.
+    Edge list memoized per session (`_copurchase_pairs`)."""
+    prep(spark)
+    pairs, _ = _copurchase_pairs(spark, sf_dir)
+    sym = pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    att = deg.agg((F.max("d") + 1).cast("decimal(38,0)").alias("att"))
+    v = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.lit(1000000).cast("decimal(38,0)").alias("v"))
+    )
+    v = local_checkpoint(v)
+    n_parts = parquet_num_rows(sf_dir, "part")
+    gate = adaptive_broadcast_rows(spark, bytes_per_row=24)
+    hint = F.broadcast if n_parts <= gate else (lambda df: df)
+    for _ in range(_KATZ_ROUNDS):
+        w = local_checkpoint(
+            sym.join(
+                hint(v.select(F.col("node").alias("vn"), "v")),
+                F.col("dst") == F.col("vn"),
+            )
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("v").alias("w"))
+        )
+        v = w.crossJoin(F.broadcast(att)).select(
+            "node",
+            (F.lit(1000000).cast("decimal(38,0)") + F.expr("w div att"))
+            .cast("decimal(38,0)")
+            .alias("v"),
+        )
+    return (
+        v.select(
+            F.col("node").cast("long").alias("node"),
+            F.col("v").cast("long").alias("katz_micros"),
+        )
+        .orderBy(F.desc("katz_micros"), "node")
+        .limit(50)
+    )

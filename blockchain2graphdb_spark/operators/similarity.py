@@ -1547,3 +1547,100 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vi") + 1).cast("long").alias("dim"),
         F.col("v").cast("long").alias("v_micros"),
     )
+
+
+_RP_DIMS = 8  # projected dimensionality
+
+
+@query(
+    "embedding_random_projection",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      FROM embeddings
+      WHERE len(embedding) > 0
+    ),
+    pos AS (
+      SELECT vec_id, CAST(t.dim AS BIGINT) AS i,
+             qv[CAST(t.dim AS INT) + 1] AS qx
+      FROM q, UNNEST(range(len(qv))) AS t(dim)
+    ),
+    dims AS (SELECT DISTINCT i FROM pos),
+    signs AS (
+      SELECT j.j, d.i,
+             CASE WHEN ('0x' || substr(md5('rp:' || CAST(j.j AS VARCHAR)
+                        || ':' || CAST(d.i AS VARCHAR)), 1, 1))::BIGINT < 8
+                  THEN 1 ELSE -1 END AS s
+      FROM dims d, UNNEST(range({_RP_DIMS})) AS j(j)
+    )
+    SELECT p.vec_id, CAST(s.j AS BIGINT) AS proj_dim,
+           CAST(SUM(s.s * p.qx) AS BIGINT) AS y
+    FROM pos p JOIN signs s ON s.i = p.i
+    GROUP BY p.vec_id, s.j
+    ORDER BY vec_id, proj_dim
+    """,
+)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANDOM ±1 PROJECTION of the embedding table to {_RP_DIMS}
+    dimensions — the Achlioptas/JL sketch every 100 TB vector pipeline
+    uses to cheapen distance math before clustering or as extra LSH
+    coordinates: y_j = Σ_i sign(j,i)·x_i with the sign matrix derived
+    from md5('rp:', j, i) (first nibble < 8 → +1), so the "random"
+    matrix is a pure function of the dimension indices — reproducible
+    on any engine, partitioning, or retry (the random_walk_sample
+    determinism contract). Inputs are the standard round(x·1000)
+    integer quantization, so every projected coordinate is an exact
+    int64 sum and the row set value-hashes bit-for-bit. E[y_j²] = ‖x‖²
+    per the JL lemma — dot products survive in expectation with d/k
+    variance.
+
+    Scale shape: one posexplode over the vectors (O(rows·d), the
+    explode-side cost every vectorized kernel here avoids is accepted
+    ONCE to build a reusable 8-d sketch), joined against the
+    O(d·{_RP_DIMS}) broadcast sign table (built FROM the data's own
+    distinct dimension indices — no hardcoded width), one hash
+    aggregate back to (vec_id, j). Nothing pairwise, no windows."""
+    prep(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    pos = (
+        emb.where(F.size("embedding") > 0)
+        .select("vec_id", F.posexplode(quantize("embedding")).alias("i", "qx"))
+        .select("vec_id", F.col("i").cast("long").alias("i"), "qx")
+    )
+    dims = pos.select("i").distinct()
+    js = spark.range(_RP_DIMS).select(F.col("id").alias("j"))
+    signs = dims.crossJoin(js).select(
+        "i",
+        "j",
+        F.when(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("rp:"),
+                            F.col("j").cast("string"),
+                            F.lit(":"),
+                            F.col("i").cast("string"),
+                        ).cast("binary")
+                    ),
+                    1,
+                    1,
+                ),
+                16,
+                10,
+            ).cast("long")
+            < 8,
+            1,
+        )
+        .otherwise(-1)
+        .alias("s"),
+    )
+    return (
+        pos.join(F.broadcast(signs), "i")
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("s") * F.col("qx")).cast("long").alias("y"))
+        .select("vec_id", F.col("j").cast("long").alias("proj_dim"), "y")
+        .orderBy("vec_id", "proj_dim")
+    )

@@ -1550,3 +1550,155 @@ def text_hashing_vectorizer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_tokens"),
         F.count_distinct("term").cast("long").alias("n_terms"),
     )
+
+
+_RAKE_STOPS = ("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")
+
+
+def _rake_oracle() -> str:
+    stops = ", ".join(f"'{s}'" for s in _RAKE_STOPS)
+    return f"""
+    WITH toks0 AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, CAST(t.i AS BIGINT) AS pos,
+             regexp_replace(ts[CAST(t.i AS INT) + 1], '[^a-z]', '', 'g') AS tok
+      FROM toks0, UNNEST(range(len(ts))) AS t(i)
+    ),
+    marked AS (
+      SELECT doc_id, pos, tok,
+             CASE WHEN tok IN ({stops}) OR tok = '' THEN 1 ELSE 0 END AS stop
+      FROM toks
+    ),
+    segmented AS (
+      SELECT doc_id, pos, tok, stop,
+             SUM(stop) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS UNBOUNDED PRECEDING) AS ph
+      FROM marked
+    ),
+    content AS (
+      SELECT doc_id, ph, pos, tok FROM segmented WHERE stop = 0
+    ),
+    plen AS (
+      SELECT doc_id, ph, CAST(COUNT(*) AS BIGINT) AS plen
+      FROM content GROUP BY doc_id, ph
+    ),
+    wstat AS (
+      SELECT c.tok,
+             CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(SUM(p.plen) AS BIGINT) AS deg
+      FROM content c JOIN plen p ON p.doc_id = c.doc_id AND p.ph = c.ph
+      GROUP BY c.tok
+    ),
+    wscore AS (
+      SELECT tok, (deg * 1000000000) // freq AS w_nanos FROM wstat
+    ),
+    phrases AS (
+      SELECT c.doc_id, c.ph,
+             string_agg(c.tok, ' ' ORDER BY c.pos) AS phrase,
+             CAST(SUM(w.w_nanos) AS BIGINT) AS score_nanos,
+             CAST(COUNT(*) AS BIGINT) AS n_words
+      FROM content c JOIN wscore w ON w.tok = c.tok
+      GROUP BY c.doc_id, c.ph
+      HAVING COUNT(*) >= 2
+    )
+    SELECT phrase,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(MAX(score_nanos) AS BIGINT) AS score_nanos,
+           CAST(MAX(n_words) AS BIGINT) AS n_words
+    FROM phrases
+    GROUP BY phrase
+    ORDER BY score_nanos DESC, phrase LIMIT 20
+    """
+
+
+@query("text_rake_keywords", oracle=_rake_oracle())
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010) over the corpus — the
+    unsupervised keyphrase miner between tf-idf (single terms) and the
+    BM25 search index: stopwords and punctuation SEGMENT each document
+    into candidate phrases (maximal content-token runs), each word is
+    scored degree/frequency (degree = Σ over its occurrences of the
+    containing phrase's length — words that live in long phrases score
+    higher), and a phrase scores the sum of its words. Scores stay
+    exact: w_nanos = floor(deg·1e9/freq) per word, phrase score an
+    integer sum of those — identical floor placement on both engines.
+    Multi-word phrases only (HAVING >= 2: RAKE's single-word output is
+    dominated by raw frequency, which tf-idf already covers); identical
+    phrases aggregate across the corpus (same words → identical score,
+    so MAX == the value); top-20 by (score, phrase).
+
+    Scale shape (100 TB): tokenize+segment is one doc-partitioned
+    window over the exploded positions (the running stopword count
+    turns segmentation into a prefix sum — no UDF, no regex phrase
+    matcher); word stats are two hash aggregates; the phrase fold is
+    one (doc, phrase-id)-keyed aggregate; the final cut a TakeOrdered.
+    Nothing pairwise, no unpartitioned windows."""
+    prep(spark)
+    toks = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "raw"),
+        )
+        .select(
+            "doc_id",
+            F.col("pos").cast("long").alias("pos"),
+            F.regexp_replace("raw", "[^a-z]", "").alias("tok"),
+        )
+    )
+    marked = toks.withColumn(
+        "stop",
+        F.when(F.col("tok").isin(*_RAKE_STOPS) | (F.col("tok") == ""), 1).otherwise(0),
+    )
+    wseg = W.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    content = (
+        marked.withColumn("ph", F.sum("stop").over(wseg))
+        .where(F.col("stop") == 0)
+        .select("doc_id", "ph", "pos", "tok")
+        .localCheckpoint(eager=True)
+    )
+    plen = content.groupBy("doc_id", "ph").agg(
+        F.count(F.lit(1)).cast("long").alias("plen")
+    )
+    wstat = (
+        content.join(plen, ["doc_id", "ph"])
+        .groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.sum("plen").cast("long").alias("deg"),
+        )
+    )
+    wscore = wstat.select(
+        "tok", F.expr("(deg * 1000000000) div freq").alias("w_nanos")
+    )
+    phrases = (
+        content.join(wscore, "tok")
+        .groupBy("doc_id", "ph")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda x: x["tok"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.sum("w_nanos").cast("long").alias("score_nanos"),
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+        )
+        .where(F.col("n_words") >= 2)
+    )
+    return (
+        phrases.groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.max("score_nanos").cast("long").alias("score_nanos"),
+            F.max("n_words").cast("long").alias("n_words"),
+        )
+        .select("phrase", "n_occurrences", "score_nanos", "n_words")
+        .orderBy(F.desc("score_nanos"), "phrase")
+        .limit(20)
+    )

@@ -1258,3 +1258,138 @@ def stream_multi_table_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("cust", "n_orders", "cents_sum", "n_orders_p", "cents_sum_p")
     )
+
+
+@query(
+    "stream_page_hinkley",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, epoch_ns(ts) // 1000 AS us, event_id,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM events
+    ),
+    walk AS (
+      SELECT event_type, us, event_id, cents,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY us, event_id) AS i,
+             CAST(SUM(cents) OVER (PARTITION BY event_type
+                                   ORDER BY us, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s
+      FROM e
+    ),
+    terms AS (
+      SELECT event_type, us, event_id, i,
+             cents * 1000000 - (s * 1000000) // i AS term
+      FROM walk
+    ),
+    m AS (
+      SELECT event_type, i,
+             CAST(SUM(term) OVER (PARTITION BY event_type
+                                  ORDER BY us, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS mt
+      FROM terms
+    ),
+    ph AS (
+      SELECT event_type, i, mt,
+             mt - MIN(mt) OVER (PARTITION BY event_type ORDER BY i
+                                ROWS UNBOUNDED PRECEDING) AS ph
+      FROM m
+    ),
+    best AS (
+      SELECT event_type, CAST(MAX(ph) AS BIGINT) AS ph_max
+      FROM ph GROUP BY event_type
+    ),
+    fin AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_obs,
+             CAST(arg_max(mt, i) AS BIGINT) AS m_final
+      FROM ph GROUP BY event_type
+    )
+    SELECT b.event_type, f.n_obs, b.ph_max AS ph_max_micros,
+           CAST(MIN(p.i) AS BIGINT) AS peak_pos,
+           f.m_final AS m_final_micros
+    FROM best b
+    JOIN fin f ON f.event_type = b.event_type
+    JOIN ph p ON p.event_type = b.event_type AND p.ph = b.ph_max
+    GROUP BY b.event_type, f.n_obs, b.ph_max, f.m_final
+    """,
+)
+def stream_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING Page–Hinkley drift monitor — the applyInPandasWithState
+    twin of `page_hinkley_drift`, one PH walk per event type over the
+    per-event VALUE series (the batch twin watches daily volume; this
+    one watches the metric itself, the always-on form that alarms
+    mid-stream instead of re-scanning the log). State per type is six
+    integers (n, running sum, m_t, min m, peak PH, peak position);
+    each observation updates term = cents·1e6 − floor(S·1e6/n) — the
+    batch operator's exact micro-scaled running-mean deviation, so the
+    final state row is bit-identical to the SQL window walk and the
+    key is fully ORACLE-CHECKED, not rows-only.
+
+    Order discipline: TIME-split replay (`_time_replay`) + per-batch
+    (us, event_id) sort inside the fold — the `stream_sprt` contract
+    for non-associative folds; update-mode emits one row per type per
+    batch and the final-state projection keeps the max-n row.
+
+    Scale shape: state is O(#types × 6 ints); per-type sequential
+    consumption is inherent (the running mean makes the fold
+    non-associative) — the honest contract of any online detector;
+    the batch twin is the backfill/audit path."""
+    prep(spark)
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    d = _time_replay(spark, sf_dir)
+    s = _events_stream(spark, sf_dir, path=d, maxFilesPerTrigger="1").select(
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    )
+
+    def fold(key, pdfs, state: GroupState):
+        n, sm, m, mn, phmax, ppos = (
+            state.get if state.exists else (0, 0, 0, 0, 0, 0)
+        )
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(["us", "event_id"])
+        for cents in pdf["cents"].astype("int64"):
+            n += 1
+            sm += int(cents)
+            term = int(cents) * 1000000 - (sm * 1000000) // n
+            m += term
+            if m < mn:
+                mn = m
+            ph = m - mn
+            if ph > phmax:
+                phmax, ppos = ph, n
+        state.update((n, sm, m, mn, phmax, ppos))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_obs": [n],
+                "ph_max_micros": [phmax],
+                "peak_pos": [ppos],
+                "m_final_micros": [m],
+            }
+        )
+
+    out = s.groupBy("event_type").applyInPandasWithState(
+        fold,
+        outputStructType=(
+            "event_type string, n_obs long, ph_max_micros long,"
+            " peak_pos long, m_final_micros long"
+        ),
+        stateStructType=(
+            "n long, sm long, m long, mn long, phmax long, ppos long"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    updates = _run(spark, out, output_mode="update")
+    w = W.partitionBy("event_type").orderBy(F.desc("n_obs"))
+    return (
+        updates.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type", "n_obs", "ph_max_micros", "peak_pos", "m_final_micros"
+        )
+    )
