@@ -25,6 +25,8 @@ from ..exact import dec2
 from ..functions.ranking import bucketed_global_rank, bucketed_prefix_sum
 from ..registry import query
 
+_D38 = "decimal(38,0)"
+
 
 @query(
     "feature_scale_minmax",
@@ -2415,5 +2417,140 @@ def temporal_edge_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_test_inductive",
             "n_cold_user_rows",
             "n_cold_item_rows",
+        )
+    )
+
+
+@query(
+    "regression_metrics",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderpriority AS cat,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y,
+             ('0x' || substr(md5('rm' || CAST(o_orderkey AS VARCHAR)),
+              1, 1))::BIGINT >= 12 AS is_test
+      FROM orders
+    ),
+    tr AS (
+      SELECT cat,
+             (SUM(CAST(y AS HUGEINT)) * 1000000) // COUNT(*) AS pred
+      FROM o WHERE NOT is_test GROUP BY cat
+    ),
+    te AS (
+      SELECT o.y * 1000000 AS ym, tr.pred,
+             abs(o.y * 1000000 - tr.pred) AS ae
+      FROM o JOIN tr ON tr.cat = o.cat WHERE o.is_test
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(ae AS HUGEINT)) AS HUGEINT) AS sae,
+             CAST(SUM(CAST(ae AS HUGEINT) * ae) AS HUGEINT) AS sse,
+             CAST(SUM(CAST(ym AS HUGEINT)) AS HUGEINT) AS sy,
+             CAST(SUM(CAST(ym AS HUGEINT) * ym) AS HUGEINT) AS syy,
+             CAST(SUM((ae * 1000000) // ym) AS HUGEINT) AS sape
+      FROM te
+    ),
+    ntr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_train FROM o WHERE NOT is_test)
+    SELECT ntr.n_train, m.n AS n_test,
+           CAST(m.sae // m.n AS BIGINT) AS mae_micros,
+           CAST(ROUND(sqrt(CAST(m.sse AS DOUBLE) / CAST(m.n AS DOUBLE)))
+                AS BIGINT) AS rmse_micros,
+           CAST(ROUND((1.0 - CAST(m.n * m.sse AS DOUBLE)
+                       / CAST(m.n * m.syy - m.sy * m.sy AS DOUBLE)) * 1e6)
+                AS BIGINT) AS r2_micros,
+           CAST(m.sape // m.n AS BIGINT) AS mape_micros
+    FROM m, ntr
+    """,
+)
+def regression_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REGRESSION EVAL METRICS (MAE / RMSE / R² / MAPE) for the
+    group-mean predictor — the eval-side sibling of
+    `confusion_threshold` (classification) and the readout every
+    regression model is judged by. The predictor is the train-split
+    per-priority mean of order cents (md5 'rm'-salted 75/25 split, the
+    adversarial_validation assignment; mean carried as the exact
+    trunc-division micro-quantized integer), scored on the held-out
+    rows. MAE and MAPE are pure integer arithmetic (MAPE's per-row
+    ratio floored ONCE at formation — |e|·1e6 div y, y > 0 —
+    the BM25 int-nanos discipline); RMSE and R² touch doubles exactly
+    once each (an IEEE sqrt / one ratio of exact
+    DECIMAL(38,0)/HUGEINT cancellations, the cuped structure),
+    rounded to micros.
+
+    Scale shape: one train aggregate (O(#categories), broadcast), one
+    test probe join, one moment aggregate → 1 row. No windows."""
+    prep(spark)
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("cat"),
+        (dec2("o_totalprice") * 100).cast("long").alias("y"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("rm"), F.col("o_orderkey").cast("string")
+                        ).cast("binary")
+                    ),
+                    1,
+                    1,
+                ),
+                16,
+                10,
+            ).cast("long")
+            >= 12
+        ).alias("is_test"),
+    )
+    tr = (
+        o.where(~F.col("is_test"))
+        .groupBy("cat")
+        .agg(
+            F.expr(
+                "(SUM(CAST(y AS decimal(38,0))) * 1000000) div COUNT(*)"
+            ).alias("pred")
+        )
+    )
+    te = (
+        o.where(F.col("is_test"))
+        .join(F.broadcast(tr), "cat")
+        .select(
+            (F.col("y").cast(_D38) * 1000000).alias("ym"),
+            F.abs(F.col("y").cast(_D38) * 1000000 - F.col("pred")).alias("ae"),
+        )
+    )
+    m = te.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("ae").cast(_D38).alias("sae"),
+        F.sum(F.col("ae") * F.col("ae")).cast(_D38).alias("sse"),
+        F.sum("ym").cast(_D38).alias("sy"),
+        F.sum(F.col("ym") * F.col("ym")).cast(_D38).alias("syy"),
+        F.sum(F.expr("(ae * 1000000) div ym")).cast(_D38).alias("sape"),
+    )
+    ntr = o.where(~F.col("is_test")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_train")
+    )
+    return (
+        m.crossJoin(F.broadcast(ntr))
+        .select(
+            "n_train",
+            F.col("n").alias("n_test"),
+            F.expr("CAST(sae div n AS LONG)").alias("mae_micros"),
+            F.round(
+                F.sqrt(F.col("sse").cast("double") / F.col("n").cast("double"))
+            )
+            .cast("long")
+            .alias("rmse_micros"),
+            F.round(
+                (
+                    F.lit(1.0)
+                    - (F.col("n") * F.col("sse")).cast("double")
+                    / (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+                        "double"
+                    )
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("r2_micros"),
+            F.expr("CAST(sape div n AS LONG)").alias("mape_micros"),
         )
     )

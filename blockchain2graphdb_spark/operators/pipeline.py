@@ -29,6 +29,8 @@ from ..catalog import SESSION_GAP_US as _SESSION_GAP_US
 from ..catalog import prep, table
 from ..registry import query
 
+_D38 = "decimal(38,0)"
+
 
 @query(
     "split_assign",
@@ -1648,3 +1650,128 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_rows_at_risk"),
     )
+
+
+@query(
+    "t_closeness_audit",
+    oracle="""
+    WITH qi AS (
+      SELECT c_nationkey,
+             CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) // 100000
+               AS bal_band,
+             c_mktsegment AS seg
+      FROM customer
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM qi),
+    gseg AS (SELECT seg, CAST(COUNT(*) AS BIGINT) AS cs FROM qi GROUP BY seg),
+    gs AS (
+      SELECT c_nationkey, bal_band, seg, CAST(COUNT(*) AS BIGINT) AS cgs
+      FROM qi GROUP BY 1, 2, 3
+    ),
+    g AS (
+      SELECT c_nationkey, bal_band,
+             CAST(SUM(cgs) AS BIGINT) AS k,
+             CAST(SUM(CAST(abs(gs.cgs * n.n - gl.cs * kk.k) AS HUGEINT))
+                  AS HUGEINT) AS s_present,
+             CAST(SUM(gl.cs) AS BIGINT) AS mass_present
+      FROM gs
+      JOIN gseg gl ON gl.seg = gs.seg
+      CROSS JOIN n
+      JOIN (SELECT c_nationkey AS nk, bal_band AS bb,
+                   CAST(SUM(cgs) AS BIGINT) AS k
+            FROM gs GROUP BY 1, 2) kk
+        ON kk.nk = gs.c_nationkey AND kk.bb = gs.bal_band
+      GROUP BY gs.c_nationkey, gs.bal_band
+    ),
+    tv AS (
+      SELECT g.c_nationkey, g.bal_band, g.k,
+             g.s_present + CAST(n.n - g.mass_present AS HUGEINT) * g.k AS s
+      FROM g CROSS JOIN n
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(MAX((tv.s * 1000000000) // (2 * tv.k * n.n)) AS BIGINT)
+             AS max_tv_nanos,
+           CAST(SUM(CASE WHEN 5 * tv.s > 2 * tv.k * n.n THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_groups_above_t,
+           CAST(SUM(CASE WHEN 5 * tv.s > 2 * tv.k * n.n THEN tv.k ELSE 0 END)
+                AS BIGINT) AS n_rows_at_risk
+    FROM tv CROSS JOIN n
+    GROUP BY n.n
+    """,
+)
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-CLOSENESS audit — the third privacy gate after
+    `k_anonymity_audit` and `l_diversity_audit`: an equivalence class
+    can be large (k ok) and varied (l ok) yet still disclosive if its
+    SENSITIVE-attribute distribution differs sharply from the table's
+    (skewness attack: a class that is 90% one segment tells you the
+    segment with 90% confidence). For a categorical sensitive
+    attribute the prescribed EMD is total-variation distance,
+    TV_g = Σ_s |c_gs/k − c_s/n| / 2 — kept exact by clearing
+    denominators: S_g = Σ_s |c_gs·n − c_s·k| (the wasserstein_1d_drift
+    technique), with the ABSENT-segment mass folded in closed form
+    ((n − Σ_present c_s)·k — no group×segment cross join). The audit
+    flags TV > 0.2 by the integer cross-comparison 5·S > 2·k·n and
+    reports the worst class's TV in int-nanos.
+
+    Scale shape: two hash aggregates (global histogram O(#segments),
+    per-class histogram O(#classes·#segments)), one broadcast probe,
+    one 1-row reduction. No windows, nothing pairwise."""
+    prep(spark)
+    qi = table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        F.expr(
+            "CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) div 100000"
+        ).alias("bal_band"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    n = qi.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    glob = qi.groupBy("seg").agg(F.count(F.lit(1)).cast("long").alias("cs"))
+    gs = qi.groupBy("c_nationkey", "bal_band", "seg").agg(
+        F.count(F.lit(1)).cast("long").alias("cgs")
+    )
+    kk = gs.groupBy("c_nationkey", "bal_band").agg(
+        F.sum("cgs").cast("long").alias("k")
+    )
+    joined = (
+        gs.join(F.broadcast(glob), "seg")
+        .join(kk, ["c_nationkey", "bal_band"])
+        .crossJoin(F.broadcast(n))
+    )
+    g = joined.groupBy("c_nationkey", "bal_band", "k", "n").agg(
+        F.sum(
+            F.abs(
+                F.col("cgs").cast(_D38) * F.col("n")
+                - F.col("cs").cast(_D38) * F.col("k")
+            )
+        )
+        .cast(_D38)
+        .alias("s_present"),
+        F.sum("cs").cast("long").alias("mass_present"),
+    )
+    tv = g.select(
+        "k",
+        "n",
+        (
+            F.col("s_present")
+            + (F.col("n") - F.col("mass_present")).cast(_D38) * F.col("k")
+        )
+        .cast(_D38)
+        .alias("s"),
+    )
+    return tv.groupBy("n").agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.max(F.expr("(s * 1000000000) div (2 * k * n)"))
+        .cast("long")
+        .alias("max_tv_nanos"),
+        F.sum(F.when(F.expr("5 * s > 2 * CAST(k AS decimal(38,0)) * n"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_groups_above_t"),
+        F.sum(
+            F.when(
+                F.expr("5 * s > 2 * CAST(k AS decimal(38,0)) * n"), F.col("k")
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_rows_at_risk"),
+    ).drop("n")

@@ -1397,3 +1397,110 @@ def page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "holt_linear_forecast",
+    oracle=f"""
+    WITH RECURSIVE d AS (
+      SELECT event_type, (epoch_ns(ts) // 1000) // {_DAY_US} AS day FROM events
+    ),
+    daily AS (
+      SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS x
+      FROM d GROUP BY event_type, day
+    ),
+    walk AS (
+      SELECT event_type, x,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS i
+      FROM daily
+    ),
+    rec AS (
+      SELECT event_type, CAST(1 AS BIGINT) AS i,
+             x * 1000000 AS lvl, CAST(0 AS BIGINT) AS trd
+      FROM walk WHERE i = 1
+      UNION ALL
+      SELECT r.event_type, r.i + 1,
+             (w.x * 1000000 + r.lvl + r.trd) // 2,
+             (r.trd + (w.x * 1000000 + r.lvl + r.trd) // 2 - r.lvl) // 2
+      FROM rec r JOIN walk w ON w.event_type = r.event_type AND w.i = r.i + 1
+    ),
+    errs AS (
+      SELECT r.event_type, abs(w.x * 1000000 - (r.lvl + r.trd)) AS e
+      FROM rec r JOIN walk w ON w.event_type = r.event_type AND w.i = r.i + 1
+    ),
+    fin AS (
+      SELECT event_type, CAST(MAX(i) AS BIGINT) AS n_days,
+             CAST(arg_max(lvl, i) AS BIGINT) AS lvl,
+             CAST(arg_max(trd, i) AS BIGINT) AS trd
+      FROM rec GROUP BY event_type
+    )
+    SELECT f.event_type, f.n_days,
+           f.lvl AS level_micros, f.trd AS trend_micros,
+           f.lvl + f.trd AS forecast_next_micros,
+           CAST(CASE WHEN f.n_days > 1
+                THEN (SELECT SUM(e) FROM errs e2
+                      WHERE e2.event_type = f.event_type) // (f.n_days - 1)
+                END AS BIGINT) AS mae_one_step_micros
+    FROM fin f ORDER BY event_type
+    """,
+)
+def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOLT LINEAR (double-exponential) smoothing of the per-type daily
+    volume series — the level+trend forecaster between the naive
+    baselines (`forecast_baseline_error`) and a real model: with
+    alpha = beta = 1/2 every weight is dyadic, so the recursion
+    level_t = (x_t·1e6 + level + trend) div 2,
+    trend_t = (trend + level_t − level_{{t-1}}) div 2 is pure integer
+    arithmetic (div = TRUNCATING division on both engines — the trend
+    can be negative, so the Python replay uses sign-split trunc, never
+    bare floor //). Reports the final state, the next-day forecast
+    level+trend, and the one-step-ahead MAE over the whole history
+    (the in-sample fit the baseline MAE is judged against).
+
+    The recursion is inherently sequential; the series is the
+    |types| × |days| CALENDAR-BOUNDED table (it grows with time, not
+    with data volume), so the fold runs DRIVER-SIDE on the collected
+    series — the attribution_markov bounded-state convention — while
+    the oracle replays it as a recursive CTE. One daily aggregate is
+    the only data-sized work."""
+    prep(spark)
+    daily = _daily_counts(spark, sf_dir)
+    rows = sorted(
+        ((r["event_type"], r["day"], r["n"]) for r in daily.collect()),
+        key=lambda r: (r[0], r[1]),
+    )
+
+    def tdiv(a: int, b: int) -> int:
+        return -((-a) // b) if a < 0 else a // b
+
+    out = []
+    i = 0
+    while i < len(rows):
+        et = rows[i][0]
+        xs = []
+        while i < len(rows) and rows[i][0] == et:
+            xs.append(int(rows[i][2]))
+            i += 1
+        lvl, trd = xs[0] * 1000000, 0
+        abs_err = 0
+        for x in xs[1:]:
+            abs_err += abs(x * 1000000 - (lvl + trd))
+            new_lvl = tdiv(x * 1000000 + lvl + trd, 2)
+            trd = tdiv(trd + new_lvl - lvl, 2)
+            lvl = new_lvl
+        n = len(xs)
+        out.append(
+            (
+                et,
+                n,
+                lvl,
+                trd,
+                lvl + trd,
+                tdiv(abs_err, n - 1) if n > 1 else None,
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        "event_type string, n_days long, level_micros long, trend_micros long,"
+        " forecast_next_micros long, mae_one_step_micros long",
+    )

@@ -73,15 +73,18 @@ _SAMPLE_PRIORITY = (
     # --- new round-12 head: never-driver-witnessed first, then stalest ---
     "embedding_random_projection",  # r0 oracle
     "herfindahl_concentration",  # r0 oracle
+    "holt_linear_forecast",  # r0 oracle
     "katz_centrality",  # r0 oracle
     "lorenz_curve_deciles",  # r0 oracle
     "mde_power_analysis",  # r0 oracle
     "negative_edge_sample",  # r0 oracle
     "node2vec_walk_sample_pq",  # r0 oracle
     "page_hinkley_drift",  # r0 oracle
+    "regression_metrics",  # r0 oracle
     "srm_check",  # r0 oracle
     "stream_multi_table_ingest",  # r0 oracle
     "stream_page_hinkley",  # r0 oracle
+    "t_closeness_audit",  # r0 oracle
     "temporal_edge_split",  # r0 oracle
     "text_rake_keywords",  # r0 oracle
     "wasserstein_1d_drift",  # r0 oracle
