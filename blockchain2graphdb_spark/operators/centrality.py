@@ -783,3 +783,78 @@ def katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("katz_micros"), "node")
         .limit(50)
     )
+
+
+@query(
+    "khop_induced_subgraph",
+    oracle=f"""
+    WITH {_oracle_bfs_cte(_BTW_SEEDS)},
+    s AS (SELECT DISTINCT node FROM bfs),
+    cls AS (
+      SELECT p.a, p.b,
+             CASE WHEN sa.node IS NOT NULL THEN 1 ELSE 0 END
+             + CASE WHEN sb.node IS NOT NULL THEN 1 ELSE 0 END AS hits
+      FROM pr p
+      LEFT JOIN s sa ON sa.node = p.a
+      LEFT JOIN s sb ON sb.node = p.b
+    )
+    SELECT CAST({_BTW_SEEDS} AS BIGINT) AS n_seeds,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM s) AS n_nodes,
+           CAST(SUM(CASE WHEN hits = 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_edges_induced,
+           CAST(SUM(CASE WHEN hits = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_edges_boundary,
+           CAST(COUNT(*) AS BIGINT) AS n_edges_total
+    FROM cls
+    """,
+)
+def khop_induced_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-HOP INDUCED SUBGRAPH extraction summary — the GNN minibatch
+    primitive one level above `gnn_neighbor_sample`'s per-node cuts:
+    the depth-3 closure of the 16 content-hash seeds (the memoized
+    `_seed_bfs` — this key RIDES the same BFS betweenness/closeness
+    built, zero extra frontier work in a warm session) defines the
+    node set S; the readout counts the edges INDUCED by S (both
+    endpoints in — what a subgraph-sampling trainer would load), the
+    BOUNDARY edges (exactly one endpoint in — the halo a
+    message-passing layer beyond the horizon would need, i.e. the
+    truncation bias made visible), and the graph total.
+
+    Scale shape: the BFS is memoized; membership classification is two
+    LEFT probes of the canonical edge list against the node set
+    (broadcast under the adaptive gate inside `_seed_bfs`'s machinery;
+    here Catalyst-decided) plus one 1-row aggregate. Nothing pairwise,
+    no windows over data-sized input."""
+    prep(spark)
+    bfs, _seeds = _seed_bfs(spark, sf_dir, _BTW_SEEDS)
+    pairs, _ = _copurchase_pairs(spark, sf_dir)
+    s = bfs.select("node").distinct()
+    sa = s.select(F.col("node").alias("a")).withColumn("ha", F.lit(1))
+    sb = s.select(F.col("node").alias("b")).withColumn("hb", F.lit(1))
+    cls = (
+        pairs.join(sa, "a", "left")
+        .join(sb, "b", "left")
+        .select(
+            (F.coalesce("ha", F.lit(0)) + F.coalesce("hb", F.lit(0))).alias("hits")
+        )
+    )
+    n_nodes = s.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    return (
+        cls.agg(
+            F.sum(F.when(F.col("hits") == 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_edges_induced"),
+            F.sum(F.when(F.col("hits") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_edges_boundary"),
+            F.count(F.lit(1)).cast("long").alias("n_edges_total"),
+        )
+        .crossJoin(F.broadcast(n_nodes))
+        .select(
+            F.lit(_BTW_SEEDS).cast("long").alias("n_seeds"),
+            "n_nodes",
+            "n_edges_induced",
+            "n_edges_boundary",
+            "n_edges_total",
+        )
+    )

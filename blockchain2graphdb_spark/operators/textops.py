@@ -1702,3 +1702,131 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score_nanos"), "phrase")
         .limit(20)
     )
+
+
+@query(
+    "bigram_lm_perplexity",
+    oracle="""
+    WITH toks0 AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, CAST(t.i AS BIGINT) AS pos,
+             ts[CAST(t.i AS INT) + 1] AS tok
+      FROM toks0, UNNEST(range(len(ts))) AS t(i)
+      WHERE ts[CAST(t.i AS INT) + 1] <> ''
+    ),
+    tr AS (SELECT * FROM toks WHERE doc_id % 10 <> 0),
+    te AS (SELECT * FROM toks WHERE doc_id % 10 = 0),
+    v AS (SELECT CAST(COUNT(DISTINCT tok) + 1 AS BIGINT) AS v FROM tr),
+    big_tr AS (
+      SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+      FROM tr a JOIN tr b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+    ),
+    c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM big_tr
+            GROUP BY w1, w2),
+    c1 AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS c FROM c12 GROUP BY w1),
+    big_te AS (
+      SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+      FROM te a JOIN te b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+    ),
+    contrib AS (
+      SELECT t.doc_id,
+             CAST(ROUND(ln(CAST(COALESCE(u.c, 0) + v.v AS DOUBLE)
+                           / CAST(COALESCE(b.c, 0) + 1 AS DOUBLE)) * 1e9)
+                  AS BIGINT) AS nanos
+      FROM big_te t
+      LEFT JOIN c12 b ON b.w1 = t.w1 AND b.w2 = t.w2
+      LEFT JOIN c1 u ON u.w1 = t.w1
+      CROSS JOIN v
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(nanos) AS BIGINT) AS surprisal_nanos,
+           CAST(SUM(nanos) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1e9
+             AS avg_surprisal
+    FROM contrib GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BIGRAM LANGUAGE-MODEL scoring of held-out documents — the
+    perplexity-style quality filter one order above `text_surprisal`'s
+    unigram model (word-order violations that unigram frequency cannot
+    see score high here): train an add-1-smoothed bigram LM on the 90%
+    split (doc_id % 10 != 0 — the dedup_incremental corpus/batch
+    convention), score each held-out document's total and mean
+    surprisal −ln p(w2|w1) with p = (c(w1,w2)+1)/(c(w1)+V),
+    V = train vocab + 1 (the UNK slot, so unseen contexts read the
+    uniform 1/V). Per-bigram contributions are ROUND(ln·1e9) int-nanos
+    BEFORE the per-doc sum (the text_surprisal/BM25 discipline:
+    order-independent integer aggregation; only the final mean divides
+    in double). Out-of-vocabulary test words fall out naturally — a
+    missing count join coalesces to 0 on both engines.
+
+    Scale shape: bigrams via a per-doc positional self-join (exactly
+    ONE match per position — pos+1 is a join key, the
+    random_walk_sample no-fanout argument); model tables are two hash
+    aggregates probed by equi-joins (broadcastable, Catalyst-decided);
+    one doc-keyed aggregate ends it. No windows, nothing pairwise."""
+    prep(spark)
+    toks = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok"))
+        .where(F.col("tok") != "")
+        .select("doc_id", F.col("pos").cast("long").alias("pos"), "tok")
+    )
+    tr = toks.where(F.col("doc_id") % 10 != 0)
+    te = toks.where(F.col("doc_id") % 10 == 0)
+    v = tr.agg((F.count_distinct("tok") + 1).cast("long").alias("v"))
+
+    def bigrams(df: DataFrame) -> DataFrame:
+        a = df.select(
+            F.col("doc_id").alias("d"), F.col("pos").alias("p"), F.col("tok").alias("w1")
+        )
+        b = df.select(
+            F.col("doc_id").alias("d2"), F.col("pos").alias("p2"), F.col("tok").alias("w2")
+        )
+        return a.join(
+            b, (F.col("d") == F.col("d2")) & (F.col("p2") == F.col("p") + 1)
+        ).select(F.col("d").alias("doc_id"), "w1", "w2")
+
+    c12 = bigrams(tr).groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    c1 = c12.groupBy("w1").agg(F.sum("c").cast("long").alias("cu"))
+    contrib = (
+        bigrams(te)
+        .join(c12.withColumnRenamed("c", "cb"), ["w1", "w2"], "left")
+        .join(c1, "w1", "left")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    (F.coalesce("cu", F.lit(0)) + F.col("v")).cast("double")
+                    / (F.coalesce("cb", F.lit(0)) + 1).cast("double")
+                )
+                * 1e9
+            )
+            .cast("long")
+            .alias("nanos"),
+        )
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("nanos").cast("long").alias("surprisal_nanos"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "surprisal_nanos",
+            (
+                F.col("surprisal_nanos").cast("double")
+                / F.col("n_bigrams").cast("double")
+                / 1e9
+            ).alias("avg_surprisal"),
+        )
+        .orderBy("doc_id")
+    )

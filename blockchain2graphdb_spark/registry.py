@@ -71,10 +71,12 @@ _OPERATOR_MODULES = (
 # load_all() silently ignores missing keys).
 _SAMPLE_PRIORITY = (
     # --- new round-12 head: never-driver-witnessed first, then stalest ---
+    "bigram_lm_perplexity",  # r0 oracle
     "embedding_random_projection",  # r0 oracle
     "herfindahl_concentration",  # r0 oracle
     "holt_linear_forecast",  # r0 oracle
     "katz_centrality",  # r0 oracle
+    "khop_induced_subgraph",  # r0 oracle
     "lorenz_curve_deciles",  # r0 oracle
     "mde_power_analysis",  # r0 oracle
     "negative_edge_sample",  # r0 oracle
@@ -84,6 +86,7 @@ _SAMPLE_PRIORITY = (
     "srm_check",  # r0 oracle
     "stream_multi_table_ingest",  # r0 oracle
     "stream_page_hinkley",  # r0 oracle
+    "stream_scd2_enrich",  # r0 oracle
     "t_closeness_audit",  # r0 oracle
     "temporal_edge_split",  # r0 oracle
     "text_rake_keywords",  # r0 oracle

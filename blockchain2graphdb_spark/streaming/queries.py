@@ -1393,3 +1393,100 @@ def stream_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type", "n_obs", "ph_max_micros", "peak_pos", "m_final_micros"
         )
     )
+
+
+@query(
+    "stream_scd2_enrich",
+    oracle="""
+    WITH st AS (
+      SELECT user_id, event_type AS status, epoch_ns(ts) // 1000 AS us,
+             event_id
+      FROM events WHERE event_type <> 'purchase'
+    ),
+    iv AS (
+      SELECT user_id, status, us AS from_us,
+             lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+               AS to_us
+      FROM st
+    ),
+    pu AS (
+      SELECT user_id, epoch_ns(ts) // 1000 AS us,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    enriched AS (
+      SELECT COALESCE(iv.status, 'none') AS status, pu.cents
+      FROM pu
+      LEFT JOIN iv ON iv.user_id = pu.user_id
+                  AND iv.from_us <= pu.us
+                  AND (iv.to_us IS NULL OR pu.us < iv.to_us)
+    )
+    SELECT status,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(cents) AS BIGINT) AS cents_sum
+    FROM enriched GROUP BY status ORDER BY status
+    """,
+)
+def stream_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING SCD2 POINT-IN-TIME enrichment — the production join a
+    naive stream-static equi-join gets WRONG: the dimension is
+    VERSIONED (the scd2_history per-user status timeline — each
+    non-purchase event opens a validity interval [from, next-change)),
+    and each streaming purchase must join the version valid AT ITS OWN
+    EVENT TIME, never the latest one (the feature_pit_join leakage
+    rule, applied to a streaming fact). The static side is the
+    interval table (one lead() window over the dim build); the stream
+    joins on user + from_us <= t < to_us — a per-user interval probe
+    the SCD2 partition makes unique by construction (consecutive
+    intervals tile [first_status, ∞), so exactly one matches; two
+    status changes in the same microsecond leave the earlier an empty
+    [t, t) interval — the later deterministically wins). Purchases
+    before any status read 'none' via the left join.
+
+    The enriched rows are appended per micro-batch (the join is
+    stateless given the static dim) and the final readout aggregates
+    them — trigger-boundary-invariant, hence the full value-hash
+    oracle.
+
+    Scale shape: dim build = one user-partitioned window; per batch
+    ONE join against the (broadcastable, Catalyst-decided) interval
+    table; final aggregate O(#statuses)."""
+    prep(spark)
+    ev = table(spark, sf_dir, "events")
+    st = ev.where(F.col("event_type") != "purchase").select(
+        "user_id",
+        F.col("event_type").alias("status"),
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+    )
+    iv = st.select(
+        F.col("user_id").alias("d_user"),
+        "status",
+        F.col("us").alias("from_us"),
+        F.lead("us")
+        .over(W.partitionBy("user_id").orderBy("us", "event_id"))
+        .alias("to_us"),
+    )
+    s = _events_stream(spark, sf_dir).where(
+        F.col("event_type") == "purchase"
+    ).select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    )
+    enriched = s.join(
+        iv,
+        (F.col("user_id") == F.col("d_user"))
+        & (F.col("from_us") <= F.col("us"))
+        & (F.col("to_us").isNull() | (F.col("us") < F.col("to_us"))),
+        "left",
+    ).select(F.coalesce("status", F.lit("none")).alias("status"), "cents")
+    rows = _run(spark, enriched)
+    return (
+        rows.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.sum("cents").cast("long").alias("cents_sum"),
+        )
+        .orderBy("status")
+    )
