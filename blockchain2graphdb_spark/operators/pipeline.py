@@ -1775,3 +1775,213 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_rows_at_risk"),
     ).drop("n")
+
+
+# LLM training-mix weights in permille, summing to 1000. Domain
+# constants of the curation recipe (not data-derived): upsampling
+# high-resource English and balancing the rest is the standard
+# mixture shape.
+_MIX_WEIGHTS = (("en", 500), ("fr", 150), ("de", 150), ("es", 100), ("zh", 100))
+
+
+def _mixture_oracle() -> str:
+    w_vals = ", ".join(f"('{k}', {v})" for k, v in _MIX_WEIGHTS)
+    return f"""
+    WITH w(lang, permille) AS (VALUES {w_vals}),
+    tgt AS (SELECT CAST(COUNT(*) // 2 AS BIGINT) AS n_target FROM documents),
+    quota AS (
+      SELECT w.lang, CAST((w.permille * tgt.n_target) // 1000 AS BIGINT)
+               AS quota
+      FROM w, tgt
+    ),
+    ranked AS (
+      SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS rk
+      FROM documents
+    ),
+    sel AS (
+      SELECT r.lang, CAST(COUNT(*) AS BIGINT) AS n_selected,
+             CAST(SUM(r.doc_id) AS BIGINT) AS docid_sum
+      FROM ranked r JOIN quota q ON q.lang = r.lang AND r.rk <= q.quota
+      GROUP BY r.lang
+    ),
+    avail AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_available
+      FROM documents GROUP BY lang
+    )
+    SELECT q.lang, q.quota,
+           COALESCE(s.n_selected, 0) AS n_selected,
+           q.quota - COALESCE(s.n_selected, 0) AS deficit,
+           a.n_available,
+           COALESCE(s.docid_sum, 0) AS docid_sum
+    FROM quota q
+    LEFT JOIN sel s ON s.lang = q.lang
+    JOIN avail a ON a.lang = q.lang
+    ORDER BY q.lang
+    """
+
+
+@query("dataset_mixture_manifest", oracle=_mixture_oracle())
+def dataset_mixture_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINING-MIX MANIFEST — the epoch-composition step of an LLM
+    data pipeline: given permille mixture weights per language (the
+    curation recipe's domain constants) and a target epoch size (half
+    the corpus, data-derived), select each language's quota as its
+    smallest-md5 documents (content-hash selection — growth-stable and
+    engine-portable like split_assign: re-running on a grown corpus
+    keeps previously selected docs selected as long as they stay in
+    the quota prefix). Quotas a language cannot fill surface as
+    `deficit` instead of silently rebalancing — the honest readout an
+    under-resourced language needs; docid_sum is the manifest checksum
+    (selection is exactly reproducible, not just counted).
+
+    Scale shape: the per-language rank is a partitioned window →
+    WindowGroupLimit once the quota probe is pushed (per-language
+    top-N, map-side partial); quotas are an O(#langs) broadcast; two
+    hash aggregates end it. Nothing global-sorted."""
+    prep(spark)
+    docs = table(spark, sf_dir, "documents")
+    tgt = docs.agg(F.expr("COUNT(*) div 2").cast("long").alias("n_target"))
+    w = docs.sparkSession.createDataFrame(
+        list(_MIX_WEIGHTS), "lang string, permille long"
+    )
+    quota = (
+        w.crossJoin(F.broadcast(tgt))
+        .select(
+            "lang",
+            F.expr("(permille * n_target) div 1000").cast("long").alias("quota"),
+        )
+    )
+    ranked = docs.select(
+        "lang",
+        "doc_id",
+        F.row_number()
+        .over(
+            W.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        )
+        .alias("rk"),
+    )
+    sel = (
+        ranked.join(F.broadcast(quota), "lang")
+        .where(F.col("rk") <= F.col("quota"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_selected"),
+            F.sum("doc_id").cast("long").alias("docid_sum"),
+        )
+    )
+    avail = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_available")
+    )
+    return (
+        quota.join(sel, "lang", "left")
+        .join(avail, "lang")
+        .select(
+            "lang",
+            "quota",
+            F.coalesce("n_selected", F.lit(0)).cast("long").alias("n_selected"),
+            (F.col("quota") - F.coalesce("n_selected", F.lit(0)))
+            .cast("long")
+            .alias("deficit"),
+            "n_available",
+            F.coalesce("docid_sum", F.lit(0)).cast("long").alias("docid_sum"),
+        )
+        .orderBy("lang")
+    )
+
+
+_PACK_BUDGET = 512  # tokens per packed training sequence
+
+
+@query(
+    "sequence_packing_shelf",
+    oracle=f"""
+    WITH n AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+                  AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tok,
+             CAST(SUM(n_tok) OVER (ORDER BY doc_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tok AS cum_before
+      FROM n
+    ),
+    spans AS (
+      SELECT doc_id, n_tok,
+             cum_before // {_PACK_BUDGET} AS first_pack,
+             (cum_before + n_tok - 1) // {_PACK_BUDGET} AS last_pack
+      FROM c WHERE n_tok > 0
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST((SUM(n_tok) + {_PACK_BUDGET} - 1) // {_PACK_BUDGET} AS BIGINT)
+             AS n_packs,
+           CAST(SUM(CASE WHEN last_pack > first_pack THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_docs_straddling,
+           CAST((SUM(n_tok) * 1000000)
+                // (((SUM(n_tok) + {_PACK_BUDGET} - 1) // {_PACK_BUDGET})
+                    * {_PACK_BUDGET}) AS BIGINT) AS fill_micros
+    FROM spans
+    """,
+)
+def sequence_packing_shelf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQUENCE PACKING audit for LLM pretraining — the GPT-style
+    concatenate-and-chop layout: documents concatenated in a
+    deterministic order (doc_id) into one token stream, cut into
+    {_PACK_BUDGET}-token training sequences; a document occupies
+    [cum_before, cum_before + n) and STRADDLES a boundary when its
+    first and last pack differ (the attention-contamination the
+    packing mask must handle — this operator counts exactly how much
+    of it the corpus produces). Reports pack count, straddler count,
+    and the fill rate in int-micros (the only waste under
+    concatenation is the final partial pack, but the fill rate is the
+    denominator every smarter packer is judged against).
+
+    Scale shape: token counts are one map-side pass; the global
+    running offset is `bucketed_prefix_sum` over doc_id band buckets
+    (per-bucket totals → broadcast offsets → in-bucket partitioned
+    cumsum — never one WindowExec partition); the readout is a 1-row
+    aggregate."""
+    prep(spark)
+    from ..functions.ranking import bucketed_prefix_sum
+
+    n = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(
+            F.filter(F.split("text", " "), lambda t: t != "")
+        )
+        .cast("long")
+        .alias("n_tok"),
+    )
+    c = bucketed_prefix_sum(
+        n,
+        bucket=F.expr("doc_id div 1000"),
+        order=[F.col("doc_id")],
+        val=F.col("n_tok"),
+    ).withColumn("cum_before", F.col("cum") - F.col("n_tok"))
+    spans = c.where(F.col("n_tok") > 0).select(
+        "n_tok",
+        F.expr(f"cum_before div {_PACK_BUDGET}").alias("first_pack"),
+        F.expr(f"(cum_before + n_tok - 1) div {_PACK_BUDGET}").alias("last_pack"),
+    )
+    return spans.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+        F.expr(f"(SUM(n_tok) + {_PACK_BUDGET} - 1) div {_PACK_BUDGET}")
+        .cast("long")
+        .alias("n_packs"),
+        F.sum(F.when(F.col("last_pack") > F.col("first_pack"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_docs_straddling"),
+        F.expr(
+            f"(SUM(n_tok) * 1000000) div"
+            f" (((SUM(n_tok) + {_PACK_BUDGET} - 1) div {_PACK_BUDGET})"
+            f" * {_PACK_BUDGET})"
+        )
+        .cast("long")
+        .alias("fill_micros"),
+    )

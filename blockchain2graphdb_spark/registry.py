@@ -72,6 +72,7 @@ _OPERATOR_MODULES = (
 _SAMPLE_PRIORITY = (
     # --- new round-12 head: never-driver-witnessed first, then stalest ---
     "bigram_lm_perplexity",  # r0 oracle
+    "dataset_mixture_manifest",  # r0 oracle
     "embedding_random_projection",  # r0 oracle
     "herfindahl_concentration",  # r0 oracle
     "holt_linear_forecast",  # r0 oracle
@@ -83,6 +84,7 @@ _SAMPLE_PRIORITY = (
     "node2vec_walk_sample_pq",  # r0 oracle
     "page_hinkley_drift",  # r0 oracle
     "regression_metrics",  # r0 oracle
+    "sequence_packing_shelf",  # r0 oracle
     "srm_check",  # r0 oracle
     "stream_multi_table_ingest",  # r0 oracle
     "stream_page_hinkley",  # r0 oracle
