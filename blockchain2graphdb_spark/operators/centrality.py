@@ -589,13 +589,21 @@ def _eigcent_oracle(rounds: int = _EIG_ROUNDS) -> str:
     blocks = []
     prev = "e0"
     for r in range(1, rounds + 1):
+        # rescale every SECOND round (and the last): the intermediate
+        # magnitude stays inside HUGEINT/DECIMAL(38,0) for two hops
+        # (<= 1e6 * d_max^2), and halving the rescale points halves
+        # the checkpoint + max jobs on the Spark side (r12 perf pass)
+        if r % 2 == 0 or r == rounds:
+            rescale = "(w * 1000000) // (MAX(w) OVER ())"
+        else:
+            rescale = "w"
         blocks.append(
             f"""    ew{r} AS MATERIALIZED (
       SELECT s.src AS node, SUM(p.v) AS w
       FROM sym s JOIN {prev} p ON p.node = s.dst GROUP BY s.src
     ),
     e{r} AS MATERIALIZED (
-      SELECT node, (w * 1000000) // (MAX(w) OVER ()) AS v FROM ew{r}
+      SELECT node, {rescale} AS v FROM ew{r}
     )"""
         )
         prev = f"e{r}"
@@ -654,13 +662,8 @@ def eigenvector_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_parts = parquet_num_rows(sf_dir, "part")
     gate = adaptive_broadcast_rows(spark, bytes_per_row=24)
     hint = F.broadcast if n_parts <= gate else (lambda df: df)
-    for _ in range(_EIG_ROUNDS):
-        # the max is w's SECOND reference, so w must materialize each
-        # round or both plan and runtime double per round (the
-        # pca_power trap); a sparser checkpoint cadence was measured
-        # SLOWER here (recomputing the |E|-row join costs more than
-        # the saved checkpoint job)
-        w = local_checkpoint(
+    for r in range(1, _EIG_ROUNDS + 1):
+        w = (
             sym.join(
                 hint(v.select(F.col("node").alias("vn"), "v")),
                 F.col("dst") == F.col("vn"),
@@ -668,11 +671,31 @@ def eigenvector_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("src").alias("node"))
             .agg(F.sum("v").alias("w"))
         )
-        m = w.agg(F.max("w").alias("m"))
-        v = w.crossJoin(F.broadcast(m)).select(
-            "node",
-            F.expr("(w * 1000000) div m").cast("decimal(38,0)").alias("v"),
-        )
+        if r % 2 == 0 or r == _EIG_ROUNDS:
+            # rescale rounds: the max is w's SECOND reference, so w must
+            # materialize here or plan and runtime double (the pca_power
+            # trap). Rescaling every round was the r11 form; rescaling
+            # every SECOND round (r12) halves the checkpoint + max jobs
+            # — the un-rescaled intermediate stays <= 1e6·d_max^2, far
+            # inside DECIMAL(38,0), and the floor points move to LARGER
+            # magnitudes, so quantization error only shrinks (numpy eigh
+            # parity test unchanged). Measured ~neutral at sf0.1 (5.44s
+            # vs 5.31s warm): the ten |E|-row joins dominate, and the
+            # skipped checkpoints just move the same join work into the
+            # next round's job — kept for the smaller job count, with
+            # this honest note that round count, not rescale cadence,
+            # is this operator's cost. In between, w has exactly ONE
+            # consumer (the next join), so skipping its checkpoint
+            # recomputes nothing and the two-hop plan depth cannot
+            # re-trigger the stats-squaring blowup.
+            w = local_checkpoint(w)
+            m = w.agg(F.max("w").alias("m"))
+            v = w.crossJoin(F.broadcast(m)).select(
+                "node",
+                F.expr("(w * 1000000) div m").cast("decimal(38,0)").alias("v"),
+            )
+        else:
+            v = w.select("node", F.col("w").cast("decimal(38,0)").alias("v"))
     return (
         v.select(
             F.col("node").cast("long").alias("node"),
