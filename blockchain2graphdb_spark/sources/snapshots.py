@@ -125,14 +125,16 @@ class SnapshotStore:
         return None if v == 0 else self._manifest(v)["partition_col"]
 
     def history(self) -> list[dict]:
-        return [
-            {
-                "version": v,
-                "op": (m := self._manifest(v))["op"],
-                "n_files": len(m["files"]),
-            }
-            for v in range(1, self.latest_version() + 1)
-        ]
+        out = []
+        for v in range(1, self.latest_version() + 1):
+            try:
+                m = self._manifest(v)
+            except FileNotFoundError:
+                continue  # version reclaimed by TableGroup.vacuum
+            out.append(
+                {"version": v, "op": m["op"], "n_files": len(m["files"])}
+            )
+        return out
 
     def _commit(
         self,
@@ -363,7 +365,11 @@ class SnapshotStore:
         Returns the deleted paths."""
         live: set[str] = set()
         for v in range(1, self.latest_version() + 1):
-            live.update(os.path.join(self.root, f) for f in self._manifest(v)["files"])
+            try:
+                m = self._manifest(v)
+            except FileNotFoundError:
+                continue  # version reclaimed by TableGroup.vacuum
+            live.update(os.path.join(self.root, f) for f in m["files"])
         dead = []
         for dirpath, _dirs, names in os.walk(f"{self.root}/data"):
             for n in names:
@@ -510,7 +516,10 @@ class TableGroup:
       before the group claim leaves an ORPHAN table version. It is
       invisible (no group references it), and it cannot leak: later
       transactions base on the catalog's pinned version, never on the
-      table's raw latest. Orphan files are reclaimable by vacuum.
+      table's raw latest. Orphan VERSIONS (and then their files) are
+      reclaimed by `TableGroup.vacuum()` — the per-store vacuum alone
+      cannot reclaim them, because an orphan still owns a manifest and
+      per-store vacuum keeps every manifest-referenced file.
 
     At 100 TB the group manifest is O(#tables) and every commit is
     O(files touched) — same cost model as the single-table log.
@@ -565,6 +574,42 @@ class TableGroup:
             {"group": g, "tables": self.group_manifest(g)}
             for g in range(1, self.latest_group() + 1)
         ]
+
+    def vacuum(self) -> dict[str, list[int]]:
+        """Reclaim ORPHAN table versions — versions no group manifest
+        pins, left behind by writers that died or lost the group CAS
+        after their per-table commit — then the data files only they
+        referenced (via each store's file-level vacuum, which now sees
+        their manifests gone). Two safety fences: a table no group
+        references at all is never touched (it may be mid-first-commit),
+        and versions AT or ABOVE the table's highest pinned version are
+        kept (an in-flight commit's table version always sits above
+        every pin, because losers rebase onto the pinned catalog).
+        Returns {table: [reclaimed versions]}."""
+        pinned: dict[str, set[int]] = {}
+        for g in range(1, self.latest_group() + 1):
+            for t, v in self.group_manifest(g).items():
+                pinned.setdefault(t, set()).add(v)
+        removed: dict[str, list[int]] = {}
+        for name in sorted(os.listdir(f"{self.root}/tables")):
+            pins = pinned.get(name)
+            if not pins:
+                continue
+            st = self.store(name)
+            fence = max(pins)
+            drop = [
+                v
+                for v in range(1, st.latest_version() + 1)
+                if v < fence
+                and v not in pins
+                and os.path.exists(f"{st.root}/_manifests/v{v:08d}.json")
+            ]
+            for v in drop:
+                os.remove(f"{st.root}/_manifests/v{v:08d}.json")
+            st.vacuum()
+            if drop:
+                removed[name] = drop
+        return removed
 
     def commit(self, writes: dict[str, "DataFrame"], op: str = "txn") -> int:
         """Atomically commit `writes` (table -> rows to APPEND) across

@@ -643,3 +643,62 @@ def test_group_commit_through_object_store_seam(spark, tmp_path):
     assert sorted(r["x"] for r in group.read(spark, "txs").collect()) == [10, 11]
     # 3 table-version manifests + 2 group manifests, all via the store
     assert len(fake.objects) == 5 and fake.conflicts == 0
+
+
+def test_group_vacuum_reclaims_orphans_only(spark, tmp_path):
+    """TableGroup.vacuum must reclaim exactly the table versions no
+    group pins (crash/race leftovers) plus their files, while keeping
+    every pinned version readable, anything at/above the highest pin
+    (in-flight commits), and tables no group references at all."""
+    import os
+
+    from blockchain2graphdb_spark.sources.snapshots import TableGroup, link_claim
+
+    root = str(tmp_path / "gv")
+    group = TableGroup(root)
+    group.commit({"a": _rows(spark, [1]), "b": _rows(spark, [10])})  # g1: a1 b1
+
+    # crash AFTER a's table commit, BEFORE b's -> a@2 becomes an orphan
+    calls = {"n": 0}
+
+    def crash_second(tmp, target):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("boom")
+        return link_claim(tmp, target)
+
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        TableGroup(root, claim=crash_second).commit(
+            {"a": _rows(spark, [2]), "b": _rows(spark, [20])}
+        )
+    group.commit({"a": _rows(spark, [3]), "b": _rows(spark, [30])})  # g2: a3 b2
+
+    sa = group.store("a")
+    assert sa.latest_version() == 3  # v2 = the orphan
+    orphan_files = set(sa.files(2))
+    assert orphan_files  # the orphan really staged data
+
+    # an in-flight table version ABOVE every pin (no group claim yet)
+    sa._commit(lambda: sa.files(3), None, "inflight-append")
+    assert sa.latest_version() == 4
+
+    # an unpinned table (mid-first-commit) must be untouched
+    sc = group.store("c")
+    sc.write(_rows(spark, [99]))
+
+    removed = group.vacuum()
+    assert removed == {"a": [2]}
+    # orphan manifest + files gone
+    assert not os.path.exists(f"{sa.root}/_manifests/v{2:08d}.json")
+    for p in orphan_files:
+        if p not in set(sa.files(1)) | set(sa.files(3)):
+            assert not os.path.exists(p), p
+    # pinned versions still read exactly; in-flight + unpinned intact
+    assert sorted(r["x"] for r in group.read(spark, "a", group=1).collect()) == [1]
+    assert sorted(r["x"] for r in group.read(spark, "a").collect()) == [1, 3]
+    assert sa.latest_version() == 4
+    assert sc.read(spark).count() == 1
+    # idempotent
+    assert group.vacuum() == {}
