@@ -288,3 +288,90 @@ def kmeans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign(cents).select(
         "vec_id", F.col("cid").cast("long").alias("cluster")
     )
+
+
+_IVF_INC_CENT_MOD = 31  # every 31st BASE vector seeds a centroid
+
+
+@query(
+    "ivf_index_incremental",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      FROM embeddings WHERE len(embedding) > 0
+    ),
+    cents AS (
+      SELECT vec_id AS cell, qv AS cvec FROM q
+      WHERE vec_id % 10 <> 0 AND vec_id % {_IVF_INC_CENT_MOD} = 0
+      ORDER BY vec_id LIMIT {_N_CENTROIDS}
+    ),
+    batch AS (SELECT vec_id, qv FROM q WHERE vec_id % 10 = 0),
+    d AS (
+      SELECT b.vec_id, c.cell,
+             CAST(SUM((b.qv[CAST(t.i AS INT) + 1] - c.cvec[CAST(t.i AS INT) + 1])
+                      * (b.qv[CAST(t.i AS INT) + 1] - c.cvec[CAST(t.i AS INT) + 1]))
+                  AS BIGINT) AS d2
+      FROM batch b
+      CROSS JOIN cents c
+      CROSS JOIN UNNEST(range(len(b.qv))) AS t(i)
+      GROUP BY b.vec_id, c.cell
+    ),
+    best AS (
+      SELECT vec_id, cell, d2,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+      FROM d
+    )
+    SELECT vec_id, cell, d2 FROM best WHERE rn = 1 ORDER BY vec_id
+    """,
+)
+def ivf_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL IVF INDEX MAINTENANCE — the freshness path of the
+    X3 scale story: the coarse quantizer is FROZEN (every
+    {_IVF_INC_CENT_MOD}st base vector, the deterministic k-means
+    stand-in `similarity_ivf` also uses) and only the NEW batch
+    (vec_id % 10 == 0, the dedup_incremental corpus/batch convention)
+    is assigned — the O(|batch| × k) cost that lets a 100 TB vector
+    store absorb arrivals without re-clustering; centroid refresh is
+    the separate offline job (`kmeans_embeddings`). Assignment is the
+    argmin of EXACT integer squared L2 over the round(x·1000)
+    quantization (ties to the smaller cell id), so unlike the
+    float-cosine `similarity_ivf` this key is fully ORACLE-CHECKED —
+    the assignment rows (vec_id, cell, d2) are what a versioned index
+    table (SnapshotStore.append) would commit.
+
+    Scale shape: centroids are a k-row broadcast; the distance kernel
+    is a JVM zip_with/aggregate (one row per (vector, centroid), no
+    explode); the argmin is a per-vector window over k rows. Nothing
+    pairwise over the base."""
+    prep(spark)
+    from ..functions.vectors import quantize
+
+    emb = table(spark, sf_dir, "embeddings").where(F.size("embedding") > 0)
+    q = emb.select("vec_id", quantize("embedding").alias("qv"))
+    cents = (
+        q.where(
+            (F.col("vec_id") % 10 != 0)
+            & (F.col("vec_id") % _IVF_INC_CENT_MOD == 0)
+        )
+        .orderBy("vec_id")
+        .limit(_N_CENTROIDS)
+        .select(F.col("vec_id").alias("cell"), F.col("qv").alias("cvec"))
+    )
+    batch = q.where(F.col("vec_id") % 10 == 0)
+    d = batch.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cell",
+        F.expr(
+            "aggregate(zip_with(qv, cvec, (x, y) -> (x - y) * (x - y)),"
+            " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        ).alias("d2"),
+    )
+    w = W.partitionBy("vec_id").orderBy("d2", "cell")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "cell", "d2")
+        .orderBy("vec_id")
+    )

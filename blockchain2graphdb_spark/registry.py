@@ -76,6 +76,7 @@ _SAMPLE_PRIORITY = (
     "embedding_random_projection",  # r0 oracle
     "herfindahl_concentration",  # r0 oracle
     "holt_linear_forecast",  # r0 oracle
+    "ivf_index_incremental",  # r0 oracle
     "katz_centrality",  # r0 oracle
     "khop_induced_subgraph",  # r0 oracle
     "lorenz_curve_deciles",  # r0 oracle
