@@ -1830,3 +1830,66 @@ def bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "tokenizer_fertility_by_lang",
+    oracle="""
+    WITH d AS (
+      SELECT lang,
+             CAST(length(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT)
+               AS n_pieces,
+             CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+                  AS BIGINT) AS n_words
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_pieces) AS BIGINT) AS n_pieces,
+           CAST(SUM(n_words) AS BIGINT) AS n_words,
+           CAST((SUM(n_pieces) * 1000000) // SUM(n_words) AS BIGINT)
+             AS fertility_micros
+    FROM d GROUP BY lang ORDER BY lang
+    """,
+)
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKENIZER FERTILITY per language — pieces emitted per whitespace
+    word, the standard multilingual-tokenizer equity metric (a
+    tokenizer trained on English shows fertility blowing up on
+    underrepresented scripts, which silently taxes those languages'
+    effective context and training compute). Pieces use the BPE-ish
+    regex of `token_count`; fertility = floor(Σpieces·1e6/Σwords) per
+    language — one integer division of exact corpus sums (never a mean
+    of per-doc ratios, which would weight short docs equally with
+    long).
+
+    Scale shape: one map-side pass (two regex counts per row), one
+    language-keyed aggregate. O(#langs) output."""
+    prep(spark)
+    d = table(spark, sf_dir, "documents").select(
+        "lang",
+        F.regexp_count(F.col("text"), F.lit("[a-z]+|[0-9]+"))
+        .cast("long")
+        .alias("n_pieces"),
+        F.size(F.filter(F.split("text", " "), lambda t: t != ""))
+        .cast("long")
+        .alias("n_words"),
+    )
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_pieces").cast("long").alias("n_pieces"),
+            F.sum("n_words").cast("long").alias("n_words"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_pieces",
+            "n_words",
+            F.expr("(n_pieces * 1000000) div n_words")
+            .cast("long")
+            .alias("fertility_micros"),
+        )
+        .orderBy("lang")
+    )

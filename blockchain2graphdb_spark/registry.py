@@ -87,12 +87,14 @@ _SAMPLE_PRIORITY = (
     "regression_metrics",  # r0 oracle
     "sequence_packing_shelf",  # r0 oracle
     "srm_check",  # r0 oracle
+    "stream_mixture_admission",  # r0 oracle
     "stream_multi_table_ingest",  # r0 oracle
     "stream_page_hinkley",  # r0 oracle
     "stream_scd2_enrich",  # r0 oracle
     "t_closeness_audit",  # r0 oracle
     "temporal_edge_split",  # r0 oracle
     "text_rake_keywords",  # r0 oracle
+    "tokenizer_fertility_by_lang",  # r0 oracle
     "wasserstein_1d_drift",  # r0 oracle
     "window_cume_dist",  # r0 oracle
     "agg_hll_merge",  # r1 rows-only

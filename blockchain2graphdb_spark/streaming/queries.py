@@ -1490,3 +1490,147 @@ def stream_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+def _docs_wave_replay(sf_dir: str) -> str:
+    """Three-file documents feed (doc_id ASCENDING thirds — a TIME-like
+    total order for order-sensitive folds), content-keyed to the
+    fixture like _write_replay."""
+    import glob as _glob
+    import os
+    import shutil
+    import time
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    src = f"{sf_dir}/documents.parquet"
+    st = os.stat(src)
+    tag = f"{os.path.basename(sf_dir.rstrip('/'))}_{st.st_size}_{st.st_mtime_ns}"
+    d = f"{_tmp_root_fn()}/docfeed_{tag}"
+    for stale in _glob.glob(
+        f"{_tmp_root_fn()}/docfeed_{os.path.basename(sf_dir.rstrip('/'))}*"
+    ):
+        if stale != d:
+            shutil.rmtree(stale, ignore_errors=True)
+    if not os.path.exists(d):
+        stage = f"{d}.staging"
+        shutil.rmtree(stage, ignore_errors=True)
+        os.makedirs(stage, exist_ok=True)
+        t = pq.read_table(src, columns=["doc_id", "lang"])
+        t = t.take(pc.sort_indices(t, sort_keys=[("doc_id", "ascending")]))
+        third = (t.num_rows + 2) // 3
+        for i in range(3):
+            pq.write_table(t.slice(i * third, third), f"{stage}/part-{i:02d}.parquet")
+            time.sleep(0.05)
+        os.rename(stage, d)
+    return d
+
+
+@query(
+    "stream_mixture_admission",
+    oracle="""
+    WITH w(lang, permille) AS (
+      VALUES ('en', 500), ('fr', 150), ('de', 150), ('es', 100), ('zh', 100)
+    ),
+    tgt AS (SELECT CAST(COUNT(*) // 2 AS BIGINT) AS n_target FROM documents),
+    quota AS (
+      SELECT w.lang, CAST((w.permille * tgt.n_target) // 1000 AS BIGINT)
+               AS quota
+      FROM w, tgt
+    ),
+    ranked AS (
+      SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rk
+      FROM documents
+    ),
+    adm AS (
+      SELECT r.lang, q.quota,
+             CAST(COUNT(CASE WHEN r.rk <= q.quota THEN 1 END) AS BIGINT)
+               AS n_admitted,
+             CAST(COUNT(CASE WHEN r.rk > q.quota THEN 1 END) AS BIGINT)
+               AS n_rejected,
+             CAST(COALESCE(SUM(CASE WHEN r.rk <= q.quota THEN r.doc_id END), 0)
+                  AS BIGINT) AS admitted_docid_sum
+      FROM ranked r JOIN quota q ON q.lang = r.lang
+      GROUP BY r.lang, q.quota
+    )
+    SELECT lang, quota, n_admitted, n_rejected, admitted_docid_sum
+    FROM adm ORDER BY lang
+    """,
+)
+def stream_mixture_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE MIXTURE ADMISSION — the streaming gate in front of
+    `dataset_mixture_manifest`'s retrospective selection: documents
+    arrive in doc_id order and each language ADMITS first-come until
+    its permille quota fills, then rejects — the ingestion-time
+    composition control a training pipeline runs when it cannot see
+    the whole corpus first. State per language is three integers
+    (admitted, rejected, admitted-id checksum); the admitted SET
+    depends on arrival order, so the fold follows the stream_sprt
+    order discipline (doc_id-split three-file replay + in-batch
+    doc_id sort) and the final state is exactly "first `quota` docs
+    per language in doc_id order" — fully ORACLE-CHECKED, the third
+    non-commutative stateful key (sprt, page_hinkley, this).
+
+    Scale shape: state O(#langs × 3 ints); the quota table is a
+    broadcast join onto the stream; per-language sequential admission
+    is the honest contract of any online gate."""
+    prep(spark)
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    docs = table(spark, sf_dir, "documents")
+    n_target = docs.count() // 2
+    weights = {"en": 500, "fr": 150, "de": 150, "es": 100, "zh": 100}
+    quotas = {k: (v * n_target) // 1000 for k, v in weights.items()}
+
+    d = _docs_wave_replay(sf_dir)
+    s = (
+        spark.readStream.schema("doc_id long, lang string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+        .where(F.col("lang").isin(*weights))
+    )
+
+    def fold(key, pdfs, state: GroupState):
+        adm, rej, chk = state.get if state.exists else (0, 0, 0)
+        quota = quotas.get(key[0], 0)
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values("doc_id")
+        for doc_id in pdf["doc_id"].astype("int64"):
+            if adm < quota:
+                adm += 1
+                chk += int(doc_id)
+            else:
+                rej += 1
+        state.update((adm, rej, chk))
+        yield pd.DataFrame(
+            {
+                "lang": [key[0]],
+                "quota": [quota],
+                "n_admitted": [adm],
+                "n_rejected": [rej],
+                "admitted_docid_sum": [chk],
+            }
+        )
+
+    out = s.groupBy("lang").applyInPandasWithState(
+        fold,
+        outputStructType=(
+            "lang string, quota long, n_admitted long, n_rejected long,"
+            " admitted_docid_sum long"
+        ),
+        stateStructType="adm long, rej long, chk long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    updates = _run(spark, out, output_mode="update")
+    w = W.partitionBy("lang").orderBy(
+        F.desc(F.col("n_admitted") + F.col("n_rejected"))
+    )
+    return (
+        updates.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("lang", "quota", "n_admitted", "n_rejected", "admitted_docid_sum")
+        .orderBy("lang")
+    )
