@@ -1843,16 +1843,15 @@ def dataset_mixture_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash aggregates end it. Nothing global-sorted."""
     prep(spark)
     docs = table(spark, sf_dir, "documents")
-    tgt = docs.agg(F.expr("COUNT(*) div 2").cast("long").alias("n_target"))
-    w = docs.sparkSession.createDataFrame(
-        list(_MIX_WEIGHTS), "lang string, permille long"
-    )
-    quota = (
-        w.crossJoin(F.broadcast(tgt))
-        .select(
-            "lang",
-            F.expr("(permille * n_target) div 1000").cast("long").alias("quota"),
-        )
+    # target size + quotas computed driver-side (one bounded count
+    # action): the rank cut below needs a LITERAL bound to compile to
+    # WindowGroupLimit — a joined quota column forces the full
+    # per-language window instead of the map-side partial top-N
+    # (plan pinned in tests/test_round12_ops.py)
+    n_target = docs.count() // 2
+    quotas = {k: (v * n_target) // 1000 for k, v in _MIX_WEIGHTS}
+    quota = docs.sparkSession.createDataFrame(
+        [(k, q) for k, q in quotas.items()], "lang string, quota long"
     )
     ranked = docs.select(
         "lang",
@@ -1862,7 +1861,7 @@ def dataset_mixture_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             W.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
         )
         .alias("rk"),
-    )
+    ).where(F.col("rk") <= F.lit(max(quotas.values())))  # WindowGroupLimit
     sel = (
         ranked.join(F.broadcast(quota), "lang")
         .where(F.col("rk") <= F.col("quota"))

@@ -241,3 +241,122 @@ def test_stream_multi_table_ingest_replay_is_idempotent(spark):
     assert group.latest_group() == 3  # one commit per wave, no extras
     n_orders = pq.read_metadata(f"{SF_DIR}/orders.parquet").num_rows
     assert group.read(spark, "ord").count() == n_orders  # no double-append
+
+
+# --- round-12 plan-shape and replay pins ---
+
+
+def test_mixture_manifest_quota_cut_is_window_group_limit(spark):
+    """The per-language quota prefix must compile to WindowGroupLimit
+    (map-side partial top-N) — a full sort per language would silently
+    turn the manifest into a global-sort job at corpus scale."""
+    from blockchain2graphdb_spark.plans.inspect import plan_string
+
+    df = SPECS["dataset_mixture_manifest"].builder(spark, SF_DIR)
+    plan = plan_string(df)
+    assert "WindowGroupLimit" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_negative_edge_sample_plan_has_no_nested_loop(spark):
+    """Candidate generation must stay equi-join shaped: the node-index
+    probe and the non-edge check may not degrade to a nested loop
+    (the DuckDB-side hazard this key's oracle already hit — pin the
+    Spark side too)."""
+    from blockchain2graphdb_spark.plans.inspect import plan_string
+
+    import re
+
+    df = SPECS["negative_edge_sample"].builder(spark, SF_DIR)
+    plan = plan_string(df)
+    assert "CartesianProduct" not in plan, plan
+    # benign nested loops only: the 1-row scalar cross joins and
+    # bucketed_global_rank's O(#buckets^2) offsets theta-join are all
+    # Cross/LeftOuter BuildRight against tiny broadcasts; the hazard —
+    # an INNER nested loop between the candidate set and the node
+    # index or the edge list — would surface as an Inner BNLJ
+    assert not re.search(r"BroadcastNestedLoopJoin Inner", plan), plan
+    # the index probe and the non-edge check stay hash-join shaped
+    n_hash = len(re.findall(r"(BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin)", plan))
+    assert n_hash >= 2, plan
+
+
+def test_holt_linear_python_replay(spark):
+    """Full-trajectory replay of the Holt recursion with independent
+    arithmetic (pandas grouping + explicit trunc division)."""
+    rows = {
+        r["event_type"]: r
+        for r in SPECS["holt_linear_forecast"].builder(spark, SF_DIR).collect()
+    }
+    t = pq.read_table(f"{SF_DIR}/events.parquet", columns=["ts", "event_type"])
+    df = t.to_pandas()
+    day_us = 24 * 3600 * 1_000_000
+    # normalize to unix MICROS regardless of the parquet ts encoding
+    # (the fixture has shipped both int64-nanos and micros-ntz)
+    df["day"] = df["ts"].astype("datetime64[us]").astype("int64") // day_us
+    daily = df.groupby(["event_type", "day"]).size().reset_index(name="n")
+
+    def tdiv(a, b):
+        return -((-a) // b) if a < 0 else a // b
+
+    for et, grp in daily.groupby("event_type"):
+        xs = [int(x) for x in grp.sort_values("day")["n"]]
+        lvl, trd, abs_err = xs[0] * 1000000, 0, 0
+        for x in xs[1:]:
+            abs_err += abs(x * 1000000 - (lvl + trd))
+            new_lvl = tdiv(x * 1000000 + lvl + trd, 2)
+            trd = tdiv(trd + new_lvl - lvl, 2)
+            lvl = new_lvl
+        r = rows[et]
+        assert r["n_days"] == len(xs)
+        assert r["level_micros"] == lvl and r["trend_micros"] == trd
+        assert r["forecast_next_micros"] == lvl + trd
+        if len(xs) > 1:
+            assert r["mae_one_step_micros"] == tdiv(abs_err, len(xs) - 1)
+
+
+def test_lorenz_deciles_are_monotone_and_complete(spark):
+    """Structural invariants: 10 deciles, populations sum to the
+    customer count, cumulative shares strictly increase to exactly
+    1e9 - tail (final decile's floor) — and the curve sits on or
+    below the equality diagonal."""
+    rows = sorted(
+        SPECS["lorenz_curve_deciles"].builder(spark, SF_DIR).collect(),
+        key=lambda r: r["decile"],
+    )
+    assert [r["decile"] for r in rows] == list(range(10))
+    shares = [r["cum_share_nanos"] for r in rows]
+    assert all(b > a for a, b in zip(shares, shares[1:]))
+    assert shares[-1] == 10**9  # all spend accounted for
+    for i, r in enumerate(rows):
+        assert r["cum_share_nanos"] <= (i + 1) * 10**8 + 1  # under the diagonal
+    import duckdb
+
+    n_cust = duckdb.sql(
+        f"SELECT COUNT(DISTINCT o_custkey) FROM read_parquet('{SF_DIR}/orders.parquet')"
+    ).fetchone()[0]
+    assert sum(r["n_customers"] for r in rows) == n_cust
+
+
+def test_stream_mixture_admission_is_first_come(spark):
+    """The admitted-id checksum must equal the sum of each language's
+    first `quota` doc_ids — proving WHICH docs were admitted, not just
+    how many."""
+    import duckdb
+
+    rows = {
+        r["lang"]: r
+        for r in SPECS["stream_mixture_admission"].builder(spark, SF_DIR).collect()
+    }
+    con = duckdb.connect()
+    for lang, r in rows.items():
+        got = con.execute(
+            f"""
+            SELECT COALESCE(SUM(doc_id), 0) FROM (
+              SELECT doc_id FROM read_parquet('{SF_DIR}/documents.parquet')
+              WHERE lang = ? ORDER BY doc_id LIMIT {r["quota"]}
+            )
+            """,
+            [lang],
+        ).fetchone()[0]
+        assert r["admitted_docid_sum"] == got, lang
