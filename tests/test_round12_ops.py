@@ -360,3 +360,24 @@ def test_stream_mixture_admission_is_first_come(spark):
             [lang],
         ).fetchone()[0]
         assert r["admitted_docid_sum"] == got, lang
+
+
+def test_seed_bfs_broadcast_switch_equivalence(spark, monkeypatch):
+    """_seed_bfs forced down the keyed-shuffle path (gate = 0) must
+    equal the broadcast-path build exactly — the pregel two-path test
+    extended to the centrality BFS (its gate is the documented 100 TB
+    degradation path)."""
+    from blockchain2graphdb_spark.operators import centrality as C
+
+    key = lambda r: (r["root"], r["node"])
+    b_bfs, b_seeds, _ = C._seed_bfs_build(spark, SF_DIR, 8)
+    broadcast_res = {key(r): (r["dist"], r["sigma"]) for r in b_bfs.collect()}
+
+    monkeypatch.setattr(C, "adaptive_broadcast_rows", lambda *a, **k: 0)
+    s_bfs, s_seeds, _ = C._seed_bfs_build(spark, SF_DIR, 8)
+    shuffle_res = {key(r): (r["dist"], r["sigma"]) for r in s_bfs.collect()}
+
+    assert broadcast_res == shuffle_res
+    assert sorted(r["n"] for r in b_seeds.collect()) == sorted(
+        r["n"] for r in s_seeds.collect()
+    )
