@@ -575,6 +575,28 @@ class TableGroup:
             for g in range(1, self.latest_group() + 1)
         ]
 
+    def diff(
+        self, spark: SparkSession, g_from: int, g_to: int | None = None
+    ) -> dict[str, DataFrame]:
+        """Cross-table change data feed between two GROUP versions: for
+        every table whose pinned version moved, the per-store row-level
+        diff (insert/delete `_change` rows) AT THE PINNED VERSIONS — so
+        the feeds of all tables describe one consistent transaction
+        boundary, which per-table diffs against raw `latest` cannot
+        guarantee (a reader diffing tables independently can straddle a
+        group commit). Tables absent from a side diff against version 0
+        (all-insert / all-delete). Returns {table: feed} for changed
+        tables only."""
+        a = self.group_manifest(g_from)
+        b = self.group_manifest(self.latest_group() if g_to is None else g_to)
+        out: dict[str, DataFrame] = {}
+        for name in sorted(set(a) | set(b)):
+            va, vb = a.get(name, 0), b.get(name, 0)
+            if va == vb:
+                continue
+            out[name] = self.store(name).diff(spark, va, vb)
+        return out
+
     def vacuum(self) -> dict[str, list[int]]:
         """Reclaim ORPHAN table versions — versions no group manifest
         pins, left behind by writers that died or lost the group CAS

@@ -702,3 +702,33 @@ def test_group_vacuum_reclaims_orphans_only(spark, tmp_path):
     assert sc.read(spark).count() == 1
     # idempotent
     assert group.vacuum() == {}
+
+
+def test_group_diff_is_transactionally_consistent(spark, tmp_path):
+    """TableGroup.diff must return per-table feeds pinned at the SAME
+    group boundary: tables whose version did not move are absent, a
+    table born between the groups diffs against empty, and the feeds
+    reproduce exactly the rows the transaction added."""
+    from blockchain2graphdb_spark.sources.snapshots import TableGroup
+
+    group = TableGroup(str(tmp_path / "gd"))
+    group.commit({"a": _rows(spark, [1, 2]), "b": _rows(spark, [10])})  # g1
+    group.commit({"a": _rows(spark, [3])})  # g2: b untouched
+    group.commit({"a": _rows(spark, [4]), "c": _rows(spark, [100])})  # g3
+
+    d12 = group.diff(spark, 1, 2)
+    assert set(d12) == {"a"}
+    ins = d12["a"].where(F.col("_change") == "insert")
+    assert sorted(r["x"] for r in ins.collect()) == [3]
+    assert d12["a"].where(F.col("_change") == "delete").count() == 0
+
+    d13 = group.diff(spark, 1)  # to latest
+    assert set(d13) == {"a", "c"}
+    assert sorted(
+        r["x"] for r in d13["a"].where(F.col("_change") == "insert").collect()
+    ) == [3, 4]
+    assert sorted(
+        r["x"] for r in d13["c"].where(F.col("_change") == "insert").collect()
+    ) == [100]
+
+    assert group.diff(spark, 3, 3) == {}
