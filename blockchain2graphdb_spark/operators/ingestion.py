@@ -415,3 +415,107 @@ def taint_flow_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_TAINT_TOPK)
         .select(F.col("id").alias("output_id"), "address", "value", "taint")
     )
+
+
+_AGE_BANDS = ((0, 4), (5, 9), (10, 19), (20, None))  # blocks since creation
+
+
+def _age_band_label(age: int) -> str:
+    for lo, hi in _AGE_BANDS:
+        if hi is None or age <= hi:
+            if hi is None or age >= lo:
+                return f"{lo}+" if hi is None else f"{lo}-{hi}"
+    return "20+"
+
+
+def _expected_utxo_age_rows() -> list[tuple[str, int, int]]:
+    """Per-age-band (n_utxo, value_sum) of the live UTXO set at
+    _UTXO_HEIGHT — the pure-Python ground truth, independent of the
+    decoder and of Spark."""
+    c = _chain()
+    height_of_block = {b[0]: b[2] for b in c.blocks}
+    height_of_tx = {t[0]: height_of_block[t[1]] for t in c.transactions}
+    live: dict[str, tuple[int, int]] = {
+        oid: (v, height_of_tx[tx])
+        for tx, _oi, oid, v, _a in c.outputs
+        if height_of_tx[tx] <= _UTXO_HEIGHT
+    }
+    for sp, oid in c.inputs:
+        if height_of_tx[sp] <= _UTXO_HEIGHT:
+            live.pop(oid, None)
+    agg: dict[str, list[int]] = {}
+    for v, h in live.values():
+        band = _age_band_label(_UTXO_HEIGHT - h)
+        s = agg.setdefault(band, [0, 0])
+        s[0] += 1
+        s[1] += v
+    return sorted((b, s[0], s[1]) for b, s in agg.items())
+
+
+def _utxo_age_oracle() -> str:
+    rows = ",\n      ".join(
+        f"('{b}', CAST({n} AS BIGINT), CAST({vs} AS BIGINT))"
+        for b, n, vs in _expected_utxo_age_rows()
+    )
+    return (
+        "SELECT * FROM (VALUES\n      "
+        + rows
+        + "\n    ) AS t(age_band, n_utxo, value_sum)"
+    )
+
+
+@query("utxo_age_distribution", oracle=_utxo_age_oracle())
+def utxo_age_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UTXO AGE DISTRIBUTION at the pinned height — the "HODL wave"
+    metric every chain-analytics stack derives next to balances
+    (B:784's balance family): live outputs at height H bucketed by
+    coin age H − creation_height, per band count + value. Uses the
+    same decode → height join → anti-join UTXO set as
+    `utxo_balances`; the extra work is ONE map-side CASE band and one
+    O(#bands) aggregate, so the expensive part is shared and the
+    derivation stays set algebra (the reference would hand-maintain
+    age counters and pay the reorg-decrement tax this engine's
+    recompute-from-snapshot model deletes). Oracle = pure-Python
+    replay from the fixture lists (decoder-independent).
+
+    At 100 TB: height filters prune block partitions before the
+    anti-join; the band rollup is map-side combinable."""
+    root = _build_blk_files_once()
+    t = normalize(read_blocks(spark, f"{root}/blk*.dat"))
+    heights = t["blocks"].select(F.col("hash").alias("block_hash"), "height")
+    tx_h = (
+        t["transactions"].join(heights, "block_hash").select("tx_hash", "height")
+    )
+    created = (
+        t["outputs"]
+        .join(tx_h, "tx_hash")
+        .where(F.col("height") <= _UTXO_HEIGHT)
+        .select("output_id", "value", "height")
+    )
+    spent = (
+        t["inputs"]
+        .join(
+            tx_h.withColumnRenamed("tx_hash", "spending_tx_hash"),
+            "spending_tx_hash",
+        )
+        .where(F.col("height") <= _UTXO_HEIGHT)
+        .select(F.col("spent_output_id").alias("output_id"))
+    )
+    live = created.join(spent, "output_id", "left_anti").withColumn(
+        "age", F.lit(_UTXO_HEIGHT) - F.col("height")
+    )
+    band = (
+        F.when(F.col("age") <= 4, "0-4")
+        .when(F.col("age") <= 9, "5-9")
+        .when(F.col("age") <= 19, "10-19")
+        .otherwise("20+")
+    )
+    return (
+        live.select(band.alias("age_band"), "value")
+        .groupBy("age_band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_utxo"),
+            F.sum("value").cast("long").alias("value_sum"),
+        )
+        .orderBy("age_band")
+    )

@@ -2554,3 +2554,178 @@ def regression_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(sape div n AS LONG)").alias("mape_micros"),
         )
     )
+
+
+@query(
+    "group_percentiles",
+    oracle="""
+    WITH e AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM events
+    ),
+    h AS (
+      SELECT event_type, cents, CAST(COUNT(*) AS BIGINT) AS c
+      FROM e GROUP BY event_type, cents
+    ),
+    w AS (
+      SELECT event_type, cents, c,
+             CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY cents
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+             CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM h
+    )
+    SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+           CAST(MIN(CASE WHEN cum >= (50 * n + 99) // 100 THEN cents END)
+                AS BIGINT) AS p50_cents,
+           CAST(MIN(CASE WHEN cum >= (90 * n + 99) // 100 THEN cents END)
+                AS BIGINT) AS p90_cents,
+           CAST(MIN(CASE WHEN cum >= (99 * n + 99) // 100 THEN cents END)
+                AS BIGINT) AS p99_cents
+    FROM w GROUP BY event_type ORDER BY event_type
+    """,
+)
+def group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-GROUP exact percentiles (p50/p90/p99 of event value per
+    type) — the grouped sibling of the global `percentile_summary`,
+    the shape every latency/value dashboard needs. Exact NEAREST-RANK
+    (ceil(p·n) by integer cross-multiplication — no interpolation, no
+    float rank) over the per-(type, value) histogram; all three cuts
+    read the SAME cumulative pass.
+
+    Scale shape: one hash aggregate collapses the log to the histogram;
+    the cumulative window is PARTITIONED by event_type over that
+    aggregate (the auc_exact window-over-aggregate shape — the
+    unpartitioned global variant is what percentile_summary's bucketed
+    two-pass rank exists to avoid; here the partition key makes each
+    window partition a single type's value domain); one final
+    aggregate per type."""
+    prep(spark)
+    e = table(spark, sf_dir, "events").select(
+        "event_type", (dec2("value") * 100).cast("long").alias("cents")
+    )
+    h = e.groupBy("event_type", "cents").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    wcum = (
+        W.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    w = h.select(
+        "event_type",
+        "cents",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(W.partitionBy("event_type")).alias("n"),
+    )
+
+    def cut(p: int) -> F.Column:
+        return F.min(
+            F.when(F.col("cum") >= F.expr(f"({p} * n + 99) div 100"), F.col("cents"))
+        ).cast("long")
+
+    return (
+        w.groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            cut(50).alias("p50_cents"),
+            cut(90).alias("p90_cents"),
+            cut(99).alias("p99_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_CHURN_HORIZON_US = 28 * 24 * 3600 * 1_000_000
+
+
+@query(
+    "churn_labels",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, epoch_ns(ts) // 1000 AS us,
+             CASE WHEN event_type = 'purchase'
+                  THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                  ELSE 0 END AS cents
+      FROM events
+    ),
+    cut AS (SELECT MAX(us) - {_CHURN_HORIZON_US} AS t FROM e),
+    pre AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events_pre,
+             CAST(SUM(cents) AS BIGINT) AS cents_pre,
+             CAST(MAX(us) AS BIGINT) AS last_us
+      FROM e, cut WHERE us < t GROUP BY user_id
+    ),
+    fut AS (
+      SELECT DISTINCT user_id FROM e, cut WHERE us >= t
+    )
+    SELECT p.user_id, p.n_events_pre, p.cents_pre,
+           CAST((cut.t - p.last_us) // 86400000000 AS BIGINT)
+             AS recency_days,
+           CAST(CASE WHEN f.user_id IS NULL THEN 1 ELSE 0 END AS BIGINT)
+             AS churned
+    FROM pre p LEFT JOIN fut f ON f.user_id = p.user_id, cut
+    ORDER BY p.user_id
+    """,
+)
+def churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHURN LABEL CONSTRUCTION — the future-window twin of
+    `feature_pit_join`'s leakage rule: features may only read events
+    STRICTLY BEFORE the cutoff (the last fully-observed 28-day horizon
+    defines it, t = max_ts − 28d, data-derived integer micros), the
+    label only the window AT/AFTER it — churned = no activity in
+    [t, t+28d). Getting this wrong in either direction is the classic
+    silent-perfect-model bug (a feature peeking past t) or the
+    silently-wrong-label bug (a horizon the data hasn't finished
+    observing — pinned here by construction, since the horizon IS the
+    observed tail). Features per user: pre-cutoff event count, exact
+    purchase cents, and recency in whole days at the cutoff.
+
+    Scale shape: one 1-row cutoff broadcast, one user-keyed
+    conditional aggregate (log → O(#users)), one distinct-key probe
+    for the label. No windows."""
+    prep(spark)
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.when(
+            F.col("event_type") == "purchase", (dec2("value") * 100).cast("long")
+        )
+        .otherwise(0)
+        .alias("cents"),
+    )
+    cut = e.agg((F.max("us") - _CHURN_HORIZON_US).cast("long").alias("t"))
+    withcut = e.crossJoin(F.broadcast(cut))
+    pre = (
+        withcut.where(F.col("us") < F.col("t"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events_pre"),
+            F.sum("cents").cast("long").alias("cents_pre"),
+            F.max("us").cast("long").alias("last_us"),
+            F.max("t").cast("long").alias("t"),
+        )
+    )
+    fut = (
+        withcut.where(F.col("us") >= F.col("t"))
+        .select("user_id")
+        .distinct()
+        .withColumn("active_fut", F.lit(1))
+    )
+    return (
+        pre.join(fut, "user_id", "left")
+        .select(
+            "user_id",
+            "n_events_pre",
+            "cents_pre",
+            F.expr("(t - last_us) div 86400000000").cast("long").alias(
+                "recency_days"
+            ),
+            F.when(F.col("active_fut").isNull(), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("churned"),
+        )
+        .orderBy("user_id")
+    )

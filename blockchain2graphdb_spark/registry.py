@@ -72,8 +72,10 @@ _OPERATOR_MODULES = (
 _SAMPLE_PRIORITY = (
     # --- new round-12 head: never-driver-witnessed first, then stalest ---
     "bigram_lm_perplexity",  # r0 oracle
+    "churn_labels",  # r0 oracle
     "dataset_mixture_manifest",  # r0 oracle
     "embedding_random_projection",  # r0 oracle
+    "group_percentiles",  # r0 oracle
     "herfindahl_concentration",  # r0 oracle
     "holt_linear_forecast",  # r0 oracle
     "ivf_index_incremental",  # r0 oracle
@@ -95,6 +97,7 @@ _SAMPLE_PRIORITY = (
     "temporal_edge_split",  # r0 oracle
     "text_rake_keywords",  # r0 oracle
     "tokenizer_fertility_by_lang",  # r0 oracle
+    "utxo_age_distribution",  # r0 oracle
     "wasserstein_1d_drift",  # r0 oracle
     "window_cume_dist",  # r0 oracle
     "agg_hll_merge",  # r1 rows-only
