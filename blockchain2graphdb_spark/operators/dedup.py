@@ -1262,3 +1262,160 @@ def similarity_join_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("jaccard_nanos"),
         )
     )
+
+
+_MHC_MATCH_SUM = " + ".join(
+    f"(CASE WHEN ma.m{j} = mb.m{j} THEN 1 ELSE 0 END)" for j in range(_MHD_PERMS)
+)
+
+_MHC_ORACLE = (
+    _MHD_CTE_PREFIX
+    + f""",
+m2 AS MATERIALIZED (SELECT * FROM mins),
+scored AS (
+  SELECT c.a, c.b,
+         ({_MHC_MATCH_SUM}) AS m,
+         i.n_inter AS i,
+         sa.n + sb.n - i.n_inter AS u
+  FROM cand c
+  JOIN mins ma ON ma.doc_id = c.a
+  JOIN m2 mb ON mb.doc_id = c.b
+  JOIN inter i ON i.a = c.a AND i.b = c.b
+  JOIN sizes sa ON sa.doc_id = c.a
+  JOIN sizes sb ON sb.doc_id = c.b
+)
+SELECT CAST((10 * abs(m * u - i * {_MHD_PERMS})) // ({_MHD_PERMS} * u)
+            AS BIGINT) AS err_decile,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM((abs(m * u - i * {_MHD_PERMS}) * 1000000000)
+                // ({_MHD_PERMS} * u)) AS BIGINT) AS abs_err_nanos_sum
+FROM scored GROUP BY 1 ORDER BY 1
+"""
+)
+
+
+@query("minhash_estimate_calibration", oracle=_MHC_ORACLE)
+def minhash_estimate_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MINHASH ESTIMATOR CALIBRATION — the audit that tells you whether
+    {_MHD_PERMS} permutations are enough before trusting LSH recall: for
+    every band-candidate pair, the estimate ĵ = matches/{_MHD_PERMS}
+    (component-wise signature agreement) against the EXACT shingle
+    Jaccard i/u, histogrammed by error decile floor(10·|ĵ − j|) with
+    the difference formed by integer cross-multiplication
+    (|m·u − i·P| vs P·u — the similarity_range boundary technique, no
+    float subtraction), plus the summed absolute error in int-nanos
+    (mean error = sum/n, the dashboard number; E|ĵ−j| ≈
+    sqrt(j(1−j)/P) under the binomial model this audit empirically
+    checks). Same md5 signatures, same candidates, same seeded
+    near-dup fixture as `dedup_minhash_exact` — the estimator and its
+    ground truth ride one pipeline, so the audit costs one extra
+    16-column comparison per candidate.
+
+    Scale shape: candidates only from band equi-joins; the signature
+    comparison is a broadcast-able 16-column join probe; verification
+    (array_intersect) confined to candidates; one O(10) aggregate."""
+    prep(spark)
+    base = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+    )
+    trunc = base.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.expr(
+            "substring(text, 1, cast(floor(length(text) * 0.9) as int))"
+        ).alias("text"),
+    )
+    docs = base.unionByName(trunc)
+    arr = (
+        _fan_out(docs, "doc_id")
+        .select(
+            "doc_id",
+            F.array_distinct(_shingles(_tokens(F.col("text")))).alias("gs"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def _md5_perm(j: int):
+        return lambda g: F.md5(F.concat(F.lit(f"{j}:"), g).cast("binary"))
+
+    mins = arr.select(
+        "doc_id",
+        *[
+            F.array_min(F.transform(F.col("gs"), _md5_perm(j))).alias(f"m{j}")
+            for j in range(_MHD_PERMS)
+        ],
+    )
+    per_band = _MHD_PERMS // _MHD_BANDS
+    bands = mins.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[F.col(f"m{b * per_band + j}") for j in range(per_band)],
+                            ).cast("binary")
+                        ).alias("sig"),
+                    )
+                    for b in range(_MHD_BANDS)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", "bs.band", "bs.sig")
+    l, r = bands.alias("l"), bands.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.sig") == F.col("r.sig"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .distinct()
+    )
+    ma = mins.select(
+        F.col("doc_id").alias("a"), *[F.col(f"m{j}").alias(f"a{j}") for j in range(_MHD_PERMS)]
+    )
+    mb = mins.select(
+        F.col("doc_id").alias("b"), *[F.col(f"m{j}").alias(f"b{j}") for j in range(_MHD_PERMS)]
+    )
+    a_side = arr.select(F.col("doc_id").alias("a"), F.col("gs").alias("ga"))
+    b_side = arr.select(F.col("doc_id").alias("b"), F.col("gs").alias("gb"))
+    n_inter = F.size(F.array_intersect(F.col("ga"), F.col("gb"))).cast("long")
+    matches = sum(
+        F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
+        for j in range(_MHD_PERMS)
+    ).cast("long")
+    scored = (
+        cand.join(ma, "a")
+        .join(mb, "b")
+        .join(a_side, "a")
+        .join(b_side, "b")
+        .select(
+            matches.alias("m"),
+            n_inter.alias("i"),
+            (F.size("ga") + F.size("gb") - n_inter).cast("long").alias("u"),
+        )
+    )
+    P = _MHD_PERMS
+    return (
+        scored.groupBy(
+            F.expr(f"(10 * abs(m * u - i * {P})) div ({P} * u)").alias("err_decile")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.expr(f"(abs(m * u - i * {P}) * 1000000000) div ({P} * u)"))
+            .cast("long")
+            .alias("abs_err_nanos_sum"),
+        )
+        .select(
+            F.col("err_decile").cast("long").alias("err_decile"),
+            "n_pairs",
+            "abs_err_nanos_sum",
+        )
+        .orderBy("err_decile")
+    )

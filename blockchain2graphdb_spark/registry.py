@@ -83,6 +83,7 @@ _SAMPLE_PRIORITY = (
     "khop_induced_subgraph",  # r0 oracle
     "lorenz_curve_deciles",  # r0 oracle
     "mde_power_analysis",  # r0 oracle
+    "minhash_estimate_calibration",  # r0 oracle
     "negative_edge_sample",  # r0 oracle
     "node2vec_walk_sample_pq",  # r0 oracle
     "page_hinkley_drift",  # r0 oracle
