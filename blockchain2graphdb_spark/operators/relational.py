@@ -2443,3 +2443,97 @@ def scan_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("date_str").alias("first_date"),
         F.max("o_orderkey").cast("long").alias("max_key"),
     )
+
+
+@query(
+    "countmin_calibration",
+    oracle="""
+    WITH rows_d AS (
+      SELECT user_id, d FROM events, (SELECT UNNEST(range(4)) AS d)
+    ),
+    b AS (
+      SELECT user_id, d,
+        ((((instr('0123456789abcdef', substr(md5(d || ':' || user_id), 1, 1)) - 1) * 16
+         + (instr('0123456789abcdef', substr(md5(d || ':' || user_id), 2, 1)) - 1)) * 16
+         + (instr('0123456789abcdef', substr(md5(d || ':' || user_id), 3, 1)) - 1)) * 16
+         + (instr('0123456789abcdef', substr(md5(d || ':' || user_id), 4, 1)) - 1)) % 1024 AS bucket
+      FROM rows_d
+    ),
+    cells AS (
+      SELECT d, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM b GROUP BY 1, 2
+    ),
+    probes AS (SELECT DISTINCT user_id, d, bucket FROM b),
+    est AS (
+      SELECT p.user_id, CAST(MIN(c.cnt) AS BIGINT) AS est
+      FROM probes p JOIN cells c ON c.d = p.d AND c.bucket = p.bucket
+      GROUP BY p.user_id
+    ),
+    exact AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS tru
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(LEAST((10 * (e.est - x.tru)) // x.tru, 10) AS BIGINT)
+             AS over_decile,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(e.est - x.tru) AS BIGINT) AS overcount_sum
+    FROM est e JOIN exact x ON x.user_id = e.user_id
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def countmin_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT-MIN ESTIMATOR CALIBRATION — `minhash_estimate_calibration`'s
+    sibling for the frequency sketch: every tracked key's point
+    estimate (min over the 4 depths of its cell counts) against its
+    exact count, histogrammed by relative OVERCOUNT decile
+    floor(10·(est−true)/true), capped at 10 (CMS never undercounts —
+    the one-sided guarantee this audit verifies empirically, plus HOW
+    FAR the 1024-bucket width overshoots at this key cardinality: the
+    sizing readout before trusting the sketch on a heavier-tailed
+    corpus). The ratio is integer cross-multiplied; the summed
+    overcount is exact.
+
+    Scale shape: the sketch build is the `sketch_countmin` shape
+    (≤4·1024 cells, map-side combinable); probes are one distinct
+    (key, depth, bucket) projection equi-joined against the broadcast
+    cell table; two hash aggregates end it."""
+    prep(spark)
+    ev = table(spark, sf_dir, "events").select("user_id")
+    rows_d = ev.select(
+        "user_id", F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("d")
+    )
+    hex4 = F.substring(
+        F.md5(
+            F.concat(
+                F.col("d").cast("string"), F.lit(":"), F.col("user_id").cast("string")
+            ).cast("binary")
+        ),
+        1,
+        4,
+    )
+    b = rows_d.select(
+        "user_id",
+        F.col("d").cast("long").alias("d"),
+        (F.conv(hex4, 16, 10).cast("long") % 1024).alias("bucket"),
+    )
+    cells = b.groupBy("d", "bucket").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    probes = b.distinct()
+    est = (
+        probes.join(F.broadcast(cells), ["d", "bucket"])
+        .groupBy("user_id")
+        .agg(F.min("cnt").cast("long").alias("est"))
+    )
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("tru"))
+    return (
+        est.join(exact, "user_id")
+        .groupBy(
+            F.expr("LEAST((10 * (est - tru)) div tru, 10)")
+            .cast("long")
+            .alias("over_decile")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum(F.col("est") - F.col("tru")).cast("long").alias("overcount_sum"),
+        )
+        .orderBy("over_decile")
+    )

@@ -73,6 +73,7 @@ _SAMPLE_PRIORITY = (
     # --- new round-12 head: never-driver-witnessed first, then stalest ---
     "bigram_lm_perplexity",  # r0 oracle
     "churn_labels",  # r0 oracle
+    "countmin_calibration",  # r0 oracle
     "dataset_mixture_manifest",  # r0 oracle
     "embedding_random_projection",  # r0 oracle
     "group_percentiles",  # r0 oracle
