@@ -1419,3 +1419,192 @@ def minhash_estimate_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("err_decile")
     )
+
+
+def _shc_oracle() -> str:
+    vote_cols = ",\n         ".join(
+        f"SUM(CASE WHEN (th // {1 << i}) % 2 = 1 THEN cnt ELSE -cnt END) AS b{i}"
+        for i in range(_SHD_BITS)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN b{i} >= 0 THEN {1 << i} ELSE 0 END)" for i in range(_SHD_BITS)
+    )
+    return f"""
+    WITH base AS MATERIALIZED (
+      SELECT doc_id, text FROM documents WHERE doc_id < 200
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id,
+             substr(text, 1, CAST(FLOOR(LENGTH(text) * 0.9) AS INT)) AS text
+      FROM documents WHERE doc_id < 200
+    ),
+    tok AS MATERIALIZED (
+      SELECT doc_id, t FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM base
+      ) WHERE t <> ''
+    ),
+    counted AS (
+      SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM tok GROUP BY doc_id, t
+    ),
+    h AS (
+      SELECT doc_id, cnt,
+             ('0x' || substr(md5(t), 1, 8))::BIGINT AS th
+      FROM counted
+    ),
+    votes AS (
+      SELECT doc_id,
+         {vote_cols}
+      FROM h GROUP BY doc_id
+    ),
+    fps AS (
+      SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM votes
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band, simhash % 65536 AS sig FROM fps
+      UNION ALL
+      SELECT doc_id, 1, simhash // 65536 FROM fps
+    ),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+      FROM bands l JOIN bands r
+        ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
+    ),
+    grams AS MATERIALIZED (SELECT DISTINCT doc_id, t FROM tok),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM grams
+              GROUP BY doc_id),
+    inter AS (
+      SELECT c.a, c.b, CAST(COUNT(*) AS BIGINT) AS i
+      FROM cand c
+      JOIN grams ga ON ga.doc_id = c.a
+      JOIN grams gb ON gb.doc_id = c.b AND gb.t = ga.t
+      GROUP BY c.a, c.b
+    ),
+    scored AS (
+      SELECT bit_count(xor(fa.simhash, fb.simhash)) AS ham,
+             COALESCE(i.i, 0) AS i,
+             sa.n + sb.n - COALESCE(i.i, 0) AS u
+      FROM cand c
+      JOIN fps fa ON fa.doc_id = c.a
+      JOIN fps fb ON fb.doc_id = c.b
+      JOIN sizes sa ON sa.doc_id = c.a
+      JOIN sizes sb ON sb.doc_id = c.b
+      LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+    )
+    SELECT CAST(LEAST(ham // 4, 4) AS BIGINT) AS hamming_band,
+           CAST((10 * i) // u AS BIGINT) AS jaccard_decile,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM scored GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
+@query("simhash_hamming_calibration", oracle=_shc_oracle())
+def simhash_hamming_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIMHASH CALIBRATION — the third estimator audit (with
+    `minhash_estimate_calibration` and `countmin_calibration`): for
+    every 16-bit-band candidate pair on the seeded near-dup corpus,
+    the (hamming-distance band × exact-Jaccard decile) grid — the
+    empirical table that tells you WHICH hamming threshold corresponds
+    to the Jaccard bar you actually care about (SimHash estimates
+    angular similarity of the weighted token vector, not Jaccard, so
+    the mapping must be measured, not assumed). Hamming via
+    bit_count(xor) on the md5-vote fingerprints
+    (`dedup_simhash_exact`'s engine-exact pipeline); Jaccard deciles
+    by integer cross-multiplication.
+
+    Scale shape: candidates only from band equi-joins; fingerprints
+    are one groupBy with 32 conditional sums; verification confined to
+    candidates; output ≤ 5×10 cells."""
+    prep(spark)
+    base = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+    )
+    trunc = base.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.expr(
+            "substring(text, 1, cast(floor(length(text) * 0.9) as int))"
+        ).alias("text"),
+    )
+    docs = base.unionByName(trunc)
+    tok = (
+        _fan_out(docs, "doc_id")
+        .select("doc_id", F.explode(_tokens(F.col("text"))).alias("t"))
+        .where(F.col("t") != "")
+    )
+    counted = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("cnt"))
+    h = counted.withColumn(
+        "th",
+        F.conv(F.substring(F.md5(F.col("t").cast("binary")), 1, 8), 16, 10).cast(
+            "long"
+        ),
+    )
+    votes = h.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1,
+                    F.col("cnt"),
+                ).otherwise(-F.col("cnt"))
+            )
+            .cast("long")
+            .alias(f"b{i}")
+            for i in range(_SHD_BITS)
+        ]
+    )
+    simhash = sum(
+        (
+            F.when(F.col(f"b{i}") >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+            for i in range(_SHD_BITS)
+        ),
+        F.lit(0).cast("long"),
+    )
+    fps = votes.select("doc_id", simhash.alias("simhash")).localCheckpoint(
+        eager=True
+    )
+    bands = fps.select(
+        "doc_id", F.lit(0).alias("band"), (F.col("simhash") % 65536).alias("sig")
+    ).unionByName(
+        fps.select(
+            "doc_id",
+            F.lit(1).alias("band"),
+            F.expr("simhash div 65536").alias("sig"),
+        )
+    )
+    l, r = bands.alias("l"), bands.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.sig") == F.col("r.sig"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .distinct()
+    )
+    grams = tok.select("doc_id", "t").distinct().localCheckpoint(eager=True)
+    garr = grams.groupBy("doc_id").agg(F.collect_set("t").alias("gs"))
+    a_side = garr.select(F.col("doc_id").alias("a"), F.col("gs").alias("ga"))
+    b_side = garr.select(F.col("doc_id").alias("b"), F.col("gs").alias("gb"))
+    fa = fps.select(F.col("doc_id").alias("a"), F.col("simhash").alias("sha"))
+    fb = fps.select(F.col("doc_id").alias("b"), F.col("simhash").alias("shb"))
+    n_inter = F.size(F.array_intersect(F.col("ga"), F.col("gb"))).cast("long")
+    scored = (
+        cand.join(fa, "a")
+        .join(fb, "b")
+        .join(a_side, "a")
+        .join(b_side, "b")
+        .select(
+            F.bit_count(F.col("sha").bitwiseXOR(F.col("shb"))).alias("ham"),
+            n_inter.alias("i"),
+            (F.size("ga") + F.size("gb") - n_inter).cast("long").alias("u"),
+        )
+    )
+    return (
+        scored.groupBy(
+            F.least(F.expr("ham div 4"), F.lit(4)).cast("long").alias("hamming_band"),
+            F.expr("(10 * i) div u").cast("long").alias("jaccard_decile"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .orderBy("hamming_band", "jaccard_decile")
+    )

@@ -90,6 +90,7 @@ _SAMPLE_PRIORITY = (
     "page_hinkley_drift",  # r0 oracle
     "regression_metrics",  # r0 oracle
     "sequence_packing_shelf",  # r0 oracle
+    "simhash_hamming_calibration",  # r0 oracle
     "srm_check",  # r0 oracle
     "stream_mixture_admission",  # r0 oracle
     "stream_multi_table_ingest",  # r0 oracle
