@@ -1504,3 +1504,96 @@ def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type string, n_days long, level_micros long, trend_micros long,"
         " forecast_next_micros long, mae_one_step_micros long",
     )
+
+
+@query(
+    "watermark_lateness_census",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, md5(CAST(event_id AS VARCHAR)) AS arr,
+             epoch_ns(ts) // 1000 AS us
+      FROM events
+    ),
+    w AS (
+      SELECT event_id, us,
+             MAX(us) OVER (ORDER BY arr, event_id
+                           ROWS UNBOUNDED PRECEDING) AS high
+      FROM e
+    ),
+    lat AS (SELECT high - us AS late_us FROM w)
+    SELECT CASE WHEN late_us = 0 THEN 'in-order'
+                WHEN late_us <= 60000000 THEN '<=1m'
+                WHEN late_us <= 600000000 THEN '<=10m'
+                WHEN late_us <= 3600000000 THEN '<=1h'
+                ELSE '>1h' END AS lateness_band,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MAX(late_us) AS BIGINT) AS max_late_us
+    FROM lat GROUP BY 1 ORDER BY 1
+    """,
+)
+def watermark_lateness_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WATERMARK-SIZING census — the batch audit behind every
+    `withWatermark` delay choice: replaying the log in a DETERMINISTIC
+    ARRIVAL shuffle (md5(event_id) — the fixture's event_ids are
+    time-ordered, so the content-hash order stands in for network
+    ingest disorder, the random_walk_sample determinism idiom), how
+    far behind the
+    running event-time high-water mark does each event arrive? The
+    per-band counts are exactly the rows a given watermark delay would
+    drop (`stream_late_data`'s tunable), so the delay is chosen from
+    measured disorder instead of folklore.
+
+    Scale shape: the global running max is the bucketed TWO-PASS form
+    (the bucketed_prefix_sum discipline, with MAX as the combiner):
+    per-bucket maxima → a broadcast theta-join prefix-max over the
+    O(#buckets) table → in-bucket running max PARTITIONED by bucket —
+    never one WindowExec partition over the log; then one O(5)
+    aggregate."""
+    prep(spark)
+    e = table(spark, sf_dir, "events").select(
+        "event_id",
+        F.md5(F.col("event_id").cast("string")).alias("arr"),
+        F.unix_micros("ts").alias("us"),
+    )
+    # bucket = first 2 hex chars of the arrival key: ascends with the
+    # (arr, event_id) sort order, 256 buckets
+    d = e.withColumn(
+        "_b", F.conv(F.substring("arr", 1, 2), 16, 10).cast("long")
+    )
+    bmax = d.groupBy("_b").agg(F.max("us").alias("_m"))
+    earlier = bmax.select(F.col("_b").alias("_b2"), F.col("_m").alias("_m2"))
+    prefix = (
+        bmax.join(F.broadcast(earlier), F.col("_b2") < F.col("_b"), "left")
+        .groupBy("_b")
+        .agg(F.max("_m2").alias("_pre"))
+    )
+    win = (
+        W.partitionBy("_b")
+        .orderBy("arr", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    lat = (
+        d.join(F.broadcast(prefix), "_b")
+        .withColumn("_inb", F.max("us").over(win))
+        .select(
+            (
+                F.greatest(F.coalesce(F.col("_pre"), F.lit(0)), F.col("_inb"))
+                - F.col("us")
+            ).alias("late_us")
+        )
+    )
+    band = (
+        F.when(F.col("late_us") == 0, "in-order")
+        .when(F.col("late_us") <= 60_000_000, "<=1m")
+        .when(F.col("late_us") <= 600_000_000, "<=10m")
+        .when(F.col("late_us") <= 3_600_000_000, "<=1h")
+        .otherwise(">1h")
+    )
+    return (
+        lat.groupBy(band.alias("lateness_band"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.max("late_us").cast("long").alias("max_late_us"),
+        )
+        .orderBy("lateness_band")
+    )

@@ -102,6 +102,7 @@ _SAMPLE_PRIORITY = (
     "tokenizer_fertility_by_lang",  # r0 oracle
     "utxo_age_distribution",  # r0 oracle
     "wasserstein_1d_drift",  # r0 oracle
+    "watermark_lateness_census",  # r0 oracle
     "window_cume_dist",  # r0 oracle
     "agg_hll_merge",  # r1 rows-only
     "agg_approx_count_distinct",  # r3 rows-only
