@@ -1547,3 +1547,106 @@ def lorenz_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@query(
+    "item_cf_recommend",
+    oracle="""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+    ),
+    co AS (
+      SELECT a.p AS q, b.p AS p, CAST(COUNT(*) AS BIGINT) AS w
+      FROM li a JOIN li b ON a.ok = b.ok AND a.p <> b.p
+      GROUP BY a.p, b.p
+    ),
+    owned AS (
+      SELECT DISTINCT o.o_custkey AS c, li.p
+      FROM orders o JOIN li ON li.ok = o.o_orderkey
+      WHERE o.o_custkey % 50 = 0
+    ),
+    score AS (
+      SELECT ow.c, co.p, CAST(SUM(co.w) AS BIGINT) AS score
+      FROM owned ow JOIN co ON co.q = ow.p
+      GROUP BY ow.c, co.p
+    ),
+    fresh AS (
+      SELECT s.c, s.p, s.score
+      FROM score s
+      WHERE NOT EXISTS (SELECT 1 FROM owned o WHERE o.c = s.c AND o.p = s.p)
+    ),
+    ranked AS (
+      SELECT c, p, score,
+             ROW_NUMBER() OVER (PARTITION BY c ORDER BY score DESC, p) AS rnk
+      FROM fresh
+    )
+    SELECT CAST(c AS BIGINT) AS c_custkey,
+           CAST(rnk AS BIGINT) AS rnk,
+           CAST(p AS BIGINT) AS rec_partkey,
+           score
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def item_cf_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ITEM-ITEM COLLABORATIVE FILTERING top-3 recommendations — the
+    classic Amazon-style recommender readout over the co-purchase
+    signal the G-family mines structurally (triangle_count,
+    copurchase_weights): score(part p for customer c) = sum over the
+    customer's owned parts q of the co-occurrence weight w(q, p) =
+    #orders containing both, excluding parts already owned, ranked
+    (score DESC, part) per customer. Audited customer set =
+    c_custkey % 50 == 0 (deterministic 2% sample — recommendation
+    serving is per-request; the sampled readout is the batch-eval
+    shape, label_noise_knn's argument).
+
+    Exactness: weights and scores are pure counts — no floats anywhere.
+
+    Scale shape (100 TB): the item-item weight matrix is ONE self-join
+    of the distinct (order, part) projection keyed by order (orders
+    bound the fan-out: weights rows = Sum_orders k_o^2, the
+    copurchase_weights bound) followed by a hash aggregate; the sampled
+    owned set is tiny and BROADCAST into the weight join; scoring is
+    one keyed aggregate on (customer, candidate); top-3 per customer
+    compiles to WindowGroupLimit (rank pushdown — hubs never
+    materialize full candidate lists). Nothing is ever
+    all-pairs-of-parts: only parts that actually co-occur in an order
+    produce weight rows."""
+    prep(spark)
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    co = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.p") != F.col("b.p")))
+        .groupBy(F.col("a.p").alias("q"), F.col("b.p").alias("p"))
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    owned = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_custkey") % 50 == 0)
+        .select(F.col("o_custkey").alias("c"), F.col("o_orderkey").alias("ok"))
+        .join(li, "ok")
+        .select("c", "p")
+        .distinct()
+    )
+    score = (
+        co.join(
+            F.broadcast(owned.select("c", F.col("p").alias("q"))), "q"
+        )
+        .groupBy("c", "p")
+        .agg(F.sum("w").cast("long").alias("score"))
+    )
+    fresh = score.join(F.broadcast(owned), ["c", "p"], "left_anti")
+    wr = W.partitionBy("c").orderBy(F.desc("score"), "p")
+    return (
+        fresh.withColumn("rnk", F.row_number().over(wr))
+        .where(F.col("rnk") <= 3)
+        .select(
+            F.col("c").cast("long").alias("c_custkey"),
+            F.col("rnk").cast("long").alias("rnk"),
+            F.col("p").cast("long").alias("rec_partkey"),
+            "score",
+        )
+    )

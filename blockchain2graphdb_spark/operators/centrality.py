@@ -881,3 +881,73 @@ def khop_induced_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_edges_total",
         )
     )
+
+
+@query(
+    "landmark_distances",
+    oracle=f"""
+    WITH {_oracle_bfs_cte(4)},
+    piv AS (
+      SELECT b.node,
+             MIN(CASE WHEN s.i = 0 THEN b.dist END) AS r0,
+             MIN(CASE WHEN s.i = 1 THEN b.dist END) AS r1,
+             MIN(CASE WHEN s.i = 2 THEN b.dist END) AS r2,
+             MIN(CASE WHEN s.i = 3 THEN b.dist END) AS r3,
+             CAST(COUNT(*) AS BIGINT) AS n_reached
+      FROM bfs b JOIN seeds s ON s.n = b.root
+      GROUP BY b.node
+    )
+    SELECT CAST(node AS BIGINT) AS node,
+           CAST(COALESCE(r0, -1) AS BIGINT) AS d0,
+           CAST(COALESCE(r1, -1) AS BIGINT) AS d1,
+           CAST(COALESCE(r2, -1) AS BIGINT) AS d2,
+           CAST(COALESCE(r3, -1) AS BIGINT) AS d3,
+           n_reached
+    FROM piv
+    ORDER BY md5(CAST(node AS VARCHAR)), node LIMIT 50
+    """,
+)
+def landmark_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LANDMARK DISTANCE SKETCH — per node, the exact BFS distance to
+    each of the 4 smallest-md5 landmark seeds (-1 when outside the
+    depth horizon), the precompute behind landmark-based shortest-path
+    estimation (d(u,v) <= min_L d(u,L) + d(L,v), Potamias et al.): the
+    serving-time structure the sampled centralities' BFS already
+    builds. Readout = a content-hash sample of 50 reached nodes (the
+    md5 ordering keeps the sample growth-stable and engine-portable).
+
+    Exactness: distances are exact integers from the same
+    (root, node, dist) BFS the oracle unrolls as MATERIALIZED CTEs —
+    the conditional-MIN pivot is pure relational algebra on them.
+
+    Scale shape (100 TB): RIDES the memoized multi-source seed BFS
+    (`_seed_bfs` — betweenness/closeness/edge-betweenness share the
+    same build, 4 seeds are an exact root-filter of the 16-seed memo),
+    so the marginal cost is one (root->i) broadcast join, a node-keyed
+    pivot aggregate, and a TakeOrdered — no new graph traversal. The
+    pivot is k columns BY CONSTRUCTION (k landmarks is a config
+    constant, never data-sized)."""
+    prep(spark)
+    bfs, seeds = _seed_bfs(spark, sf_dir, 4)
+    j = bfs.join(
+        F.broadcast(seeds.select(F.col("n").alias("root"), "i")), "root"
+    )
+    piv = j.groupBy("node").agg(
+        *[
+            F.min(F.when(F.col("i") == k, F.col("dist"))).alias(f"r{k}")
+            for k in range(4)
+        ],
+        F.count(F.lit(1)).cast("long").alias("n_reached"),
+    )
+    return (
+        piv.select(
+            F.col("node").cast("long").alias("node"),
+            *[
+                F.coalesce(F.col(f"r{k}"), F.lit(-1)).cast("long").alias(f"d{k}")
+                for k in range(4)
+            ],
+            "n_reached",
+        )
+        .orderBy(F.md5(F.col("node").cast("string")), "node")
+        .limit(50)
+    )

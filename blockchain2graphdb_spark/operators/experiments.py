@@ -1133,3 +1133,92 @@ def mde_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("mde_rel_micros"),
     )
+
+
+@query(
+    "anova_oneway",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderpriority AS grp,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 100
+               AS dollars
+      FROM orders
+    ),
+    g AS (
+      SELECT grp, CAST(COUNT(*) AS HUGEINT) AS n_g,
+             CAST(SUM(CAST(dollars AS HUGEINT)) AS HUGEINT) AS s_g,
+             CAST(SUM(CAST(dollars AS HUGEINT) * dollars) AS HUGEINT) AS q_g
+      FROM o GROUP BY grp
+    ),
+    t AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS k,
+             CAST(SUM(n_g) AS HUGEINT) AS n,
+             CAST(SUM(s_g) AS HUGEINT) AS s,
+             CAST(SUM(q_g) AS HUGEINT) AS q,
+             CAST(SUM((s_g * s_g) // n_g) AS HUGEINT) AS sb
+      FROM g
+    )
+    SELECT CAST(k AS BIGINT) AS k_groups,
+           CAST(n AS BIGINT) AS n,
+           CAST(sb - (s * s) // n AS BIGINT) AS ssb_d2,
+           CAST(q - sb AS BIGINT) AS ssw_d2,
+           CAST((1000000 * (n - k) * (sb - (s * s) // n))
+                // ((k - 1) * (q - sb)) AS BIGINT) AS f_micros
+    FROM t
+    """,
+)
+def anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-WAY ANOVA F statistic — does mean order value differ across
+    the five order priorities? The k-group generalization of
+    ab_test_zscore (two arms) and the parametric sibling of
+    mann_whitney_u, completing the X19 test-statistic set.
+
+    Exactness: values are whole dollars (cents div 100 — both engines
+    truncate non-negative division identically), the per-group moment
+    sums (n, S, Q) accumulate in DECIMAL(38,0)/HUGEINT, the
+    between-group sum of squares uses the sum-form identity
+    SSB = Sum S_g^2/n_g - S^2/N with ONE floor per term (every operand
+    non-negative, so trunc = floor on both engines), and the F ratio is
+    a single integer division quantized to micros — no doubles anywhere,
+    so the row value-hashes bit-for-bit. Cauchy-Schwarz keeps the true
+    SSB non-negative; the per-term floors can shave at most k-1 units
+    of a dollar^2 off, identically on both engines.
+
+    Scale shape (100 TB): ONE map-side-combinable three-sum aggregate
+    per group (k = 5 rows out of the scan), then a k-row reduce to a
+    single row — the whole test is one partial/final aggregate pass
+    with no shuffle beyond the k-row exchange, the closed-form-moments
+    plan ols_multi documents."""
+    prep(spark)
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.expr(
+            "CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            " div 100 AS BIGINT)"
+        ).alias("dollars"),
+    )
+    xd = F.col("dollars").cast(_D38)
+    g = o.groupBy("grp").agg(
+        F.count(F.lit(1)).cast(_D38).alias("n_g"),
+        F.sum(xd).cast(_D38).alias("s_g"),
+        F.sum(xd * F.col("dollars")).cast(_D38).alias("q_g"),
+    )
+    t = g.agg(
+        F.count(F.lit(1)).cast(_D38).alias("k"),
+        F.sum("n_g").cast(_D38).alias("n"),
+        F.sum("s_g").cast(_D38).alias("s"),
+        F.sum("q_g").cast(_D38).alias("q"),
+        F.sum(F.expr("CAST((s_g * s_g) div n_g AS DECIMAL(38,0))"))
+        .cast(_D38)
+        .alias("sb"),
+    )
+    return t.select(
+        F.col("k").cast("long").alias("k_groups"),
+        F.col("n").cast("long").alias("n"),
+        F.expr("CAST(sb - (s * s) div n AS BIGINT)").alias("ssb_d2"),
+        F.expr("CAST(q - sb AS BIGINT)").alias("ssw_d2"),
+        F.expr(
+            "CAST((1000000 * (n - k) * (sb - (s * s) div n))"
+            " div ((k - 1) * (q - sb)) AS BIGINT)"
+        ).alias("f_micros"),
+    )

@@ -2729,3 +2729,119 @@ def churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "regression_stump",
+    oracle="""
+    WITH li AS (
+      SELECT CAST(l_quantity AS BIGINT) AS q,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 100
+               AS dollars
+      FROM lineitem
+    ),
+    g AS (
+      SELECT q, CAST(COUNT(*) AS HUGEINT) AS n_g,
+             CAST(SUM(CAST(dollars AS HUGEINT)) AS HUGEINT) AS s_g
+      FROM li GROUP BY q
+    ),
+    cum AS (
+      SELECT q,
+             SUM(n_g) OVER (ORDER BY q) AS n_l,
+             SUM(s_g) OVER (ORDER BY q) AS s_l
+      FROM g
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_g) AS HUGEINT) AS n, CAST(SUM(s_g) AS HUGEINT) AS s
+      FROM g
+    ),
+    cand AS (
+      SELECT c.q, c.n_l, t.n - c.n_l AS n_r, c.s_l, t.s - c.s_l AS s_r,
+             (c.s_l * c.s_l) // c.n_l + ((t.s - c.s_l) * (t.s - c.s_l))
+               // (t.n - c.n_l) - (t.s * t.s) // t.n AS gain
+      FROM cum c, tot t
+      WHERE c.n_l < t.n
+    )
+    SELECT CAST(q AS BIGINT) AS split_q,
+           CAST(n_l AS BIGINT) AS n_left,
+           CAST(n_r AS BIGINT) AS n_right,
+           CAST((s_l * 1000000) // n_l AS BIGINT) AS mean_left_micros,
+           CAST((s_r * 1000000) // n_r AS BIGINT) AS mean_right_micros,
+           CAST(gain AS BIGINT) AS gain_d2
+    FROM cand
+    ORDER BY gain DESC, q LIMIT 1
+    """,
+)
+def regression_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REGRESSION STUMP — the single best binary split of extended
+    price (whole dollars) on quantity: the first iteration of every
+    tree/boosting trainer, and the regression sibling of
+    gini_split_points (which scores classification splits). Split
+    candidates are 'q <= t' for each observed quantity t; the gain is
+    the variance-reduction identity SSE(parent) - SSE(children)
+    = S_l^2/n_l + S_r^2/n_r - S^2/N (the Sum y^2 term cancels), with
+    ONE floor per term on non-negative operands so both engines
+    quantize identically; argmax ties break on the smaller threshold.
+
+    Scale shape (100 TB): ONE map-side-combinable (count, sum)
+    aggregate onto the quantity domain (<= 50 rows BY CONSTRUCTION —
+    l_quantity is a bounded integer domain, the attribution_markov
+    bounded-state argument), then prefix sums and the argmax run as a
+    window + TakeOrdered over that domain-sized table — never over
+    data-sized rows. Adding candidate features adds aggregates, not
+    shuffles (the gini_split_points plan)."""
+    prep(spark)
+    li = table(spark, sf_dir, "lineitem").select(
+        dec2("l_quantity").cast("long").alias("q"),
+        F.expr(
+            "CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            " div 100 AS BIGINT)"
+        ).alias("dollars"),
+    )
+    xd = F.col("dollars").cast(_D38)
+    g = li.groupBy("q").agg(
+        F.count(F.lit(1)).cast(_D38).alias("n_g"),
+        F.sum(xd).cast(_D38).alias("s_g"),
+    )
+    # prefix sums over the <=50-row quantity domain: bounded window by
+    # construction (sweep-exempt shape, same as gini_split_points)
+    wq = W.orderBy("q").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = g.select(
+        "q",
+        F.sum("n_g").over(wq).cast(_D38).alias("n_l"),
+        F.sum("s_g").over(wq).cast(_D38).alias("s_l"),
+    )
+    tot = g.agg(
+        F.sum("n_g").cast(_D38).alias("n"), F.sum("s_g").cast(_D38).alias("s")
+    )
+    cand = (
+        cum.crossJoin(F.broadcast(tot))
+        .where(F.col("n_l") < F.col("n"))
+        .select(
+            "q",
+            "n_l",
+            (F.col("n") - F.col("n_l")).alias("n_r"),
+            "s_l",
+            (F.col("s") - F.col("s_l")).alias("s_r"),
+            F.expr(
+                "(s_l * s_l) div n_l + ((s - s_l) * (s - s_l)) div (n - n_l)"
+                " - (s * s) div n"
+            ).alias("gain"),
+        )
+    )
+    return (
+        cand.orderBy(F.desc("gain"), "q")
+        .limit(1)
+        .select(
+            F.col("q").cast("long").alias("split_q"),
+            F.col("n_l").cast("long").alias("n_left"),
+            F.col("n_r").cast("long").alias("n_right"),
+            F.expr("CAST((s_l * 1000000) div n_l AS BIGINT)").alias(
+                "mean_left_micros"
+            ),
+            F.expr("CAST((s_r * 1000000) div n_r AS BIGINT)").alias(
+                "mean_right_micros"
+            ),
+            F.col("gain").cast("long").alias("gain_d2"),
+        )
+    )

@@ -71,6 +71,10 @@ _OPERATOR_MODULES = (
 # load_all() silently ignores missing keys).
 _SAMPLE_PRIORITY = (
     # --- new round-12 head: never-driver-witnessed first, then stalest ---
+    "anova_oneway",  # r0 oracle
+    "regression_stump",  # r0 oracle
+    "item_cf_recommend",  # r0 oracle
+    "landmark_distances",  # r0 oracle
     "bigram_lm_perplexity",  # r0 oracle
     "churn_labels",  # r0 oracle
     "countmin_calibration",  # r0 oracle

@@ -77,6 +77,7 @@ _ITERATIVE = {
     "theil_sen_slope",  # eager pair-table checkpoint on call
     "influence_cascade",  # per-round frontier checkpoints + counts on call
     "node2vec_walk_sample",  # copurchase checkpoint + adjacency checkpoint on call
+    "landmark_distances",  # rides the _seed_bfs memo (checkpoints on call)
 }
 
 _PLAN_KEYS = sorted(set(SPECS) - _EXECUTING - _ITERATIVE)

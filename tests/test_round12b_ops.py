@@ -1,0 +1,186 @@
+"""Round-12 continuation pins: engine-independent Python replays for
+the new statistics (anova_oneway, regression_stump), the item-CF
+recommender (brute-force replay), and the landmark-distance sketch
+(independent BFS), plus their plan-shape asserts. The replays are the
+standing defense against both-engines-wrong bugs (the bollinger /n^2
+lesson): the oracle proves Spark == DuckDB, these prove the shared
+semantics are the intended ones.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections import defaultdict, deque
+
+import pyarrow.parquet as pq
+
+from blockchain2graphdb_spark import registry
+from blockchain2graphdb_spark.plans.inspect import has_node, plan_string
+
+from conftest import SF_DIR
+
+SPECS = registry.load_all()
+
+
+def _cents(x) -> int:
+    # CAST(x AS DECIMAL(18,2)) * 100 in exact integers
+    return round(float(x) * 100)
+
+
+def _dollars(x) -> int:
+    return _cents(x) // 100
+
+
+def test_anova_oneway_python_replay(spark):
+    t = pq.read_table(
+        f"{SF_DIR}/orders.parquet", columns=["o_orderpriority", "o_totalprice"]
+    )
+    groups: dict[str, list[int]] = defaultdict(list)
+    for g, p in zip(
+        t.column("o_orderpriority").to_pylist(), t.column("o_totalprice").to_pylist()
+    ):
+        groups[g].append(_dollars(p))
+    k = len(groups)
+    n = sum(len(v) for v in groups.values())
+    s = sum(sum(v) for v in groups.values())
+    q = sum(sum(x * x for x in v) for v in groups.values())
+    sb = sum(sum(v) * sum(v) // len(v) for v in groups.values())
+    ssb = sb - (s * s) // n
+    ssw = q - sb
+    f_micros = (1000000 * (n - k) * ssb) // ((k - 1) * ssw)
+    row = SPECS["anova_oneway"].builder(spark, SF_DIR).collect()[0]
+    assert (row.k_groups, row.n) == (k, n)
+    assert (row.ssb_d2, row.ssw_d2, row.f_micros) == (ssb, ssw, f_micros)
+    # and the statistic itself is sane: positive, df-consistent
+    assert f_micros > 0 and k == 5
+
+
+def test_regression_stump_python_replay(spark):
+    t = pq.read_table(
+        f"{SF_DIR}/lineitem.parquet", columns=["l_quantity", "l_extendedprice"]
+    )
+    by_q: dict[int, list[int]] = defaultdict(list)
+    for qty, p in zip(
+        t.column("l_quantity").to_pylist(), t.column("l_extendedprice").to_pylist()
+    ):
+        by_q[int(qty)].append(_dollars(p))
+    qs = sorted(by_q)
+    n = sum(len(v) for v in by_q.values())
+    s = sum(sum(v) for v in by_q.values())
+    best = None
+    n_l = s_l = 0
+    for qv in qs:
+        n_l += len(by_q[qv])
+        s_l += sum(by_q[qv])
+        if n_l >= n:
+            continue
+        n_r, s_r = n - n_l, s - s_l
+        gain = (s_l * s_l) // n_l + (s_r * s_r) // n_r - (s * s) // n
+        cand = (-gain, qv, n_l, n_r, s_l, s_r)
+        if best is None or cand < best:
+            best = cand
+    gain, qv, n_l, n_r, s_l, s_r = -best[0], *best[1:]
+    row = SPECS["regression_stump"].builder(spark, SF_DIR).collect()[0]
+    assert (row.split_q, row.n_left, row.n_right, row.gain_d2) == (qv, n_l, n_r, gain)
+    assert row.mean_left_micros == (s_l * 1000000) // n_l
+    assert row.mean_right_micros == (s_r * 1000000) // n_r
+    # a real split: both sides populated, strictly positive reduction
+    assert n_l > 0 and n_r > 0 and gain > 0
+
+
+def _order_parts():
+    t = pq.read_table(f"{SF_DIR}/lineitem.parquet", columns=["l_orderkey", "l_partkey"])
+    by_order: dict[int, set[int]] = defaultdict(set)
+    for o, p in zip(t.column("l_orderkey").to_pylist(), t.column("l_partkey").to_pylist()):
+        by_order[o].add(p)
+    return by_order
+
+
+def test_item_cf_recommend_python_replay(spark):
+    by_order = _order_parts()
+    w: dict[tuple[int, int], int] = defaultdict(int)
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for i, a in enumerate(ps):
+            for b in ps[i + 1 :]:
+                w[(a, b)] += 1
+                w[(b, a)] += 1
+    t = pq.read_table(f"{SF_DIR}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    owned: dict[int, set[int]] = defaultdict(set)
+    for ok, c in zip(t.column("o_orderkey").to_pylist(), t.column("o_custkey").to_pylist()):
+        if c % 50 == 0 and ok in by_order:
+            owned[c] |= by_order[ok]
+    co_by_q: dict[int, list[tuple[int, int]]] = defaultdict(list)
+    for (a, b), wt in w.items():
+        co_by_q[a].append((b, wt))
+    expect = set()
+    for c, parts in owned.items():
+        score: dict[int, int] = defaultdict(int)
+        for qp in parts:
+            for p, wt in co_by_q.get(qp, ()):
+                score[p] += wt
+        fresh = [(s, p) for p, s in score.items() if p not in parts]
+        fresh.sort(key=lambda t: (-t[0], t[1]))
+        for rnk, (s, p) in enumerate(fresh[:3], 1):
+            expect.add((c, rnk, p, s))
+    got = {
+        (r.c_custkey, r.rnk, r.rec_partkey, r.score)
+        for r in SPECS["item_cf_recommend"].builder(spark, SF_DIR).collect()
+    }
+    assert got == expect and expect
+
+
+def test_item_cf_plan_shape(spark):
+    """Top-3 per customer must compile to WindowGroupLimit (rank
+    pushdown) and the sampled owned set must broadcast into the
+    weight join — never shuffle the weight matrix by customer."""
+    df = SPECS["item_cf_recommend"].builder(spark, SF_DIR)
+    plan = plan_string(df)
+    assert has_node(df, "WindowGroupLimit"), plan
+    assert "BroadcastExchange" in plan, plan
+
+
+def test_landmark_distances_python_replay(spark):
+    by_order = _order_parts()
+    adj: dict[int, set[int]] = defaultdict(set)
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for i, a in enumerate(ps):
+            for b in ps[i + 1 :]:
+                adj[a].add(b)
+                adj[b].add(a)
+    seeds = sorted(adj, key=lambda n: (hashlib.md5(str(n).encode()).hexdigest(), n))[:4]
+    dist: dict[int, dict[int, int]] = {}
+    for s in seeds:
+        d = {s: 0}
+        frontier = deque([s])
+        while frontier:
+            u = frontier.popleft()
+            if d[u] >= 3:  # _DEPTH horizon
+                continue
+            for v in adj[u]:
+                if v not in d:
+                    d[v] = d[u] + 1
+                    frontier.append(v)
+        dist[s] = d
+    reached = sorted(
+        {v for d in dist.values() for v in d},
+        key=lambda n: (hashlib.md5(str(n).encode()).hexdigest(), n),
+    )[:50]
+    expect = {
+        (
+            v,
+            *(dist[s].get(v, -1) for s in seeds),
+            sum(1 for s in seeds if v in dist[s]),
+        )
+        for v in reached
+    }
+    got = {
+        (r.node, r.d0, r.d1, r.d2, r.d3, r.n_reached)
+        for r in SPECS["landmark_distances"].builder(spark, SF_DIR).collect()
+    }
+    assert got == expect
+    # triangle inequality between landmarks through any common node
+    for r in got:
+        ds = [x for x in r[1:5] if x >= 0]
+        assert all(0 <= x <= 3 for x in ds)
