@@ -1650,3 +1650,165 @@ def item_cf_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
             "score",
         )
     )
+
+
+@query(
+    "attribution_shapley",
+    oracle="""
+    WITH ch AS MATERIALIZED (
+      SELECT event_type AS ch,
+             CAST(ROW_NUMBER() OVER (ORDER BY event_type) - 1 AS BIGINT) AS i
+      FROM (SELECT DISTINCT event_type FROM events
+            WHERE event_type <> 'purchase')
+    ),
+    kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM ch),
+    pu AS (
+      SELECT user_id, MIN(epoch_ns(ts) // 1000) AS pu
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    tm AS (
+      SELECT p.user_id,
+             COALESCE(BIT_OR(1 << CAST(c.i AS INT)), 0) AS mask
+      FROM pu p
+      LEFT JOIN events e ON e.user_id = p.user_id
+        AND e.event_type <> 'purchase' AND epoch_ns(e.ts) // 1000 < p.pu
+      LEFT JOIN ch c ON c.ch = e.event_type
+      GROUP BY p.user_id
+    ),
+    mc AS MATERIALIZED (
+      SELECT mask, CAST(COUNT(*) AS BIGINT) AS m FROM tm GROUP BY mask
+    ),
+    ss AS MATERIALIZED (
+      SELECT CAST(r.range AS BIGINT) AS s FROM range(65536) r, kk
+      WHERE r.range < (1 << CAST(k AS INT))
+    ),
+    v AS MATERIALIZED (
+      SELECT ss.s, CAST(COALESCE(SUM(mc.m), 0) AS BIGINT) AS v
+      FROM ss LEFT JOIN mc ON (mc.mask & ss.s) = mc.mask
+      GROUP BY ss.s
+    ),
+    contrib AS MATERIALIZED (
+      SELECT c.ch,
+             CAST(SUM(factorial(bit_count(ss.s))
+                      * factorial(CAST(kk.k - 1 - bit_count(ss.s) AS INT))
+                      * (vw.v - vo.v)) AS BIGINT) AS phi_scaled
+      FROM ch c, kk, ss
+      JOIN v vo ON vo.s = ss.s
+      JOIN v vw ON vw.s = (ss.s | (1 << CAST(c.i AS INT)))
+      WHERE (ss.s & (1 << CAST(c.i AS INT))) = 0
+      GROUP BY c.ch
+    )
+    SELECT ch AS channel, phi_scaled,
+           CAST((phi_scaled * 1000000)
+                // (SELECT SUM(phi_scaled) FROM contrib) AS BIGINT)
+             AS share_micros
+    FROM contrib
+    """,
+)
+def attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHAPLEY-VALUE attribution — the game-theoretic multi-touch model
+    completing the attribution family (last-touch, linear, Markov
+    removal-effect): each channel's credit is its average marginal
+    contribution over all orderings of the channel coalition. The
+    characteristic function is data-derived: v(S) = number of
+    CONVERTING users whose pre-conversion touchset is contained in S
+    (same journey definition as attribution_markov — touches strictly
+    before the first purchase). phi_scaled = k! * phi (exact integer:
+    Sum over S not containing c of |S|!(k-1-|S|)! [v(S+c) - v(S)]);
+    shares are one floor division at the end. By efficiency,
+    Sum phi = v(all) - v(empty) — pinned in tests.
+
+    Exactness: pure integer counts, factorials, and bit arithmetic —
+    both engines evaluate the identical closed form; nothing touches
+    doubles.
+
+    Scale shape (100 TB): the data-sized work is ONE user-keyed
+    aggregate (first-purchase min + bitmask OR share the partition
+    pass via one join) reducing the log to a <=2^k-row mask census —
+    k = #channels is a DOMAIN CONSTANT (the attribution_markov
+    bounded-state argument), so the subset lattice (2^k rows), the
+    zeta transform v(S), and the Shapley sum are all constant-size
+    joins; the lattice is generated distributively (range filtered by
+    a broadcast 1-row k) — no driver-side k, no collect anywhere."""
+    prep(spark)
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    ch = (
+        ev.where(F.col("event_type") != "purchase")
+        .select(F.col("event_type").alias("ch"))
+        .distinct()
+        .withColumn(
+            "i",
+            (F.row_number().over(W.orderBy("ch")) - 1).cast("long"),
+        )
+    )
+    kk = ch.agg(F.count(F.lit(1)).cast("long").alias("k"))
+    pu = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("pu"))
+    )
+    touches = (
+        pu.join(
+            ev.where(F.col("event_type") != "purchase").select(
+                F.col("user_id").alias("t_uid"),
+                F.col("event_type").alias("t_ch"),
+                F.col("us").alias("t_us"),
+            ),
+            (F.col("user_id") == F.col("t_uid")) & (F.col("t_us") < F.col("pu")),
+            "left",
+        )
+        .join(F.broadcast(ch), F.col("ch") == F.col("t_ch"), "left")
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.expr("bit_or(shiftleft(1, CAST(i AS INT)))"), F.lit(0)
+            )
+            .cast("long")
+            .alias("mask")
+        )
+    )
+    mc = touches.groupBy("mask").agg(F.count(F.lit(1)).cast("long").alias("m"))
+    ss = (
+        spark.range(65536)
+        .select(F.col("id").cast("long").alias("s"))
+        .crossJoin(F.broadcast(kk))
+        .where(F.col("s") < F.expr("shiftleft(1, CAST(k AS INT))"))
+        .select("s", "k")
+    )
+    v = (
+        ss.join(F.broadcast(mc), F.expr("(mask & s) = mask"), "left")
+        .groupBy("s", "k")
+        .agg(F.coalesce(F.sum("m"), F.lit(0)).cast("long").alias("v"))
+    )
+    vo = v.select("s", "k", "v")
+    vw = v.select(F.col("s").alias("sw"), F.col("v").alias("v_with"))
+    contrib = (
+        F.broadcast(ch)
+        .join(vo, F.expr("(s & shiftleft(1, CAST(i AS INT))) = 0"))
+        .join(
+            F.broadcast(vw),
+            F.expr("sw = (s | shiftleft(1, CAST(i AS INT)))"),
+        )
+        .groupBy("ch")
+        .agg(
+            F.sum(
+                F.expr(
+                    "factorial(bit_count(s))"
+                    " * factorial(CAST(k - 1 - bit_count(s) AS INT))"
+                    " * (v_with - v)"
+                )
+            )
+            .cast("long")
+            .alias("phi_scaled")
+        )
+    )
+    tot = contrib.agg(F.sum("phi_scaled").cast("long").alias("tot"))
+    return contrib.crossJoin(F.broadcast(tot)).select(
+        F.col("ch").alias("channel"),
+        "phi_scaled",
+        F.expr("CAST((phi_scaled * 1000000) div tot AS BIGINT)").alias(
+            "share_micros"
+        ),
+    )

@@ -1222,3 +1222,105 @@ def anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div ((k - 1) * (q - sb)) AS BIGINT)"
         ).alias("f_micros"),
     )
+
+
+@query(
+    "iv_2sls",
+    oracle="""
+    WITH li AS (
+      SELECT CAST(l_quantity AS BIGINT) AS x,
+             CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS z,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 100
+               AS y
+      FROM lineitem
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+             CAST(SUM(CAST(z AS HUGEINT)) AS HUGEINT) AS sz,
+             CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+             CAST(SUM(CAST(z AS HUGEINT) * z) AS HUGEINT) AS szz,
+             CAST(SUM(CAST(z AS HUGEINT) * x) AS HUGEINT) AS szx,
+             CAST(SUM(CAST(z AS HUGEINT) * y) AS HUGEINT) AS szy
+      FROM li
+    ),
+    c AS (
+      SELECT n,
+             n * szx - sz * sx AS czx,
+             n * szy - sz * sy AS czy,
+             n * szz - sz * sz AS czz,
+             n * sxx - sx * sx AS cxx
+      FROM m
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(ROUND(CAST(czy AS DOUBLE) / CAST(czx AS DOUBLE) * 1e6)
+                AS BIGINT) AS beta_iv_micros,
+           CAST(((n - 2) * czx * czx)
+                // (czz * cxx - czx * czx) AS BIGINT) AS first_stage_f_e0
+    FROM c
+    """,
+)
+def iv_2sls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INSTRUMENTAL-VARIABLES (two-stage least squares, single
+    instrument) — the fourth causal readout next to diff_in_diff,
+    psm_att, and uplift_by_decile: the Wald/IV estimator
+    beta_IV = Cov(z, y) / Cov(z, x) for extended price (whole dollars)
+    on quantity, instrumented by the discount, plus the FIRST-STAGE F
+    (instrument relevance — the weak-instrument diagnostic, F = the
+    squared first-stage t: (n-2) Czx^2 / (Czz Cxx - Czx^2), reported
+    floor-quantized; > 10 is the folk threshold). The estimand is the
+    MECHANICS readout an experimentation platform exposes; whether the
+    discount is a valid instrument is the analyst's assumption, not
+    the engine's.
+
+    Exactness: the eight moment sums accumulate in DECIMAL(38,0)/
+    HUGEINT; centered moments clear denominators (Cab = n*Sab - Sa*Sb,
+    the corr_pairs cancellation); beta is ONE double ratio of identical
+    exact integers (round-quantized to micros); the F statistic never
+    touches doubles at all.
+
+    Scale shape (100 TB): ONE map-side-combinable eight-sum aggregate
+    over the scan reduces everything to a single row — the ols_multi
+    closed-form plan; adding instruments grows the moment matrix, not
+    the shuffle count."""
+    prep(spark)
+    li = table(spark, sf_dir, "lineitem").select(
+        dec2("l_quantity").cast("long").alias("x"),
+        (dec2("l_discount") * 100).cast("long").alias("z"),
+        F.expr(
+            "CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            " div 100 AS BIGINT)"
+        ).alias("y"),
+    )
+    xd, zd, yd = (F.col(k).cast(_D38) for k in ("x", "z", "y"))
+    m = li.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(xd).cast(_D38).alias("sx"),
+        F.sum(zd).cast(_D38).alias("sz"),
+        F.sum(yd).cast(_D38).alias("sy"),
+        F.sum(xd * F.col("x")).cast(_D38).alias("sxx"),
+        F.sum(zd * F.col("z")).cast(_D38).alias("szz"),
+        F.sum(zd * F.col("x")).cast(_D38).alias("szx"),
+        F.sum(zd * F.col("y")).cast(_D38).alias("szy"),
+    )
+    n = F.col("n")
+    c = m.select(
+        "n",
+        (n * F.col("szx") - F.col("sz") * F.col("sx")).alias("czx"),
+        (n * F.col("szy") - F.col("sz") * F.col("sy")).alias("czy"),
+        (n * F.col("szz") - F.col("sz") * F.col("sz")).alias("czz"),
+        (n * F.col("sxx") - F.col("sx") * F.col("sx")).alias("cxx"),
+    )
+    return c.select(
+        n.cast("long").alias("n"),
+        F.round(
+            F.col("czy").cast("double") / F.col("czx").cast("double") * 1e6
+        )
+        .cast("long")
+        .alias("beta_iv_micros"),
+        F.expr(
+            "CAST(((n - 2) * czx * czx)"
+            " div (czz * cxx - czx * czx) AS BIGINT)"
+        ).alias("first_stage_f_e0"),
+    )

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import SESSION_GAP_US as _SESSION_GAP_US
 from ..catalog import prep, table
+from ..exact import dec2
 from ..registry import query
 
 _D38 = "decimal(38,0)"
@@ -1983,4 +1984,72 @@ def sequence_packing_shelf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("fill_micros"),
+    )
+
+
+@query(
+    "dp_sensitivity_census",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, user_id,
+             ABS(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS cents
+      FROM events
+    ),
+    u AS (
+      SELECT event_type, user_id, CAST(SUM(cents) AS BIGINT) AS contrib
+      FROM e GROUP BY event_type, user_id
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(MAX(contrib) AS BIGINT) AS sensitivity_cents,
+           CAST(COUNT(*) FILTER (WHERE contrib > 10000) AS BIGINT) AS n_clipped,
+           CAST(SUM(CASE WHEN contrib > 10000 THEN contrib - 10000 ELSE 0 END)
+                AS BIGINT) AS clipped_mass_cents,
+           CAST(SUM(LEAST(contrib, 10000)) AS BIGINT) AS clipped_sum_cents
+    FROM u GROUP BY event_type
+    """,
+)
+def dp_sensitivity_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIFFERENTIAL-PRIVACY SENSITIVITY CENSUS — the deterministic half
+    of releasing a per-group SUM under user-level DP, joining the
+    k-anonymity / l-diversity / t-closeness audits as the privacy
+    family's fourth readout. Per event type: the EXACT L1 sensitivity
+    of SUM(|value|) to removing one user (= the max single-user
+    contribution), plus what a clipping bound of 100.00 (the
+    contribution cap a DP aggregation would enforce before adding
+    noise) costs: how many users clip, the mass the clip discards, and
+    the clipped sum the noise would be added to. The noise itself is
+    random by definition — rows-only territory — but bound selection
+    is exactly this census, and it value-hashes.
+
+    Scale shape (100 TB): one (group, user)-keyed aggregate reduces the
+    log to O(#users x #groups) rows, then one group-keyed aggregate —
+    both map-side combinable; nothing is per-event after the first
+    partial aggregate."""
+    prep(spark)
+    u = (
+        table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            "user_id",
+            F.abs((dec2("value") * 100).cast("long")).alias("cents"),
+        )
+        .groupBy("event_type", "user_id")
+        .agg(F.sum("cents").cast("long").alias("contrib"))
+    )
+    clip = F.lit(10000).cast("long")
+    return u.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.max("contrib").cast("long").alias("sensitivity_cents"),
+        F.sum(F.when(F.col("contrib") > clip, 1).otherwise(0))
+        .cast("long")
+        .alias("n_clipped"),
+        F.sum(
+            F.when(F.col("contrib") > clip, F.col("contrib") - clip).otherwise(0)
+        )
+        .cast("long")
+        .alias("clipped_mass_cents"),
+        F.sum(F.least(F.col("contrib"), clip)).cast("long").alias(
+            "clipped_sum_cents"
+        ),
     )

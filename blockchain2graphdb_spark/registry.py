@@ -72,6 +72,9 @@ _OPERATOR_MODULES = (
 _SAMPLE_PRIORITY = (
     # --- new round-12 head: never-driver-witnessed first, then stalest ---
     "anova_oneway",  # r0 oracle
+    "attribution_shapley",  # r0 oracle
+    "dp_sensitivity_census",  # r0 oracle
+    "iv_2sls",  # r0 oracle
     "regression_stump",  # r0 oracle
     "item_cf_recommend",  # r0 oracle
     "landmark_distances",  # r0 oracle
