@@ -1893,3 +1893,146 @@ def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "kneser_ney_prob",
+    oracle="""
+    WITH toks0 AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, CAST(t.i AS BIGINT) AS pos,
+             ts[CAST(t.i AS INT) + 1] AS tok
+      FROM toks0, UNNEST(range(len(ts))) AS t(i)
+      WHERE ts[CAST(t.i AS INT) + 1] <> ''
+    ),
+    tr AS (SELECT * FROM toks WHERE doc_id % 10 <> 0),
+    te AS (SELECT * FROM toks WHERE doc_id % 10 = 0),
+    big_tr AS (
+      SELECT a.tok AS w1, b.tok AS w2, CAST(COUNT(*) AS HUGEINT) AS c12
+      FROM tr a JOIN tr b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+      GROUP BY a.tok, b.tok
+    ),
+    c1 AS (
+      SELECT w1, CAST(SUM(c12) AS HUGEINT) AS c1,
+             CAST(COUNT(*) AS HUGEINT) AS n1l
+      FROM big_tr GROUP BY w1
+    ),
+    n1r AS (
+      SELECT w2, CAST(COUNT(*) AS HUGEINT) AS n1r FROM big_tr GROUP BY w2
+    ),
+    tt AS (SELECT CAST(COUNT(*) AS HUGEINT) AS t FROM big_tr),
+    big_te AS (
+      SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+      FROM te a JOIN te b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+    ),
+    scored AS (
+      SELECT g.doc_id,
+             (1000000000 * CASE
+                WHEN c1.c1 IS NULL THEN COALESCE(n1r.n1r, 0)
+                ELSE GREATEST(4 * COALESCE(b.c12, 0) - 3, 0) * tt.t
+                     + 3 * c1.n1l * COALESCE(n1r.n1r, 0)
+              END)
+             // (CASE WHEN c1.c1 IS NULL THEN tt.t ELSE 4 * c1.c1 * tt.t END)
+               AS p_nanos
+      FROM big_te g
+      LEFT JOIN big_tr b ON b.w1 = g.w1 AND b.w2 = g.w2
+      LEFT JOIN c1 ON c1.w1 = g.w1
+      LEFT JOIN n1r ON n1r.w2 = g.w2
+      CROSS JOIN tt
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(p_nanos) AS BIGINT) AS sum_p_nanos,
+           CAST(SUM(p_nanos) // COUNT(*) AS BIGINT) AS mean_p_nanos
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def kneser_ney_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KNESER-NEY smoothed bigram scoring of held-out documents — the
+    modern-LM-tokenizer-era smoother next to bigram_lm_perplexity's
+    add-1: absolute discount d = 3/4 with CONTINUATION back-off,
+    p_KN(w2|w1) = (max(c12 - d, 0) + d n1+(w1,.) p_cont(w2)) / c(w1),
+    p_cont(w2) = n1+(., w2) / #bigram-types; an unseen context w1
+    backs off to p_cont alone. d = 3/4 clears denominators: every
+    probability is the EXACT integer rational
+    (max(4 c12 - 3, 0) T + 3 n1l(w1) n1r(w2)) / (4 c(w1) T), floored
+    once to int nanos — deliberately reporting mean in-context
+    PROBABILITY rather than log perplexity so no transcendental ever
+    runs (the sprt_sequential no-engine-evaluates-ln discipline).
+
+    Scale shape: identical to bigram_lm_perplexity — bigrams via the
+    per-doc positional self-join (pos+1 is a join key: exactly one
+    match, no fan-out), three hash-aggregate model tables probed by
+    equi-joins (broadcastable, Catalyst-decided), the type total is a
+    1-row crossJoin broadcast, one doc-keyed aggregate ends it."""
+    prep(spark)
+    toks = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok"))
+        .where(F.col("tok") != "")
+        .select("doc_id", F.col("pos").cast("long").alias("pos"), "tok")
+    )
+    tr = toks.where(F.col("doc_id") % 10 != 0)
+    te = toks.where(F.col("doc_id") % 10 == 0)
+
+    def bigrams(df: DataFrame) -> DataFrame:
+        a = df.select(
+            F.col("doc_id").alias("d"), F.col("pos").alias("p"), F.col("tok").alias("w1")
+        )
+        b = df.select(
+            F.col("doc_id").alias("d2"), F.col("pos").alias("p2"), F.col("tok").alias("w2")
+        )
+        return a.join(
+            b, (F.col("d") == F.col("d2")) & (F.col("p2") == F.col("p") + 1)
+        ).select(F.col("d").alias("doc_id"), "w1", "w2")
+
+    d38 = "decimal(38,0)"
+    big_tr = (
+        bigrams(tr)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast(d38).alias("c12"))
+    )
+    c1 = big_tr.groupBy("w1").agg(
+        F.sum("c12").cast(d38).alias("c1"),
+        F.count(F.lit(1)).cast(d38).alias("n1l"),
+    )
+    n1r = big_tr.groupBy("w2").agg(F.count(F.lit(1)).cast(d38).alias("n1r"))
+    tt = big_tr.agg(F.count(F.lit(1)).cast(d38).alias("t"))
+    scored = (
+        bigrams(te)
+        .join(big_tr.withColumnRenamed("w1", "bw1").withColumnRenamed("w2", "bw2"),
+              (F.col("w1") == F.col("bw1")) & (F.col("w2") == F.col("bw2")), "left")
+        .join(c1.withColumnRenamed("w1", "cw1"), F.col("w1") == F.col("cw1"), "left")
+        .join(n1r.withColumnRenamed("w2", "nw2"), F.col("w2") == F.col("nw2"), "left")
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "doc_id",
+            F.expr(
+                "(1000000000 * CASE"
+                "   WHEN c1 IS NULL THEN COALESCE(n1r, CAST(0 AS DECIMAL(38,0)))"
+                "   ELSE GREATEST(4 * COALESCE(c12, CAST(0 AS DECIMAL(38,0))) - 3,"
+                "                 CAST(0 AS DECIMAL(38,0))) * t"
+                "        + 3 * n1l * COALESCE(n1r, CAST(0 AS DECIMAL(38,0)))"
+                " END)"
+                " div (CASE WHEN c1 IS NULL THEN t ELSE 4 * c1 * t END)"
+            ).alias("p_nanos"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("p_nanos").cast("long").alias("sum_p_nanos"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "sum_p_nanos",
+            F.expr("CAST(sum_p_nanos div n_bigrams AS BIGINT)").alias(
+                "mean_p_nanos"
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -1597,3 +1597,88 @@ def watermark_lateness_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lateness_band")
     )
+
+
+@query(
+    "rsi_cutler",
+    oracle=f"""
+    WITH rev AS (
+      SELECT epoch_ns(ts) // 1000 // {86400000000} AS day,
+             CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    d AS (
+      SELECT day, cents - LAG(cents) OVER (ORDER BY day) AS delta FROM rev
+    ),
+    gl AS (
+      SELECT day,
+             GREATEST(delta, 0) AS gain,
+             GREATEST(-delta, 0) AS loss
+      FROM d WHERE delta IS NOT NULL
+    ),
+    r AS (
+      SELECT day,
+             COUNT(*) OVER w AS n14,
+             CAST(SUM(CAST(gain AS HUGEINT)) OVER w AS HUGEINT) AS g,
+             CAST(SUM(CAST(loss AS HUGEINT)) OVER w AS HUGEINT) AS l
+      FROM gl
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT CAST(day AS BIGINT) AS day,
+           CAST(g AS BIGINT) AS gain14_cents,
+           CAST(l AS BIGINT) AS loss14_cents,
+           CAST(CASE WHEN g + l = 0 THEN 50000000
+                     ELSE (100000000 * g) // (g + l) END AS BIGINT) AS rsi_micros
+    FROM r WHERE n14 = 14
+    """,
+)
+def rsi_cutler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSI (Cutler's SMA form) over daily purchase revenue — the
+    momentum oscillator next to bollinger_bands/ewma_trailing:
+    RSI = 100 * gain14 / (gain14 + loss14) over the trailing 14 full
+    daily deltas (emitted only once the window is full — partial
+    windows are the classic off-by-warmup bug). Cutler's simple-MA
+    variant rather than Wilder's EMA deliberately: the EMA recurrence
+    compounds a rational alpha into unbounded denominators, while the
+    SMA form is a pure integer window sum, so RSI quantizes to ONE
+    exact floor division (flat 14-day stretches read neutral 50 by
+    convention, not NaN).
+
+    Scale shape: ONE map-side-combinable daily aggregate reduces the
+    log to the bounded calendar-day table; the lag and the 14-row
+    frame run over that bounded table (the bollinger_bands
+    sweep-exempt shape). Partition by instrument key when scoring many
+    series."""
+    prep(spark)
+    rev = (
+        table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .groupBy(F.expr(f"unix_micros(ts) div {_DAY_US}").alias("day"))
+        .agg(F.sum((dec2("value") * 100).cast("long")).cast("long").alias("cents"))
+    )
+    wd = W.orderBy("day")
+    d = rev.select(
+        "day", (F.col("cents") - F.lag("cents").over(wd)).alias("delta")
+    ).where(F.col("delta").isNotNull())
+    gl = d.select(
+        "day",
+        F.greatest(F.col("delta"), F.lit(0)).cast("decimal(38,0)").alias("gain"),
+        F.greatest(-F.col("delta"), F.lit(0)).cast("decimal(38,0)").alias("loss"),
+    )
+    f = W.orderBy("day").rowsBetween(-13, 0)
+    r = gl.select(
+        "day",
+        F.count(F.lit(1)).over(f).alias("n14"),
+        F.sum("gain").over(f).alias("g"),
+        F.sum("loss").over(f).alias("l"),
+    ).where(F.col("n14") == 14)
+    return r.select(
+        F.col("day").cast("long").alias("day"),
+        F.col("g").cast("long").alias("gain14_cents"),
+        F.col("l").cast("long").alias("loss14_cents"),
+        F.when(F.col("g") + F.col("l") == 0, F.lit(50000000))
+        .otherwise(F.expr("(100000000 * g) div (g + l)"))
+        .cast("long")
+        .alias("rsi_micros"),
+    )

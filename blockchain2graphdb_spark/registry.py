@@ -73,6 +73,9 @@ _SAMPLE_PRIORITY = (
     # --- new round-12 head: never-driver-witnessed first, then stalest ---
     "anova_oneway",  # r0 oracle
     "attribution_shapley",  # r0 oracle
+    "rsi_cutler",  # r0 oracle
+    "kneser_ney_prob",  # r0 oracle
+    "stream_topk_per_window",  # r0 oracle
     "dp_sensitivity_census",  # r0 oracle
     "iv_2sls",  # r0 oracle
     "regression_stump",  # r0 oracle

@@ -1634,3 +1634,62 @@ def stream_mixture_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "quota", "n_admitted", "n_rejected", "admitted_docid_sum")
         .orderBy("lang")
     )
+
+
+@query(
+    "stream_topk_per_window",
+    oracle="""
+    WITH e AS (
+      SELECT (epoch_ns(ts) // 1000 // 21600000000) * 21600000000 AS s,
+             event_type
+      FROM events
+    ),
+    c AS (
+      SELECT s, event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM e GROUP BY s, event_type
+    ),
+    r AS (
+      SELECT s, event_type, n,
+             CAST(ROW_NUMBER() OVER (PARTITION BY s
+                                     ORDER BY n DESC, event_type) AS BIGINT)
+               AS rnk
+      FROM c
+    )
+    SELECT make_timestamp(s) AS win_start, event_type, n, rnk
+    FROM r WHERE rnk <= 2
+    """,
+)
+def stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRENDING-NOW: top-2 event types per tumbling 6h window — the
+    windowed-leaderboard shape (trending hashtags / hot keys) a
+    monitoring surface serves off a streaming aggregate. Structured
+    Streaming cannot rank ON TOP of a streaming aggregate (no window
+    functions over an unfinalized agg), so the production shape is
+    exactly this two-layer split: the STREAM maintains the per-(window,
+    key) counts (complete mode here; update mode + an upsert sink in
+    production — stream_merge_sink's discipline), and the SERVING
+    layer applies the rank over the maintained state — a per-window
+    WindowGroupLimit over #windows x #event-types rows, never over the
+    event log. Oracle-checked end to end: counts are batch-replayable
+    (commutative), the rank is deterministic with the (n DESC, key)
+    tie-break.
+
+    Scale shape (100 TB/day): the streaming agg is one keyed shuffle
+    with partial aggregation; the serving rank runs over the
+    state-store-sized result (windows x domain-constant key set), so
+    the leaderboard never touches the log. Watermarking bounds state
+    in production; the replay fixture is bounded by construction."""
+    prep(spark)
+    s = _events_stream(spark, sf_dir)
+    agg = (
+        s.groupBy(F.window("ts", "6 hours"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(F.col("window.start").alias("win_start"), "event_type", "n")
+    )
+    state = _run(spark, agg, output_mode="complete")
+    wr = W.partitionBy("win_start").orderBy(F.desc("n"), "event_type")
+    return (
+        state.withColumn("rnk", F.row_number().over(wr).cast("long"))
+        .where(F.col("rnk") <= 2)
+        .select("win_start", "event_type", "n", "rnk")
+    )

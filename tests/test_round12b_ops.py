@@ -293,3 +293,103 @@ def test_iv_2sls_python_replay(spark):
     # relevance on this fixture is weak by construction (discount is
     # near-orthogonal to quantity) — assert only non-negativity
     assert row.first_stage_f_e0 >= 0
+
+
+def test_rsi_cutler_python_replay(spark):
+    t = pq.read_table(
+        f"{SF_DIR}/events.parquet", columns=["ts", "event_type", "value"]
+    ).to_pylist()
+    daily: dict[int, int] = defaultdict(int)
+    for r in t:
+        if r["event_type"] == "purchase":
+            day = int(r["ts"].timestamp() * 1_000_000) // 86_400_000_000
+            daily[day] += _cents(r["value"])
+    days = sorted(daily)
+    deltas = [
+        (days[i], daily[days[i]] - daily[days[i - 1]]) for i in range(1, len(days))
+    ]
+    expect = {}
+    for i in range(13, len(deltas)):
+        win = deltas[i - 13 : i + 1]
+        g = sum(max(d, 0) for _day, d in win)
+        l = sum(max(-d, 0) for _day, d in win)
+        rsi = 50000000 if g + l == 0 else (100000000 * g) // (g + l)
+        expect[deltas[i][0]] = (g, l, rsi)
+    got = {
+        r.day: (r.gain14_cents, r.loss14_cents, r.rsi_micros)
+        for r in SPECS["rsi_cutler"].builder(spark, SF_DIR).collect()
+    }
+    assert got == expect and expect
+    for g, l, rsi in got.values():
+        assert 0 <= rsi <= 100000000
+
+
+def test_kneser_ney_python_replay(spark):
+    t = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]).to_pylist()
+    big_tr: dict[tuple[str, str], int] = defaultdict(int)
+    te_docs = {}
+    for r in t:
+        ws = [w for w in r["text"].split(" ") if w != ""]
+        pairs = list(zip(ws, ws[1:]))
+        if r["doc_id"] % 10 != 0:
+            for p in pairs:
+                big_tr[p] += 1
+        else:
+            te_docs[r["doc_id"]] = pairs
+    c1: dict[str, int] = defaultdict(int)
+    n1l: dict[str, int] = defaultdict(int)
+    n1r: dict[str, int] = defaultdict(int)
+    for (w1, w2), c in big_tr.items():
+        c1[w1] += c
+        n1l[w1] += 1
+        n1r[w2] += 1
+    T = len(big_tr)
+    expect = {}
+    for d, pairs in te_docs.items():
+        tot = 0
+        for w1, w2 in pairs:
+            if w1 in c1:
+                num = max(4 * big_tr.get((w1, w2), 0) - 3, 0) * T + 3 * n1l[w1] * n1r.get(w2, 0)
+                den = 4 * c1[w1] * T
+            else:
+                num, den = n1r.get(w2, 0), T
+            tot += (1000000000 * num) // den
+        expect[d] = (len(pairs), tot, tot // len(pairs))
+    got = {
+        r.doc_id: (r.n_bigrams, r.sum_p_nanos, r.mean_p_nanos)
+        for r in SPECS["kneser_ney_prob"].builder(spark, SF_DIR).collect()
+    }
+    assert got == expect and expect
+    # probabilities are probabilities: every per-doc mean within [0, 1e9]
+    for _n, _s, m in got.values():
+        assert 0 <= m <= 1000000000
+
+
+def test_stream_topk_matches_batch(spark):
+    """The streaming leaderboard must equal the batch computation over
+    the same events (count per 6h window/type, rank <= 2, (n DESC,
+    type) tie-break) — the complete-mode replay guarantee."""
+    rows = SPECS["stream_topk_per_window"].builder(spark, SF_DIR).collect()
+    from blockchain2graphdb_spark.catalog import prep, table
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    ev = table(spark, SF_DIR, "events")
+    c = (
+        ev.groupBy(F.window("ts", "6 hours"), "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(F.col("window.start").alias("win_start"), "event_type", "n")
+    )
+    w = Window.partitionBy("win_start").orderBy(F.desc("n"), "event_type")
+    expect = {
+        (r.win_start, r.event_type, r.n, r.rnk)
+        for r in c.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 2)
+        .collect()
+    }
+    got = {(r.win_start, r.event_type, r.n, r.rnk) for r in rows}
+    assert got == expect and got
+    per_win = defaultdict(list)
+    for _ws, _et, _n, rnk in got:
+        per_win[_ws].append(rnk)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_win.values())
