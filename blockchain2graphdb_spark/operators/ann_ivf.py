@@ -375,3 +375,252 @@ def ivf_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "cell", "d2")
         .orderBy("vec_id")
     )
+
+
+_RC_QUERIES = 20
+_RC_CENTS = 16
+_RC_PROBE = 4
+
+
+def _rc_oracle() -> str:
+    from .similarity import _N_DIM
+
+    dot = (
+        "(SELECT SUM(a.qv[i.i] * b.qv[i.i]) FROM "
+        f"(SELECT unnest(range(1, {_N_DIM + 1})) AS i) i)"
+    )
+    return f"""
+    WITH q AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    norms AS MATERIALIZED (
+      SELECT vec_id, (SELECT SUM(x * x) FROM unnest(qv) AS t(x)) AS norm2
+      FROM q
+    ),
+    cents AS MATERIALIZED (
+      SELECT vec_id AS cell, qv AS cv FROM q
+      WHERE vec_id % 31 = 0 ORDER BY vec_id LIMIT {_RC_CENTS}
+    ),
+    cassign AS MATERIALIZED (
+      SELECT a.vec_id, b.cell,
+             CAST({dot.replace('b.qv', 'b.cv')} AS DOUBLE)
+               / SQRT(CAST(na.norm2 *
+                 (SELECT SUM(x * x) FROM unnest(b.cv) AS t(x)) AS DOUBLE))
+               AS sim
+      FROM q a
+      JOIN norms na ON na.vec_id = a.vec_id
+      CROSS JOIN cents b
+    ),
+    idx AS MATERIALIZED (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, cell) AS rn
+        FROM cassign
+      ) WHERE rn = 1
+    ),
+    probes AS MATERIALIZED (
+      SELECT vec_id AS query_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, cell) AS rn
+        FROM cassign WHERE vec_id < {_RC_QUERIES}
+      ) WHERE rn <= {_RC_PROBE}
+    ),
+    bf AS MATERIALIZED (
+      SELECT query_id, cand_id, rn FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY CAST({dot} AS DOUBLE)
+                          / SQRT(CAST(na.norm2 * nb.norm2 AS DOUBLE)) DESC,
+                          b.vec_id) AS rn
+        FROM q a JOIN q b ON b.vec_id <> a.vec_id
+        JOIN norms na ON na.vec_id = a.vec_id
+        JOIN norms nb ON nb.vec_id = b.vec_id
+        WHERE a.vec_id < {_RC_QUERIES}
+      ) WHERE rn <= 10
+    ),
+    ivf AS MATERIALIZED (
+      SELECT query_id, cand_id, rn FROM (
+        SELECT p.query_id, i.vec_id AS cand_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY p.query_id
+                 ORDER BY CAST({dot} AS DOUBLE)
+                          / SQRT(CAST(na.norm2 * nb.norm2 AS DOUBLE)) DESC,
+                          i.vec_id) AS rn
+        FROM probes p
+        JOIN idx i ON i.cell = p.cell AND i.vec_id <> p.query_id
+        JOIN q a ON a.vec_id = p.query_id
+        JOIN q b ON b.vec_id = i.vec_id
+        JOIN norms na ON na.vec_id = p.query_id
+        JOIN norms nb ON nb.vec_id = i.vec_id
+      ) WHERE rn <= 10
+    ),
+    ks AS (SELECT CAST(k AS BIGINT) AS k FROM (VALUES (1), (5), (10)) t(k)),
+    hits AS (
+      SELECT ks.k,
+             CAST(COUNT(*) AS BIGINT) AS n_hits
+      FROM ks, bf, ivf
+      WHERE bf.rn <= ks.k AND ivf.rn <= ks.k
+        AND ivf.query_id = bf.query_id AND ivf.cand_id = bf.cand_id
+      GROUP BY ks.k
+    )
+    SELECT ks.k,
+           CAST({_RC_QUERIES} AS BIGINT) AS n_queries,
+           CAST((1000000 * COALESCE(h.n_hits, 0))
+                // (ks.k * {_RC_QUERIES}) AS BIGINT) AS recall_micros
+    FROM ks LEFT JOIN hits h ON h.k = ks.k
+    ORDER BY ks.k
+    """
+
+
+@query("ann_recall_curve", oracle=_rc_oracle())
+def ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN QUALITY EVAL — recall@k (k = 1, 5, 10) of the IVF index
+    against the exact brute-force ranking, the acceptance gate every
+    vector-index deployment runs before switching search off the
+    brute-force path. Unlike the rows-only similarity_ivf (float
+    kernel), BOTH sides here run the integer-quantized kernel
+    (round(x*1000) dots; cosine = one double ratio of identical exact
+    integers — the X3 determinism discipline), all argmax/rank ties
+    break on explicit ids, and the centroid stand-in is an ORDERED
+    deterministic sample — so the entire eval value-hashes and the
+    DuckDB oracle replays index build, probe, rerank, and the curve
+    itself.
+
+    recall@k = |IVF top-k  intersect  BF top-k| / (k * n_queries),
+    floor-quantized to micros, 20 query vectors, 16 cells, nprobe 4.
+
+    Scale shape (100 TB): index assignment is ONE broadcast join
+    (vectors x 16 centroids) + a per-vector WindowGroupLimit argmax;
+    the eval set is a bounded query sample, so BF scoring is
+    (queries x corpus) with the small side broadcast — the acceptance
+    eval is sampled by design; the production index swaps the centroid
+    stand-in for kmeans_fit output, unchanged plan."""
+    prep(spark)
+    from .similarity import _quantized
+
+    qdf = _quantized(spark, sf_dir).select("vec_id", "q", "norm2")
+    cents = (
+        qdf.where(F.col("vec_id") % 31 == 0)
+        .orderBy("vec_id")
+        .limit(_RC_CENTS)
+        .select(
+            F.col("vec_id").alias("cell"),
+            F.col("q").alias("cv"),
+            F.col("norm2").alias("cnorm2"),
+        )
+    )
+    idot = F.aggregate(
+        F.zip_with(F.col("q"), F.col("cv"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    cassign = qdf.join(F.broadcast(cents)).select(
+        "vec_id",
+        "q",
+        "norm2",
+        "cell",
+        (
+            idot.cast("double")
+            / F.sqrt((F.col("norm2") * F.col("cnorm2")).cast("double"))
+        ).alias("sim"),
+    )
+    wa = W.partitionBy("vec_id").orderBy(F.desc("sim"), "cell")
+    ranked = cassign.withColumn("rn", F.row_number().over(wa))
+    idx = ranked.where(F.col("rn") == 1).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("q").alias("cq"),
+        F.col("norm2").alias("cnorm2x"),
+        "cell",
+    )
+    probes = (
+        ranked.where((F.col("vec_id") < _RC_QUERIES) & (F.col("rn") <= _RC_PROBE))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("q").alias("qq"),
+            F.col("norm2").alias("qnorm2"),
+            "cell",
+        )
+    )
+    pdot = F.aggregate(
+        F.zip_with(F.col("qq"), F.col("cq"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    wq = W.partitionBy("query_id").orderBy(F.desc("cosine"), "cand_id")
+    queries = qdf.where(F.col("vec_id") < _RC_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qq"),
+        F.col("norm2").alias("qnorm2"),
+    )
+    bf = (
+        qdf.select(
+            F.col("vec_id").alias("cand_id"),
+            F.col("q").alias("cq"),
+            F.col("norm2").alias("cnorm2x"),
+        )
+        .join(F.broadcast(queries), F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            (
+                pdot.cast("double")
+                / F.sqrt((F.col("qnorm2") * F.col("cnorm2x")).cast("double"))
+            ).alias("cosine"),
+        )
+        .withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= 10)
+        .select("query_id", "cand_id", F.col("rn").alias("bf_rn"))
+    )
+    ivf = (
+        probes.join(idx, "cell")
+        .where(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            (
+                pdot.cast("double")
+                / F.sqrt((F.col("qnorm2") * F.col("cnorm2x")).cast("double"))
+            ).alias("cosine"),
+        )
+        .dropDuplicates(["query_id", "cand_id"])
+        .withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= 10)
+        .select(
+            F.col("query_id").alias("iq"),
+            F.col("cand_id").alias("ic"),
+            F.col("rn").alias("ivf_rn"),
+        )
+    )
+    ks = spark.range(1, 11).where(F.col("id").isin(1, 5, 10)).select(
+        F.col("id").cast("long").alias("k")
+    )
+    hits = (
+        F.broadcast(ks)
+        .join(bf, bf["bf_rn"] <= F.col("k"))
+        .join(
+            ivf,
+            (F.col("iq") == F.col("query_id"))
+            & (F.col("ic") == F.col("cand_id"))
+            & (F.col("ivf_rn") <= F.col("k")),
+        )
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    return (
+        ks.join(hits, "k", "left")
+        .select(
+            "k",
+            F.lit(_RC_QUERIES).cast("long").alias("n_queries"),
+            F.expr(
+                f"CAST((1000000 * COALESCE(n_hits, 0))"
+                f" div (k * {_RC_QUERIES}) AS BIGINT)"
+            ).alias("recall_micros"),
+        )
+        .orderBy("k")
+    )

@@ -1324,3 +1324,103 @@ def iv_2sls(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (czz * cxx - czx * czx) AS BIGINT)"
         ).alias("first_stage_f_e0"),
     )
+
+
+@query(
+    "cliffs_delta",
+    oracle="""
+    WITH o AS (
+      SELECT CASE WHEN ('0x' || substr(md5('cd' || CAST(o_orderkey AS VARCHAR)), 1, 1))::BIGINT < 8
+                  THEN 1 ELSE 0 END AS a,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM orders
+    ),
+    v AS (
+      SELECT cents,
+             CAST(SUM(a) AS BIGINT) AS cnt_a,
+             CAST(SUM(1 - a) AS BIGINT) AS cnt_b
+      FROM o GROUP BY cents
+    ),
+    r AS (
+      SELECT cents, cnt_a, cnt_b,
+             CAST(SUM(cnt_b) OVER (ORDER BY cents) AS BIGINT) AS cum_b
+      FROM v
+    ),
+    m AS (
+      SELECT CAST(SUM(cnt_a) AS HUGEINT) AS n1,
+             CAST(SUM(cnt_b) AS HUGEINT) AS n2,
+             CAST(SUM(CAST(cnt_a AS HUGEINT) * (cum_b - cnt_b)) AS HUGEINT)
+               AS gt_pairs,
+             CAST(SUM(CAST(cnt_a AS HUGEINT) * cum_b) AS HUGEINT) AS s_cum,
+             CAST(SUM(CAST(cnt_a AS HUGEINT) * cnt_b) AS HUGEINT) AS t_ab
+      FROM r
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_a,
+           CAST(n2 AS BIGINT) AS n_b,
+           CAST(gt_pairs AS BIGINT) AS gt_pairs,
+           CAST(n1 * n2 - s_cum AS BIGINT) AS lt_pairs,
+           CAST(t_ab AS BIGINT) AS tie_pairs,
+           CAST((1000000 * (gt_pairs - (n1 * n2 - s_cum)))
+                // (n1 * n2) AS BIGINT) AS delta_micros
+    FROM m
+    """,
+)
+def cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLIFF'S DELTA — the ordinal effect size to pair with
+    mann_whitney_u's significance readout (same md5-salted arm
+    assignment, 'cd' salt): delta = (#{a>b} - #{a<b}) / (n_a n_b) in
+    [-1, 1], the probability-of-superiority contrast that, unlike
+    Cohen's d, needs no variance assumption. The naive definition is a
+    quadratic pair comparison; the rank identity makes it linear:
+    #{a>b} = Sum_v cnt_a(v) * cumB_before(v) over the distinct-value
+    order, #{a<b} = n_a n_b - Sum_v cnt_a(v) * cumB_incl(v), and ties
+    n_a n_b - gt - lt fall out for free (pinned in tests). Every term
+    is an exact integer; delta is one trunc division to micros
+    (negative-safe: Spark div and DuckDB // both truncate toward
+    zero).
+
+    Scale shape (100 TB): one hash aggregate collapses the table to
+    O(#distinct values); the prefix count uses bucketed_prefix_sums
+    (per-bucket totals + broadcast offsets + in-bucket windows — never
+    one WindowExec partition); one final map-side-combinable aggregate
+    yields the single-row readout — mann_whitney_u's exact plan."""
+    prep(spark)
+    nib = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("cd"), F.col("o_orderkey").cast("string")).cast("binary")),
+            1,
+            1,
+        ),
+        16,
+        10,
+    ).cast("long")
+    o = table(spark, sf_dir, "orders").select(
+        F.when(nib < 8, 1).otherwise(0).alias("a"),
+        (dec2("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    v = o.groupBy("cents").agg(
+        F.sum("a").cast("long").alias("cnt_a"),
+        F.sum(1 - F.col("a")).cast("long").alias("cnt_b"),
+    )
+    r = bucketed_prefix_sums(
+        v, F.expr("cents div 100000"), [F.col("cents")], {"cum_b": F.col("cnt_b")}
+    )
+    ad = F.col("cnt_a").cast(_D38)
+    m = r.agg(
+        F.sum("cnt_a").cast(_D38).alias("n1"),
+        F.sum("cnt_b").cast(_D38).alias("n2"),
+        F.sum(ad * (F.col("cum_b") - F.col("cnt_b"))).cast(_D38).alias("gt_pairs"),
+        F.sum(ad * F.col("cum_b")).cast(_D38).alias("s_cum"),
+        F.sum(ad * F.col("cnt_b")).cast(_D38).alias("t_ab"),
+    )
+    return m.select(
+        F.col("n1").cast("long").alias("n_a"),
+        F.col("n2").cast("long").alias("n_b"),
+        F.col("gt_pairs").cast("long").alias("gt_pairs"),
+        F.expr("CAST(n1 * n2 - s_cum AS BIGINT)").alias("lt_pairs"),
+        F.col("t_ab").cast("long").alias("tie_pairs"),
+        F.expr(
+            "CAST((1000000 * (gt_pairs - (n1 * n2 - s_cum)))"
+            " div (n1 * n2) AS BIGINT)"
+        ).alias("delta_micros"),
+    )

@@ -73,6 +73,8 @@ _SAMPLE_PRIORITY = (
     # --- new round-12 head: never-driver-witnessed first, then stalest ---
     "anova_oneway",  # r0 oracle
     "attribution_shapley",  # r0 oracle
+    "ann_recall_curve",  # r0 oracle
+    "cliffs_delta",  # r0 oracle
     "rsi_cutler",  # r0 oracle
     "kneser_ney_prob",  # r0 oracle
     "stream_topk_per_window",  # r0 oracle

@@ -393,3 +393,48 @@ def test_stream_topk_matches_batch(spark):
     for _ws, _et, _n, rnk in got:
         per_win[_ws].append(rnk)
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_win.values())
+
+
+def test_cliffs_delta_python_replay(spark):
+    t = pq.read_table(
+        f"{SF_DIR}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    ).to_pylist()
+    a_vals, b_vals = [], []
+    for r in t:
+        nib = int(hashlib.md5(f"cd{r['o_orderkey']}".encode()).hexdigest()[0], 16)
+        (a_vals if nib < 8 else b_vals).append(_cents(r["o_totalprice"]))
+    import bisect
+
+    sb = sorted(b_vals)
+    gt = sum(bisect.bisect_left(sb, x) for x in a_vals)
+    le = sum(bisect.bisect_right(sb, x) for x in a_vals)
+    lt = len(a_vals) * len(b_vals) - le
+    ties = le - gt
+    n1n2 = len(a_vals) * len(b_vals)
+    delta = (1000000 * (gt - lt)) // n1n2 if gt >= lt else -(
+        (1000000 * (lt - gt)) // n1n2
+    )
+    # Spark div / DuckDB // truncate toward zero; Python // floors —
+    # emulate trunc on the possibly-negative quantity
+    num = 1000000 * (gt - lt)
+    delta = num // n1n2 if num >= 0 else -((-num) // n1n2)
+    row = SPECS["cliffs_delta"].builder(spark, SF_DIR).collect()[0]
+    assert (row.n_a, row.n_b) == (len(a_vals), len(b_vals))
+    assert (row.gt_pairs, row.lt_pairs, row.tie_pairs) == (gt, lt, ties)
+    assert row.delta_micros == delta
+    # identity: gt + lt + ties = n_a * n_b; delta in [-1e6, 1e6]
+    assert gt + lt + ties == n1n2
+    assert -1000000 <= row.delta_micros <= 1000000
+
+
+def test_ann_recall_curve_sanity(spark):
+    """recall@k must be a valid probability, monotone-ish by
+    construction is NOT guaranteed (recall@1 can exceed recall@10),
+    but the k=10 cell must dominate random: with 16 cells and nprobe
+    4 the probed share alone gives ~25% floor."""
+    rows = SPECS["ann_recall_curve"].builder(spark, SF_DIR).collect()
+    got = {r.k: r.recall_micros for r in rows}
+    assert set(got) == {1, 5, 10}
+    for v in got.values():
+        assert 0 <= v <= 1000000
+    assert got[10] >= 250000  # the IVF must beat the random-cell floor
