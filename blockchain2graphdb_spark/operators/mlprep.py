@@ -22,7 +22,11 @@ from pyspark.sql import functions as F
 
 from ..catalog import prep, table
 from ..exact import dec2
-from ..functions.ranking import bucketed_global_rank, bucketed_prefix_sum
+from ..functions.ranking import (
+    bucketed_global_rank,
+    bucketed_prefix_sum,
+    bucketed_prefix_sums,
+)
 from ..registry import query
 
 _D38 = "decimal(38,0)"
@@ -2844,4 +2848,103 @@ def regression_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.col("gain").cast("long").alias("gain_d2"),
         )
+    )
+
+
+@query(
+    "approx_quantile_audit",
+    oracle="""
+    WITH o AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS pc
+      FROM orders
+    ),
+    v AS (SELECT pc, CAST(COUNT(*) AS BIGINT) AS cnt FROM o GROUP BY pc),
+    r AS (
+      SELECT pc, cnt, CAST(SUM(cnt) OVER (ORDER BY pc) AS BIGINT) AS cum
+      FROM v
+    ),
+    nn AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM v),
+    ps AS (SELECT CAST(p AS BIGINT) AS p FROM (VALUES (50), (90), (99)) t(p)),
+    ex AS (
+      SELECT ps.p, nn.n,
+             CAST(MIN(CASE WHEN r.cum >= (ps.p * nn.n + 99) // 100
+                           THEN r.pc END) AS BIGINT) AS exact_cents
+      FROM ps, nn, r
+      GROUP BY ps.p, nn.n
+    )
+    SELECT p, n, exact_cents, CAST(1 AS BIGINT) AS within_bound
+    FROM ex ORDER BY p
+    """,
+)
+def approx_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPROX-PERCENTILE CONTRACT AUDIT — the promise at the end of
+    percentile_summary's docstring, delivered: run Spark's
+    percentile_approx (accuracy=100, so the sketch guarantees rank
+    error <= n/100) at p50/p90/p99 of order value, look up the
+    RETURNED value's true rank interval [lt+1, cum] in the exact
+    distinct-value rank table, and assert it intersects the target
+    rank +- (n div 100 + 1) window (+1 absorbs the nearest-rank vs
+    p*n definitional edge). The sketch's value never enters the output
+    (it is engine-specific); what hashes is the exact percentile AND
+    the audit verdict — the ORACLE ENCODES THE CONTRACT as literal
+    TRUE, so a sketch that ever violated its epsilon bound would
+    hash-mismatch and fail the gate, exactly like a data bug.
+
+    Scale shape (100 TB): the sketch is one mergeable aggregate over
+    the scan (the whole point of approx quantiles at scale); the audit
+    side is one hash aggregate to distinct values + bucketed prefix
+    sums (mann_whitney_u's plan) + a 3-row probe join — the exact
+    rank pass you run ONCE to qualify the sketch before trusting it
+    everywhere."""
+    prep(spark)
+    o = table(spark, sf_dir, "orders").select(
+        (dec2("o_totalprice") * 100).cast("long").alias("pc")
+    )
+    v = o.groupBy("pc").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    r = bucketed_prefix_sums(
+        v, F.expr("pc div 100000"), [F.col("pc")], {"cum": F.col("cnt")}
+    )
+    nn = v.agg(F.sum("cnt").cast("long").alias("n"))
+    approx = o.agg(
+        F.percentile_approx("pc", 0.50, 100).alias("a50"),
+        F.percentile_approx("pc", 0.90, 100).alias("a90"),
+        F.percentile_approx("pc", 0.99, 100).alias("a99"),
+    )
+    ps = approx.select(
+        F.expr("stack(3, 50, a50, 90, a90, 99, a99) as (p, av)")
+    ).crossJoin(F.broadcast(nn))
+    # target nearest-rank, the sketch's rank window, and the exact cut
+    probed = (
+        F.broadcast(ps)
+        .join(r, F.col("av") == F.col("pc"))
+        .select(
+            "p",
+            "n",
+            F.expr("(p * n + 99) div 100").alias("t"),
+            (F.col("cum") - F.col("cnt") + 1).alias("rank_lo"),
+            F.col("cum").alias("rank_hi"),
+        )
+        .select(
+            "p",
+            "n",
+            F.when(
+                (F.col("rank_lo") <= F.col("t") + F.expr("n div 100") + 1)
+                & (F.col("rank_hi") >= F.col("t") - F.expr("n div 100") - 1),
+                1,
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("within_bound"),
+        )
+    )
+    ex = (
+        F.broadcast(ps.select("p", "n"))
+        .join(r, F.col("cum") >= F.expr("(p * n + 99) div 100"))
+        .groupBy("p", "n")
+        .agg(F.min("pc").cast("long").alias("exact_cents"))
+    )
+    return (
+        ex.join(probed.select("p", "within_bound"), "p")
+        .select("p", "n", "exact_cents", "within_bound")
+        .orderBy("p")
     )

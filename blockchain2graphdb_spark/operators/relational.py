@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import prep, table
 from ..exact import dec2, money_avg, money_sum
+from ..plans.iterate import local_checkpoint
 from ..registry import query
 
 # ---------------------------------------------------------------------------
@@ -2536,4 +2537,90 @@ def countmin_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("est") - F.col("tru")).cast("long").alias("overcount_sum"),
         )
         .orderBy("over_decile")
+    )
+
+
+def _bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The runtime-bloom-filter demonstration join (shared by the
+    registry key and its plan-pin test): lineitem joined to a
+    SELECTIVE order subset (urgent + high-value) on the shuffle key,
+    monthly rollup. With broadcast suppressed and the application-side
+    scan threshold at 0, Catalyst's InjectRuntimeFilter rewrites the
+    fact side to `might_contain(bloom_agg(o_orderkey), l_orderkey)` —
+    rows that cannot join are dropped BEFORE the shuffle."""
+    sel = (
+        table(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_totalprice") > 200000)
+        )
+        .select("o_orderkey")
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (dec2("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.substring(F.col("l_shipdate").cast("string"), 1, 7).alias("month"),
+    )
+    return (
+        li.join(sel, li["l_orderkey"] == sel["o_orderkey"])
+        .groupBy("month")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+    )
+
+
+_BLOOM_CONFS = {
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+def _with_bloom_confs(spark: SparkSession, fn):
+    """Scope the two bloom-forcing confs around fn() and RESTORE them —
+    the session is driver-owned and other keys' plan pins depend on the
+    defaults (the prep() idempotence contract)."""
+    old = {k: spark.conf.get(k) for k in _BLOOM_CONFS}
+    for k, v in _BLOOM_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        return fn()
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+
+
+@query(
+    "join_bloom_runtime_filter",
+    oracle="""
+    SELECT substr(CAST(l_shipdate AS VARCHAR), 1, 7) AS month,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+      AND o_totalprice > 200000
+    GROUP BY 1
+    """,
+)
+def join_bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-family scale story #4 (after static pruning, zone-map
+    skipping, and dynamic partition pruning): RUNTIME BLOOM-FILTER
+    semi-join reduction. When one side of a shuffle join carries a
+    selective predicate, Catalyst builds a bloom sketch of its join
+    keys in a one-row subquery and injects
+    `might_contain(..., xxhash64(l_orderkey))` into the OTHER side's
+    scan — at 100 TB the fact rows that cannot join die at the scan,
+    not after the shuffle (the 20x shuffle-byte cut DPP cannot give
+    when the fact is not partitioned by the key). The two forcing
+    confs (scan-size threshold, broadcast suppression — at fixture
+    scale the dim would broadcast and need no bloom) are SCOPED
+    around an eager materialization and restored, so no other key's
+    plan ever sees them; the plan pin lives in test_plans.py.
+    Results are conf-independent — the oracle is the plain join."""
+    prep(spark)
+    return _with_bloom_confs(
+        spark, lambda: local_checkpoint(_bloom_join(spark, sf_dir))
     )

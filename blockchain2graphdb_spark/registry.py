@@ -75,6 +75,8 @@ _SAMPLE_PRIORITY = (
     "attribution_shapley",  # r0 oracle
     "ann_recall_curve",  # r0 oracle
     "cliffs_delta",  # r0 oracle
+    "approx_quantile_audit",  # r0 oracle
+    "join_bloom_runtime_filter",  # r0 oracle
     "rsi_cutler",  # r0 oracle
     "kneser_ney_prob",  # r0 oracle
     "stream_topk_per_window",  # r0 oracle

@@ -78,6 +78,7 @@ _ITERATIVE = {
     "influence_cascade",  # per-round frontier checkpoints + counts on call
     "node2vec_walk_sample",  # copurchase checkpoint + adjacency checkpoint on call
     "landmark_distances",  # rides the _seed_bfs memo (checkpoints on call)
+    "join_bloom_runtime_filter",  # conf-scoped eager materialization on call
 }
 
 _PLAN_KEYS = sorted(set(SPECS) - _EXECUTING - _ITERATIVE)
@@ -367,3 +368,31 @@ def test_bpe_pairs_topk_is_take_ordered(spark):
     final = s.split("Initial Plan")[0]
     assert "TakeOrderedAndProject" in final, s
     assert "Sort [" not in final, s  # no corpus-wide sort beside the top-k
+
+
+def test_bloom_runtime_filter_injected_and_confs_restored(spark):
+    """The runtime bloom semi-join reduction (J-family scale story #4):
+    under the scoped confs the fact side must carry a
+    bloom_filter might_contain probe and the join must NOT be
+    broadcast; afterwards the two forced confs must be restored so no
+    other key's plan sees them."""
+    from blockchain2graphdb_spark.operators.relational import (
+        _BLOOM_CONFS,
+        _bloom_join,
+        _with_bloom_confs,
+    )
+
+    before = {k: spark.conf.get(k) for k in _BLOOM_CONFS}
+
+    def probe():
+        df = _bloom_join(spark, SF_DIR)
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    plan = _with_bloom_confs(spark, probe)
+    assert "might_contain" in plan or "mightContain" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    after = {k: spark.conf.get(k) for k in _BLOOM_CONFS}
+    assert after == before
+    # and the registered builder itself restores them too
+    SPECS["join_bloom_runtime_filter"].builder(spark, SF_DIR)
+    assert {k: spark.conf.get(k) for k in _BLOOM_CONFS} == before

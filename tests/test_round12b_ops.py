@@ -438,3 +438,33 @@ def test_ann_recall_curve_sanity(spark):
     for v in got.values():
         assert 0 <= v <= 1000000
     assert got[10] >= 250000  # the IVF must beat the random-cell floor
+
+
+def test_approx_quantile_audit_python_replay(spark):
+    t = pq.read_table(f"{SF_DIR}/orders.parquet", columns=["o_totalprice"]).to_pylist()
+    pcs = sorted(_cents(r["o_totalprice"]) for r in t)
+    n = len(pcs)
+    rows = SPECS["approx_quantile_audit"].builder(spark, SF_DIR).collect()
+    assert {r.p for r in rows} == {50, 90, 99}
+    for r in rows:
+        assert r.n == n
+        target = (r.p * n + 99) // 100
+        assert r.exact_cents == pcs[target - 1]  # nearest-rank, 1-indexed
+        # the sketch honored its epsilon contract (oracle pins this as
+        # literal TRUE — a violation would hash-fail the gate)
+        assert r.within_bound == 1
+
+
+def test_join_bloom_result_matches_plain_join(spark):
+    """The bloom filter is a pure plan optimization — results must be
+    identical to the unoptimized join."""
+    from blockchain2graphdb_spark.operators.relational import _bloom_join
+
+    got = {
+        (r.month, r.n, r.revenue_cents)
+        for r in SPECS["join_bloom_runtime_filter"].builder(spark, SF_DIR).collect()
+    }
+    plain = {
+        (r.month, r.n, r.revenue_cents) for r in _bloom_join(spark, SF_DIR).collect()
+    }
+    assert got == plain and got
