@@ -32,6 +32,8 @@ from ..exact import dec2
 from ..functions.ranking import bucketed_global_rank, bucketed_prefix_sums
 from ..registry import query
 
+_D38 = "decimal(38,0)"
+
 
 @query(
     "ks_statistic",
@@ -1008,4 +1010,214 @@ def expected_calibration_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").cast("long").alias("n_total"),
         F.expr("SUM(gap) div SUM(n)").cast("long").alias("ece_nanos"),
         F.max(F.expr("gap div n")).cast("long").alias("mce_nanos"),
+    )
+
+
+def _pseudo_p():
+    """The ECE/calibration_bins pseudo-probability: md5('p' || orderkey)
+    first 8 hex digits mod 1000 (permille)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("p"), F.col("o_orderkey").cast("string")).cast(
+                        "binary"
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000
+    )
+
+
+@query(
+    "brier_decomposition",
+    oracle="""
+    WITH o AS (
+      SELECT ('0x' || substr(md5('p' || CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+               % 1000 AS p,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders
+    ),
+    b AS (
+      SELECT p // 100 AS bin,
+             CAST(COUNT(*) AS HUGEINT) AS n_b,
+             CAST(SUM(p) AS HUGEINT) AS sp,
+             CAST(SUM(y) AS HUGEINT) AS pos_b,
+             CAST(SUM(CAST(p - 1000 * y AS HUGEINT)
+                      * (p - 1000 * y)) AS HUGEINT) AS sq
+      FROM o GROUP BY p // 100
+    ),
+    t AS (
+      SELECT CAST(SUM(n_b) AS HUGEINT) AS n,
+             CAST(SUM(pos_b) AS HUGEINT) AS pos,
+             CAST(SUM(sq) AS HUGEINT) AS sq
+      FROM b
+    ),
+    parts AS (
+      SELECT t.n, t.pos, t.sq,
+             CAST(SUM(((b.sp - 1000 * b.pos_b) * (b.sp - 1000 * b.pos_b))
+                      // (b.n_b * t.n)) AS HUGEINT) AS rel,
+             CAST(SUM(((b.pos_b * t.n - b.n_b * t.pos)
+                       * (b.pos_b * t.n - b.n_b * t.pos) * 1000000)
+                      // (b.n_b * t.n * t.n * t.n)) AS HUGEINT) AS res
+      FROM b, t GROUP BY t.n, t.pos, t.sq
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(sq // n AS BIGINT) AS brier_micros,
+           CAST(rel AS BIGINT) AS reliability_micros,
+           CAST(res AS BIGINT) AS resolution_micros,
+           CAST((pos * (n - pos) * 1000000) // (n * n) AS BIGINT)
+             AS uncertainty_micros
+    FROM parts
+    """,
+)
+def brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BRIER SCORE + MURPHY DECOMPOSITION — the proper scoring rule
+    beside expected_calibration_error's gap readout (same md5
+    pseudo-probability and o_orderstatus='F' label, same 10 deciles):
+    brier = mean (p - y)^2, split into reliability (calibration, the
+    part you can fix by recalibrating) - resolution (discrimination)
+    + uncertainty (the irreducible base-rate variance). In permille
+    units every term clears to exact integers with ONE floor division
+    per bin (brier itself needs just one division total:
+    sum (p - 1000y)^2 div N is already micros); the identity
+    brier ~= rel - res + unc holds up to the within-bin variance term
+    the 3-term decomposition drops (~ bin_width^2/12, ~833 micros for
+    uniform p over deciles) and is pinned with that tolerance in
+    tests. By construction the md5 'probabilities' are uniform noise,
+    so the decomposition reads 'calibrated but useless' (reliability
+    ~0, resolution ~0) — exactly what it should say about a random
+    scorer; swap in a model score column and the readout becomes the
+    model card line.
+
+    Scale shape: one 10-bin map-side-combinable aggregate over the
+    scan, then constant-size algebra — the ECE plan."""
+    prep(spark)
+    y = F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+    o = table(spark, sf_dir, "orders").select(
+        _pseudo_p().alias("p"), y.alias("y")
+    )
+    d = (F.col("p") - 1000 * F.col("y")).cast(_D38)
+    b = o.groupBy(F.expr("p div 100").alias("bin")).agg(
+        F.count(F.lit(1)).cast(_D38).alias("n_b"),
+        F.sum("p").cast(_D38).alias("sp"),
+        F.sum("y").cast(_D38).alias("pos_b"),
+        F.sum(d * d).cast(_D38).alias("sq"),
+    )
+    t = b.agg(
+        F.sum("n_b").cast(_D38).alias("n"),
+        F.sum("pos_b").cast(_D38).alias("pos"),
+        F.sum("sq").cast(_D38).alias("sq_t"),
+    )
+    parts = (
+        b.crossJoin(F.broadcast(t))
+        .groupBy("n", "pos", "sq_t")
+        .agg(
+            F.sum(
+                F.expr(
+                    "((sp - 1000 * pos_b) * (sp - 1000 * pos_b))"
+                    " div (n_b * n)"
+                )
+            )
+            .cast(_D38)
+            .alias("rel"),
+            F.sum(
+                F.expr(
+                    "((pos_b * n - n_b * pos) * (pos_b * n - n_b * pos)"
+                    " * 1000000) div (n_b * n * n * n)"
+                )
+            )
+            .cast(_D38)
+            .alias("res"),
+        )
+    )
+    return parts.select(
+        F.col("n").cast("long").alias("n"),
+        F.expr("CAST(sq_t div n AS BIGINT)").alias("brier_micros"),
+        F.col("rel").cast("long").alias("reliability_micros"),
+        F.col("res").cast("long").alias("resolution_micros"),
+        F.expr(
+            "CAST((pos * (n - pos) * 1000000) div (n * n) AS BIGINT)"
+        ).alias("uncertainty_micros"),
+    )
+
+
+@query(
+    "matthews_mcc",
+    oracle="""
+    WITH o AS (
+      SELECT ('0x' || substr(md5('p' || CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+               % 1000 AS p,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders
+    ),
+    c AS (
+      SELECT CAST(COUNT(*) FILTER (WHERE p >= 500 AND y = 1) AS BIGINT) AS tp,
+             CAST(COUNT(*) FILTER (WHERE p >= 500 AND y = 0) AS BIGINT) AS fp,
+             CAST(COUNT(*) FILTER (WHERE p < 500 AND y = 1) AS BIGINT) AS fn,
+             CAST(COUNT(*) FILTER (WHERE p < 500 AND y = 0) AS BIGINT) AS tn
+      FROM o
+    )
+    SELECT tp, fp, fn, tn,
+           CAST(ROUND(
+             CAST(tp * tn - fp * fn AS DOUBLE)
+             / (SQRT(CAST((tp + fp) * (tp + fn) AS DOUBLE))
+                * SQRT(CAST((tn + fp) * (tn + fn) AS DOUBLE)))
+             * 1e6) AS BIGINT) AS mcc_micros
+    FROM c
+    """,
+)
+def matthews_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATTHEWS CORRELATION COEFFICIENT at the 0.5 operating point —
+    the chance-corrected single-number confusion summary beside
+    cohens_kappa (inter-rater form) and confusion_threshold (the raw
+    counts): MCC = (TP TN - FP FN)/sqrt((TP+FP)(TP+FN)(TN+FP)(TN+FN)),
+    the metric of choice under class imbalance. Same md5
+    pseudo-probability/label as the calibration family.
+
+    Exactness: counts are exact; the four-factor denominator is
+    DELIBERATELY computed as sqrt(ab)*sqrt(cd) — each pairwise product
+    stays below 2^53 where int->double conversion is exact (the full
+    product does NOT, hitting the documented engine-divergent 1-ulp
+    conversion hazard); both engines then run the identical IEEE
+    sqrt/multiply/divide/round pipeline.
+
+    Scale shape: ONE map-side-combinable conditional-count aggregate
+    over the scan to a single row — nothing else."""
+    prep(spark)
+    y = F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+    o = table(spark, sf_dir, "orders").select(
+        _pseudo_p().alias("p"), y.alias("y")
+    )
+    c = o.agg(
+        F.sum(F.when((F.col("p") >= 500) & (F.col("y") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("tp"),
+        F.sum(F.when((F.col("p") >= 500) & (F.col("y") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("fp"),
+        F.sum(F.when((F.col("p") < 500) & (F.col("y") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("fn"),
+        F.sum(F.when((F.col("p") < 500) & (F.col("y") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("tn"),
+    )
+    num = (F.col("tp") * F.col("tn") - F.col("fp") * F.col("fn")).cast("double")
+    den = F.sqrt(
+        ((F.col("tp") + F.col("fp")) * (F.col("tp") + F.col("fn"))).cast("double")
+    ) * F.sqrt(
+        ((F.col("tn") + F.col("fp")) * (F.col("tn") + F.col("fn"))).cast("double")
+    )
+    return c.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round(num / den * 1e6).cast("long").alias("mcc_micros"),
     )

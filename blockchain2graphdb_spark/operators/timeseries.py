@@ -48,6 +48,8 @@ from ..exact import dec2
 from ..functions.ranking import bucketed_global_rank
 from ..registry import query
 
+_D38 = "decimal(38,0)"
+
 _HOUR_US = 3_600 * 1_000_000
 _DAY_US = 24 * _HOUR_US
 
@@ -1681,4 +1683,96 @@ def rsi_cutler(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.expr("(100000000 * g) div (g + l)"))
         .cast("long")
         .alias("rsi_micros"),
+    )
+
+
+_LB_LAGS = 5
+
+
+def _ljung_box_oracle(m: int = _LB_LAGS) -> str:
+    return f"""
+    WITH d AS (
+      SELECT (epoch_ns(ts) // 1000) // {_DAY_US} AS day FROM events
+    ),
+    daily AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS x FROM d GROUP BY day),
+    st AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n, CAST(SUM(x) AS HUGEINT) AS s
+      FROM daily
+    ),
+    dev AS (SELECT day, n * x - s AS dev FROM daily, st),
+    den AS (SELECT CAST(SUM(dev * dev) AS HUGEINT) AS den FROM dev),
+    num AS (
+      SELECT t.i + 1 AS lag, CAST(SUM(a.dev * b.dev) AS HUGEINT) AS num
+      FROM dev a
+      CROSS JOIN UNNEST(range({m})) AS t(i)
+      JOIN dev b ON b.day = a.day + t.i + 1
+      GROUP BY t.i + 1
+    ),
+    terms AS (
+      SELECT (1000000 * st.n * (st.n + 2) * num.num * num.num)
+             // (den.den * den.den * (st.n - num.lag)) AS term
+      FROM num, den, st
+    )
+    SELECT (SELECT CAST(n AS BIGINT) FROM st) AS n_days,
+           CAST({m} AS BIGINT) AS m_lags,
+           CAST(SUM(term) AS BIGINT) AS q_micros
+    FROM terms
+    """
+
+
+@query("ljung_box_q", oracle=_ljung_box_oracle())
+def ljung_box_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LJUNG-BOX Q portmanteau statistic over the daily event-count
+    series (lags 1..5) — 'is this series white noise?', the
+    autocorrelation DIAGNOSTIC that turns acf_lags' per-lag readout
+    into one testable number: Q = n(n+2) sum_k r_k^2/(n-k), compared
+    to chi-square(m) by the analyst. Exactness: r_k = num_k/den from
+    acf_lags' n^2-scaled integer deviations, so each term is ONE floor
+    division of exact integers (1e6 n (n+2) num_k^2) / (den^2 (n-k))
+    — floor-per-term (documented semantics, identical on both
+    engines), summed exactly; nothing touches doubles at all.
+
+    Scale shape: identical to acf_lags — one map-side daily count
+    collapses the log to O(#days); deviations, the m-lag calendar
+    self-join, and the term algebra are broadcast arithmetic over that
+    bounded table."""
+    prep(spark)
+    daily = (
+        _daily_counts(spark, sf_dir)
+        .groupBy("day")
+        .agg(F.sum("n").cast("long").alias("x"))
+    )
+    st = daily.agg(
+        F.count(F.lit(1)).cast(_D38).alias("n"),
+        F.sum("x").cast(_D38).alias("s"),
+    )
+    dev = daily.crossJoin(F.broadcast(st)).select(
+        "day", (F.col("n") * F.col("x") - F.col("s")).cast(_D38).alias("dev"), "n"
+    )
+    den = dev.agg(F.sum(F.col("dev") * F.col("dev")).cast(_D38).alias("den"))
+    a = dev.select(F.col("day").alias("da"), F.col("dev").alias("deva"))
+    lags = spark.range(1, _LB_LAGS + 1).select(F.col("id").cast("long").alias("lag"))
+    b = dev.select(F.col("day").alias("db"), F.col("dev").alias("devb"))
+    num = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("db") == F.col("da") + F.col("lag"))
+        .groupBy("lag")
+        .agg(F.sum(F.col("deva") * F.col("devb")).cast(_D38).alias("num"))
+    )
+    terms = (
+        num.crossJoin(F.broadcast(den))
+        .crossJoin(F.broadcast(st))
+        .select(
+            F.expr(
+                "(1000000 * n * (n + 2) * num * num)"
+                " div (den * den * (n - lag))"
+            ).alias("term"),
+            "n",
+        )
+    )
+    return terms.groupBy("n").agg(
+        F.lit(_LB_LAGS).cast("long").alias("m_lags"),
+        F.sum("term").cast("long").alias("q_micros"),
+    ).select(
+        F.col("n").cast("long").alias("n_days"), "m_lags", "q_micros"
     )

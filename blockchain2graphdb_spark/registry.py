@@ -76,6 +76,9 @@ _SAMPLE_PRIORITY = (
     "ann_recall_curve",  # r0 oracle
     "cliffs_delta",  # r0 oracle
     "approx_quantile_audit",  # r0 oracle
+    "ljung_box_q",  # r0 oracle
+    "brier_decomposition",  # r0 oracle
+    "matthews_mcc",  # r0 oracle
     "join_bloom_runtime_filter",  # r0 oracle
     "rsi_cutler",  # r0 oracle
     "kneser_ney_prob",  # r0 oracle

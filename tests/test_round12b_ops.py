@@ -468,3 +468,87 @@ def test_join_bloom_result_matches_plain_join(spark):
         (r.month, r.n, r.revenue_cents) for r in _bloom_join(spark, SF_DIR).collect()
     }
     assert got == plain and got
+
+
+def _pseudo_p_py(okey: int) -> int:
+    return int(hashlib.md5(f"p{okey}".encode()).hexdigest()[:8], 16) % 1000
+
+
+def test_brier_decomposition_python_replay(spark):
+    t = pq.read_table(
+        f"{SF_DIR}/orders.parquet", columns=["o_orderkey", "o_orderstatus"]
+    ).to_pylist()
+    rows = [(_pseudo_p_py(r["o_orderkey"]), 1 if r["o_orderstatus"] == "F" else 0) for r in t]
+    n = len(rows)
+    pos = sum(y for _p, y in rows)
+    sq = sum((p - 1000 * y) ** 2 for p, y in rows)
+    bins: dict[int, list[tuple[int, int]]] = defaultdict(list)
+    for p, y in rows:
+        bins[p // 100].append((p, y))
+    rel = sum(
+        (sum(p for p, _ in v) - 1000 * sum(y for _, y in v)) ** 2 // (len(v) * n)
+        for v in bins.values()
+    )
+    res = sum(
+        ((sum(y for _, y in v) * n - len(v) * pos) ** 2 * 1000000)
+        // (len(v) * n * n * n)
+        for v in bins.values()
+    )
+    unc = (pos * (n - pos) * 1000000) // (n * n)
+    r = SPECS["brier_decomposition"].builder(spark, SF_DIR).collect()[0]
+    assert (r.n, r.brier_micros) == (n, sq // n)
+    assert (r.reliability_micros, r.resolution_micros, r.uncertainty_micros) == (
+        rel,
+        res,
+        unc,
+    )
+    # Murphy identity holds up to the WITHIN-BIN variance term the
+    # 3-term decomposition drops (uniform p over 0.1-wide bins:
+    # ~ 1e6 * 0.1^2 / 12 ~ 833 micros), plus per-bin floor error
+    assert abs(r.brier_micros - (rel - res + unc)) <= 2000
+
+
+def test_matthews_mcc_python_replay(spark):
+    t = pq.read_table(
+        f"{SF_DIR}/orders.parquet", columns=["o_orderkey", "o_orderstatus"]
+    ).to_pylist()
+    tp = fp = fn = tn = 0
+    for r in t:
+        p = _pseudo_p_py(r["o_orderkey"])
+        y = 1 if r["o_orderstatus"] == "F" else 0
+        if p >= 500 and y:
+            tp += 1
+        elif p >= 500:
+            fp += 1
+        elif y:
+            fn += 1
+        else:
+            tn += 1
+    import math
+
+    mcc = (tp * tn - fp * fn) / (
+        math.sqrt((tp + fp) * (tp + fn)) * math.sqrt((tn + fp) * (tn + fn))
+    )
+    r = SPECS["matthews_mcc"].builder(spark, SF_DIR).collect()[0]
+    assert (r.tp, r.fp, r.fn, r.tn) == (tp, fp, fn, tn)
+    assert r.mcc_micros == round(mcc * 1e6)
+    # a random scorer: |MCC| must be small
+    assert abs(r.mcc_micros) < 200000
+
+
+def test_ljung_box_python_replay(spark):
+    t = pq.read_table(f"{SF_DIR}/events.parquet", columns=["ts"]).to_pylist()
+    daily: dict[int, int] = defaultdict(int)
+    for r in t:
+        daily[int(r["ts"].timestamp() * 1_000_000) // 86_400_000_000] += 1
+    days = sorted(daily)
+    n, s = len(days), sum(daily.values())
+    dev = {d: n * daily[d] - s for d in days}
+    den = sum(v * v for v in dev.values())
+    q = 0
+    for lag in range(1, 6):
+        num = sum(dev[d] * dev[d + lag] for d in days if d + lag in dev)
+        q += (1000000 * n * (n + 2) * num * num) // (den * den * (n - lag))
+    r = SPECS["ljung_box_q"].builder(spark, SF_DIR).collect()[0]
+    assert (r.n_days, r.m_lags, r.q_micros) == (n, 5, q)
+    assert q >= 0
