@@ -1812,3 +1812,126 @@ def attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share_micros"
         ),
     )
+
+
+@query(
+    "cold_start_census",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, o_orderkey,
+             CAST(date_diff('day', DATE '1970-01-01',
+                            CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM orders
+    ),
+    cut AS MATERIALIZED (SELECT (MIN(d) + MAX(d)) // 2 AS cut FROM o),
+    oc AS MATERIALIZED (SELECT o.*, cut.cut FROM o, cut),
+    tr_u AS MATERIALIZED (
+      SELECT DISTINCT o_custkey AS c FROM oc WHERE d < cut
+    ),
+    te AS MATERIALIZED (SELECT * FROM oc WHERE d >= cut),
+    te_u AS MATERIALIZED (
+      SELECT te.o_custkey AS c, SUM(te.cents) AS cents,
+             CASE WHEN MIN(tr_u.c) IS NULL THEN 1 ELSE 0 END AS is_new
+      FROM te LEFT JOIN tr_u ON tr_u.c = te.o_custkey
+      GROUP BY te.o_custkey
+    ),
+    li AS MATERIALIZED (
+      SELECT oc.d, oc.cut, l.l_partkey AS p
+      FROM lineitem l JOIN oc ON oc.o_orderkey = l.l_orderkey
+    ),
+    tr_p AS MATERIALIZED (SELECT DISTINCT p FROM li WHERE d < cut),
+    te_p_base AS MATERIALIZED (SELECT DISTINCT p FROM li WHERE d >= cut),
+    te_p AS MATERIALIZED (
+      SELECT b.p, CASE WHEN t.p IS NULL THEN 1 ELSE 0 END AS is_new
+      FROM te_p_base b LEFT JOIN tr_p t ON t.p = b.p
+    )
+    SELECT (SELECT CAST(cut AS BIGINT) FROM cut) AS cut_day,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM te_u) AS n_test_users,
+           (SELECT CAST(SUM(is_new) AS BIGINT) FROM te_u) AS n_new_users,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM te_p) AS n_test_parts,
+           (SELECT CAST(SUM(is_new) AS BIGINT) FROM te_p) AS n_new_parts,
+           (SELECT CAST((1000000 * CAST(SUM(CASE WHEN is_new = 1 THEN cents ELSE 0 END) AS HUGEINT))
+                        // CAST(SUM(cents) AS HUGEINT) AS BIGINT)
+            FROM te_u) AS new_user_revenue_micros
+    """,
+)
+def cold_start_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLD-START CENSUS — the recommender-eval readout
+    item_cf_recommend's offline evaluation needs first: split orders
+    at the calendar midpoint (epoch-day integer arithmetic, no
+    engine calendar semantics) and count how many TEST-period
+    customers and parts were never seen in training, plus the revenue
+    share those cold-start customers carry. High cold-start share
+    means the CF model's co-occurrence signal covers little of the
+    traffic and a content/popularity fallback matters — the number a
+    recsys go/no-go review asks for.
+
+    Scale shape: two distinct-projections and two LEFT anti-probes
+    (user- and part-keyed equi-joins, broadcast when the train side
+    fits), one revenue aggregate — every stage is keyed, nothing is
+    pairwise, and the date cut is a 1-row broadcast."""
+    prep(spark)
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("d"),
+        (dec2("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    cut = o.agg(
+        F.expr("CAST((MIN(d) + MAX(d)) div 2 AS BIGINT)").alias("cut")
+    )
+    oc = o.crossJoin(F.broadcast(cut))
+    tr_u = oc.where(F.col("d") < F.col("cut")).select(
+        F.col("o_custkey").alias("c")
+    ).distinct()
+    te = oc.where(F.col("d") >= F.col("cut"))
+    te_u = (
+        te.join(tr_u.withColumn("seen", F.lit(1)), te["o_custkey"] == tr_u["c"], "left")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("cents").cast("decimal(38,0)").alias("cents"),
+            F.when(F.max("seen").isNull(), 1).otherwise(0).alias("is_new"),
+        )
+    )
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p"))
+        .join(oc.select(F.col("o_orderkey").alias("ok"), "d", "cut"), "ok")
+    )
+    tr_p = li.where(F.col("d") < F.col("cut")).select("p").distinct()
+    te_p = (
+        li.where(F.col("d") >= F.col("cut"))
+        .select("p")
+        .distinct()
+        .join(tr_p.withColumn("seen", F.lit(1)).withColumnRenamed("p", "tp"),
+              F.col("p") == F.col("tp"), "left")
+        .select(F.when(F.col("seen").isNull(), 1).otherwise(0).alias("is_new"))
+    )
+    u_stats = te_u.agg(
+        F.count(F.lit(1)).cast("long").alias("n_test_users"),
+        F.sum("is_new").cast("long").alias("n_new_users"),
+        F.expr(
+            "CAST((1000000 * SUM(CASE WHEN is_new = 1 THEN cents ELSE CAST(0 AS DECIMAL(38,0)) END))"
+            " div SUM(cents) AS BIGINT)"
+        ).alias("new_user_revenue_micros"),
+    )
+    p_stats = te_p.agg(
+        F.count(F.lit(1)).cast("long").alias("n_test_parts"),
+        F.sum("is_new").cast("long").alias("n_new_parts"),
+    )
+    return (
+        cut.select(F.col("cut").alias("cut_day"))
+        .crossJoin(F.broadcast(u_stats))
+        .crossJoin(F.broadcast(p_stats))
+        .select(
+            "cut_day",
+            "n_test_users",
+            "n_new_users",
+            "n_test_parts",
+            "n_new_parts",
+            "new_user_revenue_micros",
+        )
+    )

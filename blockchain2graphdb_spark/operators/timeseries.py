@@ -1776,3 +1776,91 @@ def ljung_box_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("n").cast("long").alias("n_days"), "m_lags", "q_micros"
     )
+
+
+@query(
+    "rolling_origin_backtest",
+    oracle=f"""
+    WITH d AS (
+      SELECT event_type, (epoch_ns(ts) // 1000) // {86400000000} AS day
+      FROM events
+    ),
+    daily AS (
+      SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS x
+      FROM d GROUP BY event_type, day
+    ),
+    idx AS (
+      SELECT event_type, day, x,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i,
+             COUNT(*) OVER (PARTITION BY event_type) AS nd,
+             LAG(x) OVER (PARTITION BY event_type ORDER BY day) AS prev,
+             SUM(x) OVER (PARTITION BY event_type ORDER BY day
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS s_before
+      FROM daily
+    ),
+    o AS (
+      SELECT event_type,
+             ABS(x - prev) * 1000000 AS err_naive,
+             ABS(x * 1000000
+                 - CAST((s_before * 1000000) // (i - 1) AS BIGINT))
+               AS err_mean
+      FROM idx WHERE i > nd - 8
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_origins,
+           CAST(SUM(err_naive) // COUNT(*) AS BIGINT) AS mae_naive_micros,
+           CAST(SUM(err_mean) // COUNT(*) AS BIGINT) AS mae_expmean_micros
+    FROM o GROUP BY event_type ORDER BY event_type
+    """,
+)
+def rolling_origin_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLING-ORIGIN (expanding-window) BACKTEST — the time-series
+    cross-validation forecast_baseline_error's single split cannot
+    give: for each of the last 8 observed days per event type (the
+    origins), forecast that day with (a) the naive carry-forward and
+    (b) the EXPANDING MEAN of all prior observed days, and report each
+    model's MAE. Being strictly one-step-ahead on the observed
+    sequence makes it leakage-free by construction (the PIT-join
+    discipline of feature_pit_join applied to forecasting eval).
+    Exactness: the expanding mean is floor((prefix_sum * 1e6)/(i-1))
+    micros; errors are exact integer micros; each MAE is one floor
+    division.
+
+    Scale shape: one map-side daily aggregate collapses the log to the
+    bounded (type, day) table; the row-index, lag, and prefix-sum
+    windows are partitioned by event_type over that bounded table; one
+    O(#types) reduction ends it."""
+    prep(spark)
+    daily = _daily_counts(spark, sf_dir).select("event_type", "day", F.col("n").alias("x"))
+    wl = W.partitionBy("event_type").orderBy("day")
+    wp = wl.rowsBetween(W.unboundedPreceding, -1)
+    idx = daily.select(
+        "event_type",
+        "x",
+        F.row_number().over(wl).alias("i"),
+        F.count(F.lit(1)).over(W.partitionBy("event_type")).alias("nd"),
+        F.lag("x").over(wl).alias("prev"),
+        F.sum("x").over(wp).alias("s_before"),
+    )
+    o = idx.where(F.col("i") > F.col("nd") - 8).select(
+        "event_type",
+        (F.abs(F.col("x") - F.col("prev")) * 1000000).alias("err_naive"),
+        F.abs(
+            F.col("x") * 1000000
+            - F.expr("CAST((s_before * 1000000) div (i - 1) AS BIGINT)")
+        ).alias("err_mean"),
+    )
+    return (
+        o.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_origins"),
+            F.expr("CAST(SUM(err_naive) div COUNT(*) AS BIGINT)").alias(
+                "mae_naive_micros"
+            ),
+            F.expr("CAST(SUM(err_mean) div COUNT(*) AS BIGINT)").alias(
+                "mae_expmean_micros"
+            ),
+        )
+        .orderBy("event_type")
+    )

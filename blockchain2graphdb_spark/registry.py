@@ -77,6 +77,9 @@ _SAMPLE_PRIORITY = (
     "cliffs_delta",  # r0 oracle
     "approx_quantile_audit",  # r0 oracle
     "ljung_box_q",  # r0 oracle
+    "rolling_origin_backtest",  # r0 oracle
+    "cold_start_census",  # r0 oracle
+    "stream_dq_quarantine",  # r0 oracle
     "brier_decomposition",  # r0 oracle
     "matthews_mcc",  # r0 oracle
     "join_bloom_runtime_filter",  # r0 oracle

@@ -1693,3 +1693,61 @@ def stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 2)
         .select("win_start", "event_type", "n", "rnk")
     )
+
+
+@query(
+    "stream_dq_quarantine",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) FILTER (
+             WHERE CAST(value AS DECIMAL(18,2)) > 400) AS BIGINT)
+             AS n_value_gt_400,
+           CAST(COUNT(*) FILTER (
+             WHERE props IS NULL OR props = '') AS BIGINT) AS n_missing_props,
+           CAST(COUNT(*) FILTER (
+             WHERE event_type NOT IN
+               ('click', 'error', 'purchase', 'signup', 'view')) AS BIGINT)
+             AS n_unknown_type
+    FROM events
+    """,
+)
+def stream_dq_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING DATA-QUALITY GATE — dq_expectations' rule sweep as a
+    continuously-maintained census (the intake monitor a streaming
+    pipeline puts in front of its bronze table): per rule, the running
+    count of rows the quarantine route would divert — an out-of-range
+    value (> 400.00, the fixture's high-value quarantine band), a
+    missing props payload, an event type outside the known domain (a
+    canary that stays 0 until a producer deploys something new).
+    Indicator sums are commutative, so complete-mode replay equals the
+    batch SQL regardless of batching — the stream_tumbling oracle
+    argument; the rule constants are shared with the oracle by the
+    one-constant discipline.
+
+    Scale shape (100 TB/day): ONE streaming aggregate of indicator
+    sums (map-side partials, single-row state); the quarantined rows
+    themselves would fork off the same scan via foreachBatch
+    (stream_merge_sink's discipline) — the census here is the part
+    whose exactness can be gate-checked."""
+    prep(spark)
+    s = _events_stream(spark, sf_dir)
+    known = ("click", "error", "purchase", "signup", "view")
+    out = s.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(
+            F.when(F.col("value").cast("decimal(18,2)") > 400, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_value_gt_400"),
+        F.sum(
+            F.when(
+                F.col("props").isNull() | (F.col("props") == ""), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_missing_props"),
+        F.sum(F.when(~F.col("event_type").isin(*known), 1).otherwise(0))
+        .cast("long")
+        .alias("n_unknown_type"),
+    )
+    return _run(spark, out, output_mode="complete")

@@ -552,3 +552,84 @@ def test_ljung_box_python_replay(spark):
     r = SPECS["ljung_box_q"].builder(spark, SF_DIR).collect()[0]
     assert (r.n_days, r.m_lags, r.q_micros) == (n, 5, q)
     assert q >= 0
+
+
+def test_rolling_origin_backtest_python_replay(spark):
+    t = pq.read_table(f"{SF_DIR}/events.parquet", columns=["ts", "event_type"]).to_pylist()
+    daily: dict[tuple[str, int], int] = defaultdict(int)
+    for r in t:
+        daily[(r["event_type"], int(r["ts"].timestamp() * 1_000_000) // 86_400_000_000)] += 1
+    series: dict[str, list[int]] = defaultdict(list)
+    for (et, day) in sorted(daily):
+        series[et].append(daily[(et, day)])
+    expect = {}
+    for et, xs in series.items():
+        errs_n, errs_m = [], []
+        for i in range(max(1, len(xs) - 8), len(xs)):  # last 8 origins, i>=1
+            errs_n.append(abs(xs[i] - xs[i - 1]) * 1000000)
+            s_before = sum(xs[:i])
+            errs_m.append(abs(xs[i] * 1000000 - (s_before * 1000000) // i))
+        expect[et] = (
+            len(errs_n),
+            sum(errs_n) // len(errs_n),
+            sum(errs_m) // len(errs_m),
+        )
+    got = {
+        r.event_type: (r.n_origins, r.mae_naive_micros, r.mae_expmean_micros)
+        for r in SPECS["rolling_origin_backtest"].builder(spark, SF_DIR).collect()
+    }
+    assert got == expect and got
+
+
+def test_cold_start_census_python_replay(spark):
+    orders = pq.read_table(
+        f"{SF_DIR}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    ).to_pylist()
+    import datetime
+
+    epoch = datetime.date(1970, 1, 1)
+    for r in orders:
+        d = r["o_orderdate"]
+        if isinstance(d, datetime.datetime):
+            d = d.date()
+        r["d"] = (d - epoch).days
+    cut = (min(r["d"] for r in orders) + max(r["d"] for r in orders)) // 2
+    tr_u = {r["o_custkey"] for r in orders if r["d"] < cut}
+    te_rows = [r for r in orders if r["d"] >= cut]
+    te_u = {r["o_custkey"] for r in te_rows}
+    new_u = te_u - tr_u
+    cents = defaultdict(int)
+    for r in te_rows:
+        cents[r["o_custkey"]] += _cents(r["o_totalprice"])
+    new_rev = sum(c for u, c in cents.items() if u in new_u)
+    tot_rev = sum(cents.values())
+    by_order = _order_parts()
+    okey_d = {r["o_orderkey"]: r["d"] for r in orders}
+    tr_p, te_p = set(), set()
+    for ok, parts in by_order.items():
+        if ok not in okey_d:
+            continue
+        (tr_p if okey_d[ok] < cut else te_p).update(parts)
+    r = SPECS["cold_start_census"].builder(spark, SF_DIR).collect()[0]
+    assert r.cut_day == cut
+    assert (r.n_test_users, r.n_new_users) == (len(te_u), len(new_u))
+    assert (r.n_test_parts, r.n_new_parts) == (len(te_p), len(te_p - tr_p))
+    assert r.new_user_revenue_micros == (1000000 * new_rev) // tot_rev
+
+
+def test_stream_dq_quarantine_matches_batch(spark):
+    t = pq.read_table(
+        f"{SF_DIR}/events.parquet", columns=["event_type", "value", "props"]
+    ).to_pylist()
+    known = {"click", "error", "purchase", "signup", "view"}
+    exp = (
+        len(t),
+        sum(1 for r in t if _cents(r["value"]) > 40000),
+        sum(1 for r in t if r["props"] is None or r["props"] == ""),
+        sum(1 for r in t if r["event_type"] not in known),
+    )
+    r = SPECS["stream_dq_quarantine"].builder(spark, SF_DIR).collect()[0]
+    assert (r.n_rows, r.n_value_gt_400, r.n_missing_props, r.n_unknown_type) == exp
+    # the census is a gate: the canary rule must read zero on clean data
+    assert r.n_unknown_type == 0
