@@ -71,59 +71,62 @@ _OPERATOR_MODULES = (
 # load_all() silently ignores missing keys).
 _SAMPLE_PRIORITY = (
     # --- new round-12 head: never-driver-witnessed first, then stalest ---
-    "anova_oneway",  # r0 oracle
-    "attribution_shapley",  # r0 oracle
+    # VERDICT r11 #2: the two never-driver-witnessed keys (plus the
+    # r12 lateness census) pinned at the very head so the ~50-key gate
+    # cannot rotate them out again
+    "wasserstein_1d_drift",  # r0 oracle (judge-verified only)
+    "window_cume_dist",  # r0 oracle (judge-verified only)
+    "watermark_lateness_census",  # r0 oracle
     "ann_recall_curve",  # r0 oracle
-    "cliffs_delta",  # r0 oracle
+    "anova_oneway",  # r0 oracle
     "approx_quantile_audit",  # r0 oracle
-    "ljung_box_q",  # r0 oracle
-    "rolling_origin_backtest",  # r0 oracle
-    "cold_start_census",  # r0 oracle
-    "stream_dq_quarantine",  # r0 oracle
-    "brier_decomposition",  # r0 oracle
-    "matthews_mcc",  # r0 oracle
-    "join_bloom_runtime_filter",  # r0 oracle
-    "rsi_cutler",  # r0 oracle
-    "kneser_ney_prob",  # r0 oracle
-    "stream_topk_per_window",  # r0 oracle
-    "dp_sensitivity_census",  # r0 oracle
-    "iv_2sls",  # r0 oracle
-    "regression_stump",  # r0 oracle
-    "item_cf_recommend",  # r0 oracle
-    "landmark_distances",  # r0 oracle
+    "attribution_shapley",  # r0 oracle
     "bigram_lm_perplexity",  # r0 oracle
+    "brier_decomposition",  # r0 oracle
     "churn_labels",  # r0 oracle
+    "cliffs_delta",  # r0 oracle
+    "cold_start_census",  # r0 oracle
     "countmin_calibration",  # r0 oracle
     "dataset_mixture_manifest",  # r0 oracle
+    "dp_sensitivity_census",  # r0 oracle
     "embedding_random_projection",  # r0 oracle
     "group_percentiles",  # r0 oracle
     "herfindahl_concentration",  # r0 oracle
     "holt_linear_forecast",  # r0 oracle
+    "item_cf_recommend",  # r0 oracle
+    "iv_2sls",  # r0 oracle
     "ivf_index_incremental",  # r0 oracle
+    "join_bloom_runtime_filter",  # r0 oracle
     "katz_centrality",  # r0 oracle
     "khop_induced_subgraph",  # r0 oracle
+    "kneser_ney_prob",  # r0 oracle
+    "landmark_distances",  # r0 oracle
+    "ljung_box_q",  # r0 oracle
     "lorenz_curve_deciles",  # r0 oracle
+    "matthews_mcc",  # r0 oracle
     "mde_power_analysis",  # r0 oracle
     "minhash_estimate_calibration",  # r0 oracle
     "negative_edge_sample",  # r0 oracle
     "node2vec_walk_sample_pq",  # r0 oracle
     "page_hinkley_drift",  # r0 oracle
     "regression_metrics",  # r0 oracle
+    "regression_stump",  # r0 oracle
+    "rolling_origin_backtest",  # r0 oracle
+    "rsi_cutler",  # r0 oracle
     "sequence_packing_shelf",  # r0 oracle
     "simhash_hamming_calibration",  # r0 oracle
     "srm_check",  # r0 oracle
+    "stream_dq_quarantine",  # r0 oracle
     "stream_mixture_admission",  # r0 oracle
     "stream_multi_table_ingest",  # r0 oracle
     "stream_page_hinkley",  # r0 oracle
     "stream_scd2_enrich",  # r0 oracle
+    "stream_topk_per_window",  # r0 oracle
     "t_closeness_audit",  # r0 oracle
     "temporal_edge_split",  # r0 oracle
     "text_rake_keywords",  # r0 oracle
     "tokenizer_fertility_by_lang",  # r0 oracle
     "utxo_age_distribution",  # r0 oracle
-    "wasserstein_1d_drift",  # r0 oracle
-    "watermark_lateness_census",  # r0 oracle
-    "window_cume_dist",  # r0 oracle
     "agg_hll_merge",  # r1 rows-only
     "agg_approx_count_distinct",  # r3 rows-only
     "agg_approx_percentile",  # r3 rows-only
