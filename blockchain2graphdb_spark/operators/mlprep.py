@@ -2948,3 +2948,112 @@ def approx_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p", "n", "exact_cents", "within_bound")
         .orderBy("p")
     )
+
+
+@query(
+    "skew_kurtosis_profile",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderpriority AS grp,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 10000
+               AS x
+      FROM orders
+    ),
+    m AS (
+      SELECT grp,
+             CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS s1,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS s2,
+             CAST(SUM(CAST(x AS HUGEINT) * x * x) AS HUGEINT) AS s3,
+             CAST(SUM(CAST(x AS HUGEINT) * x * x * x) AS HUGEINT) AS s4
+      FROM o GROUP BY grp
+    ),
+    c AS (
+      SELECT grp, n,
+             (n * s2 - s1 * s1) // (n * n) AS m2,
+             (n * n * s3 - 3 * n * s2 * s1 + 2 * s1 * s1 * s1)
+               // (n * n * n) AS m3,
+             (n * n * n * s4 - 4 * n * n * s3 * s1 + 6 * n * s2 * s1 * s1
+              - 3 * s1 * s1 * s1 * s1) // (n * n * n * n) AS m4
+      FROM m
+    )
+    SELECT grp,
+           CAST(n AS BIGINT) AS n,
+           CAST(m2 AS BIGINT) AS m2_h2,
+           CAST(ROUND(CAST(m3 AS DOUBLE)
+                      / (CAST(m2 AS DOUBLE) * SQRT(CAST(m2 AS DOUBLE)))
+                      * 1e6) AS BIGINT) AS skew_micros,
+           CAST(ROUND(CAST(m4 AS DOUBLE)
+                      / (CAST(m2 AS DOUBLE) * CAST(m2 AS DOUBLE))
+                      * 1e6) AS BIGINT) AS kurtosis_micros
+    FROM c ORDER BY grp
+    """,
+)
+def skew_kurtosis_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKEWNESS & KURTOSIS per order priority — the 3rd/4th-moment
+    shape profile beside agg_stats' mean/variance (heavy-tail
+    detection before choosing a z-score vs a rank test; kurtosis is
+    raw m4/m2^2, not excess). Values are coarsened to whole hundreds
+    of dollars so the CLEARED central-moment polynomials (n^3 s4 terms)
+    stay far inside DECIMAL(38,0)/HUGEINT.
+
+    Exactness discipline (the bollinger floor-then-convert rule):
+    every central moment is floor-divided to its natural unit
+    (m2 = (n s2 - s1^2) div n^2, m3 div n^3, m4 div n^4) as an EXACT
+    INTEGER BELOW 2^53 *before* any double conversion — the raw
+    cleared numerators exceed 2^53 where int->double rounding is
+    engine-divergent; the ratios and the one sqrt are then
+    structurally identical IEEE expressions on both engines.
+
+    Scale shape: ONE map-side-combinable four-sum aggregate per group
+    (k = 5 rows out of the scan), constant-size algebra after — the
+    ols_multi closed-form plan; higher moments add sums, never
+    shuffles."""
+    prep(spark)
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.expr(
+            "CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            " div 10000 AS BIGINT)"
+        ).alias("x"),
+    )
+    xd = F.col("x").cast(_D38)
+    m = o.groupBy("grp").agg(
+        F.count(F.lit(1)).cast(_D38).alias("n"),
+        F.sum(xd).cast(_D38).alias("s1"),
+        F.sum(xd * F.col("x")).cast(_D38).alias("s2"),
+        F.sum(xd * F.col("x") * F.col("x")).cast(_D38).alias("s3"),
+        F.sum(xd * F.col("x") * F.col("x") * F.col("x")).cast(_D38).alias("s4"),
+    )
+    c = m.select(
+        "grp",
+        "n",
+        F.expr("(n * s2 - s1 * s1) div (n * n)").alias("m2"),
+        F.expr(
+            "(n * n * s3 - 3 * n * s2 * s1 + 2 * s1 * s1 * s1)"
+            " div (n * n * n)"
+        ).alias("m3"),
+        F.expr(
+            "(n * n * n * s4 - 4 * n * n * s3 * s1 + 6 * n * s2 * s1 * s1"
+            " - 3 * s1 * s1 * s1 * s1) div (n * n * n * n)"
+        ).alias("m4"),
+    )
+    return c.select(
+        "grp",
+        F.col("n").cast("long").alias("n"),
+        F.col("m2").cast("long").alias("m2_h2"),
+        F.round(
+            F.col("m3").cast("double")
+            / (F.col("m2").cast("double") * F.sqrt(F.col("m2").cast("double")))
+            * 1e6
+        )
+        .cast("long")
+        .alias("skew_micros"),
+        F.round(
+            F.col("m4").cast("double")
+            / (F.col("m2").cast("double") * F.col("m2").cast("double"))
+            * 1e6
+        )
+        .cast("long")
+        .alias("kurtosis_micros"),
+    ).orderBy("grp")

@@ -1864,3 +1864,147 @@ def rolling_origin_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "segmented_trend_break",
+    oracle=f"""
+    WITH d AS (
+      SELECT (epoch_ns(ts) // 1000) // {86400000000} AS day FROM events
+    ),
+    daily AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS y FROM d GROUP BY day),
+    idx AS (
+      SELECT day, y,
+             CAST(ROW_NUMBER() OVER (ORDER BY day) AS HUGEINT) AS i
+      FROM daily
+    ),
+    pre AS (
+      SELECT day, i,
+             SUM(i) OVER w AS sx, SUM(CAST(y AS HUGEINT)) OVER w AS sy,
+             SUM(i * i) OVER w AS sxx,
+             SUM(i * CAST(y AS HUGEINT)) OVER w AS sxy,
+             SUM(CAST(y AS HUGEINT) * y) OVER w AS syy
+      FROM idx
+      WINDOW w AS (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+    ),
+    tot AS (
+      SELECT MAX(i) AS n, MAX(sx) AS tx, MAX(sy) AS ty, MAX(sxx) AS txx,
+             MAX(sxy) AS txy, MAX(syy) AS tyy
+      FROM pre
+    ),
+    cand AS (
+      SELECT p.day, p.i AS b, t.n - p.i AS nr,
+             p.i * p.sxx - p.sx * p.sx AS cxxl,
+             p.i * p.sxy - p.sx * p.sy AS cxyl,
+             p.i * p.syy - p.sy * p.sy AS cyyl,
+             (t.n - p.i) * (t.txx - p.sxx) - (t.tx - p.sx) * (t.tx - p.sx)
+               AS cxxr,
+             (t.n - p.i) * (t.txy - p.sxy) - (t.tx - p.sx) * (t.ty - p.sy)
+               AS cxyr,
+             (t.n - p.i) * (t.tyy - p.syy) - (t.ty - p.sy) * (t.ty - p.sy)
+               AS cyyr
+      FROM pre p, tot t
+      WHERE p.i >= 2 AND p.i <= t.n - 2
+    ),
+    scored AS (
+      SELECT day, b, nr,
+             ((cyyl * cxxl - cxyl * cxyl) * 1000000) // (cxxl * b)
+             + ((cyyr * cxxr - cxyr * cxyr) * 1000000) // (cxxr * nr)
+               AS sse_micros,
+             (cxyl * 1000000) // cxxl AS slope_l,
+             (cxyr * 1000000) // cxxr AS slope_r
+      FROM cand
+    )
+    SELECT CAST(day AS BIGINT) AS break_day,
+           CAST(b AS BIGINT) AS n_left,
+           CAST(nr AS BIGINT) AS n_right,
+           CAST(slope_l AS BIGINT) AS slope_left_micros,
+           CAST(slope_r AS BIGINT) AS slope_right_micros,
+           CAST(sse_micros AS BIGINT) AS sse_total_micros
+    FROM scored ORDER BY sse_micros, b LIMIT 1
+    """,
+)
+def segmented_trend_break(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEGMENTED-REGRESSION BREAKPOINT — the TREND changepoint beside
+    the mean-shift detectors (cusum_drift, page_hinkley_drift): fit
+    two independent OLS lines to the daily event-count series split at
+    every candidate index (>= 2 points per side, regressor = observed-
+    sequence index), and pick the split minimizing total SSE. Each
+    side's SSE uses the cleared-denominator identity
+    (Cyy Cxx - Cxy^2)/(Cxx n) with ONE floor division per side
+    (trunc = floor here: Cauchy-Schwarz keeps the numerator
+    non-negative); slopes are one trunc division each (negative-safe:
+    both engines truncate). Argmin ties break on the earlier split.
+
+    Scale shape: one map-side daily aggregate collapses the log to the
+    bounded calendar table; the candidate sweep is prefix-sum windows
+    over that bounded table plus a TakeOrdered(1) — the classic
+    O(#days) offline-changepoint plan, never a per-candidate rescan."""
+    prep(spark)
+    daily = (
+        _daily_counts(spark, sf_dir)
+        .groupBy("day")
+        .agg(F.sum("n").cast("long").alias("y"))
+    )
+    wl = W.orderBy("day")
+    idx = daily.select(
+        "day", "y", F.row_number().over(wl).cast("long").alias("i")
+    )
+    wp = W.orderBy("i").rowsBetween(W.unboundedPreceding, W.currentRow)
+    ix, yx = F.col("i").cast(_D38), F.col("y").cast(_D38)
+    pre = idx.select(
+        "day",
+        "i",
+        F.sum(ix).over(wp).alias("sx"),
+        F.sum(yx).over(wp).alias("sy"),
+        F.sum(ix * F.col("i")).over(wp).alias("sxx"),
+        F.sum(ix * F.col("y")).over(wp).alias("sxy"),
+        F.sum(yx * F.col("y")).over(wp).alias("syy"),
+    )
+    tot = pre.agg(
+        F.max("i").cast(_D38).alias("n"),
+        F.max("sx").alias("tx"),
+        F.max("sy").alias("ty"),
+        F.max("sxx").alias("txx"),
+        F.max("sxy").alias("txy"),
+        F.max("syy").alias("tyy"),
+    )
+    cand = (
+        pre.crossJoin(F.broadcast(tot))
+        .where((F.col("i") >= 2) & (F.col("i") <= F.expr("n - 2")))
+        .select(
+            "day",
+            F.col("i").alias("b"),
+            F.expr("n - i").alias("nr"),
+            F.expr("i * sxx - sx * sx").alias("cxxl"),
+            F.expr("i * sxy - sx * sy").alias("cxyl"),
+            F.expr("i * syy - sy * sy").alias("cyyl"),
+            F.expr("(n - i) * (txx - sxx) - (tx - sx) * (tx - sx)").alias("cxxr"),
+            F.expr("(n - i) * (txy - sxy) - (tx - sx) * (ty - sy)").alias("cxyr"),
+            F.expr("(n - i) * (tyy - syy) - (ty - sy) * (ty - sy)").alias("cyyr"),
+        )
+    )
+    scored = cand.select(
+        "day",
+        "b",
+        "nr",
+        F.expr(
+            "((cyyl * cxxl - cxyl * cxyl) * 1000000) div (cxxl * b)"
+            " + ((cyyr * cxxr - cxyr * cxyr) * 1000000) div (cxxr * nr)"
+        ).alias("sse_micros"),
+        F.expr("(cxyl * 1000000) div cxxl").alias("slope_l"),
+        F.expr("(cxyr * 1000000) div cxxr").alias("slope_r"),
+    )
+    return (
+        scored.orderBy("sse_micros", "b")
+        .limit(1)
+        .select(
+            F.col("day").cast("long").alias("break_day"),
+            F.col("b").cast("long").alias("n_left"),
+            F.col("nr").cast("long").alias("n_right"),
+            F.col("slope_l").cast("long").alias("slope_left_micros"),
+            F.col("slope_r").cast("long").alias("slope_right_micros"),
+            F.col("sse_micros").cast("long").alias("sse_total_micros"),
+        )
+    )

@@ -77,6 +77,8 @@ _SAMPLE_PRIORITY = (
     "wasserstein_1d_drift",  # r0 oracle (judge-verified only)
     "window_cume_dist",  # r0 oracle (judge-verified only)
     "watermark_lateness_census",  # r0 oracle
+    "skew_kurtosis_profile",  # r0 oracle
+    "segmented_trend_break",  # r0 oracle
     "ann_recall_curve",  # r0 oracle
     "anova_oneway",  # r0 oracle
     "approx_quantile_audit",  # r0 oracle

@@ -633,3 +633,86 @@ def test_stream_dq_quarantine_matches_batch(spark):
     assert (r.n_rows, r.n_value_gt_400, r.n_missing_props, r.n_unknown_type) == exp
     # the census is a gate: the canary rule must read zero on clean data
     assert r.n_unknown_type == 0
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncating division (Spark div / DuckDB // semantics; Python //
+    floors, which differs on negatives)."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def test_skew_kurtosis_python_replay(spark):
+    t = pq.read_table(
+        f"{SF_DIR}/orders.parquet", columns=["o_orderpriority", "o_totalprice"]
+    ).to_pylist()
+    groups: dict[str, list[int]] = defaultdict(list)
+    for r in t:
+        groups[r["o_orderpriority"]].append(_cents(r["o_totalprice"]) // 10000)
+    import math
+
+    rows = {r.grp: r for r in SPECS["skew_kurtosis_profile"].builder(spark, SF_DIR).collect()}
+    assert set(rows) == set(groups)
+    for g, xs in groups.items():
+        n = len(xs)
+        s1, s2 = sum(xs), sum(x * x for x in xs)
+        s3, s4 = sum(x**3 for x in xs), sum(x**4 for x in xs)
+        m2 = _tdiv(n * s2 - s1 * s1, n * n)
+        m3 = _tdiv(n * n * s3 - 3 * n * s2 * s1 + 2 * s1**3, n**3)
+        m4 = _tdiv(n**3 * s4 - 4 * n * n * s3 * s1 + 6 * n * s2 * s1 * s1 - 3 * s1**4, n**4)
+        r = rows[g]
+        assert (r.n, r.m2_h2) == (n, m2)
+        assert r.skew_micros == round(m3 / (m2 * math.sqrt(m2)) * 1e6)
+        assert r.kurtosis_micros == round(m4 / (m2 * m2) * 1e6)
+        # shape sanity: prices are bounded, kurtosis must be positive
+        assert r.kurtosis_micros > 0
+
+
+def test_segmented_trend_break_python_replay(spark):
+    t = pq.read_table(f"{SF_DIR}/events.parquet", columns=["ts"]).to_pylist()
+    daily: dict[int, int] = defaultdict(int)
+    for r in t:
+        daily[int(r["ts"].timestamp() * 1_000_000) // 86_400_000_000] += 1
+    days = sorted(daily)
+    ys = [daily[d] for d in days]
+    n = len(ys)
+
+    def moments(lo, hi):  # indices 1-based [lo, hi]
+        xs = range(lo, hi + 1)
+        sub = ys[lo - 1 : hi]
+        m = hi - lo + 1
+        sx, sy = sum(xs), sum(sub)
+        sxx = sum(i * i for i in xs)
+        sxy = sum(i * y for i, y in zip(xs, sub))
+        syy = sum(y * y for y in sub)
+        return m, m * sxx - sx * sx, m * sxy - sx * sy, m * syy - sy * sy
+
+    best = None
+    for b in range(2, n - 1):
+        nl, cxxl, cxyl, cyyl = moments(1, b)
+        nr, cxxr, cxyr, cyyr = moments(b + 1, n)
+        sse = _tdiv((cyyl * cxxl - cxyl * cxyl) * 1000000, cxxl * nl) + _tdiv(
+            (cyyr * cxxr - cxyr * cxyr) * 1000000, cxxr * nr
+        )
+        key = (sse, b)
+        if best is None or key < best[0]:
+            best = (
+                key,
+                (
+                    days[b - 1],
+                    b,
+                    n - b,
+                    _tdiv(cxyl * 1000000, cxxl),
+                    _tdiv(cxyr * 1000000, cxxr),
+                    sse,
+                ),
+            )
+    r = SPECS["segmented_trend_break"].builder(spark, SF_DIR).collect()[0]
+    assert (
+        r.break_day,
+        r.n_left,
+        r.n_right,
+        r.slope_left_micros,
+        r.slope_right_micros,
+        r.sse_total_micros,
+    ) == best[1]
