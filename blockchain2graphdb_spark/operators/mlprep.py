@@ -3057,3 +3057,92 @@ def skew_kurtosis_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("kurtosis_micros"),
     ).orderBy("grp")
+
+
+@query(
+    "grubbs_test",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 100
+               AS x
+      FROM orders
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS s,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS q
+      FROM o
+    ),
+    dev AS (
+      SELECT o.o_orderkey, o.x, ABS(m.n * o.x - m.s) AS nd, m.n, m.s, m.q
+      FROM o, m
+    ),
+    top AS (
+      SELECT * FROM dev ORDER BY nd DESC, o_orderkey LIMIT 1
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(o_orderkey AS BIGINT) AS outlier_key,
+           CAST(x AS BIGINT) AS outlier_dollars,
+           CAST((n * q - s * s) // (n * n) AS BIGINT) AS m2_d2,
+           CAST(ROUND(CAST(nd AS DOUBLE)
+                      / (CAST(n AS DOUBLE)
+                         * SQRT(CAST((n * q - s * s) // (n * n) AS DOUBLE)))
+                      * 1e6) AS BIGINT) AS g_micros
+    FROM top
+    """,
+)
+def grubbs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRUBBS' STATISTIC — the single most-studentized-deviant order
+    value, G = max|x - mean|/sd: the formal one-outlier test beside the
+    census detectors (iqr_outliers counts fence-crossers, mad_robust
+    rescales, anomaly_daily_zscore watches the series; Grubbs names THE
+    candidate and its test statistic, compared to the t-based critical
+    value by the analyst since that depends on n and alpha). Whole
+    dollars; the n-scaled deviation |n*x - S| is exact int64, argmax
+    ties break on the key; variance floor-reduces to an exact integer
+    below 2^53 before the single IEEE sqrt (the bollinger rule);
+    G = nd/(n*sd) is one structurally-identical double expression.
+
+    Scale shape: one three-sum aggregate, one broadcast of the 1-row
+    moments, one TakeOrdered(1) over the scan — two passes, no
+    shuffle beyond the 1-row exchanges."""
+    prep(spark)
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr(
+            "CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            " div 100 AS BIGINT)"
+        ).alias("x"),
+    )
+    xd = F.col("x").cast(_D38)
+    m = o.agg(
+        F.count(F.lit(1)).cast(_D38).alias("n"),
+        F.sum(xd).cast(_D38).alias("s"),
+        F.sum(xd * F.col("x")).cast(_D38).alias("q"),
+    )
+    dev = o.crossJoin(F.broadcast(m)).select(
+        "o_orderkey",
+        "x",
+        F.abs(F.col("n") * F.col("x") - F.col("s")).alias("nd"),
+        "n",
+        "s",
+        "q",
+    )
+    top = dev.orderBy(F.desc("nd"), "o_orderkey").limit(1)
+    return top.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("o_orderkey").cast("long").alias("outlier_key"),
+        F.col("x").cast("long").alias("outlier_dollars"),
+        F.expr("CAST((n * q - s * s) div (n * n) AS BIGINT)").alias("m2_d2"),
+        F.round(
+            F.col("nd").cast("double")
+            / (
+                F.col("n").cast("double")
+                * F.sqrt(F.expr("CAST((n * q - s * s) div (n * n) AS DOUBLE)"))
+            )
+            * 1e6
+        )
+        .cast("long")
+        .alias("g_micros"),
+    )

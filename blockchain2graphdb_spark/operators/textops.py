@@ -2036,3 +2036,163 @@ def kneser_ney_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "naive_bayes_lang",
+    oracle="""
+    WITH toks0 AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS ts FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, lang, ts[CAST(t.i AS INT) + 1] AS tok
+      FROM toks0, UNNEST(range(len(ts))) AS t(i)
+      WHERE ts[CAST(t.i AS INT) + 1] <> ''
+    ),
+    tr AS (SELECT * FROM toks WHERE doc_id % 10 <> 0),
+    te AS (SELECT * FROM toks WHERE doc_id % 10 = 0),
+    v AS (SELECT CAST(COUNT(DISTINCT tok) + 1 AS BIGINT) AS v FROM tr),
+    cl AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS c_l FROM tr GROUP BY lang
+    ),
+    ctl AS (
+      SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS c FROM tr
+      GROUP BY lang, tok
+    ),
+    docs_tr AS (
+      SELECT lang, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd
+      FROM tr GROUP BY lang
+    ),
+    nd_tot AS (SELECT CAST(SUM(nd) AS BIGINT) AS n FROM docs_tr),
+    prior AS (
+      SELECT d.lang,
+             CAST(ROUND(ln(CAST(d.nd AS DOUBLE) / CAST(t.n AS DOUBLE)) * 1e9)
+                  AS BIGINT) AS prior_nanos
+      FROM docs_tr d, nd_tot t
+    ),
+    contrib AS (
+      SELECT te.doc_id, cl.lang,
+             CAST(ROUND(ln(CAST(COALESCE(ctl.c, 0) + 1 AS DOUBLE)
+                           / CAST(cl.c_l + v.v AS DOUBLE)) * 1e9)
+                  AS BIGINT) AS nanos
+      FROM te
+      CROSS JOIN cl
+      CROSS JOIN v
+      LEFT JOIN ctl ON ctl.lang = cl.lang AND ctl.tok = te.tok
+    ),
+    score AS (
+      SELECT c.doc_id, c.lang,
+             CAST(SUM(c.nanos) AS BIGINT) + MIN(p.prior_nanos) AS s
+      FROM contrib c JOIN prior p ON p.lang = c.lang
+      GROUP BY c.doc_id, c.lang
+    ),
+    pred AS (
+      SELECT doc_id, lang AS pred_lang FROM (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY s DESC, lang) AS rn
+        FROM score
+      ) WHERE rn = 1
+    )
+    SELECT d.lang AS true_lang, p.pred_lang,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM pred p JOIN documents d ON d.doc_id = p.doc_id
+    GROUP BY d.lang, p.pred_lang
+    ORDER BY true_lang, pred_lang
+    """,
+)
+def naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTINOMIAL NAIVE BAYES language classifier — train on the 90%
+    split, score held-out documents, report the CONFUSION MATRIX: the
+    generative counterpart to text_lang_id's marker heuristic and the
+    classic 'train a model entirely in the engine' demonstration
+    (model = two count tables). Add-1 smoothing over the train
+    vocabulary (+UNK); per-token log-likelihood contributions are
+    ROUND(ln((c+1)/(c_l+V))*1e9) int-nanos BEFORE the per-(doc, lang)
+    sum (the bigram_lm_perplexity order-independent-integer
+    discipline), priors likewise; argmax ties break to the smaller
+    lang. (The fixture shares one vocabulary across lang labels, so
+    accuracy here reads near-chance — text_lang_id documents the same
+    fixture property; the machinery is what is under test.)
+
+    Scale shape: the model is two hash aggregates (lang totals,
+    (lang, tok) counts) probed by equi-joins — broadcastable,
+    Catalyst-decided; scoring is one (doc, lang)-keyed aggregate over
+    test tokens x k langs (k = 5, a domain constant); argmax is a
+    per-doc WindowGroupLimit; the confusion matrix is a k x k
+    aggregate."""
+    prep(spark)
+    toks = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(F.split("text", " ")).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+    )
+    tr = toks.where(F.col("doc_id") % 10 != 0)
+    te = toks.where(F.col("doc_id") % 10 == 0).select(
+        "doc_id", F.col("tok").alias("t_tok")
+    )
+    v = tr.agg((F.count_distinct("tok") + 1).cast("long").alias("v"))
+    cl = tr.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("c_l"))
+    ctl = tr.groupBy(F.col("lang").alias("m_lang"), F.col("tok").alias("m_tok")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    docs_tr = tr.groupBy("lang").agg(
+        F.count_distinct("doc_id").cast("long").alias("nd")
+    )
+    nd_tot = docs_tr.agg(F.sum("nd").cast("long").alias("n"))
+    prior = docs_tr.crossJoin(F.broadcast(nd_tot)).select(
+        "lang",
+        F.round(
+            F.log(F.col("nd").cast("double") / F.col("n").cast("double")) * 1e9
+        )
+        .cast("long")
+        .alias("prior_nanos"),
+    )
+    contrib = (
+        te.crossJoin(F.broadcast(cl))
+        .crossJoin(F.broadcast(v))
+        .join(
+            ctl,
+            (F.col("m_lang") == F.col("lang")) & (F.col("m_tok") == F.col("t_tok")),
+            "left",
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double")
+                    / (F.col("c_l") + F.col("v")).cast("double")
+                )
+                * 1e9
+            )
+            .cast("long")
+            .alias("nanos"),
+        )
+    )
+    score = (
+        contrib.join(F.broadcast(prior), "lang")
+        .groupBy("doc_id", "lang")
+        .agg(
+            (F.sum("nanos") + F.min("prior_nanos")).cast("long").alias("s")
+        )
+    )
+    wd = W.partitionBy("doc_id").orderBy(F.desc("s"), "lang")
+    pred = (
+        score.withColumn("rn", F.row_number().over(wd))
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.col("lang").alias("pred_lang"))
+    )
+    truth = table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("lang").alias("true_lang")
+    )
+    return (
+        pred.join(truth, "doc_id")
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("true_lang", "pred_lang")
+    )

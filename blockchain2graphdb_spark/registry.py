@@ -79,6 +79,9 @@ _SAMPLE_PRIORITY = (
     "watermark_lateness_census",  # r0 oracle
     "skew_kurtosis_profile",  # r0 oracle
     "segmented_trend_break",  # r0 oracle
+    "naive_bayes_lang",  # r0 oracle
+    "grubbs_test",  # r0 oracle
+    "stream_anomaly_zscore",  # r0 oracle
     "ann_recall_curve",  # r0 oracle
     "anova_oneway",  # r0 oracle
     "approx_quantile_audit",  # r0 oracle

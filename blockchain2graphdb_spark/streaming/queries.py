@@ -1751,3 +1751,75 @@ def stream_dq_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_unknown_type"),
     )
     return _run(spark, out, output_mode="complete")
+
+
+@query(
+    "stream_anomaly_zscore",
+    oracle="""
+    WITH w AS (
+      SELECT (epoch_ns(ts) // 1000 // 21600000000) * 21600000000 AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS k,
+             CAST(SUM(CAST(n AS HUGEINT)) AS HUGEINT) AS sn,
+             CAST(SUM(CAST(n AS HUGEINT) * n) AS HUGEINT) AS qn
+      FROM w
+    )
+    SELECT make_timestamp(w.s) AS win_start, w.n,
+           CAST(ROUND(CAST(m.k * w.n - m.sn AS DOUBLE)
+                      / (CAST(m.k AS DOUBLE)
+                         * SQRT(CAST((m.k * m.qn - m.sn * m.sn)
+                                     // (m.k * m.k) AS DOUBLE)))
+                      * 1e6) AS BIGINT) AS z_micros
+    FROM w, m
+    """,
+)
+def stream_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING VOLUME-ANOMALY SCORE — anomaly_daily_zscore's readout
+    maintained by a stream: the per-6h-window event counts come from
+    the streaming aggregate (complete-mode replay = batch, the
+    stream_tumbling argument); the serving layer studentizes each
+    window against the all-window mean/sd (exact integer moments,
+    variance floor-reduced below 2^53 before the one IEEE sqrt — the
+    bollinger rule) and reports z in micros. The batch post-step over
+    the state-sized result is the stream_topk_per_window two-layer
+    discipline — Structured Streaming cannot window over its own
+    unfinalized aggregate.
+
+    Scale shape (100 TB/day): one keyed streaming aggregate with
+    map-side partials; the scoring pass touches only
+    #windows rows. In production the baseline window set is a
+    bounded retention horizon (watermark + state TTL)."""
+    prep(spark)
+    s = _events_stream(spark, sf_dir)
+    agg = (
+        s.groupBy(F.window("ts", "6 hours"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(F.col("window.start").alias("win_start"), "n")
+    )
+    state = _run(spark, agg, output_mode="complete")
+    d38 = "decimal(38,0)"
+    nn = F.col("n").cast(d38)
+    m = state.agg(
+        F.count(F.lit(1)).cast(d38).alias("k"),
+        F.sum(nn).cast(d38).alias("sn"),
+        F.sum(nn * F.col("n")).cast(d38).alias("qn"),
+    )
+    return state.crossJoin(F.broadcast(m)).select(
+        "win_start",
+        "n",
+        F.round(
+            F.expr("CAST(k * n - sn AS DOUBLE)")
+            / (
+                F.col("k").cast("double")
+                * F.sqrt(
+                    F.expr("CAST((k * qn - sn * sn) div (k * k) AS DOUBLE)")
+                )
+            )
+            * 1e6
+        )
+        .cast("long")
+        .alias("z_micros"),
+    )

@@ -716,3 +716,77 @@ def test_segmented_trend_break_python_replay(spark):
         r.slope_right_micros,
         r.sse_total_micros,
     ) == best[1]
+
+
+def test_naive_bayes_python_replay(spark):
+    import math
+
+    t = pq.read_table(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "lang", "text"]
+    ).to_pylist()
+    tr_counts: dict[tuple[str, str], int] = defaultdict(int)
+    cl: dict[str, int] = defaultdict(int)
+    docs_tr: dict[str, set] = defaultdict(set)
+    vocab = set()
+    te_docs = {}
+    for r in t:
+        ws = [w for w in r["text"].split(" ") if w != ""]
+        if r["doc_id"] % 10 != 0:
+            for w in ws:
+                tr_counts[(r["lang"], w)] += 1
+                cl[r["lang"]] += 1
+                vocab.add(w)
+            docs_tr[r["lang"]].add(r["doc_id"])
+        else:
+            te_docs[r["doc_id"]] = (r["lang"], ws)
+    V = len(vocab) + 1
+    nd_tot = sum(len(v) for v in docs_tr.values())
+    langs = sorted(cl)
+    prior = {
+        l: round(math.log(len(docs_tr[l]) / nd_tot) * 1e9) for l in langs
+    }
+    conf: dict[tuple[str, str], int] = defaultdict(int)
+    for d, (true_lang, ws) in te_docs.items():
+        best = None
+        for l in langs:
+            s = prior[l] + sum(
+                round(math.log((tr_counts.get((l, w), 0) + 1) / (cl[l] + V)) * 1e9)
+                for w in ws
+            )
+            k = (-s, l)
+            if best is None or k < best[0]:
+                best = (k, l)
+        conf[(true_lang, best[1])] += 1
+    got = {
+        (r.true_lang, r.pred_lang): r.n
+        for r in SPECS["naive_bayes_lang"].builder(spark, SF_DIR).collect()
+    }
+    assert got == dict(conf)
+    assert sum(got.values()) == len(te_docs)
+
+
+def test_grubbs_python_replay(spark):
+    import math
+
+    t = pq.read_table(
+        f"{SF_DIR}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    ).to_pylist()
+    xs = [(r["o_orderkey"], _dollars(r["o_totalprice"])) for r in t]
+    n = len(xs)
+    s = sum(x for _k, x in xs)
+    q = sum(x * x for _k, x in xs)
+    key, x = min(xs, key=lambda t: (-abs(n * t[1] - s), t[0]))
+    m2 = (n * q - s * s) // (n * n)
+    g = abs(n * x - s) / (n * math.sqrt(m2))
+    r = SPECS["grubbs_test"].builder(spark, SF_DIR).collect()[0]
+    assert (r.n, r.outlier_key, r.outlier_dollars, r.m2_d2) == (n, key, x, m2)
+    assert r.g_micros == round(g * 1e6)
+    assert r.g_micros > 1000000  # the max deviation exceeds one sd
+
+
+def test_stream_anomaly_zscore_properties(spark):
+    rows = SPECS["stream_anomaly_zscore"].builder(spark, SF_DIR).collect()
+    zs = [r.z_micros for r in rows]
+    # studentized scores: mean ~0 (floor effects aside), both signs present
+    assert any(z > 0 for z in zs) and any(z < 0 for z in zs)
+    assert abs(sum(zs)) < 1_000_000 * len(zs) // 10
