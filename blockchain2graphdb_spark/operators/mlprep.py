@@ -3146,3 +3146,222 @@ def grubbs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("g_micros"),
     )
+
+
+@query(
+    "kendall_tau",
+    oracle="""
+    WITH li AS (
+      SELECT CAST(l_quantity AS BIGINT) AS x,
+             CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+      FROM lineitem
+    ),
+    cells AS (
+      SELECT x, y, CAST(COUNT(*) AS HUGEINT) AS c FROM li GROUP BY x, y
+    ),
+    n AS (SELECT CAST(SUM(c) AS HUGEINT) AS n FROM cells),
+    cd AS (
+      SELECT CAST(SUM(CASE WHEN b.y > a.y THEN a.c * b.c ELSE 0 END)
+                  AS HUGEINT) AS conc,
+             CAST(SUM(CASE WHEN b.y < a.y THEN a.c * b.c ELSE 0 END)
+                  AS HUGEINT) AS disc
+      FROM cells a JOIN cells b ON b.x > a.x
+    ),
+    tx AS (
+      SELECT CAST(SUM(t * (t - 1) // 2) AS HUGEINT) AS n1
+      FROM (SELECT CAST(SUM(c) AS HUGEINT) AS t FROM cells GROUP BY x)
+    ),
+    ty AS (
+      SELECT CAST(SUM(t * (t - 1) // 2) AS HUGEINT) AS n2
+      FROM (SELECT CAST(SUM(c) AS HUGEINT) AS t FROM cells GROUP BY y)
+    )
+    SELECT CAST(n.n AS BIGINT) AS n,
+           CAST(cd.conc AS BIGINT) AS concordant,
+           CAST(cd.disc AS BIGINT) AS discordant,
+           CAST(ROUND(CAST(cd.conc - cd.disc AS DOUBLE)
+                      / (SQRT(CAST(n.n * (n.n - 1) // 2 - tx.n1 AS DOUBLE))
+                         * SQRT(CAST(n.n * (n.n - 1) // 2 - ty.n2 AS DOUBLE)))
+                      * 1e6) AS BIGINT) AS tau_b_micros
+    FROM n, cd, tx, ty
+    """,
+)
+def kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KENDALL'S TAU-B between quantity and discount — the
+    rank-correlation companion to corr_pairs' Pearson: tau-b =
+    (C - D)/sqrt((n0 - n1)(n0 - n2)) with full tie correction. The
+    naive definition is a quadratic pair sweep; both columns live on
+    BOUNDED INTEGER DOMAINS (quantity 1..50, discount hundredths
+    0..10), so the JOINT HISTOGRAM has <= domain-product cells BY
+    CONSTRUCTION and concordant/discordant pair counts are one
+    cell-level self-join on that constant-size table (the
+    attribution_markov bounded-state argument) — pair counts are
+    products of cell counts, all exact. The tie terms n1/n2 use
+    t(t-1)/2 per marginal value (always integral). The denominator
+    splits sqrt(n0-n1)*sqrt(n0-n2) (the matthews_mcc 2^53 discipline —
+    n0 ~ n^2/2 stays exactly convertible, the product would not).
+
+    Scale shape: ONE map-side-combinable cell aggregate over the scan;
+    everything after is constant-size algebra. Adding rows never grows
+    the self-join."""
+    prep(spark)
+    li = table(spark, sf_dir, "lineitem").select(
+        dec2("l_quantity").cast("long").alias("x"),
+        (dec2("l_discount") * 100).cast("long").alias("y"),
+    )
+    cells = li.groupBy("x", "y").agg(F.count(F.lit(1)).cast(_D38).alias("c"))
+    n = cells.agg(F.sum("c").cast(_D38).alias("n"))
+    a = cells.select(
+        F.col("x").alias("ax"), F.col("y").alias("ay"), F.col("c").alias("ac")
+    )
+    b = cells.select(
+        F.col("x").alias("bx"), F.col("y").alias("by"), F.col("c").alias("bc")
+    )
+    cd = (
+        a.join(F.broadcast(b), F.col("bx") > F.col("ax"))
+        .agg(
+            F.sum(
+                F.when(F.col("by") > F.col("ay"), F.col("ac") * F.col("bc")).otherwise(
+                    F.lit(0).cast(_D38)
+                )
+            )
+            .cast(_D38)
+            .alias("conc"),
+            F.sum(
+                F.when(F.col("by") < F.col("ay"), F.col("ac") * F.col("bc")).otherwise(
+                    F.lit(0).cast(_D38)
+                )
+            )
+            .cast(_D38)
+            .alias("disc"),
+        )
+    )
+    tx = (
+        cells.groupBy("x")
+        .agg(F.sum("c").cast(_D38).alias("t"))
+        .agg(F.sum(F.expr("(t * (t - 1)) div 2")).cast(_D38).alias("n1"))
+    )
+    ty = (
+        cells.groupBy("y")
+        .agg(F.sum("c").cast(_D38).alias("t"))
+        .agg(F.sum(F.expr("(t * (t - 1)) div 2")).cast(_D38).alias("n2"))
+    )
+    return (
+        n.crossJoin(F.broadcast(cd))
+        .crossJoin(F.broadcast(tx))
+        .crossJoin(F.broadcast(ty))
+        .select(
+            F.col("n").cast("long").alias("n"),
+            F.col("conc").cast("long").alias("concordant"),
+            F.col("disc").cast("long").alias("discordant"),
+            F.round(
+                F.expr("CAST(conc - disc AS DOUBLE)")
+                / (
+                    F.sqrt(F.expr("CAST((n * (n - 1)) div 2 - n1 AS DOUBLE)"))
+                    * F.sqrt(F.expr("CAST((n * (n - 1)) div 2 - n2 AS DOUBLE)"))
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("tau_b_micros"),
+        )
+    )
+
+
+@query(
+    "spearman_rho",
+    oracle="""
+    WITH li AS (
+      SELECT CAST(l_quantity AS BIGINT) AS x,
+             CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+      FROM lineitem
+    ),
+    cells AS MATERIALIZED (
+      SELECT x, y, CAST(COUNT(*) AS HUGEINT) AS c FROM li GROUP BY x, y
+    ),
+    nn AS (SELECT CAST(SUM(c) AS HUGEINT) AS n FROM cells),
+    rx AS MATERIALIZED (
+      SELECT x, 2 * (SUM(t) OVER (ORDER BY x) - t) + t + 1 AS r2
+      FROM (SELECT x, CAST(SUM(c) AS HUGEINT) AS t FROM cells GROUP BY x)
+    ),
+    ry AS MATERIALIZED (
+      SELECT y, 2 * (SUM(t) OVER (ORDER BY y) - t) + t + 1 AS r2
+      FROM (SELECT y, CAST(SUM(c) AS HUGEINT) AS t FROM cells GROUP BY y)
+    ),
+    m AS (
+      SELECT CAST(SUM(c.c * rx.r2) AS HUGEINT) AS sx,
+             CAST(SUM(c.c * ry.r2) AS HUGEINT) AS sy,
+             CAST(SUM(c.c * rx.r2 * rx.r2) AS HUGEINT) AS sxx,
+             CAST(SUM(c.c * ry.r2 * ry.r2) AS HUGEINT) AS syy,
+             CAST(SUM(c.c * rx.r2 * ry.r2) AS HUGEINT) AS sxy
+      FROM cells c JOIN rx ON rx.x = c.x JOIN ry ON ry.y = c.y
+    )
+    SELECT CAST(nn.n AS BIGINT) AS n,
+           CAST(ROUND(
+             CAST((nn.n * m.sxy - m.sx * m.sy) // (nn.n * nn.n) AS DOUBLE)
+             / (SQRT(CAST((nn.n * m.sxx - m.sx * m.sx) // (nn.n * nn.n)
+                          AS DOUBLE))
+                * SQRT(CAST((nn.n * m.syy - m.sy * m.sy) // (nn.n * nn.n)
+                            AS DOUBLE)))
+             * 1e6) AS BIGINT) AS rho_micros
+    FROM nn, m
+    """,
+)
+def spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPEARMAN'S RHO between quantity and discount — Pearson
+    correlation of MIDRANKS, completing the rank-correlation pair with
+    kendall_tau: doubled midranks 2r(v) = 2*cum_before(v) + t(v) + 1
+    stay exact integers (the mann_whitney_u device), assembled per
+    CELL of the bounded joint histogram so no rank is ever attached
+    row-by-row. The centered moments clear denominators and are then
+    floor-reduced by n^2 to exact integers BELOW 2^53 before the
+    double conversion (the skew_kurtosis discipline — the raw cleared
+    moments overflow exact double conversion at sf0.1 already); the
+    final expression is the structurally-identical ratio-of-sqrt form.
+    The same floor is applied to numerator and both variance terms, so
+    the quantization is a defined, engine-identical semantics.
+
+    Scale shape: one cell aggregate over the scan; marginal rank
+    tables are windows over <= domain-size rows; one constant-size
+    moment join ends it."""
+    prep(spark)
+    li = table(spark, sf_dir, "lineitem").select(
+        dec2("l_quantity").cast("long").alias("x"),
+        (dec2("l_discount") * 100).cast("long").alias("y"),
+    )
+    cells = li.groupBy("x", "y").agg(F.count(F.lit(1)).cast(_D38).alias("c"))
+    nn = cells.agg(F.sum("c").cast(_D38).alias("n"))
+
+    def marginal_ranks(col: str) -> DataFrame:
+        t = cells.groupBy(col).agg(F.sum("c").cast(_D38).alias("t"))
+        w = W.orderBy(col).rowsBetween(W.unboundedPreceding, W.currentRow)
+        return t.select(
+            col,
+            (
+                2 * (F.sum("t").over(w) - F.col("t")) + F.col("t") + 1
+            ).cast(_D38).alias(f"r2{col}"),
+        )
+    rx, ry = marginal_ranks("x"), marginal_ranks("y")
+    m = (
+        cells.join(F.broadcast(rx), "x")
+        .join(F.broadcast(ry), "y")
+        .agg(
+            F.sum(F.col("c") * F.col("r2x")).cast(_D38).alias("sx"),
+            F.sum(F.col("c") * F.col("r2y")).cast(_D38).alias("sy"),
+            F.sum(F.col("c") * F.col("r2x") * F.col("r2x")).cast(_D38).alias("sxx"),
+            F.sum(F.col("c") * F.col("r2y") * F.col("r2y")).cast(_D38).alias("syy"),
+            F.sum(F.col("c") * F.col("r2x") * F.col("r2y")).cast(_D38).alias("sxy"),
+        )
+    )
+    return nn.crossJoin(F.broadcast(m)).select(
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            F.expr("CAST((n * sxy - sx * sy) div (n * n) AS DOUBLE)")
+            / (
+                F.sqrt(F.expr("CAST((n * sxx - sx * sx) div (n * n) AS DOUBLE)"))
+                * F.sqrt(F.expr("CAST((n * syy - sy * sy) div (n * n) AS DOUBLE)"))
+            )
+            * 1e6
+        )
+        .cast("long")
+        .alias("rho_micros"),
+    )

@@ -82,6 +82,8 @@ _SAMPLE_PRIORITY = (
     "naive_bayes_lang",  # r0 oracle
     "grubbs_test",  # r0 oracle
     "stream_anomaly_zscore",  # r0 oracle
+    "kendall_tau",  # r0 oracle
+    "spearman_rho",  # r0 oracle
     "ann_recall_curve",  # r0 oracle
     "anova_oneway",  # r0 oracle
     "approx_quantile_audit",  # r0 oracle

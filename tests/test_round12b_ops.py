@@ -790,3 +790,77 @@ def test_stream_anomaly_zscore_properties(spark):
     # studentized scores: mean ~0 (floor effects aside), both signs present
     assert any(z > 0 for z in zs) and any(z < 0 for z in zs)
     assert abs(sum(zs)) < 1_000_000 * len(zs) // 10
+
+
+def _quantity_discount():
+    t = pq.read_table(
+        f"{SF_DIR}/lineitem.parquet", columns=["l_quantity", "l_discount"]
+    ).to_pylist()
+    return [(int(r["l_quantity"]), _cents(r["l_discount"])) for r in t]
+
+
+def test_kendall_tau_python_replay(spark):
+    import math
+
+    pairs = _quantity_discount()
+    cells: dict[tuple[int, int], int] = defaultdict(int)
+    for p in pairs:
+        cells[p] += 1
+    items = list(cells.items())
+    conc = disc = 0
+    for i, ((x1, y1), c1) in enumerate(items):
+        for (x2, y2), c2 in items:
+            if x2 > x1:
+                if y2 > y1:
+                    conc += c1 * c2
+                elif y2 < y1:
+                    disc += c1 * c2
+    n = len(pairs)
+    tx: dict[int, int] = defaultdict(int)
+    ty: dict[int, int] = defaultdict(int)
+    for (x, y), c in cells.items():
+        tx[x] += c
+        ty[y] += c
+    n0 = n * (n - 1) // 2
+    n1 = sum(t * (t - 1) // 2 for t in tx.values())
+    n2 = sum(t * (t - 1) // 2 for t in ty.values())
+    tau = (conc - disc) / (math.sqrt(n0 - n1) * math.sqrt(n0 - n2))
+    r = SPECS["kendall_tau"].builder(spark, SF_DIR).collect()[0]
+    assert (r.n, r.concordant, r.discordant) == (n, conc, disc)
+    assert r.tau_b_micros == round(tau * 1e6)
+    assert -1000000 <= r.tau_b_micros <= 1000000
+
+
+def test_spearman_rho_python_replay(spark):
+    import math
+
+    pairs = _quantity_discount()
+    n = len(pairs)
+    tx: dict[int, int] = defaultdict(int)
+    ty: dict[int, int] = defaultdict(int)
+    for x, y in pairs:
+        tx[x] += 1
+        ty[y] += 1
+
+    def ranks(tt):
+        out, cum = {}, 0
+        for v in sorted(tt):
+            out[v] = 2 * cum + tt[v] + 1
+            cum += tt[v]
+        return out
+
+    rx, ry = ranks(tx), ranks(ty)
+    sx = sum(rx[x] for x, _ in pairs)
+    sy = sum(ry[y] for _, y in pairs)
+    sxx = sum(rx[x] ** 2 for x, _ in pairs)
+    syy = sum(ry[y] ** 2 for _, y in pairs)
+    sxy = sum(rx[x] * ry[y] for x, y in pairs)
+    num = (n * sxy - sx * sy) // (n * n)
+    vx = (n * sxx - sx * sx) // (n * n)
+    vy = (n * syy - sy * sy) // (n * n)
+    rho = num / (math.sqrt(vx) * math.sqrt(vy))
+    r = SPECS["spearman_rho"].builder(spark, SF_DIR).collect()[0]
+    assert r.n == n
+    assert r.rho_micros == round(rho * 1e6)
+    # quantity and discount are independent by fixture construction
+    assert abs(r.rho_micros) < 100000
