@@ -1221,3 +1221,96 @@ def matthews_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tn",
         F.round(num / den * 1e6).cast("long").alias("mcc_micros"),
     )
+
+
+@query(
+    "pinball_loss_eval",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderpriority AS grp,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS pc
+      FROM orders
+    ),
+    v AS (SELECT pc, CAST(COUNT(*) AS BIGINT) AS cnt FROM o GROUP BY pc),
+    r AS (
+      SELECT pc, CAST(SUM(cnt) OVER (ORDER BY pc) AS BIGINT) AS cum FROM v
+    ),
+    nn AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM v),
+    qq AS (
+      SELECT CAST(MIN(CASE WHEN r.cum >= (90 * nn.n + 99) // 100
+                           THEN r.pc END) AS BIGINT) AS q
+      FROM r, nn
+    )
+    SELECT o.grp,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(qq.q) AS BIGINT) AS q90_cents,
+           CAST(SUM(CASE WHEN o.pc >= qq.q
+                         THEN 9 * CAST(o.pc - qq.q AS HUGEINT)
+                         ELSE CAST(qq.q - o.pc AS HUGEINT) END) AS BIGINT)
+             AS loss10_cents,
+           CAST((100000 * SUM(CASE WHEN o.pc >= qq.q
+                                   THEN 9 * CAST(o.pc - qq.q AS HUGEINT)
+                                   ELSE CAST(qq.q - o.pc AS HUGEINT) END))
+                // COUNT(*) AS BIGINT) AS mean_pinball_micros
+    FROM o, qq GROUP BY o.grp ORDER BY o.grp
+    """,
+)
+def pinball_loss_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PINBALL (QUANTILE) LOSS at tau = 0.9 — the proper scoring rule
+    for quantile forecasts, evaluated for the global exact-p90
+    constant predictor per order priority: the readout that tells you
+    WHICH segments a single global quantile under- or over-covers
+    (a segment whose loss is dominated by the overshoot branch needs
+    its own quantile — the group_percentiles motivation, quantified).
+    tau = 0.9 clears to integers by scaling the loss x10
+    (9*(y-q) above, 1*(q-y) below); the mean is one floor division to
+    micros of a cent. The q90 itself is the exact nearest-rank cut
+    from the distinct-value cumulative table (the approx_quantile_audit
+    machinery).
+
+    Scale shape: one distinct-value aggregate + bucketed prefix sums
+    for the cut, then ONE map-side-combinable conditional-sum pass
+    with the 1-row q broadcast — two scans total, no shuffle beyond
+    the value histogram."""
+    prep(spark)
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        (dec2("o_totalprice") * 100).cast("long").alias("pc"),
+    )
+    v = o.groupBy("pc").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    r = bucketed_prefix_sums(
+        v, F.expr("pc div 100000"), [F.col("pc")], {"cum": F.col("cnt")}
+    )
+    nn = v.agg(F.sum("cnt").cast("long").alias("n"))
+    qq = (
+        r.crossJoin(F.broadcast(nn))
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cum") >= F.expr("(90 * n + 99) div 100"), F.col("pc")
+                )
+            )
+            .cast("long")
+            .alias("q")
+        )
+    )
+    loss = F.when(
+        F.col("pc") >= F.col("q"),
+        (F.lit(9).cast(_D38) * (F.col("pc") - F.col("q"))),
+    ).otherwise((F.col("q") - F.col("pc")).cast(_D38))
+    return (
+        o.crossJoin(F.broadcast(qq))
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("q").cast("long").alias("q90_cents"),
+            F.sum(loss).cast("long").alias("loss10_cents"),
+            F.expr(
+                "CAST((100000 * SUM(CASE WHEN pc >= q"
+                " THEN 9 * CAST(pc - q AS DECIMAL(38,0))"
+                " ELSE CAST(q - pc AS DECIMAL(38,0)) END))"
+                " div COUNT(*) AS BIGINT)"
+            ).alias("mean_pinball_micros"),
+        )
+        .orderBy("grp")
+    )

@@ -2053,3 +2053,146 @@ def dp_sensitivity_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             "clipped_sum_cents"
         ),
     )
+
+
+_BLOOM_M = 1 << 20  # bit-array size
+_BLOOM_K = 4  # hash functions = md5 8-hex slices
+
+
+def _bloom_bits_sql(key_expr: str, source: str) -> str:
+    """The k md5-slice bit positions of a key (DuckDB fragment): one
+    UNION ALL branch per hash function, each with its own FROM."""
+    return " UNION ALL ".join(
+        f"SELECT {key_expr} AS key, ('0x' || substr(md5('b{i}:' ||"
+        f" CAST({key_expr} AS VARCHAR)), 1, 8))::BIGINT % {_BLOOM_M} AS bit"
+        f" {source}"
+        for i in range(_BLOOM_K)
+    )
+
+
+@query(
+    "bloom_fpr_calibration",
+    oracle=f"""
+    WITH tr_bits AS MATERIALIZED (
+      SELECT DISTINCT bit FROM (
+        {_bloom_bits_sql("o_orderkey", "FROM orders WHERE o_orderkey % 2 = 0")}
+      )
+    ),
+    probe_bits AS MATERIALIZED (
+      SELECT key, bit FROM (
+        {_bloom_bits_sql("o_orderkey", "FROM orders WHERE o_orderkey % 2 = 1")}
+      )
+    ),
+    probe AS (
+      SELECT p.key,
+             CAST(COUNT(DISTINCT p.bit) AS BIGINT) AS n_bits,
+             CAST(COUNT(DISTINCT CASE WHEN t.bit IS NOT NULL
+                                      THEN p.bit END) AS BIGINT) AS n_hit
+      FROM probe_bits p LEFT JOIN tr_bits t ON t.bit = p.bit
+      GROUP BY p.key
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+             CAST(COUNT(*) FILTER (WHERE n_hit = n_bits) AS BIGINT) AS n_fp
+      FROM probe
+    ),
+    load AS (SELECT CAST(COUNT(*) AS BIGINT) AS bits_set FROM tr_bits)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+            WHERE o_orderkey % 2 = 0) AS n_inserted,
+           load.bits_set,
+           CAST((1000000 * load.bits_set) // {_BLOOM_M} AS BIGINT)
+             AS load_micros,
+           agg.n_probes,
+           agg.n_fp,
+           CAST((1000000 * agg.n_fp) // agg.n_probes AS BIGINT)
+             AS fpr_micros
+    FROM agg, load
+    """,
+)
+def bloom_fpr_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOOM-FILTER FALSE-POSITIVE CALIBRATION — the fourth estimator
+    audit beside minhash/countmin/simhash: build an m=2^20, k=4 Bloom
+    filter over the even order keys from md5-slice bit positions (the
+    portable-hash discipline — both engines derive IDENTICAL bits, so
+    the whole filter is value-hash checkable, unlike an engine-local
+    bloom binary), probe with the DISJOINT odd keys, and report the
+    measured load factor and empirical FPR — the numbers that tell you
+    whether the m/k you chose for join_bloom_runtime_filter's sketch
+    or an Iceberg bloom column actually delivers its contract. A probe
+    is a false positive iff ALL its k bits are set (every probe key is
+    a true negative by construction).
+
+    Scale shape: the filter is a DISTINCT over k map-side-generated
+    bit rows per key (the bit table is bounded by m BY CONSTRUCTION,
+    never by data); probing is one equi-join on bit position + a
+    per-key counting aggregate — no bit-array state, no driver
+    anything; at 100 TB the same plan emits the real bitmap via a
+    bit-packing aggregate."""
+    prep(spark)
+    keys = table(spark, sf_dir, "orders").select("o_orderkey")
+
+    def bits(df: DataFrame) -> DataFrame:
+        out = None
+        for i in range(_BLOOM_K):
+            b = df.select(
+                F.col("o_orderkey").alias("key"),
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.lit(f"b{i}:"),
+                                    F.col("o_orderkey").cast("string"),
+                                ).cast("binary")
+                            ),
+                            1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % _BLOOM_M
+                ).alias("bit"),
+            )
+            out = b if out is None else out.unionByName(b)
+        return out
+
+    tr_keys = keys.where(F.col("o_orderkey") % 2 == 0)
+    tr_bits = bits(tr_keys).select("bit").distinct()
+    probe_bits = bits(keys.where(F.col("o_orderkey") % 2 == 1))
+    probe = (
+        probe_bits.join(
+            tr_bits.withColumn("hit", F.lit(1)), "bit", "left"
+        )
+        .groupBy("key")
+        .agg(
+            F.count_distinct("bit").cast("long").alias("n_bits"),
+            F.count_distinct(F.when(F.col("hit").isNotNull(), F.col("bit")))
+            .cast("long")
+            .alias("n_hit"),
+        )
+    )
+    agg = probe.agg(
+        F.count(F.lit(1)).cast("long").alias("n_probes"),
+        F.sum(F.when(F.col("n_hit") == F.col("n_bits"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_fp"),
+    )
+    load = tr_bits.agg(F.count(F.lit(1)).cast("long").alias("bits_set"))
+    n_ins = tr_keys.agg(F.count(F.lit(1)).cast("long").alias("n_inserted"))
+    return (
+        n_ins.crossJoin(F.broadcast(load))
+        .crossJoin(F.broadcast(agg))
+        .select(
+            "n_inserted",
+            "bits_set",
+            F.expr(f"CAST((1000000 * bits_set) div {_BLOOM_M} AS BIGINT)").alias(
+                "load_micros"
+            ),
+            "n_probes",
+            "n_fp",
+            F.expr("CAST((1000000 * n_fp) div n_probes AS BIGINT)").alias(
+                "fpr_micros"
+            ),
+        )
+    )

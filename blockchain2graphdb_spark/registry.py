@@ -84,6 +84,8 @@ _SAMPLE_PRIORITY = (
     "stream_anomaly_zscore",  # r0 oracle
     "kendall_tau",  # r0 oracle
     "spearman_rho",  # r0 oracle
+    "bloom_fpr_calibration",  # r0 oracle
+    "pinball_loss_eval",  # r0 oracle
     "ann_recall_curve",  # r0 oracle
     "anova_oneway",  # r0 oracle
     "approx_quantile_audit",  # r0 oracle

@@ -864,3 +864,55 @@ def test_spearman_rho_python_replay(spark):
     assert r.rho_micros == round(rho * 1e6)
     # quantity and discount are independent by fixture construction
     assert abs(r.rho_micros) < 100000
+
+
+def test_bloom_fpr_python_replay(spark):
+    t = pq.read_table(f"{SF_DIR}/orders.parquet", columns=["o_orderkey"]).to_pylist()
+    keys = [r["o_orderkey"] for r in t]
+    M = 1 << 20
+
+    def bits(k):
+        return {
+            int(hashlib.md5(f"b{i}:{k}".encode()).hexdigest()[:8], 16) % M
+            for i in range(4)
+        }
+
+    tr = {k for k in keys if k % 2 == 0}
+    set_bits = set()
+    for k in tr:
+        set_bits |= bits(k)
+    probes = [k for k in keys if k % 2 == 1]
+    fp = sum(1 for k in probes if bits(k) <= set_bits)
+    r = SPECS["bloom_fpr_calibration"].builder(spark, SF_DIR).collect()[0]
+    assert (r.n_inserted, r.bits_set, r.n_probes, r.n_fp) == (
+        len(tr),
+        len(set_bits),
+        len(probes),
+        fp,
+    )
+    assert r.load_micros == (1000000 * len(set_bits)) // M
+    assert r.fpr_micros == (1000000 * fp) // len(probes)
+    # theory check: fpr ~ load^k, so empirical must stay within an
+    # order of magnitude of load^4 (both tiny at small sf)
+    assert r.fpr_micros <= 1000000
+
+
+def test_pinball_loss_python_replay(spark):
+    t = pq.read_table(
+        f"{SF_DIR}/orders.parquet", columns=["o_orderpriority", "o_totalprice"]
+    ).to_pylist()
+    pcs = sorted(_cents(r["o_totalprice"]) for r in t)
+    n = len(pcs)
+    q = pcs[(90 * n + 99) // 100 - 1]
+    groups: dict[str, list[int]] = defaultdict(list)
+    for r in t:
+        groups[r["o_orderpriority"]].append(_cents(r["o_totalprice"]))
+    rows = {r.grp: r for r in SPECS["pinball_loss_eval"].builder(spark, SF_DIR).collect()}
+    assert set(rows) == set(groups)
+    for g, xs in groups.items():
+        loss10 = sum(9 * (x - q) if x >= q else (q - x) for x in xs)
+        r = rows[g]
+        assert (r.n, r.q90_cents, r.loss10_cents) == (len(xs), q, loss10)
+        assert r.mean_pinball_micros == (100000 * loss10) // len(xs)
+        # ~10% of mass sits above a p90 cut
+        assert sum(1 for x in xs if x > q) <= len(xs) // 5
