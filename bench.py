@@ -85,6 +85,13 @@ SECONDARY = [
     "eigenvector_centrality",   # 10-round integer power iteration
     "attribution_markov",       # absorption-probability removal effects
     "influence_cascade",        # deterministic IC-model diffusion rounds
+    # round-12 continuation composites (cross-round trend tracking)
+    "item_cf_recommend",        # co-purchase weights + broadcast CF scoring
+    "ann_recall_curve",         # IVF build + brute-force eval + curve
+    "attribution_shapley",      # mask census + 2^k coalition lattice
+    "landmark_distances",       # rides the seed-BFS memo
+    "kneser_ney_prob",          # bigram KN smoothing over positional joins
+    "naive_bayes_lang",         # NB train + held-out confusion matrix
 ]
 
 
