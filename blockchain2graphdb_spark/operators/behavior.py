@@ -1935,3 +1935,121 @@ def cold_start_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             "new_user_revenue_micros",
         )
     )
+
+
+@query(
+    "fulfillment_latency_sla",
+    oracle="""
+    WITH li AS (
+      SELECT o.o_orderpriority AS grp,
+             CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                            CAST(l.l_shipdate AS DATE)) AS BIGINT) AS lat,
+             CASE WHEN date_diff('day', CAST(o.o_orderdate AS DATE),
+                                 CAST(l.l_shipdate AS DATE)) > 60
+                  THEN 1 ELSE 0 END AS late
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    cells AS (
+      SELECT grp, lat, CAST(COUNT(*) AS BIGINT) AS c,
+             CAST(SUM(late) AS BIGINT) AS n_late
+      FROM li GROUP BY grp, lat
+    ),
+    r AS (
+      SELECT grp, lat, c,
+             CAST(SUM(c) OVER (PARTITION BY grp ORDER BY lat) AS BIGINT)
+               AS cum,
+             CAST(SUM(c) OVER (PARTITION BY grp) AS BIGINT) AS n_g
+      FROM cells
+    )
+    SELECT c.grp,
+           CAST(SUM(c.c) AS BIGINT) AS n,
+           CAST((1000000 * CAST(SUM(c.lat * CAST(c.c AS HUGEINT)) AS HUGEINT))
+                // CAST(SUM(c.c) AS HUGEINT) AS BIGINT)
+             AS mean_latency_micros,
+           CAST(MIN(p90.lat) AS BIGINT) AS p90_days,
+           CAST((1000000 * SUM(c.n_late)) // SUM(c.c) AS BIGINT)
+             AS late_micros
+    FROM cells c
+    JOIN (
+      SELECT grp, MIN(lat) AS lat FROM r
+      WHERE cum >= (90 * n_g + 99) // 100 GROUP BY grp
+    ) p90 ON p90.grp = c.grp
+    GROUP BY c.grp ORDER BY c.grp
+    """,
+)
+def fulfillment_latency_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULFILLMENT-LATENCY SLA readout per order priority — mean and
+    exact-p90 order-to-ship latency in days plus the SLA-breach
+    rate (ship latency past the 60-day bar — the fixture lineitem
+    carries no commit/receipt dates, the documented tpch_q12_shape
+    limitation, so the SLA is a latency threshold) — the
+    operational dashboard line next to the behavioral funnels: does
+    priority actually buy faster fulfillment? Latency lives on a
+    BOUNDED day domain (at most the fixture's date span in days —
+    O(1000) distinct values, never data-sized),
+    so the per-group p90 is an exact nearest-rank cut over the
+    (priority, latency) histogram — group-partitioned cumulative
+    windows over domain-sized rows, never a rank over the fact table.
+    Day arithmetic is epoch-day integer subtraction on both engines.
+
+    Scale shape: one fact join (orders side broadcast or shuffled by
+    Catalyst), ONE (group, latency) hash aggregate collapsing the
+    join, then constant-size windows and one group reduce."""
+    prep(spark)
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ok"),
+        F.col("o_orderpriority").alias("grp"),
+        F.col("o_orderdate").alias("odate"),
+    )
+    l = table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), "l_shipdate"
+    )
+    j = (
+        l.join(o, "ok")
+        .select(
+            "grp",
+            F.datediff(
+                F.col("l_shipdate").cast("date"), F.col("odate").cast("date")
+            )
+            .cast("long")
+            .alias("lat"),
+        )
+        .select(
+            "grp",
+            "lat",
+            F.when(F.col("lat") > 60, 1).otherwise(0).alias("late"),
+        )
+    )
+    cells = j.groupBy("grp", "lat").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum("late").cast("long").alias("n_late"),
+    )
+    wg = W.partitionBy("grp").orderBy("lat")
+    r = cells.select(
+        "grp",
+        "lat",
+        "c",
+        F.sum("c").over(wg).cast("long").alias("cum"),
+        F.sum("c").over(W.partitionBy("grp")).cast("long").alias("n_g"),
+    )
+    p90 = (
+        r.where(F.col("cum") >= F.expr("(90 * n_g + 99) div 100"))
+        .groupBy("grp")
+        .agg(F.min("lat").cast("long").alias("p90_days"))
+    )
+    return (
+        cells.groupBy("grp")
+        .agg(
+            F.sum("c").cast("long").alias("n"),
+            F.expr(
+                "CAST((1000000 * SUM(lat * CAST(c AS DECIMAL(38,0))))"
+                " div SUM(CAST(c AS DECIMAL(38,0))) AS BIGINT)"
+            ).alias("mean_latency_micros"),
+            F.expr(
+                "CAST((1000000 * SUM(n_late)) div SUM(c) AS BIGINT)"
+            ).alias("late_micros"),
+        )
+        .join(F.broadcast(p90), "grp")
+        .select("grp", "n", "mean_latency_micros", "p90_days", "late_micros")
+        .orderBy("grp")
+    )

@@ -2008,3 +2008,110 @@ def segmented_trend_break(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sse_micros").cast("long").alias("sse_total_micros"),
         )
     )
+
+
+@query(
+    "mann_kendall_trend",
+    oracle=f"""
+    WITH d AS (
+      SELECT (epoch_ns(ts) // 1000) // {86400000000} AS day FROM events
+    ),
+    daily AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS x FROM d GROUP BY day),
+    s AS (
+      SELECT CAST(SUM(CASE WHEN b.x > a.x THEN 1
+                           WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s
+      FROM daily a JOIN daily b ON b.day > a.day
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM daily),
+    ties AS (
+      SELECT CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS HUGEINT) AS tt
+      FROM (SELECT CAST(COUNT(*) AS HUGEINT) AS t FROM daily GROUP BY x)
+      WHERE t > 1
+    )
+    SELECT CAST(nn.n AS BIGINT) AS n_days,
+           s.s AS s_stat,
+           CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tt AS BIGINT)
+             AS var18,
+           CAST(ROUND(
+             CAST(CASE WHEN s.s > 0 THEN s.s - 1
+                       WHEN s.s < 0 THEN s.s + 1 ELSE 0 END AS DOUBLE)
+             * SQRT(18.0)
+             / SQRT(CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tt
+                         AS DOUBLE))
+             * 1e6) AS BIGINT) AS z_micros
+    FROM s, nn, ties
+    """,
+)
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANN-KENDALL TREND TEST over the daily event-count series — 'is
+    there a monotone trend at all?', the nonparametric gate one runs
+    BEFORE fitting trend_ols/theil_sen's slope (it is Kendall's tau of
+    value against time, kendall_tau's temporal sibling): S = sum of
+    sign(x_j - x_i) over ordered day pairs, tie-corrected variance
+    18*Var(S) = n(n-1)(2n+5) - sum t(t-1)(2t+5) kept as ONE exact
+    integer (the /18 never happens — z multiplies by sqrt(18)
+    instead), continuity-corrected z as a structurally identical
+    double expression.
+
+    Scale shape: the pair sweep runs over the CALENDAR-BOUNDED daily
+    aggregate (the theil_sen argument — pairs are constant in data
+    size), after one map-side daily count collapses the log; ties come
+    from a value-grouped aggregate of the same bounded table."""
+    prep(spark)
+    daily = (
+        _daily_counts(spark, sf_dir)
+        .groupBy("day")
+        .agg(F.sum("n").cast("long").alias("x"))
+    )
+    a = daily.select(F.col("day").alias("da"), F.col("x").alias("xa"))
+    b = daily.select(F.col("day").alias("db"), F.col("x").alias("xb"))
+    s = (
+        a.join(F.broadcast(b), F.col("db") > F.col("da"))
+        .agg(
+            F.sum(
+                F.when(F.col("xb") > F.col("xa"), 1)
+                .when(F.col("xb") < F.col("xa"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s")
+        )
+    )
+    nn = daily.agg(F.count(F.lit(1)).cast(_D38).alias("n"))
+    ties = (
+        daily.groupBy("x")
+        .agg(F.count(F.lit(1)).cast(_D38).alias("t"))
+        .where(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.expr("t * (t - 1) * (2 * t + 5)")),
+                F.lit(0).cast(_D38),
+            )
+            .cast(_D38)
+            .alias("tt")
+        )
+    )
+    return (
+        s.crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            F.col("n").cast("long").alias("n_days"),
+            F.col("s").alias("s_stat"),
+            F.expr(
+                "CAST(n * (n - 1) * (2 * n + 5) - tt AS BIGINT)"
+            ).alias("var18"),
+            F.round(
+                F.expr(
+                    "CAST(CASE WHEN s > 0 THEN s - 1"
+                    " WHEN s < 0 THEN s + 1 ELSE 0 END AS DOUBLE)"
+                )
+                * F.sqrt(F.lit(18.0))
+                / F.sqrt(
+                    F.expr("CAST(n * (n - 1) * (2 * n + 5) - tt AS DOUBLE)")
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("z_micros"),
+        )
+    )

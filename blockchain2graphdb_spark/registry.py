@@ -86,6 +86,8 @@ _SAMPLE_PRIORITY = (
     "spearman_rho",  # r0 oracle
     "bloom_fpr_calibration",  # r0 oracle
     "pinball_loss_eval",  # r0 oracle
+    "mann_kendall_trend",  # r0 oracle
+    "fulfillment_latency_sla",  # r0 oracle
     "ann_recall_curve",  # r0 oracle
     "anova_oneway",  # r0 oracle
     "approx_quantile_audit",  # r0 oracle

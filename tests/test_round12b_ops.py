@@ -916,3 +916,69 @@ def test_pinball_loss_python_replay(spark):
         assert r.mean_pinball_micros == (100000 * loss10) // len(xs)
         # ~10% of mass sits above a p90 cut
         assert sum(1 for x in xs if x > q) <= len(xs) // 5
+
+
+def test_mann_kendall_python_replay(spark):
+    import math
+
+    t = pq.read_table(f"{SF_DIR}/events.parquet", columns=["ts"]).to_pylist()
+    daily: dict[int, int] = defaultdict(int)
+    for r in t:
+        daily[int(r["ts"].timestamp() * 1_000_000) // 86_400_000_000] += 1
+    xs = [daily[d] for d in sorted(daily)]
+    n = len(xs)
+    s = sum(
+        (1 if xs[j] > xs[i] else -1 if xs[j] < xs[i] else 0)
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    tt = defaultdict(int)
+    for x in xs:
+        tt[x] += 1
+    ties = sum(t * (t - 1) * (2 * t + 5) for t in tt.values() if t > 1)
+    var18 = n * (n - 1) * (2 * n + 5) - ties
+    z = (
+        0.0
+        if s == 0
+        else (s - 1 if s > 0 else s + 1) * math.sqrt(18.0) / math.sqrt(var18)
+    )
+    r = SPECS["mann_kendall_trend"].builder(spark, SF_DIR).collect()[0]
+    assert (r.n_days, r.s_stat, r.var18) == (n, s, var18)
+    assert r.z_micros == round(z * 1e6)
+
+
+def test_fulfillment_latency_python_replay(spark):
+    import datetime
+
+    orders = pq.read_table(
+        f"{SF_DIR}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority", "o_orderdate"],
+    ).to_pylist()
+    li = pq.read_table(
+        f"{SF_DIR}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    ).to_pylist()
+
+    def day(d):
+        if isinstance(d, datetime.datetime):
+            d = d.date()
+        return (d - datetime.date(1970, 1, 1)).days
+
+    ok_info = {r["o_orderkey"]: (r["o_orderpriority"], day(r["o_orderdate"])) for r in orders}
+    groups: dict[str, list[int]] = defaultdict(list)
+    for r in li:
+        grp, odate = ok_info[r["l_orderkey"]]
+        groups[grp].append(day(r["l_shipdate"]) - odate)
+    rows = {r.grp: r for r in SPECS["fulfillment_latency_sla"].builder(spark, SF_DIR).collect()}
+    assert set(rows) == set(groups)
+    for g, lats in groups.items():
+        lats.sort()
+        n = len(lats)
+        r = rows[g]
+        assert r.n == n
+        assert r.mean_latency_micros == (1000000 * sum(lats)) // n
+        assert r.p90_days == lats[(90 * n + 99) // 100 - 1]
+        late = sum(1 for x in lats if x > 60)
+        assert r.late_micros == (1000000 * late) // n
+        # latency domain bounded by the fixture's date span (~4 years),
+        # not TPC-H's 122-day ship window — the histogram stays small
+        assert 0 <= r.p90_days <= 4000
