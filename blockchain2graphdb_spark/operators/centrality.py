@@ -582,7 +582,7 @@ def graph_diameter_lb(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_EIG_ROUNDS = 10
+_EIG_ROUNDS = 8
 
 
 def _eigcent_oracle(rounds: int = _EIG_ROUNDS) -> str:
@@ -634,10 +634,13 @@ def eigenvector_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-purchase adjacency — `embedding_pca_power`'s technique applied
     to the graph: v is renormalized each round to max-component 1e6 by
     non-negative floor division (adjacency and v0 are non-negative, so
-    no sign handling is ever needed), 10 fixed rounds (the adjacency's
+    no sign handling is ever needed), 8 fixed rounds (the adjacency's
     eigengap is ~5-6x on this graph — simulated convergence to 13
-    nines by round 8; contrast the near-isotropic embedding covariance
-    that needed squaring), top-50 by (score, node). Both engines run
+    nines by round 8, which the numpy-eigh parity test pins at 1e-3;
+    r11 ran 10 rounds, r12 trims the two converged-past-useful rounds
+    for ~20% of this key's wall time; contrast the near-isotropic
+    embedding covariance that needed squaring), top-50 by (score,
+    node). Both engines run
     identical integer arithmetic; numpy eigh parity pinned in tests.
 
     Scale shape: each round is ONE keyed join edges->v plus a hash
