@@ -954,3 +954,104 @@ def landmark_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.md5(F.col("node").cast("string")), "node")
         .limit(50)
     )
+
+
+@query(
+    "rich_club_coefficient",
+    oracle="""
+    WITH pr AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    deg AS MATERIALIZED (
+      SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT a AS n FROM pr UNION ALL SELECT b FROM pr
+      ) GROUP BY n
+    ),
+    ks AS (SELECT CAST(k AS BIGINT) AS k FROM (VALUES (2), (4), (8)) t(k)),
+    nk AS (
+      SELECT ks.k, CAST(COUNT(*) AS BIGINT) AS n_k
+      FROM ks LEFT JOIN deg ON deg.d > ks.k GROUP BY ks.k
+    ),
+    ek AS (
+      SELECT ks.k, CAST(COUNT(*) AS BIGINT) AS e_k
+      FROM ks
+      LEFT JOIN (
+        SELECT pr.a, pr.b, da.d AS dda, db.d AS ddb
+        FROM pr JOIN deg da ON da.n = pr.a JOIN deg db ON db.n = pr.b
+      ) e ON e.dda > ks.k AND e.ddb > ks.k
+      GROUP BY ks.k
+    )
+    SELECT nk.k, nk.n_k, ek.e_k,
+           CAST(CASE WHEN nk.n_k >= 2
+                     THEN (2000000 * ek.e_k) // (nk.n_k * (nk.n_k - 1))
+                     ELSE 0 END AS BIGINT) AS phi_micros
+    FROM nk JOIN ek ON ek.k = nk.k
+    ORDER BY nk.k
+    """,
+)
+def rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RICH-CLUB COEFFICIENT of the co-purchase graph at k = 2, 4, 8 —
+    phi(k) = (edges among nodes of degree > k) / (n_k choose 2): do the
+    hubs preferentially connect to each other? The G-family's
+    core-structure diagnostic next to degree_stats' marginal view and
+    kcore_membership's cohesion cut (k-core asks who SURVIVES mutual
+    support; rich-club asks how DENSE the elite subgraph is). All
+    counts exact; phi is one floor division per k.
+
+    Scale shape: degrees are one hash aggregate over the memoized
+    checkpointed edge list (`_copurchase_pairs`); the elite-edge count
+    joins edges to the (broadcastable) degree table twice and reduces
+    per k over the constant 3-row k dimension — nothing pairwise, no
+    per-k rescan of the data (CASE sums share one pass)."""
+    prep(spark)
+    pairs, _ = _copurchase_pairs(spark, sf_dir)
+    deg = (
+        pairs.select(F.col("a").alias("n"))
+        .unionByName(pairs.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    e = (
+        pairs.join(
+            F.broadcast(deg.select(F.col("n").alias("a"), F.col("d").alias("da"))),
+            "a",
+        )
+        .join(
+            F.broadcast(deg.select(F.col("n").alias("b"), F.col("d").alias("db"))),
+            "b",
+        )
+        .select("da", "db")
+    )
+    ks = spark.range(1, 9).where(F.col("id").isin(2, 4, 8)).select(
+        F.col("id").cast("long").alias("k")
+    )
+    nk = (
+        F.broadcast(ks)
+        .join(deg, F.col("d") > F.col("k"), "left")
+        .groupBy("k")
+        .agg(F.count("d").cast("long").alias("n_k"))
+    )
+    ek = (
+        F.broadcast(ks)
+        .join(e, (F.col("da") > F.col("k")) & (F.col("db") > F.col("k")), "left")
+        .groupBy("k")
+        .agg(F.count("da").cast("long").alias("e_k"))
+    )
+    return (
+        nk.join(ek, "k")
+        .select(
+            "k",
+            "n_k",
+            "e_k",
+            F.when(
+                F.col("n_k") >= 2,
+                F.expr("(2000000 * e_k) div (n_k * (n_k - 1))"),
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("phi_micros"),
+        )
+        .orderBy("k")
+    )

@@ -3365,3 +3365,100 @@ def spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rho_micros"),
     )
+
+
+@query(
+    "kfold_cv_metrics",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderpriority AS cat,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y,
+             ('0x' || substr(md5('kf' || CAST(o_orderkey AS VARCHAR)),
+              1, 1))::BIGINT % 5 AS fold
+      FROM orders
+    ),
+    fc AS (
+      SELECT fold, cat, CAST(COUNT(*) AS HUGEINT) AS n_fc,
+             CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS s_fc
+      FROM o GROUP BY fold, cat
+    ),
+    c AS (
+      SELECT cat, CAST(SUM(n_fc) AS HUGEINT) AS n_c,
+             CAST(SUM(s_fc) AS HUGEINT) AS s_c
+      FROM fc GROUP BY cat
+    ),
+    pred AS (
+      SELECT fc.fold, fc.cat,
+             ((c.s_c - fc.s_fc) * 1000000) // (c.n_c - fc.n_fc) AS pred
+      FROM fc JOIN c ON c.cat = fc.cat
+    )
+    SELECT o.fold,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(ABS(CAST(o.y AS HUGEINT) * 1000000 - p.pred))
+                // COUNT(*) AS BIGINT) AS mae_micros
+    FROM o JOIN pred p ON p.fold = o.fold AND p.cat = o.cat
+    GROUP BY o.fold ORDER BY o.fold
+    """,
+)
+def kfold_cv_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-FOLD CROSS-VALIDATION of the group-mean predictor — the CV
+    generalization of regression_metrics' single split, computed WITHOUT
+    k training passes: the leave-fold-out mean for fold f is pure
+    algebra on ONE (fold, cat) aggregate, pred(f, c) =
+    (S_c - S_fc)/(n_c - n_fc), floor-quantized to micro-cents — the
+    O(1)-per-fold trick every CV harness over additive statistics
+    should use at scale (k full re-trains read the data k times; this
+    reads it once). Per-fold test MAE comes from one join of the scan
+    against the 25-row broadcast prediction table.
+
+    Scale shape: one map-side-combinable (fold, cat) aggregate, one
+    constant-size leave-out algebra join, one scan-side equi-join with
+    a broadcast dim, one fold-keyed reduce — two scans total, k
+    appears only in the tiny dimension."""
+    prep(spark)
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("kf"), F.col("o_orderkey").cast("string")).cast(
+                        "binary"
+                    )
+                ),
+                1,
+                1,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 5
+    )
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("cat"),
+        (dec2("o_totalprice") * 100).cast("long").alias("y"),
+        fold.alias("fold"),
+    )
+    fc = o.groupBy("fold", "cat").agg(
+        F.count(F.lit(1)).cast(_D38).alias("n_fc"),
+        F.sum(F.col("y").cast(_D38)).cast(_D38).alias("s_fc"),
+    )
+    c = fc.groupBy("cat").agg(
+        F.sum("n_fc").cast(_D38).alias("n_c"),
+        F.sum("s_fc").cast(_D38).alias("s_c"),
+    )
+    pred = fc.join(c, "cat").select(
+        "fold",
+        "cat",
+        F.expr("((s_c - s_fc) * 1000000) div (n_c - n_fc)").alias("pred"),
+    )
+    return (
+        o.join(F.broadcast(pred), ["fold", "cat"])
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.expr(
+                "CAST(SUM(ABS(CAST(y AS DECIMAL(38,0)) * 1000000 - pred))"
+                " div COUNT(*) AS BIGINT)"
+            ).alias("mae_micros"),
+        )
+        .orderBy("fold")
+    )

@@ -88,6 +88,8 @@ _SAMPLE_PRIORITY = (
     "pinball_loss_eval",  # r0 oracle
     "mann_kendall_trend",  # r0 oracle
     "fulfillment_latency_sla",  # r0 oracle
+    "kfold_cv_metrics",  # r0 oracle
+    "rich_club_coefficient",  # r0 oracle
     "ann_recall_curve",  # r0 oracle
     "anova_oneway",  # r0 oracle
     "approx_quantile_audit",  # r0 oracle

@@ -982,3 +982,66 @@ def test_fulfillment_latency_python_replay(spark):
         # latency domain bounded by the fixture's date span (~4 years),
         # not TPC-H's 122-day ship window — the histogram stays small
         assert 0 <= r.p90_days <= 4000
+
+
+def test_kfold_cv_python_replay(spark):
+    t = pq.read_table(
+        f"{SF_DIR}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority", "o_totalprice"],
+    ).to_pylist()
+    rows = []
+    for r in t:
+        fold = int(hashlib.md5(f"kf{r['o_orderkey']}".encode()).hexdigest()[0], 16) % 5
+        rows.append((fold, r["o_orderpriority"], _cents(r["o_totalprice"])))
+    n_fc: dict[tuple[int, str], int] = defaultdict(int)
+    s_fc: dict[tuple[int, str], int] = defaultdict(int)
+    for f, c, y in rows:
+        n_fc[(f, c)] += 1
+        s_fc[(f, c)] += y
+    n_c: dict[str, int] = defaultdict(int)
+    s_c: dict[str, int] = defaultdict(int)
+    for (f, c), n in n_fc.items():
+        n_c[c] += n
+        s_c[c] += s_fc[(f, c)]
+    expect = {}
+    per_fold_err: dict[int, list[int]] = defaultdict(list)
+    for f, c, y in rows:
+        pred = ((s_c[c] - s_fc[(f, c)]) * 1000000) // (n_c[c] - n_fc[(f, c)])
+        per_fold_err[f].append(abs(y * 1000000 - pred))
+    for f, errs in per_fold_err.items():
+        expect[f] = (len(errs), sum(errs) // len(errs))
+    got = {
+        r.fold: (r.n, r.mae_micros)
+        for r in SPECS["kfold_cv_metrics"].builder(spark, SF_DIR).collect()
+    }
+    assert got == expect and len(got) == 5
+    # leave-fold-out identity: fold sizes sum to the table
+    assert sum(n for n, _ in got.values()) == len(rows)
+
+
+def test_rich_club_python_replay(spark):
+    by_order = _order_parts()
+    edges = set()
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for i, a in enumerate(ps):
+            for b in ps[i + 1 :]:
+                edges.add((a, b))
+    deg: dict[int, int] = defaultdict(int)
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    got = {
+        r.k: (r.n_k, r.e_k, r.phi_micros)
+        for r in SPECS["rich_club_coefficient"].builder(spark, SF_DIR).collect()
+    }
+    prev_phi = None
+    for k in (2, 4, 8):
+        elite = {n for n, d in deg.items() if d > k}
+        e_k = sum(1 for a, b in edges if a in elite and b in elite)
+        n_k = len(elite)
+        phi = (2000000 * e_k) // (n_k * (n_k - 1)) if n_k >= 2 else 0
+        assert got[k] == (n_k, e_k, phi), k
+        # density of the elite subgraph is monotone-ish upward in k on
+        # a hub-assortative graph; at least it stays a valid density
+        assert 0 <= phi <= 1000000
