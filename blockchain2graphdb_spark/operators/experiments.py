@@ -1424,3 +1424,90 @@ def cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (n1 * n2) AS BIGINT)"
         ).alias("delta_micros"),
     )
+
+
+@query(
+    "sample_size_proportion",
+    oracle="""
+    WITH u AS (
+      SELECT c.c_custkey,
+             CAST(MAX(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS conv
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(conv) AS BIGINT) AS pos
+      FROM u
+    )
+    SELECT n AS n_users, pos AS n_converted,
+           CAST((1000000 * pos) // n AS BIGINT) AS p_micros,
+           CAST(CEIL(
+             2.0 * 2.8015852181129683 * 2.8015852181129683
+             * (CAST(pos AS DOUBLE) / n) * (1.0 - CAST(pos AS DOUBLE) / n)
+             / ((0.02) * (0.02))) AS BIGINT) AS n_per_arm_abs2pp,
+           CAST(CEIL(
+             2.0 * 2.8015852181129683 * 2.8015852181129683
+             * (1.0 - CAST(pos AS DOUBLE) / n)
+             / ((0.05) * (0.05) * (CAST(pos AS DOUBLE) / n)))
+             AS BIGINT) AS n_per_arm_rel5pct
+    FROM m
+    """,
+)
+def sample_size_proportion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAMPLE-SIZE CALCULATOR for a conversion-rate A/B test — the
+    proportion counterpart of mde_power_analysis (which sizes a MEANS
+    test from spend variance): from the base's own fulfilled-customer
+    rate p (customers with at least one fulfilled order — the events
+    fixture converts every user, so the customer base is the unit with
+    an interior baseline), the per-arm n to detect (a) an absolute +2pp lift and (b)
+    a relative +5% lift at alpha 0.05 / power 0.8, via
+    n = 2 (z_a + z_b)^2 p(1-p) / delta^2 with the HARDCODED z-sum
+    constant 2.8015852181129683 (no engine evaluates a normal CDF —
+    the srm_check discipline). p itself is an exact integer ratio;
+    the two sizing formulas are structurally identical double
+    expressions of the same exact integers, CEIL-quantized (you can't
+    recruit a fractional user, and both engines CEIL doubles
+    identically).
+
+    Scale shape: one customer-keyed LEFT join + aggregate reduces the
+    base to O(#customers), one 1-row reduce — the mde_power_analysis
+    plan."""
+    prep(spark)
+    u = (
+        table(spark, sf_dir, "customer")
+        .select("c_custkey")
+        .join(
+            table(spark, sf_dir, "orders").select(
+                F.col("o_custkey").alias("c_custkey"), "o_orderstatus"
+            ),
+            "c_custkey",
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(
+            F.max(
+                F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+            ).alias("conv")
+        )
+    )
+    m = u.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("conv").cast("long").alias("pos"),
+    )
+    z2 = 2.8015852181129683 * 2.8015852181129683
+    p = F.col("pos").cast("double") / F.col("n").cast("double")
+    return m.select(
+        F.col("n").alias("n_users"),
+        F.col("pos").alias("n_converted"),
+        F.expr("CAST((1000000 * pos) div n AS BIGINT)").alias("p_micros"),
+        F.ceil(F.lit(2.0) * F.lit(z2) * p * (F.lit(1.0) - p) / F.lit(0.02 * 0.02))
+        .cast("long")
+        .alias("n_per_arm_abs2pp"),
+        F.ceil(
+            F.lit(2.0) * F.lit(z2) * (F.lit(1.0) - p) / (F.lit(0.05 * 0.05) * p)
+        )
+        .cast("long")
+        .alias("n_per_arm_rel5pct"),
+    )

@@ -2115,3 +2115,154 @@ def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("z_micros"),
         )
     )
+
+
+_HURST_SIZES = (4, 8, 16)
+
+
+def _hurst_oracle() -> str:
+    per_size = []
+    for m in _HURST_SIZES:
+        per_size.append(f"""
+    blk{m} AS (
+      SELECT (i - 1) // {m} AS blk, i, y,
+             COUNT(*) OVER (PARTITION BY (i - 1) // {m}) AS bn
+      FROM idx
+    ),
+    pre{m} AS (
+      SELECT blk, i, y,
+             SUM(CAST(y AS HUGEINT)) OVER w AS cum,
+             ROW_NUMBER() OVER w AS j,
+             SUM(CAST(y AS HUGEINT)) OVER (PARTITION BY blk) AS s,
+             SUM(CAST(y AS HUGEINT) * y) OVER (PARTITION BY blk) AS q
+      FROM blk{m} WHERE bn = {m}
+      WINDOW w AS (PARTITION BY blk ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    z{m} AS (
+      SELECT blk,
+             MAX({m} * cum - j * s) - MIN({m} * cum - j * s) AS range_m,
+             MIN({m} * q - s * s) AS var_m2
+      FROM pre{m} GROUP BY blk
+    ),
+    rs{m} AS (
+      SELECT CAST(SUM(CAST(ROUND(
+               CASE WHEN var_m2 = 0 THEN 0.0
+                    ELSE CAST(range_m AS DOUBLE)
+                         / SQRT(CAST(var_m2 AS DOUBLE)) END * 1e9)
+             AS BIGINT)) // COUNT(*) AS BIGINT) AS rs_nanos,
+             CAST(COUNT(*) AS BIGINT) AS n_blk
+      FROM z{m}
+    )""")
+    body = "," + ",".join(per_size)
+    return f"""
+    WITH d AS (
+      SELECT (epoch_ns(ts) // 1000) // {86400000000} AS day,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    daily AS (SELECT day, CAST(SUM(cents) AS BIGINT) AS y FROM d GROUP BY day),
+    idx AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS i, y
+      FROM daily
+    ){body}
+    SELECT rs4.rs_nanos AS rs4_nanos, rs4.n_blk AS n_blk4,
+           rs8.rs_nanos AS rs8_nanos, rs8.n_blk AS n_blk8,
+           rs16.rs_nanos AS rs16_nanos, rs16.n_blk AS n_blk16,
+           CAST(ROUND(
+             (ln(CAST(rs16.rs_nanos AS DOUBLE)) - ln(CAST(rs4.rs_nanos AS DOUBLE)))
+             / (ln(16.0) - ln(4.0)) * 1e6) AS BIGINT) AS hurst_micros
+    FROM rs4, rs8, rs16
+    """
+
+
+@query("hurst_rs", oracle=_hurst_oracle())
+def hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HURST EXPONENT by rescaled-range (R/S) analysis of daily
+    purchase revenue — the long-memory diagnostic (H > 0.5 trending /
+    persistent, < 0.5 mean-reverting) beside acf/ljung_box's
+    short-lag view: for block sizes m = 4/8/16 over the observed-day
+    index, each full block's R = max-min of cumulative mean deviations
+    and S = population sd combine into R/S = (max mZ - min mZ) /
+    sqrt(m q - s^2) — both sides EXACT INTEGERS with denominators
+    cleared (mZ_j = m cum_j - j s), so the only doubles are one ratio
+    + sqrt per block, ROUND-quantized to int nanos per block BEFORE
+    the per-size mean (the order-independent-integer discipline —
+    averaging raw doubles across blocks would be aggregation-order
+    sensitive). H = the two-point ln slope between m=4 and m=16 of
+    the mean R/S (endpoint estimator; ln-parity precedent).
+
+    Scale shape: one map-side daily aggregate collapses the log; every
+    window is partitioned by block over the CALENDAR-BOUNDED day
+    table; per-size reductions are O(#blocks). Scoring many series
+    adds a partition key, not a plan change."""
+    prep(spark)
+    rev = (
+        table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .groupBy(F.expr(f"unix_micros(ts) div {_DAY_US}").alias("day"))
+        .agg(F.sum((dec2("value") * 100).cast("long")).cast("long").alias("y"))
+    )
+    idx = rev.select(
+        F.row_number().over(W.orderBy("day")).cast("long").alias("i"), "y"
+    )
+    stats = {}
+    for m in _HURST_SIZES:
+        blk = idx.withColumn("blk", F.expr(f"(i - 1) div {m}")).withColumn(
+            "bn", F.count(F.lit(1)).over(W.partitionBy("blk"))
+        ).where(F.col("bn") == m)
+        wb = W.partitionBy("blk").orderBy("i")
+        wcum = wb.rowsBetween(W.unboundedPreceding, W.currentRow)
+        yd = F.col("y").cast(_D38)
+        pre = blk.select(
+            "blk",
+            F.sum(yd).over(wcum).alias("cum"),
+            F.row_number().over(wb).cast("long").alias("j"),
+            F.sum(yd).over(W.partitionBy("blk")).alias("s"),
+            F.sum(yd * F.col("y")).over(W.partitionBy("blk")).alias("q"),
+        )
+        mz = F.expr(f"{m} * cum - j * s")
+        z = pre.groupBy("blk").agg(
+            (F.max(mz) - F.min(mz)).alias("range_m"),
+            F.min(F.expr(f"{m} * q - s * s")).alias("var_m2"),
+        )
+        rs = z.select(
+            F.round(
+                F.when(F.col("var_m2") == 0, F.lit(0.0)).otherwise(
+                    F.col("range_m").cast("double")
+                    / F.sqrt(F.col("var_m2").cast("double"))
+                )
+                * 1e9
+            )
+            .cast("long")
+            .alias("rs_nanos")
+        ).agg(
+            F.expr("CAST(SUM(rs_nanos) div COUNT(*) AS BIGINT)").alias(
+                f"rs{m}_nanos"
+            ),
+            F.count(F.lit(1)).cast("long").alias(f"n_blk{m}"),
+        )
+        stats[m] = rs
+    out = (
+        stats[4]
+        .crossJoin(F.broadcast(stats[8]))
+        .crossJoin(F.broadcast(stats[16]))
+    )
+    return out.select(
+        "rs4_nanos",
+        "n_blk4",
+        "rs8_nanos",
+        "n_blk8",
+        "rs16_nanos",
+        "n_blk16",
+        F.round(
+            (
+                F.log(F.col("rs16_nanos").cast("double"))
+                - F.log(F.col("rs4_nanos").cast("double"))
+            )
+            / (F.log(F.lit(16.0)) - F.log(F.lit(4.0)))
+            * 1e6
+        )
+        .cast("long")
+        .alias("hurst_micros"),
+    )

@@ -90,6 +90,8 @@ _SAMPLE_PRIORITY = (
     "fulfillment_latency_sla",  # r0 oracle
     "kfold_cv_metrics",  # r0 oracle
     "rich_club_coefficient",  # r0 oracle
+    "hurst_rs",  # r0 oracle
+    "sample_size_proportion",  # r0 oracle
     "ann_recall_curve",  # r0 oracle
     "anova_oneway",  # r0 oracle
     "approx_quantile_audit",  # r0 oracle

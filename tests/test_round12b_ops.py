@@ -1045,3 +1045,64 @@ def test_rich_club_python_replay(spark):
         # density of the elite subgraph is monotone-ish upward in k on
         # a hub-assortative graph; at least it stays a valid density
         assert 0 <= phi <= 1000000
+
+
+def test_hurst_rs_python_replay(spark):
+    import math
+
+    t = pq.read_table(
+        f"{SF_DIR}/events.parquet", columns=["ts", "event_type", "value"]
+    ).to_pylist()
+    daily: dict[int, int] = defaultdict(int)
+    for r in t:
+        if r["event_type"] == "purchase":
+            daily[int(r["ts"].timestamp() * 1_000_000) // 86_400_000_000] += _cents(
+                r["value"]
+            )
+    ys = [daily[d] for d in sorted(daily)]
+    out = {}
+    for m in (4, 8, 16):
+        rs_vals = []
+        for b in range(len(ys) // m):
+            blk = ys[b * m : (b + 1) * m]
+            s = sum(blk)
+            q = sum(y * y for y in blk)
+            mz = [m * sum(blk[: j + 1]) - (j + 1) * s for j in range(m)]
+            var_m2 = m * q - s * s
+            rs = 0.0 if var_m2 == 0 else (max(mz) - min(mz)) / math.sqrt(var_m2)
+            rs_vals.append(round(rs * 1e9))
+        out[m] = (sum(rs_vals) // len(rs_vals), len(rs_vals))
+    r = SPECS["hurst_rs"].builder(spark, SF_DIR).collect()[0]
+    assert (r.rs4_nanos, r.n_blk4) == out[4]
+    assert (r.rs8_nanos, r.n_blk8) == out[8]
+    assert (r.rs16_nanos, r.n_blk16) == out[16]
+    hurst = (math.log(out[16][0]) - math.log(out[4][0])) / (
+        math.log(16.0) - math.log(4.0)
+    )
+    assert r.hurst_micros == round(hurst * 1e6)
+    # R/S grows with m on any non-degenerate series; H in a sane band
+    assert out[16][0] > out[4][0]
+    assert 0 < r.hurst_micros < 1500000
+
+
+def test_sample_size_proportion_python_replay(spark):
+    import math
+
+    cust = pq.read_table(f"{SF_DIR}/customer.parquet", columns=["c_custkey"]).to_pylist()
+    orders = pq.read_table(
+        f"{SF_DIR}/orders.parquet", columns=["o_custkey", "o_orderstatus"]
+    ).to_pylist()
+    conv = {r["c_custkey"]: 0 for r in cust}
+    for r in orders:
+        if r["o_orderstatus"] == "F" and r["o_custkey"] in conv:
+            conv[r["o_custkey"]] = 1
+    n, pos = len(conv), sum(conv.values())
+    p = pos / n
+    z2 = 2.8015852181129683**2
+    r = SPECS["sample_size_proportion"].builder(spark, SF_DIR).collect()[0]
+    assert (r.n_users, r.n_converted) == (n, pos)
+    assert r.p_micros == (1000000 * pos) // n
+    assert r.n_per_arm_abs2pp == math.ceil(2 * z2 * p * (1 - p) / (0.02**2))
+    assert r.n_per_arm_rel5pct == math.ceil(2 * z2 * (1 - p) / (0.05**2 * p))
+    # relative lifts need far larger samples at high baseline rates
+    assert r.n_per_arm_abs2pp > 0 and r.n_per_arm_rel5pct > 0
