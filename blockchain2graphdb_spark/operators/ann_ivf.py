@@ -588,7 +588,10 @@ def ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.sqrt((F.col("qnorm2") * F.col("cnorm2x")).cast("double"))
             ).alias("cosine"),
         )
-        .dropDuplicates(["query_id", "cand_id"])
+        # No dedup needed: idx assigns each candidate to exactly ONE
+        # cell and a query's probe cells are distinct, so (query_id,
+        # cand_id) pairs are unique by construction — and the oracle
+        # relies on the same invariant (ADVICE r12).
         .withColumn("rn", F.row_number().over(wq))
         .where(F.col("rn") <= 10)
         .select(

@@ -1447,11 +1447,12 @@ def cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
              2.0 * 2.8015852181129683 * 2.8015852181129683
              * (CAST(pos AS DOUBLE) / n) * (1.0 - CAST(pos AS DOUBLE) / n)
              / ((0.02) * (0.02))) AS BIGINT) AS n_per_arm_abs2pp,
-           CAST(CEIL(
+           CASE WHEN pos = 0 THEN NULL
+                ELSE CAST(CEIL(
              2.0 * 2.8015852181129683 * 2.8015852181129683
              * (1.0 - CAST(pos AS DOUBLE) / n)
              / ((0.05) * (0.05) * (CAST(pos AS DOUBLE) / n)))
-             AS BIGINT) AS n_per_arm_rel5pct
+             AS BIGINT) END AS n_per_arm_rel5pct
     FROM m
     """,
 )
@@ -1505,9 +1506,17 @@ def sample_size_proportion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ceil(F.lit(2.0) * F.lit(z2) * p * (F.lit(1.0) - p) / F.lit(0.02 * 0.02))
         .cast("long")
         .alias("n_per_arm_abs2pp"),
-        F.ceil(
-            F.lit(2.0) * F.lit(z2) * (F.lit(1.0) - p) / (F.lit(0.05 * 0.05) * p)
+        # pos = 0 guard: the relative-lift sizing divides by p; a
+        # never-converting base would hit engine-divergent inf->BIGINT
+        # behavior without it (ADVICE r12).
+        F.when(F.col("pos") == 0, F.lit(None).cast("long"))
+        .otherwise(
+            F.ceil(
+                F.lit(2.0)
+                * F.lit(z2)
+                * (F.lit(1.0) - p)
+                / (F.lit(0.05 * 0.05) * p)
+            ).cast("long")
         )
-        .cast("long")
         .alias("n_per_arm_rel5pct"),
     )

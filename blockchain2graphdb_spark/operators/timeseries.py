@@ -1805,7 +1805,7 @@ def ljung_box_q(spark: SparkSession, sf_dir: str) -> DataFrame:
              ABS(x * 1000000
                  - CAST((s_before * 1000000) // (i - 1) AS BIGINT))
                AS err_mean
-      FROM idx WHERE i > nd - 8
+      FROM idx WHERE i > nd - 8 AND i > 1
     )
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n_origins,
@@ -1825,7 +1825,10 @@ def rolling_origin_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline of feature_pit_join applied to forecasting eval).
     Exactness: the expanding mean is floor((prefix_sum * 1e6)/(i-1))
     micros; errors are exact integer micros; each MAE is one floor
-    division.
+    division. Origins with no prior history (i = 1, reachable when a
+    type has <= 8 observed days) are excluded from BOTH models' MAE
+    numerator AND denominator, so short series don't dilute the mean
+    (ADVICE r12).
 
     Scale shape: one map-side daily aggregate collapses the log to the
     bounded (type, day) table; the row-index, lag, and prefix-sum
@@ -1843,7 +1846,7 @@ def rolling_origin_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("x").over(wl).alias("prev"),
         F.sum("x").over(wp).alias("s_before"),
     )
-    o = idx.where(F.col("i") > F.col("nd") - 8).select(
+    o = idx.where((F.col("i") > F.col("nd") - 8) & (F.col("i") > 1)).select(
         "event_type",
         (F.abs(F.col("x") - F.col("prev")) * 1000000).alias("err_naive"),
         F.abs(
@@ -2032,13 +2035,15 @@ def segmented_trend_break(spark: SparkSession, sf_dir: str) -> DataFrame:
            s.s AS s_stat,
            CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tt AS BIGINT)
              AS var18,
-           CAST(ROUND(
+           CASE WHEN nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tt = 0
+                THEN CAST(0 AS BIGINT)
+                ELSE CAST(ROUND(
              CAST(CASE WHEN s.s > 0 THEN s.s - 1
                        WHEN s.s < 0 THEN s.s + 1 ELSE 0 END AS DOUBLE)
              * SQRT(18.0)
              / SQRT(CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tt
                          AS DOUBLE))
-             * 1e6) AS BIGINT) AS z_micros
+             * 1e6) AS BIGINT) END AS z_micros
     FROM s, nn, ties
     """,
 )
@@ -2100,18 +2105,28 @@ def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(
                 "CAST(n * (n - 1) * (2 * n + 5) - tt AS BIGINT)"
             ).alias("var18"),
-            F.round(
-                F.expr(
-                    "CAST(CASE WHEN s > 0 THEN s - 1"
-                    " WHEN s < 0 THEN s + 1 ELSE 0 END AS DOUBLE)"
-                )
-                * F.sqrt(F.lit(18.0))
-                / F.sqrt(
-                    F.expr("CAST(n * (n - 1) * (2 * n + 5) - tt AS DOUBLE)")
-                )
-                * 1e6
+            # var18 = 0 (fully-tied series) guard: without it Spark's
+            # non-ANSI Infinity->long saturates while DuckDB raises —
+            # an engine-divergent latent break (ADVICE r12).
+            F.when(
+                F.expr("n * (n - 1) * (2 * n + 5) - tt = 0"),
+                F.lit(0).cast("long"),
             )
-            .cast("long")
+            .otherwise(
+                F.round(
+                    F.expr(
+                        "CAST(CASE WHEN s > 0 THEN s - 1"
+                        " WHEN s < 0 THEN s + 1 ELSE 0 END AS DOUBLE)"
+                    )
+                    * F.sqrt(F.lit(18.0))
+                    / F.sqrt(
+                        F.expr(
+                            "CAST(n * (n - 1) * (2 * n + 5) - tt AS DOUBLE)"
+                        )
+                    )
+                    * 1e6
+                ).cast("long")
+            )
             .alias("z_micros"),
         )
     )
