@@ -95,10 +95,61 @@ SECONDARY = [
 ]
 
 
+# Same-window A/B protocol (VERDICT r12 #3): cross-round ABSOLUTE bench
+# totals are not comparable on this host — identical code drifted
+# 23.8s -> 28.3s between rounds 10 and 12 (same-code bisect, STATUS r12)
+# — so every bench run ALSO times the pinned end-of-round-1 commit
+# back-to-back in the same window and reports the RATIO. The ratio is
+# the cross-round-comparable number; raw totals are host-conditioned.
+R01_COMMIT = "b1cfc5a"  # round-1 end commit behind BENCH_r01 (39.17s)
+_REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def _run_r01_leg(sf_dir: str, runs: int) -> dict | None:
+    """Run the pinned r01 commit's bench.py in a git worktree as a
+    subprocess (its JVM exits before ours starts — no contention) and
+    return its parsed JSON line, or None if the leg can't run."""
+    import subprocess
+
+    wt = os.path.join(_REPO, ".tmp", "ab_r01")
+    try:
+        if not os.path.isdir(os.path.join(wt, "blockchain2graphdb_spark")):
+            subprocess.run(
+                ["git", "-C", _REPO, "worktree", "prune"],
+                check=False, capture_output=True, timeout=60,
+            )
+            subprocess.run(
+                ["git", "-C", _REPO, "worktree", "add", "--detach", wt,
+                 R01_COMMIT],
+                check=True, capture_output=True, timeout=120,
+            )
+        env = dict(os.environ)
+        env["SPARK_GRAFT_SF_DIR"] = sf_dir
+        env["SPARK_GRAFT_BENCH_RUNS"] = str(runs)  # same best-of-N as HEAD
+        env["SPARK_GRAFT_AB"] = "0"  # belt-and-braces: never recurse
+        out = subprocess.run(
+            [sys.executable, "bench.py"], cwd=wt, env=env,
+            capture_output=True, text=True, timeout=1800,
+        )
+        if out.returncode != 0:
+            print(f"# A/B r01 leg failed rc={out.returncode}", file=sys.stderr)
+            return None
+        return json.loads(out.stdout.strip().splitlines()[-1])
+    except Exception as e:  # noqa: BLE001 — A/B is best-effort telemetry
+        print(f"# A/B r01 leg unavailable: {e}", file=sys.stderr)
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
+
+    # The r01 leg runs FIRST so its JVM exits before ours allocates.
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+    r01 = None
+    if os.environ.get("SPARK_GRAFT_AB", "1") != "0":
+        r01 = _run_r01_leg(sf_dir, runs)
 
     specs = registry.load_all()
     spark = get_spark("bench")
@@ -126,7 +177,6 @@ def main() -> None:
     # minimum over two passes reports the code's cost, not the noisiest
     # scheduler moment. Pass 2 re-executes fully (no result caching —
     # builders re-plan and localCheckpoint afresh each call).
-    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     times: dict[str, float] = {}
     # Accumulator-lifecycle pin (BENCH_r06 postmortem): SQL-metric
     # accumulators are registered via weak references, so when a
@@ -165,18 +215,31 @@ def main() -> None:
         print(f"# [secondary] {name}: {best}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "secondary": secondary,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "total_query_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "secondary": secondary,
+        "sf": sf,
+    }
+    if r01 is not None:
+        # Ratio over the SHARED headline keys only, so the number stays
+        # meaningful even if a future round renames a headline entry.
+        shared = [k for k in times if k in r01.get("queries", {})]
+        head_sh = sum(times[k] for k in shared)
+        r01_sh = sum(r01["queries"][k] for k in shared)
+        out["r01_same_window"] = {
+            "commit": R01_COMMIT,
+            "value": r01.get("value"),
+            "shared_keys": len(shared),
+            "shared_total": round(r01_sh, 3),
+        }
+        if r01_sh > 0:
+            out["headline_ratio_vs_r01_same_window"] = round(
+                head_sh / r01_sh, 3
+            )
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -70,60 +70,7 @@ _OPERATOR_MODULES = (
 # tests/test_round8_ops.py::test_sample_priority_is_complete, since
 # load_all() silently ignores missing keys).
 _SAMPLE_PRIORITY = (
-    # --- new round-12 head: never-driver-witnessed first, then stalest ---
-    # VERDICT r11 #2: the two never-driver-witnessed keys (plus the
-    # r12 lateness census) pinned at the very head so the ~50-key gate
-    # cannot rotate them out again
-    "wasserstein_1d_drift",  # r0 oracle (judge-verified only)
-    "window_cume_dist",  # r0 oracle (judge-verified only)
-    "watermark_lateness_census",  # r0 oracle
-    "skew_kurtosis_profile",  # r0 oracle
-    "segmented_trend_break",  # r0 oracle
-    "naive_bayes_lang",  # r0 oracle
-    "grubbs_test",  # r0 oracle
-    "stream_anomaly_zscore",  # r0 oracle
-    "kendall_tau",  # r0 oracle
-    "spearman_rho",  # r0 oracle
-    "bloom_fpr_calibration",  # r0 oracle
-    "pinball_loss_eval",  # r0 oracle
-    "mann_kendall_trend",  # r0 oracle
-    "fulfillment_latency_sla",  # r0 oracle
-    "kfold_cv_metrics",  # r0 oracle
-    "rich_club_coefficient",  # r0 oracle
-    "hurst_rs",  # r0 oracle
-    "sample_size_proportion",  # r0 oracle
-    "ann_recall_curve",  # r0 oracle
-    "anova_oneway",  # r0 oracle
-    "approx_quantile_audit",  # r0 oracle
-    "attribution_shapley",  # r0 oracle
-    "bigram_lm_perplexity",  # r0 oracle
-    "brier_decomposition",  # r0 oracle
-    "churn_labels",  # r0 oracle
-    "cliffs_delta",  # r0 oracle
-    "cold_start_census",  # r0 oracle
-    "countmin_calibration",  # r0 oracle
-    "dataset_mixture_manifest",  # r0 oracle
-    "dp_sensitivity_census",  # r0 oracle
-    "embedding_random_projection",  # r0 oracle
-    "group_percentiles",  # r0 oracle
-    "herfindahl_concentration",  # r0 oracle
-    "holt_linear_forecast",  # r0 oracle
-    "item_cf_recommend",  # r0 oracle
-    "iv_2sls",  # r0 oracle
-    "ivf_index_incremental",  # r0 oracle
-    "join_bloom_runtime_filter",  # r0 oracle
-    "katz_centrality",  # r0 oracle
-    "khop_induced_subgraph",  # r0 oracle
-    "kneser_ney_prob",  # r0 oracle
-    "landmark_distances",  # r0 oracle
-    "ljung_box_q",  # r0 oracle
-    "lorenz_curve_deciles",  # r0 oracle
-    "matthews_mcc",  # r0 oracle
-    "mde_power_analysis",  # r0 oracle
-    "minhash_estimate_calibration",  # r0 oracle
-    "negative_edge_sample",  # r0 oracle
-    "node2vec_walk_sample_pq",  # r0 oracle
-    "page_hinkley_drift",  # r0 oracle
+    # --- new round-13 head: never-driver-witnessed first, then stalest ---
     "regression_metrics",  # r0 oracle
     "regression_stump",  # r0 oracle
     "rolling_origin_backtest",  # r0 oracle
@@ -509,6 +456,56 @@ _SAMPLE_PRIORITY = (
     "theil_sen_slope",  # r11 oracle
     "uplift_by_decile",  # r11 oracle
     "vocab_chao1_richness",  # r11 oracle
+    "ann_recall_curve",  # r12 oracle
+    "anova_oneway",  # r12 oracle
+    "approx_quantile_audit",  # r12 oracle
+    "attribution_shapley",  # r12 oracle
+    "bigram_lm_perplexity",  # r12 oracle
+    "bloom_fpr_calibration",  # r12 oracle
+    "brier_decomposition",  # r12 oracle
+    "churn_labels",  # r12 oracle
+    "cliffs_delta",  # r12 oracle
+    "cold_start_census",  # r12 oracle
+    "countmin_calibration",  # r12 oracle
+    "dataset_mixture_manifest",  # r12 oracle
+    "dp_sensitivity_census",  # r12 oracle
+    "embedding_random_projection",  # r12 oracle
+    "fulfillment_latency_sla",  # r12 oracle
+    "group_percentiles",  # r12 oracle
+    "grubbs_test",  # r12 oracle
+    "herfindahl_concentration",  # r12 oracle
+    "holt_linear_forecast",  # r12 oracle
+    "hurst_rs",  # r12 oracle
+    "item_cf_recommend",  # r12 oracle
+    "iv_2sls",  # r12 oracle
+    "ivf_index_incremental",  # r12 oracle
+    "join_bloom_runtime_filter",  # r12 oracle
+    "katz_centrality",  # r12 oracle
+    "kendall_tau",  # r12 oracle
+    "kfold_cv_metrics",  # r12 oracle
+    "khop_induced_subgraph",  # r12 oracle
+    "kneser_ney_prob",  # r12 oracle
+    "landmark_distances",  # r12 oracle
+    "ljung_box_q",  # r12 oracle
+    "lorenz_curve_deciles",  # r12 oracle
+    "mann_kendall_trend",  # r12 oracle
+    "matthews_mcc",  # r12 oracle
+    "mde_power_analysis",  # r12 oracle
+    "minhash_estimate_calibration",  # r12 oracle
+    "naive_bayes_lang",  # r12 oracle
+    "negative_edge_sample",  # r12 oracle
+    "node2vec_walk_sample_pq",  # r12 oracle
+    "page_hinkley_drift",  # r12 oracle
+    "pinball_loss_eval",  # r12 oracle
+    "rich_club_coefficient",  # r12 oracle
+    "sample_size_proportion",  # r12 oracle
+    "segmented_trend_break",  # r12 oracle
+    "skew_kurtosis_profile",  # r12 oracle
+    "spearman_rho",  # r12 oracle
+    "stream_anomaly_zscore",  # r12 oracle
+    "wasserstein_1d_drift",  # r12 oracle
+    "watermark_lateness_census",  # r12 oracle
+    "window_cume_dist",  # r12 oracle
 )
 
 
