@@ -2624,3 +2624,136 @@ def join_bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _with_bloom_confs(
         spark, lambda: local_checkpoint(_bloom_join(spark, sf_dir))
     )
+
+
+_SKEW_AQE_CONFS = {
+    # AQE skew-join defaults are sized for production partitions
+    # (256 MB threshold); at fixture scale they are scoped DOWN so the
+    # deliberately-hot partition (~70% of the fact on one key) trips
+    # the same detector a 100 TB hot key would trip at the defaults.
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8k",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8k",
+    # the dim must not broadcast, or there is no shuffle join to split
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+def _with_skew_aqe_confs(spark: SparkSession, fn):
+    """Scope the skew-forcing confs around fn() and RESTORE them (the
+    join_bloom_runtime_filter discipline: the session is driver-owned
+    and other keys' plan pins depend on the defaults)."""
+    old = {k: spark.conf.get(k) for k in _SKEW_AQE_CONFS}
+    for k, v in _SKEW_AQE_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        return fn()
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+
+
+def _skew_aqe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hot_f = F.when(F.col("l_partkey") % 10 < 7, F.lit(0)).otherwise(
+        F.col("l_partkey")
+    )
+    # Each fixture file is ONE parquet row group = ONE map task, and
+    # AQE splits a skewed reduce partition at MAPPER boundaries — with
+    # a single mapper there is nothing to split. The round-robin
+    # repartition(8) simulates the many-mapper shuffle a real cluster
+    # scan produces (at 100 TB the fact side has thousands of map
+    # tasks and this exchange would not exist).
+    fact = (
+        table(spark, sf_dir, "lineitem")
+        .select(hot_f.cast("long").alias("hk"), "l_returnflag", "l_quantity")
+        .repartition(8)
+    )
+    # The dim is built as cold-projection UNION hot-1-row-aggregate, NOT
+    # a groupBy(hk): a groupBy's output is already hash-partitioned on
+    # hk, the join requirement is then satisfied with NO dim-side
+    # shuffle stage, and OptimizeSkewedJoin — which pattern-matches
+    # SMJ(Sort(shuffle), Sort(shuffle)) because splitting the skewed
+    # side means replicating the OTHER side's shuffle partition — never
+    # fires. The union's unknown partitioning forces the fresh
+    # ENSURE_REQUIREMENTS exchange the rule needs. Values are identical
+    # to the groupBy (cold hk are unique, MIN of one row is the row).
+    hot_mask = F.col("p_partkey") % 10 < 7
+    cents = (F.col("p_retailprice").cast("decimal(18,2)") * 100).cast("long")
+    part_t = table(spark, sf_dir, "part")
+    cold = part_t.where(~hot_mask).select(
+        F.col("p_partkey").cast("long").alias("hk"),
+        cents.alias("dim_cents"),
+    )
+    hot = (
+        part_t.where(hot_mask)
+        .agg(F.min(cents).cast("long").alias("dim_cents"))
+        .select(F.lit(0).cast("long").alias("hk"), "dim_cents")
+    )
+    dim = cold.unionByName(hot)
+    # the aggregate key (l_returnflag) is NOT the join key (hk), so the
+    # aggregate needs its own shuffle no matter what — splitting the
+    # skewed join partition therefore costs AQE no EXTRA shuffle and
+    # OptimizeSkewedJoin applies without forceOptimizeSkewedJoin
+    return (
+        fact.join(dim, "hk")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            money_sum("l_quantity", "sum_qty"),
+            F.sum("dim_cents").cast("long").alias("sum_dim_cents"),
+        )
+    )
+
+
+@query(
+    "join_skew_aqe_split",
+    oracle="""
+    WITH f AS (
+      SELECT CASE WHEN l_partkey % 10 < 7 THEN 0 ELSE l_partkey END AS hk,
+             l_returnflag, l_quantity
+      FROM lineitem
+    ),
+    d AS (
+      SELECT CASE WHEN p_partkey % 10 < 7 THEN 0 ELSE p_partkey END AS hk,
+             CAST(MIN(CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS dim_cents
+      FROM part GROUP BY 1
+    )
+    SELECT f.l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(d.dim_cents) AS BIGINT) AS sum_dim_cents
+    FROM f JOIN d ON d.hk = f.hk
+    GROUP BY 1
+    """,
+)
+def join_skew_aqe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-family scale story #5 — RUNTIME skew-join splitting, the one
+    Catalyst scale feature not yet plan-pinned (VERDICT r12 #8) and
+    the complement of `join_skew_salted`: salting is the STATIC
+    mitigation you write into the query; AQE's OptimizeSkewedJoin is
+    the DYNAMIC one the engine applies from the actual shuffle-map
+    sizes at runtime, with no query rewrite. Same deliberately-hot
+    derived key as the salted demo (part keys with `key % 10 < 7`
+    collapse onto key 0, ~70% of fact rows on one join key — the
+    reference's hot `name`-index probe, T:158, at shuffle-join
+    scale): the skewed map partition is split into
+    advisory-size chunks and the matching dim partition is
+    replicated per chunk, so key 0's rows spread over many reducers —
+    what salting does by hand, decided from runtime statistics
+    instead. The forcing confs (threshold scaled to fixture bytes,
+    broadcast suppression — the tiny dim would otherwise broadcast,
+    which at fixture scale is the RIGHT plan) are SCOPED around an
+    eager materialization and restored; a round-robin repartition(8)
+    stands in for the many-mapper shuffle a real cluster scan
+    produces, because AQE splits a skewed partition at MAPPER
+    boundaries and the one-row-group fixture file is a single mapper. The executed plan's
+    `skew=true` sort-merge join plus the conf restoration are pinned
+    by tests/test_plans.py::test_skew_aqe_split_plan_and_restore; a
+    green oracle row proves the split changes the schedule, never the
+    result (the oracle is the plain unsalted, unsplit join)."""
+    prep(spark)
+    return _with_skew_aqe_confs(
+        spark, lambda: local_checkpoint(_skew_aqe_join(spark, sf_dir))
+    )

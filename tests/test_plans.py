@@ -396,3 +396,38 @@ def test_bloom_runtime_filter_injected_and_confs_restored(spark):
     # and the registered builder itself restores them too
     SPECS["join_bloom_runtime_filter"].builder(spark, SF_DIR)
     assert {k: spark.conf.get(k) for k in _BLOOM_CONFS} == before
+
+
+def test_skew_aqe_split_plan_and_restore(spark):
+    """AQE runtime skew-join splitting (J-family scale story #5): under
+    the scoped confs the deliberately-hot fact partition must be
+    detected from runtime shuffle-map sizes and SPLIT — the executed
+    (AQE-final) plan carries SortMergeJoin(skew=true) and a skewed
+    AQEShuffleRead on the fact side — and the forcing confs must be
+    restored afterwards so no other key's plan sees them."""
+    from blockchain2graphdb_spark.operators.relational import (
+        _SKEW_AQE_CONFS,
+        _skew_aqe_join,
+        _with_skew_aqe_confs,
+    )
+
+    before = {k: spark.conf.get(k) for k in _SKEW_AQE_CONFS}
+
+    def probe():
+        df = _skew_aqe_join(spark, SF_DIR)
+        # the AQE final plan exists only after THIS QueryExecution runs
+        # (count() would spawn a separate one and leave it initial)
+        df.collect()
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    plan = _with_skew_aqe_confs(spark, probe)
+    final = plan.split("Initial Plan")[0]
+    assert "isFinalPlan=true" in plan, plan
+    assert "skew=true" in final, final
+    assert "skewed" in final, final  # the AQEShuffleRead annotation
+    assert "BroadcastHashJoin" not in final, final
+    after = {k: spark.conf.get(k) for k in _SKEW_AQE_CONFS}
+    assert after == before
+    # and the registered builder itself restores them too
+    SPECS["join_skew_aqe_split"].builder(spark, SF_DIR)
+    assert {k: spark.conf.get(k) for k in _SKEW_AQE_CONFS} == before
