@@ -163,3 +163,32 @@ def test_merge_sink_state_equals_batch_fold(spark, sf_dir):
         for r in spec.builder(spark, sf_dir).collect()
     }
     assert rerun == got
+
+
+def test_stream_ivf_assign_equals_batch_census(spark):
+    """The streaming IVF census must equal the batch assignment
+    (ivf_index_incremental) grouped by cell — micro-batch boundaries
+    must not show (assignment is stateless, the census commutative) —
+    and re-running must be idempotent."""
+    got = {
+        r["cell"]: (r["n_assigned"], r["vecid_sum"], r["d2_sum"])
+        for r in SPECS["stream_ivf_assign"].builder(spark, SF_DIR).collect()
+    }
+    want = {
+        r["cell"]: (r["n"], r["vs"], r["ds"])
+        for r in SPECS["ivf_index_incremental"]
+        .builder(spark, SF_DIR)
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("vec_id").cast("long").alias("vs"),
+            F.sum("d2").cast("long").alias("ds"),
+        )
+        .collect()
+    }
+    assert got == want and got
+    rerun = {
+        r["cell"]: (r["n_assigned"], r["vecid_sum"], r["d2_sum"])
+        for r in SPECS["stream_ivf_assign"].builder(spark, SF_DIR).collect()
+    }
+    assert rerun == got
