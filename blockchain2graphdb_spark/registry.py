@@ -71,6 +71,7 @@ _OPERATOR_MODULES = (
 # load_all() silently ignores missing keys).
 _SAMPLE_PRIORITY = (
     # --- new round-13 head: never-driver-witnessed first, then stalest ---
+    "join_skew_aqe_split",  # r0 oracle
     "regression_metrics",  # r0 oracle
     "regression_stump",  # r0 oracle
     "rolling_origin_backtest",  # r0 oracle
@@ -79,6 +80,7 @@ _SAMPLE_PRIORITY = (
     "simhash_hamming_calibration",  # r0 oracle
     "srm_check",  # r0 oracle
     "stream_dq_quarantine",  # r0 oracle
+    "stream_ivf_assign",  # r0 oracle
     "stream_mixture_admission",  # r0 oracle
     "stream_multi_table_ingest",  # r0 oracle
     "stream_page_hinkley",  # r0 oracle

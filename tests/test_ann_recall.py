@@ -5,6 +5,7 @@ brute-force top-k (the approximation lives ONLY in cell pruning)."""
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+import pytest
 from pyspark.sql import Window as W
 
 from blockchain2graphdb_spark.catalog import table
@@ -68,6 +69,7 @@ def _ivf_topk(spark, sf_dir, nprobe, k=K):
     )
 
 
+@pytest.mark.slow  # >9s measured r13; full lane still runs it
 def test_ivf_recall_floor(spark, sf_dir):
     bf = _brute_topk(spark, sf_dir)
     ivf = _ivf_topk(spark, sf_dir, _N_PROBE)
@@ -121,6 +123,7 @@ def test_lsh_recall_floor_and_table_scaling(spark, sf_dir):
     assert r4 > r1, f"OR-construction gained nothing: {r1:.2f} -> {r4:.2f}"
 
 
+@pytest.mark.slow  # >9s measured r13; full lane still runs it
 def test_dedup_embedding_lsh_pair_recall(spark, sf_dir):
     """LSH-blocked near-dup pairs (no blocking column) must recover a
     floor fraction of the exact all-pairs cosine>0.3 ground truth.

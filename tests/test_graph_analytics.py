@@ -7,6 +7,7 @@ import numpy as np
 import pyspark.sql.functions as F
 
 from blockchain2graphdb_spark.operators.graphops import pagerank_ranks
+import pytest
 
 
 def _pairs(spark, edges):
@@ -47,6 +48,7 @@ def test_pagerank_uniform_on_regular_graph(spark):
     assert max(ranks) - min(ranks) < 1e-12
 
 
+@pytest.mark.slow  # >9s measured r13; full lane still runs it
 def test_pagerank_warm_start_accelerates_convergence(spark):
     """Incremental maintenance: after an edge batch, warm-starting from
     the previous fixpoint must land closer to the new fixpoint than a

@@ -137,6 +137,7 @@ def test_adaptive_broadcast_rows_derives_from_session_heap(spark):
     assert adaptive_broadcast_rows(spark, fraction=1e9) == 64_000_000
 
 
+@pytest.mark.slow  # >9s measured r13; full lane still runs it
 def test_pregel_broadcast_switch_equivalence(spark):
     """The same Pregel computation forced down the broadcast path, the
     shuffle path, and the adaptive default must agree exactly — the

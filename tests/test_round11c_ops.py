@@ -17,6 +17,7 @@ from blockchain2graphdb_spark.plans.inspect import (
 )
 
 from conftest import SF_DIR
+import pytest
 
 SPECS = registry.load_all()
 
@@ -218,6 +219,7 @@ def test_quantile_normalize_no_global_window(spark):
 # embedding_pca_power
 
 
+@pytest.mark.slow  # >9s measured r13; full lane still runs it
 def test_pca_power_aligns_with_numpy_eigenvector(spark):
     """The 12-round integer power iteration must align (|cosine| >
     0.999) with numpy's exact top covariance eigenvector."""
@@ -236,6 +238,7 @@ def test_pca_power_aligns_with_numpy_eigenvector(spark):
     assert cos > 0.999, cos
 
 
+@pytest.mark.slow  # >9s measured r13; full lane still runs it
 def test_pca_power_scale_is_max_component(spark):
     """Renormalization contract: max |component| == 1e6 exactly."""
     rows = _df("embedding_pca_power", spark).collect()

@@ -9,6 +9,7 @@ sys.path.insert(0, "/root/repo")
 
 from blockchain2graphdb_spark import registry
 from conftest import SF_DIR
+import pytest
 
 SPECS = registry.load_all()
 
@@ -89,6 +90,7 @@ def test_graphml_export_roundtrip(spark, tmp_path):
     assert all(e.get("source") in ids and e.get("target") in ids for e in xedges)
 
 
+@pytest.mark.slow  # >9s measured r13; full lane still runs it
 def test_graphml_quotes_hostile_values_and_column_names(spark, tmp_path):
     """Attribute values containing double quotes (and <>&) must produce
     well-formed XML, and an exotic column name must use the SAME key id

@@ -347,6 +347,7 @@ def test_concurrent_version_claim_is_exclusive(store, spark, sf_dir):
     assert sorted(results) == list(range(2, 2 + n))  # all landed, no dup/gap
 
 
+@pytest.mark.slow  # >9s measured r13; full lane still runs it
 def test_randomized_op_sequences_match_model(spark, tmp_path):
     """Model-based check: random write/append/overwrite/restore
     sequences must always read back exactly what an in-memory model

@@ -156,6 +156,7 @@ def _decoded_rows(chain):
     return rows
 
 
+@pytest.mark.slow  # >9s measured r13; full lane still runs it
 def test_stream_ingest_with_reorg(spark, tmp_path):
     """Batch 0 delivers the original chain; batch 1 delivers the reorg
     variant (same heights, divergent last 3 blocks). After the stream,
@@ -174,6 +175,7 @@ def test_stream_ingest_with_reorg(spark, tmp_path):
         assert got == exp, f"{name} diverges after streamed reorg"
 
 
+@pytest.mark.slow  # >9s measured r13; full lane still runs it
 def test_stream_ingest_versioned_reorg_and_time_travel(spark, tmp_path):
     """Same reorg scenario through SnapshotStore-backed ingestion: the
     final version must equal a cold ingest of the variant, the reorg
@@ -243,6 +245,7 @@ def test_motif_rejects_bad_patterns(g):
         g.find("(a)-[has]->(b); (x)-[locked]->(y)")
 
 
+@pytest.mark.slow  # >9s measured r13; full lane still runs it
 def test_versioned_ingest_empty_first_batch_table(spark, tmp_path):
     """A genesis-only first batch has no inputs; the empty init commit
     must record the schema so the next batch's read() succeeds instead
@@ -266,6 +269,7 @@ def test_versioned_ingest_empty_first_batch_table(spark, tmp_path):
         ), name
 
 
+@pytest.mark.slow  # >9s measured r13; full lane still runs it
 def test_versioned_ingest_reorg_crash_window_recovers(spark, tmp_path):
     """A reorg batch that ALSO appends fresh pre-fork rows (batch 0
     skipped height 8; batch 1 redelivers it alongside the reorg) makes
@@ -319,6 +323,7 @@ def test_versioned_ingest_reorg_crash_window_recovers(spark, tmp_path):
         ), f"{name} after crash-window replay"
 
 
+@pytest.mark.slow  # >9s measured r13; full lane still runs it
 def test_versioned_ingest_batch_redelivery_is_noop(spark, tmp_path):
     """Exactly-once under micro-batch re-delivery: replaying the same
     files through a SECOND stream against the same stores must not
