@@ -43,6 +43,13 @@ def _events_stream(
     return normalize_events_ts(s)
 
 
+# Progress of the most recent _run query (one entry per micro-batch),
+# refreshed on every call. Tests use it to ASSERT the bounded-state
+# claims the stateful keys' docstrings make (state-store numRowsTotal
+# <= the documented domain bound) instead of trusting the prose.
+_LAST_QUERY_PROGRESS: list = []
+
+
 def _run(spark: SparkSession, sdf: DataFrame, output_mode: str = "append") -> DataFrame:
     name = "s" + uuid.uuid4().hex[:12]
     q = (
@@ -53,6 +60,10 @@ def _run(spark: SparkSession, sdf: DataFrame, output_mode: str = "append") -> Da
         .start()
     )
     q.awaitTermination()
+    try:
+        _LAST_QUERY_PROGRESS[:] = list(q.recentProgress)
+    except Exception:  # noqa: BLE001 — telemetry only, never fail the query
+        _LAST_QUERY_PROGRESS[:] = []
     return spark.table(name)
 
 

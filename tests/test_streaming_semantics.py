@@ -192,3 +192,32 @@ def test_stream_ivf_assign_equals_batch_census(spark):
         for r in SPECS["stream_ivf_assign"].builder(spark, SF_DIR).collect()
     }
     assert rerun == got
+
+
+def _max_state_rows():
+    """Max state-store numRowsTotal across micro-batches of the most
+    recent _run query — the measured counterpart of the docstrings'
+    bounded-state claims."""
+    from blockchain2graphdb_spark.streaming.queries import _LAST_QUERY_PROGRESS
+
+    mx = 0
+    for p in _LAST_QUERY_PROGRESS:
+        for so in (p.get("stateOperators") or []):
+            mx = max(mx, int(so.get("numRowsTotal") or 0))
+    return mx
+
+
+def test_stream_ivf_assign_state_is_k_bounded(spark):
+    """The per-cell census keeps O(k) state: the state store must never
+    hold more rows than the 16 frozen centroid cells."""
+    SPECS["stream_ivf_assign"].builder(spark, SF_DIR).collect()
+    mx = _max_state_rows()
+    assert 0 < mx <= 16, mx
+
+
+def test_stream_mixture_admission_state_is_lang_bounded(spark):
+    """The admission fold keeps one state row per language (5 weighted
+    langs), regardless of how many documents stream through."""
+    SPECS["stream_mixture_admission"].builder(spark, SF_DIR).collect()
+    mx = _max_state_rows()
+    assert 0 < mx <= 5, mx
