@@ -680,14 +680,15 @@ def eigenvector_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shape that survives scale-up, not just the faster one here.
     default_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     nparts = max(4, min(default_parts, (n_edges or 0) // 75_000 or 4))
-    scoped = {
-        "spark.sql.shuffle.partitions": str(nparts),
-        "spark.sql.adaptive.enabled": "false",
-    }
-    old = {k: spark.conf.get(k) for k in scoped}
-    for k, val in scoped.items():
-        spark.conf.set(k, val)
-    try:
+    from ..plans.confs import scoped_confs
+
+    with scoped_confs(
+        spark,
+        {
+            "spark.sql.shuffle.partitions": str(nparts),
+            "spark.sql.adaptive.enabled": "false",
+        },
+    ):
         sym = pairs.select(
             F.col("a").alias("src"), F.col("b").alias("dst")
         ).unionByName(
@@ -746,9 +747,6 @@ def eigenvector_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("v_micros"), "node")
             .limit(50)
         )
-    finally:
-        for k, val in old.items():
-            spark.conf.set(k, val)
 
 
 _KATZ_ROUNDS = 8

@@ -2581,14 +2581,10 @@ def _with_bloom_confs(spark: SparkSession, fn):
     """Scope the two bloom-forcing confs around fn() and RESTORE them —
     the session is driver-owned and other keys' plan pins depend on the
     defaults (the prep() idempotence contract)."""
-    old = {k: spark.conf.get(k) for k in _BLOOM_CONFS}
-    for k, v in _BLOOM_CONFS.items():
-        spark.conf.set(k, v)
-    try:
+    from ..plans.confs import scoped_confs
+
+    with scoped_confs(spark, _BLOOM_CONFS):
         return fn()
-    finally:
-        for k, v in old.items():
-            spark.conf.set(k, v)
 
 
 @query(
@@ -2644,14 +2640,10 @@ def _with_skew_aqe_confs(spark: SparkSession, fn):
     """Scope the skew-forcing confs around fn() and RESTORE them (the
     join_bloom_runtime_filter discipline: the session is driver-owned
     and other keys' plan pins depend on the defaults)."""
-    old = {k: spark.conf.get(k) for k in _SKEW_AQE_CONFS}
-    for k, v in _SKEW_AQE_CONFS.items():
-        spark.conf.set(k, v)
-    try:
+    from ..plans.confs import scoped_confs
+
+    with scoped_confs(spark, _SKEW_AQE_CONFS):
         return fn()
-    finally:
-        for k, v in old.items():
-            spark.conf.set(k, v)
 
 
 def _skew_aqe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
