@@ -112,32 +112,60 @@ def influence_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale shape; the oracle replays the identical cascade as unrolled
     MATERIALIZED CTEs (the wallet-CC linear-oracle pattern)."""
     prep(spark)
-    pairs, _ = _copurchase_pairs(spark, sf_dir)
-    sym = pairs.select(
-        F.col("a").alias("src"), F.col("b").alias("dst")
-    ).unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
-    live = sym.where(_live_filter_spark("src", "dst"))
-    nodes = (
-        pairs.select(F.col("a").alias("n"))
-        .unionByName(pairs.select(F.col("b").alias("n")))
-        .distinct()
-    )
-    frontier = local_checkpoint(
-        nodes.orderBy(F.md5(F.col("n").cast("string")), "n")
-        .limit(_IC_SEEDS)
-        .select(F.col("n").alias("node"))
-    )
-    seen = frontier
-    counts = [(0, frontier.count())]
-    for h in range(1, _IC_ROUNDS + 1):
-        expanded = (
-            live.join(frontier, live["src"] == frontier["node"])
-            .select(F.col("dst").alias("node"))
+    from ..catalog import parquet_num_rows
+    from ..plans.confs import scoped_confs
+    from ..plans.sizing import adaptive_broadcast_rows
+
+    pairs, n_edges = _copurchase_pairs(spark, sf_dir)
+    # r13 perf pass (the eigenvector_centrality lesson, ARCHITECTURE
+    # §10): the 3-round frontier loop over a ~30 MB graph is dominated
+    # by per-stage scheduling, not compute — scope AQE off (its
+    # per-stage replan latency buys nothing on static bounded rounds)
+    # and size the shuffle to the edge list (measured 3.4s -> 2.4s at
+    # sf0.1, counts identical). Frontier/seen broadcasts stay behind
+    # the adaptive gate: they are node-sized, so at 100 TB the joins
+    # degrade to keyed shuffles exactly as before.
+    default_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    nparts = max(4, min(default_parts, (2 * (n_edges or 0)) // 75_000 or 4))
+    n_parts_tbl = parquet_num_rows(sf_dir, "part")
+    gate = adaptive_broadcast_rows(spark, bytes_per_row=16)
+    hint = F.broadcast if n_parts_tbl <= gate else (lambda df: df)
+    with scoped_confs(
+        spark,
+        {
+            "spark.sql.shuffle.partitions": str(nparts),
+            "spark.sql.adaptive.enabled": "false",
+        },
+    ):
+        sym = pairs.select(
+            F.col("a").alias("src"), F.col("b").alias("dst")
+        ).unionByName(
+            pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+        )
+        live = sym.where(_live_filter_spark("src", "dst"))
+        nodes = (
+            pairs.select(F.col("a").alias("n"))
+            .unionByName(pairs.select(F.col("b").alias("n")))
             .distinct()
         )
-        frontier = local_checkpoint(expanded.join(seen, "node", "left_anti"))
-        counts.append((h, frontier.count()))
-        seen = local_checkpoint(seen.unionByName(frontier))
+        frontier = local_checkpoint(
+            nodes.orderBy(F.md5(F.col("n").cast("string")), "n")
+            .limit(_IC_SEEDS)
+            .select(F.col("n").alias("node"))
+        )
+        seen = frontier
+        counts = [(0, frontier.count())]
+        for h in range(1, _IC_ROUNDS + 1):
+            expanded = (
+                live.join(hint(frontier), live["src"] == frontier["node"])
+                .select(F.col("dst").alias("node"))
+                .distinct()
+            )
+            frontier = local_checkpoint(
+                expanded.join(hint(seen), "node", "left_anti")
+            )
+            counts.append((h, frontier.count()))
+            seen = local_checkpoint(seen.unionByName(frontier))
     return spark.createDataFrame(
         [(int(r), int(c)) for r, c in counts], "round int, n_activated long"
     )
