@@ -85,6 +85,7 @@ _SAMPLE_PRIORITY = (
     "stream_multi_table_ingest",  # r0 oracle
     "stream_page_hinkley",  # r0 oracle
     "stream_scd2_enrich",  # r0 oracle
+    "stream_stream_left_outer",  # r0 oracle
     "stream_topk_per_window",  # r0 oracle
     "t_closeness_audit",  # r0 oracle
     "temporal_edge_split",  # r0 oracle

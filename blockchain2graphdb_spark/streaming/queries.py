@@ -2009,3 +2009,85 @@ def stream_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cell", "n_assigned", "vecid_sum", "d2_sum")
         .orderBy("cell")
     )
+
+
+@query(
+    "stream_stream_left_outer",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'error'
+    ),
+    p AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    wm AS (
+      SELECT LEAST((SELECT MAX(ts) FROM e), (SELECT MAX(ts) FROM p))
+             - INTERVAL 1 HOUR AS w
+    ),
+    matched AS (
+      SELECT e.user_id AS e_user, e.event_id AS e_id, p.event_id AS p_id,
+             e.ts AS e_ts, p.ts AS p_ts
+      FROM e JOIN p
+        ON p.user_id = e.user_id
+       AND p.ts >= e.ts AND p.ts <= e.ts + INTERVAL 6 HOUR
+    )
+    SELECT e_user, e_id, p_id, e_ts, p_ts FROM matched
+    UNION ALL
+    SELECT e.user_id, e.event_id, NULL, e.ts, NULL
+    FROM e, wm
+    WHERE NOT EXISTS (
+      SELECT 1 FROM p
+      WHERE p.user_id = e.user_id
+        AND p.ts >= e.ts AND p.ts <= e.ts + INTERVAL 6 HOUR
+    )
+    AND e.ts + INTERVAL 6 HOUR < wm.w
+    """,
+)
+def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — the null-emission side
+    of `stream_stream_join`'s state story: matches emit the moment
+    they arrive (same rows as the inner join), but an UNMATCHED error
+    can only emit its null row once the watermark PROVES no purchase
+    can still match (p_ts <= e_ts + 6h is unsatisfiable below the
+    right-side state watermark) — the mechanism that keeps outer-join
+    state finite on an unbounded stream instead of holding every
+    unmatched row forever. Under availableNow + the final no-data
+    batch, the terminal watermark is LEAST(max error ts, max purchase
+    ts) - 1h (min-policy across the two stream watermarks), so the
+    emitted null set is exactly the unmatched errors with
+    e_ts + 6h < that watermark — errors newer than the horizon stay
+    buffered and do NOT appear, and the ORACLE states that gate
+    explicitly (the one place batch LEFT JOIN and streaming left-outer
+    legitimately differ).
+
+    Scale shape: identical to the inner key — state bounded by the
+    6h + 1h event-time horizon on both sides, keyed by user."""
+    prep(spark)
+    errors = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "error")
+        .select(
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+            F.col("event_id").alias("e_id"),
+        )
+        .withWatermark("e_ts", "1 hour")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("p_id"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    out = errors.join(
+        purchases,
+        (F.col("e_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("e_ts"))
+        & (F.col("p_ts") <= F.col("e_ts") + F.expr("INTERVAL 6 HOURS")),
+        "left_outer",
+    ).select("e_user", "e_id", "p_id", "e_ts", "p_ts")
+    return _run(spark, out)

@@ -221,3 +221,35 @@ def test_stream_mixture_admission_state_is_lang_bounded(spark):
     SPECS["stream_mixture_admission"].builder(spark, SF_DIR).collect()
     mx = _max_state_rows()
     assert 0 < mx <= 5, mx
+
+
+def test_stream_left_outer_is_inner_plus_watermark_gated_nulls(spark):
+    """The left-outer stream-stream join must emit exactly the inner
+    join's matches PLUS a null row per unmatched error that the
+    terminal watermark has proven unmatchable — and no null row at or
+    beyond the watermark horizon (those stay buffered)."""
+    import datetime
+
+    outer = SPECS["stream_stream_left_outer"].builder(spark, SF_DIR)
+    matched = {
+        (r["e_user"], r["e_id"], r["p_id"])
+        for r in outer.where(F.col("p_id").isNotNull()).collect()
+    }
+    inner = {
+        (r["e_user"], r["e_id"], r["p_id"])
+        for r in SPECS["stream_stream_join"].builder(spark, SF_DIR).collect()
+    }
+    assert matched == inner and matched
+    ev = table(spark, SF_DIR, "events")
+    mx = (
+        ev.groupBy("event_type")
+        .agg(F.max("ts").alias("m"))
+        .where(F.col("event_type").isin("error", "purchase"))
+        .agg(F.min("m"))
+        .collect()[0][0]
+    )
+    horizon = mx - datetime.timedelta(hours=7)  # 1h delay + 6h window
+    nulls = outer.where(F.col("p_id").isNull()).collect()
+    assert nulls, "expected some watermark-proven unmatched errors"
+    assert all(r["p_ts"] is None for r in nulls)
+    assert all(r["e_ts"] < horizon for r in nulls)
