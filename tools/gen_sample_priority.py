@@ -58,14 +58,21 @@ def main() -> None:
     if "--write" in sys.argv:
         src = open(REG).read()
         start = src.index("_SAMPLE_PRIORITY = (")
-        # keep everything through the head-marker comment line
+        # replace the head-marker comment line too, stamping the round
+        # from the newest CORRECTNESS file + 1 (so the comment can't go
+        # stale when the list is regenerated mid-round)
         marker = "# --- new round-"
+        nxt = max(latest.values(), default=0) + 1
+        head = (
+            f"    # --- new round-{nxt} head: never-driver-witnessed"
+            " first, then stalest ---\n"
+        )
         mstart = src.index(marker, start)
         mend = src.index("\n", mstart) + 1
         close = src.index("\n)\n", mend)
-        src = src[:mend] + body + src[close:]
+        src = src[: src.rindex("\n", 0, mstart) + 1] + head + body + src[close:]
         open(REG, "w").write(src)
-        print(f"wrote {len(keys)} keys into registry.py")
+        print(f"wrote {len(keys)} keys into registry.py (round-{nxt} head)")
     else:
         print(body)
 
