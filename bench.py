@@ -95,17 +95,26 @@ SECONDARY = [
 ]
 
 
-# Same-window A/B protocol (VERDICT r12 #3): cross-round ABSOLUTE bench
-# totals are not comparable on this host — identical code drifted
-# 23.8s -> 28.3s between rounds 10 and 12 (same-code bisect, STATUS r12)
-# — so every bench run ALSO times the pinned end-of-round-1 commit
-# back-to-back in the same window and reports the RATIO. The ratio is
-# the cross-round-comparable number; raw totals are host-conditioned.
+# Same-window A/B protocol (VERDICT r12 #3, hardened r14 per VERDICT
+# r13 #1): cross-round ABSOLUTE bench totals are not comparable on this
+# host — identical code drifted 23.8s -> 28.3s between rounds 10 and 12
+# (same-code bisect, STATUS r12) — so every bench run ALSO times the
+# pinned end-of-round-1 commit in the same window and reports the
+# RATIO. Because the host can also drift WITHIN a run (the three r13
+# ratio readings spanned 0.52–0.97 on identical code with r01 run
+# wholly before HEAD), the r01 leg is a SANDWICH — legA before HEAD,
+# legB after — and each r01 query scores min(legA, legB). The pinned
+# bench.py times each query once per process (no best-of-N loop;
+# ADVICE r13), so the two legs are exactly the r01 code's best-of-2,
+# like-for-like with HEAD's in-process best-of-2. Monotone drift
+# between the halves now cancels: whichever leg shares HEAD's window
+# conditions wins the min. `ratio_per_query` is emitted so one
+# contended minute cannot color the whole readout.
 R01_COMMIT = "b1cfc5a"  # round-1 end commit behind BENCH_r01 (39.17s)
 _REPO = os.path.dirname(os.path.abspath(__file__))
 
 
-def _run_r01_leg(sf_dir: str, runs: int) -> dict | None:
+def _run_r01_leg(sf_dir: str) -> dict | None:
     """Run the pinned r01 commit's bench.py in a git worktree as a
     subprocess (its JVM exits before ours starts — no contention) and
     return its parsed JSON line, or None if the leg can't run."""
@@ -113,6 +122,24 @@ def _run_r01_leg(sf_dir: str, runs: int) -> dict | None:
 
     wt = os.path.join(_REPO, ".tmp", "ab_r01")
     try:
+        def _wt_head() -> str:
+            got = subprocess.run(
+                ["git", "-C", wt, "rev-parse", "HEAD"],
+                capture_output=True, text=True, timeout=60,
+            )
+            return got.stdout.strip() if got.returncode == 0 else ""
+
+        # A reusable worktree must actually BE the pinned commit — a
+        # stale or half-created one silently benchmarks the wrong
+        # baseline (ADVICE r13).
+        if os.path.isdir(os.path.join(wt, "blockchain2graphdb_spark")) and \
+                not _wt_head().startswith(R01_COMMIT):
+            subprocess.run(
+                ["git", "-C", _REPO, "worktree", "remove", "--force", wt],
+                check=False, capture_output=True, timeout=60,
+            )
+            import shutil
+            shutil.rmtree(wt, ignore_errors=True)
         if not os.path.isdir(os.path.join(wt, "blockchain2graphdb_spark")):
             subprocess.run(
                 ["git", "-C", _REPO, "worktree", "prune"],
@@ -125,7 +152,6 @@ def _run_r01_leg(sf_dir: str, runs: int) -> dict | None:
             )
         env = dict(os.environ)
         env["SPARK_GRAFT_SF_DIR"] = sf_dir
-        env["SPARK_GRAFT_BENCH_RUNS"] = str(runs)  # same best-of-N as HEAD
         env["SPARK_GRAFT_AB"] = "0"  # belt-and-braces: never recurse
         out = subprocess.run(
             [sys.executable, "bench.py"], cwd=wt, env=env,
@@ -145,11 +171,10 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
 
-    # The r01 leg runs FIRST so its JVM exits before ours allocates.
+    # Sandwich leg A: the first r01 pass runs BEFORE our JVM allocates.
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
-    r01 = None
-    if os.environ.get("SPARK_GRAFT_AB", "1") != "0":
-        r01 = _run_r01_leg(sf_dir, runs)
+    ab_on = os.environ.get("SPARK_GRAFT_AB", "1") != "0"
+    r01_a = _run_r01_leg(sf_dir) if ab_on else None
 
     specs = registry.load_all()
     spark = get_spark("bench")
@@ -201,6 +226,12 @@ def main() -> None:
         times[name] = best
         print(f"# {name}: {times[name]}s ({n} rows, best of {runs})", file=sys.stderr)
 
+    # Sandwich leg B: immediately after the headline half, BEFORE the
+    # (long) secondary half, so the two r01 legs bracket the exact
+    # window the ratio measures. Our JVM stays alive but idle — the
+    # subprocess gets the CPUs to itself.
+    r01_b = _run_r01_leg(sf_dir) if ab_on else None
+
     secondary: dict[str, float] = {}
     for name in SECONDARY:
         best = None
@@ -214,6 +245,18 @@ def main() -> None:
         secondary[name] = best
         print(f"# [secondary] {name}: {best}s ({n} rows)", file=sys.stderr)
 
+    # Optional scaling-slope audit (VERDICT r13 #2/#8): time the
+    # heaviest keys at sf0.001/0.01/0.1 back-to-back and report the
+    # wall-time growth per 10x data step, so super-linear plans are
+    # caught with data instead of prose. Off by default — it roughly
+    # doubles bench wall time.
+    slope = None
+    if os.environ.get("SPARK_GRAFT_SLOPE", "0") == "1":
+        sys.path.insert(0, os.path.join(_REPO, "tools"))
+        from bench_slope import run_slope
+
+        slope = run_slope(spark, runs=runs)
+
     total = round(sum(times.values()), 3)
     out = {
         "metric": "total_query_seconds",
@@ -223,15 +266,30 @@ def main() -> None:
         "secondary": secondary,
         "sf": sf,
     }
-    if r01 is not None:
+    if slope is not None:
+        out["slope"] = slope
+    legs = [leg for leg in (r01_a, r01_b) if leg is not None]
+    if legs:
+        # Per-query r01 = min across the sandwich legs (the r01 code's
+        # best-of-2, like-for-like with HEAD's in-process best-of-2).
         # Ratio over the SHARED headline keys only, so the number stays
         # meaningful even if a future round renames a headline entry.
-        shared = [k for k in times if k in r01.get("queries", {})]
+        r01_q: dict[str, float] = {}
+        for leg in legs:
+            for k, v in leg.get("queries", {}).items():
+                r01_q[k] = min(v, r01_q.get(k, v))
+        shared = [k for k in times if k in r01_q]
         head_sh = sum(times[k] for k in shared)
-        r01_sh = sum(r01["queries"][k] for k in shared)
+        r01_sh = sum(r01_q[k] for k in shared)
+        leg_totals = [
+            round(sum(leg["queries"][k] for k in shared), 3)
+            for leg in legs
+            if all(k in leg.get("queries", {}) for k in shared)
+        ]
         out["r01_same_window"] = {
             "commit": R01_COMMIT,
-            "value": r01.get("value"),
+            "legs": len(legs),
+            "leg_totals": leg_totals,  # spread = intra-run drift witness
             "shared_keys": len(shared),
             "shared_total": round(r01_sh, 3),
         }
@@ -239,6 +297,11 @@ def main() -> None:
             out["headline_ratio_vs_r01_same_window"] = round(
                 head_sh / r01_sh, 3
             )
+            out["ratio_per_query"] = {
+                k: round(times[k] / r01_q[k], 3)
+                for k in shared
+                if r01_q[k] > 0
+            }
     print(json.dumps(out))
 
 

@@ -2677,10 +2677,16 @@ def _skew_aqe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_partkey").cast("long").alias("hk"),
         cents.alias("dim_cents"),
     )
+    # groupBy on the constant key, NOT a global agg: a global aggregate
+    # emits one (hk=0, dim_cents=NULL) row even when no part rows are
+    # hot, while the oracle's GROUP BY emits none (ADVICE r13). The
+    # grouped form yields zero rows on empty input; the downstream
+    # union still has unknown partitioning, so the fresh
+    # ENSURE_REQUIREMENTS exchange OptimizeSkewedJoin needs survives.
     hot = (
         part_t.where(hot_mask)
+        .groupBy(F.lit(0).cast("long").alias("hk"))
         .agg(F.min(cents).cast("long").alias("dim_cents"))
-        .select(F.lit(0).cast("long").alias("hk"), "dim_cents")
     )
     dim = cold.unionByName(hot)
     # the aggregate key (l_returnflag) is NOT the join key (hk), so the

@@ -2091,3 +2091,150 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_outer",
     ).select("e_user", "e_id", "p_id", "e_ts", "p_ts")
     return _run(spark, out)
+
+
+@query(
+    "stream_stream_full_outer",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'error'
+    ),
+    p AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    wm AS (
+      SELECT LEAST((SELECT MAX(ts) FROM e), (SELECT MAX(ts) FROM p))
+             - INTERVAL 1 HOUR AS w
+    ),
+    matched AS (
+      SELECT e.user_id AS e_user, e.event_id AS e_id, p.event_id AS p_id,
+             e.ts AS e_ts, p.ts AS p_ts
+      FROM e JOIN p
+        ON p.user_id = e.user_id
+       AND p.ts >= e.ts AND p.ts <= e.ts + INTERVAL 6 HOUR
+    )
+    SELECT e_user, e_id, p_id, e_ts, p_ts FROM matched
+    UNION ALL
+    SELECT e.user_id, e.event_id, NULL, e.ts, NULL
+    FROM e, wm
+    WHERE NOT EXISTS (
+      SELECT 1 FROM p
+      WHERE p.user_id = e.user_id
+        AND p.ts >= e.ts AND p.ts <= e.ts + INTERVAL 6 HOUR
+    )
+    AND e.ts + INTERVAL 6 HOUR < wm.w
+    UNION ALL
+    SELECT NULL, NULL, p.event_id, NULL, p.ts
+    FROM p, wm
+    WHERE NOT EXISTS (
+      SELECT 1 FROM e
+      WHERE e.user_id = p.user_id
+        AND p.ts >= e.ts AND p.ts <= e.ts + INTERVAL 6 HOUR
+    )
+    AND p.ts < wm.w
+    """,
+)
+def stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER interval join — completes the outer
+    family (inner r6, left r13; VERDICT r13 #6 named this the natural
+    next key). Both null-emission gates are now active at once, and
+    they are ASYMMETRIC because the interval condition is: an unmatched
+    ERROR's null row needs the watermark past e_ts + 6h (a purchase up
+    to 6h later could still match), while an unmatched PURCHASE's null
+    row needs it only past p_ts (any future error has e_ts above the
+    watermark, and the join requires e_ts <= p_ts — so p is provably
+    unmatchable the moment the watermark passes its own timestamp).
+    Under availableNow + the final no-data batch the terminal watermark
+    is LEAST(max error ts, max purchase ts) - 1h (min-policy across the
+    two stream watermarks), and the ORACLE states both gates explicitly
+    — rows newer than their gate stay buffered and do NOT appear, the
+    one place batch FULL JOIN and streaming full-outer legitimately
+    differ.
+
+    Scale shape: identical to the inner key — state bounded by the
+    6h + 1h event-time horizon on both sides, keyed by user; the outer
+    modes add no state, only eviction-time null emission."""
+    prep(spark)
+    errors = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "error")
+        .select(
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+            F.col("event_id").alias("e_id"),
+        )
+        .withWatermark("e_ts", "1 hour")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("p_id"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    out = errors.join(
+        purchases,
+        (F.col("e_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("e_ts"))
+        & (F.col("p_ts") <= F.col("e_ts") + F.expr("INTERVAL 6 HOURS")),
+        "full_outer",
+    ).select("e_user", "e_id", "p_id", "e_ts", "p_ts")
+    return _run(spark, out)
+
+
+@query(
+    "stream_watermark_idle_audit",
+    oracle="""
+    WITH b AS (
+      SELECT make_timestamp(((epoch_ns(ts) // 1000) // 21600000000)
+                            * 21600000000) AS win_start,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    wm AS (SELECT MAX(ts) - INTERVAL 1 HOUR AS w FROM events)
+    SELECT b.win_start, b.n,
+           (b.win_start + INTERVAL 6 HOUR <= wm.w) AS emitted
+    FROM b, wm
+    """,
+)
+def stream_watermark_idle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-advance audit under an IDLE source (VERDICT r13 #6's
+    other named candidate) — the no-data-progress case every production
+    pipeline hits: when a source stops producing, the watermark FREEZES
+    at max-seen-event-time minus the delay (Spark has no idle-timeout
+    advance), so every append-mode window past that horizon is held
+    hostage — finished in the data, invisible downstream — until new
+    data arrives. This key is the freshness monitor for that state:
+    run the append-mode 6h windowed count to completion (availableNow's
+    final no-data batch flushes everything the terminal watermark
+    allows), then report EVERY window with its count and whether the
+    stream actually delivered it. The oracle states the freeze rule
+    explicitly: emitted iff win_end <= max(ts) - 1h — the trailing
+    windows are exactly the audit's catch (emitted=false rows), and at
+    fixture scale that is a nonempty set by construction since the
+    watermark can never pass the newest event.
+
+    Scale shape: one windowed aggregate (watermark-bounded state) plus
+    a broadcast-sized join of window starts against the batch census —
+    the audit output is O(#windows), grain-bounded, not O(rows)."""
+    prep(spark)
+    s = _events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    emitted = _run(
+        spark,
+        s.groupBy(F.window("ts", "6 hours"))
+        .agg(F.count(F.lit(1)).alias("n_stream"))
+        .select(F.col("window.start").alias("win_start")),
+    )
+    batch = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "6 hours"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(F.col("window.start").alias("win_start"), "n")
+    )
+    flags = emitted.select("win_start", F.lit(True).alias("emitted"))
+    return batch.join(F.broadcast(flags), "win_start", "left").select(
+        "win_start", "n", F.coalesce("emitted", F.lit(False)).alias("emitted")
+    )

@@ -1,0 +1,422 @@
+"""Restart / upgrade witness for the NATIVE stateful streaming
+operators (VERDICT r13 #4).
+
+The foreachBatch keys already have checkpoint-loss replay tests
+(test_round12_ops.py); this module covers what those cannot: Spark's
+own state store surviving a stop or a crash mid-stream, with the
+checkpoint intact, and the restart rules for code changes.
+
+Witnessed here, each against the uninterrupted run as the oracle:
+
+1. graceful stop → restart with the SAME code continues exactly-once
+   (offsets resume after the last committed batch; per-key state
+   carries across the process boundary) — the
+   `stream_stateful_agg_exact` fold shape (streaming/queries.py:676);
+2. a CRASH mid-batch (fault-injected foreachBatch failure after the
+   sink write) rolls back to the last committed state version; the
+   replayed batch re-folds from the pre-crash state and the idempotent
+   (overwrite-by-batch-id) sink converges to the uninterrupted answer;
+3. an ORDER-SENSITIVE walk (the `stream_sprt` shape,
+   streaming/queries.py:999 — non-associative fold) continues its walk
+   mid-sequence without repeating or skipping a step;
+4. restarting with an ADDED downstream STATELESS projection is allowed
+   by Spark's checkpoint contract (projections/filters after the
+   stateful operator may change between restarts);
+5. restarting with a CHANGED STATE SCHEMA is refused (negative
+   witness) — the state store validates its schema on restore.
+
+The upgrade rules these pin are documented in ARCHITECTURE.md
+("Streaming restart & upgrade contract").
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from blockchain2graphdb_spark.catalog import events_raw_schema, normalize_events_ts
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+# --- harness -------------------------------------------------------------
+
+
+def _split_fixture(workdir: str, n_files: int = 4) -> list[str]:
+    """Slice the events fixture (event_id order) into n staged files;
+    returns their paths. Files are COPIED into the live source dir by
+    each test as its restart script demands."""
+    import time
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{SF_DIR}/events.parquet")
+    tbl = tbl.take(pc.sort_indices(tbl, sort_keys=[("event_id", "ascending")]))
+    step = tbl.num_rows // n_files
+    stage = os.path.join(workdir, "stage")
+    os.makedirs(stage, exist_ok=True)
+    out = []
+    for i in range(n_files):
+        length = step if i < n_files - 1 else tbl.num_rows - step * (n_files - 1)
+        p = os.path.join(stage, f"part-{i:02d}.parquet")
+        pq.write_table(tbl.slice(i * step, length), p)
+        out.append(p)
+    return out
+
+
+def _arrive(files: list[str], src: str) -> None:
+    """Copy staged files into the live source dir with distinct mtimes
+    (the file source orders by modification time, ties by path)."""
+    import time
+
+    os.makedirs(src, exist_ok=True)
+    for f in files:
+        shutil.copy(f, os.path.join(src, os.path.basename(f)))
+        time.sleep(0.05)
+
+
+def _stream(spark, src: str):
+    s = spark.readStream.schema(events_raw_schema(spark, SF_DIR)).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    return normalize_events_ts(s)
+
+
+def _make_count_sum_fold():
+    """The stream_stateful_agg_exact fold: (n, centi-total) per user.
+
+    Built as a NESTED function so cloudpickle serializes it by value —
+    a module-level function in a test module pickles by reference and
+    executors cannot import `test_streaming_restart`."""
+
+    def fold(key, pdfs, state):
+        n, total = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += int((pdf["value"] * 100).round().astype("int64").sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value_centi": [total]}
+        )
+
+    return fold
+
+
+def _run_query(spark, src, ckpt, out, fold=None, post=None, fail_on_batch=None,
+               flag=None, state_struct="n long, total long"):
+    """Build the stateful pipeline and run it availableNow with a
+    parquet-per-batch-id idempotent foreachBatch sink. Returns the
+    query's recentProgress list."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    sdf = _stream(spark, src).select("user_id", "value")
+    folded = sdf.groupBy("user_id").applyInPandasWithState(
+        fold or _make_count_sum_fold(),
+        outputStructType="user_id long, n_events long, total_value_centi long",
+        stateStructType=state_struct,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    if post is not None:
+        folded = post(folded)
+
+    def sink(bdf, bid):
+        bdf.write.mode("overwrite").parquet(f"{out}/batch={bid}")
+        if fail_on_batch is not None and bid == fail_on_batch and not os.path.exists(flag):
+            open(flag, "w").close()
+            raise RuntimeError("injected crash after sink write")
+
+    q = (
+        folded.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return list(q.recentProgress)
+
+
+def _final_state(spark, out):
+    """Per-key final state from the update-row log: the max-n_events
+    row per key is unique (n strictly increases per touched batch)."""
+    rows = spark.read.option("basePath", out).parquet(f"{out}/batch=*")
+    got = {}
+    for r in rows.collect():
+        cur = got.get(r["user_id"])
+        if cur is None or r["n_events"] > cur[0]:
+            got[r["user_id"]] = (r["n_events"], r["total_value_centi"])
+    return got
+
+
+def _batch_truth(spark, src):
+    df = spark.read.schema(events_raw_schema(spark, SF_DIR)).parquet(src)
+    return {
+        r["user_id"]: (r["n"], r["t"])
+        for r in df.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("t"),
+        )
+        .collect()
+    }
+
+
+@pytest.fixture()
+def workdir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("restart"))
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+# --- 1. graceful stop → same-code restart --------------------------------
+
+
+def test_restart_continues_exactly_once_after_graceful_stop(spark, workdir):
+    files = _split_fixture(workdir)
+    src, ckpt, out = (os.path.join(workdir, x) for x in ("src", "ckpt", "out"))
+
+    _arrive(files[:2], src)
+    _run_query(spark, src, ckpt, out)
+    assert {os.path.basename(d) for d in glob.glob(f"{out}/batch=*")} == {
+        "batch=0",
+        "batch=1",
+    }
+
+    _arrive(files[2:], src)
+    prog = _run_query(spark, src, ckpt, out)
+    # offsets resumed: the restart processed ONLY the two new files,
+    # as batches 2 and 3 — nothing replayed, nothing skipped
+    assert {os.path.basename(d) for d in glob.glob(f"{out}/batch=*")} == {
+        f"batch={i}" for i in range(4)
+    }
+    got = _final_state(spark, out)
+    want = _batch_truth(spark, src)
+    assert got == want and got
+    # restored state store holds exactly one row per key ever seen
+    mx = max(
+        int(so.get("numRowsTotal") or 0)
+        for p in prog
+        for so in (p.get("stateOperators") or [])
+    )
+    assert mx == len(want), (mx, len(want))
+
+
+# --- 2. crash mid-stream → restart converges ------------------------------
+
+
+def test_restart_after_midstream_crash_is_exactly_once(spark, workdir):
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    files = _split_fixture(workdir)
+    src, ckpt, out = (os.path.join(workdir, x) for x in ("src", "ckpt", "out"))
+    flag = os.path.join(workdir, "crashed")
+
+    _arrive(files, src)
+    with pytest.raises(StreamingQueryException):
+        _run_query(spark, src, ckpt, out, fail_on_batch=2, flag=flag)
+    assert os.path.exists(flag), "the injected crash must have fired"
+
+    # restart with the SAME code (the fault flag is already set, so the
+    # injection is a no-op — exactly a process restart after a crash):
+    # batch 2's offsets were never committed, so Spark replays it from
+    # the last committed state version; the overwrite-by-batch-id sink
+    # makes the duplicate delivery idempotent.
+    _run_query(spark, src, ckpt, out, fail_on_batch=2, flag=flag)
+    got = _final_state(spark, out)
+    want = _batch_truth(spark, src)
+    assert got == want and got
+    assert {os.path.basename(d) for d in glob.glob(f"{out}/batch=*")} == {
+        f"batch={i}" for i in range(4)
+    }
+
+
+# --- 3. order-sensitive walk (stream_sprt shape) continues mid-sequence ---
+
+
+def _make_walk_fold():
+    """Non-associative per-user walk: llr += (+3 purchase / -1 other)
+    in (us, event_id) order; first position where the running value
+    crosses +10 is latched. Replaying or skipping ONE step changes
+    first_cross — the sharpest exactly-once witness available.
+    Nested for by-value pickling (see _make_count_sum_fold)."""
+
+    def fold(key, pdfs, state):
+        n, llr, cpos = state.get if state.exists else (0, 0, 0)
+        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            ["us", "event_id"]
+        )
+        for inc in pdf["inc"].astype("int64"):
+            n += 1
+            llr += int(inc)
+            if cpos == 0 and llr >= 10:
+                cpos = n
+        state.update((n, llr, cpos))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value_centi": [llr],
+                "cpos": [cpos],
+            }
+        )
+
+    return fold
+
+
+def test_restart_continues_order_sensitive_walk(spark, workdir):
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    files = _split_fixture(workdir)
+    src, ckpt, out = (os.path.join(workdir, x) for x in ("src", "ckpt", "out"))
+
+    def run(src_dir, ckpt_dir, out_dir):
+        sdf = _stream(spark, src_dir).select(
+            "user_id",
+            F.unix_micros("ts").alias("us"),
+            "event_id",
+            F.when(F.col("event_type") == "purchase", F.lit(3))
+            .otherwise(F.lit(-1))
+            .cast("long")
+            .alias("inc"),
+        )
+        folded = sdf.groupBy("user_id").applyInPandasWithState(
+            _make_walk_fold(),
+            outputStructType=(
+                "user_id long, n_events long, total_value_centi long, cpos long"
+            ),
+            stateStructType="n long, llr long, cpos long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        q = (
+            folded.writeStream.foreachBatch(
+                lambda bdf, bid: bdf.write.mode("overwrite").parquet(
+                    f"{out_dir}/batch={bid}"
+                )
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # interrupted: stop after 2 files, restart for the remaining 2
+    _arrive(files[:2], src)
+    run(src, ckpt, out)
+    _arrive(files[2:], src)
+    run(src, ckpt, out)
+
+    # uninterrupted twin: all 4 files in one run, fresh checkpoint
+    src2, ckpt2, out2 = (
+        os.path.join(workdir, x) for x in ("src2", "ckpt2", "out2")
+    )
+    _arrive(files, src2)
+    run(src2, ckpt2, out2)
+
+    def final(o):
+        rows = spark.read.option("basePath", o).parquet(f"{o}/batch=*")
+        got = {}
+        for r in rows.collect():
+            cur = got.get(r["user_id"])
+            if cur is None or r["n_events"] > cur[0]:
+                got[r["user_id"]] = (
+                    r["n_events"],
+                    r["total_value_centi"],
+                    r["cpos"],
+                )
+        return got
+
+    a, b = final(out), final(out2)
+    assert a == b and a
+    assert any(v[2] > 0 for v in a.values()), "some walk should cross +10"
+
+
+# --- 4. upgrade rule: added stateless projection is allowed ---------------
+
+
+def test_restart_with_added_stateless_projection_is_allowed(spark, workdir):
+    files = _split_fixture(workdir)
+    src, ckpt, out = (os.path.join(workdir, x) for x in ("src", "ckpt", "out"))
+
+    _arrive(files[:2], src)
+    _run_query(spark, src, ckpt, out)
+
+    # "upgrade": same stateful operator, NEW stateless projection after
+    # it. Spark's checkpoint contract allows this — state layout and
+    # the stateful operator's position are unchanged.
+    _arrive(files[2:], src)
+    _run_query(
+        spark,
+        src,
+        ckpt,
+        out,
+        post=lambda df: df.withColumn(
+            "total_value_dollars", (F.col("total_value_centi") / 100.0)
+        ),
+    )
+    # post-restart batches carry the new column; state continued (the
+    # final per-key counts equal the full-data truth, so the restart
+    # folded ON TOP of the pre-upgrade state rather than from zero)
+    new = spark.read.parquet(f"{out}/batch=3")
+    assert "total_value_dollars" in new.columns
+    old = spark.read.parquet(f"{out}/batch=0")
+    assert "total_value_dollars" not in old.columns
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value_centi"])
+        for o in sorted(glob.glob(f"{out}/batch=*"))
+        for r in spark.read.parquet(o).collect()
+    }
+    final = {}
+    rows = [
+        r
+        for o in sorted(glob.glob(f"{out}/batch=*"))
+        for r in spark.read.parquet(o).select(
+            "user_id", "n_events", "total_value_centi"
+        ).collect()
+    ]
+    for r in rows:
+        cur = final.get(r["user_id"])
+        if cur is None or r["n_events"] > cur[0]:
+            final[r["user_id"]] = (r["n_events"], r["total_value_centi"])
+    assert final == _batch_truth(spark, src) and final
+
+
+# --- 5. upgrade rule: changed state schema is refused ----------------------
+
+
+def test_restart_with_changed_state_schema_is_refused(spark, workdir):
+    files = _split_fixture(workdir)
+    src, ckpt, out = (os.path.join(workdir, x) for x in ("src", "ckpt", "out"))
+
+    _arrive(files[:2], src)
+    _run_query(spark, src, ckpt, out)
+
+    def widened_fold(key, pdfs, state):
+        n, total, extra = state.get if state.exists else (0, 0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n, total, extra))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value_centi": [total]}
+        )
+
+    _arrive(files[2:], src)
+    with pytest.raises(Exception) as ei:
+        _run_query(
+            spark,
+            src,
+            ckpt,
+            out,
+            fold=widened_fold,
+            state_struct="n long, total long, extra long",
+        )
+    msg = str(ei.value).lower()
+    assert "state" in msg or "schema" in msg, msg[:500]

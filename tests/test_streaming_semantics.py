@@ -253,3 +253,62 @@ def test_stream_left_outer_is_inner_plus_watermark_gated_nulls(spark):
     assert nulls, "expected some watermark-proven unmatched errors"
     assert all(r["p_ts"] is None for r in nulls)
     assert all(r["e_ts"] < horizon for r in nulls)
+
+
+def test_stream_full_outer_is_left_outer_plus_right_nulls(spark):
+    """The full-outer stream-stream join must emit exactly the
+    left-outer result PLUS a null row per unmatched purchase the
+    watermark has proven unmatchable — and the two null gates are
+    ASYMMETRIC: an error's gate is e_ts + 6h < wm (a later purchase
+    could still match), a purchase's gate is p_ts < wm (the join needs
+    e_ts <= p_ts, and future errors arrive above the watermark)."""
+    import datetime
+
+    full = SPECS["stream_stream_full_outer"].builder(spark, SF_DIR)
+    left = SPECS["stream_stream_left_outer"].builder(spark, SF_DIR)
+    as_tuple = lambda r: (r["e_user"], r["e_id"], r["p_id"], r["e_ts"], r["p_ts"])  # noqa: E731
+    full_rows = [as_tuple(r) for r in full.collect()]
+    left_rows = {as_tuple(r) for r in left.collect()}
+    left_part = {t for t in full_rows if t[1] is not None}
+    assert left_part == left_rows and left_part
+    right_nulls = [r for r in full.where(F.col("e_id").isNull()).collect()]
+    assert right_nulls, "expected watermark-proven unmatched purchases"
+    ev = table(spark, SF_DIR, "events")
+    wm = (
+        ev.groupBy("event_type")
+        .agg(F.max("ts").alias("m"))
+        .where(F.col("event_type").isin("error", "purchase"))
+        .agg(F.min("m"))
+        .collect()[0][0]
+    ) - datetime.timedelta(hours=1)
+    assert all(r["e_ts"] is None and r["e_user"] is None for r in right_nulls)
+    assert all(r["p_ts"] < wm for r in right_nulls)
+    # rerun idempotence (replay determinism)
+    rerun = [as_tuple(r) for r in full.collect()]
+    assert sorted(rerun, key=str) == sorted(full_rows, key=str)
+
+
+def test_stream_watermark_idle_audit_freeze_rule(spark):
+    """The idle-source audit's emitted flag must equal the freeze rule
+    (win_end <= max_ts - 1h), the held set must be nonempty (the
+    watermark can never pass the newest event), and counts must equal
+    the batch census — so the audit is usable as a production
+    freshness monitor, not just a demo."""
+    import datetime
+
+    rows = SPECS["stream_watermark_idle_audit"].builder(spark, SF_DIR).collect()
+    ev = table(spark, SF_DIR, "events")
+    wm = ev.agg(F.max("ts")).collect()[0][0] - datetime.timedelta(hours=1)
+    census = {
+        r["ws"]: r["n"]
+        for r in ev.groupBy(F.window("ts", "6 hours"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("ws"), "n")
+        .collect()
+    }
+    assert {r["win_start"]: r["n"] for r in rows} == census and rows
+    held = [r for r in rows if not r["emitted"]]
+    assert held, "the trailing windows must be held by the frozen watermark"
+    for r in rows:
+        should_emit = r["win_start"] + datetime.timedelta(hours=6) <= wm
+        assert r["emitted"] == should_emit, (r, wm)

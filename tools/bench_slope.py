@@ -1,0 +1,160 @@
+"""Scaling-slope audit (VERDICT r13 #2): time the heaviest registry
+keys at sf0.001 / sf0.01 / sf0.1 and report the wall-time growth per
+10x data step.
+
+The judge bar is "plans you'd want at 100x scale"; this makes it
+empirical where local[32] can: a key whose cost is dominated by fixed
+per-round overhead (iterative graph keys at toy scale) shows a slope
+near 1.0x per 10x step, a linear scan-bound key shows <= ~10x, and
+anything super-linear beyond fixed overhead — the actual scale-killer
+signature — shows > 10x and gets flagged (threshold 1.3x of linear,
+i.e. a >13x wall-time step for a 10x data step, per VERDICT r13 #2).
+
+Drift discipline: all three sfs for a key run CONSECUTIVELY (best-of-N
+each), so each slope ratio is computed inside a tight window and a
+host-drift edge cannot masquerade as a bad asymptote the way it can
+across a 40-minute full bench.
+
+Usage:
+    python3 tools/bench_slope.py [--runs 2] [--out SLOPE_r14.md]
+    SPARK_GRAFT_SLOPE=1 python3 bench.py   # same audit, appended JSON
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+SF_DIRS = [
+    "/root/testdata/sf0.001",
+    "/root/testdata/sf0.01",
+    "/root/testdata/sf0.1",
+]
+
+# The ~20 heaviest keys by the r13 bench readings (judge + builder
+# quiet runs agree on the membership), spanning the engine's expensive
+# shapes: iterative graph (eigenvector/LPA/CC/truss/betweenness),
+# dense self-joins (item-CF, triangles), LSH dedup, multi-join TPC-H,
+# list ranking, text aggregation, and the ANN build+eval composite.
+HEAVY_KEYS = [
+    "eigenvector_centrality",
+    "item_cf_recommend",
+    "edge_betweenness_approx",
+    "dedup_minhash",
+    "label_propagation",
+    "wallet_components",
+    "ktruss_edges",
+    "betweenness_approx",
+    "closeness_approx",
+    "attribution_markov",
+    "influence_cascade",
+    "ann_recall_curve",
+    "attribution_shapley",
+    "recursive_cte_hierarchy",
+    "topo_order",
+    "triangle_count",
+    "bfs_distance",
+    "tpch_q2",
+    "tpch_q5",
+    "tpch_q18",
+    "counterparties",
+    "text_tfidf",
+    "dedup_cluster_keep_best",
+    "random_walk_sample",
+]
+
+# Wall-time growth per 10x data step above which a key is flagged for
+# a plan explanation or a fix (1.3x of linear, VERDICT r13 #2).
+FLAG_RATIO = 13.0
+
+
+def run_slope(spark, keys=None, runs: int = 2) -> dict:
+    """Time each key at every sf consecutively; return
+    {key: {"sf0.001": s, "sf0.01": s, "sf0.1": s,
+           "step_ratios": [r_01, r_1], "flagged": bool}}."""
+    from blockchain2graphdb_spark import registry
+
+    specs = registry.load_all()
+    keys = list(keys or HEAVY_KEYS)
+    out: dict[str, dict] = {}
+    _refs: list = []  # accumulator-lifecycle pin (see bench.py)
+    for key in keys:
+        row: dict = {}
+        for sf_dir in SF_DIRS:
+            best = None
+            for _ in range(runs):
+                t0 = time.time()
+                df = specs[key].builder(spark, sf_dir)
+                _refs.append(df)
+                df.count()
+                dt = round(time.time() - t0, 3)
+                best = dt if best is None else min(best, dt)
+            row[os.path.basename(sf_dir)] = best
+        ts = [row[os.path.basename(d)] for d in SF_DIRS]
+        ratios = [
+            round(ts[i + 1] / ts[i], 2) if ts[i] > 0 else None
+            for i in range(len(ts) - 1)
+        ]
+        row["step_ratios"] = ratios
+        row["flagged"] = any(r is not None and r > FLAG_RATIO for r in ratios)
+        out[key] = row
+        print(
+            f"# slope {key}: {ts} step_ratios={ratios}"
+            + (" FLAGGED" if row["flagged"] else ""),
+            file=sys.stderr,
+        )
+    return out
+
+
+def to_markdown(result: dict, round_tag: str) -> str:
+    lines = [
+        f"# Scaling-slope audit — {round_tag}",
+        "",
+        "Wall time (best-of-N, seconds) for the heaviest registry keys at",
+        "three fixture scales, each key's scales timed back-to-back in one",
+        "window. `step` columns are the wall-time ratio across a 10x data",
+        "step; a plan with healthy asymptotics shows step <= ~10 (linear)",
+        "or near 1.0 when fixed per-round overhead dominates at toy scale.",
+        f"Keys with any step > {FLAG_RATIO:.0f} (1.3x of linear) are",
+        "flagged for a plan explanation or a fix.",
+        "",
+        "| key | sf0.001 | sf0.01 | sf0.1 | step 0.001→0.01 | step 0.01→0.1 | flag |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for key, row in result.items():
+        r1, r2 = row["step_ratios"]
+        lines.append(
+            f"| {key} | {row['sf0.001']} | {row['sf0.01']} | {row['sf0.1']} "
+            f"| {r1} | {r2} | {'FLAG' if row['flagged'] else ''} |"
+        )
+    lines.append("")
+    return "\n".join(lines)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--out", default=None, help="markdown output path")
+    ap.add_argument("--keys", nargs="*", default=None)
+    ap.add_argument("--round", dest="round_tag", default="r14")
+    args = ap.parse_args()
+
+    from blockchain2graphdb_spark.session import get_spark
+
+    spark = get_spark("bench-slope")
+    result = run_slope(spark, keys=args.keys, runs=args.runs)
+    print(json.dumps({"metric": "slope_audit", "keys": result}))
+    if args.out:
+        with open(args.out, "w") as fh:
+            fh.write(to_markdown(result, args.round_tag))
+        print(f"# wrote {args.out}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
