@@ -70,57 +70,9 @@ _OPERATOR_MODULES = (
 # tests/test_round8_ops.py::test_sample_priority_is_complete, since
 # load_all() silently ignores missing keys).
 _SAMPLE_PRIORITY = (
-    # --- new round-13 head: never-driver-witnessed first, then stalest ---
-    "join_skew_aqe_split",  # r0 oracle
-    "regression_metrics",  # r0 oracle
-    "regression_stump",  # r0 oracle
-    "rolling_origin_backtest",  # r0 oracle
-    "rsi_cutler",  # r0 oracle
-    "sequence_packing_shelf",  # r0 oracle
-    "simhash_hamming_calibration",  # r0 oracle
-    "srm_check",  # r0 oracle
-    "stream_dq_quarantine",  # r0 oracle
-    "stream_ivf_assign",  # r0 oracle
-    "stream_mixture_admission",  # r0 oracle
-    "stream_multi_table_ingest",  # r0 oracle
-    "stream_page_hinkley",  # r0 oracle
-    "stream_scd2_enrich",  # r0 oracle
-    "stream_stream_left_outer",  # r0 oracle
-    "stream_topk_per_window",  # r0 oracle
-    "t_closeness_audit",  # r0 oracle
-    "temporal_edge_split",  # r0 oracle
-    "text_rake_keywords",  # r0 oracle
-    "tokenizer_fertility_by_lang",  # r0 oracle
-    "utxo_age_distribution",  # r0 oracle
-    "agg_hll_merge",  # r1 rows-only
-    "agg_approx_count_distinct",  # r3 rows-only
-    "agg_approx_percentile",  # r3 rows-only
-    "sample_stratified",  # r3 rows-only
-    "text_clean",  # r4 oracle
-    "text_fingerprint",  # r4 oracle
-    "text_lang_id",  # r4 oracle
-    "text_ngram_freq",  # r4 oracle
-    "text_quality_score",  # r4 oracle
-    "text_repetition",  # r4 oracle
-    "text_tfidf",  # r4 oracle
-    "text_token_stats",  # r4 oracle
-    "token_count",  # r4 oracle
-    "topo_order",  # r4 oracle
-    "tpch_q1",  # r4 oracle
-    "tpch_q3",  # r4 oracle
-    "tpch_q5",  # r4 oracle
-    "triangle_count",  # r4 oracle
-    "vocab_coverage",  # r4 oracle
-    "wallet_components",  # r4 oracle
-    "window_first_seen",  # r4 oracle
-    "window_lag",  # r4 oracle
-    "window_ntile",  # r4 oracle
-    "window_range_frame",  # r4 oracle
-    "window_rank",  # r4 oracle
-    "window_row_number",  # r4 oracle
-    "window_running_sum",  # r4 oracle
-    "window_topk_per_group",  # r4 oracle
-    "pagerank",  # r4 rows-only
+    # --- new round-14 head: never-driver-witnessed first, then stalest ---
+    "stream_stream_full_outer",  # r0 oracle
+    "stream_watermark_idle_audit",  # r0 oracle
     "personalized_pagerank",  # r4 rows-only
     "blockfile_ingest",  # r5 oracle
     "cascade_delete",  # r5 oracle
@@ -509,6 +461,56 @@ _SAMPLE_PRIORITY = (
     "wasserstein_1d_drift",  # r12 oracle
     "watermark_lateness_census",  # r12 oracle
     "window_cume_dist",  # r12 oracle
+    "join_skew_aqe_split",  # r13 oracle
+    "regression_metrics",  # r13 oracle
+    "regression_stump",  # r13 oracle
+    "rolling_origin_backtest",  # r13 oracle
+    "rsi_cutler",  # r13 oracle
+    "sequence_packing_shelf",  # r13 oracle
+    "simhash_hamming_calibration",  # r13 oracle
+    "srm_check",  # r13 oracle
+    "stream_dq_quarantine",  # r13 oracle
+    "stream_ivf_assign",  # r13 oracle
+    "stream_mixture_admission",  # r13 oracle
+    "stream_multi_table_ingest",  # r13 oracle
+    "stream_page_hinkley",  # r13 oracle
+    "stream_scd2_enrich",  # r13 oracle
+    "stream_stream_left_outer",  # r13 oracle
+    "stream_topk_per_window",  # r13 oracle
+    "t_closeness_audit",  # r13 oracle
+    "temporal_edge_split",  # r13 oracle
+    "text_clean",  # r13 oracle
+    "text_fingerprint",  # r13 oracle
+    "text_lang_id",  # r13 oracle
+    "text_ngram_freq",  # r13 oracle
+    "text_quality_score",  # r13 oracle
+    "text_rake_keywords",  # r13 oracle
+    "text_repetition",  # r13 oracle
+    "text_tfidf",  # r13 oracle
+    "text_token_stats",  # r13 oracle
+    "token_count",  # r13 oracle
+    "tokenizer_fertility_by_lang",  # r13 oracle
+    "topo_order",  # r13 oracle
+    "tpch_q1",  # r13 oracle
+    "tpch_q3",  # r13 oracle
+    "tpch_q5",  # r13 oracle
+    "triangle_count",  # r13 oracle
+    "utxo_age_distribution",  # r13 oracle
+    "vocab_coverage",  # r13 oracle
+    "wallet_components",  # r13 oracle
+    "window_first_seen",  # r13 oracle
+    "window_lag",  # r13 oracle
+    "window_ntile",  # r13 oracle
+    "window_range_frame",  # r13 oracle
+    "window_rank",  # r13 oracle
+    "window_row_number",  # r13 oracle
+    "window_running_sum",  # r13 oracle
+    "window_topk_per_group",  # r13 oracle
+    "agg_approx_count_distinct",  # r13 rows-only
+    "agg_approx_percentile",  # r13 rows-only
+    "agg_hll_merge",  # r13 rows-only
+    "pagerank",  # r13 rows-only
+    "sample_stratified",  # r13 rows-only
 )
 
 

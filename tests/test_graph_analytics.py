@@ -56,10 +56,14 @@ def test_pagerank_warm_start_accelerates_convergence(spark):
     a long-run reference."""
     base = [(0, 1), (0, 2), (1, 2), (2, 3), (3, 4), (4, 5), (5, 6)]
     delta = [(1, 6), (2, 5)]
-    old_ranks = pagerank_ranks(_pairs(spark, base), n_iter=30)
+    # 20/30 supersteps (was 30/40): the warm-vs-cold ordering and the
+    # 1e-2 tolerance hold with wide margin (re-measured r14: warm
+    # 3.0e-3 vs cold 5.5e-3 against the 30-iter reference) and each
+    # superstep costs ~0.4s of fixed local-mode overhead.
+    old_ranks = pagerank_ranks(_pairs(spark, base), n_iter=20)
     new_edges = _pairs(spark, base + delta)
 
-    converged = {r["id"]: r["rank"] for r in pagerank_ranks(new_edges, n_iter=40).collect()}
+    converged = {r["id"]: r["rank"] for r in pagerank_ranks(new_edges, n_iter=30).collect()}
     warm = {
         r["id"]: r["rank"]
         for r in pagerank_ranks(new_edges, n_iter=6, init_ranks=old_ranks).collect()

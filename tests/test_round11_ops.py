@@ -145,8 +145,12 @@ def test_pregel_broadcast_switch_equivalence(spark):
     from blockchain2graphdb_spark.graph.pregel import chain_heights, pregel
     from pyspark.sql import functions as F
 
-    # a 60-block chain: heights 0..59 via message passing
-    rows = [(f"h{i:03d}", None if i == 0 else f"h{i-1:03d}") for i in range(60)]
+    # a 16-block chain: heights 0..15 via message passing. Depth only
+    # multiplies supersteps (one hop per round x three forced paths —
+    # the r13 durations run measured 97s at depth 60); the equivalence
+    # property and the adaptive-switch coverage are depth-independent,
+    # so 16 buys the same assertion at a quarter of the wall time.
+    rows = [(f"h{i:03d}", None if i == 0 else f"h{i-1:03d}") for i in range(16)]
     blocks = spark.createDataFrame(rows, "hash string, prev_hash string")
 
     def run(bn):
@@ -175,7 +179,7 @@ def test_pregel_broadcast_switch_equivalence(spark):
     forced_shuffle = run(0)
     adaptive = run(None)
     assert forced_broadcast == forced_shuffle == adaptive
-    assert dict(adaptive)["h059"] == 59
+    assert dict(adaptive)["h015"] == 15
 
 
 def test_components_adaptive_threshold_agrees_with_forced_paths(spark):
