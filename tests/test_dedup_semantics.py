@@ -5,6 +5,8 @@ bucketed-join layout proof for the 100 TB co-location story."""
 
 from __future__ import annotations
 
+import pytest
+
 import random
 from pyspark.sql import functions as F
 
@@ -280,6 +282,7 @@ def test_dedup_incremental_flags_exact_twins_only(spark, sf_dir):
         assert is_dup == (1 if doc_id in dups else 0), (doc_id, is_dup)
 
 
+@pytest.mark.slow  # >9s measured r14; full lane still runs it
 def test_minhash_clusters_degenerate_corpora(spark):
     """Edge cases that break naive shingle pipelines: empty strings,
     single-token docs, and exact duplicates. Exact dups must cluster

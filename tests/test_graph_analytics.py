@@ -14,6 +14,7 @@ def _pairs(spark, edges):
     return spark.createDataFrame(edges, "src long, dst long")
 
 
+@pytest.mark.slow  # >9s measured r14; full lane still runs it
 def test_pagerank_matches_power_iteration(spark):
     # canonical a<b edge list of a small asymmetric graph
     edges = [(0, 1), (0, 2), (1, 2), (2, 3), (3, 4)]
@@ -165,6 +166,7 @@ def test_connected_components_driver_and_distributed_paths_agree(spark):
     assert labels[5_003] == 5_000 and labels[9_001] == 9_000
 
 
+@pytest.mark.slow  # >9s measured r14; full lane still runs it
 def test_incremental_components_equals_full(spark):
     """Folding edge batches incrementally must equal one full CC over
     the union — across merges, brand-new components, and bridges."""

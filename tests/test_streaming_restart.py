@@ -178,6 +178,7 @@ def workdir(tmp_path_factory):
 # --- 1. graceful stop → same-code restart --------------------------------
 
 
+@pytest.mark.slow  # >9s measured r14; full lane still runs it
 def test_restart_continues_exactly_once_after_graceful_stop(spark, workdir):
     files = _split_fixture(workdir)
     src, ckpt, out = (os.path.join(workdir, x) for x in ("src", "ckpt", "out"))
@@ -270,6 +271,7 @@ def _make_walk_fold():
     return fold
 
 
+@pytest.mark.slow  # >9s measured r14; full lane still runs it
 def test_restart_continues_order_sensitive_walk(spark, workdir):
     from pyspark.sql.streaming.state import GroupStateTimeout
 

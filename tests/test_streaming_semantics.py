@@ -165,6 +165,7 @@ def test_merge_sink_state_equals_batch_fold(spark, sf_dir):
     assert rerun == got
 
 
+@pytest.mark.slow  # >9s measured r14; full lane still runs it
 def test_stream_ivf_assign_equals_batch_census(spark):
     """The streaming IVF census must equal the batch assignment
     (ivf_index_incremental) grouped by cell — micro-batch boundaries
