@@ -17,6 +17,12 @@ SPECS = registry.load_all()
 ORACLE_KEYS = sorted(k for k, s in SPECS.items() if s.oracle is not None)
 ROWS_ONLY_KEYS = sorted(k for k, s in SPECS.items() if s.oracle is None)
 
+# The whole module IS the differential sweep (the driver-gate check at
+# sf0.001, one test per key). It stays in the full lane, but carries
+# its own marker so the fast iteration lane can skip it — the same
+# coverage is a one-command standalone run via tools/verify_local.py.
+pytestmark = pytest.mark.sweep
+
 
 @pytest.fixture(scope="module")
 def duck():
