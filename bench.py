@@ -203,6 +203,13 @@ def main() -> None:
     # scheduler moment. Pass 2 re-executes fully (no result caching —
     # builders re-plan and localCheckpoint afresh each call).
     times: dict[str, float] = {}
+    # The A/B ratio must stay best-of-2 vs best-of-2 REGARDLESS of the
+    # configured N (the pinned r01 bench has no best-of-N loop, so the
+    # two sandwich legs are exactly its best-of-2): the ratio leg uses
+    # HEAD's first two passes only, while `times` reports best-of-N.
+    # With runs=1 the ratio is HEAD best-of-1 vs r01 best-of-2 — biased
+    # AGAINST HEAD, never in its favor.
+    times_ab: dict[str, float] = {}
     # Accumulator-lifecycle pin (BENCH_r06 postmortem): SQL-metric
     # accumulators are registered via weak references, so when a
     # finished query's DataFrame is dropped mid-bench and the JVM GCs
@@ -215,15 +222,15 @@ def main() -> None:
     # accumulators stay registered until the session exits.
     _refs: list = []
     for name in HEADLINE:
-        best = None
+        passes: list[float] = []
         for _ in range(runs):
             t0 = time.time()
             df = specs[name].builder(spark, sf_dir)
             _refs.append(df)
             n = df.count() if name != "similarity_topk" else len(df.collect())
-            dt = round(time.time() - t0, 3)
-            best = dt if best is None else min(best, dt)
-        times[name] = best
+            passes.append(round(time.time() - t0, 3))
+        times[name] = min(passes)
+        times_ab[name] = min(passes[:2])
         print(f"# {name}: {times[name]}s ({n} rows, best of {runs})", file=sys.stderr)
 
     # Sandwich leg B: immediately after the headline half, BEFORE the
@@ -278,8 +285,8 @@ def main() -> None:
         for leg in legs:
             for k, v in leg.get("queries", {}).items():
                 r01_q[k] = min(v, r01_q.get(k, v))
-        shared = [k for k in times if k in r01_q]
-        head_sh = sum(times[k] for k in shared)
+        shared = [k for k in times_ab if k in r01_q]
+        head_sh = sum(times_ab[k] for k in shared)
         r01_sh = sum(r01_q[k] for k in shared)
         leg_totals = [
             round(sum(leg["queries"][k] for k in shared), 3)
@@ -290,6 +297,7 @@ def main() -> None:
             "commit": R01_COMMIT,
             "legs": len(legs),
             "leg_totals": leg_totals,  # spread = intra-run drift witness
+            "head_passes_for_ratio": min(2, runs),
             "shared_keys": len(shared),
             "shared_total": round(r01_sh, 3),
         }
@@ -298,7 +306,7 @@ def main() -> None:
                 head_sh / r01_sh, 3
             )
             out["ratio_per_query"] = {
-                k: round(times[k] / r01_q[k], 3)
+                k: round(times_ab[k] / r01_q[k], 3)
                 for k in shared
                 if r01_q[k] > 0
             }

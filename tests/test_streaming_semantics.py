@@ -284,8 +284,13 @@ def test_stream_full_outer_is_left_outer_plus_right_nulls(spark):
     ) - datetime.timedelta(hours=1)
     assert all(r["e_ts"] is None and r["e_user"] is None for r in right_nulls)
     assert all(r["p_ts"] < wm for r in right_nulls)
-    # rerun idempotence (replay determinism)
-    rerun = [as_tuple(r) for r in full.collect()]
+    # rerun idempotence (replay determinism) — a fresh builder call runs
+    # the whole stream again; re-collecting `full` would only re-read
+    # the already-materialized memory sink and could never fail
+    rerun = [
+        as_tuple(r)
+        for r in SPECS["stream_stream_full_outer"].builder(spark, SF_DIR).collect()
+    ]
     assert sorted(rerun, key=str) == sorted(full_rows, key=str)
 
 
