@@ -81,6 +81,7 @@ def test_ivf_recall_floor(spark, sf_dir):
     assert hit / total >= 0.4, f"recall@{K} = {hit}/{total}"
 
 
+@pytest.mark.slow  # >5.5s in the r14 fast-lane durations; full lane still runs it
 def test_ivf_exhaustive_probe_equals_bruteforce(spark, sf_dir):
     """nprobe = n_centroids prunes nothing, so IVF must return exactly
     the brute-force top-k: the candidate generation loses vectors, the
@@ -91,6 +92,7 @@ def test_ivf_exhaustive_probe_equals_bruteforce(spark, sf_dir):
     assert ivf.exceptAll(bf).count() == 0
 
 
+@pytest.mark.slow  # >5.5s in the r14 fast-lane durations; full lane still runs it
 def test_lsh_recall_floor_and_table_scaling(spark, sf_dir):
     """Random-hyperplane LSH candidate generation must (a) clear a recall
     floor at the registered 4-table setting and (b) gain recall when the
@@ -152,6 +154,7 @@ def test_dedup_embedding_lsh_pair_recall(spark, sf_dir):
     assert hit / total >= 0.3, f"dedup LSH pair recall = {hit}/{total}"
 
 
+@pytest.mark.slow  # >5.5s in the r14 fast-lane durations; full lane still runs it
 def test_pq_recall_floor_and_determinism(spark, sf_dir):
     """PQ/ADC approximates exact L2 on the quantized vectors. With an
     untrained 16-code sample codebook on random gaussians (worst case)

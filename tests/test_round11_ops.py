@@ -182,6 +182,7 @@ def test_pregel_broadcast_switch_equivalence(spark):
     assert dict(adaptive)["h015"] == 15
 
 
+@pytest.mark.slow  # >5.5s in the r14 fast-lane durations; full lane still runs it
 def test_components_adaptive_threshold_agrees_with_forced_paths(spark):
     from blockchain2graphdb_spark.graph.components import connected_components
 

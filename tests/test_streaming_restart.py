@@ -210,6 +210,7 @@ def test_restart_continues_exactly_once_after_graceful_stop(spark, workdir):
 # --- 2. crash mid-stream → restart converges ------------------------------
 
 
+@pytest.mark.slow  # >5.5s in the r14 fast-lane durations; full lane still runs it
 def test_restart_after_midstream_crash_is_exactly_once(spark, workdir):
     from pyspark.errors.exceptions.captured import StreamingQueryException
 
@@ -342,6 +343,7 @@ def test_restart_continues_order_sensitive_walk(spark, workdir):
 # --- 4. upgrade rule: added stateless projection is allowed ---------------
 
 
+@pytest.mark.slow  # >5.5s in the r14 fast-lane durations; full lane still runs it
 def test_restart_with_added_stateless_projection_is_allowed(spark, workdir):
     files = _split_fixture(workdir)
     src, ckpt, out = (os.path.join(workdir, x) for x in ("src", "ckpt", "out"))

@@ -256,6 +256,7 @@ def test_stream_left_outer_is_inner_plus_watermark_gated_nulls(spark):
     assert all(r["e_ts"] < horizon for r in nulls)
 
 
+@pytest.mark.slow  # >5.5s in the r14 fast-lane durations; full lane still runs it
 def test_stream_full_outer_is_left_outer_plus_right_nulls(spark):
     """The full-outer stream-stream join must emit exactly the
     left-outer result PLUS a null row per unmatched purchase the
