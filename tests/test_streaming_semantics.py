@@ -195,6 +195,104 @@ def test_stream_ivf_assign_equals_batch_census(spark):
     assert rerun == got
 
 
+@pytest.mark.slow  # ~12s (4-file replay, 5 micro-batches); full lane runs it
+def test_stream_stream_join_state_evicts_with_watermark(spark, tmp_path):
+    """The join keys' docstrings claim 'state bounded by the 6h + 1h
+    event-time horizon' — measure it. Over a TIME-ORDERED 4-file
+    replay (so the watermark genuinely advances between micro-batches,
+    unlike the registered single-batch keys), the interval join's
+    state store must (1) evict continuously (numRowsRemoved > 0 as
+    the horizon slides), (2) never hold more than a fraction of the
+    rows streamed through it, and (3) drain in the terminal no-data
+    batch down to the last horizon's residue. Probe reading at
+    sf0.001: 403 relevant rows in, peak state 114, 394 evicted,
+    final batch 9 — the shape that keeps an unbounded stream's join
+    state finite at any scale."""
+    import time as _time
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from blockchain2graphdb_spark.catalog import events_raw_schema
+
+    d = str(tmp_path / "evict")
+    import os
+
+    os.makedirs(d)
+    tbl = pq.read_table(f"{SF_DIR}/events.parquet")
+    tbl = tbl.take(
+        pc.sort_indices(tbl, sort_keys=[("ts", "ascending"), ("event_id", "ascending")])
+    )
+    q4 = tbl.num_rows // 4
+    for i in range(4):
+        ln = q4 if i < 3 else tbl.num_rows - 3 * q4
+        pq.write_table(tbl.slice(i * q4, ln), f"{d}/p{i}.parquet")
+        _time.sleep(0.05)
+
+    from blockchain2graphdb_spark.catalog import normalize_events_ts
+
+    s = normalize_events_ts(
+        spark.readStream.schema(events_raw_schema(spark, SF_DIR))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    err = (
+        s.where(F.col("event_type") == "error")
+        .select(
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+            F.col("event_id").alias("e_id"),
+        )
+        .withWatermark("e_ts", "1 hour")
+    )
+    pur = (
+        s.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("p_id"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    import uuid as _uuid
+
+    name = "ev" + _uuid.uuid4().hex[:10]
+    q = (
+        err.join(
+            pur,
+            (F.col("e_user") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("e_ts"))
+            & (F.col("p_ts") <= F.col("e_ts") + F.expr("INTERVAL 6 HOURS")),
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    stats = [
+        (int(so["numRowsTotal"]), int(so["numRowsRemoved"]))
+        for p in q.recentProgress
+        for so in (p["stateOperators"] or [])
+    ]
+    assert len(stats) >= 4, stats
+    n_rel = (
+        spark.read.schema(events_raw_schema(spark, SF_DIR))
+        .parquet(d)
+        .where(F.col("event_type").isin("error", "purchase"))
+        .count()
+    )
+    peak = max(t for t, _ in stats)
+    removed = sum(r for _, r in stats)
+    final_total = stats[-1][0]
+    assert removed > 0, stats  # (1) eviction actually happened
+    assert peak < n_rel / 2, (peak, n_rel)  # (2) never holds the stream
+    assert final_total < peak / 2, stats  # (3) terminal batch drains
+    # conservation: everything streamed in was either evicted or remains
+    assert removed + final_total == n_rel, (removed, final_total, n_rel)
+
+
 def _max_state_rows():
     """Max state-store numRowsTotal across micro-batches of the most
     recent _run query — the measured counterpart of the docstrings'
