@@ -116,8 +116,12 @@ _REPO = os.path.dirname(os.path.abspath(__file__))
 
 def _run_r01_leg(sf_dir: str) -> dict | None:
     """Run the pinned r01 commit's bench.py in a git worktree as a
-    subprocess (its JVM exits before ours starts — no contention) and
-    return its parsed JSON line, or None if the leg can't run."""
+    subprocess and return its parsed JSON line, or None if the leg
+    can't run. Isolation differs by leg: sandwich leg A runs BEFORE the
+    HEAD JVM allocates (no contention); leg B runs beside HEAD's
+    idle-but-resident local[32] JVM (its heap is allocated but no jobs
+    run). The per-query min() across legs absorbs the difference —
+    whichever leg shares HEAD's window conditions wins."""
     import subprocess
 
     wt = os.path.join(_REPO, ".tmp", "ab_r01")

@@ -417,3 +417,119 @@ def test_stream_watermark_idle_audit_freeze_rule(spark):
     for r in rows:
         should_emit = r["win_start"] + datetime.timedelta(hours=6) <= wm
         assert r["emitted"] == should_emit, (r, wm)
+
+
+def test_watermark_boundary_edges_synthetic(spark, tmp_path):
+    """Pin the exact <=/< watermark-boundary gates the r14 oracles
+    encode (ADVICE r14) with SYNTHETIC timestamps the fixture never
+    lands on: a window whose end falls EXACTLY on the terminal
+    watermark, an unmatched error with e_ts + 6h EXACTLY at wm, and an
+    unmatched purchase with p_ts EXACTLY at wm. Measured against Spark
+    4.1's actual eviction behavior (probe 2026-08-16):
+
+      * windowed agg, append mode: window emitted iff win_end <= wm
+        (INCLUSIVE — the ==wm window IS emitted);
+      * full-outer interval join, error-side null: emitted iff
+        e_ts + 6h < wm (STRICT — the ==wm error stays buffered);
+      * purchase-side null: emitted iff p_ts < wm (STRICT — the ==wm
+        purchase stays buffered).
+
+    These are exactly the three gates stream_watermark_idle_audit and
+    stream_stream_full_outer's oracles state; a Spark upgrade or
+    fixture re-encode that flips an edge fails here first."""
+    import datetime
+    import uuid as _uuid
+
+    T = datetime.datetime.fromisoformat
+    schema = (
+        "event_id string, user_id string, ts timestamp,"
+        " event_type string, value double"
+    )
+
+    # --- gate 1: window [00:00, 06:00) with terminal wm == 06:00 ---
+    d1 = str(tmp_path / "agg")
+    spark.createDataFrame(
+        [
+            ("e1", "u1", T("2024-01-01 01:00:00"), "error", 1.0),
+            ("mx", "u9", T("2024-01-01 07:00:00"), "view", 1.0),
+        ],
+        schema,
+    ).coalesce(1).write.parquet(d1)
+    s = spark.readStream.schema(schema).parquet(d1).withWatermark("ts", "1 hour")
+    name = "wb" + _uuid.uuid4().hex[:10]
+    q = (
+        s.groupBy(F.window("ts", "6 hours"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("ws"))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = {r["ws"] for r in spark.table(name).collect()}
+    # inclusive edge: win_end (06:00) == wm (06:00) -> emitted
+    assert T("2024-01-01 00:00:00") in emitted
+    # the window holding the max event can never be emitted
+    assert T("2024-01-01 06:00:00") not in emitted
+
+    # --- gates 2+3: full-outer join, wm = min(max e, max p) - 1h = 12:00 ---
+    d2 = str(tmp_path / "join")
+    spark.createDataFrame(
+        [
+            # unmatched error, e_ts+6h = 11:00 <  wm -> null row emitted
+            ("eA", "ua", T("2024-01-01 05:00:00"), "error", 1.0),
+            # unmatched error, e_ts+6h = 12:00 == wm -> held (strict <)
+            ("eB", "ub", T("2024-01-01 06:00:00"), "error", 1.0),
+            # unmatched purchase, p_ts = 11:00 <  wm -> null row emitted
+            ("pA", "va", T("2024-01-01 11:00:00"), "purchase", 1.0),
+            # unmatched purchase, p_ts = 12:00 == wm -> held (strict <)
+            ("pB", "vb", T("2024-01-01 12:00:00"), "purchase", 1.0),
+            # matched pair at 13:00 pins both stream maxima -> wm = 12:00
+            ("eMax", "uz", T("2024-01-01 13:00:00"), "error", 1.0),
+            ("pMax", "uz", T("2024-01-01 13:00:00"), "purchase", 1.0),
+        ],
+        schema,
+    ).coalesce(1).write.parquet(d2)
+
+    def _side(etype, user, ts, eid):
+        return (
+            spark.readStream.schema(schema)
+            .parquet(d2)
+            .where(F.col("event_type") == etype)
+            .select(
+                F.col("user_id").alias(user),
+                F.col("ts").alias(ts),
+                F.col("event_id").alias(eid),
+            )
+            .withWatermark(ts, "1 hour")
+        )
+
+    out = (
+        _side("error", "e_user", "e_ts", "e_id")
+        .join(
+            _side("purchase", "p_user", "p_ts", "p_id"),
+            (F.col("e_user") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("e_ts"))
+            & (F.col("p_ts") <= F.col("e_ts") + F.expr("INTERVAL 6 HOURS")),
+            "full_outer",
+        )
+        .select("e_user", "e_id", "p_id", "e_ts", "p_ts")
+    )
+    name2 = "wb" + _uuid.uuid4().hex[:10]
+    q2 = (
+        out.writeStream.format("memory")
+        .queryName(name2)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    rows = spark.table(name2).collect()
+    matched = {(r["e_id"], r["p_id"]) for r in rows if r["e_id"] and r["p_id"]}
+    err_nulls = {r["e_id"] for r in rows if r["p_id"] is None}
+    pur_nulls = {r["p_id"] for r in rows if r["e_id"] is None}
+    assert matched == {("eMax", "pMax")}
+    assert err_nulls == {"eA"}, "strict <: the e_ts+6h==wm error must be held"
+    assert pur_nulls == {"pA"}, "strict <: the p_ts==wm purchase must be held"

@@ -74,6 +74,26 @@ HEAVY_KEYS = [
 FLAG_RATIO = 13.0
 
 
+def _warmup(spark) -> None:
+    """Same JVM/codegen warmup bench.py performs before timing (ADVICE
+    r14): without it, the standalone path's first sf0.001 reading
+    absorbs JIT compilation cost, and an inflated small-scale
+    denominator deflates that key's step ratios — which could mask a
+    super-linear flag. Different data (sf0.001), same generated code."""
+    from blockchain2graphdb_spark import registry
+
+    specs = registry.load_all()
+    warm_dir = SF_DIRS[0]
+    for warm_q in (
+        "agg_count",
+        "tpch_q5",
+        "window_topk_per_group",
+        "text_token_stats",
+        "dedup_minhash",
+    ):
+        specs[warm_q].builder(spark, warm_dir).collect()
+
+
 def run_slope(spark, keys=None, runs: int = 2) -> dict:
     """Time each key at every sf consecutively; return
     {key: {"sf0.001": s, "sf0.01": s, "sf0.1": s,
@@ -148,6 +168,7 @@ def main() -> None:
     from blockchain2graphdb_spark.session import get_spark
 
     spark = get_spark("bench-slope")
+    _warmup(spark)
     result = run_slope(spark, keys=args.keys, runs=args.runs)
     print(json.dumps({"metric": "slope_audit", "keys": result}))
     if args.out:
