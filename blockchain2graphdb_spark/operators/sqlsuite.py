@@ -36,9 +36,10 @@ SELECT l_returnflag,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
                 * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                * (1 - CAST(l_discount AS DECIMAL(18,2)))
-                * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                      * (1 + CAST(l_tax AS DECIMAL(4,2)))), 2)
+            AS DOUBLE) AS sum_charge,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
          / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
        COUNT(*) AS count_order
@@ -50,7 +51,22 @@ GROUP BY l_returnflag, l_linestatus
 
 @query("tpch_q1", oracle=_Q1)
 def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1 shape: pricing summary — the scan→filter→wide-agg spine."""
+    """TPC-H Q1 shape: pricing summary — the scan→filter→wide-agg spine.
+
+    sum_charge's precisions are deliberately TIGHT (12,2)x(4,2)x(4,2) ->
+    DECIMAL(24,6): the r14 form's (18,2)-based triple product needed
+    ideal precision 58 > 38, where the engines silently diverge —
+    Spark truncates scale (stays exact), DuckDB promotes the product
+    to DOUBLE (order-dependent float accumulation). First observed as
+    a 1-ULP sum_charge mismatch at the synthesized sf1 decade (1.5M
+    rows per group); invisible at sf<=0.1. The sum is then ROUND()ed
+    to scale 2 before the double cast: ROUND is the one scale-reducer
+    both engines agree on (probed: both half-away-from-zero, while
+    CAST to a lower-scale DECIMAL truncates in DuckDB but rounds
+    HALF_UP in Spark), and at scale 2 the integer value stays < 2^53
+    so the decimal->double cast is exact in both engines at any
+    audited scale (DuckDB's cast of scale-6 decimals above 2^53
+    micro-units is not correctly rounded — measured 1 ULP at sf1)."""
     return _sql(spark, sf_dir, _Q1)
 
 

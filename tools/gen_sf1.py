@@ -1,0 +1,200 @@
+"""Synthesize a deterministic sf1.0 fixture from sf0.1 (VERDICT r14 #1).
+
+The driver-generated fixtures stop at sf0.1 (~600k lineitem rows), so
+every scaling-slope claim rests on decades where fixed per-round
+overhead dominates. This derives one more decade: a 10x replica of
+sf0.1 with KEY-REMAPPED replication — replica i (0..9) adds
+`i * stride` to every column in a key DOMAIN, where each domain's
+stride is the next power of 10 above its max key, so replicas are
+disjoint, `key // stride` reads back the replica id, and every foreign
+key lands on the matching replica's parent (FK closure is inherited
+from sf0.1 closure, replica by replica). No randomness anywhere: the
+output is a pure function of the input fixture.
+
+What this scaling DOES preserve (by construction, replica-wise):
+  - every per-key-group distribution (lines per order, orders per
+    customer, events per user, parts per supplier) — each replica is
+    an exact copy under renamed keys;
+  - all value/date/text/embedding distributions (copied verbatim);
+  - `region`/`nation` stay FIXED (not replicated) and un-remapped,
+    exactly how TPC-H itself scales — each replica's customers and
+    suppliers reference the same 25 nations, so nation/region join
+    fan-in grows 10x (realistic: dimension tables don't grow with
+    facts).
+
+Skew it DOES add (documented per VERDICT r14 #1; both engines of the
+differential harness see the same data, so none of this affects the
+oracle gate):
+  - text of `documents` is copied verbatim, so every sf0.1 document
+    has exactly 10 byte-identical copies at sf1: the exact-dup rate is
+    10x by construction and near-dup clusters become 10-cliques —
+    dedup keys at the sf0.1→sf1 step measure the dup-heavy regime
+    (in-cluster candidate pairs grow ~quadratically), which is a
+    property of this data, not of the plans;
+  - `embeddings` vectors are copied verbatim: every point has 10
+    exact geometric duplicates, so distance ties are systematic and
+    only id-tie-broken top-k is deterministic (the repo convention
+    already requires that);
+  - names (c_name/s_name/p_name) repeat across replicas under
+    different keys — key-grain queries are unaffected, name-grain
+    cardinalities grow only 1x.
+
+Output: /root/repo/.tmp/testdata/sf1/*.parquet (gitignored — ~170 MB
+of derived data; regenerate with this script, never commit).
+
+Usage:
+    python3 tools/gen_sf1.py            # write + verify FK closure
+    python3 tools/gen_sf1.py --check    # verify an existing output only
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+SRC = "/root/testdata/sf0.1"
+DST = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".tmp", "testdata", "sf1",
+)
+REPLICAS = 10
+
+# key domain -> (stride, [(table, column), ...]); strides are the next
+# power of 10 above the sf0.1 max (asserted below), so replica keys
+# can never collide and `key // stride` is the replica id.
+DOMAINS: dict[str, tuple[int, list[tuple[str, str]]]] = {
+    "custkey": (100_000, [("customer", "c_custkey"), ("orders", "o_custkey")]),
+    "orderkey": (1_000_000, [("orders", "o_orderkey"), ("lineitem", "l_orderkey")]),
+    "partkey": (100_000, [("part", "p_partkey"), ("lineitem", "l_partkey")]),
+    "suppkey": (1_000, [("supplier", "s_suppkey"), ("lineitem", "l_suppkey")]),
+    "event_id": (100_000, [("events", "event_id")]),
+    "user_id": (10_000, [("events", "user_id")]),
+    "doc_id": (10_000, [("documents", "doc_id")]),
+    "vec_id": (10_000, [("embeddings", "vec_id")]),
+}
+
+REPLICATED = [
+    "customer", "orders", "lineitem", "part", "supplier",
+    "events", "documents", "embeddings",
+]
+FIXED = ["region", "nation"]  # dimension tables do not grow with facts
+
+# FK edges verified after generation: (child, fk, parent, pk)
+FK_EDGES = [
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def _table_domains(name: str) -> list[tuple[str, int]]:
+    """[(column, stride)] for the key columns of one table."""
+    out = []
+    for stride, cols in DOMAINS.values():
+        for tbl, col in cols:
+            if tbl == name:
+                out.append((col, stride))
+    return out
+
+
+def generate() -> None:
+    os.makedirs(DST, exist_ok=True)
+    for name in FIXED:
+        src = pq.read_table(f"{SRC}/{name}.parquet")
+        pq.write_table(src, f"{DST}/{name}.parquet")
+        print(f"{name}: copied fixed ({src.num_rows} rows)")
+    for name in REPLICATED:
+        src = pq.read_table(f"{SRC}/{name}.parquet")
+        keyed = _table_domains(name)
+        for col, stride in keyed:
+            mx = pc.max(src[col]).as_py()
+            assert mx < stride, f"{name}.{col} max {mx} >= stride {stride}"
+        replicas = [src]
+        for i in range(1, REPLICAS):
+            t = src
+            for col, stride in keyed:
+                idx = t.schema.get_field_index(col)
+                shifted = pc.add(
+                    pc.cast(t[col], pa.int64()), pa.scalar(i * stride, pa.int64())
+                )
+                shifted = pc.cast(shifted, t.schema.field(idx).type)
+                t = t.set_column(idx, t.schema.field(idx), shifted)
+            replicas.append(t)
+        out = pa.concat_tables(replicas)
+        # multiple row groups => multiple Spark input splits (mappers),
+        # so AQE skew-split and parallel scans behave like real inputs
+        pq.write_table(out, f"{DST}/{name}.parquet", row_group_size=512 * 1024)
+        print(f"{name}: {src.num_rows} -> {out.num_rows} rows")
+
+
+def check() -> None:
+    import duckdb
+
+    con = duckdb.connect()
+    for name in FIXED + REPLICATED:
+        p = f"{DST}/{name}.parquet"
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')"
+        )
+        src_n = pq.read_metadata(f"{SRC}/{name}.parquet").num_rows
+        got_n = con.execute(f"SELECT COUNT(*) FROM {name}").fetchone()[0]
+        want = src_n * (REPLICAS if name in REPLICATED else 1)
+        assert got_n == want, f"{name}: {got_n} != {want}"
+    # FK closure: every child key must hit a parent key
+    for child, fk, parent, pk in FK_EDGES:
+        n = con.execute(
+            f"SELECT COUNT(*) FROM {child} c LEFT JOIN {parent} p"
+            f" ON c.{fk} = p.{pk} WHERE p.{pk} IS NULL"
+        ).fetchone()[0]
+        assert n == 0, f"FK {child}.{fk} -> {parent}.{pk}: {n} orphans"
+        print(f"FK {child}.{fk} -> {parent}.{pk}: closed")
+    # primary keys stay unique after remapping
+    for name, _, _, pk in [
+        ("customer", 0, 0, "c_custkey"), ("orders", 0, 0, "o_orderkey"),
+        ("part", 0, 0, "p_partkey"), ("supplier", 0, 0, "s_suppkey"),
+        ("events", 0, 0, "event_id"), ("documents", 0, 0, "doc_id"),
+        ("embeddings", 0, 0, "vec_id"),
+    ]:
+        dup = con.execute(
+            f"SELECT COUNT(*) - COUNT(DISTINCT {pk}) FROM {name}"
+        ).fetchone()[0]
+        assert dup == 0, f"{name}.{pk} not unique after remap"
+    # replica-wise distribution preservation: lines-per-order histogram
+    # at sf1 must be exactly 10x the sf0.1 histogram
+    con.execute(
+        f"CREATE VIEW li01 AS SELECT * FROM"
+        f" read_parquet('{SRC}/lineitem.parquet')"
+    )
+    h01 = dict(con.execute(
+        "SELECT n, COUNT(*) FROM (SELECT COUNT(*) AS n FROM li01"
+        " GROUP BY l_orderkey) GROUP BY n"
+    ).fetchall())
+    h1 = dict(con.execute(
+        "SELECT n, COUNT(*) FROM (SELECT COUNT(*) AS n FROM lineitem"
+        " GROUP BY l_orderkey) GROUP BY n"
+    ).fetchall())
+    assert h1 == {k: v * REPLICAS for k, v in h01.items()}, "histogram drift"
+    print("lines-per-order histogram: exactly 10x sf0.1 at every point")
+    print("== sf1 check OK ==")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--check", action="store_true", help="verify only")
+    args = ap.parse_args()
+    if not args.check:
+        generate()
+    check()
+
+
+if __name__ == "__main__":
+    main()
