@@ -2412,6 +2412,15 @@ def recursive_cte_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     frontier scans, never row-at-a-time. Cross-checks the arithmetic
     walk used by subtree_rollup's path enumeration."""
     prep(spark)
+    # Spark 4 guards runaway recursion with a 1M-ROW default limit
+    # (spark.sql.cteRecursionRowLimit), which the sf1 decade exceeds
+    # legitimately: the walk emits |part| x (depth+1) rows, ~1.4M at
+    # sf1, bounded by |part| x 13 for int64 keys. Session-level (not
+    # scoped) because the limit is enforced at EXECUTION time, after
+    # the builder returns the lazy plan. 2^31-1 keeps the safety valve
+    # while admitting ~165M parts; the depth guard (cur >= 10) is what
+    # actually terminates the recursion.
+    spark.conf.set("spark.sql.cteRecursionRowLimit", str(2**31 - 1))
     table(spark, sf_dir, "part").createOrReplaceTempView("part_rcte")
     return spark.sql("""
       WITH RECURSIVE walk AS (
