@@ -55,8 +55,10 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown fixture table {name!r}; have {TABLES}")
     if name == "events":
-        return _events(spark, sf_dir)
-    return _dates_to_timestamps(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+        return _events(spark, sf_dir)  # chaos seam inside normalize_events_ts
+    return _chaos_wrap(
+        _dates_to_timestamps(spark.read.parquet(f"{sf_dir}/{name}.parquet")), name
+    )
 
 
 def parquet_num_rows(sf_dir: str, name: str) -> int:
@@ -134,7 +136,62 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     elif dtype == "timestamp_ntz":
         df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-    return df
+    # chaos seam HERE (not in table()) so batch AND streaming events
+    # reads share one injection point — both route through this helper
+    return _chaos_wrap(df, "events")
+
+
+# Count of tasks that produced output on a retried attempt under
+# SPARK_GRAFT_CHAOS (a Spark accumulator, created lazily on first
+# wrap). The retry witness asserts this is > 0 so the determinism
+# check can never pass vacuously with the injection not firing.
+_CHAOS_RETRIES = None
+
+
+def chaos_retry_count() -> int:
+    return int(_CHAOS_RETRIES.value) if _CHAOS_RETRIES is not None else 0
+
+
+def _chaos_wrap(df: DataFrame, name: str) -> DataFrame:
+    """Task-retry fault injection (VERDICT r14 #2). When
+    `SPARK_GRAFT_CHAOS` names this table (or is `*`), wrap the read in
+    an identity mapInPandas whose tasks RAISE on their first attempt
+    (TaskContext.attemptNumber() == 0) and pass the batches through
+    unchanged on retry. With `spark.task.maxFailures` >= 2 (master
+    `local[N,2]`, see session.get_spark) every task re-executes once,
+    so a run under chaos witnesses that re-executed tasks reproduce
+    bit-identical results — the property the engine's whole
+    content-hash determinism story rests on at 100x scale, where task
+    retries and speculative duplicates are routine, not exceptional.
+
+    Off (the default) this is a zero-cost no-op returning `df`
+    untouched — scans keep pushdown/pruning; only the retry witness
+    sets the env var. An accumulator counts attempt>0 executions so
+    the witness can assert the injection actually fired."""
+    import os
+
+    spec = os.environ.get("SPARK_GRAFT_CHAOS", "")
+    if spec != "*" and spec != name:
+        return df
+    global _CHAOS_RETRIES
+    if _CHAOS_RETRIES is None:
+        _CHAOS_RETRIES = df.sparkSession.sparkContext.accumulator(0)
+    acc = _CHAOS_RETRIES
+
+    def gen(batches):
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        if ctx is not None and ctx.attemptNumber() == 0:
+            raise RuntimeError(
+                f"SPARK_GRAFT_CHAOS: injected first-attempt failure"
+                f" (table={name}, partition={ctx.partitionId()})"
+            )
+        if ctx is not None and ctx.attemptNumber() > 0:
+            acc.add(1)
+        yield from batches
+
+    return df.mapInPandas(gen, df.schema)
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -419,6 +419,7 @@ def test_stream_watermark_idle_audit_freeze_rule(spark):
         assert r["emitted"] == should_emit, (r, wm)
 
 
+@pytest.mark.slow  # two availableNow streams over synthetic dirs: ~15s warm
 def test_watermark_boundary_edges_synthetic(spark, tmp_path):
     """Pin the exact <=/< watermark-boundary gates the r14 oracles
     encode (ADVICE r14) with SYNTHETIC timestamps the fixture never

@@ -1,6 +1,8 @@
-"""Scaling-slope audit (VERDICT r13 #2): time the heaviest registry
-keys at sf0.001 / sf0.01 / sf0.1 and report the wall-time growth per
-10x data step.
+"""Scaling-slope audit (VERDICT r13 #2, extended r15): time the
+heaviest registry keys at sf0.001 / sf0.01 / sf0.1 — plus the
+synthesized sf1 decade when `tools/gen_sf1.py` has been run — and
+report BOTH the wall-time growth and the SHUFFLE-VOLUME growth per
+10x data step (VERDICT r14 #1/#3).
 
 The judge bar is "plans you'd want at 100x scale"; this makes it
 empirical where local[32] can: a key whose cost is dominated by fixed
@@ -8,16 +10,26 @@ per-round overhead (iterative graph keys at toy scale) shows a slope
 near 1.0x per 10x step, a linear scan-bound key shows <= ~10x, and
 anything super-linear beyond fixed overhead — the actual scale-killer
 signature — shows > 10x and gets flagged (threshold 1.3x of linear,
-i.e. a >13x wall-time step for a 10x data step, per VERDICT r13 #2).
+i.e. a >13x step for a 10x data step, per VERDICT r13 #2).
 
-Drift discipline: all three sfs for a key run CONSECUTIVELY (best-of-N
+Wall time at toy scale hides shuffle asymptotics (a quadratic
+candidate join can still be wall-cheap at sf0.1), so each key's runs
+also record shuffle WRITE bytes/rows read from the AppStatusStore's
+per-stage metrics (the UI-less equivalent of the stage page; works
+with spark.ui.enabled=false). A key whose shuffle bytes grow > 13x
+per 10x data step on a >= 64 KiB base is flagged independently of
+wall time — 64 KiB floors out fixed per-stage framing noise.
+
+Drift discipline: all sfs for a key run CONSECUTIVELY (best-of-N
 each), so each slope ratio is computed inside a tight window and a
 host-drift edge cannot masquerade as a bad asymptote the way it can
-across a 40-minute full bench.
+across a 40-minute full bench. Shuffle volume is taken from the first
+run at each sf (it is plan-determined, not timing-determined).
 
 Usage:
-    python3 tools/bench_slope.py [--runs 2] [--out SLOPE_r14.md]
-    SPARK_GRAFT_SLOPE=1 python3 bench.py   # same audit, appended JSON
+    python3 tools/gen_sf1.py                 # once, to enable the sf1 decade
+    python3 tools/bench_slope.py [--runs 2] [--out SLOPE_r15.md]
+    SPARK_GRAFT_SLOPE=1 python3 bench.py     # same audit, appended JSON
 """
 
 from __future__ import annotations
@@ -31,13 +43,24 @@ import time
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _REPO)
 
-SF_DIRS = [
+BASE_SF_DIRS = [
     "/root/testdata/sf0.001",
     "/root/testdata/sf0.01",
     "/root/testdata/sf0.1",
 ]
+SF1_DIR = os.path.join(_REPO, ".tmp", "testdata", "sf1")
 
-# The ~20 heaviest keys by the r13 bench readings (judge + builder
+
+def sf_dirs() -> list[str]:
+    """The audited decades: the driver fixtures plus the derived sf1
+    when it exists (run tools/gen_sf1.py to synthesize it)."""
+    dirs = list(BASE_SF_DIRS)
+    if os.path.isdir(SF1_DIR):
+        dirs.append(SF1_DIR)
+    return dirs
+
+
+# The ~24 heaviest keys by the r13/r14 bench readings (judge + builder
 # quiet runs agree on the membership), spanning the engine's expensive
 # shapes: iterative graph (eigenvector/LPA/CC/truss/betweenness),
 # dense self-joins (item-CF, triangles), LSH dedup, multi-join TPC-H,
@@ -69,9 +92,12 @@ HEAVY_KEYS = [
     "random_walk_sample",
 ]
 
-# Wall-time growth per 10x data step above which a key is flagged for
-# a plan explanation or a fix (1.3x of linear, VERDICT r13 #2).
+# Growth per 10x data step above which a key is flagged for a plan
+# explanation or a fix (1.3x of linear, VERDICT r13 #2).
 FLAG_RATIO = 13.0
+# Shuffle-byte base below which a step ratio is fixed-overhead noise,
+# not asymptote signal (one near-empty stage writes ~KBs of framing).
+SHUFFLE_FLOOR_BYTES = 64 * 1024
 
 
 def _warmup(spark) -> None:
@@ -83,7 +109,7 @@ def _warmup(spark) -> None:
     from blockchain2graphdb_spark import registry
 
     specs = registry.load_all()
-    warm_dir = SF_DIRS[0]
+    warm_dir = BASE_SF_DIRS[0]
     for warm_q in (
         "agg_count",
         "tpch_q5",
@@ -94,64 +120,160 @@ def _warmup(spark) -> None:
         specs[warm_q].builder(spark, warm_dir).collect()
 
 
+class _ShuffleMeter:
+    """Per-run shuffle-volume deltas from the AppStatusStore.
+
+    Snapshot the set of seen (stageId, attemptId) before a run; after
+    it, sum shuffle WRITE bytes/records over stages not seen before.
+    Write-side totals are used (every shuffled byte is written exactly
+    once; read-side double-counts under AQE stage retries). Tracking
+    seen ids — not a cumulative total — keeps the delta correct even
+    when the store evicts old stages past its retention limit."""
+
+    def __init__(self, spark):
+        sc = spark.sparkContext
+        self._store = sc._jsc.sc().statusStore()
+        self._jvm = sc._jvm
+        self._gw = sc._gateway
+        self._seen: set[tuple[int, int]] = set()
+        self.snapshot()
+
+    def _stages(self):
+        empty = self._jvm.java.util.ArrayList()
+        darr = self._gw.new_array(self._jvm.double, 0)
+        it = self._store.stageList(
+            empty, False, False, darr, self._jvm.java.util.ArrayList()
+        ).iterator()
+        while it.hasNext():
+            yield it.next()
+
+    def snapshot(self) -> None:
+        for s in self._stages():
+            self._seen.add((s.stageId(), s.attemptId()))
+
+    def delta(self) -> tuple[int, int]:
+        """(shuffle_write_bytes, shuffle_write_records) of stages that
+        appeared since the last snapshot; marks them seen."""
+        b = r = 0
+        for s in self._stages():
+            key = (s.stageId(), s.attemptId())
+            if key in self._seen:
+                continue
+            self._seen.add(key)
+            b += s.shuffleWriteBytes()
+            r += s.shuffleWriteRecords()
+        return b, r
+
+
 def run_slope(spark, keys=None, runs: int = 2) -> dict:
     """Time each key at every sf consecutively; return
-    {key: {"sf0.001": s, "sf0.01": s, "sf0.1": s,
-           "step_ratios": [r_01, r_1], "flagged": bool}}."""
+    {key: {"sf0.001": s, ..., "step_ratios": [...], "flagged": bool,
+           "shuffle_bytes": {...}, "shuffle_rows": {...},
+           "shuffle_step_ratios": [...], "shuffle_flagged": bool}}."""
     from blockchain2graphdb_spark import registry
 
     specs = registry.load_all()
     keys = list(keys or HEAVY_KEYS)
+    dirs = sf_dirs()
+    try:
+        meter = _ShuffleMeter(spark)
+    except Exception as e:  # noqa: BLE001 — metrics are best-effort telemetry
+        print(f"# shuffle meter unavailable: {e}", file=sys.stderr)
+        meter = None
     out: dict[str, dict] = {}
     _refs: list = []  # accumulator-lifecycle pin (see bench.py)
     for key in keys:
         row: dict = {}
-        for sf_dir in SF_DIRS:
+        sh_bytes: dict = {}
+        sh_rows: dict = {}
+        for sf_dir in dirs:
+            tag = os.path.basename(sf_dir)
             best = None
-            for _ in range(runs):
+            for i in range(runs):
+                if meter is not None and i == 0:
+                    meter.snapshot()
                 t0 = time.time()
                 df = specs[key].builder(spark, sf_dir)
                 _refs.append(df)
                 df.count()
                 dt = round(time.time() - t0, 3)
+                if meter is not None and i == 0:
+                    b, r = meter.delta()
+                    sh_bytes[tag], sh_rows[tag] = b, r
                 best = dt if best is None else min(best, dt)
-            row[os.path.basename(sf_dir)] = best
-        ts = [row[os.path.basename(d)] for d in SF_DIRS]
+            row[tag] = best
+        ts = [row[os.path.basename(d)] for d in dirs]
         ratios = [
             round(ts[i + 1] / ts[i], 2) if ts[i] > 0 else None
             for i in range(len(ts) - 1)
         ]
         row["step_ratios"] = ratios
         row["flagged"] = any(r is not None and r > FLAG_RATIO for r in ratios)
+        if meter is not None:
+            bs = [sh_bytes[os.path.basename(d)] for d in dirs]
+            sh_ratios = [
+                round(bs[i + 1] / bs[i], 2) if bs[i] > 0 else None
+                for i in range(len(bs) - 1)
+            ]
+            row["shuffle_bytes"] = sh_bytes
+            row["shuffle_rows"] = sh_rows
+            row["shuffle_step_ratios"] = sh_ratios
+            row["shuffle_flagged"] = any(
+                r is not None
+                and r > FLAG_RATIO
+                and bs[i] >= SHUFFLE_FLOOR_BYTES
+                for i, r in enumerate(sh_ratios)
+            )
         out[key] = row
         print(
             f"# slope {key}: {ts} step_ratios={ratios}"
-            + (" FLAGGED" if row["flagged"] else ""),
+            + (
+                f" shuffleMB={[round(b / 1e6, 1) for b in bs]}"
+                f" shuffle_steps={row['shuffle_step_ratios']}"
+                if meter is not None
+                else ""
+            )
+            + (" FLAGGED" if row["flagged"] else "")
+            + (" SHUFFLE-FLAGGED" if row.get("shuffle_flagged") else ""),
             file=sys.stderr,
         )
     return out
 
 
 def to_markdown(result: dict, round_tag: str) -> str:
+    tags = [os.path.basename(d) for d in sf_dirs()]
     lines = [
         f"# Scaling-slope audit — {round_tag}",
         "",
-        "Wall time (best-of-N, seconds) for the heaviest registry keys at",
-        "three fixture scales, each key's scales timed back-to-back in one",
-        "window. `step` columns are the wall-time ratio across a 10x data",
-        "step; a plan with healthy asymptotics shows step <= ~10 (linear)",
-        "or near 1.0 when fixed per-round overhead dominates at toy scale.",
-        f"Keys with any step > {FLAG_RATIO:.0f} (1.3x of linear) are",
-        "flagged for a plan explanation or a fix.",
+        "Wall time (best-of-N, seconds) and shuffle-write volume for the",
+        "heaviest registry keys at each fixture decade, every key's scales",
+        "timed back-to-back in one window. `step` columns are the growth",
+        "ratio across a 10x data step; healthy asymptotics show step <= ~10",
+        "(linear) or near 1.0 when fixed per-round overhead dominates at",
+        f"toy scale. Any step > {FLAG_RATIO:.0f} (1.3x of linear) flags the",
+        "key — wall-time flags need a plan explanation or a fix; shuffle",
+        f"flags apply only above a {SHUFFLE_FLOOR_BYTES // 1024} KiB base",
+        "(fixed per-stage framing dominates below it).",
         "",
-        "| key | sf0.001 | sf0.01 | sf0.1 | step 0.001→0.01 | step 0.01→0.1 | flag |",
-        "|---|---|---|---|---|---|---|",
+        "| key | "
+        + " | ".join(f"{t} s" for t in tags)
+        + " | wall steps | "
+        + " | ".join(f"{t} shMB" for t in tags)
+        + " | shuffle steps | flag |",
+        "|---|" + "---|" * (2 * len(tags) + 3),
     ]
     for key, row in result.items():
-        r1, r2 = row["step_ratios"]
+        walls = " | ".join(str(row.get(t, "")) for t in tags)
+        shs = " | ".join(
+            str(round(row.get("shuffle_bytes", {}).get(t, 0) / 1e6, 2))
+            for t in tags
+        )
+        flags = ("WALL" if row["flagged"] else "") + (
+            " SHUFFLE" if row.get("shuffle_flagged") else ""
+        )
         lines.append(
-            f"| {key} | {row['sf0.001']} | {row['sf0.01']} | {row['sf0.1']} "
-            f"| {r1} | {r2} | {'FLAG' if row['flagged'] else ''} |"
+            f"| {key} | {walls} | {row['step_ratios']} | {shs} "
+            f"| {row.get('shuffle_step_ratios')} | {flags.strip()} |"
         )
     lines.append("")
     return "\n".join(lines)
@@ -162,7 +284,7 @@ def main() -> None:
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--out", default=None, help="markdown output path")
     ap.add_argument("--keys", nargs="*", default=None)
-    ap.add_argument("--round", dest="round_tag", default="r14")
+    ap.add_argument("--round", dest="round_tag", default="r15")
     args = ap.parse_args()
 
     from blockchain2graphdb_spark.session import get_spark

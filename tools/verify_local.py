@@ -144,6 +144,29 @@ def main() -> int:
     spark = get_spark("verify-local")
     con = duck_con(sf_dir)
 
+    # Driver-materialization guard (VERDICT r14 #4): with
+    # SPARK_GRAFT_MAX_RESULT set (e.g. "32m"; get_spark turned it into
+    # spark.driver.maxResultSize), the harness readout must not itself
+    # collect to the driver — results go executor-side to parquet and
+    # come back through pyarrow. Under the cap, any failure is a
+    # HIDDEN driver bottleneck inside an operator (an unbounded
+    # collect/broadcast), never the size of the final answer.
+    cap = os.environ.get("SPARK_GRAFT_MAX_RESULT", "")
+    readout_dir = None
+    if cap:
+        import shutil
+        import tempfile
+
+        readout_dir = tempfile.mkdtemp(prefix="verify_readout_")
+
+    def readout(df) -> pd.DataFrame:
+        if not cap:
+            return df.toPandas()
+        path = os.path.join(readout_dir, "r")
+        shutil.rmtree(path, ignore_errors=True)
+        df.write.mode("overwrite").parquet(path)
+        return pd.read_parquet(path)
+
     n_pass = n_fail = n_rows_only = 0
     failed = []
     for name, spec in sorted(specs.items()):
@@ -151,7 +174,7 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
-            sdf = spec.builder(spark, sf_dir).toPandas()
+            sdf = readout(spec.builder(spark, sf_dir))
         except Exception:
             print(f"FAIL {name}: spark error\n{traceback.format_exc()}")
             n_fail += 1
