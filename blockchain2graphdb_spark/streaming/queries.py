@@ -1245,11 +1245,18 @@ def stream_multi_table_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = f"{groot}.ckpt"
     group = TableGroup(groot)
 
+    from ..catalog import _chaos_wrap
+
     s = (
         spark.readStream.schema("k long, cust long, cents long")
         .option("maxFilesPerTrigger", "1")
         .parquet(d)
     )
+    # retry-witness seam (inert no-op unless SPARK_GRAFT_CHAOS is set):
+    # this source bypasses the catalog readers, so the group-commit
+    # path needs its own injection point for the task-retry
+    # determinism witness (tools/retry_witness.py)
+    s = _chaos_wrap(s, "orders")
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         tag = f"b{batch_id}"

@@ -88,14 +88,35 @@ def main() -> None:
     assert ",2]" in spark.sparkContext.master, spark.sparkContext.master
     specs = registry.load_all()
 
+    def reset_session_reuse(key: str) -> None:
+        """Clear session-scoped memos and content-keyed sink roots so
+        BOTH the clean and the chaos run recompute from the fixture
+        scans — otherwise the second run reuses checkpointed edges /
+        already-committed group logs, the wrap never executes, and the
+        non-vacuity guard (rightly) fails the witness."""
+        from blockchain2graphdb_spark.operators import centrality, graphops
+
+        graphops._PAIRS_MEMO.clear()
+        centrality._SEED_BFS_MEMO.clear()
+        if key == "stream_multi_table_ingest":
+            import glob
+            import shutil
+
+            from blockchain2graphdb_spark.paths import tmp_root
+
+            for p in glob.glob(os.path.join(tmp_root(), "mtgroup_*")):
+                shutil.rmtree(p, ignore_errors=True)
+
     results: dict[str, dict] = {}
     ok = True
     for key in keys:
         os.environ.pop("SPARK_GRAFT_CHAOS", None)
+        reset_session_reuse(key)
         clean_hash, clean_rows = canonical_hash(specs[key].builder(spark, sf_dir))
 
         before = catalog.chaos_retry_count()
         os.environ["SPARK_GRAFT_CHAOS"] = "*"
+        reset_session_reuse(key)
         try:
             chaos_hash, chaos_rows = canonical_hash(specs[key].builder(spark, sf_dir))
         finally:
