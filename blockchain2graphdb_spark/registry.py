@@ -70,57 +70,7 @@ _OPERATOR_MODULES = (
 # tests/test_round8_ops.py::test_sample_priority_is_complete, since
 # load_all() silently ignores missing keys).
 _SAMPLE_PRIORITY = (
-    # --- new round-14 head: never-driver-witnessed first, then stalest ---
-    "stream_stream_full_outer",  # r0 oracle
-    "stream_watermark_idle_audit",  # r0 oracle
-    "personalized_pagerank",  # r4 rows-only
-    "blockfile_ingest",  # r5 oracle
-    "cascade_delete",  # r5 oracle
-    "dedup_embedding",  # r5 oracle
-    "dedup_exact",  # r5 oracle
-    "dedup_keep_best",  # r5 oracle
-    "dedup_minhash_exact",  # r5 oracle
-    "dedup_ngram_jaccard",  # r5 oracle
-    "dedup_simhash_exact",  # r5 oracle
-    "doc_chunk",  # r5 oracle
-    "embedding_centroids",  # r5 oracle
-    "kcore_membership",  # r5 oracle
-    "kmeans_exact",  # r5 oracle
-    "multimodal_audio_windows",  # r5 oracle
-    "multimodal_features",  # r5 oracle
-    "multimodal_frame_sample",  # r5 oracle
-    "multimodal_resize",  # r5 oracle
-    "pagerank_exact",  # r5 oracle
-    "personalized_pagerank_exact",  # r5 oracle
-    "reorg_rollback",  # r5 oracle
-    "resume_anti_join",  # r5 oracle
-    "scd2_history",  # r5 oracle
-    "similarity_range",  # r5 oracle
-    "similarity_topk",  # r5 oracle
-    "sketch_countmin",  # r5 oracle
-    "snapshot_reorg_overwrite",  # r5 oracle
-    "snapshot_time_travel",  # r5 oracle
-    "str_concat",  # r5 oracle
-    "str_regexp_extract",  # r5 oracle
-    "stream_events",  # r5 oracle
-    "stream_file_tail",  # r5 oracle
-    "stream_merge_sink",  # r5 oracle
-    "stream_parse",  # r5 oracle
-    "stream_rate_source",  # r5 oracle
-    "stream_sliding",  # r5 oracle
-    "stream_static_join",  # r5 oracle
-    "stream_stream_join",  # r5 oracle
-    "stream_tumbling",  # r5 oracle
-    "taint_flow_exact",  # r5 oracle
-    "text_phrase_search",  # r5 oracle
-    "text_pii_mask",  # r5 oracle
-    "text_search",  # r5 oracle
-    "text_search_bm25",  # r5 oracle
-    "udaf_grouped",  # r5 oracle
-    "udf_scalar",  # r5 oracle
-    "udf_with_fallback",  # r5 oracle
-    "udtf_flatmap",  # r5 oracle
-    "update_columns",  # r5 oracle
+    # --- new round-15 head: never-driver-witnessed first, then stalest ---
     "upsert_insert_if_absent",  # r5 oracle
     "upsert_merge",  # r5 oracle
     "utxo_balances",  # r5 oracle
@@ -511,6 +461,56 @@ _SAMPLE_PRIORITY = (
     "agg_hll_merge",  # r13 rows-only
     "pagerank",  # r13 rows-only
     "sample_stratified",  # r13 rows-only
+    "blockfile_ingest",  # r14 oracle
+    "cascade_delete",  # r14 oracle
+    "dedup_embedding",  # r14 oracle
+    "dedup_exact",  # r14 oracle
+    "dedup_keep_best",  # r14 oracle
+    "dedup_minhash_exact",  # r14 oracle
+    "dedup_ngram_jaccard",  # r14 oracle
+    "dedup_simhash_exact",  # r14 oracle
+    "doc_chunk",  # r14 oracle
+    "embedding_centroids",  # r14 oracle
+    "kcore_membership",  # r14 oracle
+    "kmeans_exact",  # r14 oracle
+    "multimodal_audio_windows",  # r14 oracle
+    "multimodal_features",  # r14 oracle
+    "multimodal_frame_sample",  # r14 oracle
+    "multimodal_resize",  # r14 oracle
+    "pagerank_exact",  # r14 oracle
+    "personalized_pagerank_exact",  # r14 oracle
+    "reorg_rollback",  # r14 oracle
+    "resume_anti_join",  # r14 oracle
+    "scd2_history",  # r14 oracle
+    "similarity_range",  # r14 oracle
+    "similarity_topk",  # r14 oracle
+    "sketch_countmin",  # r14 oracle
+    "snapshot_reorg_overwrite",  # r14 oracle
+    "snapshot_time_travel",  # r14 oracle
+    "str_concat",  # r14 oracle
+    "str_regexp_extract",  # r14 oracle
+    "stream_events",  # r14 oracle
+    "stream_file_tail",  # r14 oracle
+    "stream_merge_sink",  # r14 oracle
+    "stream_parse",  # r14 oracle
+    "stream_rate_source",  # r14 oracle
+    "stream_sliding",  # r14 oracle
+    "stream_static_join",  # r14 oracle
+    "stream_stream_full_outer",  # r14 oracle
+    "stream_stream_join",  # r14 oracle
+    "stream_tumbling",  # r14 oracle
+    "stream_watermark_idle_audit",  # r14 oracle
+    "taint_flow_exact",  # r14 oracle
+    "text_phrase_search",  # r14 oracle
+    "text_pii_mask",  # r14 oracle
+    "text_search",  # r14 oracle
+    "text_search_bm25",  # r14 oracle
+    "udaf_grouped",  # r14 oracle
+    "udf_scalar",  # r14 oracle
+    "udf_with_fallback",  # r14 oracle
+    "udtf_flatmap",  # r14 oracle
+    "update_columns",  # r14 oracle
+    "personalized_pagerank",  # r14 rows-only
 )
 
 
