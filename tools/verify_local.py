@@ -169,7 +169,15 @@ def main() -> int:
 
     n_pass = n_fail = n_rows_only = 0
     failed = []
-    for name, spec in sorted(specs.items()):
+    # explicit CLI keys run in ARGV order (callers cost-order them —
+    # e.g. the sf1 sweep runs smallest outputs first so a time cutoff
+    # loses the least); the full-registry sweep stays alphabetical
+    ordered = (
+        [(k, specs[k]) for k in sys.argv[2:] if k in specs]
+        if only
+        else sorted(specs.items())
+    )
+    for name, spec in ordered:
         if only and name not in only:
             continue
         t0 = time.time()
