@@ -268,10 +268,8 @@ def split_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM g
     )
     SELECT cat, n,
-           CAST(s_cents * n_tot + 10 * s_tot AS BIGINT) AS enc_num,
-           CAST(n_tot * (n + 10) AS BIGINT) AS enc_den,
-           CAST(ROUND(CAST(s_cents * n_tot + 10 * s_tot AS DOUBLE) * 1e4
-                      / (n_tot * (n + 10))) AS BIGINT) AS enc_micros
+           CAST((CAST(s_cents AS HUGEINT) * n_tot + 10 * CAST(s_tot AS HUGEINT))
+                * 1000000 // (n_tot * (n + 10)) AS BIGINT) AS enc_micros
     FROM g, t
     """,
 )
@@ -280,17 +278,19 @@ def target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     the categorical-encoding pass (CatBoost-style mean encoding with a
     global-mean prior, m = 10): enc(cat) = (sum_cat + m*mean_all) /
     (n_cat + m). Kept EXACT by clearing denominators: with integer
-    cents enc = (S_cat*N + m*S_tot) / (N*(n_cat + m)) — numerator and
-    denominator are exact int64 (headroom: cents*N < 2^59 at sf0.1),
-    surfaced both raw and as one double division quantized to integer
-    micros. No leakage handling here (that's split_assign's train-fold
+    cents enc = (S_cat*N + m*S_tot) / (N*(n_cat + m)), quantized to
+    integer micros by ONE exact truncating division. No leakage handling here (that's split_assign's train-fold
     job); this is the encoding arithmetic.
 
     Scale shape: one map-side-combinable aggregate to O(#categories)
     rows, one 1-row total re-aggregate cross-joined back — the data is
-    scanned once; at 100 TB the int64 cents headroom shrinks (cents*N
-    overflows past ~10^18), where the same formula runs in
-    DECIMAL(38,0)."""
+    scanned once. The numerator runs in DECIMAL(38,0) in BOTH engines:
+    the r14 int64 form's own docstring predicted cents*N overflowing
+    past ~10^18, and the sf1 decade delivered it (S_cat*N ~ 6.8e18 vs
+    int64 max 9.2e18 — DuckDB's checked BIGINT multiply raised first).
+    DECIMAL(38,0) gives the same EXACT rational with ~10^19 more
+    headroom; scale-0 decimal->double stays correctly rounded in both
+    engines for the micros readout."""
     prep(spark)
     cents = (dec2("o_totalprice") * 100).cast("long")
     g = (
@@ -306,14 +306,30 @@ def target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("s_cents").cast("long").alias("s_tot"),
         F.sum("n").cast("long").alias("n_tot"),
     )
-    num = F.col("s_cents") * F.col("n_tot") + 10 * F.col("s_tot")
+    # Exact integer micros via ONE trunc-division (the BM25 int-nanos
+    # idiom). Spark runs the numerator in DECIMAL and `div`s exactly;
+    # the oracle runs it in internal HUGEINT (int128) because DuckDB's
+    # decimal `//` routes through DOUBLE (off-by-one at the 2.4e13
+    # quotient — measured). Only the BOUNDED quotient is surfaced —
+    # enc_micros <= max smoothed mean x 1e6, scale-invariant, where
+    # the r14 raw rational's numerator grew O(S*N) without bound (it
+    # overflowed int64 at sf1, and wide-decimal output columns
+    # float-degrade in the oracle's pandas readout: both measured).
+    num = (
+        F.col("s_cents").cast("decimal(20,0)")
+        * F.col("n_tot").cast("decimal(10,0)")
+        + 10 * F.col("s_tot").cast("decimal(20,0)")
+    )
     den = F.col("n_tot") * (F.col("n") + 10)
     return g.crossJoin(F.broadcast(t)).select(
         "cat",
         "n",
-        num.cast("long").alias("enc_num"),
-        den.cast("long").alias("enc_den"),
-        F.round(num.cast("double") * 1e4 / den).cast("long").alias("enc_micros"),
+        (num * 1000000).cast("decimal(38,0)").alias("_num_micros"),
+        den.cast("long").alias("_den"),
+    ).select(
+        "cat",
+        "n",
+        F.expr("CAST(_num_micros div _den AS LONG)").alias("enc_micros"),
     )
 
 
@@ -2459,8 +2475,10 @@ def temporal_edge_split(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(m.sae // m.n AS BIGINT) AS mae_micros,
            CAST(ROUND(sqrt(CAST(m.sse AS DOUBLE) / CAST(m.n AS DOUBLE)))
                 AS BIGINT) AS rmse_micros,
-           CAST(ROUND((1.0 - CAST(m.n * m.sse AS DOUBLE)
-                       / CAST(m.n * m.syy - m.sy * m.sy AS DOUBLE)) * 1e6)
+           CAST(ROUND((1.0 - (CAST(m.n AS DOUBLE) * CAST(m.sse AS DOUBLE))
+                       / (CAST(m.n AS DOUBLE) * CAST(m.syy AS DOUBLE)
+                          - CAST(m.sy AS DOUBLE) * CAST(m.sy AS DOUBLE)))
+                      * 1e6)
                 AS BIGINT) AS r2_micros,
            CAST(m.sape // m.n AS BIGINT) AS mape_micros
     FROM m, ntr
@@ -2543,12 +2561,19 @@ def regression_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("long")
             .alias("rmse_micros"),
+            # each factor goes to DOUBLE before multiplying: n*sse and
+            # sy*sy exceed both Decimal(38) and int128 at the sf1
+            # decade (n*syy ~ 3.5e38 — it fit at sf0.1 by one decade
+            # exactly). The sums stay exact; only the final ratio is
+            # float, and scale-0 decimal->double is correctly rounded
+            # in both engines (unlike scaled decimals, SLOPE_r15.md).
             F.round(
                 (
                     F.lit(1.0)
-                    - (F.col("n") * F.col("sse")).cast("double")
-                    / (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
-                        "double"
+                    - (F.col("n").cast("double") * F.col("sse").cast("double"))
+                    / (
+                        F.col("n").cast("double") * F.col("syy").cast("double")
+                        - F.col("sy").cast("double") * F.col("sy").cast("double")
                     )
                 )
                 * 1e6

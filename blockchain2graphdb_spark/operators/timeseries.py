@@ -761,7 +761,7 @@ def trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         cnt.alias("n_days"),
         F.round((cnt * F.col("sxy") - sx * sy).cast("double") / den * 1e9)
         .cast("long")
-        .alias("slope_nanos"),
+        .alias("slope_micros"),
         F.round((sy * F.col("sxx") - sx * F.col("sxy")).cast("double") / den * 1e9)
         .cast("long")
         .alias("intercept_nanos"),
@@ -1048,24 +1048,24 @@ def inventory_clamped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     p AS (
       SELECT a.day AS d1, b.day AS d2,
-             CAST(CAST(b.cents - a.cents AS HUGEINT) * 1000000000
-                  // (b.day - a.day) AS BIGINT) AS slope_nanos
+             CAST(CAST(b.cents - a.cents AS HUGEINT) * 1000000
+                  // (b.day - a.day) AS BIGINT) AS slope_micros
       FROM d a JOIN d b ON b.day > a.day
     ),
     r AS (
-      SELECT slope_nanos,
-             row_number() OVER (ORDER BY slope_nanos, d1, d2) AS pos,
+      SELECT slope_micros,
+             row_number() OVER (ORDER BY slope_micros, d1, d2) AS pos,
              COUNT(*) OVER () AS n
       FROM p
     )
     SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM d) AS n_days,
            CAST(MAX(n) AS BIGINT) AS n_pairs,
-           CAST(MIN(CASE WHEN pos = (n + 3) // 4 THEN slope_nanos END)
-                AS BIGINT) AS slope_p25_nanos,
-           CAST(MIN(CASE WHEN pos = (n + 1) // 2 THEN slope_nanos END)
-                AS BIGINT) AS slope_med_nanos,
-           CAST(MIN(CASE WHEN pos = (3 * n + 3) // 4 THEN slope_nanos END)
-                AS BIGINT) AS slope_p75_nanos
+           CAST(MIN(CASE WHEN pos = (n + 3) // 4 THEN slope_micros END)
+                AS BIGINT) AS slope_p25_micros,
+           CAST(MIN(CASE WHEN pos = (n + 1) // 2 THEN slope_micros END)
+                AS BIGINT) AS slope_med_micros,
+           CAST(MIN(CASE WHEN pos = (3 * n + 3) // 4 THEN slope_micros END)
+                AS BIGINT) AS slope_p75_micros
     FROM r
     """,
 )
@@ -1074,7 +1074,10 @@ def theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     quartiles, a Theil-Sen confidence band) of ALL pairwise slopes
     (cents_j - cents_i)/(day_j - day_i) over the daily aggregate - the
     estimator that shrugs off the outlier days that wreck `trend_ols`.
-    Slopes are quantized ONCE at formation - trunc((dc * 1e9) div dd),
+    Slopes are quantized ONCE at formation - trunc((dc * 1e6) div dd)
+    (micros, not nanos: at the sf1 decade a one-day cents delta times
+    1e9 overflowed int64 - measured, SLOPE_r15.md; micros leave 1000x
+    headroom while staying far below estimator noise),
     Spark `div` and DuckDB `//` both truncate toward zero (module
     invariant above) so negative slopes agree - and the median/quartiles
     are VALUES AT EXACT RANKS (ceil(n/4), (n+1) div 2, ceil(3n/4) over
@@ -1111,10 +1114,10 @@ def theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d1",
         "d2",
         F.expr(
-            "(cast(c2 - c1 as decimal(38,0)) * 1000000000) div greatest(d2 - d1, 1)"
+            "(cast(c2 - c1 as decimal(38,0)) * 1000000) div greatest(d2 - d1, 1)"
         )
         .cast("long")
-        .alias("slope_nanos"),
+        .alias("slope_micros"),
     )
     # materialize the pair table once: bucketed_global_rank reads its
     # input three times (per-bucket counts, offsets, in-bucket ranks)
@@ -1122,7 +1125,7 @@ def theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     # any sf; 14 BNLJ nodes in the unchecked plan). Eager per the
     # checkpoint-lifecycle rule (STATUS round 8).
     p = p.localCheckpoint(eager=True)
-    # signed log2 band: monotone in slope_nanos (abs shrinks toward
+    # signed log2 band: monotone in slope_micros (abs shrinks toward
     # zero from the left, grows to the right; the sign flips the band
     # order back to ascending), ~60 buckets total — a fixed-width band
     # would mint one bucket per pair here (slopes span ~15 orders of
@@ -1130,10 +1133,10 @@ def theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = bucketed_global_rank(
         p,
         F.expr(
-            "cast(sign(slope_nanos) as bigint)"
-            " * (length(bin(abs(slope_nanos) div 1000000 + 1)) - 1)"
+            "cast(sign(slope_micros) as bigint)"
+            " * (length(bin(abs(slope_micros) div 1000 + 1)) - 1)"
         ),
-        [F.col("slope_nanos"), F.col("d1"), F.col("d2")],
+        [F.col("slope_micros"), F.col("d1"), F.col("d2")],
     )
     n, pos = F.col("n_total"), F.col("pos")
     n_days = d.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
@@ -1142,15 +1145,15 @@ def theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max("n_days").alias("n_days"),
             F.max(n).cast("long").alias("n_pairs"),
-            F.min(F.when(pos == F.expr("(n_total + 3) div 4"), F.col("slope_nanos")))
+            F.min(F.when(pos == F.expr("(n_total + 3) div 4"), F.col("slope_micros")))
             .cast("long")
-            .alias("slope_p25_nanos"),
-            F.min(F.when(pos == F.expr("(n_total + 1) div 2"), F.col("slope_nanos")))
+            .alias("slope_p25_micros"),
+            F.min(F.when(pos == F.expr("(n_total + 1) div 2"), F.col("slope_micros")))
             .cast("long")
-            .alias("slope_med_nanos"),
-            F.min(F.when(pos == F.expr("(3 * n_total + 3) div 4"), F.col("slope_nanos")))
+            .alias("slope_med_micros"),
+            F.min(F.when(pos == F.expr("(3 * n_total + 3) div 4"), F.col("slope_micros")))
             .cast("long")
-            .alias("slope_p75_nanos"),
+            .alias("slope_p75_micros"),
         )
     )
 

@@ -121,7 +121,7 @@ def test_theil_sen_slope_python_replay(spark):
     slopes = []
     for i in range(len(d)):
         for j in range(i + 1, len(d)):
-            num = int(c[j] - c[i]) * 1_000_000_000
+            num = int(c[j] - c[i]) * 1_000_000
             den = int(d[j] - d[i])
             q = abs(num) // den  # trunc toward zero
             slopes.append(q if num >= 0 else -q)
@@ -134,9 +134,9 @@ def test_theil_sen_slope_python_replay(spark):
     row = SPECS["theil_sen_slope"].builder(spark, SF_DIR).collect()[0]
     assert row["n_days"] == len(days)
     assert row["n_pairs"] == n
-    assert row["slope_p25_nanos"] == p25
-    assert row["slope_med_nanos"] == med
-    assert row["slope_p75_nanos"] == p75
+    assert row["slope_p25_micros"] == p25
+    assert row["slope_med_micros"] == med
+    assert row["slope_p75_micros"] == p75
 
 
 def test_conformal_interval_python_replay(spark):

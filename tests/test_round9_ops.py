@@ -159,10 +159,19 @@ def test_target_encode_shrinks_toward_global_mean(spark):
     assert sum(r.n for r in rows) == len(orders)
     for r in rows:
         raw_mean = orders[orders.o_orderpriority == r.cat].o_totalprice.mean()
-        enc = r.enc_num / r.enc_den / 100.0
+        # enc_micros is micros-of-cents, trunc-divided once (r15 form:
+        # the raw num/den rational was dropped — its numerator grows
+        # O(S*N) and overflowed int64 at the sf1 decade)
+        enc = r.enc_micros / 1e6 / 100.0
         lo, hi = min(raw_mean, g_mean), max(raw_mean, g_mean)
-        assert lo - 1e-9 <= enc <= hi + 1e-9
-        assert abs(r.enc_micros - enc * 1e6) <= 0.5 + 1e-6
+        assert lo - 1e-6 <= enc <= hi + 1e-6
+        # replay the exact integer formation in Python bigints
+        sub = orders[orders.o_orderpriority == r.cat]
+        s_cat = int(round(sub.o_totalprice.sum() * 100))
+        s_tot = int(round(orders.o_totalprice.sum() * 100))
+        n_tot = len(orders)
+        want = (s_cat * n_tot + 10 * s_tot) * 1_000_000 // (n_tot * (r.n + 10))
+        assert r.enc_micros == want
 
 
 # ----------------------------------------------------------------- AUC
