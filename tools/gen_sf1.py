@@ -5,10 +5,12 @@ every scaling-slope claim rests on decades where fixed per-round
 overhead dominates. This derives one more decade: a 10x replica of
 sf0.1 with KEY-REMAPPED replication — replica i (0..9) adds
 `i * stride` to every column in a key DOMAIN, where each domain's
-stride is the next power of 10 above its max key, so replicas are
-disjoint, `key // stride` reads back the replica id, and every foreign
-key lands on the matching replica's parent (FK closure is inherited
-from sf0.1 closure, replica by replica). No randomness anywhere: the
+stride equals the DOMAIN SIZE (keys stay DENSE 0..10N-1, preserving
+the driver generator's dense-from-0 contract that operators like
+subtree_rollup document and rely on), so replicas are disjoint,
+`key // stride` reads back the replica id, and every foreign key
+lands on the matching replica's parent (FK closure is inherited from
+sf0.1 closure, replica by replica). No randomness anywhere: the
 output is a pure function of the input fixture.
 
 What this scaling DOES preserve (by construction, replica-wise):
@@ -64,18 +66,24 @@ DST = os.path.join(
 )
 REPLICAS = 10
 
-# key domain -> (stride, [(table, column), ...]); strides are the next
-# power of 10 above the sf0.1 max (asserted below), so replica keys
-# can never collide and `key // stride` is the replica id.
+# key domain -> (stride, [(table, column), ...]); strides equal the
+# DOMAIN SIZE (sf0.1 keys are dense 0..N-1, asserted below), so sf1
+# keys are dense 0..10N-1 — matching the driver generator's
+# dense-from-0 property, which several operators state as a CONTRACT
+# (subtree_rollup's path-enumeration == edge-recursion equivalence
+# holds exactly when every arithmetic ancestor exists; the first,
+# power-of-10-stride build of this fixture broke that density and the
+# differential gate caught it). `key // stride` is still the replica
+# id.
 DOMAINS: dict[str, tuple[int, list[tuple[str, str]]]] = {
-    "custkey": (100_000, [("customer", "c_custkey"), ("orders", "o_custkey")]),
-    "orderkey": (1_000_000, [("orders", "o_orderkey"), ("lineitem", "l_orderkey")]),
-    "partkey": (100_000, [("part", "p_partkey"), ("lineitem", "l_partkey")]),
+    "custkey": (15_000, [("customer", "c_custkey"), ("orders", "o_custkey")]),
+    "orderkey": (150_000, [("orders", "o_orderkey"), ("lineitem", "l_orderkey")]),
+    "partkey": (20_000, [("part", "p_partkey"), ("lineitem", "l_partkey")]),
     "suppkey": (1_000, [("supplier", "s_suppkey"), ("lineitem", "l_suppkey")]),
     "event_id": (100_000, [("events", "event_id")]),
-    "user_id": (10_000, [("events", "user_id")]),
-    "doc_id": (10_000, [("documents", "doc_id")]),
-    "vec_id": (10_000, [("embeddings", "vec_id")]),
+    "user_id": (1_500, [("events", "user_id")]),
+    "doc_id": (5_000, [("documents", "doc_id")]),
+    "vec_id": (2_000, [("embeddings", "vec_id")]),
 }
 
 REPLICATED = [
@@ -118,6 +126,8 @@ def generate() -> None:
         for col, stride in keyed:
             mx = pc.max(src[col]).as_py()
             assert mx < stride, f"{name}.{col} max {mx} >= stride {stride}"
+            mn = pc.min(src[col]).as_py()
+            assert mn >= 0, f"{name}.{col} min {mn} < 0"
         replicas = [src]
         for i in range(1, REPLICAS):
             t = src
@@ -157,17 +167,22 @@ def check() -> None:
         ).fetchone()[0]
         assert n == 0, f"FK {child}.{fk} -> {parent}.{pk}: {n} orphans"
         print(f"FK {child}.{fk} -> {parent}.{pk}: closed")
-    # primary keys stay unique after remapping
+    # primary keys stay unique AND DENSE after remapping (dense-from-0
+    # is an operator contract — see DOMAINS comment)
     for name, _, _, pk in [
         ("customer", 0, 0, "c_custkey"), ("orders", 0, 0, "o_orderkey"),
         ("part", 0, 0, "p_partkey"), ("supplier", 0, 0, "s_suppkey"),
         ("events", 0, 0, "event_id"), ("documents", 0, 0, "doc_id"),
         ("embeddings", 0, 0, "vec_id"),
     ]:
-        dup = con.execute(
-            f"SELECT COUNT(*) - COUNT(DISTINCT {pk}) FROM {name}"
-        ).fetchone()[0]
+        dup, mn, mx, cnt = con.execute(
+            f"SELECT COUNT(*) - COUNT(DISTINCT {pk}), MIN({pk}), MAX({pk}),"
+            f" COUNT(*) FROM {name}"
+        ).fetchone()
         assert dup == 0, f"{name}.{pk} not unique after remap"
+        assert mn == 0 and mx == cnt - 1, (
+            f"{name}.{pk} not dense 0..N-1: min={mn} max={mx} n={cnt}"
+        )
     # replica-wise distribution preservation: lines-per-order histogram
     # at sf1 must be exactly 10x the sf0.1 histogram
     con.execute(
