@@ -761,7 +761,7 @@ def trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         cnt.alias("n_days"),
         F.round((cnt * F.col("sxy") - sx * sy).cast("double") / den * 1e9)
         .cast("long")
-        .alias("slope_micros"),
+        .alias("slope_nanos"),
         F.round((sy * F.col("sxx") - sx * F.col("sxy")).cast("double") / den * 1e9)
         .cast("long")
         .alias("intercept_nanos"),
