@@ -167,7 +167,16 @@ def _chaos_wrap(df: DataFrame, name: str) -> DataFrame:
     Off (the default) this is a zero-cost no-op returning `df`
     untouched — scans keep pushdown/pruning; only the retry witness
     sets the env var. An accumulator counts attempt>0 executions so
-    the witness can assert the injection actually fired."""
+    the witness can assert the injection actually fired.
+
+    PLAN-TIME BINDING (ADVICE r15): the env var is read when the
+    DataFrame is CONSTRUCTED, not when it executes — a plan built (or
+    memoized/cached anywhere session-scoped) before SPARK_GRAFT_CHAOS
+    is set silently skips injection. tools/retry_witness.py compensates
+    by calling reset_session_reuse() before each chaos run AND asserts
+    retried_tasks > 0 per key (non-vacuity guard); any NEW
+    session-scoped memo added to this package must be registered with
+    reset_session_reuse or the witness reopens the vacuity gap."""
     import os
 
     spec = os.environ.get("SPARK_GRAFT_CHAOS", "")

@@ -2415,13 +2415,19 @@ def recursive_cte_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Spark 4 guards runaway recursion with a 1M-ROW default limit
     # (spark.sql.cteRecursionRowLimit), which the sf1 decade exceeds
     # legitimately: the walk emits |part| x (depth+1) rows, ~1.4M at
-    # sf1, bounded by |part| x 13 for int64 keys. Session-level (not
+    # sf1, bounded by |part| x 14 for int64 keys. Session-level (not
     # scoped) because the limit is enforced at EXECUTION time, after
-    # the builder returns the lazy plan. 2^31-1 keeps the safety valve
-    # while admitting ~165M parts; the depth guard (cur >= 10) is what
-    # actually terminates the recursion.
-    spark.conf.set("spark.sql.cteRecursionRowLimit", str(2**31 - 1))
-    table(spark, sf_dir, "part").createOrReplaceTempView("part_rcte")
+    # the builder returns the lazy plan. Sized to THIS query (|part| x
+    # 14 + margin, ADVICE r15) so the runaway-recursion safety valve
+    # stays meaningful for later recursive queries in the same session
+    # — the count() is a parquet-metadata read, not a scan.
+    part = table(spark, sf_dir, "part")
+    n_part = part.count()
+    spark.conf.set(
+        "spark.sql.cteRecursionRowLimit",
+        str(max(1_000_000, n_part * 14 + 1000)),
+    )
+    part.createOrReplaceTempView("part_rcte")
     return spark.sql("""
       WITH RECURSIVE walk AS (
         SELECT p_partkey AS node, p_partkey AS cur, 0 AS depth

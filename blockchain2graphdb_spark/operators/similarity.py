@@ -999,36 +999,83 @@ def hard_negative_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "label_noise_knn",
-    oracle=f"""
+# label_noise_knn candidate generation: 8 bands x 6 sign-planes of
+# random-hyperplane LSH over the quantized vectors. Coefficients are
+# +/-1 literals derived from md5 at module load and baked into BOTH the
+# Spark plan and the oracle SQL (no cross-engine hash-parity surface),
+# the same construction as _ND_COEFS above. Geometry measured on the
+# fixture (near-orthogonal random vectors, the adversarial case for
+# sign-LSH): candidate density ~12.6% of the corpus per query, top-5
+# candidate recall ~32% (tests/test_round16_ops.py pins a 20% floor
+# against the brute-force scorer). Real embedding corpora cluster far
+# more tightly (top-5 cosines 0.7+ where per-band collision is 5-20x
+# higher), and at larger corpora the plane count grows with log(n) to
+# keep buckets O(1) — the dedup_minhash band geometry.
+_KNN_BANDS, _KNN_PLANES = 8, 6
+_KNN_COEFS: list[list[int]] = [
+    [
+        1 if int(_hashlib.md5(f"knn:{p}:{d}".encode()).hexdigest()[0], 16) < 8 else -1
+        for d in range(_N_DIM)
+    ]
+    for p in range(_KNN_BANDS * _KNN_PLANES)
+]
+
+
+def _knn_oracle() -> str:
+    def proj(band: int, p: int) -> str:
+        lit = "[" + ",".join(str(c) for c in _KNN_COEFS[band * _KNN_PLANES + p]) + "]"
+        return (
+            f"(SELECT SUM(qv[i.i] * ({lit})[i.i])"
+            f" FROM (SELECT unnest(range(1, {_N_DIM + 1})) AS i) i)"
+        )
+
+    def bucket(band: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN {proj(band, p)} >= 0 THEN {1 << p} ELSE 0 END)"
+            for p in range(_KNN_PLANES)
+        )
+
+    band_cols = ",\n             ".join(
+        f"({bucket(t)}) AS b{t}" for t in range(_KNN_BANDS)
+    )
+    band_case = " ".join(f"WHEN {t} THEN b{t}" for t in range(_KNN_BANDS))
+    band_vals = ",".join(f"({t})" for t in range(_KNN_BANDS))
+    return f"""
     WITH q AS (
       SELECT vec_id, label,
              list_transform(embedding,
                x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
       FROM embeddings
     ),
-    norms AS (
-      SELECT vec_id, (SELECT SUM(x * x) FROM unnest(qv) AS t(x)) AS norm2
+    sig AS (
+      SELECT vec_id, label, qv,
+             (SELECT SUM(x * x) FROM unnest(qv) AS t(x)) AS norm2,
+             {band_cols}
       FROM q
     ),
-    scored AS (
-      SELECT a.vec_id AS query_id, a.label AS own_label,
-             b.vec_id AS cand_id, b.label AS cand_label,
-             CAST((SELECT SUM(a.qv[i.i] * b.qv[i.i])
-                   FROM (SELECT unnest(range(1, {64 + 1})) AS i) i) AS DOUBLE)
-               / SQRT(CAST(na.norm2 * nb.norm2 AS DOUBLE)) AS cosine
-      FROM q a
-      JOIN q b ON b.vec_id <> a.vec_id
-      JOIN norms na ON na.vec_id = a.vec_id
-      JOIN norms nb ON nb.vec_id = b.vec_id
+    bands AS (
+      SELECT vec_id, label, qv, norm2, t.band,
+             CASE t.band {band_case} END AS bucket
+      FROM sig, (VALUES {band_vals}) t(band)
+    ),
+    pairs AS (
+      SELECT DISTINCT a.vec_id AS query_id, a.label AS own_label,
+             a.norm2 AS na2, b.vec_id AS cand_id, b.label AS cand_label,
+             b.norm2 AS nb2,
+             (SELECT SUM(a.qv[i.i] * b.qv[i.i])
+              FROM (SELECT unnest(range(1, {_N_DIM + 1})) AS i) i) AS num
+      FROM bands a
+      JOIN bands b ON b.band = a.band AND b.bucket = a.bucket
+                  AND b.vec_id <> a.vec_id
       WHERE a.vec_id % 4 = 0
     ),
     top5 AS (
       SELECT query_id, own_label, cand_label FROM (
-        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                                     ORDER BY cosine DESC, cand_id) AS rn
-        FROM scored
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id
+          ORDER BY CAST(num AS DOUBLE) / SQRT(CAST(na2 * nb2 AS DOUBLE)) DESC,
+                   cand_id) AS rn
+        FROM pairs
       ) WHERE rn <= 5
     ),
     votes AS (
@@ -1048,24 +1095,141 @@ def hard_negative_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(CASE WHEN own_label <> knn_label THEN 1 ELSE 0 END AS BIGINT)
              AS flagged
     FROM majority
-    """,
-)
+    """
+
+
+@query("label_noise_knn", oracle=_knn_oracle())
 def label_noise_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X16 training-data quality: kNN LABEL-NOISE detection (the
     confident-learning heuristic) — for each audited vector, the
-    majority label among its 5 nearest different-id neighbors; a row is
-    FLAGGED when its own label disagrees, surfacing probable
+    majority label among its 5 nearest LSH-candidate neighbors; a row
+    is FLAGGED when its own label disagrees, surfacing probable
     mislabeled examples before they poison a training run. Audit set =
-    vec_id % 4 == 0 (a deterministic 25% sample — auditing is a sampled
-    activity; the full-corpus version swaps the brute-force scorer for
-    the LSH/IVF candidate generators in this file, unchanged).
+    vec_id % 4 == 0 (auditing is a sampled activity).
+
+    Re-registered in r16 (VERDICT r15 #1): candidates now come from an
+    8-band x 6-plane sign-LSH bucket EQUI-JOIN — the same machinery as
+    dedup_embedding_cosine — instead of the brute-force broadcast
+    nested-loop over a proportional sample, which was the registry's
+    last O(n^2) compute shape. The oracle applies the IDENTICAL
+    candidate generation (coefficients baked into both plans at module
+    load), so the differential check is exact-within-candidates; a
+    separate recall-floor test compares the candidate sets against the
+    retained brute-force scorer (_label_noise_knn_brute) at sf<=0.01.
 
     Majority ties break (votes DESC, label ASC) on both engines; the
     cosine ranking reuses the integer-quantized dot + double ratio the
     whole X3 family shares, so ordering is bit-identical cross-engine.
-    Scale shape: audited queries broadcast, candidates stream in one
-    scan; top-5 compiles to WindowGroupLimit; votes/majority are
-    O(5·#queries) aggregates."""
+    Scale shape: 48 sign projections are map-side JVM folds; the only
+    shuffles are the (band, bucket) equi-join and the pair-dedupe
+    aggregate — never all-pairs (plan-asserted: no
+    BroadcastNestedLoopJoin / CartesianProduct); top-5 compiles to a
+    partitioned window; votes/majority are O(5 * #queries)."""
+    prep(spark)
+    qdf = _quantized(spark, sf_dir)
+
+    def proj(band: int, p: int) -> F.Column:
+        coefs = F.array(*[F.lit(c) for c in _KNN_COEFS[band * _KNN_PLANES + p]])
+        return F.aggregate(
+            F.zip_with(F.col("q"), coefs, lambda x, c: x * c),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        )
+
+    def bucket(band: int) -> F.Column:
+        return sum(
+            (
+                F.when(proj(band, p) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+                for p in range(_KNN_PLANES)
+            ),
+            start=F.lit(0),
+        )
+
+    sig = qdf.select(
+        "vec_id",
+        "label",
+        "q",
+        "norm2",
+        F.array(*[bucket(t) for t in range(_KNN_BANDS)]).alias("bks"),
+    )
+    # Compute the 48 projections ONCE; both join sides re-read the
+    # checkpointed signatures instead of re-folding them.
+    sig = local_checkpoint(sig)
+    bands = sig.select(
+        "vec_id", "label", "q", "norm2", F.posexplode("bks").alias("band", "bucket")
+    )
+    queries = bands.where(F.col("vec_id") % 4 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("own_label"),
+        F.col("q").alias("qq"),
+        F.col("norm2").alias("na2"),
+        "band",
+        "bucket",
+    )
+    cands = bands.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").alias("cand_label"),
+        F.col("q").alias("cq"),
+        F.col("norm2").alias("nb2"),
+        "band",
+        "bucket",
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qq"), F.col("cq"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    # A pair sharing multiple bands appears once per band; num/norms are
+    # functions of the pair, so a distinct over the scalar columns
+    # dedupes in one shuffle without carrying the vectors.
+    pairs = (
+        queries.join(cands, ["band", "bucket"])
+        .where(F.col("cand_id") != F.col("query_id"))
+        .withColumn("num", dot)
+        .select(
+            "query_id", "own_label", "na2", "cand_id", "cand_label", "nb2", "num"
+        )
+        .distinct()
+    )
+    scored = pairs.withColumn(
+        "cosine",
+        F.col("num").cast("double")
+        / F.sqrt((F.col("na2") * F.col("nb2")).cast("double")),
+    )
+    w5 = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    top5 = (
+        scored.withColumn("rn", F.row_number().over(w5))
+        .where(F.col("rn") <= 5)
+        .select("query_id", "own_label", "cand_label")
+    )
+    votes = top5.groupBy("query_id", "own_label", "cand_label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_votes")
+    )
+    wm = W.partitionBy("query_id").orderBy(F.desc("n_votes"), "cand_label")
+    majority = (
+        votes.withColumn("mr", F.row_number().over(wm))
+        .where(F.col("mr") == 1)
+        .select(
+            F.col("query_id").alias("vec_id"),
+            F.col("own_label").cast("long").alias("label"),
+            F.col("cand_label").cast("long").alias("knn_label"),
+            "n_votes",
+        )
+    )
+    return majority.withColumn(
+        "flagged",
+        F.when(F.col("label") != F.col("knn_label"), 1).otherwise(0).cast("long"),
+    )
+
+
+def _label_noise_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-r16 brute-force form of label_noise_knn, retained
+    UNREGISTERED as the recall-floor reference: exact 5-NN over all
+    candidates via a broadcast of the proportional audit sample — the
+    O(n^2) shape VERDICT r15 flagged, fine as a small-sf test oracle
+    but never the plan to run at scale. tests/test_round16_ops.py
+    compares the LSH candidate sets against this scorer's true top-5
+    and pins the measured recall floor."""
     prep(spark)
     qdf = _quantized(spark, sf_dir)
     queries = qdf.where(F.col("vec_id") % 4 == 0).select(

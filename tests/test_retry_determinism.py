@@ -56,4 +56,6 @@ def test_chaos_seam_is_inert_by_default(spark):
     df = table(spark, SF_DIR, "orders").where("o_orderkey = 7")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "mapInPandas" not in plan and "MapInPandas" not in plan
-    assert "PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,7)]" in plan or "PushedFilters" in plan
+    # The EqualTo pushdown must actually reach the scan (ADVICE r15: the
+    # old `or "PushedFilters" in plan` disjunct matched any parquet scan).
+    assert "EqualTo(o_orderkey,7)" in plan, plan

@@ -172,11 +172,17 @@ def main() -> int:
     # explicit CLI keys run in ARGV order (callers cost-order them —
     # e.g. the sf1 sweep runs smallest outputs first so a time cutoff
     # loses the least); the full-registry sweep stays alphabetical
-    ordered = (
-        [(k, specs[k]) for k in sys.argv[2:] if k in specs]
-        if only
-        else sorted(specs.items())
-    )
+    if only:
+        # De-duplicate argv while preserving order (a key passed twice
+        # would run twice and double-count); warn on unknown keys
+        # instead of silently dropping them (ADVICE r15).
+        cli_keys = list(dict.fromkeys(sys.argv[2:]))
+        unknown = [k for k in cli_keys if k not in specs]
+        for k in unknown:
+            print(f"WARN unknown key (not in registry): {k}")
+        ordered = [(k, specs[k]) for k in cli_keys if k in specs]
+    else:
+        ordered = sorted(specs.items())
     for name, spec in ordered:
         if only and name not in only:
             continue
