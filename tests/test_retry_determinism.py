@@ -11,6 +11,9 @@ Representative keys (one per determinism risk class):
   stream_sprt               order-sensitive stateful stream fold
   eigenvector_centrality    checkpointed iterative float kernel
   stream_multi_table_ingest multi-table atomic snapshot commit
+  snapshot_cdc_diff         store write/overwrite/CDF-diff, rebuilt per leg
+  tablegroup_lifecycle      commit -> orphan -> diff -> vacuum -> read
+                            (r16, VERDICT r15 #6 — witness-only builder)
 
 Each key: clean run vs run with every fixture-scan task's first
 attempt killed (catalog._chaos_wrap) under maxFailures=2 +
@@ -31,7 +34,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 
-@pytest.mark.slow  # own JVM + double runs of 4 keys: ~2 min
+@pytest.mark.slow  # own JVM + double runs of 6 keys: ~3 min
 def test_retry_and_speculation_are_deterministic():
     env = dict(os.environ)
     env.pop("SPARK_GRAFT_CHAOS", None)

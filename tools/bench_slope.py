@@ -165,16 +165,22 @@ class _ShuffleMeter:
         return b, r
 
 
-def run_slope(spark, keys=None, runs: int = 2) -> dict:
+def run_slope(spark, keys=None, runs: int = 2, dirs=None, flag_ratio=None) -> dict:
     """Time each key at every sf consecutively; return
     {key: {"sf0.001": s, ..., "step_ratios": [...], "flagged": bool,
            "shuffle_bytes": {...}, "shuffle_rows": {...},
-           "shuffle_step_ratios": [...], "shuffle_flagged": bool}}."""
+           "shuffle_step_ratios": [...], "shuffle_flagged": bool}}.
+
+    `dirs` overrides the audited fixture list (e.g. sf1 + sf3 for the
+    post-AQE-transition audit, VERDICT r15 #3) — the step between
+    consecutive dirs is then whatever their data ratio is, so pass a
+    matching `flag_ratio` (1.3x of that ratio) or read the raw steps."""
     from blockchain2graphdb_spark import registry
 
     specs = registry.load_all()
     keys = list(keys or HEAVY_KEYS)
-    dirs = sf_dirs()
+    dirs = list(dirs) if dirs else sf_dirs()
+    flag_ratio = FLAG_RATIO if flag_ratio is None else flag_ratio
     try:
         meter = _ShuffleMeter(spark)
     except Exception as e:  # noqa: BLE001 — metrics are best-effort telemetry
@@ -208,7 +214,7 @@ def run_slope(spark, keys=None, runs: int = 2) -> dict:
             for i in range(len(ts) - 1)
         ]
         row["step_ratios"] = ratios
-        row["flagged"] = any(r is not None and r > FLAG_RATIO for r in ratios)
+        row["flagged"] = any(r is not None and r > flag_ratio for r in ratios)
         if meter is not None:
             bs = [sh_bytes[os.path.basename(d)] for d in dirs]
             sh_ratios = [
@@ -220,7 +226,7 @@ def run_slope(spark, keys=None, runs: int = 2) -> dict:
             row["shuffle_step_ratios"] = sh_ratios
             row["shuffle_flagged"] = any(
                 r is not None
-                and r > FLAG_RATIO
+                and r > flag_ratio
                 and bs[i] >= SHUFFLE_FLOOR_BYTES
                 for i, r in enumerate(sh_ratios)
             )
@@ -240,8 +246,8 @@ def run_slope(spark, keys=None, runs: int = 2) -> dict:
     return out
 
 
-def to_markdown(result: dict, round_tag: str) -> str:
-    tags = [os.path.basename(d) for d in sf_dirs()]
+def to_markdown(result: dict, round_tag: str, dirs=None) -> str:
+    tags = [os.path.basename(d) for d in (dirs or sf_dirs())]
     lines = [
         f"# Scaling-slope audit — {round_tag}",
         "",
@@ -285,17 +291,26 @@ def main() -> None:
     ap.add_argument("--out", default=None, help="markdown output path")
     ap.add_argument("--keys", nargs="*", default=None)
     ap.add_argument("--round", dest="round_tag", default="r15")
+    ap.add_argument(
+        "--dirs", nargs="*", default=None,
+        help="override audited fixture dirs (steps become their data"
+        " ratios; pair with --flag-ratio)",
+    )
+    ap.add_argument("--flag-ratio", type=float, default=None)
     args = ap.parse_args()
 
     from blockchain2graphdb_spark.session import get_spark
 
     spark = get_spark("bench-slope")
     _warmup(spark)
-    result = run_slope(spark, keys=args.keys, runs=args.runs)
+    result = run_slope(
+        spark, keys=args.keys, runs=args.runs, dirs=args.dirs,
+        flag_ratio=args.flag_ratio,
+    )
     print(json.dumps({"metric": "slope_audit", "keys": result}))
     if args.out:
         with open(args.out, "w") as fh:
-            fh.write(to_markdown(result, args.round_tag))
+            fh.write(to_markdown(result, args.round_tag, dirs=args.dirs))
         print(f"# wrote {args.out}", file=sys.stderr)
 
 

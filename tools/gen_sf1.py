@@ -47,6 +47,9 @@ of derived data; regenerate with this script, never commit).
 Usage:
     python3 tools/gen_sf1.py            # write + verify FK closure
     python3 tools/gen_sf1.py --check    # verify an existing output only
+    python3 tools/gen_sf1.py --sf 3     # sf3 = 30 replicas -> .tmp/testdata/sf3
+                                        # (VERDICT r15 #3: a second
+                                        # post-AQE-transition point)
 """
 
 from __future__ import annotations
@@ -60,6 +63,9 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 SRC = "/root/testdata/sf0.1"
+# Defaults build sf1 (10 replicas of sf0.1); --sf N scales both the
+# replica count (10*N) and the output dir (.tmp/testdata/sfN). Module
+# globals so check() sees the same configuration as generate().
 DST = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     ".tmp", "testdata", "sf1",
@@ -203,9 +209,18 @@ def check() -> None:
 
 
 def main() -> None:
+    global DST, REPLICAS
     ap = argparse.ArgumentParser()
     ap.add_argument("--check", action="store_true", help="verify only")
+    ap.add_argument(
+        "--sf", type=int, default=1,
+        help="target scale factor (integer); replicas = 10*sf, output"
+        " .tmp/testdata/sf<N>",
+    )
     args = ap.parse_args()
+    if args.sf != 1:
+        REPLICAS = 10 * args.sf
+        DST = os.path.join(os.path.dirname(DST), f"sf{args.sf}")
     if not args.check:
         generate()
     check()

@@ -13,7 +13,17 @@ scan task's FIRST attempt is killed and re-executed:
   * `eigenvector_centrality` — checkpointed iterative float kernel
     (per-round checkpoints must not capture attempt-dependent state);
   * `stream_multi_table_ingest` — multi-table atomic snapshot commit
-    (task retry inside the commit batch must stay exactly-once).
+    (task retry inside the commit batch must stay exactly-once);
+  * `snapshot_cdc_diff`      — (r16, VERDICT r15 #6) SnapshotStore
+    write -> partition overwrite -> CDF diff, REBUILT each leg (the
+    content-keyed root is cleared) so the chaos run's task retries hit
+    the store's stage/commit path, not a memoized store;
+  * `tablegroup_lifecycle`   — (r16) witness-only builder, not a
+    registry key: TableGroup commit x2 with an injected ORPHAN table
+    version between them, then diff(g1, g2), vacuum() (which must
+    reclaim exactly the orphan), and the post-vacuum read-back — the
+    full catalog lifecycle executing with every scan task's first
+    attempt killed.
 
 Protocol per key: run CLEAN (no injection), canonical-hash the rows;
 run again with SPARK_GRAFT_CHAOS=* (catalog._chaos_wrap raises on
@@ -51,7 +61,74 @@ DEFAULT_KEYS = [
     "stream_sprt",
     "eigenvector_centrality",
     "stream_multi_table_ingest",
+    "snapshot_cdc_diff",
+    "tablegroup_lifecycle",
 ]
+
+
+def _tablegroup_lifecycle(spark, sf_dir: str):
+    """Witness-only builder (NOT a registry key — the registry is
+    frozen): the TableGroup catalog lifecycle under the chaos seam.
+
+    commit b0 (ord v1 + summary v1) -> a DIRECT store append that
+    bumps ord to v2 with no group pin (simulating a writer that lost
+    the group CAS after its per-table commit — the orphan vacuum()
+    exists to reclaim) -> commit b1 (rebases onto the v1 pin -> ord
+    v3) -> group diff(g1, g2) -> vacuum() (must reclaim exactly ord
+    v2) -> post-vacuum read-back of both tables. Every source read
+    goes through catalog.table, so under SPARK_GRAFT_CHAOS each scan
+    task's first attempt dies and the staged snapshot files are
+    written by RETRIED attempts; the returned frame folds the final
+    table states, the change feed, and the reclaimed-version count,
+    all of which must hash identically to the clean run."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from blockchain2graphdb_spark.catalog import table
+    from blockchain2graphdb_spark.paths import tmp_root
+    from blockchain2graphdb_spark.sources.snapshots import TableGroup
+
+    root = os.path.join(tmp_root(), "retrywit_group")
+    shutil.rmtree(root, ignore_errors=True)
+    g = TableGroup(root)
+    orders = table(spark, sf_dir, "orders")
+
+    def slice_(r):
+        return orders.where(F.col("o_orderkey") % 3 == r).select(
+            "o_orderkey", "o_custkey"
+        )
+
+    def agg(df):
+        return df.groupBy((F.col("o_custkey") % 10).alias("b")).agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        )
+
+    lo, mid, orphan = slice_(0), slice_(1), slice_(2)
+    g.commit({"ord": lo, "summary": agg(lo)}, op="b0")
+    g.store("ord").append(orphan)  # orphan: table version with no group pin
+    g.commit({"ord": mid, "summary": agg(mid)}, op="b1")
+    feeds = g.diff(spark, 1, 2)
+    removed = g.vacuum()
+    assert removed.get("ord"), f"vacuum reclaimed nothing: {removed}"
+    final = g.read(spark, "ord").groupBy((F.col("o_custkey") % 10).alias("b")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_ord")
+    )
+    summ = g.read(spark, "summary").groupBy("b").agg(
+        F.sum("n").cast("long").alias("n_sum")
+    )
+    chg = (
+        feeds["ord"]
+        .groupBy((F.col("o_custkey") % 10).alias("b"), "_change")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_chg"))
+        .groupBy("b")
+        .agg(F.sum("n_chg").cast("long").alias("n_chg"))
+    )
+    return (
+        final.join(summ, "b")
+        .join(chg, "b")
+        .withColumn("n_reclaimed", F.lit(len(removed["ord"])).cast("long"))
+    )
 
 
 def canonical_hash(df) -> tuple[str, int]:
@@ -86,7 +163,14 @@ def main() -> None:
 
     spark = get_spark("retry-witness")
     assert ",2]" in spark.sparkContext.master, spark.sparkContext.master
-    specs = registry.load_all()
+    specs = dict(registry.load_all())
+
+    class _Spec:
+        def __init__(self, fn):
+            self.builder = fn
+
+    # witness-only lifecycle builder (see docstring; registry frozen)
+    specs["tablegroup_lifecycle"] = _Spec(_tablegroup_lifecycle)
 
     def reset_session_reuse(key: str) -> None:
         """Clear session-scoped memos and content-keyed sink roots so
@@ -105,6 +189,16 @@ def main() -> None:
             from blockchain2graphdb_spark.paths import tmp_root
 
             for p in glob.glob(os.path.join(tmp_root(), "mtgroup_*")):
+                shutil.rmtree(p, ignore_errors=True)
+        if key == "snapshot_cdc_diff":
+            # clear the content-keyed store root so BOTH legs rebuild
+            # (the chaos leg's retries must hit the stage/commit path)
+            import glob
+            import shutil
+
+            from blockchain2graphdb_spark.paths import tmp_root
+
+            for p in glob.glob(os.path.join(tmp_root(), "snap_cdc_*")):
                 shutil.rmtree(p, ignore_errors=True)
 
     results: dict[str, dict] = {}
