@@ -120,6 +120,56 @@ def _table_domains(name: str) -> list[tuple[str, int]]:
     return out
 
 
+# --perturb mode (VERDICT r15 #5): the verbatim-copy build gives every
+# document 10 byte-identical replicas, so dedup keys' sf0.1->sf1 step
+# measures the fixture's dup-clique regime, not the plans. The
+# perturbed build keeps the dup RATE scale-invariant while preserving
+# every within-replica similarity relationship EXACTLY:
+#   - documents: replica i>0 suffixes every whitespace token with
+#     "r<i>" — every shingle/word changes, so cross-replica Jaccard is
+#     0, while within a replica doc A ~ doc B exactly as in sf0.1 (the
+#     same transformation is applied to both sides);
+#   - embeddings: replica i>0 multiplies elementwise by a deterministic
+#     +/-1 sign pattern s_i (md5-derived per (replica, dim)). Since
+#     s_d^2 = 1, every within-replica dot product <s∘x, s∘y> = <x, y>
+#     is preserved bit-exactly; cross-replica cosines scramble to
+#     ~N(0, 1/sqrt(64)) — far below every dup threshold.
+PERTURB = False
+
+
+def _sign_pattern(i: int, dim: int) -> list[int]:
+    import hashlib
+
+    return [
+        1 if int(hashlib.md5(f"pert:{i}:{d}".encode()).hexdigest()[0], 16) < 8 else -1
+        for d in range(dim)
+    ]
+
+
+def _perturb_replica(name: str, t: pa.Table, i: int) -> pa.Table:
+    if not PERTURB or i == 0:
+        return t
+    if name == "documents":
+        idx = t.schema.get_field_index("text")
+        texts = t.column("text").to_pylist()
+        tag = f"r{i}"
+        new = [
+            " ".join(w + tag for w in x.split(" ")) if x is not None else None
+            for x in texts
+        ]
+        return t.set_column(idx, t.schema.field(idx), pa.array(new, t.schema.field(idx).type))
+    if name == "embeddings":
+        idx = t.schema.get_field_index("embedding")
+        embs = t.column("embedding").to_pylist()
+        dim = len(embs[0])
+        s = _sign_pattern(i, dim)
+        new = [
+            [v * f for v, f in zip(e, s)] if e is not None else None for e in embs
+        ]
+        return t.set_column(idx, t.schema.field(idx), pa.array(new, t.schema.field(idx).type))
+    return t
+
+
 def generate() -> None:
     os.makedirs(DST, exist_ok=True)
     for name in FIXED:
@@ -144,7 +194,7 @@ def generate() -> None:
                 )
                 shifted = pc.cast(shifted, t.schema.field(idx).type)
                 t = t.set_column(idx, t.schema.field(idx), shifted)
-            replicas.append(t)
+            replicas.append(_perturb_replica(name, t, i))
         out = pa.concat_tables(replicas)
         # multiple row groups => multiple Spark input splits (mappers),
         # so AQE skew-split and parallel scans behave like real inputs
@@ -209,7 +259,7 @@ def check() -> None:
 
 
 def main() -> None:
-    global DST, REPLICAS
+    global DST, REPLICAS, PERTURB
     ap = argparse.ArgumentParser()
     ap.add_argument("--check", action="store_true", help="verify only")
     ap.add_argument(
@@ -217,10 +267,18 @@ def main() -> None:
         help="target scale factor (integer); replicas = 10*sf, output"
         " .tmp/testdata/sf<N>",
     )
+    ap.add_argument(
+        "--perturb", action="store_true",
+        help="scale-invariant-dup build (documents token-suffixed,"
+        " embeddings sign-flipped per replica) -> .tmp/testdata/sf<N>p",
+    )
     args = ap.parse_args()
     if args.sf != 1:
         REPLICAS = 10 * args.sf
         DST = os.path.join(os.path.dirname(DST), f"sf{args.sf}")
+    if args.perturb:
+        PERTURB = True
+        DST = DST + "p"
     if not args.check:
         generate()
     check()
