@@ -70,57 +70,8 @@ _OPERATOR_MODULES = (
 # tests/test_round8_ops.py::test_sample_priority_is_complete, since
 # load_all() silently ignores missing keys).
 _SAMPLE_PRIORITY = (
-    # --- new round-15 head: never-driver-witnessed first, then stalest ---
-    "upsert_insert_if_absent",  # r5 oracle
-    "upsert_merge",  # r5 oracle
-    "utxo_balances",  # r5 oracle
-    "agg_mode",  # r6 oracle
-    "array_explode",  # r6 oracle
-    "array_ops",  # r6 oracle
-    "bpe_merge_pairs",  # r6 oracle
-    "chunk_embed_retrieve",  # r6 oracle
-    "conditional_flag",  # r6 oracle
-    "date_compare",  # r6 oracle
-    "date_parts",  # r6 oracle
-    "date_trunc_group",  # r6 oracle
-    "dedup_cluster_keep_best",  # r6 oracle
-    "dedup_incremental",  # r6 oracle
-    "dedup_substring",  # r6 oracle
-    "embedding_quantize",  # r6 oracle
-    "hits_exact",  # r6 oracle
-    "json_extract",  # r6 oracle
-    "link_prediction_aa",  # r6 oracle
-    "map_ops",  # r6 oracle
-    "math_ops",  # r6 oracle
-    "motif_find",  # r6 oracle
-    "null_coalesce",  # r6 oracle
-    "orders_rfm",  # r6 oracle
-    "profile_table",  # r6 oracle
-    "scan_csv",  # r6 oracle
-    "scan_jsonl",  # r6 oracle
-    "sssp_weighted",  # r6 oracle
-    "str_cast",  # r6 oracle
-    "str_edit_distance",  # r6 oracle
-    "str_format",  # r6 oracle
-    "str_split",  # r6 oracle
-    "stream_dedup_exact",  # r6 oracle
-    "tpch_q10",  # r6 oracle
-    "tpch_q11",  # r6 oracle
-    "tpch_q13",  # r6 oracle
-    "tpch_q14",  # r6 oracle
-    "tpch_q15",  # r6 oracle
-    "tpch_q16",  # r6 oracle
-    "tpch_q17",  # r6 oracle
-    "tpch_q18",  # r6 oracle
-    "tpch_q19",  # r6 oracle
-    "tpch_q2",  # r6 oracle
-    "tpch_q20",  # r6 oracle
-    "tpch_q21",  # r6 oracle
-    "tpch_q22",  # r6 oracle
-    "tpch_q4",  # r6 oracle
-    "tpch_q6",  # r6 oracle
-    "tpch_q7",  # r6 oracle
-    "tpch_q8",  # r6 oracle
+    # --- new round-16 head: never-driver-witnessed first, then stalest ---
+    "label_noise_knn",  # r11 oracle
     "tpch_q9",  # r6 oracle
     "unpivot_stack",  # r6 oracle
     "window_percent_rank",  # r6 oracle
@@ -341,7 +292,6 @@ _SAMPLE_PRIORITY = (
     "ivm_agg_delta",  # r11 oracle
     "k_anonymity_audit",  # r11 oracle
     "l_diversity_audit",  # r11 oracle
-    "label_noise_knn",  # r11 oracle
     "linkage_blocking_quality",  # r11 oracle
     "mann_whitney_u",  # r11 oracle
     "map_at_k",  # r11 oracle
@@ -511,6 +461,56 @@ _SAMPLE_PRIORITY = (
     "udtf_flatmap",  # r14 oracle
     "update_columns",  # r14 oracle
     "personalized_pagerank",  # r14 rows-only
+    "agg_mode",  # r15 oracle
+    "array_explode",  # r15 oracle
+    "array_ops",  # r15 oracle
+    "bpe_merge_pairs",  # r15 oracle
+    "chunk_embed_retrieve",  # r15 oracle
+    "conditional_flag",  # r15 oracle
+    "date_compare",  # r15 oracle
+    "date_parts",  # r15 oracle
+    "date_trunc_group",  # r15 oracle
+    "dedup_cluster_keep_best",  # r15 oracle
+    "dedup_incremental",  # r15 oracle
+    "dedup_substring",  # r15 oracle
+    "embedding_quantize",  # r15 oracle
+    "hits_exact",  # r15 oracle
+    "json_extract",  # r15 oracle
+    "link_prediction_aa",  # r15 oracle
+    "map_ops",  # r15 oracle
+    "math_ops",  # r15 oracle
+    "motif_find",  # r15 oracle
+    "null_coalesce",  # r15 oracle
+    "orders_rfm",  # r15 oracle
+    "profile_table",  # r15 oracle
+    "scan_csv",  # r15 oracle
+    "scan_jsonl",  # r15 oracle
+    "sssp_weighted",  # r15 oracle
+    "str_cast",  # r15 oracle
+    "str_edit_distance",  # r15 oracle
+    "str_format",  # r15 oracle
+    "str_split",  # r15 oracle
+    "stream_dedup_exact",  # r15 oracle
+    "tpch_q10",  # r15 oracle
+    "tpch_q11",  # r15 oracle
+    "tpch_q13",  # r15 oracle
+    "tpch_q14",  # r15 oracle
+    "tpch_q15",  # r15 oracle
+    "tpch_q16",  # r15 oracle
+    "tpch_q17",  # r15 oracle
+    "tpch_q18",  # r15 oracle
+    "tpch_q19",  # r15 oracle
+    "tpch_q2",  # r15 oracle
+    "tpch_q20",  # r15 oracle
+    "tpch_q21",  # r15 oracle
+    "tpch_q22",  # r15 oracle
+    "tpch_q4",  # r15 oracle
+    "tpch_q6",  # r15 oracle
+    "tpch_q7",  # r15 oracle
+    "tpch_q8",  # r15 oracle
+    "upsert_insert_if_absent",  # r15 oracle
+    "upsert_merge",  # r15 oracle
+    "utxo_balances",  # r15 oracle
 )
 
 

@@ -40,6 +40,12 @@ def latest_witness() -> dict[str, int]:
     return latest
 
 
+# Keys whose SEMANTICS changed this round (re-registrations): treated
+# as never-witnessed so the next driver gate re-witnesses them first.
+# Clear this set when regenerating for a round with no re-registrations.
+PINNED_FRESH = {"label_noise_knn"}  # r16: LSH-bucketed re-registration
+
+
 def main() -> None:
     sys.path.insert(0, REPO)
     from blockchain2graphdb_spark import registry
@@ -47,7 +53,12 @@ def main() -> None:
     specs = registry.load_all()
     latest = latest_witness()
     keys = sorted(
-        specs, key=lambda k: (latest.get(k, 0), specs[k].oracle is None, k)
+        specs,
+        key=lambda k: (
+            0 if k in PINNED_FRESH else latest.get(k, 0),
+            specs[k].oracle is None,
+            k,
+        ),
     )
     lines = [
         f'    "{k}",  # r{latest.get(k, 0)} '
