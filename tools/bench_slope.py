@@ -132,11 +132,26 @@ class _ShuffleMeter:
 
     def __init__(self, spark):
         sc = spark.sparkContext
-        self._store = sc._jsc.sc().statusStore()
+        self._sc = sc._jsc.sc()
+        self._store = self._sc.statusStore()
         self._jvm = sc._jvm
         self._gw = sc._gateway
         self._seen: set[tuple[int, int]] = set()
         self.snapshot()
+
+    def _drain(self) -> None:
+        """The AppStatusStore is fed ASYNCHRONOUSLY off the listener
+        bus; reading it right after an action can miss just-finished
+        stages (r16: triangle_count's sf1 reading dropped the two 12M-
+        row probe-join shuffles, turning an exactly-3.0x-per-stage step
+        into a phantom 4.0x flag). Block until the bus is empty before
+        every snapshot/delta."""
+        try:
+            self._sc.listenerBus().waitUntilEmpty(30_000)
+        except Exception:  # noqa: BLE001 — older signature / best effort
+            import time
+
+            time.sleep(2)
 
     def _stages(self):
         empty = self._jvm.java.util.ArrayList()
@@ -148,12 +163,14 @@ class _ShuffleMeter:
             yield it.next()
 
     def snapshot(self) -> None:
+        self._drain()
         for s in self._stages():
             self._seen.add((s.stageId(), s.attemptId()))
 
     def delta(self) -> tuple[int, int]:
         """(shuffle_write_bytes, shuffle_write_records) of stages that
         appeared since the last snapshot; marks them seen."""
+        self._drain()
         b = r = 0
         for s in self._stages():
             key = (s.stageId(), s.attemptId())
@@ -201,7 +218,16 @@ def run_slope(spark, keys=None, runs: int = 2, dirs=None, flag_ratio=None) -> di
                 t0 = time.time()
                 df = specs[key].builder(spark, sf_dir)
                 _refs.append(df)
-                df.count()
+                # Execute the REAL plan: the noop sink consumes every
+                # column, so Catalyst cannot column-prune the query the
+                # user would actually run. The previous df.count()
+                # action let pruning rewrite the plan under measurement
+                # — for triangle_count it dropped the adjacency arrays,
+                # the probe joins broadcast-converted, and the recorded
+                # shuffle volume belonged to a plan the key never
+                # executes (a phantom 4.0x step on a stage-by-stage
+                # 3.0x-exact query, r16).
+                df.write.format("noop").mode("overwrite").save()
                 dt = round(time.time() - t0, 3)
                 if meter is not None and i == 0:
                     b, r = meter.delta()
