@@ -16,9 +16,11 @@ Wall time at toy scale hides shuffle asymptotics (a quadratic
 candidate join can still be wall-cheap at sf0.1), so each key's runs
 also record shuffle WRITE bytes/rows read from the AppStatusStore's
 per-stage metrics (the UI-less equivalent of the stage page; works
-with spark.ui.enabled=false). A key whose shuffle bytes grow > 13x
-per 10x data step on a >= 64 KiB base is flagged independently of
-wall time — 64 KiB floors out fixed per-stage framing noise.
+with spark.ui.enabled=false). A key whose shuffle ROWS grow > 13x
+per 10x data step on a >= 64 KiB byte base is flagged independently
+of wall time — rows are plan-determined (bytes also move with
+partition-count-dependent compression-block sizes); the 64 KiB floor
+screens out fixed per-stage framing noise.
 
 Drift discipline: all sfs for a key run CONSECUTIVELY (best-of-N
 each), so each slope ratio is computed inside a tight window and a
@@ -243,9 +245,16 @@ def run_slope(spark, keys=None, runs: int = 2, dirs=None, flag_ratio=None) -> di
         row["flagged"] = any(r is not None and r > flag_ratio for r in ratios)
         if meter is not None:
             bs = [sh_bytes[os.path.basename(d)] for d in dirs]
+            rs = [sh_rows[os.path.basename(d)] for d in dirs]
+            # Flag on ROW growth, not bytes: rows are plan-determined,
+            # while bytes also move with partition-count-dependent
+            # compression-block sizes (r16: resizing triangle_count's
+            # probe shuffles 32 -> 95 partitions left rows identical
+            # but inflated LZ4 bytes 1.6x — a deployment knob, not an
+            # asymptote). Bytes stay recorded for payload context.
             sh_ratios = [
-                round(bs[i + 1] / bs[i], 2) if bs[i] > 0 else None
-                for i in range(len(bs) - 1)
+                round(rs[i + 1] / rs[i], 2) if rs[i] > 0 else None
+                for i in range(len(rs) - 1)
             ]
             row["shuffle_bytes"] = sh_bytes
             row["shuffle_rows"] = sh_rows
