@@ -51,14 +51,85 @@ def prep(spark: SparkSession) -> SparkSession:
     return spark
 
 
+# Session-scoped PLAN memo for `table` (r16 optimization round; guide
+# §5 "the driver should do almost no data work" + §6's per-session
+# file-listing cache). Every `spark.read.parquet` on the same path
+# costs ~75-120 ms of driver-side py4j + footer/schema resolution, and
+# the query builders re-read the same 10 fixture paths on every
+# invocation — measured 0.8-1.4 s per TPC-H bench entry just
+# re-deriving identical unexecuted plans (register_views = 10 tables).
+# The memo stores the CONSTRUCTED DataFrame (a lazy plan handle, zero
+# executor state, zero materialized rows): every action on it still
+# scans the parquet from disk, so no result or intermediate is ever
+# reused — this is the DataFrame-level analogue of Spark's own
+# session-scoped InMemoryFileIndex cache.
+#
+# Key safety:
+#   * applicationId + id(session): a new session/context never sees a
+#     stale plan (and plans are session-bound objects anyway);
+#   * fixture identity (abs path + size + mtime_ns, plus the one-level
+#     entry listing for directory datasets): a regenerated fixture at
+#     the same path misses the memo;
+#   * SPARK_GRAFT_CHAOS value: _chaos_wrap binds the fault-injection
+#     env var at plan-construction time (see its docstring), so the
+#     chaos spec is part of the key — a witness toggling the var can
+#     never be served a plan built under the other setting. The retry
+#     witness's reset_session_reuse additionally clears this memo.
+_TABLE_MEMO: dict = {}
+
+
+def _fixture_identity(sf_dir: str, name: str) -> tuple:
+    import os
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    st = os.stat(path)
+    ident: tuple = (os.path.abspath(path), st.st_size, st.st_mtime_ns)
+    if os.path.isdir(path):
+        with os.scandir(path) as it:
+            ident += tuple(
+                sorted(
+                    (e.name, e.stat().st_size, e.stat().st_mtime_ns)
+                    for e in it
+                )
+            )
+    return ident
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    import os
+
     if name not in TABLES:
         raise KeyError(f"unknown fixture table {name!r}; have {TABLES}")
-    if name == "events":
-        return _events(spark, sf_dir)  # chaos seam inside normalize_events_ts
-    return _chaos_wrap(
-        _dates_to_timestamps(spark.read.parquet(f"{sf_dir}/{name}.parquet")), name
+    key = (
+        spark.sparkContext.applicationId,
+        id(spark),
+        os.environ.get("SPARK_GRAFT_CHAOS", ""),
+        name,
+        _fixture_identity(sf_dir, name),
     )
+    hit = _TABLE_MEMO.get(key)
+    if hit is not None:
+        return hit
+    if name == "events":
+        df = _events(spark, sf_dir)  # chaos seam inside normalize_events_ts
+    else:
+        df = _chaos_wrap(
+            _dates_to_timestamps(spark.read.parquet(f"{sf_dir}/{name}.parquet")),
+            name,
+        )
+    while len(_TABLE_MEMO) >= 64:  # plans are tiny; bound handle count
+        _TABLE_MEMO.pop(next(iter(_TABLE_MEMO)))
+    # monotone serial: a never-reused identity for "this exact plan"
+    # (object ids recycle after GC; consumers like register_views key
+    # skip-decisions on this instead)
+    global _PLAN_SERIAL
+    _PLAN_SERIAL += 1
+    df._b2g_plan_serial = _PLAN_SERIAL
+    _TABLE_MEMO[key] = df
+    return df
+
+
+_PLAN_SERIAL = 0
 
 
 def parquet_num_rows(sf_dir: str, name: str) -> int:
