@@ -142,7 +142,12 @@ def influence_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).unionByName(
             pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
         )
-        live = sym.where(_live_filter_spark("src", "dst"))
+        # r16: checkpoint the live subgraph ONCE — all 3 rounds probe
+        # it, and without the checkpoint each round re-evaluated the
+        # per-edge md5 coin flip over the full 2|E| symmetric list
+        # (profiled: three 5-8s executor-runtime stages re-reading the
+        # pair blocks; one md5 pass + two cheap checkpoint reads after)
+        live = local_checkpoint(sym.where(_live_filter_spark("src", "dst")))
         nodes = (
             pairs.select(F.col("a").alias("n"))
             .unionByName(pairs.select(F.col("b").alias("n")))
