@@ -45,9 +45,16 @@ def prep(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
-    # fixture scale never needs the 200-partition default; AQE coalesces
-    # further. (A real cluster deployment sizes this to cores × 2-3.)
-    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    # Size shuffle partitions to the session's actual parallelism, not
+    # the 200-partition default and not a hard-coded local[32] constant
+    # (r16: the driver also benches at lower core counts, and a pinned
+    # 32 over-partitions those runs; a cluster's defaultParallelism is
+    # its total cores, the same 1x-cores policy as before — deployments
+    # wanting cores x 2-3 override upstream). AQE coalesces further.
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(max(4, spark.sparkContext.defaultParallelism)),
+    )
     return spark
 
 
