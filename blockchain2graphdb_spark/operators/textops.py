@@ -219,9 +219,21 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     it stays a co-partitioned shuffle join on `term`).
     """
     prep(spark)
+    from ..catalog import parquet_num_rows
+    from .dedup import _fan_out
+
     docs = table(spark, sf_dir, "documents")
+    # r16: the fixture corpus arrives as ONE parquet split, so the
+    # tokenize+explode (this key's CPU) ran on one task with 31 idle —
+    # and the tf subtree is referenced twice (df build + score join),
+    # so that single-task stage executed TWICE (profiled: 2 x 2.4s
+    # one-task stages). _fan_out (dedup.py) spreads the explode across
+    # the cluster only when the scan has fewer splits than cores — at
+    # real scale it is a no-op with zero added shuffle. Measured
+    # 0.97 -> 0.73s at sf0.1, rows identical.
     toks = (
-        docs.select(
+        _fan_out(docs.select("doc_id", "text"), "doc_id")
+        .select(
             "doc_id",
             F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("term"),
         )
@@ -229,7 +241,10 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = docs.count()  # scalar; literal-folded into the plan
+    # r16: exact doc count from the parquet FOOTER (catalog seam) —
+    # the previous docs.count() was a full scan job per invocation for
+    # a number the footer metadata already holds exactly
+    n_docs = parquet_num_rows(sf_dir, "documents")
     scored = tf.join(df, "term").select(
         "doc_id",
         "term",
@@ -988,8 +1003,16 @@ def skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     and unigram aggregates are map-side combinable; the two unigram
     probes join against the O(vocab) count table."""
     prep(spark)
+    from .dedup import _fan_out
+
+    # r16: fan the single-split fixture scan across the cluster before
+    # the tokenize+posexplode (profiled: a 1.5s ONE-task checkpoint
+    # stage with 31 cores idle); no-op at real scale (see _fan_out)
     toks = (
-        table(spark, sf_dir, "documents")
+        _fan_out(
+            table(spark, sf_dir, "documents").select("doc_id", "text"),
+            "doc_id",
+        )
         .select(
             "doc_id",
             F.posexplode(F.split(F.lower(F.col("text")), " ")).alias("pos", "t"),
