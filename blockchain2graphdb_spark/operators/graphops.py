@@ -384,6 +384,28 @@ def _pairs_memo_key(spark: SparkSession, sf_dir: str) -> tuple:
     )
 
 
+def _expand_scope(spark: SparkSession):
+    """Scoped conf for EAGERLY materializing a per-order pair
+    expansion (r16 optimization round). AQE's byte-based partition
+    coalescing sees only the small grouped exchange feeding the
+    explode (~one array row per order, 5 MB at sf0.1) and packs the
+    CPU-quadratic pair expansion onto ~4 tasks with the rest of the
+    cluster idle (profiled: 3.2-4.2s single-digit-task stages on
+    triangle_count/ktruss/association shapes). Lowering the coalesce
+    floor from the 1 MB default spreads that stage across the
+    parallelism AQE already respects (`parallelismFirst` is on). Only
+    small shuffles are affected — at scale every partition is far
+    above 1 MB and the floor never binds, so this is a no-op on the
+    100 TB path. Measured on the _copurchase_pairs build at sf0.1:
+    1.93s -> 1.56s avg (3 interleaved A/B reps)."""
+    from ..plans.confs import scoped_confs
+
+    return scoped_confs(
+        spark,
+        {"spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k"},
+    )
+
+
 def _copurchase_pairs(
     spark: SparkSession, sf_dir: str, checkpoint: bool = True
 ) -> "tuple[DataFrame, int | None]":
@@ -426,8 +448,11 @@ def _copurchase_pairs(
         hit = _PAIRS_MEMO.get(key)
         if hit is not None:
             return hit
-        # reused by adjacency + both probes in the callers
-        pairs = pairs.localCheckpoint(eager=True)
+        # reused by adjacency + both probes in the callers; the eager
+        # materialization runs under _expand_scope so the quadratic
+        # explode is not packed onto a handful of tasks (see its doc)
+        with _expand_scope(spark):
+            pairs = pairs.localCheckpoint(eager=True)
         while len(_PAIRS_MEMO) >= 8:  # bound driver-side handles
             # Evict oldest-first (dict insertion order) and release its
             # checkpoint blocks so stale fixtures don't pin executor
@@ -1333,8 +1358,11 @@ def _copurchase_pairs_support(
         .agg(F.count(F.lit(1)).alias("support"))
         .where(F.col("support") >= min_support)
         .select("a", "b")
-        .localCheckpoint(eager=True)
     )
+    # eager materialization under _expand_scope: spread the quadratic
+    # pair explode across the parallelism (see _expand_scope)
+    with _expand_scope(spark):
+        pairs = pairs.localCheckpoint(eager=True)
     return pairs, pairs.count()
 
 
@@ -1576,7 +1604,11 @@ def sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         weighted.select(
             F.col("b").alias("src"), F.col("a").alias("dst"), "cost"
         )
-    ).localCheckpoint(eager=True)
+    )
+    # eager materialization under _expand_scope: the quadratic pair
+    # explode otherwise lands on ~4 AQE-coalesced tasks (see its doc)
+    with _expand_scope(spark):
+        sym = sym.localCheckpoint(eager=True)
     # the broadcast side is the node-sized frontier table, so gate on
     # the actual node count (sym is symmetric: src spans every node) —
     # same 4M-node bound as pagerank_exact, one count on the
