@@ -401,11 +401,20 @@ def edge_betweenness_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dist").alias("dsu"),
         F.col("sigma").alias("ssu"),
     )
-    td = F.broadcast(p).join(bfs, bfs["root"] == F.col("t")).select(
-        F.col("pid").alias("pid_t"),
-        F.col("node").alias("v"),
-        F.col("dist").alias("dtv"),
-        F.col("sigma").alias("tsv"),
+    # r16: td is node-sized x #pids — the SAME size class as sd, which
+    # was already broadcast; leaving it unhinted made the second join a
+    # sort-merge that shuffled the sd-expanded edge stream (profiled:
+    # 338 MB written + a 41s read stage at sf0.1, the engine's largest
+    # single exchange). Broadcasting it makes the whole contrib chain
+    # stream the edges map-side: that shuffle disappears outright
+    # (guide §2.4; measured 3.37 -> 2.73s, results identical).
+    td = F.broadcast(
+        F.broadcast(p).join(bfs, bfs["root"] == F.col("t")).select(
+            F.col("pid").alias("pid_t"),
+            F.col("node").alias("v"),
+            F.col("dist").alias("dtv"),
+            F.col("sigma").alias("tsv"),
+        )
     )
     stt = (
         F.broadcast(p)
