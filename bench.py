@@ -309,11 +309,30 @@ def main() -> None:
             out["headline_ratio_vs_r01_same_window"] = round(
                 head_sh / r01_sh, 3
             )
-            out["ratio_per_query"] = {
+            # ratio_per_query moved OFF the stdout line (r17, VERDICT r16
+            # #4/#2): the driver captures a bounded stdout tail, and the
+            # growing one-line JSON already truncated once (BENCH_r15
+            # parsed: null), killing the round-over-round comparison.
+            # The per-query ratios remain available on stderr (below) and
+            # in .tmp/bench_sidecar.json; the stdout line keeps every
+            # contract field (queries/secondary entries unchanged) and
+            # stays well under the observed ~2.4 KB parse window.
+            out_full = dict(out)
+            out_full["ratio_per_query"] = {
                 k: round(times_ab[k] / r01_q[k], 3)
                 for k in shared
                 if r01_q[k] > 0
             }
+            try:
+                side = os.path.join(_REPO, ".tmp", "bench_sidecar.json")
+                os.makedirs(os.path.dirname(side), exist_ok=True)
+                with open(side, "w") as fh:
+                    json.dump(out_full, fh)
+            except OSError:
+                pass
+            print("# sidecar " + json.dumps(
+                {"ratio_per_query": out_full["ratio_per_query"]}
+            ), file=sys.stderr)
     print(json.dumps(out))
 
 
