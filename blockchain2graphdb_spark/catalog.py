@@ -42,6 +42,12 @@ def prep(spark: SparkSession) -> SparkSession:
     timestamp collection match DuckDB's naive timestamps.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Arrow driver transfers (guide §6): off by default in Spark; needed
+    # so plans/localrel.py's small driver-computed result tables convert
+    # through Arrow into a LocalTableScan instead of a pickled RDD whose
+    # every action launches Python workers. Affects only conversion
+    # speed, never values (localrel pins the schema explicitly).
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -112,8 +112,10 @@ def taint_flow(
         out_rows = [
             (r["id"], r["address"], r["value"], float(taint[r["id"]])) for r in rows
         ]
-        return spark.createDataFrame(
-            out_rows, "output_id string, address string, value long, taint double"
+        from ..plans.localrel import local_rows_df
+
+        return local_rows_df(
+            spark, out_rows, "output_id string, address string, value long, taint double"
         )
 
     vertices = outs.select(

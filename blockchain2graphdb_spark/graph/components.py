@@ -109,7 +109,12 @@ def connected_components(
                 lo, hi = min(ra, rb), max(ra, rb)
                 parent[hi] = lo
         rows = [(n, find(n)) for n in parent]
-        return spark.createDataFrame(rows, sym.schema).toDF("node", "comp")
+        # Arrow local relation, not a pickled RDD (plans/localrel.py):
+        # this short-circuit runs on every near-dup dedup key, and the
+        # pickled path paid a 32-task Python-worker job per action
+        from ..plans.localrel import local_rows_df
+
+        return local_rows_df(spark, rows, sym.schema).toDF("node", "comp")
 
     # initial labels = least(node, min neighbor), one groupBy over the
     # symmetrized edges — this FOLDS the first outer round's hash-min

@@ -1136,8 +1136,10 @@ def attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
         "channel string, p_full_nanos long, p_removed_nanos long,"
         " removal_effect_nanos long, share_nanos long"
     )
+    from ..plans.localrel import local_rows_df
+
     if not t_rows:
-        return spark.createDataFrame([], schema)
+        return local_rows_df(spark, [], schema)
     outs: dict = {}
     for s, _d, c in t_rows:
         outs[s] = outs.get(s, 0) + c
@@ -1188,7 +1190,8 @@ def attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for ch, eff, pr in effects
     ]
-    return spark.createDataFrame(out_rows, schema)
+    # Arrow local relation, not a pickled RDD (plans/localrel.py)
+    return local_rows_df(spark, out_rows, schema)
 
 
 @query(

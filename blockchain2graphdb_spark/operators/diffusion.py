@@ -171,6 +171,10 @@ def influence_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             counts.append((h, frontier.count()))
             seen = local_checkpoint(seen.unionByName(frontier))
-    return spark.createDataFrame(
-        [(int(r), int(c)) for r, c in counts], "round int, n_activated long"
+    # Arrow local relation, not a pickled RDD: the 4-row result used to
+    # cost a 32-task Python-worker job PER ACTION (plans/localrel.py)
+    from ..plans.localrel import local_rows_df
+
+    return local_rows_df(
+        spark, [(int(r), int(c)) for r, c in counts], "round int, n_activated long"
     )

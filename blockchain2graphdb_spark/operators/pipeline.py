@@ -1851,8 +1851,10 @@ def dataset_mixture_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (plan pinned in tests/test_round12_ops.py)
     n_target = docs.count() // 2
     quotas = {k: (v * n_target) // 1000 for k, v in _MIX_WEIGHTS}
-    quota = docs.sparkSession.createDataFrame(
-        [(k, q) for k, q in quotas.items()], "lang string, quota long"
+    from ..plans.localrel import local_rows_df
+
+    quota = local_rows_df(
+        docs.sparkSession, [(k, q) for k, q in quotas.items()], "lang string, quota long"
     )
     ranked = docs.select(
         "lang",

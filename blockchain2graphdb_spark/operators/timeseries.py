@@ -1504,7 +1504,11 @@ def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
                 tdiv(abs_err, n - 1) if n > 1 else None,
             )
         )
-    return spark.createDataFrame(
+    # Arrow local relation, not a pickled RDD (plans/localrel.py)
+    from ..plans.localrel import local_rows_df
+
+    return local_rows_df(
+        spark,
         out,
         "event_type string, n_days long, level_micros long, trend_micros long,"
         " forecast_next_micros long, mae_one_step_micros long",
