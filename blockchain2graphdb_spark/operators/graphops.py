@@ -384,7 +384,7 @@ def _pairs_memo_key(spark: SparkSession, sf_dir: str) -> tuple:
     )
 
 
-def _expand_scope(spark: SparkSession):
+def _expand_scope(spark: SparkSession, sf_dir: str | None = None):
     """Scoped conf for EAGERLY materializing a per-order pair
     expansion (r16 optimization round). AQE's byte-based partition
     coalescing sees only the small grouped exchange feeding the
@@ -393,16 +393,33 @@ def _expand_scope(spark: SparkSession):
     cluster idle (profiled: 3.2-4.2s single-digit-task stages on
     triangle_count/ktruss/association shapes). Lowering the coalesce
     floor from the 1 MB default spreads that stage across the
-    parallelism AQE already respects (`parallelismFirst` is on). Only
-    small shuffles are affected — at scale every partition is far
-    above 1 MB and the floor never binds, so this is a no-op on the
-    100 TB path. Measured on the _copurchase_pairs build at sf0.1:
-    1.93s -> 1.56s avg (3 interleaved A/B reps)."""
+    parallelism AQE already respects (`parallelismFirst` is on).
+
+    r17 (VERDICT r16 #3): the floor is DERIVED from the input size —
+    estimated grouped-exchange bytes (parquet footer rows x ~16 B/key)
+    divided by the session parallelism, clamped to [64 KB, 1 MB]. The
+    r16 constant 64 KB could over-spread a small shuffle into sub-ms
+    tasks at 32 cores (the driver measured triangle_count 0.57->0.74 s
+    while the 8-core run improved); the derived floor targets ~one
+    coalesced partition per core and degrades to the AQE DEFAULT
+    (1 MB) as the input grows — at scale the conf is literally the
+    default, a provable no-op. Interleaved 3x3 A/B at 32 cores
+    (OPTIMIZATION_r17.md): 64k / derived / off are within the noise
+    band at sf0.1; the derived form is kept for the scale-adaptive
+    shape, not a local win."""
     from ..plans.confs import scoped_confs
 
+    floor = 64 * 1024
+    if sf_dir is not None:
+        try:
+            est_bytes = parquet_num_rows(sf_dir, "lineitem") * 16
+            par = max(1, spark.sparkContext.defaultParallelism)
+            floor = max(64 * 1024, min(1024 * 1024, est_bytes // par))
+        except OSError:
+            pass
     return scoped_confs(
         spark,
-        {"spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k"},
+        {"spark.sql.adaptive.coalescePartitions.minPartitionSize": str(floor)},
     )
 
 
@@ -451,7 +468,7 @@ def _copurchase_pairs(
         # reused by adjacency + both probes in the callers; the eager
         # materialization runs under _expand_scope so the quadratic
         # explode is not packed onto a handful of tasks (see its doc)
-        with _expand_scope(spark):
+        with _expand_scope(spark, sf_dir):
             pairs = pairs.localCheckpoint(eager=True)
         while len(_PAIRS_MEMO) >= 8:  # bound driver-side handles
             # Evict oldest-first (dict insertion order) and release its
@@ -1361,7 +1378,7 @@ def _copurchase_pairs_support(
     )
     # eager materialization under _expand_scope: spread the quadratic
     # pair explode across the parallelism (see _expand_scope)
-    with _expand_scope(spark):
+    with _expand_scope(spark, sf_dir):
         pairs = pairs.localCheckpoint(eager=True)
     return pairs, pairs.count()
 
@@ -1607,7 +1624,7 @@ def sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # eager materialization under _expand_scope: the quadratic pair
     # explode otherwise lands on ~4 AQE-coalesced tasks (see its doc)
-    with _expand_scope(spark):
+    with _expand_scope(spark, sf_dir):
         sym = sym.localCheckpoint(eager=True)
     # the broadcast side is the node-sized frontier table, so gate on
     # the actual node count (sym is symmetric: src spans every node) —
