@@ -698,11 +698,16 @@ def eigenvector_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "spark.sql.adaptive.enabled": "false",
         },
     ):
+        # one pass over the pair checkpoint (the union form scanned it
+        # once per orientation before the repartition)
         sym = pairs.select(
-            F.col("a").alias("src"), F.col("b").alias("dst")
-        ).unionByName(
-            pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
-        )
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+                    F.struct(F.col("b").alias("src"), F.col("a").alias("dst")),
+                )
+            ).alias("e")
+        ).select("e.src", "e.dst")
         sym = local_checkpoint(sym.repartition(nparts, "dst"))
         v = (
             sym.select(F.col("src").alias("node"))
