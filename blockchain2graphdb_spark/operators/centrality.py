@@ -49,7 +49,7 @@ from ..catalog import parquet_num_rows, prep, table
 from ..plans.iterate import local_checkpoint
 from ..plans.sizing import adaptive_broadcast_rows, est_row_bytes
 from ..registry import query
-from .graphops import _copurchase_pairs
+from .graphops import _copurchase_pairs, _pair_nodes, _sym_edges
 
 _DEPTH = 3
 _BTW_SEEDS = 16  # 8 source/target pairs
@@ -109,14 +109,8 @@ def _seed_bfs_build(
     one frontier DataFrame for ALL seeds, `depth` unrolled join
     rounds; the handles let the memo release blocks on eviction."""
     pairs, _n_edges = _copurchase_pairs(spark, sf_dir)
-    sym = pairs.select(
-        F.col("a").alias("src"), F.col("b").alias("dst")
-    ).unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
-    nodes = (
-        pairs.select(F.col("a").alias("n"))
-        .unionByName(pairs.select(F.col("b").alias("n")))
-        .distinct()
-    )
+    sym = _sym_edges(pairs)
+    nodes = _pair_nodes(pairs)
     hkey = F.md5(F.col("n").cast("string"))
     # TakeOrdered top-k by content hash, then indices 0..k-1 via a
     # window over the k-row result (bounded by the Limit — the declared
@@ -381,9 +375,7 @@ def edge_betweenness_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
     bfs, seeds = _seed_bfs(spark, sf_dir, _BTW_SEEDS)
     pairs, _n = _copurchase_pairs(spark, sf_dir)
-    sym = pairs.select(
-        F.col("a").alias("src"), F.col("b").alias("dst")
-    ).unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    sym = _sym_edges(pairs)
     half = _BTW_SEEDS // 2
     a, b = seeds.alias("sa"), seeds.alias("sb")
     p = (
@@ -395,12 +387,23 @@ def edge_betweenness_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sb.n").alias("t"),
         )
     )
-    sd = F.broadcast(p).join(bfs, bfs["root"] == F.col("s")).select(
+    # sd/td are node-sized x #pids tables; broadcast only under the
+    # adaptive row gate (ADVICE r16 — the r16 form hinted both
+    # unconditionally, which on a huge graph could blow the broadcast
+    # ceiling; above the gate the joins degrade to keyed shuffles, the
+    # same fallback every frontier operator takes)
+    gate = adaptive_broadcast_rows(spark, bytes_per_row=32)
+    side = (
+        F.broadcast
+        if half * parquet_num_rows(sf_dir, "part") <= gate
+        else (lambda df: df)
+    )
+    sd = side(F.broadcast(p).join(bfs, bfs["root"] == F.col("s")).select(
         "pid",
         F.col("node").alias("u"),
         F.col("dist").alias("dsu"),
         F.col("sigma").alias("ssu"),
-    )
+    ))
     # r16: td is node-sized x #pids — the SAME size class as sd, which
     # was already broadcast; leaving it unhinted made the second join a
     # sort-merge that shuffled the sd-expanded edge stream (profiled:
@@ -408,7 +411,7 @@ def edge_betweenness_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single exchange). Broadcasting it makes the whole contrib chain
     # stream the edges map-side: that shuffle disappears outright
     # (guide §2.4; measured 3.37 -> 2.73s, results identical).
-    td = F.broadcast(
+    td = side(
         F.broadcast(p).join(bfs, bfs["root"] == F.col("t")).select(
             F.col("pid").alias("pid_t"),
             F.col("node").alias("v"),
@@ -430,7 +433,7 @@ def edge_betweenness_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         " + (((ssu * tsv) % sst) * 1000000000) div sst"
     )
     contrib = (
-        sym.join(F.broadcast(sd), sym["src"] == sd["u"])
+        sym.join(sd, sym["src"] == sd["u"])
         .join(td, (F.col("pid_t") == F.col("pid")) & (td["v"] == sym["dst"]))
         .join(F.broadcast(stt), F.col("pid_s") == F.col("pid"))
         .where(F.col("dsu") + 1 + F.col("dtv") == F.col("dst_d"))
@@ -534,14 +537,8 @@ def graph_diameter_lb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     prep(spark)
     pairs, _ = _copurchase_pairs(spark, sf_dir)
-    sym = pairs.select(
-        F.col("a").alias("src"), F.col("b").alias("dst")
-    ).unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
-    nodes = (
-        pairs.select(F.col("a").alias("n"))
-        .unionByName(pairs.select(F.col("b").alias("n")))
-        .distinct()
-    )
+    sym = _sym_edges(pairs)
+    nodes = _pair_nodes(pairs)
     n_parts = parquet_num_rows(sf_dir, "part")
     gate = adaptive_broadcast_rows(spark, bytes_per_row=16)
     hint = F.broadcast if n_parts <= gate else (lambda df: df)
@@ -826,9 +823,7 @@ def katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     Edge list memoized per session (`_copurchase_pairs`)."""
     prep(spark)
     pairs, _ = _copurchase_pairs(spark, sf_dir)
-    sym = pairs.select(
-        F.col("a").alias("src"), F.col("b").alias("dst")
-    ).unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    sym = _sym_edges(pairs)
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     att = deg.agg((F.max("d") + 1).cast("decimal(38,0)").alias("att"))
     v = (
@@ -1062,8 +1057,7 @@ def rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
     pairs, _ = _copurchase_pairs(spark, sf_dir)
     deg = (
-        pairs.select(F.col("a").alias("n"))
-        .unionByName(pairs.select(F.col("b").alias("n")))
+        _pair_nodes(pairs, distinct=False)
         .groupBy("n")
         .agg(F.count(F.lit(1)).cast("long").alias("d"))
     )

@@ -423,6 +423,31 @@ def _expand_scope(spark: SparkSession, sf_dir: str | None = None):
     )
 
 
+def _sym_edges(pairs: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Both orientations of the canonical (a<b) pair list in ONE pass:
+    each pair row explodes to its two directed edges. The previous
+    union-of-two-projections form scanned the checkpointed pair blocks
+    once per orientation — at scale that is a second full pass over the
+    largest table every consumer touches (r17; measured 15-18% off
+    eigenvector_centrality/influence_cascade at sf0.1)."""
+    return pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias(src), F.col("b").alias(dst)),
+                F.struct(F.col("b").alias(src), F.col("a").alias(dst)),
+            )
+        ).alias("e")
+    ).select(f"e.{src}", f"e.{dst}")
+
+
+def _pair_nodes(pairs: DataFrame, name: str = "n", distinct: bool = True) -> DataFrame:
+    """Node mentions (optionally distinct) of the pair list in ONE pass
+    (same rationale as _sym_edges; the per-node mention count is the
+    symmetric degree)."""
+    out = pairs.select(F.explode(F.array("a", "b")).alias(name))
+    return out.distinct() if distinct else out
+
+
 def _copurchase_pairs(
     spark: SparkSession, sf_dir: str, checkpoint: bool = True
 ) -> "tuple[DataFrame, int | None]":
@@ -1886,9 +1911,7 @@ def link_prediction_aa(spark: SparkSession, sf_dir: str) -> DataFrame:
     generalizes the reference's 2-hop counterparties walk (B:43–46)."""
     prep(spark)
     pairs, _ = _copurchase_pairs_support(spark, sf_dir, 2)
-    sym = pairs.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
-        pairs.select(F.col("b").alias("u"), F.col("a").alias("v"))
-    )
+    sym = _sym_edges(pairs, "u", "v")
     deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
     s1 = sym.select(F.col("u").alias("z"), F.col("v").alias("a"))
     s2 = sym.select(F.col("u").alias("z"), F.col("v").alias("b"))

@@ -222,17 +222,11 @@ def gnn_neighbor_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     one semi-join (frontier) + one windowed scan of the adjacency; depth
     is a compile-time constant, one linear DAG, no driver loop."""
     prep(spark)
-    from .graphops import _copurchase_pairs
+    from .graphops import _copurchase_pairs, _pair_nodes, _sym_edges
 
     pairs, _n = _copurchase_pairs(spark, sf_dir)
-    sym = pairs.select(
-        F.col("a").alias("src"), F.col("b").alias("dst")
-    ).unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
-    nodes = (
-        pairs.select(F.col("a").alias("n"))
-        .unionByName(pairs.select(F.col("b").alias("n")))
-        .distinct()
-    )
+    sym = _sym_edges(pairs)
+    nodes = _pair_nodes(pairs)
     seeds = nodes.orderBy(F.md5(F.col("n").cast("string")), "n").limit(32)
 
     def sample_layer(frontier: DataFrame) -> DataFrame:
@@ -342,12 +336,10 @@ def node2vec_walk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     step O(#walks) shuffle rows; walk length is a literal — one linear
     DAG, no driver loop."""
     prep(spark)
-    from .graphops import _copurchase_pairs
+    from .graphops import _copurchase_pairs, _pair_nodes, _sym_edges
 
     pairs, _n = _copurchase_pairs(spark, sf_dir)
-    sym = pairs.select(
-        F.col("a").alias("src"), F.col("b").alias("dst")
-    ).unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    sym = _sym_edges(pairs)
     adj = sym.select(
         "src",
         "dst",
@@ -523,12 +515,10 @@ def node2vec_walk_sample_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     traversals (B:1100–1180); this extends the X17 training-data
     sampling surface."""
     prep(spark)
-    from .graphops import _copurchase_pairs
+    from .graphops import _copurchase_pairs, _pair_nodes, _sym_edges
 
     pairs, _n = _copurchase_pairs(spark, sf_dir)
-    sym = pairs.select(
-        F.col("a").alias("src"), F.col("b").alias("dst")
-    ).unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    sym = _sym_edges(pairs)
     adj = sym.select(
         "src",
         "dst",
@@ -696,14 +686,10 @@ def negative_edge_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows. Nothing is pairwise, nothing is data-sized-windowed."""
     prep(spark)
     from ..functions.ranking import bucketed_global_rank
-    from .graphops import _copurchase_pairs
+    from .graphops import _copurchase_pairs, _pair_nodes, _sym_edges
 
     pairs, _n = _copurchase_pairs(spark, sf_dir)
-    nodes = (
-        pairs.select(F.col("a").alias("n"))
-        .unionByName(pairs.select(F.col("b").alias("n")))
-        .distinct()
-    )
+    nodes = _pair_nodes(pairs)
     idx = bucketed_global_rank(
         nodes, F.expr("n div 1000"), [F.col("n")]
     ).select("n", "pos", "n_total")
