@@ -98,14 +98,32 @@ def _fixture_identity(sf_dir: str, name: str) -> tuple:
     st = os.stat(path)
     ident: tuple = (os.path.abspath(path), st.st_size, st.st_mtime_ns)
     if os.path.isdir(path):
-        with os.scandir(path) as it:
-            ident += tuple(
-                sorted(
-                    (e.name, e.stat().st_size, e.stat().st_mtime_ns)
-                    for e in it
-                )
-            )
+        # recursive walk (ADVICE r16): a nested/partitioned layout can
+        # rewrite a leaf file without changing the top directory's
+        # size/mtime; one flat scandir level would then serve a stale
+        # listing from the memo
+        entries = []
+        for root, _dirs, files in os.walk(path):
+            rel = os.path.relpath(root, path)
+            for fn in files:
+                fst = os.stat(os.path.join(root, fn))
+                entries.append((os.path.join(rel, fn), fst.st_size, fst.st_mtime_ns))
+        ident += tuple(sorted(entries))
     return ident
+
+
+def session_token(spark: SparkSession) -> str:
+    """Non-recyclable identity for a SparkSession (ADVICE r16): id() can
+    be recycled after a sibling session is GC'd, which could serve a
+    plan bound to a dead session. A uuid stashed on the session object
+    lives exactly as long as the session and never repeats."""
+    import uuid
+
+    tok = getattr(spark, "_b2g_session_token", None)
+    if tok is None:
+        tok = uuid.uuid4().hex
+        spark._b2g_session_token = tok
+    return tok
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -115,7 +133,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown fixture table {name!r}; have {TABLES}")
     key = (
         spark.sparkContext.applicationId,
-        id(spark),
+        session_token(spark),
         os.environ.get("SPARK_GRAFT_CHAOS", ""),
         name,
         _fixture_identity(sf_dir, name),

@@ -30,10 +30,17 @@ _VIEWS_STATE: dict = {}
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Expose the fixture tables to spark.sql under their plain names."""
+    from ..catalog import session_token
+
     dfs = {t: table(spark, sf_dir, t) for t in TABLES}
-    skey = (spark.sparkContext.applicationId, id(spark))
+    # session_token, not id(spark): a recycled object id must never
+    # skip registration for a fresh session (ADVICE r16)
+    skey = (spark.sparkContext.applicationId, session_token(spark))
     state = tuple(df._b2g_plan_serial for df in dfs.values())
-    if _VIEWS_STATE.get(skey) == state:
+    # belt-and-braces sentinel (ADVICE r16): an external dropTempView
+    # would leave _VIEWS_STATE claiming the views exist forever; one
+    # catalog existence probe per skip is ~1 ms vs 10 re-registrations
+    if _VIEWS_STATE.get(skey) == state and spark.catalog.tableExists(TABLES[0]):
         return
     for t, df in dfs.items():
         df.createOrReplaceTempView(t)
