@@ -1992,9 +1992,17 @@ def _lpa_labels(spark: SparkSession, sf_dir: str):
         .distinct()
         .localCheckpoint(eager=True)
     )
-    sym = raw_ck.unionByName(
-        raw_ck.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    # one pass over the edge checkpoint per consumer (the union form
+    # scanned it once per orientation, twice per LPA round — the
+    # _sym_edges rationale applied to the star-edge checkpoint)
+    sym = raw_ck.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src"), F.col("dst")),
+                F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     # Round 1 folds into a single min-aggregate: with l0(node) = node,
     # every (src, dst-label) vote over the DISTINCT edge set has cnt=1,
     # so the (cnt DESC, lbl ASC) winner is just min(neighbor) — the
