@@ -109,7 +109,14 @@ def _seed_bfs_build(
     one frontier DataFrame for ALL seeds, `depth` unrolled join
     rounds; the handles let the memo release blocks on eviction."""
     pairs, _n_edges = _copurchase_pairs(spark, sf_dir)
-    sym = _sym_edges(pairs)
+    # union form, NOT _sym_edges: this sym is consumed LAZILY and
+    # re-referenced (per BFS level / per round), where the explode's
+    # Generate re-executes per reference and measured 10-20% slower
+    # than the two narrow union branches (see OPTIMIZATION_r17.md);
+    # the one-pass form pays only when immediately checkpointed
+    sym = pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
     nodes = _pair_nodes(pairs)
     hkey = F.md5(F.col("n").cast("string"))
     # TakeOrdered top-k by content hash, then indices 0..k-1 via a
@@ -375,7 +382,14 @@ def edge_betweenness_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
     bfs, seeds = _seed_bfs(spark, sf_dir, _BTW_SEEDS)
     pairs, _n = _copurchase_pairs(spark, sf_dir)
-    sym = _sym_edges(pairs)
+    # union form, NOT _sym_edges: this sym is consumed LAZILY and
+    # re-referenced (per BFS level / per round), where the explode's
+    # Generate re-executes per reference and measured 10-20% slower
+    # than the two narrow union branches (see OPTIMIZATION_r17.md);
+    # the one-pass form pays only when immediately checkpointed
+    sym = pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
     half = _BTW_SEEDS // 2
     a, b = seeds.alias("sa"), seeds.alias("sb")
     p = (
@@ -537,7 +551,14 @@ def graph_diameter_lb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     prep(spark)
     pairs, _ = _copurchase_pairs(spark, sf_dir)
-    sym = _sym_edges(pairs)
+    # union form, NOT _sym_edges: this sym is consumed LAZILY and
+    # re-referenced (per BFS level / per round), where the explode's
+    # Generate re-executes per reference and measured 10-20% slower
+    # than the two narrow union branches (see OPTIMIZATION_r17.md);
+    # the one-pass form pays only when immediately checkpointed
+    sym = pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
     nodes = _pair_nodes(pairs)
     n_parts = parquet_num_rows(sf_dir, "part")
     gate = adaptive_broadcast_rows(spark, bytes_per_row=16)
@@ -823,7 +844,14 @@ def katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     Edge list memoized per session (`_copurchase_pairs`)."""
     prep(spark)
     pairs, _ = _copurchase_pairs(spark, sf_dir)
-    sym = _sym_edges(pairs)
+    # union form, NOT _sym_edges: this sym is consumed LAZILY and
+    # re-referenced (per BFS level / per round), where the explode's
+    # Generate re-executes per reference and measured 10-20% slower
+    # than the two narrow union branches (see OPTIMIZATION_r17.md);
+    # the one-pass form pays only when immediately checkpointed
+    sym = pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     att = deg.agg((F.max("d") + 1).cast("decimal(38,0)").alias("att"))
     v = (

@@ -1911,7 +1911,10 @@ def link_prediction_aa(spark: SparkSession, sf_dir: str) -> DataFrame:
     generalizes the reference's 2-hop counterparties walk (B:43–46)."""
     prep(spark)
     pairs, _ = _copurchase_pairs_support(spark, sf_dir, 2)
-    sym = _sym_edges(pairs, "u", "v")
+    # union form (lazy double-reference wedge join; see OPTIMIZATION_r17.md)
+    sym = pairs.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+        pairs.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
     deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
     s1 = sym.select(F.col("u").alias("z"), F.col("v").alias("a"))
     s2 = sym.select(F.col("u").alias("z"), F.col("v").alias("b"))

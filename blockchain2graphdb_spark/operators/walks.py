@@ -225,7 +225,11 @@ def gnn_neighbor_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .graphops import _copurchase_pairs, _pair_nodes, _sym_edges
 
     pairs, _n = _copurchase_pairs(spark, sf_dir)
-    sym = _sym_edges(pairs)
+    # union form, NOT _sym_edges: sampled per layer (lazy re-reference;
+    # see OPTIMIZATION_r17.md — explode pays only when checkpointed)
+    sym = pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
     nodes = _pair_nodes(pairs)
     seeds = nodes.orderBy(F.md5(F.col("n").cast("string")), "n").limit(32)
 
